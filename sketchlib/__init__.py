@@ -1,0 +1,32 @@
+"""sketchlib — a PySpark-native mergeable-sketch / approximate-aggregation library.
+
+A from-scratch reimplementation of the query capabilities of the Verdict AQP
+middleware (reference: brucemen711/verdict — tree empty in this sandbox, see
+SURVEY.md §0; semantics per the VerdictDB paper, SIGMOD 2018), re-expressed
+Spark-first:
+
+- Verdict's *sample tables* (uniform / universe / stratified scrambles) are
+  replaced by *mergeable sketch state tables* (HyperLogLog, Count-Min,
+  t-digest, KLL, Bloom) — a strictly better "sample" for the fixed
+  distinct-count / frequency / quantile / membership query set.
+- Verdict's SQL-rewrite middleware is replaced by a DataFrame-native API:
+  build sketches with one streaming pass (``mapInPandas``, zero raw-data
+  shuffle), persist the tiny states, answer queries from states alone.
+- Every estimate carries an explicit error bound (Verdict's ``± err``
+  columns, SURVEY.md A15), from each algorithm's published formula.
+
+All sketch update/merge kernels are pure numpy (vectorized, no per-row
+Python); Spark moves Arrow batches in and serialized states out.
+"""
+
+from sketchlib.sketches import (  # noqa: F401
+    HLL,
+    Bloom,
+    CountMin,
+    KLL,
+    MinHash,
+    TDigest,
+    deserialize,
+)
+
+__version__ = "0.1.0"
