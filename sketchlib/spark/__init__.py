@@ -1,0 +1,14 @@
+"""Spark execution layer: builds sketch states over DataFrames.
+
+Execution model (SURVEY.md §3.2, improved): the build pass is
+``mapInArrow`` — one streaming pass over each input partition producing one
+tiny serialized state per (partition × group × sketch). Raw rows are NEVER
+shuffled; only KB-sized states move in the single ``groupBy`` merge stage.
+This is map-side partial aggregation taken to its limit and is the property
+that makes the design hold at 10^12 sequences: the shuffle volume is
+O(partitions × groups × state_size), independent of corpus size.
+"""
+
+from sketchlib.spark.build import SketchSpec, build_sketches, merge_states  # noqa: F401
+from sketchlib.spark.query import estimates_df, load_states, topk_df, quantiles_df  # noqa: F401
+from sketchlib.spark.session import get_spark  # noqa: F401

@@ -1,0 +1,396 @@
+"""Sketch build pipeline (SURVEY.md §3.2 Entry 1, A2 `CREATE SAMPLE` analog).
+
+Verdict's `CREATE SAMPLE` scans the base table once and persists a derived
+sample table; our analog scans once and persists sketch states. Two
+strategies, both ending in the same tiny merge:
+
+``strategy="map"`` (default, the scale path)
+    ``df.mapInArrow(update)`` — each input partition is streamed batch-by-
+    batch through numpy update kernels, emitting ONE serialized state per
+    (partition × group × sketch). Raw rows are never shuffled; the only
+    exchange moves KB states. At 10^12 sequences the shuffle volume is
+    O(n_partitions × n_groups × state_bytes) — corpus-size independent.
+
+``strategy="shuffle"`` (Verdict-style comparison path, SURVEY.md A9 + B9)
+    ``groupBy(group, salt).applyInPandas(update)`` — shuffles raw rows on a
+    salted key. Salting (``salt = xxhash64(doc_id) % n_salts``) bounds the
+    largest reduce-side group so one hot source (80% of rows in the fixture)
+    cannot OOM a single task. Exists to demonstrate/benchmark why the map
+    strategy wins: it pays a full-corpus shuffle the map path avoids.
+
+Merging uses one or two `groupBy` levels (``fanout``): with F partial states
+per group, a single reduce task merging all F can bottleneck; two-level
+merge caps any task at ``fanout`` states. States are canonically ordered by
+(part_id, state bytes) before merging so clean and resumed runs produce
+byte-identical results (SURVEY.md §7 hard-part 1).
+
+Checkpoint/resume (B10) lives in checkpoint.py and wraps this module.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.taskcontext import TaskContext
+
+from sketchlib.hashing import hash_any
+from sketchlib.sketches import HLL, KLL, Bloom, CountMin, MinHash, TDigest, deserialize
+
+_KINDS = {
+    "hll": HLL,
+    "cm": CountMin,
+    "kll": KLL,
+    "tdigest": TDigest,
+    "bloom": Bloom,
+    "minhash": MinHash,
+}
+
+STATE_FIELDS = (
+    "group string, sketch string, kind string, state binary, "
+    "n_items long, part_id int, rows long, tokens long, wall_ms double"
+)
+
+_ARROW_STATE_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("sketch", pa.string()),
+        ("kind", pa.string()),
+        ("state", pa.binary()),
+        ("n_items", pa.int64()),
+        ("part_id", pa.int32()),
+        ("rows", pa.int64()),
+        ("tokens", pa.int64()),
+        ("wall_ms", pa.float64()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: e.g. SketchSpec('hll_doc', 'hll', 'doc_id', {'p': 14})."""
+
+    name: str
+    kind: str
+    column: str
+    params: dict = field(default_factory=dict)
+
+    def make(self):
+        return _KINDS[self.kind](**self.params)
+
+    @property
+    def wants_hashes(self) -> bool:
+        return self.kind in ("hll", "minhash")
+
+    def update(self, sk, values: np.ndarray):
+        """Vectorized dispatch: hashes for HLL/MinHash, raw keys/values otherwise."""
+        if self.wants_hashes:
+            sk.update_hashes(hash_any(values))
+        elif self.kind in ("cm", "bloom"):
+            v = np.asarray(values)
+            if v.dtype.kind not in ("i", "u"):
+                v = hash_any(v).astype(np.int64)  # non-int keys: sketch their hashes
+            sk.add(v) if self.kind == "bloom" else sk.update_values(v)
+        else:  # kll / tdigest
+            sk.update_values(np.asarray(values, dtype=np.float64))
+
+    @property
+    def input_mode(self) -> str:
+        """'uniq' = consumes per-group (unique values, counts) — HLL/MinHash/
+        Bloom are set-semantics, CM pre-aggregates; 'full' = needs every
+        value (quantile sketches)."""
+        return "full" if self.kind in ("kll", "tdigest") else "uniq"
+
+
+def _column_values(batch: pa.RecordBatch, name: str):
+    """(row_values or None, flat_values or None, row_lengths or None) for a column."""
+    col = batch.column(batch.schema.get_field_index(name))
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+        return None, flat, np.asarray(lens, dtype=np.int64)
+    return col.to_numpy(zero_copy_only=False), None, None
+
+
+def _group_cluster(flat: np.ndarray, kcodes: np.ndarray, ng: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster values by group code with one stable argsort (radix for ints).
+
+    Returns (values reordered group-contiguously, group start offsets)."""
+    if ng == 1:
+        return flat, np.array([0, len(flat)], dtype=np.int64)
+    order = np.argsort(kcodes, kind="stable")
+    starts = np.zeros(ng + 1, dtype=np.int64)
+    np.cumsum(np.bincount(kcodes, minlength=ng), out=starts[1:])
+    return flat[order], starts
+
+
+def _group_unique(flat: np.ndarray, kcodes: np.ndarray, ng: int):
+    """Per-group unique values + multiplicities in ONE composite sort.
+
+    For non-negative ≤32-bit int values (the tokens:array<int32> hot path),
+    packs (group_code << 32 | value) into uint64 and sorts once — O(n log n)
+    with numpy's radix-ish sort — then derives uniques, counts, and group
+    boundaries from the sorted packed array. Everything downstream (HLL,
+    MinHash, Bloom, Count-Min) then operates on |vocab|-sized arrays instead
+    of |tokens|-sized ones. Generic dtypes fall back to per-group np.unique.
+
+    Returns (uvals, ucounts, ustarts): group g's uniques are
+    uvals[ustarts[g]:ustarts[g+1]] with multiplicities in ucounts.
+    """
+    if flat.size == 0:
+        return flat, np.zeros(0, dtype=np.int64), np.zeros(ng + 1, dtype=np.int64)
+    if flat.dtype.kind in ("i", "u") and flat.dtype.itemsize <= 4 and int(flat.min()) >= 0:
+        vspan = int(flat.max()) + 1
+        if vspan * ng <= (1 << 26):
+            # vocab-bounded fast path: O(n) bincount scatter, no sort at all
+            ids = kcodes * vspan + flat.astype(np.int64)
+            cnt = np.bincount(ids, minlength=vspan * ng)
+            nz = np.nonzero(cnt)[0]  # ascending -> already group-clustered
+            uvals = (nz % vspan).astype(flat.dtype)
+            ucodes = nz // vspan
+            ustarts = np.searchsorted(ucodes, np.arange(ng + 1)).astype(np.int64)
+            return uvals, cnt[nz], ustarts
+        comp = (kcodes.astype(np.uint64) << np.uint64(32)) | flat.astype(np.uint64)
+        comp.sort()
+        keep = np.empty(len(comp), dtype=bool)
+        keep[0] = True
+        np.not_equal(comp[1:], comp[:-1], out=keep[1:])
+        kept_idx = np.nonzero(keep)[0]
+        ucounts = np.diff(kept_idx, append=len(comp))
+        kept = comp[kept_idx]
+        uvals = (kept & np.uint64(0xFFFFFFFF)).astype(flat.dtype)
+        ucodes = kept >> np.uint64(32)
+        ustarts = np.searchsorted(ucodes, np.arange(ng + 1, dtype=np.uint64)).astype(np.int64)
+        return uvals, ucounts.astype(np.int64), ustarts
+    clustered, starts = _group_cluster(flat, kcodes, ng)
+    uv, uc, ust = [], [], [0]
+    for gi in range(ng):
+        u, c = np.unique(clustered[starts[gi] : starts[gi + 1]], return_counts=True)
+        uv.append(u)
+        uc.append(c)
+        ust.append(ust[-1] + len(u))
+    return np.concatenate(uv), np.concatenate(uc).astype(np.int64), np.array(ust, dtype=np.int64)
+
+
+def _make_update_fn(specs: list[SketchSpec], group_by: str | None):
+    """mapInArrow function: stream partition batches -> one state row per group×spec.
+
+    Per-batch hot path (SURVEY.md §4 "vectorized execution"): each referenced
+    column is decoded once and reduced to per-group (unique, count) pairs
+    with a single composite sort (see _group_unique); set-semantics sketches
+    (HLL/MinHash/Bloom) and pre-aggregating ones (CM) then touch only
+    |vocab|-sized arrays, and the shared 64-bit hash of the uniques is
+    computed once for all hash consumers. Quantile sketches get group-
+    contiguous full-value slices. No per-group boolean masks, no per-spec
+    re-hashing, no per-row Python anywhere.
+    """
+    by_col: dict[str, list[SketchSpec]] = {}
+    for s in specs:
+        by_col.setdefault(s.column, []).append(s)
+
+    def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.perf_counter()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        states: dict[tuple[str, str], object] = {}
+        rows_per_group: dict[str, int] = {}
+        toks_per_group: dict[str, int] = {}
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if group_by is None:
+                codes = np.zeros(n, dtype=np.int64)
+                uniques = np.array([""], dtype=object)
+            else:
+                gcol, _, _ = _column_values(batch, group_by)
+                codes, uniques = pd.factorize(gcol)
+            ng = len(uniques)
+            gnames = [str(v) for v in uniques]
+            rc = np.bincount(codes, minlength=ng)
+            for gi, g in enumerate(gnames):
+                rows_per_group[g] = rows_per_group.get(g, 0) + int(rc[gi])
+
+            counted_tokens = False
+            for col, col_specs in by_col.items():
+                rowv, flat, lens = _column_values(batch, col)
+                if flat is None:
+                    flat, kcodes = rowv, codes
+                else:
+                    kcodes = np.repeat(codes, lens)
+                    if not counted_tokens:
+                        tc = np.bincount(codes, weights=lens.astype(np.float64), minlength=ng)
+                        for gi, g in enumerate(gnames):
+                            toks_per_group[g] = toks_per_group.get(g, 0) + int(tc[gi])
+                        counted_tokens = True
+                seg = np.bincount(kcodes, minlength=ng)  # raw items per group
+
+                full_specs = [s for s in col_specs if s.input_mode == "full"]
+                uniq_specs = [s for s in col_specs if s.input_mode == "uniq"]
+
+                if full_specs:
+                    clustered, fstarts = _group_cluster(flat, kcodes, ng)
+                    vals64 = clustered.astype(np.float64, copy=False)
+                    for gi, g in enumerate(gnames):
+                        sl = vals64[fstarts[gi] : fstarts[gi + 1]]
+                        if not len(sl):
+                            continue
+                        for spec in full_specs:
+                            sk = states.get((g, spec.name))
+                            if sk is None:
+                                sk = states[(g, spec.name)] = spec.make()
+                            sk.update_values(sl)
+
+                if uniq_specs:
+                    uvals, ucounts, ustarts = _group_unique(flat, kcodes, ng)
+                    need_hash = any(s.wants_hashes for s in uniq_specs) or (
+                        uvals.dtype.kind not in ("i", "u")
+                    )
+                    uhash = hash_any(uvals) if need_hash else None
+                    ints_ok = uvals.dtype.kind in ("i", "u")
+                    for gi, g in enumerate(gnames):
+                        s0, s1 = ustarts[gi], ustarts[gi + 1]
+                        if s0 == s1:
+                            continue
+                        n_seen = int(seg[gi])
+                        for spec in uniq_specs:
+                            sk = states.get((g, spec.name))
+                            if sk is None:
+                                sk = states[(g, spec.name)] = spec.make()
+                            if spec.wants_hashes:
+                                sk.update_hashes(uhash[s0:s1], n_seen=n_seen)
+                            elif spec.kind == "bloom":
+                                sk.add(uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64))
+                            else:  # cm
+                                keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
+                                sk.update_values(keys, counts=ucounts[s0:s1])
+
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        if states:
+            rows = sorted(states.items())  # canonical (group, sketch) order
+            by_name = {s.name: s for s in specs}
+            arrays = {
+                "group": [g for (g, _), _ in rows],
+                "sketch": [nm for (_, nm), _ in rows],
+                "kind": [by_name[nm].kind for (_, nm), _ in rows],
+                "state": [sk.to_bytes() for _, sk in rows],
+                "n_items": [sk.n_items for _, sk in rows],
+                "part_id": [pid] * len(rows),
+                "rows": [rows_per_group.get(g, 0) for (g, _), _ in rows],
+                "tokens": [toks_per_group.get(g, 0) for (g, _), _ in rows],
+                "wall_ms": [wall_ms] * len(rows),
+            }
+            yield pa.RecordBatch.from_pydict(arrays, schema=_ARROW_STATE_SCHEMA)
+
+    return update
+
+
+def _merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge all states of one (group, sketch) into a single row.
+
+    Canonical order (part_id, state bytes) → deterministic merge tree, so a
+    resumed run byte-matches a clean one even for order-sensitive sketches.
+    """
+    pdf = pdf.sort_values(["part_id", "state"], kind="stable")
+    it = iter(pdf.itertuples(index=False))
+    first = next(it)
+    acc = deserialize(first.state)
+    for row in it:
+        acc.merge(deserialize(row.state))
+    return pd.DataFrame(
+        {
+            "group": [first.group],
+            "sketch": [first.sketch],
+            "kind": [first.kind],
+            "state": [acc.to_bytes()],
+            "n_items": [int(acc.n_items)],
+            "part_id": [-1],
+            "rows": [int(pdf["rows"].sum())],
+            "tokens": [int(pdf["tokens"].sum())],
+            "wall_ms": [float(pdf["wall_ms"].sum())],
+        }
+    )
+
+
+def merge_states(states: DataFrame, fanout: int | None = None) -> DataFrame:
+    """Reduce partial states to one row per (group, sketch).
+
+    ``fanout``: optional two-level merge — level 1 on (group, sketch,
+    part_id % fanout) caps any merge task at ~fanout inputs; level 2 merges
+    the ≤fanout survivors. Use when n_partitions is large (cluster scale).
+    """
+    if fanout and fanout > 1:
+        lvl1 = (
+            states.withColumn("bucket", F.pmod(F.col("part_id"), F.lit(fanout)))
+            .groupBy("group", "sketch", "bucket")
+            .applyInPandas(
+                lambda pdf: _merge_pdf(pdf.drop(columns=["bucket"])), STATE_FIELDS
+            )
+        )
+        return lvl1.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
+    return states.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
+
+
+def partial_states(df: DataFrame, specs: list[SketchSpec], group_by: str | None = "source") -> DataFrame:
+    """Stage 1 only: per-partition partial states (used by checkpointing + Bloom pruning)."""
+    cols = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+    narrow = df.select(*cols)  # explicit pruning: the Python UDF boundary blocks Catalyst above it
+    return narrow.mapInArrow(_make_update_fn(specs, group_by), STATE_FIELDS)
+
+
+def build_sketches(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    group_by: str | None = "source",
+    strategy: str = "map",
+    fanout: int | None = None,
+    n_salts: int = 32,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Build merged sketch states: one row per (group value × spec).
+
+    Returns a DataFrame with STATE_FIELDS schema (part_id = -1 after merge).
+    """
+    if strategy == "map":
+        return merge_states(partial_states(df, specs, group_by), fanout=fanout)
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # Verdict-style shuffle path with explicit salting (SURVEY.md B9).
+    cols = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+    narrow = df.select(*cols)
+    salt_src = salt_on or (group_by if group_by else cols[0])
+    salted = narrow.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src).cast("string"), F.lit(17)), F.lit(n_salts))
+    )
+    group_cols = ([group_by] if group_by else []) + ["_salt"]
+
+    def update_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        g = str(pdf[group_by].iloc[0]) if group_by else ""
+        n_tokens = 0
+        for spec in specs:
+            sk = spec.make()
+            colvals = pdf[spec.column].to_numpy()
+            if len(colvals) and isinstance(colvals[0], (list, np.ndarray)):
+                vals = np.concatenate([np.asarray(a) for a in colvals]) if len(colvals) else np.empty(0)
+                n_tokens = int(sum(len(a) for a in colvals))
+            else:
+                vals = colvals
+            spec.update(sk, vals)
+            out_rows.append(
+                (g, spec.name, spec.kind, sk.to_bytes(), sk.n_items, int(pdf["_salt"].iloc[0]), len(pdf), n_tokens, 0.0)
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=["group", "sketch", "kind", "state", "n_items", "part_id", "rows", "tokens", "wall_ms"],
+        )
+
+    partial = salted.groupBy(*group_cols).applyInPandas(update_group, STATE_FIELDS)
+    return merge_states(partial, fanout=fanout)

@@ -1,0 +1,105 @@
+"""Query layer (SURVEY.md §3.2 Entry 2): answers from sketch states alone.
+
+This reproduces Verdict's headline property — query latency independent of
+corpus size — because the inputs here are the merged state rows (KBs per
+group), never the base table. Every answer carries an explicit error bound
+(Verdict's ``± err`` companion columns, SURVEY.md A15).
+
+States are collected to the driver: by construction there is exactly one row
+per (group × sketch), i.e. tens of rows — this is NOT a driver-side loop over
+data, it is the final reduce of a tree aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from sketchlib.hashing import hash_any
+from sketchlib.sketches import deserialize
+
+
+def load_states(states: DataFrame) -> dict[tuple[str, str], object]:
+    """{(group, sketch_name): sketch object} from a merged-states DataFrame."""
+    rows = states.select("group", "sketch", "state").collect()
+    return {(r["group"], r["sketch"]): deserialize(r["state"]) for r in rows}
+
+
+def estimates_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
+    """(group, estimate, err_bound) for a cardinality sketch (HLL)."""
+    out = []
+    for (g, name), sk in sorted(load_states(states).items()):
+        if name != sketch:
+            continue
+        est, rse = sk.estimate()
+        out.append((g, float(est), float(rse)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["group", "estimate", "rse_bound"])
+    )
+
+
+def topk_df(spark: SparkSession, states: DataFrame, sketch: str, k: int) -> DataFrame:
+    """(group, token, est_count, err_bound) top-k heavy hitters per group (CM)."""
+    out = []
+    for (g, name), sk in sorted(load_states(states).items()):
+        if name != sketch:
+            continue
+        ids, est = sk.topk(k)
+        bound = sk.error_bound()
+        for i, e in zip(ids.tolist(), est.tolist()):
+            out.append((g, int(i), int(e), float(bound)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["group", "token", "est_count", "err_bound"])
+    )
+
+
+def quantiles_df(spark: SparkSession, states: DataFrame, sketch: str, qs) -> DataFrame:
+    """(group, q, value, rank_err_bound) per group for KLL/t-digest states."""
+    qs = list(qs)
+    out = []
+    for (g, name), sk in sorted(load_states(states).items()):
+        if name != sketch:
+            continue
+        vals = sk.quantiles(np.array(qs))
+        bound = sk.error_bound()
+        for q, v in zip(qs, vals.tolist()):
+            out.append((g, float(q), float(v), float(bound)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["group", "q", "value", "rank_err_bound"])
+    )
+
+
+def membership_df(spark: SparkSession, states: DataFrame, sketch: str, keys) -> DataFrame:
+    """(group, key, may_contain, fpr_bound) Bloom membership per group (Q5).
+
+    ``may_contain = False`` is exact (zero false negatives); True is a maybe
+    with the reported false-positive bound.
+    """
+    keys = np.asarray(keys)
+    hashed = keys if keys.dtype.kind in ("i", "u") else hash_any(keys).astype(np.int64)
+    out = []
+    for (g, name), sk in sorted(load_states(states).items()):
+        if name != sketch:
+            continue
+        hits = sk.contains(hashed)
+        fpr = sk.fpr_bound()
+        for kv, hit in zip(keys.tolist(), hits.tolist()):
+            out.append((g, int(kv), bool(hit), float(fpr)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["group", "key", "may_contain", "fpr_bound"])
+    )
+
+
+def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
+    """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash)."""
+    sigs = {g: sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch}
+    groups = sorted(sigs)
+    out = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            j, se = sigs[a].jaccard(sigs[b])
+            out.append((a, b, float(j), float(se)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["group_a", "group_b", "jaccard_est", "se_bound"])
+    )
