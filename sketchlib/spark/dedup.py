@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Not part of Verdict's surface (the reference is a query middleware), but
+first-class for a 100 TB token-corpus engine; all built Spark-first:
+
+- exact_dedup:      hash-groupBy — shuffles only (hash, id) pairs, never the
+                    payload; winners semi-join back to the full rows.
+- minhash_lsh:      per-doc MinHash signatures (vectorized batch kernel:
+                    ONE np.minimum.reduceat per permutation chunk over the
+                    flattened token stream — no per-row Python), banded LSH
+                    bucketing, candidate verification by signature agreement,
+                    duplicate clusters closed by iterative min-id propagation
+                    (converges in O(log |cluster|) joins).
+- simhash:          64-bit SimHash per doc in two vectorized ops per batch
+                    (np.unpackbits + one 2D np.add.reduceat), banded into
+                    4×16-bit chunks for Hamming-distance candidates.
+- ngram MinHash:    token n-gram shingles hashed JVM-side (higher-order
+                    structure than unigram sets), then the same LSH path.
+
+Scale notes: signatures are ~1 KB/doc; every shuffle below moves signatures
+or (key, id) pairs, never token payloads. Band width trades recall/precision:
+P(pair in ≥1 band) = 1 − (1 − J^rows_per_band)^n_bands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from sketchlib.hashing import splitmix64
+from sketchlib.sketches.minhash import _perm_consts
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content value.
+
+    The winner set is computed over (content-hash, id) pairs only — at corpus
+    scale the shuffle carries ~16 bytes/row, not documents. A 64-bit hash
+    collision (P ≈ n²/2^65) would merge two distinct docs; callers needing
+    certainty can group on the raw content at higher shuffle cost.
+    """
+    h = F.xxhash64(F.col(content_col)).alias("_h")
+    winners = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "leftsemi")
+
+
+# --------------------------------------------------------------------------
+# per-document MinHash signatures (vectorized)
+# --------------------------------------------------------------------------
+
+def _batch_minhash(flat: np.ndarray, offsets: np.ndarray, r: int, seed: int) -> np.ndarray:
+    """(n_rows, r) uint64 signatures of token-array rows.
+
+    For each chunk of permutations: rehash the flattened token stream once,
+    then one np.minimum.reduceat over row offsets — O(T) per permutation,
+    zero per-row Python. Rows with no tokens get all-max signatures.
+    """
+    n_rows = len(offsets) - 1
+    sig = np.full((n_rows, r), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if len(flat) == 0:
+        return sig
+    base = splitmix64(flat.astype(np.uint64))
+    consts = _perm_consts(r, seed)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    chunk = max(1, (4 << 20) // max(len(flat), 1))  # ~32MB of uint64 per slab
+    for c0 in range(0, r, chunk):
+        cs = consts[c0 : c0 + chunk]
+        mixed = splitmix64((base[:, None] ^ cs[None, :]).ravel()).reshape(len(base), len(cs))
+        red = np.minimum.reduceat(mixed, starts.clip(max=len(flat) - 1), axis=0)
+        sig[nonempty, c0 : c0 + len(cs)] = red[nonempty]
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
+    """(n_rows, n_bands) uint64: hash of each signature band."""
+    n, r = sig.shape
+    assert r % n_bands == 0, "r must be divisible by n_bands"
+    w = r // n_bands
+    bands = sig.reshape(n, n_bands, w)
+    acc = np.zeros((n, n_bands), dtype=np.uint64)
+    for j in range(w):  # tiny loop (w ~ 4-8), vectorized inside
+        acc = splitmix64(acc ^ bands[:, :, j])
+    return acc ^ (np.arange(n_bands, dtype=np.uint64) * np.uint64(seed * 2 + 1))[None, :]
+
+
+def minhash_signatures(
+    df: DataFrame, tokens_col: str, id_col: str, r: int = 128, n_bands: int = 32, seed: int = 17
+) -> DataFrame:
+    """id, sig (binary), band_hash array — one row per document."""
+    out_schema = f"{id_col} string, sig binary, bands array<long>"
+    id_is_long = dict(df.dtypes)[id_col] in ("bigint", "int")
+    if id_is_long:
+        out_schema = f"{id_col} long, sig binary, bands array<long>"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            col = b.column(b.schema.get_field_index(tokens_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            sig = _batch_minhash(flat, offsets, r, seed)
+            bh = _band_hashes(sig, n_bands, seed).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(list(sig.tobytes(order="C")[i * r * 8 : (i + 1) * r * 8] for i in range(len(sig)))),
+                    pa.array(bh.tolist(), type=pa.list_(pa.int64())),
+                ],
+                names=[id_col, "sig", "bands"],
+            )
+
+    return df.select(id_col, tokens_col).mapInArrow(fn, out_schema)
+
+
+def _sig_agreement(a: bytes, b: bytes) -> float:
+    va = np.frombuffer(a, dtype=np.uint64)
+    vb = np.frombuffer(b, dtype=np.uint64)
+    return float(np.mean(va == vb))
+
+
+def candidate_pairs(sig_df: DataFrame, id_col: str, threshold: float = 0.8) -> DataFrame:
+    """LSH candidate pairs verified by signature agreement ≥ threshold.
+
+    Shuffles (band_hash → ids) buckets; pair verification runs on signature
+    bytes only. Output: (id_a, id_b, jaccard_est) with id_a < id_b.
+    """
+    exploded = sig_df.select(
+        F.col(id_col), F.col("sig"), F.explode("bands").alias("bh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.udf(_sig_agreement, "double")  # tiny: runs once per candidate pair
+    return (
+        pairs.withColumn("jaccard_est", agree("sig_a", "sig_b"))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
+    """Connected components by iterative min-id propagation.
+
+    Returns (id, rep) where rep is the cluster's minimum id. Converges in
+    O(log diameter) joins; duplicate clusters are near-cliques, so 2-3
+    iterations in practice. Each iteration shuffles (id, rep) pairs only.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    )
+    rep = all_ids.select(F.col(id_col).alias("x"), F.col(id_col).alias("rep"))
+    for _ in range(max_iter):
+        # rep'(x) = min(rep(x), min over neighbors y of rep(y))
+        nbr_min = (
+            edges.join(rep.withColumnRenamed("x", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_rep = (
+            rep.join(nbr_min, "x", "left")
+            .select("x", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
+        )
+        new_rep = new_rep.localCheckpoint()  # truncate the growing lineage
+        changed = (
+            new_rep.alias("n")
+            .join(rep.alias("o"), "x")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        rep = new_rep
+        if changed == 0:
+            break
+    return rep.select(F.col("x").alias(id_col), F.col("rep"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    r: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal: keep the min-id representative per cluster."""
+    sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands)
+    pairs = candidate_pairs(sigs, id_col, threshold=threshold)
+    clusters = cluster_min_id(pairs, df.select(id_col), id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    return df.join(keep, id_col, "leftsemi")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _batch_simhash(flat: np.ndarray, offsets: np.ndarray, seed: int) -> np.ndarray:
+    """64-bit SimHash per row: sign of per-bit vote sums, two vectorized ops."""
+    n_rows = len(offsets) - 1
+    if len(flat) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    h = splitmix64(flat.astype(np.uint64) ^ splitmix64(np.array([seed], np.uint64))[0])
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")  # (T, 64)
+    starts = offsets[:-1].clip(max=len(flat) - 1)
+    sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)  # (n_rows, 64)
+    lens = np.diff(offsets)
+    bitvals = (2 * sums > lens[:, None]).astype(np.uint8)
+    bitvals[lens == 0] = 0
+    return np.packbits(bitvals, axis=1, bitorder="little").view(np.int64).ravel()
+
+
+def simhash_df(df: DataFrame, tokens_col: str, id_col: str, seed: int = 23) -> DataFrame:
+    """(id, simhash long, chunk0..chunk3 int) — 16-bit bands for Hamming LSH."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, simhash long"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            col = b.column(b.schema.get_field_index(tokens_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            sh = _batch_simhash(flat, offsets, seed)
+            yield pa.RecordBatch.from_arrays([ids, pa.array(sh)], names=[id_col, "simhash"])
+
+    out = df.select(id_col, tokens_col).mapInArrow(fn, schema)
+    u = F.col("simhash").cast("long")
+    for i in range(4):
+        out = out.withColumn(f"chunk{i}", F.shiftrightunsigned(u, i * 16).bitwiseAND(F.lit(0xFFFF)))
+    return out
+
+
+def simhash_candidates(sh_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Pairs sharing ≥1 of 4 16-bit chunks with Hamming(simhash) ≤ max_hamming.
+
+    By pigeonhole, any pair with Hamming ≤ 3 shares at least one exact chunk,
+    so recall is 1.0 for the advertised radius; chunk buckets bound the join.
+    """
+    chunks = [
+        sh_df.select(F.col(id_col), F.col("simhash"), F.col(f"chunk{i}").alias("ck"), F.lit(i).alias("ci"))
+        for i in range(4)
+    ]
+    ex = chunks[0]
+    for c in chunks[1:]:
+        ex = ex.unionByName(c)
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# --------------------------------------------------------------------------
+# token n-gram shingles (JVM-side) for higher-order near-dup
+# --------------------------------------------------------------------------
+
+def with_token_ngrams(df: DataFrame, tokens_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """array<long> of hashed token n-grams, built with SQL higher-order
+    functions (whole-stage codegen; no Python). Rows shorter than n get []."""
+    args = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    expr = (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {n}), i -> xxhash64({args})) "
+        f"ELSE array() END"
+    )
+    return df.withColumn(out, F.expr(expr))

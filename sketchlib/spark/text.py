@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side.
+
+Every expression here compiles to Spark SQL built-ins (split/filter/
+transform/aggregate/regexp), so the whole pipeline stays in whole-stage
+codegen: no Python touches row data. These are the quality/filtering
+primitives a 100 TB corpus pipeline runs before tokenization.
+
+- token/word counts, avg word length
+- quality heuristics: alpha ratio, digit ratio, punctuation ratio,
+  whitespace ratio, mean-word-length sanity, stopword hit ratio
+- language-ID heuristic: argmax over per-language stopword hit counts
+  (n-gram-free, deterministic; a real pipeline swaps in fastText — the
+  operator shape, an argmax over per-language scores, stays identical)
+- document fingerprint: xxhash64 of normalized text (exact-dup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "por"],
+}
+
+
+def words(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def _char_ratio(col: Column, pattern: str) -> Column:
+    total = F.greatest(F.length(col), F.lit(1))
+    kept = F.length(F.regexp_replace(col, pattern, ""))
+    return (total - kept) / total
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_words, avg_word_len, alpha_ratio, digit_ratio, punct_ratio."""
+    w = words(text_col)
+    col = F.col(text_col)
+    total_chars = F.greatest(F.length(col), F.lit(1))
+    word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return (
+        df.withColumn("n_words", F.size(w))
+        .withColumn("avg_word_len", word_chars / F.greatest(F.size(w), F.lit(1)))
+        .withColumn("alpha_ratio", _char_ratio(col, r"[A-Za-z]"))
+        .withColumn("digit_ratio", _char_ratio(col, r"[0-9]"))
+        .withColumn("punct_ratio", _char_ratio(col, r"""[.,;:!?'"()\[\]{}-]"""))
+        .withColumn("ws_ratio", _char_ratio(col, r"\s"))
+        .withColumn("n_chars_calc", F.length(col))
+    )
+
+
+def _stopword_hits(text_col: str | Column, lang: str) -> Column:
+    w = F.transform(words(text_col), lambda x: F.lower(x))
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text", out: str = "lang_guess") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit counts.
+
+    Ties (incl. zero hits everywhere) resolve to 'unknown'.
+    """
+    tmp = df
+    for lang in _STOPWORDS:
+        tmp = tmp.withColumn(f"_sw_{lang}", _stopword_hits(text_col, lang))
+    best = F.greatest(*[F.col(f"_sw_{lang}") for lang in _STOPWORDS])
+    guess = F.when(best <= 0, F.lit("unknown"))
+    for lang in _STOPWORDS:  # first language reaching the max wins (stable order)
+        guess = guess.when(F.col(f"_sw_{lang}") == best, F.lit(lang))
+    tmp = tmp.withColumn(out, guess)
+    return tmp.drop(*[f"_sw_{lang}" for lang in _STOPWORDS])
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality_ok") -> DataFrame:
+    """Boolean quality gate in the C4/Gopher-rule style, exact + cheap:
+    length in [50, 100k] chars, ≥10 words, mean word length in [2, 12],
+    alpha ratio ≥ 0.6, digit ratio ≤ 0.2."""
+    s = with_text_stats(df, text_col)
+    ok = (
+        (F.col("n_chars_calc") >= 50)
+        & (F.col("n_chars_calc") <= 100_000)
+        & (F.col("n_words") >= 10)
+        & (F.col("avg_word_len") >= 2)
+        & (F.col("avg_word_len") <= 12)
+        & (F.col("alpha_ratio") >= 0.6)
+        & (F.col("digit_ratio") <= 0.2)
+    )
+    return s.withColumn(out, ok)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """64-bit exact-dup fingerprint of whitespace-normalized, lowercased text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out, F.xxhash64(norm))

@@ -1,0 +1,198 @@
+"""Tests for training-data pipeline operators: dedup (exact / MinHash-LSH /
+SimHash / n-grams), Bloom file pruning, pyarrow-direct scan, ANN, text ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark import SketchSpec, build_sketches
+from sketchlib.spark.ann import brute_force_topk, srp_topk
+from sketchlib.spark.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash_candidates,
+    simhash_df,
+    with_token_ngrams,
+)
+from sketchlib.spark.prune import FilePruner, build_file_blooms
+from sketchlib.spark.scan import build_sketches_from_parquet, plan_chunks
+from sketchlib.spark.text import with_fingerprint, with_lang_guess, with_quality_score
+
+TD = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# pyarrow-direct scan parity
+# --------------------------------------------------------------------------
+
+def test_parquet_scan_path_matches_mapinarrow(spark, seq_tiny_dir):
+    specs = [
+        SketchSpec("hll_doc", "hll", "doc_id", {"p": 12}),
+        SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-3, "delta": 0.05}),
+        SketchSpec("bloom_tok", "bloom", "tokens", {"m_bits": 1 << 16, "h": 5}),
+    ]
+    via_spark = build_sketches(spark.read.parquet(seq_tiny_dir), specs, group_by="source").toPandas()
+    via_pyarrow = build_sketches_from_parquet(spark, seq_tiny_dir, specs, group_by="source").toPandas()
+    a = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in via_spark.iterrows()}
+    b = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in via_pyarrow.iterrows()}
+    assert a.keys() == b.keys()
+    for k in a:
+        if k[1] == "cm_tok":
+            from sketchlib.sketches import deserialize
+
+            sa, sb = deserialize(a[k]), deserialize(b[k])
+            assert (sa.table == sb.table).all() and sa.total == sb.total
+        else:
+            assert a[k] == b[k], k
+
+
+def test_plan_chunks_covers_all_rows(spark, seq_small_dir):
+    chunks = plan_chunks(seq_small_dir, target_bytes=1 << 20)
+    files = {c.file for c in chunks}
+    assert len(chunks) > len(files)  # the hot source must split into multiple chunks
+    import pyarrow.parquet as pq
+
+    total = sum(
+        sum(pq.read_metadata(c.file).row_group(rg).num_rows for rg in range(c.rg_lo, c.rg_hi))
+        for c in chunks
+    )
+    assert total == 20_000
+    # no overlaps: each (file, rg) appears exactly once
+    seen = set()
+    for c in chunks:
+        for rg in range(c.rg_lo, c.rg_hi):
+            assert (c.file, rg) not in seen
+            seen.add((c.file, rg))
+
+
+# --------------------------------------------------------------------------
+# Bloom file pruning (B8)
+# --------------------------------------------------------------------------
+
+def test_file_pruner_no_false_negatives_and_prunes(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir)
+    pruner = FilePruner(build_file_blooms(df, "tokens"))
+    assert len(pruner.files) > 1
+    # a token known to exist only in specific files: take a rare token
+    rare = (
+        df.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy("count", "t")
+        .first()["t"]
+    )
+    with_tok = df.withColumn("_f", F.input_file_name()).filter(F.array_contains("tokens", rare))
+    true_files = {r["_f"] for r in with_tok.select("_f").distinct().collect()}
+    surviving = set(pruner.files_maybe_containing([rare]))
+    assert true_files <= surviving  # zero false negatives
+    got = pruner.pruned_read(spark, [rare]).filter(F.array_contains("tokens", rare)).count()
+    want = df.filter(F.array_contains("tokens", rare)).count()
+    assert got == want
+    # common token prunes nothing; absent token should prune a lot
+    stats = pruner.stats([10**9 + 7])
+    assert stats["surviving_files"] <= stats["total_files"]
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    docs = spark.read.parquet(f"{TD}/documents.parquet")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    kept = exact_dedup(doubled, "text", "doc_id")
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0  # min-id wins
+
+
+def test_minhash_lsh_finds_injected_duplicates(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir).limit(300).cache()
+    n = df.count()
+    dup = df.withColumn("doc_id", F.concat(F.lit("zz_"), F.col("doc_id")))
+    doubled = df.unionByName(dup)
+    kept = minhash_lsh_dedup(doubled, "tokens", "doc_id", r=64, n_bands=16, threshold=0.9)
+    assert kept.count() == n  # every injected exact-dup removed
+    assert kept.filter(F.col("doc_id").startswith("zz_")).count() == 0
+
+
+def test_minhash_signature_determinism(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir).limit(100)
+    a = {r["doc_id"]: bytes(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
+    b = {r["doc_id"]: bytes(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
+    assert a == b and len(a) == 100
+
+
+def test_simhash_identical_rows_hamming_zero(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir).limit(200).cache()
+    dup = df.withColumn("doc_id", F.concat(F.lit("zz_"), F.col("doc_id")))
+    sh = simhash_df(df.unionByName(dup), "tokens", "doc_id")
+    pairs = simhash_candidates(sh, "doc_id", max_hamming=0).toPandas()
+    injected = pairs[
+        pairs.apply(lambda r: r["id_b"] == "zz_" + r["id_a"] or r["id_a"] == "zz_" + r["id_b"], axis=1)
+    ]
+    assert len(injected) == 200  # every duplicate found at hamming 0
+
+
+def test_token_ngrams_jvm_side(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir).limit(20)
+    out = with_token_ngrams(df, "tokens", n=3).select("doc_id", "tokens", "shingles").collect()
+    for r in out:
+        want = max(0, len(r["tokens"]) - 2)
+        assert len(r["shingles"]) == want
+
+
+# --------------------------------------------------------------------------
+# ANN
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TD}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_self_is_top1(spark, emb):
+    row = emb.first()
+    top = brute_force_topk(emb, "embedding", "vec_id", list(row["embedding"]), k=3).collect()
+    assert top[0]["vec_id"] == row["vec_id"]
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_srp_topk_recovers_top1(spark, emb):
+    row = emb.first()
+    q = list(row["embedding"])
+    approx = srp_topk(emb, "embedding", "vec_id", q, k=3, n_bits=12)
+    assert approx.first()["vec_id"] == row["vec_id"]  # self always lands in own bucket
+
+
+# --------------------------------------------------------------------------
+# text ops
+# --------------------------------------------------------------------------
+
+def test_text_stats_and_quality(spark):
+    docs = spark.read.parquet(f"{TD}/documents.parquet")
+    q = with_quality_score(docs).select("doc_id", "n_words", "alpha_ratio", "quality_ok")
+    pdf = q.toPandas()
+    assert (pdf["n_words"] > 0).all()
+    assert pdf["alpha_ratio"].between(0, 1).all()
+    assert pdf["quality_ok"].isin([True, False]).all()
+
+
+def test_lang_guess_on_synthetic(spark):
+    rows = [
+        (1, "the cat and the dog went to the house of the king"),
+        (2, "der Hund und die Katze ist von den nicht ein"),
+        (3, "le chat et la maison est pour les dans un"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "unknown"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, " HELLO\tWORLD ")], "id int, text string"
+    )
+    fps = {r["id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fps[1] == fps[2] == fps[3]
