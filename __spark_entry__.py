@@ -349,6 +349,56 @@ def q_c02_token_stats(spark, sf_dir):
     )
 
 
+def q_c03_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup removal, duplicate-injection recall check.
+
+    Doubling the corpus (same text, ids shifted by 1M) and deduping must kill
+    EVERY injected copy: an exact duplicate collides with its original in all
+    bands and the original's smaller id wins min-id clustering — recall 1 by
+    construction. (The driver's documents corpus is template-generated with
+    thousands of genuine J≥0.9 near-dup pairs, so total kept counts are not
+    oracle-able; injected-survivor count == 0 is.)"""
+    from sketchlib.spark.dedup import minhash_lsh_dedup
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = minhash_lsh_dedup(doubled, "tokens", "doc_id", r=64, n_bands=16, threshold=0.9)
+    return kept.groupBy("source").agg(
+        F.sum((F.col("doc_id") >= 1_000_000).cast("long")).alias("injected_survivors")
+    )
+
+
+def q_c04_simhash_dups(spark, sf_dir):
+    """SimHash Hamming-0 candidate pairs recover every injected duplicate."""
+    from sketchlib.spark.dedup import simhash_candidates, simhash_df
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sh = simhash_df(doubled, "tokens", "doc_id")
+    pairs = simhash_candidates(sh, "doc_id", max_hamming=0)
+    recovered = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+    return recovered.agg(F.count("*").alias("n_recovered"))
+
+
+def q_c05_ann_top1(spark, sf_dir):
+    """Brute-force cosine top-1 neighbor (excluding self) for the first 5
+    vectors — exact, matched against DuckDB's list_cosine_similarity."""
+    from sketchlib.spark.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(5).collect()
+    out = []
+    for r in probes:
+        top = brute_force_topk(
+            emb.filter(F.col("vec_id") != r["vec_id"]), "embedding", "vec_id",
+            list(r["embedding"]), k=1,
+        ).collect()[0]
+        # ids only: DuckDB's list_cosine_similarity computes in float32, Spark
+        # in float64 — values differ in the 7th digit, the argmax does not
+        out.append((r["vec_id"], top["vec_id"]))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["query_id", "neighbor_id"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": q_a06_project_filter,
@@ -371,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_cm_top_tokens_estimates": q_b11_cm_top_tokens_estimates,
         "c01_exact_dedup": q_c01_exact_dedup,
         "c02_token_stats": q_c02_token_stats,
+        "c03_minhash_lsh_dedup": q_c03_minhash_lsh_dedup,
+        "c04_simhash_dups": q_c04_simhash_dups,
+        "c05_ann_top1": q_c05_ann_top1,
     }
 
 
@@ -461,5 +514,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
             GROUP BY source
+        """,
+        "c02_token_stats": r"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   min(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS min_tokens,
+                   max(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS max_tokens
+            FROM documents GROUP BY source
+        """,
+        "c03_minhash_lsh_dedup": "SELECT source, CAST(0 AS BIGINT) AS injected_survivors FROM documents GROUP BY source",
+        "c04_simhash_dups": "SELECT count(*) AS n_recovered FROM documents",
+        "c05_ann_top1": """
+            SELECT a.vec_id AS query_id,
+                   arg_max(b.vec_id, list_cosine_similarity(a.embedding, b.embedding)) AS neighbor_id
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) a
+            JOIN embeddings b ON a.vec_id <> b.vec_id
+            GROUP BY a.vec_id
         """,
     }

@@ -8,8 +8,9 @@ Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
 The flagship number is the sketch-build throughput (tokens/sec) over a
 deterministic synthetic sequences table scaled to the sf (FIXTURES.md F1,
 N = sf * 2,000,000 rows ≈ sf * 1.2B tokens), generated once and cached in
-/tmp. Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-BENCH/scaling.py, not here — one JVM can't host two masters.
+/tmp. Scaling-efficiency evidence (local[2] vs local[8], + local[32]
+diagnostic) is produced by BENCH/scaling.py, not here — one JVM can't host
+two masters.
 """
 
 from __future__ import annotations
@@ -87,10 +88,12 @@ def main() -> None:
         queries[name](spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
 
-    # flagship: full sketch build (6 sketches) over the sequences table
-    df = spark.read.parquet(seq_dir)
+    # flagship: full sketch build (6 sketches) over the sequences table,
+    # pyarrow-direct scan path (see sketchlib/spark/scan.py)
+    from sketchlib.spark.scan import build_sketches_from_parquet
+
     t0 = time.perf_counter()
-    states = build_sketches(df, SEQ_SPECS, group_by="source")
+    states = build_sketches_from_parquet(spark, seq_dir, SEQ_SPECS, group_by="source")
     n_states = states.count()
     build_sec = time.perf_counter() - t0
     times["sketch_build_sequences"] = round(build_sec, 3)

@@ -1,0 +1,110 @@
+"""spark-submit entry points (SURVEY.md §3.2, BASELINE north_rule:
+"launched via spark-submit --py-files").
+
+Usage (local example; on a cluster add --master/--deploy-mode and ship the
+package with --py-files sketchlib.zip):
+
+    spark-submit sketchlib/cli.py build \
+        --input /data/sequences --group-by source \
+        --sketches hll_doc:hll:doc_id hll_tok:hll:tokens cm_tok:cm:tokens \
+        --out /data/sketch_states --checkpoint /data/ckpt/run1
+
+    spark-submit sketchlib/cli.py query \
+        --states /data/sketch_states --sketch hll_doc
+
+    spark-submit sketchlib/cli.py lineage --checkpoint /data/ckpt/run1
+
+``build`` with --checkpoint is resumable: re-running the same command after
+a failure skips committed chunks and produces byte-identical states.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_sketch(s: str):
+    from sketchlib.spark.build import SketchSpec
+
+    parts = s.split(":", 3)  # JSON params may themselves contain colons
+    if len(parts) < 3:
+        raise argparse.ArgumentTypeError(f"sketch spec must be name:kind:column[:json_params], got {s!r}")
+    name, kind, column = parts[:3]
+    params = json.loads(parts[3]) if len(parts) > 3 else {}
+    return SketchSpec(name, kind, column, params)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sketchlib")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="one-pass sketch build over a parquet table")
+    b.add_argument("--input", required=True, help="parquet directory (hive-partitioned ok)")
+    b.add_argument("--group-by", default="source")
+    b.add_argument("--sketches", nargs="+", type=_parse_sketch, required=True,
+                   help="name:kind:column[:json_params], kinds: hll cm kll tdigest bloom minhash")
+    b.add_argument("--out", required=True, help="output dir for the merged state table")
+    b.add_argument("--checkpoint", default=None, help="checkpoint dir (enables resume)")
+    b.add_argument("--fanout", type=int, default=None, help="two-level merge fanout")
+
+    q = sub.add_parser("query", help="estimates from a persisted state table")
+    q.add_argument("--states", required=True)
+    q.add_argument("--sketch", required=True)
+    q.add_argument("--kind", default="estimate", choices=["estimate", "topk", "quantiles"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--quantiles", type=float, nargs="+", default=[0.5, 0.9, 0.99])
+
+    ln = sub.add_parser("lineage", help="per-chunk lineage + throughput metrics")
+    ln.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+
+    from sketchlib.spark import get_spark
+
+    spark = get_spark(f"sketchlib-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "build":
+        if args.checkpoint:
+            from sketchlib.spark.checkpoint import build_with_checkpoint
+
+            states = build_with_checkpoint(
+                spark, args.input, args.sketches, args.checkpoint,
+                group_by=args.group_by, fanout=args.fanout,
+            )
+        else:
+            from sketchlib.spark.scan import build_sketches_from_parquet
+
+            states = build_sketches_from_parquet(
+                spark, args.input, args.sketches, group_by=args.group_by, fanout=args.fanout
+            )
+        states.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"states_written": n, "out": args.out}))
+
+    elif args.cmd == "query":
+        from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+
+        states = spark.read.parquet(args.states)
+        if args.kind == "estimate":
+            out = estimates_df(spark, states, args.sketch)
+        elif args.kind == "topk":
+            out = topk_df(spark, states, args.sketch, args.k)
+        else:
+            out = quantiles_df(spark, states, args.sketch, args.quantiles)
+        for row in out.toPandas().to_dict("records"):
+            print(json.dumps(row))
+
+    elif args.cmd == "lineage":
+        from sketchlib.spark.checkpoint import throughput_metrics
+
+        print(json.dumps(throughput_metrics(spark, args.checkpoint)))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,15 @@ from sketchlib.spark.build import (
 CHUNK_FIELDS = "chunk_id int, file string, rg_lo int, rg_hi int, part_vals map<string,string>"
 
 
+def chunk_key(file: str, rg_lo: int, rg_hi: int) -> str:
+    """Stable checkpoint/lineage key. Basenames repeat across hive partition
+    dirs (source=*/part-c0000.parquet), so disambiguate with a path hash."""
+    import hashlib
+
+    h = hashlib.sha1(file.encode()).hexdigest()[:8]
+    return f"{os.path.basename(file)}.{h}.rg{rg_lo}-{rg_hi}"
+
+
 @dataclass(frozen=True)
 class Chunk:
     chunk_id: int
@@ -55,10 +64,11 @@ class Chunk:
     rg_lo: int
     rg_hi: int
     part_vals: dict
+    n_bytes: int = 0
 
     @property
     def key(self) -> str:
-        return f"{os.path.basename(self.file)}.rg{self.rg_lo}-{self.rg_hi}"
+        return chunk_key(self.file, self.rg_lo, self.rg_hi)
 
 
 def _hive_values(root: str, path: str) -> dict:
@@ -87,18 +97,34 @@ def plan_chunks(input_dir: str, target_bytes: int = 8 << 20) -> list[Chunk]:
         for rg in range(md.num_row_groups):
             acc += md.row_group(rg).total_byte_size
             if acc >= target_bytes:
-                chunks.append(Chunk(len(chunks), f, lo, rg + 1, pvals))
+                chunks.append(Chunk(len(chunks), f, lo, rg + 1, pvals, acc))
                 lo, acc = rg + 1, 0
         if lo < md.num_row_groups:
-            chunks.append(Chunk(len(chunks), f, lo, md.num_row_groups, pvals))
+            chunks.append(Chunk(len(chunks), f, lo, md.num_row_groups, pvals, acc))
     return chunks
 
 
 def chunks_df(spark: SparkSession, chunks: list[Chunk], n_tasks: int) -> DataFrame:
-    rows = [(c.chunk_id, c.file, c.rg_lo, c.rg_hi, c.part_vals) for c in chunks]
-    # deterministic task assignment: explicit chunk_id % n_tasks, not round-robin
-    df = spark.createDataFrame(rows, CHUNK_FIELDS)
-    return df.repartition(n_tasks, "chunk_id")
+    """Chunk specs placed into exactly n_tasks partitions, LPT-balanced.
+
+    Greedy longest-processing-time-first bin packing on chunk byte size gives
+    near-optimal per-task load (makespan ≤ 4/3 · OPT); one element per
+    ``parallelize`` slice pins each bin to its own partition — hash
+    repartition cannot do that (bin collisions would double a task's load
+    while idling another). Deterministic: ties broken by bin index.
+    """
+    n_tasks = max(1, min(n_tasks, len(chunks)))
+    loads = [0] * n_tasks
+    bins: list[list[Chunk]] = [[] for _ in range(n_tasks)]
+    for c in sorted(chunks, key=lambda c: (-c.n_bytes, c.chunk_id)):
+        i = min(range(n_tasks), key=lambda j: (loads[j], j))
+        loads[i] += c.n_bytes
+        bins[i].append(c)
+    rows_by_bin = [
+        [(c.chunk_id, c.file, c.rg_lo, c.rg_hi, c.part_vals) for c in b] for b in bins
+    ]
+    rdd = spark.sparkContext.parallelize(rows_by_bin, n_tasks).flatMap(lambda b: b)
+    return spark.createDataFrame(rdd, CHUNK_FIELDS)
 
 
 def _read_chunk_batches(

@@ -1,0 +1,80 @@
+"""Multimodal plumbing (schema/batching real, codec faked — container has no
+media libs) and the spark-submit CLI surface."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sketchlib.spark.multimodal import FakeCodec, decode_features, metadata_stats, synth_media_df
+
+
+def test_metadata_stats_never_reads_payload(spark):
+    df = synth_media_df(spark, 64)
+    stats = metadata_stats(df)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    rows = stats.collect()
+    assert rows[0]["n"] == 64
+    assert rows[0]["min_w"] >= 16
+    # struct pruning: payload must not appear in the plan's read schema
+    assert "payload" not in plan
+
+
+def test_decode_features_deterministic_and_shaped(spark):
+    df = synth_media_df(spark, 32)
+    feats = decode_features(df, codec=FakeCodec()).orderBy("media_id").collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feat"]) == 6  # 3 channel means + 3 channel stds
+        assert 0 <= r["mean_lum"] <= 255
+    again = decode_features(df, codec=FakeCodec()).orderBy("media_id").collect()
+    assert [list(r["feat"]) for r in feats] == [list(r["feat"]) for r in again]
+
+
+def test_decode_without_codec_raises(spark):
+    df = synth_media_df(spark, 4)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_features(df)
+
+
+def test_fake_codec_pure_function():
+    c = FakeCodec()
+    a = c.decode(b"payload-bytes", 16, 8)
+    b = c.decode(b"payload-bytes", 16, 8)
+    assert a.shape == (8, 16, 3) and a.dtype == np.uint8
+    assert (a == b).all()
+    assert not (a == c.decode(b"other-bytes!!", 16, 8)).all()
+
+
+def test_cli_build_query_lineage(seq_tiny_dir, tmp_path):
+    """Drive the CLI end-to-end in a subprocess (the spark-submit surface)."""
+    out_dir = str(tmp_path / "states")
+    ckpt = str(tmp_path / "ckpt")
+    env_build = [
+        sys.executable, "-m", "sketchlib.cli", "build",
+        "--input", seq_tiny_dir, "--group-by", "source",
+        "--sketches", "hll_doc:hll:doc_id", 'cm_tok:cm:tokens:{"eps": 0.001, "delta": 0.05}',
+        "--out", out_dir, "--checkpoint", ckpt,
+    ]
+    r = subprocess.run(env_build, capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    built = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert built["states_written"] == 10  # 5 sources x 2 sketches
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "query", "--states", out_dir, "--sketch", "hll_doc"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    ests = [json.loads(l) for l in r2.stdout.splitlines() if l.startswith("{")]
+    assert {e["group"] for e in ests} == {"web", "books", "code", "wiki", "forums"}
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "lineage", "--checkpoint", ckpt],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    m = json.loads([l for l in r3.stdout.splitlines() if l.startswith("{")][-1])
+    assert m["rows"] == 2000 and m["tokens_per_cpu_sec"] > 0
