@@ -118,3 +118,60 @@ def srp_topk(
     cand_ids = sigs.filter(F.col("bucket").isin(probes)).select(id_col)
     cands = df.join(cand_ids, id_col, "leftsemi")
     return brute_force_topk(cands, vec_col, id_col, query, k=k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 31,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP buckets → exact verify.
+
+    Candidate pairs share an SRP bucket in at least one of ``n_tables``
+    independent hash tables (for cosine θ, P[same bucket] = (1−θ/π)^n_bits
+    per table — multiple tables recover the recall that one table loses);
+    survivors are verified with the EXACT cosine (JVM-side zip_with), so
+    precision is 1 at the stated threshold. Output: (id_a, id_b, cosine).
+    Composes with dedup.cluster_min_id for embedding-based corpus dedup.
+    """
+    sig_tables = [
+        srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed + 101 * t).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(n_tables)
+    ]
+    sigs = sig_tables[0]
+    for s in sig_tables[1:]:
+        sigs = sigs.unionByName(s)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.table") == F.col("b.table"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (norm("_va") * norm("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

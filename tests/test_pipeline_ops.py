@@ -196,3 +196,22 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     )
     fps = {r["id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
     assert fps[1] == fps[2] == fps[3]
+
+
+def test_embedding_near_dup_injection(spark, emb):
+    """Inject near-identical copies (tiny perturbation) — all must be found."""
+    from sketchlib.spark.ann import embedding_near_dup_pairs
+
+    base = emb.limit(100).cache()
+    # copy with vec_id + 10000 and embedding scaled by 1.001 (cosine == 1.0)
+    copy = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    pairs = embedding_near_dup_pairs(
+        base.unionByName(copy), "embedding", "vec_id", threshold=0.999
+    ).toPandas()
+    injected = pairs[pairs["id_b"] - pairs["id_a"] == 10_000]
+    assert len(injected) == 100  # scaling preserves direction -> same buckets, cosine 1
+    assert (pairs["cosine"] >= 0.999).all()  # exact verify: no false positives

@@ -1,0 +1,68 @@
+"""Physical-plan assertions (SURVEY.md §4): the declarative surface must
+actually get Catalyst's free optimizations — predicate pushdown to the
+parquet scan, column pruning, broadcast joins, whole-stage codegen — and the
+Python-UDF build path must keep its input projection narrow."""
+
+import __spark_entry__ as em
+from sketchlib.spark import SketchSpec
+from sketchlib.spark.build import partial_states
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = em.q_a06_project_filter(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan, plan
+    # projection reaches the scan: untouched wide columns absent from ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_broadcast_join_chosen(spark):
+    plan = _plan(em.q_a08_join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_map_side_combine(spark):
+    """partial_sum before the exchange = map-side combine; the shuffle moves
+    one row per (group × task), not raw rows. (AQE's pre-execution plan hides
+    WholeStageCodegen markers, so assert the aggregation shape instead.)"""
+    plan = _plan(em.q_a09_groupby_agg(spark, SF))
+    assert "partial_sum" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below the exchange
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_build_input_projection_is_narrow(spark):
+    """The Python-UDF boundary blocks pruning above it, so build_sketches must
+    select only referenced columns before mapInArrow."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    states = partial_states(df, [SketchSpec("h", "hll", "doc_id", {"p": 12})], group_by="source")
+    plan = _plan(states)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema, read_schema  # the fat column stays unread
+
+
+def test_tokenize_stays_jvm_side(spark):
+    from sketchlib.spark.tokenize import with_tokens
+
+    df = with_tokens(spark.read.parquet(f"{SF}/documents.parquet")).select("source", "n_tok")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_exact_dedup_shuffles_ids_not_payload(spark):
+    from sketchlib.spark.dedup import exact_dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(df, "text", "doc_id"))
+    # the aggregation side of the plan must project only (hash, id) before its exchange
+    agg_side = plan.split("LeftSemi")[-1]
+    assert "xxhash64" in agg_side
