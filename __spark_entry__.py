@@ -309,6 +309,19 @@ def q_b07_minhash_jaccard(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["group_a", "group_b", "within_bound"]))
 
 
+def q_b08_hll_union_groups(spark, sf_dir):
+    """A17 sketch-level UNION: merging per-source HLL states answers the
+    global COUNT(DISTINCT doc_id) without re-scanning — within 3·RSE + slack."""
+    from sketchlib.spark.query import union_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    states = build_sketches(docs, _HLL_DOC, group_by="source")
+    est, rse = union_estimate(states, "hll_doc")
+    exact = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    ok = abs(est - exact) <= _hll_tol(exact, rse)
+    return spark.createDataFrame(pd.DataFrame({"within_bound": [bool(ok)]}))
+
+
 def q_b10_hll_doc_estimates(spark, sf_dir):
     """Rows-only: the raw (estimate, err) surface Verdict users see (A15)."""
     docs = _t(spark, sf_dir, "documents")
@@ -417,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b05_tdigest_price_quantiles": q_b05_tdigest_price_quantiles,
         "b06_bloom_membership": q_b06_bloom_membership,
         "b07_minhash_jaccard": q_b07_minhash_jaccard,
+        "b08_hll_union_groups": q_b08_hll_union_groups,
         "b10_hll_doc_estimates": q_b10_hll_doc_estimates,
         "b11_cm_top_tokens_estimates": q_b11_cm_top_tokens_estimates,
         "c01_exact_dedup": q_c01_exact_dedup,
@@ -499,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),
                  (SELECT unnest([0.5, 0.9, 0.99]) AS q)
         """,
+        "b08_hll_union_groups": "SELECT TRUE AS within_bound",
         "b06_bloom_membership": """
             SELECT event_type, CAST(0 AS BIGINT) AS false_negatives
             FROM events GROUP BY event_type

@@ -1,0 +1,103 @@
+"""Sketch-state catalog — Verdict's sample lifecycle, re-expressed (SURVEY.md
+A2 `CREATE SAMPLE`, A3 `SHOW/DROP SAMPLES`, A5 approx scan).
+
+Verdict persists derived sample tables plus metadata in a `verdict`-owned
+schema; the analog here is a directory of persisted state tables plus a
+`_sketch_catalog` parquet table mapping (name) → (source table, group_by,
+specs, build stats). Queries then hit the states (KBs) instead of the corpus
+— the A5 "scan the sample instead of the base table" move.
+
+Layout under ``root``::
+
+    _sketch_catalog/            one parquet row per registered sketch set
+    states/<name>/              merged state table (STATE_FIELDS schema)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sketchlib.spark.build import SketchSpec
+from sketchlib.spark.scan import build_sketches_from_parquet
+
+_CATALOG_SCHEMA = (
+    "name string, input_dir string, group_by string, specs_json string, "
+    "n_states long, rows long, tokens long, built_unix double"
+)
+
+
+class SketchCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_sketch_catalog"), exist_ok=True)
+        os.makedirs(os.path.join(root, "states"), exist_ok=True)
+
+    # --- A2: CREATE SAMPLE analog -----------------------------------------
+    def create(
+        self,
+        name: str,
+        input_dir: str,
+        specs: list[SketchSpec],
+        group_by: str | None = "source",
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Build, persist, and register a sketch set; returns the state table."""
+        if self.exists(name):
+            if not overwrite:
+                raise ValueError(f"sketch set {name!r} already exists (use overwrite=True)")
+            self.drop(name)
+        states = build_sketches_from_parquet(self.spark, input_dir, specs, group_by=group_by)
+        sdir = os.path.join(self.root, "states", name)
+        states.write.mode("overwrite").parquet(sdir)
+        persisted = self.spark.read.parquet(sdir)
+        agg = persisted.groupBy().sum("rows", "tokens").collect()[0]
+        row = [
+            (
+                name,
+                input_dir,
+                group_by or "",
+                json.dumps(
+                    [
+                        {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params}
+                        for s in specs
+                    ]
+                ),
+                persisted.count(),
+                int(agg[0] or 0) // max(len(specs), 1),
+                int(agg[1] or 0) // max(len(specs), 1),
+                time.time(),
+            )
+        ]
+        self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_sketch_catalog")
+        )
+        return persisted
+
+    # --- A3: SHOW SAMPLES analog -------------------------------------------
+    def list(self) -> DataFrame:
+        cat = os.path.join(self.root, "_sketch_catalog")
+        df = self.spark.read.schema(_CATALOG_SCHEMA).parquet(cat)
+        # drops leave stale rows behind (append-only log): keep rows with live state dirs
+        live = sorted(os.listdir(os.path.join(self.root, "states")))
+        return df.filter(df.name.isin(live)).dropDuplicates(["name"])
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, "states", name))
+
+    # --- A5: approx scan — read states instead of the base table ----------
+    def states(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise ValueError(f"unknown sketch set {name!r}")
+        return self.spark.read.parquet(os.path.join(self.root, "states", name))
+
+    # --- A3: DROP SAMPLE analog --------------------------------------------
+    def drop(self, name: str) -> None:
+        sdir = os.path.join(self.root, "states", name)
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)

@@ -91,6 +91,24 @@ def membership_df(spark: SparkSession, states: DataFrame, sketch: str, keys) -> 
     )
 
 
+def union_estimate(states: DataFrame, sketch: str, groups=None) -> tuple[float, float]:
+    """Distinct-count estimate for the UNION of groups (SURVEY.md A17 —
+    sketch-level union IS merge, the whole point of mergeable sketches):
+    merge the selected groups' HLL states, estimate once. Exactly equals the
+    sketch of the concatenated data (register-wise max is set-union)."""
+    picked = [
+        sk
+        for (g, name), sk in sorted(load_states(states).items())
+        if name == sketch and (groups is None or g in set(groups))
+    ]
+    if not picked:
+        raise ValueError(f"no states for sketch {sketch!r} in groups {groups!r}")
+    acc = picked[0]
+    for sk in picked[1:]:
+        acc = acc.merge(sk)
+    return acc.estimate()
+
+
 def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
     """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash)."""
     sigs = {g: sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch}

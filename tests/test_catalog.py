@@ -1,0 +1,57 @@
+"""Sketch catalog (A2/A3/A5 analogs) + sketch-level union (A17)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.spark import SketchSpec
+from sketchlib.spark.catalog import SketchCatalog
+from sketchlib.spark.query import estimates_df, union_estimate
+
+SPECS = [
+    SketchSpec("hll_doc", "hll", "doc_id", {"p": 12}),
+    SketchSpec("kll_ntok", "kll", "n_tok", {"k": 200}),
+]
+
+
+def test_create_list_query_drop(spark, seq_tiny_dir, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("tiny", seq_tiny_dir, SPECS, group_by="source")
+    assert cat.exists("tiny")
+
+    listed = cat.list().collect()
+    assert len(listed) == 1 and listed[0]["name"] == "tiny"
+    assert listed[0]["rows"] == 2000
+    assert listed[0]["n_states"] == 10  # 5 sources x 2 sketches
+
+    # A5: answer from persisted states only — no base-table access
+    est = estimates_df(spark, cat.states("tiny"), "hll_doc").toPandas()
+    assert set(est["group"]) == {"web", "books", "code", "wiki", "forums"}
+
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create("tiny", seq_tiny_dir, SPECS)
+    cat.create("tiny", seq_tiny_dir, SPECS[:1], overwrite=True)
+    assert cat.states("tiny").count() == 5
+
+    cat.drop("tiny")
+    assert not cat.exists("tiny")
+    assert cat.list().count() == 0
+    with pytest.raises(ValueError, match="unknown sketch set"):
+        cat.states("tiny")
+
+
+def test_union_estimate_equals_global_sketch(spark, seq_tiny_dir):
+    """Merging per-group states == sketching the whole table (set-union law)."""
+    from sketchlib.spark import build_sketches
+
+    df = spark.read.parquet(seq_tiny_dir)
+    per_group = build_sketches(df, SPECS[:1], group_by="source")
+    est_union, rse = union_estimate(per_group, "hll_doc")
+    whole = build_sketches(df, SPECS[:1], group_by=None)
+    from sketchlib.spark.query import load_states
+
+    est_whole, _ = load_states(whole)[("", "hll_doc")].estimate()
+    assert est_union == pytest.approx(est_whole)  # identical registers
+    assert abs(est_union - 2000) / 2000 <= 3 * rse
+
+    partial = union_estimate(per_group, "hll_doc", groups=["web", "books"])[0]
+    assert partial < est_union
