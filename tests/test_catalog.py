@@ -55,3 +55,13 @@ def test_union_estimate_equals_global_sketch(spark, seq_tiny_dir):
 
     partial = union_estimate(per_group, "hll_doc", groups=["web", "books"])[0]
     assert partial < est_union
+
+
+def test_io_shim_parquet_and_iceberg_gate(spark, seq_tiny_dir):
+    from sketchlib.spark.io import has_iceberg, read_input
+
+    df = read_input(spark, seq_tiny_dir)
+    assert df.count() == 2000
+    if not has_iceberg(spark):  # this sandbox: no connector jar
+        with pytest.raises(RuntimeError, match="Iceberg connector"):
+            read_input(spark, "iceberg:db.tbl")
