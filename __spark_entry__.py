@@ -322,6 +322,36 @@ def q_b08_hll_union_groups(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame({"within_bound": [bool(ok)]}))
 
 
+def q_b09_sampled_agg_uniform(spark, sf_dir):
+    """Verdict's core rewrite (A10): COUNT/SUM/AVG from a 10% uniform sample
+    with CLT confidence intervals — exact answers must fall inside them."""
+    from sketchlib.spark.sampling import approx_agg_uniform
+
+    li = _t(spark, sf_dir, "lineitem")
+    approx = approx_agg_uniform(li, "l_returnflag", "l_extendedprice", 0.1, seed=7, z=3.29).toPandas()
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"))
+        .toPandas()
+    )
+    m = approx.merge(exact, on="l_returnflag")
+    m["within_ci"] = ((m["est_count"] - m["n"]).abs() <= m["count_err"]) & (
+        (m["est_sum"] - m["s"]).abs() <= m["sum_err"]
+    )
+    return spark.createDataFrame(m[["l_returnflag", "within_ci"]])
+
+
+def q_b13_universe_distinct(spark, sf_dir):
+    """A11: COUNT(DISTINCT) via universe (domain) sampling, CI-checked."""
+    from sketchlib.spark.sampling import approx_count_distinct_universe
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = approx_count_distinct_universe(li, "l_partkey", 0.2, seed=7, z=3.29).collect()[0]
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    ok = abs(r["est_distinct"] - exact) <= r["distinct_err"]
+    return spark.createDataFrame(pd.DataFrame({"within_ci": [bool(ok)]}))
+
+
 def q_b10_hll_doc_estimates(spark, sf_dir):
     """Rows-only: the raw (estimate, err) surface Verdict users see (A15)."""
     docs = _t(spark, sf_dir, "documents")
@@ -431,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b06_bloom_membership": q_b06_bloom_membership,
         "b07_minhash_jaccard": q_b07_minhash_jaccard,
         "b08_hll_union_groups": q_b08_hll_union_groups,
+        "b09_sampled_agg_uniform": q_b09_sampled_agg_uniform,
+        "b13_universe_distinct": q_b13_universe_distinct,
         "b10_hll_doc_estimates": q_b10_hll_doc_estimates,
         "b11_cm_top_tokens_estimates": q_b11_cm_top_tokens_estimates,
         "c01_exact_dedup": q_c01_exact_dedup,
@@ -514,6 +546,8 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest([0.5, 0.9, 0.99]) AS q)
         """,
         "b08_hll_union_groups": "SELECT TRUE AS within_bound",
+        "b09_sampled_agg_uniform": "SELECT DISTINCT l_returnflag, TRUE AS within_ci FROM lineitem",
+        "b13_universe_distinct": "SELECT TRUE AS within_ci",
         "b06_bloom_membership": """
             SELECT event_type, CAST(0 AS BIGINT) AS false_negatives
             FROM events GROUP BY event_type

@@ -1,0 +1,122 @@
+"""Verdict's sample types, implemented (SURVEY.md §1.1 table).
+
+The sketch layer replaces samples for the fixed query set, but the three
+Verdict sample types are cheap to provide natively and complete the parity
+story — each with the scale-up rewrite and a CLT confidence interval, which
+is exactly Verdict's approx-SELECT surface (A5/A10/A11):
+
+- uniform (Bernoulli p): COUNT/SUM/AVG via Horvitz-Thompson scale-up 1/p,
+  variance Σx²(1−p)/p estimated from the sample  `[paper:VerdictDB §3.1]`
+- universe (hash(col) < p — subsample the VALUE DOMAIN): COUNT(DISTINCT col)
+  as D_s/p with binomial variance D(1−p)/p
+- stratified (per-group fractions): GROUP BY over skewed groups where a
+  uniform sample would starve small groups; per-group scale-up 1/p_g
+
+Everything is pure DataFrame (one pass, JVM-side, whole-stage codegen);
+sampling is seeded and deterministic. Returned bounds are ±z·se (z=1.96
+default ⇒ 95% CI), the analog of Verdict's ``± err`` columns (A15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HASH_MOD = 1_000_000
+
+
+def uniform_sample(df: DataFrame, ratio: float, seed: int = 42) -> DataFrame:
+    """Bernoulli row sample (Verdict's uniform scramble)."""
+    return df.sample(fraction=ratio, seed=seed)
+
+
+def universe_sample(df: DataFrame, col: str, ratio: float, seed: int = 42) -> DataFrame:
+    """Keep all rows whose hash(col) falls in a p-fraction of the hash space:
+    subsamples the value DOMAIN, so COUNT(DISTINCT col) scales by exactly 1/p."""
+    h = F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(_HASH_MOD))
+    return df.filter(h < int(ratio * _HASH_MOD))
+
+
+def stratified_sample(df: DataFrame, group_by: str, fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-group Bernoulli fractions (Verdict's stratified scramble): give
+    small/rare groups fraction 1.0 so they survive; hot groups get tiny p."""
+    return df.sampleBy(group_by, fractions, seed)
+
+
+def approx_agg_uniform(
+    df: DataFrame, group_by: str, value_col: str, ratio: float, seed: int = 42, z: float = 1.96
+) -> DataFrame:
+    """Approx COUNT(*), SUM(v), AVG(v) per group from one uniform sample.
+
+    Output per group: est_count ± count_err, est_sum ± sum_err, est_avg ±
+    avg_err (half-widths at the given z). Rewrites are Verdict's A10:
+    count → n_s/p, sum → Σ_s v/p, avg → ratio of the two; variances are
+    Horvitz-Thompson estimates computed in the same single aggregation."""
+    p = float(ratio)
+    s = uniform_sample(df, p, seed)
+    v = F.col(value_col)
+    agg = s.groupBy(group_by).agg(
+        F.count("*").alias("n_s"),
+        F.sum(v).alias("sum_s"),
+        F.sum(v * v).alias("sum_sq"),
+    )
+    n_s, sum_s, sum_sq = F.col("n_s"), F.col("sum_s"), F.col("sum_sq")
+    est_count = n_s / p
+    # Var(n_s/p) = N(1-p)/p, N̂ = n_s/p  ->  n_s(1-p)/p²
+    count_err = F.lit(z) * F.sqrt(n_s * (1 - p)) / p
+    est_sum = sum_s / p
+    # Var(Σv/p) = Σv²(1-p)/p, Σv² estimated by sum_sq/p  ->  sum_sq(1-p)/p²
+    sum_err = F.lit(z) * F.sqrt(sum_sq * (1 - p)) / p
+    est_avg = sum_s / n_s
+    # ratio estimator: se ≈ z·s_v·√((1-p)/n_s), s_v = sample stddev
+    var_v = (sum_sq / n_s) - (sum_s / n_s) * (sum_s / n_s)
+    avg_err = F.lit(z) * F.sqrt(F.greatest(var_v, F.lit(0.0)) * (1 - p) / n_s)
+    return agg.select(
+        F.col(group_by),
+        est_count.alias("est_count"),
+        count_err.alias("count_err"),
+        est_sum.alias("est_sum"),
+        sum_err.alias("sum_err"),
+        est_avg.alias("est_avg"),
+        avg_err.alias("avg_err"),
+    )
+
+
+def approx_count_distinct_universe(
+    df: DataFrame, col: str, ratio: float, group_by: str | None = None, seed: int = 42, z: float = 1.96
+) -> DataFrame:
+    """Approx COUNT(DISTINCT col) via universe sampling (Verdict A11):
+    D̂ = D_s/p with binomial CI; the cross-check for the HLL path."""
+    p = float(ratio)
+    s = universe_sample(df, col, p, seed)
+    keys = [group_by] if group_by else []
+    agg = s.groupBy(*keys).agg(F.countDistinct(col).alias("d_s"))
+    d_s = F.col("d_s")
+    out_cols = ([F.col(group_by)] if group_by else []) + [
+        (d_s / p).alias("est_distinct"),
+        (F.lit(z) * F.sqrt(d_s * (1 - p)) / p).alias("distinct_err"),
+    ]
+    return agg.select(*out_cols)
+
+
+def approx_agg_stratified(
+    df: DataFrame, group_by: str, value_col: str, fractions: dict, seed: int = 42, z: float = 1.96
+) -> DataFrame:
+    """Stratified approx aggregates: per-group scale-up by that group's own
+    fraction — small groups sampled at 1.0 get exact answers (err 0), the
+    hot group gets sampling error only from its own fraction."""
+    s = stratified_sample(df, group_by, fractions, seed)
+    frac_map = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    v = F.col(value_col)
+    agg = (
+        s.groupBy(group_by)
+        .agg(F.count("*").alias("n_s"), F.sum(v).alias("sum_s"), F.sum(v * v).alias("sum_sq"))
+        .withColumn("p_g", frac_map[F.col(group_by)])
+    )
+    n_s, sum_s, sum_sq, p_g = F.col("n_s"), F.col("sum_s"), F.col("sum_sq"), F.col("p_g")
+    return agg.select(
+        F.col(group_by),
+        (n_s / p_g).alias("est_count"),
+        (F.lit(z) * F.sqrt(n_s * (1 - p_g)) / p_g).alias("count_err"),
+        (sum_s / p_g).alias("est_sum"),
+        (F.lit(z) * F.sqrt(sum_sq * (1 - p_g)) / p_g).alias("sum_err"),
+    )

@@ -1,0 +1,87 @@
+"""Verdict sample-type analogs (SURVEY.md §1.1): scale-up correctness and CI
+coverage for uniform / universe / stratified sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark.sampling import (
+    approx_agg_stratified,
+    approx_agg_uniform,
+    approx_count_distinct_universe,
+    stratified_sample,
+    uniform_sample,
+    universe_sample,
+)
+
+Z_TEST = 3.29  # 99.9% two-sided — keeps seeded-sample tests deterministic-robust
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
+
+
+def test_uniform_sample_size(spark, li):
+    n = li.count()
+    s = uniform_sample(li, 0.1, seed=7).count()
+    assert abs(s - 0.1 * n) <= 4 * np.sqrt(0.1 * 0.9 * n)
+
+
+def test_approx_agg_uniform_within_ci(spark, li):
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"), F.avg("l_extendedprice").alias("a"))
+        .collect()
+    }
+    approx = approx_agg_uniform(li, "l_returnflag", "l_extendedprice", 0.1, seed=7, z=Z_TEST).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r["l_returnflag"]]
+        assert abs(r["est_count"] - e["n"]) <= r["count_err"], (r, e["n"])
+        assert abs(r["est_sum"] - e["s"]) <= r["sum_err"], (r, e["s"])
+        assert abs(r["est_avg"] - e["a"]) <= r["avg_err"] + 1e-9, (r, e["a"])
+        # err columns behave: relative count error at p=0.1, n~20k is small
+        assert r["count_err"] / e["n"] < 0.1
+
+
+def test_universe_sample_is_domain_subsample(spark, li):
+    """Universe sampling keeps ALL rows of a kept key — the property uniform
+    sampling lacks and the reason it exists (A11)."""
+    s = universe_sample(li, "l_partkey", 0.2, seed=7)
+    per_key_all = dict(li.groupBy("l_partkey").count().collect())
+    for k, c in s.groupBy("l_partkey").count().collect():
+        assert per_key_all[k] == c  # no partial keys
+
+
+def test_approx_count_distinct_universe_within_ci(spark, li):
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    r = approx_count_distinct_universe(li, "l_partkey", 0.2, seed=7, z=Z_TEST).collect()[0]
+    assert abs(r["est_distinct"] - exact) <= r["distinct_err"], (r, exact)
+
+
+def test_stratified_keeps_small_groups(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir)
+    fractions = {"web": 0.05, "books": 0.5, "code": 1.0, "wiki": 1.0, "forums": 1.0}
+    s = stratified_sample(df, "source", fractions, seed=7)
+    counts = dict(s.groupBy("source").count().collect())
+    full = dict(df.groupBy("source").count().collect())
+    for g in ("code", "wiki", "forums"):
+        assert counts[g] == full[g]  # fraction 1.0 -> exact survival
+    assert counts["web"] < full["web"] * 0.15
+
+
+def test_approx_agg_stratified_within_ci(spark, seq_tiny_dir):
+    df = spark.read.parquet(seq_tiny_dir)
+    fractions = {"web": 0.2, "books": 1.0, "code": 1.0, "wiki": 1.0, "forums": 1.0}
+    exact = {
+        r["source"]: r
+        for r in df.groupBy("source").agg(F.count("*").alias("n"), F.sum("n_tok").alias("s")).collect()
+    }
+    for r in approx_agg_stratified(df, "source", "n_tok", fractions, seed=7, z=Z_TEST).collect():
+        e = exact[r["source"]]
+        assert abs(r["est_count"] - e["n"]) <= r["count_err"] + 1e-9
+        assert abs(r["est_sum"] - e["s"]) <= r["sum_err"] + 1e-9
+        if r["source"] != "web":
+            assert r["est_count"] == e["n"] and r["count_err"] == 0.0  # p=1 -> exact
