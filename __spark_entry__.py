@@ -139,6 +139,15 @@ def q_a10_count_sum_avg(spark, sf_dir):
     )
 
 
+def q_a11_time_buckets(spark, sf_dir):
+    """Time-bucketed aggregation (tumbling daily windows over events)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return e.groupBy(day, "event_type").agg(
+        F.count("*").alias("n_events"), F.sum(_cents("value")).alias("sum_value_cents")
+    )
+
+
 def q_a13_minmax(spark, sf_dir):
     """A13: MIN/MAX pass through exact (extremes can't be sketched safely)."""
     o = _t(spark, sf_dir, "orders")
@@ -449,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a08_join_broadcast": q_a08_join_broadcast,
         "a09_groupby_agg": q_a09_groupby_agg,
         "a10_count_sum_avg": q_a10_count_sum_avg,
+        "a11_time_buckets": q_a11_time_buckets,
         "a13_minmax": q_a13_minmax,
         "a14_topk_orderby_limit": q_a14_topk_orderby_limit,
         "a16_subquery": q_a16_subquery,
@@ -509,6 +519,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_value_cents,
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) / count(*) AS avg_value_cents
             FROM events GROUP BY event_type
+        """,
+        "a11_time_buckets": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2
         """,
         "a13_minmax": f"""
             SELECT o_orderpriority, min({cents}) AS min_cents, max({cents}) AS max_cents
