@@ -109,6 +109,24 @@ def union_estimate(states: DataFrame, sketch: str, groups=None) -> tuple[float, 
     return acc.estimate()
 
 
+def intersection_estimate(
+    states: DataFrame, hll_sketch: str, minhash_sketch: str, group_a: str, group_b: str
+) -> tuple[float, float]:
+    """|A ∩ B| from sketches alone: J·|A ∪ B|, with J from MinHash and the
+    union cardinality from merged HLLs. More robust than HLL inclusion-
+    exclusion when the intersection is small relative to the sets (I-E
+    subtracts two large noisy numbers; this multiplies two estimates whose
+    relative errors add). Returns (estimate, relative error bound ≈
+    rse_union + se_J/J)."""
+    st = load_states(states)
+    u = st[(group_a, hll_sketch)].merge(st[(group_b, hll_sketch)])
+    union_est, rse = u.estimate()
+    j, se = st[(group_a, minhash_sketch)].jaccard(st[(group_b, minhash_sketch)])
+    est = j * union_est
+    rel_bound = rse + (se / j if j > 0 else float("inf"))
+    return est, rel_bound
+
+
 def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
     """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash)."""
     sigs = {g: sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch}

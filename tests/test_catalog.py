@@ -65,3 +65,29 @@ def test_io_shim_parquet_and_iceberg_gate(spark, seq_tiny_dir):
     if not has_iceberg(spark):  # this sandbox: no connector jar
         with pytest.raises(RuntimeError, match="Iceberg connector"):
             read_input(spark, "iceberg:db.tbl")
+
+
+def test_intersection_estimate_from_sketches(spark, seq_tiny_dir):
+    """|A ∩ B| of token vocabularies from HLL+MinHash states vs exact."""
+    from sketchlib.spark import build_sketches
+    from sketchlib.spark.query import intersection_estimate
+
+    df = spark.read.parquet(seq_tiny_dir)
+    specs = [
+        SketchSpec("hll_tok", "hll", "tokens", {"p": 14}),
+        SketchSpec("mh_tok", "minhash", "tokens", {"r": 256}),
+    ]
+    states = build_sketches(df, specs, group_by="source")
+    est, bound = intersection_estimate(states, "hll_tok", "mh_tok", "books", "web")
+
+    import duckdb
+
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+        WITH a AS (SELECT DISTINCT unnest(tokens) t FROM read_parquet('{seq_tiny_dir}/*/*.parquet', hive_partitioning=1) WHERE source='books'),
+             b AS (SELECT DISTINCT unnest(tokens) t FROM read_parquet('{seq_tiny_dir}/*/*.parquet', hive_partitioning=1) WHERE source='web')
+        SELECT count(*) FROM a JOIN b USING (t)
+        """
+    ).fetchone()[0]
+    assert abs(est - exact) / exact <= 4 * bound, (est, exact, bound)

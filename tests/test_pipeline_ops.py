@@ -215,3 +215,23 @@ def test_embedding_near_dup_injection(spark, emb):
     injected = pairs[pairs["id_b"] - pairs["id_a"] == 10_000]
     assert len(injected) == 100  # scaling preserves direction -> same buckets, cosine 1
     assert (pairs["cosine"] >= 0.999).all()  # exact verify: no false positives
+
+
+def test_parquet_scan_non_hive_group_column(spark, tmp_path):
+    """Group column stored IN the files (no hive dirs): the chunk reader must
+    read it and factorize per batch instead of using path constants."""
+    import shutil
+
+    d = str(tmp_path / "docs_flat")
+    import os
+
+    os.makedirs(d)
+    shutil.copy(f"{TD}/documents.parquet", f"{d}/part-0.parquet")
+    specs = [SketchSpec("hll_doc", "hll", "doc_id", {"p": 12})]
+    via_pyarrow = build_sketches_from_parquet(spark, d, specs, group_by="source").toPandas()
+    via_spark = build_sketches(
+        spark.read.parquet(f"{TD}/documents.parquet"), specs, group_by="source"
+    ).toPandas()
+    a = {r["group"]: bytes(r["state"]) for _, r in via_pyarrow.iterrows()}
+    b = {r["group"]: bytes(r["state"]) for _, r in via_spark.iterrows()}
+    assert a == b and len(a) == 20
