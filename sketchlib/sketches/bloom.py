@@ -56,11 +56,15 @@ class Bloom(SketchBase):
         i = np.arange(self.h, dtype=np.uint64)
         return (h1[:, None] + i[None, :] * h2[:, None]) % _U(self.m_bits)
 
-    def add(self, keys: np.ndarray) -> "Bloom":
+    def add(self, keys: np.ndarray, n_seen: int | None = None) -> "Bloom":
+        """Insert keys. ``_n_items`` counts RAW items seen (pass ``n_seen``
+        when keys were pre-deduplicated upstream): a batching-independent
+        quantity, so states are byte-identical no matter how the stream was
+        chunked; fpr_bound() then overestimates n (conservative, safe)."""
         u = np.unique(np.asarray(keys))
         if u.size == 0:
             return self
-        self._n_items += int(u.size)
+        self._n_items += int(n_seen) if n_seen is not None else int(len(keys))
         pos = self._positions(u).ravel()
         byte = (pos >> _U(3)).astype(np.int64)
         bit = (np.uint8(1) << (pos & _U(7)).astype(np.uint8))
@@ -78,7 +82,8 @@ class Bloom(SketchBase):
         return ((self.bits[byte] & bit) != 0).all(axis=1)
 
     def fpr_bound(self) -> float:
-        """Design FPR at the current insert count."""
+        """Design FPR at the current insert count (n = raw items seen, an
+        upper bound on distinct inserts → bound is conservative)."""
         if self._n_items == 0:
             return 0.0
         return (1.0 - math.exp(-self.h * self._n_items / self.m_bits)) ** self.h
@@ -87,7 +92,7 @@ class Bloom(SketchBase):
         if (other.m_bits, other.h, other.seed) != (self.m_bits, self.h, self.seed):
             raise ValueError("Bloom geometry/seed mismatch")
         np.bitwise_or(self.bits, other.bits, out=self.bits)
-        self._n_items += other._n_items  # upper bound on distinct inserts
+        self._n_items += other._n_items  # raw items seen (≥ distinct inserts)
         return self
 
     # --- serde -----------------------------------------------------------

@@ -120,6 +120,51 @@ def srp_topk(
     return brute_force_topk(cands, vec_col, id_col, query, k=k)
 
 
+def ivf_index(
+    df: DataFrame, vec_col: str, id_col: str, n_lists: int = 16, seed: int = 31, sample_frac: float | None = None
+):
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, L2 over
+    normalized vectors ⇒ cosine ordering) + per-vector list assignment.
+
+    Returns (assigned DataFrame with `_list`, centroids ndarray). At corpus
+    scale fit on a sample (``sample_frac``) and persist ``assigned``
+    partitioned by `_list` so probes prune at the storage layer.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = _norm_expr(vec_col)
+    ndf = df.withColumn("_nv", F.transform(F.col(vec_col), lambda x: x / norm))
+    vdf = ndf.withColumn("_v", array_to_vector(F.col("_nv").cast("array<double>")))
+    fit_on = vdf.sample(sample_frac, seed=seed) if sample_frac else vdf
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list").fit(fit_on)
+    assigned = model.transform(vdf).select(id_col, vec_col, "_nv", "_list")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest inverted lists, exact cosine re-rank inside.
+
+    Scans ~nprobe/n_lists of the corpus per query; the stored vector of the
+    query itself is always found (its list is by definition the nearest
+    centroid of its normalized vector, which is probe #1)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    d2 = ((centroids - qn[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cands = assigned.filter(F.col("_list").isin(probes))
+    return brute_force_topk(cands, vec_col, id_col, query, k=k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

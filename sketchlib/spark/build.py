@@ -274,7 +274,10 @@ class SketchAccumulator:
                         if spec.wants_hashes:
                             sk.update_hashes(uhash[s0:s1], n_seen=n_seen)
                         elif spec.kind == "bloom":
-                            sk.add(uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64))
+                            sk.add(
+                                uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64),
+                                n_seen=n_seen,
+                            )
                         else:  # cm
                             keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
                             sk.update_values(keys, counts=ucounts[s0:s1])

@@ -235,3 +235,25 @@ def test_parquet_scan_non_hive_group_column(spark, tmp_path):
     a = {r["group"]: bytes(r["state"]) for _, r in via_pyarrow.iterrows()}
     b = {r["group"]: bytes(r["state"]) for _, r in via_spark.iterrows()}
     assert a == b and len(a) == 20
+
+
+def test_ivf_topk_self_recovery_and_recall(spark, emb):
+    from sketchlib.spark.ann import brute_force_topk, ivf_index, ivf_topk
+
+    assigned, centroids = ivf_index(emb, "embedding", "vec_id", n_lists=16)
+    assigned = assigned.cache()
+    assert centroids.shape[0] == 16
+    row = emb.first()
+    q = list(row["embedding"])
+    top = ivf_topk(assigned, centroids, "embedding", "vec_id", q, k=1, nprobe=1).collect()
+    assert top[0]["vec_id"] == row["vec_id"]  # own list is always probe #1
+
+    # recall@1 vs brute force with generous probes (random data clusters weakly)
+    brute1 = brute_force_topk(
+        emb.filter(F.col("vec_id") != row["vec_id"]), "embedding", "vec_id", q, k=1
+    ).collect()[0]["vec_id"]
+    approx = ivf_topk(
+        assigned.filter(F.col("vec_id") != row["vec_id"]),
+        centroids, "embedding", "vec_id", q, k=5, nprobe=8,
+    ).collect()
+    assert brute1 in [r["vec_id"] for r in approx]
