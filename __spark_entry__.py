@@ -19,15 +19,47 @@ exact-int divisions.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# the driver may import this file by path; make `import sketchlib` resolve
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
 from sketchlib.spark import SketchSpec, build_sketches, estimates_df, quantiles_df, topk_df
 from sketchlib.spark.query import load_states
 from sketchlib.spark.tokenize import with_tokens
+
+_DIST_SESSIONS: set[int] = set()
+
+
+def _ensure_dist(spark: SparkSession) -> None:
+    """Make sketchlib importable in executor Python workers regardless of the
+    driver's cwd/PYTHONPATH: zip the package once and addPyFile it (the same
+    mechanism spark-submit --py-files uses)."""
+    key = id(spark.sparkContext)
+    if key in _DIST_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "sketchlib_pyfiles")
+    zip_path = zip_base + ".zip"
+    src_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(_REPO, "sketchlib"))
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        shutil.make_archive(zip_base, "zip", root_dir=_REPO, base_dir="sketchlib")
+    spark.sparkContext.addPyFile(zip_path)
+    _DIST_SESSIONS.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,6 +88,7 @@ def _hll_tol(exact, rse):
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
+    _ensure_dist(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents")
     states = build_sketches(docs, [SketchSpec("hll_doc", "hll", "doc_id", {"p": 14})], group_by="source")
@@ -451,35 +484,45 @@ def q_c05_ann_top1(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["query_id", "neighbor_id"]))
 
 
+def _dist_wrapped(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_dist(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "a06_project_filter": q_a06_project_filter,
-        "a07_filter_predicates": q_a07_filter_predicates,
-        "a08_join_broadcast": q_a08_join_broadcast,
-        "a09_groupby_agg": q_a09_groupby_agg,
-        "a10_count_sum_avg": q_a10_count_sum_avg,
-        "a11_time_buckets": q_a11_time_buckets,
-        "a13_minmax": q_a13_minmax,
-        "a14_topk_orderby_limit": q_a14_topk_orderby_limit,
-        "a16_subquery": q_a16_subquery,
-        "a17_union": q_a17_union,
-        "b01_hll_distinct_docs": q_b01_hll_distinct_docs,
-        "b02_hll_distinct_tokens": q_b02_hll_distinct_tokens,
-        "b03_cm_topk_tokens": q_b03_cm_topk_tokens,
-        "b04_kll_price_quantiles": q_b04_kll_price_quantiles,
-        "b05_tdigest_price_quantiles": q_b05_tdigest_price_quantiles,
-        "b06_bloom_membership": q_b06_bloom_membership,
-        "b07_minhash_jaccard": q_b07_minhash_jaccard,
-        "b08_hll_union_groups": q_b08_hll_union_groups,
-        "b09_sampled_agg_uniform": q_b09_sampled_agg_uniform,
-        "b13_universe_distinct": q_b13_universe_distinct,
-        "b10_hll_doc_estimates": q_b10_hll_doc_estimates,
-        "b11_cm_top_tokens_estimates": q_b11_cm_top_tokens_estimates,
-        "c01_exact_dedup": q_c01_exact_dedup,
-        "c02_token_stats": q_c02_token_stats,
-        "c03_minhash_lsh_dedup": q_c03_minhash_lsh_dedup,
-        "c04_simhash_dups": q_c04_simhash_dups,
-        "c05_ann_top1": q_c05_ann_top1,
+        "a06_project_filter": _dist_wrapped(q_a06_project_filter),
+        "a07_filter_predicates": _dist_wrapped(q_a07_filter_predicates),
+        "a08_join_broadcast": _dist_wrapped(q_a08_join_broadcast),
+        "a09_groupby_agg": _dist_wrapped(q_a09_groupby_agg),
+        "a10_count_sum_avg": _dist_wrapped(q_a10_count_sum_avg),
+        "a11_time_buckets": _dist_wrapped(q_a11_time_buckets),
+        "a13_minmax": _dist_wrapped(q_a13_minmax),
+        "a14_topk_orderby_limit": _dist_wrapped(q_a14_topk_orderby_limit),
+        "a16_subquery": _dist_wrapped(q_a16_subquery),
+        "a17_union": _dist_wrapped(q_a17_union),
+        "b01_hll_distinct_docs": _dist_wrapped(q_b01_hll_distinct_docs),
+        "b02_hll_distinct_tokens": _dist_wrapped(q_b02_hll_distinct_tokens),
+        "b03_cm_topk_tokens": _dist_wrapped(q_b03_cm_topk_tokens),
+        "b04_kll_price_quantiles": _dist_wrapped(q_b04_kll_price_quantiles),
+        "b05_tdigest_price_quantiles": _dist_wrapped(q_b05_tdigest_price_quantiles),
+        "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
+        "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
+        "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
+        "b09_sampled_agg_uniform": _dist_wrapped(q_b09_sampled_agg_uniform),
+        "b13_universe_distinct": _dist_wrapped(q_b13_universe_distinct),
+        "b10_hll_doc_estimates": _dist_wrapped(q_b10_hll_doc_estimates),
+        "b11_cm_top_tokens_estimates": _dist_wrapped(q_b11_cm_top_tokens_estimates),
+        "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
+        "c02_token_stats": _dist_wrapped(q_c02_token_stats),
+        "c03_minhash_lsh_dedup": _dist_wrapped(q_c03_minhash_lsh_dedup),
+        "c04_simhash_dups": _dist_wrapped(q_c04_simhash_dups),
+        "c05_ann_top1": _dist_wrapped(q_c05_ann_top1),
     }
 
 

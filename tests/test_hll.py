@@ -87,3 +87,14 @@ def test_precision_mismatch_rejected():
         HLL(p=12).merge(HLL(p=14))
     with pytest.raises(ValueError):
         HLL(p=3)
+
+
+@pytest.mark.parametrize("p", [4, 8, 18])
+def test_precision_edges(p):
+    """Smallest and largest supported precisions stay within bound."""
+    n = 50_000
+    h = HLL(p=p).update_hashes(hash_ints(np.arange(n)))
+    est, rse = h.estimate()
+    assert abs(est - n) / n <= 3 * rse + 2.0 / n
+    r = deserialize(h.to_bytes())
+    assert r.estimate() == h.estimate()
