@@ -91,3 +91,35 @@ def test_intersection_estimate_from_sketches(spark, seq_tiny_dir):
         """
     ).fetchone()[0]
     assert abs(est - exact) / exact <= 4 * bound, (est, exact, bound)
+
+
+def test_exact_rescore_topk_matches_true_topk(spark, seq_tiny_dir):
+    """Hybrid CM→exact rescoring returns the TRUE top-k (not an estimate)."""
+    import duckdb
+
+    from sketchlib.spark import build_sketches
+    from sketchlib.spark.query import exact_rescore_topk
+
+    df = spark.read.parquet(seq_tiny_dir)
+    states = build_sketches(
+        df, [SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-4, "delta": 0.01})], group_by="source"
+    )
+    got = exact_rescore_topk(df, states, "cm_tok", k=5).toPandas()
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT source AS "group", tok AS token, c AS exact_count FROM (
+          SELECT source, tok, count(*) c,
+                 row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, tok) rn
+          FROM (SELECT source, unnest(tokens) tok
+                FROM read_parquet('{seq_tiny_dir}/*/*.parquet', hive_partitioning=1))
+          GROUP BY source, tok
+        ) WHERE rn <= 5
+        """
+    ).fetchdf()
+    g = got.sort_values(["group", "token"]).reset_index(drop=True)
+    w = want.sort_values(["group", "token"]).reset_index(drop=True)
+    assert len(g) == len(w) == 25
+    assert (g["token"].to_numpy() == w["token"].to_numpy()).all()
+    assert (g["exact_count"].to_numpy() == w["exact_count"].to_numpy()).all()
