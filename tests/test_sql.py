@@ -1,0 +1,71 @@
+"""approx_sql front door: the Verdict-style SQL query set end-to-end."""
+
+import numpy as np
+import pytest
+
+from sketchlib.sql import approx_sql
+
+
+@pytest.fixture(scope="module")
+def tables(seq_tiny_dir):
+    return {"sequences": seq_tiny_dir}
+
+
+def test_count_distinct_group_by(spark, tables):
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source", tables
+    ).toPandas()
+    assert set(out["group"]) == {"web", "books", "code", "wiki", "forums"}
+    assert abs(out["estimate"].sum() - 2000) / 2000 < 0.05
+    assert (out["rse_bound"] <= 0.01 + 1e-12).all()  # default rse budget honored
+
+
+def test_where_is_full_spark_sql(spark, tables):
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences "
+        "WHERE n_tok > 500 AND source IN ('web', 'books') GROUP BY source",
+        tables,
+    ).toPandas()
+    assert set(out["group"]) == {"web", "books"}
+
+
+def test_global_no_group(spark, tables):
+    out = approx_sql(spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences", tables).toPandas()
+    assert len(out) == 1 and "group" not in out.columns
+    assert abs(out["estimate"][0] - 2000) / 2000 <= 3 * out["rse_bound"][0] + 0.01
+
+
+def test_topk_and_percentile(spark, tables):
+    top = approx_sql(
+        spark, "SELECT APPROX_TOPK(tokens, 5) FROM sequences GROUP BY source", tables
+    ).toPandas()
+    assert (top.groupby("group").size() == 5).all()
+    q = approx_sql(
+        spark, "SELECT APPROX_PERCENTILE(n_tok, 0.5, 0.99) FROM sequences GROUP BY source", tables
+    ).toPandas()
+    assert set(q["q"]) == {0.5, 0.99}
+    p50_web = q[(q["group"] == "web") & (q["q"] == 0.5)]["value"].iloc[0]
+    assert 300 < p50_web < 800  # lognormal(ln 512, .6) median ≈ 512
+
+
+def test_sampled_count_with_ci(spark, tables):
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT(0.5) FROM sequences GROUP BY source", tables
+    ).toPandas()
+    web = out[out["source"] == "web"].iloc[0]
+    assert abs(web["est_count"] - 1584) <= 3 * web["count_err"]
+
+
+def test_from_path_directly(spark, seq_tiny_dir):
+    out = approx_sql(
+        spark, f"SELECT APPROX_COUNT_DISTINCT(doc_id) FROM {seq_tiny_dir} GROUP BY source"
+    ).toPandas()
+    assert len(out) == 5
+
+
+def test_unsupported_statement_rejected(spark, tables):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        approx_sql(spark, "SELECT a, b FROM sequences JOIN other ON x = y", tables)
+    with pytest.raises(ValueError, match="unknown approximate aggregate"):
+        approx_sql(spark, "SELECT APPROX_MEDIAN_WRONG(x) FROM sequences", tables)
