@@ -146,11 +146,22 @@ def main() -> None:
 
     seq_dir, tokens = seq_table_dir(n_rows / 2_000_000)
 
-    results = {}
-    for cores in (1, 2, 4, 8, 32):
-        sec = run_level(cores, seq_dir)
-        results[cores] = {"seconds": round(sec, 2), "tokens_per_sec": round(tokens / sec, 1)}
-        print(f"local[{cores}]: {sec:.1f}s  {tokens / sec:,.0f} tokens/s", file=sys.stderr)
+    # two interleaved visits per level (one for the slow 1-core point), best
+    # across visits: this shared host's CPU delivery drifts on minute scales,
+    # so consecutive same-level runs correlate with the drift while
+    # interleaved visits sample it independently
+    best: dict[int, float] = {}
+    for rep in range(2):
+        for cores in (1, 2, 4, 8, 32):
+            if rep == 1 and cores == 1:
+                continue
+            sec = run_level(cores, seq_dir)
+            best[cores] = min(best.get(cores, 1e18), sec)
+            print(f"[rep {rep}] local[{cores}]: {sec:.1f}s", file=sys.stderr)
+    results = {
+        c: {"seconds": round(s, 2), "tokens_per_sec": round(tokens / s, 1)}
+        for c, s in best.items()
+    }
 
     eff14 = (results[4]["tokens_per_sec"] / results[1]["tokens_per_sec"]) / 4.0
     eff28 = (results[8]["tokens_per_sec"] / results[2]["tokens_per_sec"]) / 4.0
