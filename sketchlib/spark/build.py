@@ -224,6 +224,9 @@ class SketchAccumulator:
             gcol, _, _ = _column_values(batch, self.group_by)
             codes, uniques = pd.factorize(gcol)
             codes = codes.astype(np.int32, copy=False)  # narrow the repeat stream
+            if (codes < 0).any():  # factorize marks nulls -1: keep them as a real group
+                uniques = list(uniques) + ["__null__"]
+                codes = np.where(codes < 0, np.int32(len(uniques) - 1), codes)
         ng = len(uniques)
         gnames = [str(v) for v in uniques]
         rc = np.bincount(codes, minlength=ng)

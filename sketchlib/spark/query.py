@@ -168,6 +168,20 @@ def intersection_estimate(
     return est, rel_bound
 
 
+def difference_estimate(
+    states: DataFrame, hll_sketch: str, minhash_sketch: str, group_a: str, group_b: str
+) -> tuple[float, float]:
+    """|A \\ B| from sketches alone: |A| − |A ∩ B| (intersection via
+    J·|A ∪ B|, see intersection_estimate); bound = sum of the parts' bounds
+    in absolute terms."""
+    st = load_states(states)
+    a_est, a_rse = st[(group_a, hll_sketch)].estimate()
+    inter, inter_rel = intersection_estimate(states, hll_sketch, minhash_sketch, group_a, group_b)
+    est = max(0.0, a_est - inter)
+    abs_bound = a_rse * a_est + inter_rel * inter
+    return est, abs_bound
+
+
 def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
     """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash)."""
     sigs = {g: sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch}

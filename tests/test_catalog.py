@@ -123,3 +123,27 @@ def test_exact_rescore_topk_matches_true_topk(spark, seq_tiny_dir):
     assert len(g) == len(w) == 25
     assert (g["token"].to_numpy() == w["token"].to_numpy()).all()
     assert (g["exact_count"].to_numpy() == w["exact_count"].to_numpy()).all()
+
+
+def test_difference_estimate_from_sketches(spark, seq_tiny_dir):
+    import duckdb
+
+    from sketchlib.spark import build_sketches
+    from sketchlib.spark.query import difference_estimate
+
+    df = spark.read.parquet(seq_tiny_dir)
+    specs = [
+        SketchSpec("hll_tok", "hll", "tokens", {"p": 14}),
+        SketchSpec("mh_tok", "minhash", "tokens", {"r": 256}),
+    ]
+    states = build_sketches(df, specs, group_by="source")
+    est, bound = difference_estimate(states, "hll_tok", "mh_tok", "web", "books")
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+        WITH a AS (SELECT DISTINCT unnest(tokens) t FROM read_parquet('{seq_tiny_dir}/*/*.parquet', hive_partitioning=1) WHERE source='web'),
+             b AS (SELECT DISTINCT unnest(tokens) t FROM read_parquet('{seq_tiny_dir}/*/*.parquet', hive_partitioning=1) WHERE source='books')
+        SELECT count(*) FROM a ANTI JOIN b USING (t)
+        """
+    ).fetchone()[0]
+    assert abs(est - exact) <= 4 * bound, (est, exact, bound)

@@ -185,3 +185,12 @@ def test_per_row_token_equality(spark, seq_tiny_dir):
     for r in rows:
         i = int(r["doc_id"][3:])
         assert np.array_equal(np.array(r["tokens"], dtype=np.int32), gen_row_tokens(i)), r["doc_id"]
+
+
+def test_null_group_values_become_explicit_group(spark):
+    """Rows with NULL group keys must be sketched under '__null__', not dropped."""
+    rows = [(f"d{i}", ["web", None][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    states = build_sketches(df, [SketchSpec("h", "hll", "doc_id", {"p": 12})], group_by="source")
+    got = {r["group"]: r["rows"] for r in states.collect()}
+    assert got == {"web": 100, "__null__": 100}
