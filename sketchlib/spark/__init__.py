@@ -10,5 +10,14 @@ O(partitions × groups × state_size), independent of corpus size.
 """
 
 from sketchlib.spark.build import SketchSpec, build_sketches, merge_states  # noqa: F401
-from sketchlib.spark.query import estimates_df, load_states, topk_df, quantiles_df  # noqa: F401
+from sketchlib.spark.query import (  # noqa: F401
+    estimates_df,
+    exact_rescore_topk,
+    intersection_estimate,
+    load_states,
+    quantiles_df,
+    topk_df,
+    union_estimate,
+)
+from sketchlib.spark.scan import build_sketches_from_parquet  # noqa: F401
 from sketchlib.spark.session import get_spark  # noqa: F401
