@@ -394,6 +394,24 @@ def q_b13_universe_distinct(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame({"within_ci": [bool(ok)]}))
 
 
+def q_b14_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct count per source — exact below k, bounded above."""
+    docs = _t(spark, sf_dir, "documents")
+    states = build_sketches(
+        docs, [SketchSpec("kmv_doc", "kmv", "doc_id", {"k": 1024})], group_by="source"
+    )
+    est = estimates_df(spark, states, "kmv_doc").toPandas()
+    exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+    m = est.merge(exact, left_on="group", right_on="source")
+    ok = np.where(
+        m["rse_bound"] == 0.0,
+        m["estimate"] == m["exact"],  # below-k: exact by construction
+        (m["estimate"] - m["exact"]).abs() <= 3 * m["rse_bound"] * m["exact"],
+    )
+    m["within_bound"] = ok
+    return spark.createDataFrame(m[["source", "within_bound"]])
+
+
 def q_b10_hll_doc_estimates(spark, sf_dir):
     """Rows-only: the raw (estimate, err) surface Verdict users see (A15)."""
     docs = _t(spark, sf_dir, "documents")
@@ -516,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
         "b09_sampled_agg_uniform": _dist_wrapped(q_b09_sampled_agg_uniform),
         "b13_universe_distinct": _dist_wrapped(q_b13_universe_distinct),
+        "b14_kmv_distinct": _dist_wrapped(q_b14_kmv_distinct),
         "b10_hll_doc_estimates": _dist_wrapped(q_b10_hll_doc_estimates),
         "b11_cm_top_tokens_estimates": _dist_wrapped(q_b11_cm_top_tokens_estimates),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -607,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "b08_hll_union_groups": "SELECT TRUE AS within_bound",
         "b09_sampled_agg_uniform": "SELECT DISTINCT l_returnflag, TRUE AS within_ci FROM lineitem",
         "b13_universe_distinct": "SELECT TRUE AS within_ci",
+        "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b06_bloom_membership": """
             SELECT event_type, CAST(0 AS BIGINT) AS false_negatives
             FROM events GROUP BY event_type

@@ -24,6 +24,7 @@ from sketchlib.sketches import (  # noqa: F401
     Bloom,
     CountMin,
     KLL,
+    KMV,
     MinHash,
     TDigest,
     deserialize,

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.taskcontext import TaskContext
 
 from sketchlib.hashing import hash_any
-from sketchlib.sketches import HLL, KLL, Bloom, CountMin, MinHash, TDigest, deserialize
+from sketchlib.sketches import HLL, KLL, KMV, Bloom, CountMin, MinHash, TDigest, deserialize
 
 _KINDS = {
     "hll": HLL,
@@ -49,6 +49,7 @@ _KINDS = {
     "tdigest": TDigest,
     "bloom": Bloom,
     "minhash": MinHash,
+    "kmv": KMV,
 }
 
 STATE_FIELDS = (
@@ -85,7 +86,7 @@ class SketchSpec:
 
     @property
     def wants_hashes(self) -> bool:
-        return self.kind in ("hll", "minhash")
+        return self.kind in ("hll", "minhash", "kmv")
 
     def update(self, sk, values: np.ndarray):
         """Vectorized dispatch: hashes for HLL/MinHash, raw keys/values otherwise."""

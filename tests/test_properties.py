@@ -95,3 +95,16 @@ def test_quantile_sketches_within_bound_under_regrouping(vals, boundaries, perm_
         lo = np.searchsorted(s, approx, side="left") / len(s)
         err = np.maximum(lo - qs, qs - hi).clip(min=0.0)
         assert (err <= acc.error_bound() + 1.0 / len(s)).all()
+
+
+@given(_values, st.lists(st.integers(0, 10**6), max_size=6), st.integers(0, 100))
+@settings(max_examples=40, deadline=None)
+def test_kmv_bytes_invariant(vals, boundaries, perm_seed):
+    from sketchlib import KMV
+
+    data = np.array(vals, dtype=np.int64)
+    whole = KMV(k=64).update_hashes(hash_ints(data))
+    acc = KMV(k=64)
+    for c in _regroup(data, boundaries, perm_seed):
+        acc.merge(KMV(k=64).update_hashes(hash_ints(c)))
+    assert acc.hashes.tobytes() == whole.hashes.tobytes()

@@ -194,3 +194,26 @@ def test_null_group_values_become_explicit_group(spark):
     states = build_sketches(df, [SketchSpec("h", "hll", "doc_id", {"p": 12})], group_by="source")
     got = {r["group"]: r["rows"] for r in states.collect()}
     assert got == {"web": 100, "__null__": 100}
+
+
+def test_kmv_in_spark_build(spark, seq_small_dir, oracle_module_scope=None):
+    """KMV through the full build path: per-source distinct docs within bound."""
+    import duckdb
+
+    df = spark.read.parquet(seq_small_dir)
+    states = build_sketches(
+        df, [SketchSpec("kmv_doc", "kmv", "doc_id", {"k": 1024})], group_by="source"
+    )
+    est = estimates_df(spark, states, "kmv_doc").toPandas()
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"SELECT source, count(distinct doc_id) FROM read_parquet('{seq_small_dir}/*/*.parquet', hive_partitioning=1) GROUP BY 1"
+        ).fetchall()
+    )
+    for _, r in est.iterrows():
+        e = exact[r["group"]]
+        if r["rse_bound"] == 0.0:
+            assert r["estimate"] == e  # below-k groups are exact
+        else:
+            assert abs(r["estimate"] - e) / e <= 3 * r["rse_bound"]
