@@ -188,10 +188,12 @@ def throughput_metrics(spark: SparkSession, ckpt_dir: str) -> dict:
     """Aggregate sketch-update throughput from lineage (BASELINE metric)."""
     pdf = lineage_df(spark, ckpt_dir).toPandas()
     total_ms = float(pdf["wall_ms"].sum())
+    secs = total_ms / 1000.0
     return {
         "chunks": int(len(pdf)),
         "rows": int(pdf["rows"].sum()),
-        "tokens": int(pdf["tokens"].sum()),
-        "cpu_seconds": total_ms / 1000.0,
-        "tokens_per_cpu_sec": (float(pdf["tokens"].sum()) / (total_ms / 1000.0)) if total_ms else 0.0,
+        "tokens": int(pdf["tokens"].sum()),  # 0 when no array column was sketched
+        "cpu_seconds": secs,
+        "tokens_per_cpu_sec": (float(pdf["tokens"].sum()) / secs) if secs else 0.0,
+        "rows_per_cpu_sec": (float(pdf["rows"].sum()) / secs) if secs else 0.0,
     }
