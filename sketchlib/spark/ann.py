@@ -53,6 +53,86 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str, query: list[float
     )
 
 
+def brute_force_topk_many(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries,
+    k: int = 10,
+    query_ids=None,
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in ONE corpus pass.
+
+    The (n_queries × dim) probe matrix is broadcast to executors; each Arrow
+    batch computes all scores with a single normalized matmul and emits only
+    its per-query partial top-k (argpartition), so the shuffle carries
+    O(partitions × n_queries × k) rows — the corpus is scanned exactly once
+    no matter how many probes. A final per-query window keeps the global
+    top-k. This is the batch shape the per-query loop (brute_force_topk)
+    must NOT be used for: J probes as a loop = J full corpus scans.
+
+    ``queries``: array-like (n_q, dim). ``query_ids``: optional ids (default
+    0..n_q-1). Output: (query_id, <id_col>, cosine), exact top-k per query,
+    ties at equal cosine broken by ascending id.
+    """
+    from pyspark.sql import Window
+
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("queries must be a 2-D (n_queries, dim) array")
+    if query_ids is None:
+        query_ids = list(range(len(Q)))
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    qid_is_str = isinstance(query_ids[0], str)
+    qids = np.asarray(query_ids)
+    sc = df.sparkSession.sparkContext
+    bQ = sc.broadcast(Qn)
+    bqids = sc.broadcast(qids)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"query_id {'string' if qid_is_str else 'long'}, {id_col} {id_type}, cosine double"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        Qm = bQ.value  # (q, dim)
+        qv = bqids.value
+        nq = len(Qm)
+        for b in batches:
+            ids_arr = b.column(b.schema.get_field_index(id_col))
+            col = b.column(b.schema.get_field_index(vec_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            m = len(lens)
+            if m == 0:
+                continue
+            mat = flat.reshape(m, -1)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat / norms[:, None]) @ Qm.T  # (m, q)
+            kk = min(k, m)
+            part = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, q)
+            rows = part.T.ravel()  # query-major
+            cols = np.repeat(np.arange(nq), kk)
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qv[cols]),
+                    pa.array(ids_np[rows]),
+                    pa.array(cos[rows, cols]),
+                ],
+                names=["query_id", id_col, "cosine"],
+            )
+
+    partials = df.select(id_col, vec_col).mapInArrow(fn, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _srp_planes(n_bits: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic Gaussian-ish hyperplanes from counter-based uniforms."""
     keys = np.arange(n_bits * dim * 2, dtype=np.uint64) + np.uint64(seed * 0x9E3779B1)
@@ -173,6 +253,7 @@ def embedding_near_dup_pairs(
     n_bits: int = 12,
     n_tables: int = 4,
     seed: int = 31,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP buckets → exact verify.
 
@@ -192,6 +273,9 @@ def embedding_near_dup_pairs(
     sigs = sig_tables[0]
     for s in sig_tables[1:]:
         sigs = sigs.unionByName(s)
+    from sketchlib.spark.dedup import _cap_buckets
+
+    sigs = _cap_buckets(sigs, ["table", "bucket"], max_bucket)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(

@@ -81,11 +81,21 @@ class SketchCatalog:
 
     # --- A3: SHOW SAMPLES analog -------------------------------------------
     def list(self) -> DataFrame:
+        from pyspark.sql import Window, functions as F
+
         cat = os.path.join(self.root, "_sketch_catalog")
         df = self.spark.read.schema(_CATALOG_SCHEMA).parquet(cat)
-        # drops leave stale rows behind (append-only log): keep rows with live state dirs
+        # the log is append-only: drops leave stale rows, and overwrite=True
+        # leaves BOTH registrations live — keep only the newest row per name
+        # (max built_unix), never an arbitrary duplicate
         live = sorted(os.listdir(os.path.join(self.root, "states")))
-        return df.filter(df.name.isin(live)).dropDuplicates(["name"])
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        return (
+            df.filter(df.name.isin(live))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.root, "states", name))

@@ -75,12 +75,19 @@ def _batch_minhash(flat: np.ndarray, offsets: np.ndarray, r: int, seed: int) -> 
     consts = _perm_consts(r, seed)
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
+    # reduceat indices must be in-bounds: a TRAILING empty row has
+    # start == len(flat), and clipping it to len(flat)-1 would end the last
+    # non-empty row's slice one token early (batch-boundary-dependent
+    # signatures — silent doc loss). Drop out-of-range starts instead; every
+    # non-empty row has start < len(flat), and the last in-bounds start is
+    # always a non-empty row, so its slice correctly runs to the end.
+    valid = starts < len(flat)
     chunk = max(1, (4 << 20) // max(len(flat), 1))  # ~32MB of uint64 per slab
     for c0 in range(0, r, chunk):
         cs = consts[c0 : c0 + chunk]
         mixed = splitmix64((base[:, None] ^ cs[None, :]).ravel()).reshape(len(base), len(cs))
-        red = np.minimum.reduceat(mixed, starts.clip(max=len(flat) - 1), axis=0)
-        sig[nonempty, c0 : c0 + len(cs)] = red[nonempty]
+        red = np.minimum.reduceat(mixed, starts[valid], axis=0)
+        sig[nonempty, c0 : c0 + len(cs)] = red[nonempty[valid]]
     return sig
 
 
@@ -99,11 +106,14 @@ def _band_hashes(sig: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
 def minhash_signatures(
     df: DataFrame, tokens_col: str, id_col: str, r: int = 128, n_bands: int = 32, seed: int = 17
 ) -> DataFrame:
-    """id, sig (binary), band_hash array — one row per document."""
-    out_schema = f"{id_col} string, sig binary, bands array<long>"
+    """id, sig (array<long>, the r minima as int64 bit-patterns), band_hash
+    array — one row per document. Signatures are arrays (not binary) so the
+    verification step compares them JVM-side with zip_with/aggregate inside
+    whole-stage codegen — no Python in the per-pair hot path."""
+    out_schema = f"{id_col} string, sig array<long>, bands array<long>"
     id_is_long = dict(df.dtypes)[id_col] in ("bigint", "int")
     if id_is_long:
-        out_schema = f"{id_col} long, sig binary, bands array<long>"
+        out_schema = f"{id_col} long, sig array<long>, bands array<long>"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -114,75 +124,122 @@ def minhash_signatures(
             offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             sig = _batch_minhash(flat, offsets, r, seed)
             bh = _band_hashes(sig, n_bands, seed).astype(np.int64)
+            n = len(sig)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * r, r, dtype=np.int32)),
+                pa.array(sig.view(np.int64).ravel()),
+            )
             yield pa.RecordBatch.from_arrays(
-                [
-                    ids,
-                    pa.array(list(sig.tobytes(order="C")[i * r * 8 : (i + 1) * r * 8] for i in range(len(sig)))),
-                    pa.array(bh.tolist(), type=pa.list_(pa.int64())),
-                ],
+                [ids, sig_arr, pa.array(bh.tolist(), type=pa.list_(pa.int64()))],
                 names=[id_col, "sig", "bands"],
             )
 
     return df.select(id_col, tokens_col).mapInArrow(fn, out_schema)
 
 
-def _sig_agreement(a: bytes, b: bytes) -> float:
-    va = np.frombuffer(a, dtype=np.uint64)
-    vb = np.frombuffer(b, dtype=np.uint64)
-    return float(np.mean(va == vb))
+def _cap_buckets(exploded: DataFrame, bucket_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows in buckets larger than max_bucket — a degenerate hot bucket
+    (e.g. thousands of byte-identical boilerplate docs sharing every band)
+    otherwise makes the self-join quadratic in that bucket. One count-over-
+    window on the same keys the join shuffles on. Dropped buckets lose
+    recall for their members only; callers can inspect them via
+    ``oversized_buckets`` before choosing the cap."""
+    if max_bucket is None:
+        return exploded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
 
 
-def candidate_pairs(sig_df: DataFrame, id_col: str, threshold: float = 0.8) -> DataFrame:
+def oversized_buckets(sig_df: DataFrame, max_bucket: int) -> DataFrame:
+    """(bh, n_members) for LSH band buckets above the cap — the report of
+    what ``candidate_pairs(max_bucket=...)`` would skip."""
+    return (
+        sig_df.select(F.explode("bands").alias("bh"))
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
+def candidate_pairs(
+    sig_df: DataFrame, id_col: str, threshold: float = 0.8, max_bucket: int | None = 5000
+) -> DataFrame:
     """LSH candidate pairs verified by signature agreement ≥ threshold.
 
-    Shuffles (band_hash → ids) buckets; pair verification runs on signature
-    bytes only. Output: (id_a, id_b, jaccard_est) with id_a < id_b.
+    The band join shuffles (id, band_hash) pairs ONLY — signatures are joined
+    back by id after candidate dedup, so the ~1 KB sig is never replicated
+    per band. Verification is pure JVM (zip_with + aggregate, whole-stage
+    codegen): est_J = fraction of agreeing minima. Buckets larger than
+    ``max_bucket`` are skipped (see _cap_buckets). Output: (id_a, id_b,
+    jaccard_est) with id_a < id_b.
     """
-    exploded = sig_df.select(
-        F.col(id_col), F.col("sig"), F.explode("bands").alias("bh")
+    bands_only = _cap_buckets(
+        sig_df.select(F.col(id_col), F.explode("bands").alias("bh")), ["bh"], max_bucket
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    a = bands_only.alias("a")
+    b = bands_only.alias("b")
     pairs = (
         a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.udf(_sig_agreement, "double")  # tiny: runs once per candidate pair
+    sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    n_agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
-        pairs.withColumn("jaccard_est", agree("sig_a", "sig_b"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", n_agree / F.size("_sa"))
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
 
 
 def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
-    """Connected components by iterative min-id propagation.
+    """Connected components by min-id propagation WITH pointer jumping.
 
-    Returns (id, rep) where rep is the cluster's minimum id. Converges in
-    O(log diameter) joins; duplicate clusters are near-cliques, so 2-3
-    iterations in practice. Each iteration shuffles (id, rep) pairs only.
+    Returns (id, rep) where rep is the cluster's minimum id. Each round does
+    (1) hook: rep'(x) = min(rep(x), min over neighbors y of rep(y)), then
+    (2) jump: rep''(x) = rep'(rep'(x)) — the jump halves remaining chain
+    depth, so convergence is O(log diameter) rounds even on a path graph
+    (plain one-hop propagation is O(diameter); a >max_iter chain would have
+    silently split one cluster into several representatives). Raises if the
+    fixpoint is not reached within max_iter. Each round shuffles (id, rep)
+    pairs only — never payloads.
     """
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
     )
     rep = all_ids.select(F.col(id_col).alias("x"), F.col(id_col).alias("rep"))
+    converged = False
     for _ in range(max_iter):
-        # rep'(x) = min(rep(x), min over neighbors y of rep(y))
+        # hook: pull the smallest rep seen in the direct neighborhood
         nbr_min = (
             edges.join(rep.withColumnRenamed("x", "y"), "y")
             .groupBy("x")
             .agg(F.min("rep").alias("nrep"))
         )
-        new_rep = (
+        hooked = (
             rep.join(nbr_min, "x", "left")
             .select("x", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
+        )
+        # jump: follow rep one more level (rep(x) <- rep(rep(x))); rep values
+        # are themselves ids in all_ids, so the self-join always resolves
+        jump = hooked.select(F.col("x").alias("rep"), F.col("rep").alias("_rep2"))
+        new_rep = (
+            hooked.join(jump, "rep", "left")
+            .select("x", F.coalesce("_rep2", F.col("rep")).alias("rep"))
         )
         new_rep = new_rep.localCheckpoint()  # truncate the growing lineage
         changed = (
@@ -194,7 +251,13 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
         )
         rep = new_rep
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_min_id did not converge in {max_iter} rounds — raise max_iter "
+            "(with pointer jumping this needs a component of diameter > 2^max_iter)"
+        )
     return rep.select(F.col("x").alias(id_col), F.col("rep"))
 
 
@@ -225,8 +288,12 @@ def _batch_simhash(flat: np.ndarray, offsets: np.ndarray, seed: int) -> np.ndarr
         return np.zeros(n_rows, dtype=np.int64)
     h = splitmix64(flat.astype(np.uint64) ^ splitmix64(np.array([seed], np.uint64))[0])
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")  # (T, 64)
-    starts = offsets[:-1].clip(max=len(flat) - 1)
-    sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)  # (n_rows, 64)
+    # same in-bounds rule as _batch_minhash: drop trailing-empty starts
+    # (clipping them would truncate the last non-empty row's vote sum)
+    starts = offsets[:-1]
+    valid = starts < len(flat)
+    sums = np.zeros((n_rows, 64), dtype=np.int32)
+    sums[valid] = np.add.reduceat(bits.astype(np.int32), starts[valid], axis=0)  # (n_rows, 64)
     lens = np.diff(offsets)
     bitvals = (2 * sums > lens[:, None]).astype(np.uint8)
     bitvals[lens == 0] = 0
@@ -255,11 +322,15 @@ def simhash_df(df: DataFrame, tokens_col: str, id_col: str, seed: int = 23) -> D
     return out
 
 
-def simhash_candidates(sh_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    sh_df: DataFrame, id_col: str, max_hamming: int = 3, max_bucket: int | None = 5000
+) -> DataFrame:
     """Pairs sharing ≥1 of 4 16-bit chunks with Hamming(simhash) ≤ max_hamming.
 
     By pigeonhole, any pair with Hamming ≤ 3 shares at least one exact chunk,
-    so recall is 1.0 for the advertised radius; chunk buckets bound the join.
+    so recall is 1.0 for the advertised radius; chunk buckets bound the join,
+    and (chunk, chunk-index) buckets above ``max_bucket`` are skipped so a
+    degenerate hot value can't make the self-join quadratic.
     """
     chunks = [
         sh_df.select(F.col(id_col), F.col("simhash"), F.col(f"chunk{i}").alias("ck"), F.lit(i).alias("ci"))
@@ -268,6 +339,7 @@ def simhash_candidates(sh_df: DataFrame, id_col: str, max_hamming: int = 3) -> D
     ex = chunks[0]
     for c in chunks[1:]:
         ex = ex.unionByName(c)
+    ex = _cap_buckets(ex, ["ck", "ci"], max_bucket)
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(

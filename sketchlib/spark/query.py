@@ -77,7 +77,8 @@ def membership_df(spark: SparkSession, states: DataFrame, sketch: str, keys) -> 
     with the reported false-positive bound.
     """
     keys = np.asarray(keys)
-    hashed = keys if keys.dtype.kind in ("i", "u") else hash_any(keys).astype(np.int64)
+    integral = keys.dtype.kind in ("i", "u")
+    hashed = keys if integral else hash_any(keys).astype(np.int64)
     out = []
     for (g, name), sk in sorted(load_states(states).items()):
         if name != sketch:
@@ -85,7 +86,8 @@ def membership_df(spark: SparkSession, states: DataFrame, sketch: str, keys) -> 
         hits = sk.contains(hashed)
         fpr = sk.fpr_bound()
         for kv, hit in zip(keys.tolist(), hits.tolist()):
-            out.append((g, int(kv), bool(hit), float(fpr)))
+            # emit the key in its native type — int() on a string key raised
+            out.append((g, int(kv) if integral else str(kv), bool(hit), float(fpr)))
     return spark.createDataFrame(
         pd.DataFrame(out, columns=["group", "key", "may_contain", "fpr_bound"])
     )

@@ -98,6 +98,54 @@ def approx_count_distinct_universe(
     return agg.select(*out_cols)
 
 
+def approx_join_agg(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    value_col: str | None = None,
+    ratio: float = 0.1,
+    seed: int = 42,
+    z: float = 1.96,
+) -> DataFrame:
+    """Approx COUNT(*) / SUM(value) of ``left ⋈ right`` from universe samples
+    of BOTH sides — Verdict's ApproxJoinedRelation (A8): when the two inputs
+    are universe-sampled on the SAME join key with the SAME hash/seed, a key
+    survives on the left iff it survives on the right, so the joined sample
+    is itself a universe sample of the JOIN at probability p (NOT p² — the
+    probabilities compose through the shared hash, which is the whole trick).
+
+    Estimator: group joined rows per key k → pair count c_k (and value sum
+    s_k); Σ_sampled c_k / p is unbiased for the join count with
+    Var = Σ c_k²(1−p)/p (independent Bernoulli keys), estimated from the
+    sample as Σ_s c_k²/p. Output: one row — est_count ± count_err
+    [, est_sum ± sum_err] (±z·se half-widths).
+
+    Scale: both inputs are filtered BEFORE the join (hash predicate pushes
+    into the scans), so the join touches a p-fraction of each side.
+    """
+    p = float(ratio)
+    ls = universe_sample(left, left_key, p, seed)
+    rs = universe_sample(right, right_key, p, seed)
+    joined = ls.join(rs, ls[left_key] == rs[right_key])
+    aggs = [F.count(F.lit(1)).alias("c_k")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("s_k"))
+    per_key = joined.groupBy(ls[left_key]).agg(*aggs)
+    c_k = F.col("c_k")
+    out = [
+        (F.sum(c_k) / p).alias("est_count"),
+        (F.lit(z) * F.sqrt(F.sum(c_k * c_k) * (1 - p)) / p).alias("count_err"),
+    ]
+    if value_col is not None:
+        s_k = F.col("s_k")
+        out += [
+            (F.sum(s_k) / p).alias("est_sum"),
+            (F.lit(z) * F.sqrt(F.sum(s_k * s_k) * (1 - p)) / p).alias("sum_err"),
+        ]
+    return per_key.agg(*out)
+
+
 def approx_agg_stratified(
     df: DataFrame, group_by: str, value_col: str, fractions: dict, seed: int = 42, z: float = 1.96
 ) -> DataFrame:

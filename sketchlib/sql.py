@@ -54,13 +54,31 @@ def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataF
     return spark.table(name)
 
 
+_CATALOG_KINDS = {
+    "APPROX_COUNT_DISTINCT": ("hll", "kmv"),
+    "APPROX_TOPK": ("cm",),
+    "APPROX_PERCENTILE": ("kll", "tdigest"),
+}
+
+
 def approx_sql(
     spark: SparkSession,
     sql: str,
     tables: dict | None = None,
+    catalog=None,
+    catalog_key: str | None = None,
 ) -> DataFrame:
     """Run one Verdict-style approximate SQL statement; returns a DataFrame
-    whose columns include the estimate and its error bound (A15)."""
+    whose columns include the estimate and its error bound (A15).
+
+    Pass ``catalog`` (a SketchCatalog) and ``catalog_key`` to answer FROM
+    PERSISTED STATES ONLY — Verdict's A5 "scan the sample instead of the
+    base table" substitution: the base table is never read (the FROM name is
+    not even resolved), so latency is independent of corpus size. The
+    registered sketch set must match the statement (same aggregate kind,
+    column, and GROUP BY; no WHERE — states were built unfiltered); a
+    mismatch raises rather than silently paying a rebuild the caller opted
+    out of."""
     m = _SKELETON.match(sql)
     if not m:
         raise ValueError(
@@ -70,10 +88,51 @@ def approx_sql(
         )
     fn = m.group("fn").upper()
     args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+    group = m.group("group")
+
+    if catalog is not None and catalog_key is not None:
+        import json
+
+        reg = catalog.list().where(f"name = '{catalog_key}'").collect()
+        if not reg:
+            raise ValueError(f"catalog has no sketch set {catalog_key!r}")
+        reg = reg[0]
+        if m.group("where"):
+            raise ValueError(
+                "catalog states were built over the unfiltered table — "
+                "WHERE cannot be applied post-hoc; rebuild with the filter or "
+                "drop catalog_key to compute from the base table"
+            )
+        if (group or "") != reg["group_by"]:
+            raise ValueError(
+                f"statement GROUP BY {group!r} != registered group_by "
+                f"{reg['group_by']!r} for {catalog_key!r}"
+            )
+        kinds = _CATALOG_KINDS.get(fn)
+        if kinds is None:
+            raise ValueError(f"{fn} cannot be answered from persisted sketch states")
+        col = args[0]
+        spec = next(
+            (s for s in json.loads(reg["specs_json"]) if s["kind"] in kinds and s["column"] == col),
+            None,
+        )
+        if spec is None:
+            raise ValueError(
+                f"sketch set {catalog_key!r} holds no {'/'.join(kinds)} sketch on {col!r}"
+            )
+        states = catalog.states(catalog_key)
+        if fn == "APPROX_COUNT_DISTINCT":
+            out = estimates_df(spark, states, spec["name"])
+        elif fn == "APPROX_TOPK":
+            out = topk_df(spark, states, spec["name"], int(args[1]))
+        else:  # APPROX_PERCENTILE
+            qs = [float(a) for a in args[1:]] or [0.5]
+            out = quantiles_df(spark, states, spec["name"], qs)
+        return out if group else out.drop("group")
+
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
         df = df.filter(m.group("where"))
-    group = m.group("group")
 
     if fn == "APPROX_COUNT_DISTINCT":
         col = args[0]

@@ -118,8 +118,8 @@ def test_minhash_lsh_finds_injected_duplicates(spark, seq_tiny_dir):
 
 def test_minhash_signature_determinism(spark, seq_tiny_dir):
     df = spark.read.parquet(seq_tiny_dir).limit(100)
-    a = {r["doc_id"]: bytes(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
-    b = {r["doc_id"]: bytes(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
+    a = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
+    b = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16).collect()}
     assert a == b and len(a) == 100
 
 
@@ -257,3 +257,35 @@ def test_ivf_topk_self_recovery_and_recall(spark, emb):
         centroids, "embedding", "vec_id", q, k=5, nprobe=8,
     ).collect()
     assert brute1 in [r["vec_id"] for r in approx]
+
+
+def test_signature_kernels_ignore_empty_rows():
+    """Regression (round-2 ADVICE): a trailing empty token array must not
+    change the preceding row's MinHash/SimHash signature — signatures are
+    batch-layout independent."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import _batch_minhash, _batch_simhash
+
+    flat = np.array([5, 9], dtype=np.int64)
+    alone = _batch_minhash(flat, np.array([0, 2]), 16, 17)
+    with_trailing_empty = _batch_minhash(flat, np.array([0, 2, 2]), 16, 17)
+    assert np.array_equal(alone[0], with_trailing_empty[0])
+    assert (with_trailing_empty[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+    # middle-empty must neither perturb neighbors nor shift later rows
+    mid = _batch_minhash(np.array([5, 9, 7], np.int64), np.array([0, 2, 2, 3]), 16, 17)
+    only7 = _batch_minhash(np.array([7], np.int64), np.array([0, 1]), 16, 17)
+    assert np.array_equal(mid[0], alone[0])
+    assert (mid[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    assert np.array_equal(mid[2], only7[0])
+
+    sh_alone = _batch_simhash(flat, np.array([0, 2]), 23)
+    sh_trail = _batch_simhash(flat, np.array([0, 2, 2]), 23)
+    sh_mid = _batch_simhash(np.array([5, 9, 7], np.int64), np.array([0, 2, 2, 3]), 23)
+    sh_only7 = _batch_simhash(np.array([7], np.int64), np.array([0, 1]), 23)
+    assert sh_alone[0] == sh_trail[0] and sh_trail[1] == 0
+    assert sh_mid[0] == sh_alone[0] and sh_mid[1] == 0 and sh_mid[2] == sh_only7[0]
+
+    all_empty = _batch_minhash(np.array([], np.int64), np.array([0, 0, 0]), 8, 17)
+    assert (all_empty == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
