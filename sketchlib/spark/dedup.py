@@ -268,10 +268,11 @@ def minhash_lsh_dedup(
     r: int = 128,
     n_bands: int = 32,
     threshold: float = 0.8,
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Near-duplicate removal: keep the min-id representative per cluster."""
     sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands)
-    pairs = candidate_pairs(sigs, id_col, threshold=threshold)
+    pairs = candidate_pairs(sigs, id_col, threshold=threshold, max_bucket=max_bucket)
     clusters = cluster_min_id(pairs, df.select(id_col), id_col)
     keep = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
     return df.join(keep, id_col, "leftsemi")

@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def has_iceberg(spark: SparkSession) -> bool:
+    # NB: attribute access on spark._jvm returns a JavaPackage placeholder for
+    # MISSING classes (py4j never raises there) — only an actual classload
+    # answers the question.
     try:
-        spark._jvm.org.apache.iceberg.spark.source.SparkTable  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False

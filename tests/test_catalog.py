@@ -147,3 +147,21 @@ def test_difference_estimate_from_sketches(spark, seq_tiny_dir):
         """
     ).fetchone()[0]
     assert abs(est - exact) <= 4 * bound, (est, exact, bound)
+
+
+def test_list_returns_newest_registration_after_overwrite(spark, tmp_path, seq_tiny_dir):
+    """The append-only log holds both registrations after overwrite=True;
+    list() must return the newest (max built_unix), not an arbitrary row."""
+    import json
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat_ow"))
+    cat.create("s", seq_tiny_dir, [SketchSpec("h", "hll", "doc_id", {"p": 10})], group_by="source")
+    cat.create(
+        "s", seq_tiny_dir, [SketchSpec("h", "hll", "doc_id", {"p": 12})],
+        group_by="source", overwrite=True,
+    )
+    rows = cat.list().collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]["specs_json"])[0]["params"]["p"] == 12

@@ -289,3 +289,74 @@ def test_signature_kernels_ignore_empty_rows():
 
     all_empty = _batch_minhash(np.array([], np.int64), np.array([0, 0, 0]), 8, 17)
     assert (all_empty == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_brute_force_topk_many_matches_per_query_loop(spark, emb):
+    """The one-pass batch API must return exactly what the per-query loop
+    returns (same ids, same order, same cosines)."""
+    from sketchlib.spark.ann import brute_force_topk_many
+
+    probes = emb.orderBy("vec_id").limit(4).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+    batch = brute_force_topk_many(emb, "embedding", "vec_id", Q, k=3, query_ids=qids).toPandas()
+    for r in probes:
+        loop = brute_force_topk(emb, "embedding", "vec_id", list(r["embedding"]), k=3).toPandas()
+        got = batch[batch["query_id"] == r["vec_id"]].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )
+        assert list(got["vec_id"]) == list(loop["vec_id"])
+        assert np.allclose(got["cosine"].to_numpy(), loop["cosine"].to_numpy(), atol=1e-12)
+
+
+def test_lsh_bucket_cap_stops_degenerate_bucket(spark):
+    """3000 byte-identical docs share every band → one degenerate bucket per
+    band (4.5M pairs uncapped). With the cap the join stays linear and the
+    report names the skipped buckets; distinct near-dup pairs elsewhere
+    still verify."""
+    from sketchlib.spark.dedup import candidate_pairs, oversized_buckets
+
+    rows = [(i, [1, 2, 3]) for i in range(3000)]
+    rows += [(10_000, [7, 8, 9, 10]), (10_001, [7, 8, 9, 10])]  # one real pair
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    sigs = minhash_signatures(df, "tokens", "doc_id", r=32, n_bands=8).cache()
+
+    over = oversized_buckets(sigs, max_bucket=100).toPandas()
+    assert len(over) >= 1 and (over["n_members"] >= 3000).all()
+
+    pairs = candidate_pairs(sigs, "doc_id", threshold=0.9, max_bucket=100).toPandas()
+    assert len(pairs) == 1  # only the un-capped pair survives; no 4.5M blowup
+    assert {int(pairs["id_a"][0]), int(pairs["id_b"][0])} == {10_000, 10_001}
+
+
+def test_cluster_min_id_long_chain_converges(spark):
+    """A 40-hop duplicate chain (diameter >> max_iter) must still collapse to
+    one representative — pointer jumping gives O(log diameter) rounds where
+    plain propagation would silently split the cluster."""
+    from sketchlib.spark.dedup import cluster_min_id
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(40)], "id_a long, id_b long, jaccard_est double"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(41)], "doc_id long")
+    rep = cluster_min_id(pairs, all_ids, "doc_id", max_iter=10).toPandas()
+    assert (rep["rep"] == 0).all() and len(rep) == 41
+
+
+def test_membership_df_string_keys(spark):
+    """Bloom membership over a string key column emits the key natively
+    (round-1 bug: int(kv) raised ValueError on the supported string path)."""
+    from sketchlib.spark.query import membership_df
+
+    docs = spark.read.parquet(f"{TD}/documents.parquet")
+    states = build_sketches(
+        docs, [SketchSpec("bloom_lang", "bloom", "lang", {"m_bits": 1 << 14, "h": 5})],
+        group_by="source",
+    )
+    present = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    out = membership_df(spark, states, "bloom_lang", sorted(present) + ["zz-fake"]).toPandas()
+    assert out["key"].map(type).eq(str).all()
+    # zero false negatives: every truly-present (source, lang) says may_contain
+    truly = docs.select("source", "lang").distinct().toPandas()
+    m = truly.merge(out, left_on=["source", "lang"], right_on=["group", "key"])
+    assert m["may_contain"].all()

@@ -85,3 +85,26 @@ def test_approx_agg_stratified_within_ci(spark, seq_tiny_dir):
         assert abs(r["est_sum"] - e["s"]) <= r["sum_err"] + 1e-9
         if r["source"] != "web":
             assert r["est_count"] == e["n"] and r["count_err"] == 0.0  # p=1 -> exact
+
+
+def test_approx_join_agg_probability_composes(spark):
+    """Universe⋈universe on the shared key: scale-up is 1/p, NOT 1/p² —
+    a p² estimator would be ~5× off at p=0.2, far outside the CI."""
+    from sketchlib.spark.sampling import approx_join_agg
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    est = approx_join_agg(
+        o, c, "o_custkey", "c_custkey", value_col="o_totalprice", ratio=0.2, seed=7, z=Z_TEST
+    ).collect()[0]
+    exact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()[0]
+    )
+    assert abs(est["est_count"] - exact["n"]) <= est["count_err"]
+    assert abs(est["est_sum"] - exact["s"]) <= est["sum_err"]
+    # composition sanity: the p² reading would be est/p ≈ 5× exact
+    assert est["est_count"] < 2 * exact["n"]

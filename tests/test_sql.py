@@ -69,3 +69,69 @@ def test_unsupported_statement_rejected(spark, tables):
         approx_sql(spark, "SELECT a, b FROM sequences JOIN other ON x = y", tables)
     with pytest.raises(ValueError, match="unknown approximate aggregate"):
         approx_sql(spark, "SELECT APPROX_MEDIAN_WRONG(x) FROM sequences", tables)
+
+
+def test_approx_sql_answers_from_catalog_states_only(spark, tmp_path, seq_tiny_dir):
+    """A5 substitution end-to-end: once states are registered, the statement
+    is answered WITHOUT the base table — proven by deleting it first."""
+    import shutil
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    base = str(tmp_path / "base")
+    shutil.copytree(seq_tiny_dir, base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("docs", base, [SketchSpec("hll_doc", "hll", "doc_id", {"p": 12})], group_by="source")
+    shutil.rmtree(base)  # base table GONE — any scan of it would fail loudly
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs GROUP BY source",
+        catalog=cat,
+        catalog_key="docs",
+    ).toPandas()
+    assert set(out["group"]) == {"web", "books", "code", "wiki", "forums"}
+    assert abs(out["estimate"].sum() - 2000) / 2000 < 0.1
+
+
+def test_approx_sql_catalog_mismatches_raise(spark, tmp_path, seq_tiny_dir):
+    """Opt-in to states must never silently rebuild: any statement the
+    registered sketch set can't serve raises with the reason."""
+    import pytest as _pytest
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat2"))
+    cat.create(
+        "docs", seq_tiny_dir, [SketchSpec("hll_doc", "hll", "doc_id", {"p": 12})], group_by="source"
+    )
+    with _pytest.raises(ValueError, match="WHERE"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs WHERE n_tok > 5 GROUP BY source",
+            catalog=cat,
+            catalog_key="docs",
+        )
+    with _pytest.raises(ValueError, match="group_by"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs",
+            catalog=cat,
+            catalog_key="docs",
+        )
+    with _pytest.raises(ValueError, match="no hll"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(n_tok) FROM docs GROUP BY source",
+            catalog=cat,
+            catalog_key="docs",
+        )
+    with _pytest.raises(ValueError, match="no sketch set"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs GROUP BY source",
+            catalog=cat,
+            catalog_key="nope",
+        )
