@@ -181,6 +181,24 @@ def q_a11_time_buckets(spark, sf_dir):
     )
 
 
+def q_a12_left_join(spark, sf_dir):
+    """A8 beyond inner: LEFT OUTER join — customers with zero orders survive
+    with nulls; the per-custkey pre-aggregate keeps the join 1:1 (no fanout)
+    and broadcasts nation."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("n_ord"))
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("n_ord").isNull().cast("long")).alias("n_no_orders"),
+        )
+    )
+
+
 def q_a13_minmax(spark, sf_dir):
     """A13: MIN/MAX pass through exact (extremes can't be sketched safely)."""
     o = _t(spark, sf_dir, "orders")
@@ -412,6 +430,39 @@ def q_b14_kmv_distinct(spark, sf_dir):
     return spark.createDataFrame(m[["source", "within_bound"]])
 
 
+def q_b16_catalog_sql(spark, sf_dir):
+    """A2→A3→A5 end-to-end: CREATE SAMPLE analog persists states to a
+    catalog, then the SQL front door answers APPROX_COUNT_DISTINCT from
+    those states alone (the base table is not read at query time) — checked
+    within the usual HLL bound vs exact."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b16_")
+    try:
+        cat = SketchCatalog(spark, root)
+        cat.create(
+            "docs", f"{sf_dir}/documents.parquet", [SketchSpec("hll_doc", "hll", "doc_id", {"p": 14})],
+            group_by="source",
+        )
+        est = approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs GROUP BY source",
+            catalog=cat,
+            catalog_key="docs",
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+    m = est.merge(exact, left_on="group", right_on="source")
+    m["within_bound"] = (m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])
+    return spark.createDataFrame(m[["source", "within_bound"]])
+
+
 def q_b10_partition_invariance(spark, sf_dir):
     """Mergeability contract, driver-checked (replaces round-1's rows-only
     estimate surface): building the same HLL states under a DIFFERENT
@@ -584,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a09_groupby_agg": _dist_wrapped(q_a09_groupby_agg),
         "a10_count_sum_avg": _dist_wrapped(q_a10_count_sum_avg),
         "a11_time_buckets": _dist_wrapped(q_a11_time_buckets),
+        "a12_left_join": _dist_wrapped(q_a12_left_join),
         "a13_minmax": _dist_wrapped(q_a13_minmax),
         "a14_topk_orderby_limit": _dist_wrapped(q_a14_topk_orderby_limit),
         "a16_subquery": _dist_wrapped(q_a16_subquery),
@@ -600,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_universe_distinct": _dist_wrapped(q_b13_universe_distinct),
         "b14_kmv_distinct": _dist_wrapped(q_b14_kmv_distinct),
         "b15_approx_join": _dist_wrapped(q_b15_approx_join),
+        "b16_catalog_sql": _dist_wrapped(q_b16_catalog_sql),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -657,6 +710,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "a12_left_join": """
+            SELECT n_name, count(*) AS n_customers,
+                   CAST(sum(CASE WHEN t.n_ord IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY o_custkey) t
+                   ON c_custkey = t.o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "a13_minmax": f"""
             SELECT o_orderpriority, min({cents}) AS min_cents, max({cents}) AS max_cents
             FROM orders GROUP BY o_orderpriority
@@ -697,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "b13_universe_distinct": "SELECT TRUE AS within_ci",
         "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b15_approx_join": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
+        "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b10_partition_invariance": "SELECT source, TRUE AS states_identical FROM documents GROUP BY source",
         "b11_hybrid_topk": "SELECT source, TRUE AS hybrid_matches_exact FROM documents GROUP BY source",
         "b06_bloom_membership": """

@@ -86,7 +86,10 @@ def plan_chunks(input_dir: str, target_bytes: int = 8 << 20) -> list[Chunk]:
     Planning reads only parquet footers (driver-side; at real scale this list
     comes from the table manifest instead). Deterministic: files sorted.
     """
-    files = sorted(glob.glob(os.path.join(input_dir, "**", "*.parquet"), recursive=True))
+    if os.path.isfile(input_dir):
+        files = [input_dir]
+    else:
+        files = sorted(glob.glob(os.path.join(input_dir, "**", "*.parquet"), recursive=True))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
     chunks: list[Chunk] = []

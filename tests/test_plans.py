@@ -66,3 +66,36 @@ def test_exact_dedup_shuffles_ids_not_payload(spark):
     # the aggregation side of the plan must project only (hash, id) before its exchange
     agg_side = plan.split("LeftSemi")[-1]
     assert "xxhash64" in agg_side
+
+
+def test_candidate_pairs_has_no_python_eval(spark):
+    """Round-2 contract: pair verification is JVM-side (zip_with/aggregate) —
+    the only Python in the whole dedup pipeline is the signature mapInArrow
+    kernel; the candidate-pair subplan must contain no row-wise Python eval."""
+    from sketchlib.spark.dedup import candidate_pairs, minhash_signatures
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    from sketchlib.spark.tokenize import with_tokens
+
+    sigs = minhash_signatures(with_tokens(df), "tokens", "doc_id", r=32, n_bands=8)
+    plan = _plan(candidate_pairs(sigs, "doc_id", threshold=0.5))
+    assert "BatchEvalPython" not in plan, plan
+    # exactly the two signature kernels (a & b side of the sig join) may appear
+    assert plan.count("ArrowEvalPython") == 0, plan
+
+
+def test_left_join_broadcasts_dims(spark):
+    plan = _plan(em.q_a12_left_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+
+def test_batch_ann_is_single_pass(spark):
+    """brute_force_topk_many: one scan + one mapInArrow + one window — no
+    per-query plan replication (the round-1 c05 shape was J jobs for J probes)."""
+    from sketchlib.spark.ann import brute_force_topk_many
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [list(r["embedding"]) for r in emb.limit(3).collect()]
+    plan = _plan(brute_force_topk_many(emb, "embedding", "vec_id", q, k=2))
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
