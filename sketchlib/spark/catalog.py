@@ -30,6 +30,11 @@ _CATALOG_SCHEMA = (
     "n_states long, rows long, tokens long, built_unix double"
 )
 
+_SAMPLE_SCHEMA = (
+    "name string, input_dir string, kind string, ratio double, on_col string, "
+    "seed long, rows_sampled long, built_unix double"
+)
+
 
 class SketchCatalog:
     def __init__(self, spark: SparkSession, root: str):
@@ -37,6 +42,8 @@ class SketchCatalog:
         self.root = root
         os.makedirs(os.path.join(root, "_sketch_catalog"), exist_ok=True)
         os.makedirs(os.path.join(root, "states"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_sample_catalog"), exist_ok=True)
+        os.makedirs(os.path.join(root, "samples"), exist_ok=True)
 
     # --- A2: CREATE SAMPLE analog -----------------------------------------
     def create(
@@ -109,5 +116,88 @@ class SketchCatalog:
     # --- A3: DROP SAMPLE analog --------------------------------------------
     def drop(self, name: str) -> None:
         sdir = os.path.join(self.root, "states", name)
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)
+
+    # --- A2 literal: persisted SAMPLE tables (Verdict scrambles) ------------
+    # Sketch states serve the fixed estimator set; a persisted row sample
+    # serves ARBITRARY aggregates with HT scale-up — Verdict's actual
+    # product. Both live side by side in the catalog.
+
+    def create_sample(
+        self,
+        name: str,
+        input_dir: str,
+        kind: str = "uniform",
+        ratio: float = 0.1,
+        on: str | None = None,
+        seed: int = 42,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Persist a uniform (Bernoulli-p rows) or universe (hash(on) < p
+        domain) sample table; queries then scan the p-fraction instead of
+        the corpus (A5). Returns the persisted sample."""
+        from sketchlib.spark.sampling import uniform_sample, universe_sample
+
+        if kind not in ("uniform", "universe"):
+            raise ValueError(f"unknown sample kind {kind!r} (uniform|universe)")
+        if kind == "universe" and not on:
+            raise ValueError("universe samples need on=<key column>")
+        if self.sample_exists(name):
+            if not overwrite:
+                raise ValueError(f"sample {name!r} already exists (use overwrite=True)")
+            self.drop_sample(name)
+        df = self.spark.read.parquet(input_dir)
+        s = uniform_sample(df, ratio, seed) if kind == "uniform" else universe_sample(df, on, ratio, seed)
+        sdir = os.path.join(self.root, "samples", name)
+        s.write.mode("overwrite").parquet(sdir)
+        persisted = self.spark.read.parquet(sdir)
+        row = [(name, input_dir, kind, float(ratio), on or "", seed, persisted.count(), time.time())]
+        self.spark.createDataFrame(row, _SAMPLE_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_sample_catalog")
+        )
+        return persisted
+
+    def sample_exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, "samples", name))
+
+    def sample(self, name: str) -> DataFrame:
+        if not self.sample_exists(name):
+            raise ValueError(f"unknown sample {name!r}")
+        return self.spark.read.parquet(os.path.join(self.root, "samples", name))
+
+    def sample_meta(self, name: str):
+        """Newest registration row for a persisted sample."""
+        from pyspark.sql import Window, functions as F
+
+        cat = os.path.join(self.root, "_sample_catalog")
+        df = self.spark.read.schema(_SAMPLE_SCHEMA).parquet(cat)
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        rows = (
+            df.filter(df.name == name)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown sample {name!r}")
+        return rows[0]
+
+    def list_samples(self) -> DataFrame:
+        from pyspark.sql import Window, functions as F
+
+        cat = os.path.join(self.root, "_sample_catalog")
+        df = self.spark.read.schema(_SAMPLE_SCHEMA).parquet(cat)
+        live = sorted(os.listdir(os.path.join(self.root, "samples")))
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        return (
+            df.filter(df.name.isin(live))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def drop_sample(self, name: str) -> None:
+        sdir = os.path.join(self.root, "samples", name)
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)

@@ -51,8 +51,20 @@ def approx_agg_uniform(
     avg_err (half-widths at the given z). Rewrites are Verdict's A10:
     count → n_s/p, sum → Σ_s v/p, avg → ratio of the two; variances are
     Horvitz-Thompson estimates computed in the same single aggregation."""
+    return approx_agg_from_uniform_sample(
+        uniform_sample(df, float(ratio), seed), group_by, value_col, float(ratio), z=z
+    )
+
+
+def approx_agg_from_uniform_sample(
+    sample: DataFrame, group_by: str, value_col: str, ratio: float, z: float = 1.96
+) -> DataFrame:
+    """Same estimators as approx_agg_uniform, but over an ALREADY-DRAWN
+    Bernoulli(p) sample — Verdict's A5 move for the sampling aggregates:
+    `CREATE SAMPLE` persists the scramble once (SketchCatalog.create_sample),
+    queries scan the p-fraction table instead of the corpus."""
     p = float(ratio)
-    s = uniform_sample(df, p, seed)
+    s = sample
     v = F.col(value_col)
     agg = s.groupBy(group_by).agg(
         F.count("*").alias("n_s"),
@@ -86,8 +98,17 @@ def approx_count_distinct_universe(
 ) -> DataFrame:
     """Approx COUNT(DISTINCT col) via universe sampling (Verdict A11):
     D̂ = D_s/p with binomial CI; the cross-check for the HLL path."""
+    return count_distinct_from_universe_sample(
+        universe_sample(df, col, float(ratio), seed), col, float(ratio), group_by=group_by, z=z
+    )
+
+
+def count_distinct_from_universe_sample(
+    sample: DataFrame, col: str, ratio: float, group_by: str | None = None, z: float = 1.96
+) -> DataFrame:
+    """D̂ = D_s/p over an ALREADY-DRAWN universe sample (persisted scramble)."""
     p = float(ratio)
-    s = universe_sample(df, col, p, seed)
+    s = sample
     keys = [group_by] if group_by else []
     agg = s.groupBy(*keys).agg(F.countDistinct(col).alias("d_s"))
     d_s = F.col("d_s")

@@ -93,16 +93,54 @@ def approx_sql(
     if catalog is not None and catalog_key is not None:
         import json
 
-        reg = catalog.list().where(f"name = '{catalog_key}'").collect()
-        if not reg:
-            raise ValueError(f"catalog has no sketch set {catalog_key!r}")
-        reg = reg[0]
         if m.group("where"):
             raise ValueError(
-                "catalog states were built over the unfiltered table — "
+                "catalog states/samples were built over the unfiltered table — "
                 "WHERE cannot be applied post-hoc; rebuild with the filter or "
                 "drop catalog_key to compute from the base table"
             )
+
+        # persisted SAMPLE tables serve the sampling aggregates (A5 for
+        # APPROX_COUNT/SUM/AVG and the universe COUNT DISTINCT path)
+        if catalog.sample_exists(catalog_key):
+            meta = catalog.sample_meta(catalog_key)
+            s = catalog.sample(catalog_key)
+            if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
+                if meta["kind"] != "uniform":
+                    raise ValueError(f"{fn} needs a uniform sample; {catalog_key!r} is {meta['kind']}")
+                if not group:
+                    raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
+                from pyspark.sql import functions as F
+
+                from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+                if fn == "APPROX_COUNT":
+                    col, s = "_one", s.withColumn("_one", F.lit(1.0))
+                else:
+                    col = args[0]
+                out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
+                keep = {
+                    "APPROX_COUNT": ["est_count", "count_err"],
+                    "APPROX_SUM": ["est_sum", "sum_err"],
+                    "APPROX_AVG": ["est_avg", "avg_err"],
+                }[fn]
+                return out.select(group, *keep)
+            if fn == "APPROX_COUNT_DISTINCT":
+                col = args[0]
+                if meta["kind"] != "universe" or meta["on_col"] != col:
+                    raise ValueError(
+                        f"APPROX_COUNT_DISTINCT({col}) needs a universe sample on {col!r}; "
+                        f"{catalog_key!r} is {meta['kind']} on {meta['on_col']!r}"
+                    )
+                from sketchlib.spark.sampling import count_distinct_from_universe_sample
+
+                return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
+            raise ValueError(f"{fn} cannot be answered from a persisted sample table")
+
+        reg = catalog.list().where(f"name = '{catalog_key}'").collect()
+        if not reg:
+            raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
+        reg = reg[0]
         if (group or "") != reg["group_by"]:
             raise ValueError(
                 f"statement GROUP BY {group!r} != registered group_by "
@@ -158,13 +196,13 @@ def approx_sql(
         out = quantiles_df(spark, states, "_q", qs)
         return out if group else out.drop("group")
 
-    if fn in ("APPROX_COUNT", "APPROX_SUM"):
+    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
         from sketchlib.spark.sampling import approx_agg_uniform
 
-        if fn == "APPROX_SUM":
-            col, ratio = args[0], float(args[1])
-        else:
+        if fn == "APPROX_COUNT":
             col, ratio = None, float(args[0])
+        else:
+            col, ratio = args[0], float(args[1])
         if not group:
             raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
         if col is None:  # pure COUNT: synthesize a numeric column for the shared kernel
@@ -173,7 +211,11 @@ def approx_sql(
             df = df.withColumn("_one", F.lit(1.0))
             col = "_one"
         out = approx_agg_uniform(df, group, col, ratio)
-        keep = ["est_count", "count_err"] if fn == "APPROX_COUNT" else ["est_sum", "sum_err"]
+        keep = {
+            "APPROX_COUNT": ["est_count", "count_err"],
+            "APPROX_SUM": ["est_sum", "sum_err"],
+            "APPROX_AVG": ["est_avg", "avg_err"],
+        }[fn]
         return out.select(group, *keep)
 
     raise ValueError(f"unknown approximate aggregate {fn!r}")

@@ -165,3 +165,61 @@ def test_list_returns_newest_registration_after_overwrite(spark, tmp_path, seq_t
     rows = cat.list().collect()
     assert len(rows) == 1
     assert json.loads(rows[0]["specs_json"])[0]["params"]["p"] == 12
+
+
+def test_create_sample_and_query_without_base(spark, tmp_path, seq_tiny_dir):
+    """A2 literal: persisted uniform + universe scrambles answer the sampling
+    aggregates with the base table DELETED — the Verdict product shape."""
+    import shutil
+
+    from sketchlib.sql import approx_sql
+    from sketchlib.spark.catalog import SketchCatalog
+
+    base = str(tmp_path / "base_s")
+    shutil.copytree(seq_tiny_dir, base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat_s"))
+    cat.create_sample("u", base, kind="uniform", ratio=0.5, seed=7)
+    cat.create_sample("d", base, kind="universe", ratio=0.5, on="doc_id", seed=7)
+
+    # exact answers captured BEFORE deleting the base
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(base)
+    exact = {
+        r["source"]: (r["n"], r["s"])
+        for r in df.groupBy("source").agg(
+            F.count("*").alias("n"), F.sum("n_tok").alias("s")
+        ).collect()
+    }
+    exact_distinct = df.select(F.countDistinct("doc_id")).collect()[0][0]
+    shutil.rmtree(base)
+
+    out = approx_sql(
+        spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM whatever GROUP BY source",
+        catalog=cat, catalog_key="u",
+    ).toPandas()
+    for _, r in out.iterrows():
+        n, s = exact[r["source"]]
+        assert abs(r["est_sum"] - s) <= 2 * r["sum_err"]  # z=1.96 default, allow 2x
+
+    cd = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM whatever",
+        catalog=cat, catalog_key="d",
+    ).collect()[0]
+    assert abs(cd["est_distinct"] - exact_distinct) <= 2 * cd["distinct_err"]
+
+    # mismatches raise: wrong kind for the aggregate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="uniform sample"):
+        approx_sql(spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM t GROUP BY source",
+                   catalog=cat, catalog_key="d")
+    with _pytest.raises(ValueError, match="universe sample"):
+        approx_sql(spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM t",
+                   catalog=cat, catalog_key="u")
+
+    meta = cat.sample_meta("u")
+    assert meta["kind"] == "uniform" and meta["ratio"] == 0.5
+    assert {r["name"] for r in cat.list_samples().collect()} == {"u", "d"}
+    cat.drop_sample("u")
+    assert not cat.sample_exists("u") and cat.sample_exists("d")
