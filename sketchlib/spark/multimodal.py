@@ -47,6 +47,13 @@ class FakeCodec:
         keys = np.arange(n, dtype=np.uint64) ^ seed
         return (splitmix64(keys) & np.uint64(0xFF)).astype(np.uint8).reshape(height, width, 3)
 
+    def decode_frame(self, payload: bytes, width: int, height: int, frame: int) -> np.ndarray:
+        """Frame `frame` of a fake video: the still decode, re-keyed by index."""
+        n = height * width * 3
+        seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        keys = np.arange(n, dtype=np.uint64) ^ seed ^ splitmix64(np.array([frame], np.uint64))[0]
+        return (splitmix64(keys) & np.uint64(0xFF)).astype(np.uint8).reshape(height, width, 3)
+
 
 def synth_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = counter-hashed bytes)."""
@@ -57,7 +64,8 @@ def synth_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
         w = 16 + int(h[i] % np.uint64(4)) * 16
         ht = 16 + int((h[i] >> np.uint64(8)) % np.uint64(4)) * 16
         payload = splitmix64(np.arange(32, dtype=np.uint64) ^ h[i]).tobytes()
-        rows.append((i, (bytearray(payload), "image/fake", w, ht, 1, 0)))
+        n_frames = 1 + int((h[i] >> np.uint64(16)) % np.uint64(8))  # 1..8 fake frames
+        rows.append((i, (bytearray(payload), "image/fake", w, ht, n_frames, 0)))
     return spark.createDataFrame(rows, f"media_id long, media struct<{MEDIA_SCHEMA}>")
 
 
@@ -94,6 +102,45 @@ def decode_features(
                 lums.append(float(img.mean()))
                 ids.append(row[id_col])
             yield pd.DataFrame({id_col: ids, "feat": feats, "mean_lum": lums})
+
+    return df.select(id_col, media_col).mapInPandas(fn, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id", codec=None, k: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling for video payloads: min(k, n_frames)
+    evenly-spaced frame indices per row, each decoded (codec.decode_frame)
+    and reduced to a mean-luminance scalar so the one-row-per-(media, frame)
+    fan-out shape is exercised for real. Same codec seam as decode_features:
+    raises without a codec; tests inject FakeCodec.
+
+    Output: (id, frame_idx int, mean_lum double) — k rows per input row.
+    """
+    if codec is None:
+        raise NotImplementedError(
+            "no media codec available in this environment — pass codec=FakeCodec() "
+            "(tests) or a real decoder (production)"
+        )
+    out_schema = f"{id_col} long, frame_idx int, mean_lum double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lums = [], [], []
+            for _, row in pdf.iterrows():  # rows = videos; work per row is frame-sized
+                m = row[media_col]
+                nf = max(int(m["n_frames"]), 1)
+                kk = min(k, nf)
+                # evenly spaced, deterministic, unique: centers of kk strata
+                picks = ((np.arange(kk) * nf + nf // 2) // kk).astype(int)
+                for fi in np.unique(picks):
+                    img = codec.decode_frame(
+                        bytes(m["payload"]), int(m["width"]), int(m["height"]), int(fi)
+                    )
+                    ids.append(row[id_col])
+                    idxs.append(int(fi))
+                    lums.append(float(img.mean()))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "mean_lum": lums})
 
     return df.select(id_col, media_col).mapInPandas(fn, out_schema)
 

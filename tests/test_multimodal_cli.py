@@ -78,3 +78,30 @@ def test_cli_build_query_lineage(seq_tiny_dir, tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     m = json.loads([l for l in r3.stdout.splitlines() if l.startswith("{")][-1])
     assert m["rows"] == 2000 and m["tokens_per_cpu_sec"] > 0
+
+
+def test_sample_frames_deterministic_and_bounded(spark):
+    from sketchlib.spark.multimodal import FakeCodec, sample_frames, synth_media_df
+
+    df = synth_media_df(spark, n_rows=24).cache()
+    out = sample_frames(df, codec=FakeCodec(), k=4).toPandas()
+    meta = {r["media_id"]: r["media"]["n_frames"] for r in df.collect()}
+    per = out.groupby("media_id")
+    for mid, sub in per:
+        assert len(sub) == min(4, meta[mid])  # min(k, n_frames) rows per video
+        assert sub["frame_idx"].is_unique
+        assert (sub["frame_idx"] < meta[mid]).all() and (sub["frame_idx"] >= 0).all()
+    # deterministic across runs
+    out2 = sample_frames(df, codec=FakeCodec(), k=4).toPandas()
+    a = out.sort_values(["media_id", "frame_idx"], ignore_index=True)
+    b = out2.sort_values(["media_id", "frame_idx"], ignore_index=True)
+    assert a.equals(b)
+
+
+def test_sample_frames_requires_codec(spark):
+    import pytest as _pytest
+
+    from sketchlib.spark.multimodal import sample_frames, synth_media_df
+
+    with _pytest.raises(NotImplementedError):
+        sample_frames(synth_media_df(spark, n_rows=2), codec=None)
