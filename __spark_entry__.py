@@ -617,6 +617,38 @@ def q_c05_ann_top1(spark, sf_dir):
     )
 
 
+def q_c06_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup (D11): double the corpus with identical
+    vectors (ids shifted by 1M) — every injected pair shares every SRP bucket
+    and verifies at cosine 1.0, so exactly n pairs with id_b-id_a == 1M are
+    recovered (random Gaussian vectors produce no other ≥0.99 pairs)."""
+    from sketchlib.spark.ann import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    pairs = embedding_near_dup_pairs(doubled, "embedding", "vec_id", threshold=0.99)
+    return pairs.agg(
+        F.sum((F.col("id_b") - F.col("id_a") == 1_000_000).cast("long")).alias("n_recovered"),
+        F.sum((F.col("id_b") - F.col("id_a") != 1_000_000).cast("long")).alias("n_other"),
+    )
+
+
+def q_c07_srp_batch_self_recovery(spark, sf_dir):
+    """Batched SRP-LSH ANN (D6): one signature pass answers 5 probes; each
+    probe's own stored vector lands in its own bucket and re-ranks to
+    cosine 1.0 top-1 (ids are unique, vectors random ⇒ no ties)."""
+    from sketchlib.spark.ann import srp_topk_many
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(5).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+    top = srp_topk_many(emb, "embedding", "vec_id", Q, k=1, n_bits=12, query_ids=qids)
+    return top.select(
+        "query_id", (F.col("vec_id") == F.col("query_id")).alias("found_self")
+    ).orderBy("query_id")
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -660,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c03_minhash_lsh_dedup": _dist_wrapped(q_c03_minhash_lsh_dedup),
         "c04_simhash_dups": _dist_wrapped(q_c04_simhash_dups),
         "c05_ann_top1": _dist_wrapped(q_c05_ann_top1),
+        "c06_embedding_near_dup": _dist_wrapped(q_c06_embedding_near_dup),
+        "c07_srp_batch_self_recovery": _dist_wrapped(q_c07_srp_batch_self_recovery),
     }
 
 
@@ -793,5 +827,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) a
             JOIN embeddings b ON a.vec_id <> b.vec_id
             GROUP BY a.vec_id
+        """,
+        "c06_embedding_near_dup": """
+            SELECT count(*) AS n_recovered, CAST(0 AS BIGINT) AS n_other FROM embeddings
+        """,
+        "c07_srp_batch_self_recovery": """
+            SELECT vec_id AS query_id, TRUE AS found_self
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+            ORDER BY query_id
         """,
     }

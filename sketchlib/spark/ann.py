@@ -200,6 +200,73 @@ def srp_topk(
     return brute_force_topk(cands, vec_col, id_col, query, k=k)
 
 
+def srp_topk_many(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries,
+    k: int = 10,
+    n_bits: int = 16,
+    seed: int = 31,
+    multiprobe: bool = True,
+    query_ids=None,
+) -> DataFrame:
+    """Approximate cosine top-k for MANY queries — ONE signature pass.
+
+    Each query's probe buckets (own bucket + 1-bit flips) become rows of a
+    tiny broadcast table; candidates fall out of ONE equi-join against the
+    corpus signatures (never a per-query scan), query vectors ride along as
+    a second broadcast table, and the exact cosine re-rank is JVM-side
+    zip_with/aggregate + a per-query window. Shuffle volume:
+    O(candidates) ids, never vectors-per-band.
+    """
+    from pyspark.sql import Window
+
+    Q = np.asarray(queries, dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("queries must be a 2-D (n_queries, dim) array")
+    if query_ids is None:
+        query_ids = list(range(len(Q)))
+    qid_is_str = isinstance(query_ids[0], str)
+    qid_type = "string" if qid_is_str else "long"
+    planes = _srp_planes(n_bits, Q.shape[1], seed)
+    bits = (Q @ planes.T) > 0  # (q, n_bits)
+    spark = df.sparkSession
+
+    probe_rows = []
+    for qi, brow in zip(query_ids, bits):
+        base = int(sum(1 << j for j in range(n_bits) if brow[j]))
+        probe_rows.append((qi, base))
+        if multiprobe:
+            probe_rows += [(qi, base ^ (1 << j)) for j in range(n_bits)]
+    probes_df = spark.createDataFrame(probe_rows, f"query_id {qid_type}, bucket long")
+    qvec_df = spark.createDataFrame(
+        [(qi, [float(x) for x in row]) for qi, row in zip(query_ids, Q)],
+        f"query_id {qid_type}, _q array<double>",
+    )
+
+    sigs = srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed)
+    cand = (
+        sigs.join(F.broadcast(probes_df), "bucket")
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    joined = cand.join(df.select(id_col, vec_col), id_col).join(F.broadcast(qvec_df), "query_id")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_q"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm_expr(vec_col) * _norm_expr("_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
 def ivf_index(
     df: DataFrame, vec_col: str, id_col: str, n_lists: int = 16, seed: int = 31, sample_frac: float | None = None
 ):

@@ -360,3 +360,19 @@ def test_membership_df_string_keys(spark):
     truly = docs.select("source", "lang").distinct().toPandas()
     m = truly.merge(out, left_on=["source", "lang"], right_on=["group", "key"])
     assert m["may_contain"].all()
+
+
+def test_srp_topk_many_matches_single_probe_path(spark, emb):
+    """Batched SRP equals the per-query srp_topk on the same params."""
+    from sketchlib.spark.ann import srp_topk_many
+
+    probes = emb.orderBy("vec_id").limit(3).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+    batch = srp_topk_many(emb, "embedding", "vec_id", Q, k=3, n_bits=12, query_ids=qids).toPandas()
+    for r in probes:
+        single = srp_topk(emb, "embedding", "vec_id", list(r["embedding"]), k=3, n_bits=12).toPandas()
+        got = batch[batch["query_id"] == r["vec_id"]].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )
+        assert list(got["vec_id"]) == list(single["vec_id"])
