@@ -649,6 +649,28 @@ def q_c07_srp_batch_self_recovery(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_c08_asof_join(spark, sf_dir):
+    """As-of join (no native Spark equivalent; union + last-non-null window,
+    one shuffle): each event matched to its user's most recent signup at or
+    before the event — checked value-for-value against DuckDB's ASOF JOIN."""
+    from sketchlib.spark.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), _cents("value").alias("signup_cents")
+    )
+    j = asof_join(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        signups, "user_id", left_ts="ts", right_ts="signup_ts",
+        value_cols=["signup_cents"],
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("signup_cents").isNotNull().cast("long")).alias("n_matched"),
+        F.sum(F.coalesce("signup_cents", F.lit(0))).alias("sum_signup_cents"),
+    )
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -694,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c05_ann_top1": _dist_wrapped(q_c05_ann_top1),
         "c06_embedding_near_dup": _dist_wrapped(q_c06_embedding_near_dup),
         "c07_srp_batch_self_recovery": _dist_wrapped(q_c07_srp_batch_self_recovery),
+        "c08_asof_join": _dist_wrapped(q_c08_asof_join),
     }
 
 
@@ -835,5 +858,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, TRUE AS found_self
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
             ORDER BY query_id
+        """,
+        "c08_asof_join": """
+            SELECT e.event_type, count(*) AS n_events,
+                   CAST(sum(CASE WHEN s.c IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_matched,
+                   CAST(sum(coalesce(s.c, 0)) AS BIGINT) AS sum_signup_cents
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS c
+                FROM events WHERE event_type = 'signup'
+            ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+            GROUP BY e.event_type
         """,
     }

@@ -1,0 +1,89 @@
+"""Time-series operators Spark lacks natively: as-of join.
+
+An as-of join assigns every left row the most recent right row for its key
+(``right_ts <= left_ts``, backward, inclusive — pandas ``merge_asof`` /
+DuckDB ``ASOF JOIN`` semantics), e.g. "the price/config/session state in
+effect when this event happened" over training-event logs.
+
+Scale shape (the reason not to write ``l.join(r, l.ts >= r.ts)``): the naive
+inequality join is a per-key cartesian product — quadratic in rows-per-key.
+This implementation union-tags the two inputs, shuffles ONCE on the join key,
+sorts within the partition by (ts, side), and takes a running
+``last(value, ignorenulls=True)`` window — O(n log n) per key, one shuffle,
+no row ever multiplied. The window's running state is O(1) per value column.
+
+Skew note: one hot key lands in one task (the ordering requirement makes
+salting non-trivial); at 100 TB, pre-partition by (key, coarse time bucket)
+and run per-bucket with boundary carry-in if a single key exceeds task memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the matched right row's value_cols.
+
+    ``direction='backward'``: match the latest right row with
+    right_ts <= left_ts (inclusive); ``'forward'``: earliest right row with
+    right_ts >= left_ts. Unmatched left rows keep NULL values (left-join
+    semantics). ``tolerance`` (seconds for timestamps, native units for
+    numerics): matches farther than this are nulled out, like pandas
+    merge_asof. Output: left columns + value_cols + ``_matched_ts``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns collide with left columns: {sorted(clash)}")
+
+    lhs = (
+        left.withColumn("_is_right", F.lit(0))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_rts", F.lit(None).cast(rtypes[right_ts]))
+    )
+    for c in value_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(rtypes[c]))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("_is_right", F.lit(1))
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(ltypes[c]))
+    cols = lhs.columns
+    u = lhs.select(*cols).unionByName(rhs.select(*cols))
+
+    # right rows sort BEFORE left rows at equal ts (inclusive match) in both
+    # directions; forward just scans time in reverse
+    order = [F.asc("_ts") if direction == "backward" else F.desc("_ts"), F.desc("_is_right")]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    matched_ts = F.last(F.col("_rts"), ignorenulls=True).over(w).alias("_matched_ts")
+    out = u.select(*left.columns, F.col("_is_right"), *matched, matched_ts).filter(
+        F.col("_is_right") == 0
+    ).drop("_is_right")
+
+    if tolerance is not None:
+        diff = F.abs(F.col(left_ts).cast("double") - F.col("_matched_ts").cast("double"))
+        keep = diff <= float(tolerance)
+        for c in value_cols:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+        out = out.withColumn("_matched_ts", F.when(keep, F.col("_matched_ts")))
+    return out

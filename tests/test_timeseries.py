@@ -1,0 +1,92 @@
+"""As-of join: semantics vs pandas merge_asof and DuckDB ASOF JOIN."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark.timeseries import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(rng):
+    n_l, n_r = 400, 120
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "ts": rng.uniform(0, 1000, n_l).round(3),
+        "lval": np.arange(n_l),
+    }).sort_values(["k", "ts"], ignore_index=True)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "ts": rng.uniform(0, 1000, n_r).round(3),
+        "price": rng.uniform(1, 100, n_r).round(2),
+    }).sort_values(["k", "ts"], ignore_index=True)
+    return left, right
+
+
+def _spark_result(spark, left, right, **kw):
+    lo = spark.createDataFrame(left)
+    ro = spark.createDataFrame(right)
+    return (
+        asof_join(lo, ro, "k", **kw)
+        .toPandas()
+        .sort_values(["k", "ts", "lval"], ignore_index=True)
+    )
+
+
+def test_asof_backward_matches_pandas(spark, frames):
+    left, right = frames
+    got = _spark_result(spark, left, right)
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k", direction="backward"
+    ).sort_values(["k", "ts", "lval"], ignore_index=True)
+    assert np.allclose(got["price"].to_numpy(), want["price"].to_numpy(), equal_nan=True)
+
+
+def test_asof_backward_matches_duckdb(spark, frames):
+    left, right = frames
+    got = _spark_result(spark, left, right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT l.k, l.ts, l.lval, r.price FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts, l.lval"
+    ).df()
+    assert np.allclose(got["price"].to_numpy(), want["price"].to_numpy(), equal_nan=True)
+
+
+def test_asof_forward_and_tolerance(spark, frames):
+    left, right = frames
+    got = _spark_result(spark, left, right, direction="forward")
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k", direction="forward"
+    ).sort_values(["k", "ts", "lval"], ignore_index=True)
+    assert np.allclose(got["price"].to_numpy(), want["price"].to_numpy(), equal_nan=True)
+
+    got_t = _spark_result(spark, left, right, tolerance=5.0)
+    want_t = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k",
+        direction="backward", tolerance=5.0,
+    ).sort_values(["k", "ts", "lval"], ignore_index=True)
+    assert np.allclose(got_t["price"].to_numpy(), want_t["price"].to_numpy(), equal_nan=True)
+
+
+def test_asof_inclusive_tie_and_unmatched(spark):
+    left = pd.DataFrame({"k": [1, 1, 2], "ts": [10.0, 5.0, 3.0], "lval": [0, 1, 2]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [10.0, 7.0], "price": [100.0, 70.0]})
+    got = _spark_result(spark, left, right)
+    by = {int(r["lval"]): r["price"] for _, r in got.iterrows()}
+    assert by[0] == 100.0   # equal ts matches (inclusive)
+    assert np.isnan(by[1])  # before any right row
+    assert np.isnan(by[2])  # key with no right rows at all
+
+    # right value column named like a left column must be rejected up front
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(left),  # right shares the 'lval' column name
+            "k",
+            value_cols=["lval"],
+        )
