@@ -67,6 +67,157 @@ class StreamingSketchSink:
         os.replace(tmp, self._ptr_path())
 
 
+class WindowedStreamingSketchSink:
+    """Event-time-windowed sketch maintenance with WATERMARK semantics.
+
+    States are keyed by (tumbling window start × group). The watermark is
+    sink-managed exactly the way Structured Streaming's built-in operators
+    manage theirs: it advances to ``max(event_time seen) − delay`` at each
+    batch BOUNDARY, rows older than the current watermark are dropped (and
+    counted in ``dropped_late``), and windows whose END is at or below the
+    watermark are FINAL — evicted from the updatable set, never touched
+    again. Late-but-within-delay rows still update their window (the whole
+    point of the delay). foreachBatch rather than applyInPandasWithState for
+    the same reason as the unwindowed sink: total state is
+    O(windows × groups × KB), a tiny merge job, not a keyed state store.
+    """
+
+    def __init__(
+        self,
+        specs: list[SketchSpec],
+        group_by: str | None,
+        state_dir: str,
+        ts_col: str = "ts",
+        window: str = "1 day",
+        delay: str = "1 hour",
+    ):
+        self.specs = specs
+        self.group_by = group_by
+        self.state_dir = state_dir
+        self.ts_col = ts_col
+        self.window = window
+        self.delay = delay
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _ptr_path(self) -> str:
+        return os.path.join(self.state_dir, "_current.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._ptr_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"version": -1, "max_event_us": None, "dropped_late": 0}
+
+    def watermark_us(self) -> int | None:
+        """Current watermark (µs since epoch): max event time − delay."""
+        m = self._meta()
+        if m["max_event_us"] is None:
+            return None
+        return m["max_event_us"] - self._delay_us()
+
+    def _delay_us(self) -> int:
+        return _interval_us(self.delay)
+
+    def dropped_late(self) -> int:
+        return self._meta().get("dropped_late", 0)
+
+    def states(self, spark: SparkSession) -> DataFrame | None:
+        """(window_start timestamp, group, sketch, state, …, is_final)."""
+        v = self._meta()["version"]
+        if v < 0:
+            return None
+        from pyspark.sql import functions as F  # noqa: N812
+
+        df = spark.read.schema(STATE_FIELDS).parquet(os.path.join(self.state_dir, f"v{v:010d}"))
+        split = F.split(F.col("group"), "\\|", 2)
+        wm = self.watermark_us()
+        win_end_us = split.getItem(0).cast("long") + _interval_us(self.window)
+        return (
+            df.withColumn("window_start", F.timestamp_micros(split.getItem(0).cast("long")))
+            .withColumn("is_final", F.lit(wm is not None) & (win_end_us <= F.lit(wm or 0)))
+            .withColumn("group", split.getItem(1))
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F  # noqa: N812
+
+        spark = batch_df.sparkSession
+        meta = self._meta()
+        wm_us = None if meta["max_event_us"] is None else meta["max_event_us"] - self._delay_us()
+
+        ts_us = F.unix_micros(F.col(self.ts_col))
+        batch_df = batch_df.withColumn("_ts_us", ts_us)
+        dropped = 0
+        if wm_us is not None:
+            dropped = batch_df.filter(F.col("_ts_us") < wm_us).count()
+            batch_df = batch_df.filter(F.col("_ts_us") >= wm_us)
+
+        agg = batch_df.agg(F.max("_ts_us")).collect()[0][0]
+        new_max = max(x for x in (meta["max_event_us"], agg, 0) if x is not None)
+
+        win_us = _interval_us(self.window)
+        wstart = (F.col("_ts_us") / win_us).cast("long") * win_us
+        gcol = (
+            F.concat(wstart.cast("string"), F.lit("|"), F.col(self.group_by).cast("string"))
+            if self.group_by
+            else F.concat(wstart.cast("string"), F.lit("|"))
+        )
+        keyed = batch_df.withColumn("_wg", gcol)
+        new_partials = partial_states(keyed, self.specs, "_wg")
+        prev = None
+        if meta["version"] >= 0:
+            prev = spark.read.schema(STATE_FIELDS).parquet(
+                os.path.join(self.state_dir, f"v{meta['version']:010d}")
+            )
+        combined = new_partials if prev is None else new_partials.unionByName(prev)
+        merged = merge_states(combined)
+        out = os.path.join(self.state_dir, f"v{batch_id:010d}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = self._ptr_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": int(batch_id),
+                    "max_event_us": int(new_max),
+                    "dropped_late": int(meta.get("dropped_late", 0) + dropped),
+                },
+                fh,
+            )
+        os.replace(tmp, self._ptr_path())
+
+
+def _interval_us(text: str) -> int:
+    """'1 day' / '30 minutes' / '2 hours' → microseconds."""
+    n, unit = text.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult
+
+
+def stream_build_windowed(
+    stream_df: DataFrame,
+    specs: list[SketchSpec],
+    state_dir: str,
+    group_by: str | None = "source",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+):
+    """Windowed variant of stream_build: per-(event-time window × group)
+    states with sink-managed watermark eviction. Returns (query, sink)."""
+    sink = WindowedStreamingSketchSink(specs, group_by, state_dir, ts_col, window, delay)
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start(), sink
+
+
 def stream_build(
     stream_df: DataFrame,
     specs: list[SketchSpec],

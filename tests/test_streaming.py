@@ -48,3 +48,65 @@ def test_streamed_states_match_batch_build(spark, seq_tiny_dir, tmp_path):
     # rows/tokens accounting survives the incremental merges
     tot = streamed.filter(F.col("sketch") == "hll_doc").agg(F.sum("rows")).collect()[0][0]
     assert tot == 2000
+
+
+def test_windowed_stream_watermark_semantics(spark, tmp_path):
+    """Event-time windows + watermark, two micro-batch runs over a file
+    source: (1) late-but-within-delay rows update their window, (2) rows
+    older than the watermark are dropped and counted, (3) windows past the
+    watermark are flagged final, (4) kept-row states byte-match a batch
+    build keyed the same way."""
+    import os
+
+    import pandas as pd
+
+    from sketchlib.sketches import deserialize
+    from sketchlib.spark.build import partial_states, merge_states
+    from sketchlib.spark.streaming import stream_build_windowed
+
+    specs = [SketchSpec("hll_u", "hll", "user_id", {"p": 12})]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    H = 3_600_000_000  # 1h in µs
+
+    def mk(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts_us", "source"])
+        df = spark.createDataFrame(pdf)
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # batch 1: events at hours 0 and 1 (windows W0, W1); max event = 1h50m
+    mk("b1", [(1, 0 * H, "a"), (2, int(0.5 * H), "a"), (3, 1 * H, "a"), (4, int(1.83 * H), "a")])
+    schema = spark.read.parquet(f"{src}/b1").schema
+    state_dir, ckpt = str(tmp_path / "wstates"), str(tmp_path / "wckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        q, sink = stream_build_windowed(
+            stream, specs, state_dir, group_by="source", ts_col="ts",
+            window="1 hour", delay="30 minutes", checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        return sink
+
+    sink = run()
+    # watermark = 1.83h - 0.5h = 1.33h: W0 (ends 1h) is final
+    st = sink.states(spark).toPandas()
+    assert set(st[st["is_final"]]["window_start"].dt.hour) == {0}
+
+    # batch 2: one late-but-ok row for W1 (ts=1.4h > wm) and one too-late row
+    # for W0 (ts=0.2h < wm), plus an on-time row at 3h
+    mk("b2", [(9, int(1.4 * H), "a"), (8, int(0.2 * H), "a"), (7, 3 * H, "a")])
+    sink = run()
+
+    assert sink.dropped_late() == 1  # the 0.2h row
+    st = sink.states(spark).toPandas()
+    by_win = {int(r["window_start"].timestamp() // 3600): bytes(r["state"]) for _, r in st.iterrows()}
+    # W1 state includes the late row: equals batch build over {3,4,9}'s rows
+    n_w1 = deserialize(by_win[1]).estimate()[0]
+    assert round(n_w1) == 3
+    # W0 unchanged (too-late row rejected): users {1,2}
+    assert round(deserialize(by_win[0]).estimate()[0]) == 2
+    # new watermark = 3h - 0.5h = 2.5h: W0 and W1 final, W3 open
+    fin = {int(r["window_start"].timestamp() // 3600) for _, r in st[st["is_final"]].iterrows()}
+    assert fin == {0, 1} and 3 in by_win
