@@ -32,7 +32,7 @@ _CATALOG_SCHEMA = (
 
 _SAMPLE_SCHEMA = (
     "name string, input_dir string, kind string, ratio double, on_col string, "
-    "seed long, rows_sampled long, built_unix double"
+    "seed long, rows_sampled long, built_unix double, fractions_json string"
 )
 
 
@@ -131,28 +131,42 @@ class SketchCatalog:
         kind: str = "uniform",
         ratio: float = 0.1,
         on: str | None = None,
+        fractions: dict | None = None,
         seed: int = 42,
         overwrite: bool = False,
     ) -> DataFrame:
-        """Persist a uniform (Bernoulli-p rows) or universe (hash(on) < p
-        domain) sample table; queries then scan the p-fraction instead of
-        the corpus (A5). Returns the persisted sample."""
-        from sketchlib.spark.sampling import uniform_sample, universe_sample
+        """Persist a uniform (Bernoulli-p rows), universe (hash(on) < p
+        domain), or stratified (per-group fractions, ``on`` = group column)
+        sample table; queries then scan the fraction instead of the corpus
+        (A5). Returns the persisted sample."""
+        from sketchlib.spark.sampling import stratified_sample, uniform_sample, universe_sample
 
-        if kind not in ("uniform", "universe"):
-            raise ValueError(f"unknown sample kind {kind!r} (uniform|universe)")
+        if kind not in ("uniform", "universe", "stratified"):
+            raise ValueError(f"unknown sample kind {kind!r} (uniform|universe|stratified)")
         if kind == "universe" and not on:
             raise ValueError("universe samples need on=<key column>")
+        if kind == "stratified" and (not on or not fractions):
+            raise ValueError("stratified samples need on=<group column> and fractions={group: p}")
         if self.sample_exists(name):
             if not overwrite:
                 raise ValueError(f"sample {name!r} already exists (use overwrite=True)")
             self.drop_sample(name)
         df = self.spark.read.parquet(input_dir)
-        s = uniform_sample(df, ratio, seed) if kind == "uniform" else universe_sample(df, on, ratio, seed)
+        if kind == "uniform":
+            s = uniform_sample(df, ratio, seed)
+        elif kind == "universe":
+            s = universe_sample(df, on, ratio, seed)
+        else:
+            s = stratified_sample(df, on, fractions, seed)
         sdir = os.path.join(self.root, "samples", name)
         s.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
-        row = [(name, input_dir, kind, float(ratio), on or "", seed, persisted.count(), time.time())]
+        row = [
+            (
+                name, input_dir, kind, float(ratio), on or "", seed,
+                persisted.count(), time.time(), json.dumps(fractions or {}),
+            )
+        ]
         self.spark.createDataFrame(row, _SAMPLE_SCHEMA).write.mode("append").parquet(
             os.path.join(self.root, "_sample_catalog")
         )

@@ -173,7 +173,17 @@ def approx_agg_stratified(
     """Stratified approx aggregates: per-group scale-up by that group's own
     fraction — small groups sampled at 1.0 get exact answers (err 0), the
     hot group gets sampling error only from its own fraction."""
-    s = stratified_sample(df, group_by, fractions, seed)
+    return approx_agg_from_stratified_sample(
+        stratified_sample(df, group_by, fractions, seed), group_by, value_col, fractions, z=z
+    )
+
+
+def approx_agg_from_stratified_sample(
+    sample: DataFrame, group_by: str, value_col: str, fractions: dict, z: float = 1.96
+) -> DataFrame:
+    """Same estimators over an ALREADY-DRAWN stratified sample (persisted
+    scramble, SketchCatalog.create_sample(kind='stratified'))."""
+    s = sample
     frac_map = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
     v = F.col(value_col)
     agg = (

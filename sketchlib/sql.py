@@ -106,19 +106,35 @@ def approx_sql(
             meta = catalog.sample_meta(catalog_key)
             s = catalog.sample(catalog_key)
             if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
-                if meta["kind"] != "uniform":
-                    raise ValueError(f"{fn} needs a uniform sample; {catalog_key!r} is {meta['kind']}")
+                if meta["kind"] not in ("uniform", "stratified"):
+                    raise ValueError(
+                        f"{fn} needs a uniform or stratified sample; {catalog_key!r} is {meta['kind']}"
+                    )
                 if not group:
                     raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
                 from pyspark.sql import functions as F
 
-                from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+                from sketchlib.spark.sampling import (
+                    approx_agg_from_stratified_sample,
+                    approx_agg_from_uniform_sample,
+                )
 
                 if fn == "APPROX_COUNT":
                     col, s = "_one", s.withColumn("_one", F.lit(1.0))
                 else:
                     col = args[0]
-                out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
+                if meta["kind"] == "stratified":
+                    if group != meta["on_col"]:
+                        raise ValueError(
+                            f"stratified sample {catalog_key!r} is keyed by "
+                            f"{meta['on_col']!r}; GROUP BY must match"
+                        )
+                    fractions = json.loads(meta["fractions_json"])
+                    out = approx_agg_from_stratified_sample(s, group, col, fractions)
+                    if fn == "APPROX_AVG":
+                        raise ValueError("APPROX_AVG over stratified samples not implemented")
+                else:
+                    out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
                 keep = {
                     "APPROX_COUNT": ["est_count", "count_err"],
                     "APPROX_SUM": ["est_sum", "sum_err"],

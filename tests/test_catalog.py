@@ -211,7 +211,7 @@ def test_create_sample_and_query_without_base(spark, tmp_path, seq_tiny_dir):
     # mismatches raise: wrong kind for the aggregate
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="uniform sample"):
+    with _pytest.raises(ValueError, match="uniform or stratified sample"):
         approx_sql(spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM t GROUP BY source",
                    catalog=cat, catalog_key="d")
     with _pytest.raises(ValueError, match="universe sample"):
@@ -223,3 +223,36 @@ def test_create_sample_and_query_without_base(spark, tmp_path, seq_tiny_dir):
     assert {r["name"] for r in cat.list_samples().collect()} == {"u", "d"}
     cat.drop_sample("u")
     assert not cat.sample_exists("u") and cat.sample_exists("d")
+
+
+def test_stratified_persisted_sample_served_by_sql(spark, tmp_path, seq_tiny_dir):
+    """Third Verdict sample type persisted + served: small groups at
+    fraction 1.0 answer EXACTLY (err 0), the hot group within CI."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.sql import approx_sql
+    from sketchlib.spark.catalog import SketchCatalog
+
+    df = spark.read.parquet(seq_tiny_dir)
+    fracs = {"web": 0.3, "books": 1.0, "code": 1.0, "wiki": 1.0, "forums": 1.0}
+    cat = SketchCatalog(spark, str(tmp_path / "cat_st"))
+    cat.create_sample("st", seq_tiny_dir, kind="stratified", on="source", fractions=fracs, seed=7)
+
+    exact = {
+        r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT(0.0) FROM t GROUP BY source", catalog=cat, catalog_key="st"
+    ).toPandas()
+    for _, r in out.iterrows():
+        if fracs[r["source"]] == 1.0:
+            assert r["est_count"] == exact[r["source"]] and r["count_err"] == 0.0
+        else:
+            assert abs(r["est_count"] - exact[r["source"]]) <= 2 * r["count_err"]
+
+    # GROUP BY must match the stratification key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keyed by"):
+        approx_sql(spark, "SELECT APPROX_COUNT(0.0) FROM t GROUP BY lang",
+                   catalog=cat, catalog_key="st")
