@@ -617,6 +617,32 @@ def q_c05_ann_top1(spark, sf_dir):
     )
 
 
+def q_b17_intersection_estimate(spark, sf_dir):
+    """Sketch-only set algebra (A17 beyond union): |A ∩ B| = J·|A ∪ B| from
+    MinHash + merged HLL states — more robust than inclusion-exclusion when
+    the intersection is small. Checked within 3× the composed relative bound
+    (+2 discrete small-n slack) vs exact, for the first 6 sources' token
+    vocabularies (15 pairs)."""
+    from sketchlib.spark.query import intersection_estimate
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    specs = _HLL_TOK + _MH_TOK
+    states = build_sketches(docs, specs, group_by="source")
+    pairs_pdf = (
+        docs.select("source", F.explode("tokens").alias("tok")).distinct().toPandas()
+    )
+    vocab = {g: set(sub["tok"]) for g, sub in pairs_pdf.groupby("source")}
+    gs = sorted(vocab)[:6]
+    out = []
+    for i, a in enumerate(gs):
+        for b in gs[i + 1 :]:
+            est, rel = intersection_estimate(states, "hll_tok", "mh_tok", a, b)
+            exact = len(vocab[a] & vocab[b])
+            ok = abs(est - exact) <= 3 * rel * max(exact, 1) + 2
+            out.append((a, b, bool(ok)))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["group_a", "group_b", "within_bound"]))
+
+
 def q_c06_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup (D11): double the corpus with identical
     vectors (ids shifted by 1M) — every injected pair shares every SRP bucket
@@ -707,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_kmv_distinct": _dist_wrapped(q_b14_kmv_distinct),
         "b15_approx_join": _dist_wrapped(q_b15_approx_join),
         "b16_catalog_sql": _dist_wrapped(q_b16_catalog_sql),
+        "b17_intersection_estimate": _dist_wrapped(q_b17_intersection_estimate),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -817,6 +844,12 @@ def oracle_sql() -> dict[str, str]:
         "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b15_approx_join": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
+        "b17_intersection_estimate": """
+            SELECT a.source AS group_a, b.source AS group_b, TRUE AS within_bound
+            FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 6) a
+            JOIN (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 6) b
+              ON a.source < b.source
+        """,
         "b10_partition_invariance": "SELECT source, TRUE AS states_identical FROM documents GROUP BY source",
         "b11_hybrid_topk": "SELECT source, TRUE AS hybrid_matches_exact FROM documents GROUP BY source",
         "b06_bloom_membership": """

@@ -128,6 +128,7 @@ def approx_join_agg(
     ratio: float = 0.1,
     seed: int = 42,
     z: float = 1.96,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Approx COUNT(*) / SUM(value) of ``left ⋈ right`` from universe samples
     of BOTH sides — Verdict's ApproxJoinedRelation (A8): when the two inputs
@@ -140,7 +141,10 @@ def approx_join_agg(
     s_k); Σ_sampled c_k / p is unbiased for the join count with
     Var = Σ c_k²(1−p)/p (independent Bernoulli keys), estimated from the
     sample as Σ_s c_k²/p. Output: one row — est_count ± count_err
-    [, est_sum ± sum_err] (±z·se half-widths).
+    [, est_sum ± sum_err] (±z·se half-widths) — or one row per ``group_by``
+    value (a column of either joined side; keys contribute to each group
+    they appear in, variances sum per group since keys are independent
+    Bernoulli draws).
 
     Scale: both inputs are filtered BEFORE the join (hash predicate pushes
     into the scans), so the join touches a p-fraction of each side.
@@ -152,7 +156,8 @@ def approx_join_agg(
     aggs = [F.count(F.lit(1)).alias("c_k")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("s_k"))
-    per_key = joined.groupBy(ls[left_key]).agg(*aggs)
+    gb = [ls[left_key]] + ([F.col(group_by)] if group_by else [])
+    per_key = joined.groupBy(*gb).agg(*aggs)
     c_k = F.col("c_k")
     out = [
         (F.sum(c_k) / p).alias("est_count"),
@@ -164,7 +169,7 @@ def approx_join_agg(
             (F.sum(s_k) / p).alias("est_sum"),
             (F.lit(z) * F.sqrt(F.sum(s_k * s_k) * (1 - p)) / p).alias("sum_err"),
         ]
-    return per_key.agg(*out)
+    return per_key.groupBy(group_by).agg(*out) if group_by else per_key.agg(*out)
 
 
 def approx_agg_stratified(

@@ -108,3 +108,29 @@ def test_approx_join_agg_probability_composes(spark):
     assert abs(est["est_sum"] - exact["s"]) <= est["sum_err"]
     # composition sanity: the p² reading would be est/p ≈ 5× exact
     assert est["est_count"] < 2 * exact["n"]
+
+
+def test_approx_join_agg_grouped(spark):
+    """Per-group joined estimates: exact answers inside each group's CI."""
+    from sketchlib.spark.sampling import approx_join_agg
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    est = {
+        r["c_mktsegment"]: r
+        for r in approx_join_agg(
+            o, c, "o_custkey", "c_custkey", value_col="o_totalprice",
+            ratio=0.25, seed=7, z=Z_TEST, group_by="c_mktsegment",
+        ).collect()
+    }
+    exact = {
+        r["c_mktsegment"]: r
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, r in est.items():
+        assert abs(r["est_count"] - exact[g]["n"]) <= r["count_err"], g
+        assert abs(r["est_sum"] - exact[g]["s"]) <= r["sum_err"], g
