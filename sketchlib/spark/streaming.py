@@ -218,6 +218,69 @@ def stream_build_windowed(
     return writer.trigger(availableNow=True).start(), sink
 
 
+def sessionize(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the keyed-state-store API, used here because
+    (unlike the sketch sinks) per-key session state genuinely is
+    key-cardinality-sized. Emits one row per CLOSED session (a session closes
+    when a later event for the same key arrives more than ``gap_seconds``
+    after it); the open tail session stays in the state store across
+    micro-batches. Output: (key, session_start, session_end, n_events).
+
+    Returns a streaming DataFrame — attach any sink. Deterministic: within a
+    batch events are sorted by event time before folding into the state.
+    """
+    import pandas as pd
+
+    ktype = dict(stream_df.dtypes)[key]
+    out_schema = f"{key} {ktype}, session_start timestamp, session_end timestamp, n_events long"
+    state_schema = "start_ns long, last_ns long, n long"
+    gap_ns = int(gap_seconds * 1_000_000_000)
+
+    def fn(key_tuple, pdf_iter, state):
+        import numpy as np
+
+        ts_all = [
+            pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() for pdf in pdf_iter
+        ]  # ns since epoch
+        ts = np.sort(np.concatenate(ts_all)) if ts_all else np.array([], dtype=np.int64)
+        if state.exists:
+            start_ns, last_ns, n = state.get
+        else:
+            start_ns = last_ns = None
+            n = 0
+        closed = []
+        for t in ts.tolist():
+            if last_ns is not None and t - last_ns > gap_ns:
+                closed.append((start_ns, last_ns, n))
+                start_ns, n = t, 0
+            if start_ns is None:
+                start_ns = t
+            last_ns = t
+            n += 1
+        state.update((start_ns, last_ns, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="ns"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="ns"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        stream_df.select(key, ts_col)
+        .groupBy(key)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", "NoTimeout")
+    )
+
+
 def stream_build(
     stream_df: DataFrame,
     specs: list[SketchSpec],

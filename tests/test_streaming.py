@@ -110,3 +110,71 @@ def test_windowed_stream_watermark_semantics(spark, tmp_path):
     # new watermark = 3h - 0.5h = 2.5h: W0 and W1 final, W3 open
     fin = {int(r["window_start"].timestamp() // 3600) for _, r in st[st["is_final"]].iterrows()}
     assert fin == {0, 1} and 3 in by_win
+
+
+def test_sessionize_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator: gap sessionization. Closed sessions are
+    emitted as later events arrive; the open tail survives in the keyed
+    state store ACROSS micro-batch runs (the second drain closes a session
+    the first left open)."""
+    import os
+
+    import pandas as pd
+
+    from sketchlib.spark.streaming import sessionize
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    S = 1_000_000_000  # 1s in ns
+
+    def mk(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts_ns"])
+        df = spark.createDataFrame(pdf)
+        df = df.withColumn("ts", (F.col("ts_ns") / 1000).cast("long")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts"))
+        ).drop("ts_ns")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # user 1: sessions [0..20] then [100..]; user 2: [5] then [200..]
+    mk("b1", [(1, 0), (1, 10 * S), (1, 20 * S), (1, 100 * S), (1, 110 * S), (2, 5 * S), (2, 200 * S)])
+    schema = spark.read.parquet(f"{src}/b1").schema
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    sink_dir = str(tmp_path / "sess_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        out = sessionize(stream, key="user_id", ts_col="ts", gap_seconds=30)
+
+        def write(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(sink_dir)
+
+        q = (
+            out.writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(sink_dir).toPandas()
+        except Exception:
+            import pandas as _pd
+
+            return _pd.DataFrame(columns=["user_id", "session_start", "session_end", "n_events"])
+
+    def keyset(df):
+        return {
+            (int(r["user_id"]), int(r["session_start"].timestamp()), int(r["session_end"].timestamp()),
+             int(r["n_events"]))
+            for _, r in df.iterrows()
+        }
+
+    got1 = drain()
+    assert keyset(got1) == {(1, 0, 20, 3), (2, 5, 5, 1)}  # open tails NOT emitted
+
+    # batch 2: u1 at 115s continues the open session (state survived the
+    # restart); u1 at 500s then closes it -> [100..115] with 3 events
+    mk("b2", [(1, 115 * S), (1, 500 * S)])
+    got2 = drain()
+    assert keyset(got2) == {(1, 0, 20, 3), (2, 5, 5, 1), (1, 100, 115, 3)}
