@@ -697,6 +697,25 @@ def q_c08_asof_join(spark, sf_dir):
     )
 
 
+def q_c09_winnow_containment(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-shingle hash + window-min selection,
+    all JVM-side): every injected exact copy (ids +1M) shares fingerprints
+    with its original, so detection via the (fingerprint, id) equi-join finds
+    exactly the docs long enough to fingerprint (n_tok ≥ k)."""
+    from sketchlib.spark.text import with_winnow_fingerprint
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    fps = with_winnow_fingerprint(doubled, "tokens", k=5, w=8)
+    ex = fps.select("doc_id", F.explode("fingerprints").alias("fp"))
+    orig = ex.filter(F.col("doc_id") < 1_000_000)
+    copies = ex.filter(F.col("doc_id") >= 1_000_000).withColumn(
+        "doc_id", F.col("doc_id") - 1_000_000
+    )
+    detected = orig.join(copies, ["fp", "doc_id"], "leftsemi").select("doc_id").distinct()
+    return detected.agg(F.count("*").alias("n_detected"))
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -744,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c06_embedding_near_dup": _dist_wrapped(q_c06_embedding_near_dup),
         "c07_srp_batch_self_recovery": _dist_wrapped(q_c07_srp_batch_self_recovery),
         "c08_asof_join": _dist_wrapped(q_c08_asof_join),
+        "c09_winnow_containment": _dist_wrapped(q_c09_winnow_containment),
     }
 
 
@@ -902,5 +922,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'signup'
             ) s ON e.user_id = s.user_id AND e.ts >= s.ts
             GROUP BY e.event_type
+        """,
+        "c09_winnow_containment": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_detected FROM documents
+            WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 5
         """,
     }

@@ -97,3 +97,36 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     """64-bit exact-dup fingerprint of whitespace-normalized, lowercased text."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out, F.xxhash64(norm))
+
+
+def with_winnow_fingerprint(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 5,
+    w: int = 8,
+    out: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    hash every k-token shingle (rolling window), then keep the MINIMUM hash
+    of each w-length window of shingle hashes — the classic guarantee holds:
+    any two documents sharing a token run of ≥ w+k−1 tokens share at least
+    one fingerprint, while only ~2/(w+1) of shingles are kept. Entirely SQL
+    higher-order functions (whole-stage codegen, no Python); output is the
+    distinct selected hashes as array<long>. Compose with array_intersect /
+    explode+join for plagiarism-style containment detection at corpus scale
+    (fingerprints are the only shuffled payload).
+    """
+    from sketchlib.spark.dedup import with_token_ngrams
+
+    df = with_token_ngrams(df, tokens_col, n=k, out="_shingles")
+    nsh = F.size(F.col("_shingles"))
+    win_min = (
+        f"transform(sequence(0, size(_shingles) - {w}), "
+        f"i -> array_min(slice(_shingles, i + 1, {w})))"
+    )
+    fp = (
+        F.when(nsh >= w, F.array_distinct(F.expr(win_min)))
+        .when(nsh > 0, F.array(F.array_min(F.col("_shingles"))))  # short doc: one fp
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return df.withColumn(out, fp).drop("_shingles")

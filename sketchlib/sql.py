@@ -153,7 +153,8 @@ def approx_sql(
                 return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 
-        reg = catalog.list().where(f"name = '{catalog_key}'").collect()
+        cat_df = catalog.list()
+        reg = cat_df.where(cat_df["name"] == catalog_key).collect()
         if not reg:
             raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
         reg = reg[0]

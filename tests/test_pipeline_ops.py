@@ -376,3 +376,29 @@ def test_srp_topk_many_matches_single_probe_path(spark, emb):
             ["cosine", "vec_id"], ascending=[False, True]
         )
         assert list(got["vec_id"]) == list(single["vec_id"])
+
+
+def test_winnow_fingerprint_guarantee_and_jvm_side(spark):
+    """Winnowing guarantee: docs sharing a ≥ w+k−1 token run share ≥1
+    fingerprint; disjoint docs share none; selection is sparse; and the
+    whole expression is JVM-side (no Python eval in the plan)."""
+    from sketchlib.spark.text import with_winnow_fingerprint
+
+    k, w = 5, 8
+    shared = list(range(1000, 1000 + w + k - 1))  # exactly the guarantee length
+    rows = [
+        (1, list(range(100)) + shared + list(range(200, 260))),
+        (2, list(range(300, 380)) + shared),
+        (3, list(range(400, 520))),  # disjoint
+        (4, [7, 8, 9]),              # shorter than k -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: set(r["fingerprints"]) for r in
+           with_winnow_fingerprint(df, k=k, w=w).collect()}
+    assert out[1] & out[2], "shared run must share a fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    assert out[4] == set()
+    # sparsity: far fewer fingerprints than shingles (~2/(w+1) density)
+    assert len(out[3]) < 120 - k + 1 - w
+    plan = with_winnow_fingerprint(df, k=k, w=w)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
