@@ -4,7 +4,12 @@ Verdict's users type SQL; this module gives sketchlib the same entry point
 for the reference query surface (SURVEY.md §2C) without building a SQL
 dialect: only the STATEMENT SKELETON is parsed here —
 
-    SELECT <approx_fn>(...) FROM <table> [WHERE <expr>] [GROUP BY <col>]
+    SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
+    FROM <table> [WHERE <expr>] [GROUP BY <col>]
+
+Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
+statement — every sketch aggregate becomes one SketchSpec and they all
+build in a SINGLE scan; TOPK/PERCENTILE (multi-row shapes) go alone.
 
 — while the WHERE expression is handed verbatim to Catalyst
 (``DataFrame.filter`` accepts any Spark SQL expression), so predicates are
@@ -37,12 +42,14 @@ from sketchlib.spark.build import SketchSpec, build_sketches
 from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
 
 _SKELETON = re.compile(
-    r"^\s*SELECT\s+(?P<fn>APPROX_[A-Z_]+)\s*\((?P<args>[^)]*)\)\s*"
+    r"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\([^)]*\)(?:\s*,\s*APPROX_[A-Z_]+\s*\([^)]*\))*)\s*"
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_AGG = re.compile(r"(APPROX_[A-Z_]+)\s*\(([^)]*)\)", re.IGNORECASE)
 
 
 def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataFrame:
@@ -59,6 +66,79 @@ _CATALOG_KINDS = {
     "APPROX_TOPK": ("cm",),
     "APPROX_PERCENTILE": ("kll", "tdigest"),
 }
+
+
+def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None) -> DataFrame:
+    """Multiple scalar approximate aggregates in ONE statement.
+
+    The Spark-first payoff: every sketch aggregate becomes one SketchSpec
+    and they ALL build in a single scan (`build_sketches` takes the list);
+    the sampling aggregates share one uniform-sample aggregation per ratio.
+    Only scalar-shaped aggregates compose (COUNT_DISTINCT/COUNT/SUM/AVG) —
+    TOPK/PERCENTILE return multi-row-per-group shapes and must be issued
+    alone. Output columns: <fn>_<col> and <fn>_<col>_err per aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    scalar = {"APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"}
+    bad = [f for f, _ in aggs if f not in scalar]
+    if bad:
+        raise ValueError(
+            f"{bad[0]} returns multiple rows per group and cannot be combined "
+            "with other aggregates — issue it as its own statement"
+        )
+
+    specs, spec_slots = [], []  # spec_slots: (out_name, spec_name)
+    sample_slots: dict[tuple, list] = {}  # (ratio, value_col) -> [(fn, out_name)]
+    for i, (fn, args) in enumerate(aggs):
+        if fn == "APPROX_COUNT_DISTINCT":
+            col = args[0]
+            rse = float(args[1]) if len(args) > 1 else 0.01
+            name = f"_q{i}"
+            specs.append(SketchSpec(name, "hll", col, {"p": hll_params(rse)["p"]}))
+            spec_slots.append((f"approx_count_distinct_{col}", name))
+        else:
+            if fn == "APPROX_COUNT":
+                col, ratio = "_one", float(args[0])
+            else:
+                col, ratio = args[0], float(args[1])
+            out_name = f"{fn.lower()}_{col}".replace("_one", "star")
+            sample_slots.setdefault((ratio, col), []).append((fn, out_name))
+
+    outs = []
+    if specs:
+        states = build_sketches(df, specs, group_by=group)
+        for out_name, spec_name in spec_slots:
+            e = estimates_df(spark, states, spec_name)
+            e = e.select(
+                "group",
+                F.col("estimate").alias(out_name),
+                (F.col("rse_bound") * F.col("estimate")).alias(f"{out_name}_err"),
+            )
+            outs.append(e)
+    for (ratio, value_col), slots in sample_slots.items():
+        if not group:
+            raise ValueError("sampling aggregates require GROUP BY (per-group CLT CIs)")
+        from sketchlib.spark.sampling import approx_agg_uniform
+
+        base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
+        est = approx_agg_uniform(base, group, value_col, ratio)
+        cols = [F.col(group).alias("group")]
+        for fn, out_name in slots:
+            src = {"APPROX_COUNT": ("est_count", "count_err"),
+                   "APPROX_SUM": ("est_sum", "sum_err"),
+                   "APPROX_AVG": ("est_avg", "avg_err")}[fn]
+            cols += [F.col(src[0]).alias(out_name), F.col(src[1]).alias(f"{out_name}_err")]
+        outs.append(est.select(*cols))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.join(o, "group") if group else result.crossJoin(o.drop("group"))
+    if not group:
+        result = result.drop("group")
+    else:
+        result = result.withColumnRenamed("group", group)
+    return result
 
 
 def approx_sql(
@@ -86,9 +166,24 @@ def approx_sql(
             "'SELECT APPROX_*(...) FROM t [WHERE expr] [GROUP BY col]'; "
             "use the DataFrame API (sketchlib.spark) for anything richer"
         )
-    fn = m.group("fn").upper()
-    args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+    aggs = [
+        (f.upper(), [a.strip() for a in argstr.split(",") if a.strip()])
+        for f, argstr in _AGG.findall(m.group("select"))
+    ]
     group = m.group("group")
+
+    if len(aggs) > 1:
+        if catalog is not None and catalog_key is not None:
+            raise ValueError(
+                "multi-aggregate statements can't take catalog_key — issue one "
+                "statement per aggregate to answer from persisted states"
+            )
+        df = _resolve_table(spark, m.group("table"), tables)
+        if m.group("where"):
+            df = df.filter(m.group("where"))
+        return _multi_agg(spark, df, aggs, group)
+
+    fn, args = aggs[0]
 
     if catalog is not None and catalog_key is not None:
         import json

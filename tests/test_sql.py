@@ -135,3 +135,41 @@ def test_approx_sql_catalog_mismatches_raise(spark, tmp_path, seq_tiny_dir):
             catalog=cat,
             catalog_key="nope",
         )
+
+
+def test_multi_aggregate_statement_one_pass(spark, tables):
+    """Verdict-style SELECT lists: several scalar approx aggregates in one
+    statement; the sketch aggregates share ONE build pass and the answers
+    match the single-statement results."""
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_SUM(n_tok, 0.5), APPROX_COUNT(0.5) "
+        "FROM sequences GROUP BY source",
+        tables,
+    ).toPandas()
+    assert len(out) == 5
+    assert {"approx_count_distinct_doc_id", "approx_sum_n_tok", "approx_count_star"} <= set(out.columns)
+    assert {"approx_count_distinct_doc_id_err", "approx_sum_n_tok_err"} <= set(out.columns)
+    single = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source", tables
+    ).toPandas().set_index("group")["estimate"]
+    m = out.set_index("source") if "source" in out.columns else out.set_index("group")
+    for g, v in single.items():
+        assert m.loc[g, "approx_count_distinct_doc_id"] == v  # same build, same estimate
+
+    # multi-row-shaped aggregates refuse to compose
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple rows"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_TOPK(tokens, 5) "
+            "FROM sequences GROUP BY source",
+            tables,
+        )
+    with _pytest.raises(ValueError, match="catalog_key"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_COUNT(0.5) FROM sequences GROUP BY source",
+            tables, catalog=object(), catalog_key="x",
+        )
