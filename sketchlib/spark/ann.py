@@ -106,6 +106,10 @@ def brute_force_topk_many(
             m = len(lens)
             if m == 0:
                 continue
+            if len(set(lens.tolist())) > 1 or (m and lens[0] * m != len(flat)):
+                raise ValueError(
+                    "brute_force_topk_many requires fixed-dimension, non-null vectors"
+                )
             mat = flat.reshape(m, -1)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0

@@ -271,8 +271,12 @@ def minhash_lsh_dedup(
     max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Near-duplicate removal: keep the min-id representative per cluster."""
-    sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands)
-    pairs = candidate_pairs(sigs, id_col, threshold=threshold, max_bucket=max_bucket)
+    # materialize signatures ONCE: candidate_pairs references them in three
+    # subtrees (band join + both sides of the sig join), and cluster_min_id
+    # re-evaluates its edge input every round — without this the Python
+    # signature kernel would run 3× per evaluation × rounds
+    sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands).localCheckpoint()
+    pairs = candidate_pairs(sigs, id_col, threshold=threshold, max_bucket=max_bucket).localCheckpoint()
     clusters = cluster_min_id(pairs, df.select(id_col), id_col)
     keep = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
     return df.join(keep, id_col, "leftsemi")

@@ -17,9 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 def has_iceberg(spark: SparkSession) -> bool:
     # NB: attribute access on spark._jvm returns a JavaPackage placeholder for
     # MISSING classes (py4j never raises there) — only an actual classload
-    # answers the question.
+    # answers the question. Try Spark's own classloader first: jars added via
+    # spark.jars/--packages live in the MutableURLClassLoader, invisible to
+    # the system loader that plain Class.forName consults.
+    cls = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return True
+    except Exception:
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

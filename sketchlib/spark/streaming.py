@@ -97,6 +97,8 @@ class WindowedStreamingSketchSink:
         self.ts_col = ts_col
         self.window = window
         self.delay = delay
+        _interval_us(window)  # fail fast on unparseable intervals
+        _interval_us(delay)
         os.makedirs(state_dir, exist_ok=True)
 
     def _ptr_path(self) -> str:
@@ -147,14 +149,23 @@ class WindowedStreamingSketchSink:
         wm_us = None if meta["max_event_us"] is None else meta["max_event_us"] - self._delay_us()
 
         ts_us = F.unix_micros(F.col(self.ts_col))
-        batch_df = batch_df.withColumn("_ts_us", ts_us)
-        dropped = 0
-        if wm_us is not None:
-            dropped = batch_df.filter(F.col("_ts_us") < wm_us).count()
+        batch_df = batch_df.withColumn("_ts_us", ts_us).persist()
+        # ONE action covers both late accounting and the event-time high mark
+        # (the un-persisted batch would otherwise be re-evaluated per action)
+        stats = batch_df.agg(
+            F.max("_ts_us").alias("mx"),
+            F.sum(
+                (F.col("_ts_us") < (wm_us if wm_us is not None else float("-inf"))).cast("long")
+            ).alias("late"),
+        ).collect()[0]
+        dropped = int(stats["late"] or 0)
+        if wm_us is not None and dropped:
             batch_df = batch_df.filter(F.col("_ts_us") >= wm_us)
 
-        agg = batch_df.agg(F.max("_ts_us")).collect()[0][0]
-        new_max = max(x for x in (meta["max_event_us"], agg, 0) if x is not None)
+        # never fabricate a watermark from an empty batch: the high mark stays
+        # None until a real event has been seen
+        seen = [x for x in (meta["max_event_us"], stats["mx"]) if x is not None]
+        new_max = max(seen) if seen else None
 
         win_us = _interval_us(self.window)
         wstart = (F.col("_ts_us") / win_us).cast("long") * win_us
@@ -174,12 +185,13 @@ class WindowedStreamingSketchSink:
         merged = merge_states(combined)
         out = os.path.join(self.state_dir, f"v{batch_id:010d}")
         merged.write.mode("overwrite").parquet(out)
+        batch_df.unpersist()
         tmp = self._ptr_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
                 {
                     "version": int(batch_id),
-                    "max_event_us": int(new_max),
+                    "max_event_us": None if new_max is None else int(new_max),
                     "dropped_late": int(meta.get("dropped_late", 0) + dropped),
                 },
                 fh,
@@ -188,15 +200,24 @@ class WindowedStreamingSketchSink:
 
 
 def _interval_us(text: str) -> int:
-    """'1 day' / '30 minutes' / '2 hours' → microseconds."""
-    n, unit = text.split()
+    """'1 day' / '30 min' / '2 hours' / '1 week' → microseconds; raises a
+    clear ValueError (at sink CONSTRUCTION, not mid-stream) on anything else."""
+    parts = text.strip().split()
     mult = {
+        "ms": 1_000, "millisecond": 1_000, "milliseconds": 1_000,
+        "s": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
         "second": 1_000_000, "seconds": 1_000_000,
+        "min": 60_000_000, "mins": 60_000_000,
         "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "h": 3_600_000_000, "hour": 3_600_000_000, "hours": 3_600_000_000,
         "day": 86_400_000_000, "days": 86_400_000_000,
-    }[unit]
-    return int(n) * mult
+        "week": 604_800_000_000, "weeks": 604_800_000_000,
+    }
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1].lower() not in mult:
+        raise ValueError(
+            f"unparseable interval {text!r} — use '<n> <unit>' with unit in {sorted(mult)}"
+        )
+    return int(parts[0]) * mult[parts[1].lower()]
 
 
 def stream_build_windowed(

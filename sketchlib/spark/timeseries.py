@@ -74,11 +74,19 @@ def asof_join(
     # directions; forward just scans time in reverse
     order = [F.asc("_ts") if direction == "backward" else F.desc("_ts"), F.desc("_is_right")]
     w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    matched = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
-    matched_ts = F.last(F.col("_rts"), ignorenulls=True).over(w).alias("_matched_ts")
-    out = u.select(*left.columns, F.col("_is_right"), *matched, matched_ts).filter(
-        F.col("_is_right") == 0
-    ).drop("_is_right")
+    # the matched right ROW travels as one struct: per-column last(ignorenulls)
+    # would stitch values from DIFFERENT right rows whenever a right value is
+    # NULL (merge_asof/ASOF JOIN match a row, nulls and all — so must we)
+    row_struct = F.when(
+        F.col("_is_right") == 1, F.struct(F.col("_rts").alias("_rts"), *[F.col(c) for c in value_cols])
+    )
+    m = F.last(row_struct, ignorenulls=True).over(w)
+    out = u.select(
+        *left.columns,
+        F.col("_is_right"),
+        *[m[c].alias(c) for c in value_cols],
+        m["_rts"].alias("_matched_ts"),
+    ).filter(F.col("_is_right") == 0).drop("_is_right")
 
     if tolerance is not None:
         diff = F.abs(F.col(left_ts).cast("double") - F.col("_matched_ts").cast("double"))

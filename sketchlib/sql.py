@@ -100,9 +100,10 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
         else:
             if fn == "APPROX_COUNT":
                 col, ratio = "_one", float(args[0])
+                out_name = "approx_count_star"
             else:
                 col, ratio = args[0], float(args[1])
-            out_name = f"{fn.lower()}_{col}".replace("_one", "star")
+                out_name = f"{fn.lower()}_{col}"
             sample_slots.setdefault((ratio, col), []).append((fn, out_name))
 
     outs = []
@@ -131,9 +132,29 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
             cols += [F.col(src[0]).alias(out_name), F.col(src[1]).alias(f"{out_name}_err")]
         outs.append(est.select(*cols))
 
+    # duplicate aggregates (e.g. the same SUM at two ratios) would collide in
+    # the joined output — disambiguate deterministically with a suffix
+    seen: dict[str, int] = {}
+    renamed = []
+    for o in outs:
+        for c in o.columns:
+            if c == "group" or c.endswith("_err"):
+                continue
+            n = seen.get(c, 0)
+            seen[c] = n + 1
+            if n:
+                o = o.withColumnRenamed(c, f"{c}_{n + 1}").withColumnRenamed(
+                    f"{c}_err", f"{c}_{n + 1}_err"
+                )
+        renamed.append(o)
+    outs = renamed
+
     result = outs[0]
     for o in outs[1:]:
-        result = result.join(o, "group") if group else result.crossJoin(o.drop("group"))
+        # FULL OUTER: a group missing from one aggregate (e.g. an empty
+        # Bernoulli sample for a rare group) must not erase the others'
+        # answers for that group
+        result = result.join(o, "group", "full_outer") if group else result.crossJoin(o.drop("group"))
     if not group:
         result = result.drop("group")
     else:

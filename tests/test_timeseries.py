@@ -90,3 +90,17 @@ def test_asof_inclusive_tie_and_unmatched(spark):
             "k",
             value_cols=["lval"],
         )
+
+
+def test_asof_null_right_value_is_not_stitched(spark):
+    """Review regression: a matched right row whose value is NULL must yield
+    NULL (row semantics), not the previous row's non-null value — and the
+    tolerance must be judged against the actually-matched row's ts."""
+    left = pd.DataFrame({"k": [1], "ts": [200.0], "lval": [0]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [100.0, 199.0], "price": [10.0, np.nan]})
+    got = _spark_result(spark, left, right, tolerance=5.0)
+    assert np.isnan(got["price"][0])  # matched ts=199 row, whose price IS null
+    assert got["_matched_ts"][0] == 199.0
+    # without tolerance, same row semantics
+    got2 = _spark_result(spark, left, right)
+    assert np.isnan(got2["price"][0]) and got2["_matched_ts"][0] == 199.0
