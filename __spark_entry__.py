@@ -716,6 +716,73 @@ def q_c09_winnow_containment(spark, sf_dir):
     return detected.agg(F.count("*").alias("n_detected"))
 
 
+def q_c10_ngram_minhash_dedup(spark, sf_dir):
+    """Higher-order near-dup (D4+D2): token 3-gram shingles (JVM higher-order
+    fns) feed the same MinHash-LSH path; every injected exact copy collides
+    in all bands and loses min-id clustering — zero survivors."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup, with_token_ngrams
+
+    docs = with_token_ngrams(with_tokens(_t(spark, sf_dir, "documents")), "tokens", n=3)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = minhash_lsh_dedup(doubled, "shingles", "doc_id", r=64, n_bands=16, threshold=0.9)
+    return kept.groupBy("source").agg(
+        F.sum((F.col("doc_id") >= 1_000_000).cast("long")).alias("injected_survivors")
+    )
+
+
+def q_b18_ivf_self_recovery(spark, sf_dir):
+    """IVF ANN (D10): a stored vector's own inverted list is by definition
+    its nearest centroid, so nprobe=1 always recovers it as top-1."""
+    from sketchlib.spark.ann import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, "embedding", "vec_id", n_lists=8)
+    assigned = assigned.cache()
+    probes = emb.orderBy("vec_id").limit(3).collect()
+    out = []
+    for r in probes:
+        top = ivf_topk(
+            assigned, centroids, "embedding", "vec_id", list(r["embedding"]), k=1, nprobe=1
+        ).collect()[0]
+        out.append((int(r["vec_id"]), bool(top["vec_id"] == r["vec_id"])))
+    assigned.unpersist()
+    return spark.createDataFrame(pd.DataFrame(out, columns=["query_id", "found_self"]))
+
+
+def q_b19_bloom_file_pruning(spark, sf_dir):
+    """Bloom file pruning (D9/B8): split documents into 8 files, index each
+    with a per-file Bloom, then verify ZERO false negatives — every file
+    truly containing each probe token survives pruning."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.prune import FilePruner, build_file_blooms
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    d = tempfile.mkdtemp(prefix="bloomfiles_")
+    try:
+        docs.repartition(8).write.mode("overwrite").parquet(d)
+        multi = spark.read.parquet(d)
+        pruner = FilePruner(build_file_blooms(multi, "tokens"))
+        # probe: the 5 rarest tokens (hardest case — fewest true files)
+        rare = [
+            r["t"]
+            for r in multi.select(F.explode("tokens").alias("t"))
+            .groupBy("t").count().orderBy("count", "t").limit(5).collect()
+        ]
+        ok = True
+        for t in rare:
+            true_files = {
+                r["_f"]
+                for r in multi.withColumn("_f", F.input_file_name())
+                .filter(F.array_contains("tokens", t)).select("_f").distinct().collect()
+            }
+            ok = ok and true_files <= set(pruner.files_maybe_containing([t]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame({"no_false_negatives": [bool(ok)]}))
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -753,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_approx_join": _dist_wrapped(q_b15_approx_join),
         "b16_catalog_sql": _dist_wrapped(q_b16_catalog_sql),
         "b17_intersection_estimate": _dist_wrapped(q_b17_intersection_estimate),
+        "b18_ivf_self_recovery": _dist_wrapped(q_b18_ivf_self_recovery),
+        "b19_bloom_file_pruning": _dist_wrapped(q_b19_bloom_file_pruning),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -764,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c07_srp_batch_self_recovery": _dist_wrapped(q_c07_srp_batch_self_recovery),
         "c08_asof_join": _dist_wrapped(q_c08_asof_join),
         "c09_winnow_containment": _dist_wrapped(q_c09_winnow_containment),
+        "c10_ngram_minhash_dedup": _dist_wrapped(q_c10_ngram_minhash_dedup),
     }
 
 
@@ -870,6 +940,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 6) b
               ON a.source < b.source
         """,
+        "b18_ivf_self_recovery": """
+            SELECT vec_id AS query_id, TRUE AS found_self
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+        """,
+        "b19_bloom_file_pruning": "SELECT TRUE AS no_false_negatives",
         "b10_partition_invariance": "SELECT source, TRUE AS states_identical FROM documents GROUP BY source",
         "b11_hybrid_topk": "SELECT source, TRUE AS hybrid_matches_exact FROM documents GROUP BY source",
         "b06_bloom_membership": """
@@ -927,4 +1002,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_detected FROM documents
             WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 5
         """,
+        "c10_ngram_minhash_dedup": "SELECT source, CAST(0 AS BIGINT) AS injected_survivors FROM documents GROUP BY source",
     }

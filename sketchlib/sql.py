@@ -209,18 +209,19 @@ def approx_sql(
     if catalog is not None and catalog_key is not None:
         import json
 
-        if m.group("where"):
-            raise ValueError(
-                "catalog states/samples were built over the unfiltered table — "
-                "WHERE cannot be applied post-hoc; rebuild with the filter or "
-                "drop catalog_key to compute from the base table"
-            )
-
         # persisted SAMPLE tables serve the sampling aggregates (A5 for
-        # APPROX_COUNT/SUM/AVG and the universe COUNT DISTINCT path)
+        # APPROX_COUNT/SUM/AVG and the universe COUNT DISTINCT path).
+        # WHERE is legal here — exactly Verdict's behavior of applying the
+        # predicate to the scramble scan: filtering COMMUTES with row/domain
+        # sampling (each surviving row/key was still included independently
+        # with the registered probability), so the same 1/p scale-up is
+        # unbiased for the filtered population. Sketch STATES (below) are
+        # pre-reduced and cannot take post-hoc predicates.
         if catalog.sample_exists(catalog_key):
             meta = catalog.sample_meta(catalog_key)
             s = catalog.sample(catalog_key)
+            if m.group("where"):
+                s = s.filter(m.group("where"))
             if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
                 if meta["kind"] not in ("uniform", "stratified"):
                     raise ValueError(
@@ -269,6 +270,13 @@ def approx_sql(
                 return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 
+        if m.group("where"):
+            raise ValueError(
+                "sketch states were built over the unfiltered table — WHERE "
+                "cannot be applied post-hoc to pre-reduced states; use a "
+                "persisted SAMPLE (create_sample) for filterable approx scans, "
+                "rebuild states with the filter, or drop catalog_key"
+            )
         cat_df = catalog.list()
         reg = cat_df.where(cat_df["name"] == catalog_key).collect()
         if not reg:

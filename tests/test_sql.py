@@ -173,3 +173,39 @@ def test_multi_aggregate_statement_one_pass(spark, tables):
             "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_COUNT(0.5) FROM sequences GROUP BY source",
             tables, catalog=object(), catalog_key="x",
         )
+
+
+def test_where_applies_to_persisted_sample_scan(spark, tmp_path, seq_tiny_dir):
+    """Verdict applies predicates to the scramble scan: filtering commutes
+    with Bernoulli sampling, so WHERE over a persisted sample keeps the same
+    1/p scale-up and stays unbiased for the filtered population — while
+    sketch STATES still reject WHERE."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    df = spark.read.parquet(seq_tiny_dir)
+    cat = SketchCatalog(spark, str(tmp_path / "cat_w"))
+    cat.create_sample("u", seq_tiny_dir, kind="uniform", ratio=0.5, seed=7)
+    cat.create("states", seq_tiny_dir, [SketchSpec("h", "hll", "doc_id", {"p": 12})],
+               group_by="source")
+
+    exact = {
+        r["source"]: r["n"]
+        for r in df.filter("n_tok > 500").groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT(0.0) FROM t WHERE n_tok > 500 GROUP BY source",
+        catalog=cat, catalog_key="u",
+    ).toPandas()
+    for _, r in out.iterrows():
+        assert abs(r["est_count"] - exact[r["source"]]) <= 3.3 * max(r["count_err"] / 1.96, 1) * 1.96
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unfiltered"):
+        approx_sql(
+            spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM t WHERE n_tok > 500 GROUP BY source",
+            catalog=cat, catalog_key="states",
+        )
