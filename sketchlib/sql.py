@@ -41,15 +41,48 @@ from sketchlib.planner import hll_params
 from sketchlib.spark.build import SketchSpec, build_sketches
 from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
 
+_ARGS = r"(?:[^()]|\([^()]*\))*"  # one nesting level: APPROX_SUM(round(x, 2), 0.1)
+
 _SKELETON = re.compile(
-    r"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\([^)]*\)(?:\s*,\s*APPROX_[A-Z_]+\s*\([^)]*\))*)\s*"
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s*,\s*APPROX_[A-Z_]+\s*\({_ARGS}\))*)\s*"
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
-_AGG = re.compile(r"(APPROX_[A-Z_]+)\s*\(([^)]*)\)", re.IGNORECASE)
+_AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split on TOP-LEVEL commas only (expression args contain commas)."""
+    out, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _materialize_expr(df: DataFrame, col: str, slot: str) -> tuple[DataFrame, str]:
+    """Sketch builds consume COLUMNS; an expression argument is projected to
+    a derived column first (Catalyst computes it inside the same scan)."""
+    if _IDENT.match(col):
+        return df, col
+    from pyspark.sql import functions as F
+
+    name = f"_expr_{slot}"
+    return df.withColumn(name, F.expr(col)), name
 
 
 def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataFrame:
@@ -92,7 +125,7 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     sample_slots: dict[tuple, list] = {}  # (ratio, value_col) -> [(fn, out_name)]
     for i, (fn, args) in enumerate(aggs):
         if fn == "APPROX_COUNT_DISTINCT":
-            col = args[0]
+            df, col = _materialize_expr(df, args[0], str(i))
             rse = float(args[1]) if len(args) > 1 else 0.01
             name = f"_q{i}"
             specs.append(SketchSpec(name, "hll", col, {"p": hll_params(rse)["p"]}))
@@ -102,7 +135,8 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
                 col, ratio = "_one", float(args[0])
                 out_name = "approx_count_star"
             else:
-                col, ratio = args[0], float(args[1])
+                df, col = _materialize_expr(df, args[0], str(i))
+                ratio = float(args[1])
                 out_name = f"{fn.lower()}_{col}"
             sample_slots.setdefault((ratio, col), []).append((fn, out_name))
 
@@ -187,10 +221,7 @@ def approx_sql(
             "'SELECT APPROX_*(...) FROM t [WHERE expr] [GROUP BY col]'; "
             "use the DataFrame API (sketchlib.spark) for anything richer"
         )
-    aggs = [
-        (f.upper(), [a.strip() for a in argstr.split(",") if a.strip()])
-        for f, argstr in _AGG.findall(m.group("select"))
-    ]
+    aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
     group = m.group("group")
 
     if len(aggs) > 1:
@@ -314,7 +345,7 @@ def approx_sql(
         df = df.filter(m.group("where"))
 
     if fn == "APPROX_COUNT_DISTINCT":
-        col = args[0]
+        df, col = _materialize_expr(df, args[0], "0")
         rse = float(args[1]) if len(args) > 1 else 0.01
         p = hll_params(rse)["p"]
         states = build_sketches(df, [SketchSpec("_q", "hll", col, {"p": p})], group_by=group)
@@ -322,7 +353,8 @@ def approx_sql(
         return out if group else out.drop("group")
 
     if fn == "APPROX_TOPK":
-        col, k = args[0], int(args[1])
+        df, col = _materialize_expr(df, args[0], "0")
+        k = int(args[1])
         eps = float(args[2]) if len(args) > 2 else 1e-4
         states = build_sketches(
             df, [SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01})], group_by=group
@@ -331,7 +363,7 @@ def approx_sql(
         return out if group else out.drop("group")
 
     if fn == "APPROX_PERCENTILE":
-        col = args[0]
+        df, col = _materialize_expr(df, args[0], "0")
         qs = [float(a) for a in args[1:]] or [0.5]
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
@@ -343,7 +375,8 @@ def approx_sql(
         if fn == "APPROX_COUNT":
             col, ratio = None, float(args[0])
         else:
-            col, ratio = args[0], float(args[1])
+            df, col = _materialize_expr(df, args[0], "0")
+            ratio = float(args[1])
         if not group:
             raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
         if col is None:  # pure COUNT: synthesize a numeric column for the shared kernel

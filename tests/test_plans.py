@@ -99,3 +99,16 @@ def test_batch_ann_is_single_pass(spark):
     plan = _plan(brute_force_topk_many(emb, "embedding", "vec_id", q, k=2))
     assert plan.count("MapInArrow") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must shuffle ONCE on the join key (union-tag + window),
+    never produce a range/cartesian join."""
+    from sketchlib.spark.timeseries import asof_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    r = e.selectExpr("user_id", "ts", "value AS price")
+    plan = _plan(asof_join(e.select("event_id", "user_id", "ts"), r, "user_id",
+                           value_cols=["price"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

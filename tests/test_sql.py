@@ -209,3 +209,25 @@ def test_where_applies_to_persisted_sample_scan(spark, tmp_path, seq_tiny_dir):
             spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM t WHERE n_tok > 500 GROUP BY source",
             catalog=cat, catalog_key="states",
         )
+
+
+def test_expression_arguments(spark, tables):
+    """Verdict accepted aggregate EXPRESSIONS, not just columns: expression
+    args are projected to a derived column inside the same scan."""
+    q = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(n_tok * 2, 0.5) FROM sequences GROUP BY source",
+        tables,
+    ).toPandas()
+    plain = approx_sql(
+        spark, "SELECT APPROX_PERCENTILE(n_tok, 0.5) FROM sequences GROUP BY source", tables
+    ).toPandas()
+    m = q.set_index("group")["value"] / plain.set_index("group")["value"]
+    assert ((m - 2).abs() < 0.05).all()  # doubling the column doubles the median
+
+    s = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(round(n_tok, 0), 0.5) FROM sequences GROUP BY source",
+        tables,
+    ).toPandas()
+    assert (s["est_sum"] > 0).all()  # nested parens parse; expression computes

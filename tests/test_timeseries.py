@@ -104,3 +104,30 @@ def test_asof_null_right_value_is_not_stitched(spark):
     # without tolerance, same row semantics
     got2 = _spark_result(spark, left, right)
     assert np.isnan(got2["price"][0]) and got2["_matched_ts"][0] == 199.0
+
+
+def test_asof_randomized_against_pandas(spark, rng):
+    """Randomized robustness: duplicate timestamps on both sides, sparse
+    keys, NULL right values — Spark result must match merge_asof rows."""
+    for trial in range(3):
+        n_l, n_r = 150, 60
+        left = pd.DataFrame({
+            "k": rng.integers(0, 5, n_l),
+            "ts": rng.integers(0, 50, n_l).astype("float64"),  # many ties
+            "lval": np.arange(n_l),
+        })
+        price = rng.uniform(0, 10, n_r).round(2)
+        price[rng.random(n_r) < 0.25] = np.nan  # NULL right values
+        right = pd.DataFrame({
+            "k": rng.integers(0, 5, n_r),
+            "ts": rng.integers(0, 50, n_r).astype("float64"),
+            "price": price,
+        })
+        # asof is ambiguous among equal (k, ts) right rows — keep one per (k, ts)
+        right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        got = _spark_result(spark, left, right)
+        want = pd.merge_asof(
+            left.sort_values(["ts", "lval"]), right.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).sort_values(["k", "ts", "lval"], ignore_index=True)
+        assert np.allclose(got["price"].to_numpy(), want["price"].to_numpy(), equal_nan=True), trial
