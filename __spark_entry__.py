@@ -716,6 +716,78 @@ def q_c09_winnow_containment(spark, sf_dir):
     return detected.agg(F.count("*").alias("n_detected"))
 
 
+def q_b20_multimodal_plumbing(spark, sf_dir):
+    """Multimodal path (D12) self-check: Arrow-batched decode→resize→feature
+    and evenly-spaced frame sampling over the deterministic synthetic media
+    table are (1) reproducible run-to-run and (2) bounded (min(k, n_frames)
+    frames per video, unique in-range indices)."""
+    from sketchlib.spark.multimodal import FakeCodec, decode_features, sample_frames, synth_media_df
+
+    media = spark.createDataFrame(
+        synth_media_df(spark, n_rows=48).toPandas()
+    )  # materialized once so both runs see identical rows
+    f1 = decode_features(media, codec=FakeCodec()).toPandas().sort_values("media_id", ignore_index=True)
+    f2 = decode_features(media, codec=FakeCodec()).toPandas().sort_values("media_id", ignore_index=True)
+    det_feat = bool((f1["mean_lum"] == f2["mean_lum"]).all() and len(f1) == 48)
+    s1 = sample_frames(media, codec=FakeCodec(), k=4).toPandas()
+    s2 = sample_frames(media, codec=FakeCodec(), k=4).toPandas()
+    key = lambda d: sorted(map(tuple, d[["media_id", "frame_idx"]].to_numpy()))  # noqa: E731
+    det_frames = bool(key(s1) == key(s2))
+    meta = {r["media_id"]: r["media"]["n_frames"] for r in media.collect()}
+    bounded = all(
+        len(sub) == min(4, meta[mid]) and sub["frame_idx"].is_unique
+        and (sub["frame_idx"] < meta[mid]).all()
+        for mid, sub in s1.groupby("media_id")
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"deterministic": [det_feat and det_frames], "bounded": [bool(bounded)]}
+        )
+    )
+
+
+def q_b21_checkpoint_resume(spark, sf_dir):
+    """B10 driver-checked: a checkpointed build equals the clean build
+    byte-for-byte, AND deleting one committed chunk state then re-invoking
+    (resume) reproduces the identical merged states — the crash-recovery
+    contract."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.checkpoint import build_with_checkpoint
+
+    src = f"{sf_dir}/documents.parquet"
+    baseline = {
+        r["group"]: bytes(r["state"])
+        for r in build_sketches(_t(spark, sf_dir, "documents"), _HLL_DOC, group_by="source").collect()
+    }
+    ck = tempfile.mkdtemp(prefix="ckpt_b21_")
+    try:
+        a = {
+            r["group"]: bytes(r["state"])
+            for r in build_with_checkpoint(
+                spark, src, _HLL_DOC, ck, group_by="source", target_bytes=1 << 16
+            ).collect()
+        }
+        victim = sorted(glob.glob(os.path.join(ck, "states", "*.parquet")))[0]
+        shutil.rmtree(victim) if os.path.isdir(victim) else os.remove(victim)
+        b = {
+            r["group"]: bytes(r["state"])
+            for r in build_with_checkpoint(
+                spark, src, _HLL_DOC, ck, group_by="source", target_bytes=1 << 16
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"clean_matches": [bool(a == baseline)], "resume_matches": [bool(b == a)]}
+        )
+    )
+
+
 def q_c10_ngram_minhash_dedup(spark, sf_dir):
     """Higher-order near-dup (D4+D2): token 3-gram shingles (JVM higher-order
     fns) feed the same MinHash-LSH path; every injected exact copy collides
@@ -822,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_intersection_estimate": _dist_wrapped(q_b17_intersection_estimate),
         "b18_ivf_self_recovery": _dist_wrapped(q_b18_ivf_self_recovery),
         "b19_bloom_file_pruning": _dist_wrapped(q_b19_bloom_file_pruning),
+        "b20_multimodal_plumbing": _dist_wrapped(q_b20_multimodal_plumbing),
+        "b21_checkpoint_resume": _dist_wrapped(q_b21_checkpoint_resume),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -945,6 +1019,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
         """,
         "b19_bloom_file_pruning": "SELECT TRUE AS no_false_negatives",
+        "b20_multimodal_plumbing": "SELECT TRUE AS deterministic, TRUE AS bounded",
+        "b21_checkpoint_resume": "SELECT TRUE AS clean_matches, TRUE AS resume_matches",
         "b10_partition_invariance": "SELECT source, TRUE AS states_identical FROM documents GROUP BY source",
         "b11_hybrid_topk": "SELECT source, TRUE AS hybrid_matches_exact FROM documents GROUP BY source",
         "b06_bloom_membership": """
