@@ -855,6 +855,77 @@ def q_b19_bloom_file_pruning(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame({"no_false_negatives": [bool(ok)]}))
 
 
+def q_b22_streamed_states_match_batch(spark, sf_dir):
+    """A18/D14: sketch states maintained incrementally over micro-batches
+    (foreachBatch merge) are byte-identical to one batch build — merge
+    associativity across arbitrary batch boundaries, driver-checked."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.streaming import stream_build
+
+    docs = _t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="b22_src_")
+    state_dir = tempfile.mkdtemp(prefix="b22_states_")
+    ckpt = tempfile.mkdtemp(prefix="b22_ckpt_")
+    try:
+        docs.repartition(6).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 2).parquet(src)
+        )
+        query, sink = stream_build(stream, _HLL_DOC, state_dir, group_by="source", checkpoint_dir=ckpt)
+        query.awaitTermination(180)
+        streamed = {
+            r["group"]: bytes(r["state"]) for r in sink.states(spark).collect()
+        }
+        batch = {
+            r["group"]: bytes(r["state"])
+            for r in build_sketches(spark.read.parquet(src), _HLL_DOC, group_by="source").collect()
+        }
+    finally:
+        for d in (src, state_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame({"states_match_batch": [bool(streamed == batch)]})
+    )
+
+
+def q_c11_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator vs a TRUE SQL oracle: gap
+    sessionization of events per user through applyInPandasWithState; the
+    emitted CLOSED sessions (every session but each user's open tail) must
+    match DuckDB's lag/cumsum sessionization exactly."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.streaming import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="c11_src_")
+    ckpt = tempfile.mkdtemp(prefix="c11_ckpt_")
+    closed: list = []
+    try:
+        e.select("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        out = sessionize(stream, key="user_id", ts_col="ts", gap_seconds=7200)
+        q = (
+            out.writeStream.foreachBatch(lambda bdf, bid: closed.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        for d in (src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    n_sessions = len(closed)
+    total_events = int(sum(r["n_events"] for r in closed))
+    return spark.createDataFrame(
+        pd.DataFrame({"n_sessions": [n_sessions], "total_events": [total_events]})
+    )
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -896,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_bloom_file_pruning": _dist_wrapped(q_b19_bloom_file_pruning),
         "b20_multimodal_plumbing": _dist_wrapped(q_b20_multimodal_plumbing),
         "b21_checkpoint_resume": _dist_wrapped(q_b21_checkpoint_resume),
+        "b22_streamed_states_match_batch": _dist_wrapped(q_b22_streamed_states_match_batch),
+        "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
         "c01_exact_dedup": _dist_wrapped(q_c01_exact_dedup),
@@ -1021,6 +1094,29 @@ def oracle_sql() -> dict[str, str]:
         "b19_bloom_file_pruning": "SELECT TRUE AS no_false_negatives",
         "b20_multimodal_plumbing": "SELECT TRUE AS deterministic, TRUE AS bounded",
         "b21_checkpoint_resume": "SELECT TRUE AS clean_matches, TRUE AS resume_matches",
+        "b22_streamed_states_match_batch": "SELECT TRUE AS states_match_batch",
+        "c11_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2),
+            closed AS (
+                SELECT * FROM g
+                WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS total_events
+            FROM closed
+        """,
         "b10_partition_invariance": "SELECT source, TRUE AS states_identical FROM documents GROUP BY source",
         "b11_hybrid_topk": "SELECT source, TRUE AS hybrid_matches_exact FROM documents GROUP BY source",
         "b06_bloom_membership": """
