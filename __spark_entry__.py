@@ -723,9 +723,9 @@ def q_b20_multimodal_plumbing(spark, sf_dir):
     frames per video, unique in-range indices)."""
     from sketchlib.spark.multimodal import FakeCodec, decode_features, sample_frames, synth_media_df
 
-    media = spark.createDataFrame(
-        synth_media_df(spark, n_rows=48).toPandas()
-    )  # materialized once so both runs see identical rows
+    # the generator is deterministic (seeded splitmix64), so both runs see
+    # identical rows without any materialization round-trip
+    media = synth_media_df(spark, n_rows=48).cache()
     f1 = decode_features(media, codec=FakeCodec()).toPandas().sort_values("media_id", ignore_index=True)
     f2 = decode_features(media, codec=FakeCodec()).toPandas().sort_values("media_id", ignore_index=True)
     det_feat = bool((f1["mean_lum"] == f2["mean_lum"]).all() and len(f1) == 48)
@@ -734,7 +734,9 @@ def q_b20_multimodal_plumbing(spark, sf_dir):
     key = lambda d: sorted(map(tuple, d[["media_id", "frame_idx"]].to_numpy()))  # noqa: E731
     det_frames = bool(key(s1) == key(s2))
     meta = {r["media_id"]: r["media"]["n_frames"] for r in media.collect()}
-    bounded = all(
+    # coverage first: a regression that DROPS whole videos must fail here
+    # (groupby only iterates groups that exist)
+    bounded = set(s1["media_id"]) == set(meta) and all(
         len(sub) == min(4, meta[mid]) and sub["frame_idx"].is_unique
         and (sub["frame_idx"] < meta[mid]).all()
         for mid, sub in s1.groupby("media_id")
@@ -874,7 +876,9 @@ def q_b22_streamed_states_match_batch(spark, sf_dir):
             spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 2).parquet(src)
         )
         query, sink = stream_build(stream, _HLL_DOC, state_dir, group_by="source", checkpoint_dir=ckpt)
-        query.awaitTermination(180)
+        if not query.awaitTermination(180):
+            query.stop()  # never rmtree under a live stream / read partial state
+            raise TimeoutError("b22 stream did not drain within 180s")
         streamed = {
             r["group"]: bytes(r["state"]) for r in sink.states(spark).collect()
         }
@@ -915,7 +919,9 @@ def q_c11_sessionize(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()  # never rmtree under a live stream
+            raise TimeoutError("c11 stream did not drain within 180s")
     finally:
         for d in (src, ckpt):
             shutil.rmtree(d, ignore_errors=True)

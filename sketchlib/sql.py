@@ -10,10 +10,10 @@ dialect: only the STATEMENT SKELETON is parsed here —
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
 statement — every sketch aggregate becomes one SketchSpec and they all
 build in a SINGLE scan; TOPK/PERCENTILE (multi-row shapes) go alone.
-
-— while the WHERE expression is handed verbatim to Catalyst
-(``DataFrame.filter`` accepts any Spark SQL expression), so predicates are
-full Spark SQL, not a subset. Supported aggregates:
+Aggregate arguments may be expressions (one paren nesting level); the WHERE
+expression is handed verbatim to Catalyst (``DataFrame.filter`` accepts any
+Spark SQL expression), so predicates are full Spark SQL, not a subset.
+Supported aggregates:
 
     APPROX_COUNT_DISTINCT(col [, rse=0.01])      → HLL        (Q1/Q2)
     APPROX_TOPK(col, k [, eps=1e-4])             → Count-Min  (Q3)
@@ -64,7 +64,9 @@ def _split_args(argstr: str) -> list[str]:
         elif ch == ")":
             depth -= 1
         if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
+            piece = "".join(cur).strip()
+            if piece:
+                out.append(piece)
             cur = []
         else:
             cur.append(ch)
@@ -74,15 +76,24 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
-def _materialize_expr(df: DataFrame, col: str, slot: str) -> tuple[DataFrame, str]:
+def _expr_slug(expr: str) -> str:
+    """Deterministic, human-readable column slug for an expression argument —
+    derived from the TEXT, so identical expressions map to identical columns
+    (they share one derived column and one sampling slot in _multi_agg)."""
+    return re.sub(r"\W+", "_", expr.strip()).strip("_").lower()[:48] or "expr"
+
+
+def _materialize_expr(df: DataFrame, col: str, slot: str = "") -> tuple[DataFrame, str]:
     """Sketch builds consume COLUMNS; an expression argument is projected to
     a derived column first (Catalyst computes it inside the same scan)."""
     if _IDENT.match(col):
         return df, col
     from pyspark.sql import functions as F
 
-    name = f"_expr_{slot}"
-    return df.withColumn(name, F.expr(col)), name
+    name = f"_expr_{_expr_slug(col)}"
+    if name not in df.columns:
+        df = df.withColumn(name, F.expr(col))
+    return df, name
 
 
 def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataFrame:
@@ -125,19 +136,21 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     sample_slots: dict[tuple, list] = {}  # (ratio, value_col) -> [(fn, out_name)]
     for i, (fn, args) in enumerate(aggs):
         if fn == "APPROX_COUNT_DISTINCT":
-            df, col = _materialize_expr(df, args[0], str(i))
+            df, col = _materialize_expr(df, args[0])
+            disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
             rse = float(args[1]) if len(args) > 1 else 0.01
             name = f"_q{i}"
             specs.append(SketchSpec(name, "hll", col, {"p": hll_params(rse)["p"]}))
-            spec_slots.append((f"approx_count_distinct_{col}", name))
+            spec_slots.append((f"approx_count_distinct_{disp}", name))
         else:
             if fn == "APPROX_COUNT":
                 col, ratio = "_one", float(args[0])
                 out_name = "approx_count_star"
             else:
-                df, col = _materialize_expr(df, args[0], str(i))
+                df, col = _materialize_expr(df, args[0])
+                disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
                 ratio = float(args[1])
-                out_name = f"{fn.lower()}_{col}"
+                out_name = f"{fn.lower()}_{disp}"
             sample_slots.setdefault((ratio, col), []).append((fn, out_name))
 
     outs = []
@@ -270,7 +283,7 @@ def approx_sql(
                 if fn == "APPROX_COUNT":
                     col, s = "_one", s.withColumn("_one", F.lit(1.0))
                 else:
-                    col = args[0]
+                    s, col = _materialize_expr(s, args[0])
                 if meta["kind"] == "stratified":
                     if group != meta["on_col"]:
                         raise ValueError(
@@ -345,7 +358,7 @@ def approx_sql(
         df = df.filter(m.group("where"))
 
     if fn == "APPROX_COUNT_DISTINCT":
-        df, col = _materialize_expr(df, args[0], "0")
+        df, col = _materialize_expr(df, args[0])
         rse = float(args[1]) if len(args) > 1 else 0.01
         p = hll_params(rse)["p"]
         states = build_sketches(df, [SketchSpec("_q", "hll", col, {"p": p})], group_by=group)
@@ -353,7 +366,7 @@ def approx_sql(
         return out if group else out.drop("group")
 
     if fn == "APPROX_TOPK":
-        df, col = _materialize_expr(df, args[0], "0")
+        df, col = _materialize_expr(df, args[0])
         k = int(args[1])
         eps = float(args[2]) if len(args) > 2 else 1e-4
         states = build_sketches(
@@ -363,7 +376,7 @@ def approx_sql(
         return out if group else out.drop("group")
 
     if fn == "APPROX_PERCENTILE":
-        df, col = _materialize_expr(df, args[0], "0")
+        df, col = _materialize_expr(df, args[0])
         qs = [float(a) for a in args[1:]] or [0.5]
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
@@ -375,7 +388,7 @@ def approx_sql(
         if fn == "APPROX_COUNT":
             col, ratio = None, float(args[0])
         else:
-            df, col = _materialize_expr(df, args[0], "0")
+            df, col = _materialize_expr(df, args[0])
             ratio = float(args[1])
         if not group:
             raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")

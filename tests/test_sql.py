@@ -231,3 +231,22 @@ def test_expression_arguments(spark, tables):
         tables,
     ).toPandas()
     assert (s["est_sum"] > 0).all()  # nested parens parse; expression computes
+
+
+def test_expression_args_over_persisted_sample(spark, tmp_path, seq_tiny_dir):
+    """Review regression: expression arguments must materialize on the
+    persisted-sample catalog path too (not just the base-table path)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat_expr"))
+    cat.create_sample("u", seq_tiny_dir, kind="uniform", ratio=0.5, seed=7)
+    out = approx_sql(
+        spark, "SELECT APPROX_SUM(n_tok * 2, 0.5) FROM t GROUP BY source",
+        catalog=cat, catalog_key="u",
+    ).toPandas()
+    plain = approx_sql(
+        spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM t GROUP BY source",
+        catalog=cat, catalog_key="u",
+    ).toPandas()
+    m = out.set_index("source")["est_sum"] / plain.set_index("source")["est_sum"]
+    assert np.allclose(m.to_numpy(), 2.0)  # same persisted rows → exact factor 2
