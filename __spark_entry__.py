@@ -1,14 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Query naming maps to SURVEY.md §2:
-  a* — Verdict's exact/relational query surface (A4–A17), DataFrame-native,
-       each with an ANSI-SQL DuckDB oracle (value-hash checked).
-  b* — sketch queries (B1–B10 / §2C Q1–Q5). Accuracy claims are themselves
-       driver-checked: each returns ``within_bound`` booleans computed
-       against EXACT answers (calculated in Spark), and the oracle asserts
-       they are all TRUE. Estimate-value variants (``*_estimates``) have no
-       SQL equivalent and get rows-only checks.
-  c* — training-data pipeline ops (dedup, token stats) with exact oracles.
+43 queries; naming maps to SURVEY.md §2:
+  a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
+       DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
+       checked).
+  b* (21) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8).
+       Accuracy claims are driver-checked: each returns ``within_bound``-
+       style booleans computed against EXACT answers (calculated in Spark),
+       and the oracle asserts they are all TRUE; property queries (b10
+       partition invariance, b20 multimodal, b21 checkpoint resume, b22
+       streamed-vs-batch byte match) are the same shape.
+  c* (11) — training-data pipeline ops: exact dedup, token stats,
+       MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
+       brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
+       containment, gap sessionization (DuckDB lag/cumsum oracle).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
