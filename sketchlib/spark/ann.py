@@ -115,10 +115,24 @@ def brute_force_topk_many(
             norms[norms == 0] = 1.0
             cos = (mat / norms[:, None]) @ Qm.T  # (m, q)
             kk = min(k, m)
-            part = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, q)
-            rows = part.T.ravel()  # query-major
-            cols = np.repeat(np.arange(nq), kk)
             ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            # tie-safe partial top-k: argpartition alone keeps an ARBITRARY
+            # subset of rows tied at the kk-th score, so a lower-id tie could
+            # be dropped before the global window (layout-dependent results).
+            # Take everything >= the kk-th score, then truncate under the
+            # same total order the global window uses: (-cosine, id asc).
+            sel_rows, sel_cols = [], []
+            for j in range(nq):
+                cj = cos[:, j]
+                kth = -np.partition(-cj, kk - 1)[kk - 1]
+                tied = np.nonzero(cj >= kth)[0]
+                if len(tied) > kk:
+                    order = np.lexsort((ids_np[tied], -cj[tied]))
+                    tied = tied[order[:kk]]
+                sel_rows.append(tied)
+                sel_cols.append(np.full(len(tied), j))
+            rows = np.concatenate(sel_rows)
+            cols = np.concatenate(sel_cols)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(qv[cols]),

@@ -54,6 +54,12 @@ class StreamingSketchSink:
         return spark.read.schema(STATE_FIELDS).parquet(os.path.join(self.state_dir, f"v{v:010d}"))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.current_version() == batch_id:
+            # replay of an already-committed batch (crash landed between the
+            # pointer advance and the streaming checkpoint commit): merging
+            # again would read v{batch_id} and overwrite the same path, which
+            # Spark rejects — and would double-count. Idempotence = return.
+            return
         spark = batch_df.sparkSession
         new_partials = partial_states(batch_df, self.specs, self.group_by)
         prev = self.states(spark)
@@ -75,8 +81,11 @@ class WindowedStreamingSketchSink:
     manage theirs: it advances to ``max(event_time seen) − delay`` at each
     batch BOUNDARY, rows older than the current watermark are dropped (and
     counted in ``dropped_late``), and windows whose END is at or below the
-    watermark are FINAL — evicted from the updatable set, never touched
-    again. Late-but-within-delay rows still update their window (the whole
+    watermark are FINAL — compacted out of the live state table into an
+    append-only ``archive/`` the batch they finalize and never merged again
+    (per-batch merge cost stays O(live windows × groups) over the stream's
+    lifetime; ``states()`` unions live + archive).
+    Late-but-within-delay rows still update their window (the whole
     point of the delay). foreachBatch rather than applyInPandasWithState for
     the same reason as the unwindowed sink: total state is
     O(windows × groups × KB), a tiny merge job, not a keyed state store.
@@ -109,7 +118,7 @@ class WindowedStreamingSketchSink:
             with open(self._ptr_path()) as fh:
                 return json.load(fh)
         except FileNotFoundError:
-            return {"version": -1, "max_event_us": None, "dropped_late": 0}
+            return {"version": -1, "max_event_us": None, "dropped_late": 0, "archive_dirs": []}
 
     def watermark_us(self) -> int | None:
         """Current watermark (µs since epoch): max event time − delay."""
@@ -124,14 +133,32 @@ class WindowedStreamingSketchSink:
     def dropped_late(self) -> int:
         return self._meta().get("dropped_late", 0)
 
+    def live_state_count(self, spark: SparkSession) -> int:
+        """Rows in the LIVE (per-batch-merged) state table — the quantity
+        that must stay O(open windows × groups) over a long-running stream."""
+        m = self._meta()
+        if m["version"] < 0:
+            return 0
+        path = os.path.join(self.state_dir, f"v{m['version']:010d}")
+        return spark.read.schema(STATE_FIELDS).parquet(path).count()
+
     def states(self, spark: SparkSession) -> DataFrame | None:
-        """(window_start timestamp, group, sketch, state, …, is_final)."""
-        v = self._meta()["version"]
-        if v < 0:
+        """(window_start timestamp, group, sketch, state, …, is_final).
+
+        Union of the LIVE state table (windows still inside the watermark)
+        and the append-only ARCHIVE of finalized windows. Only committed
+        archive dirs (listed in the pointer file) are read, so a crash
+        mid-archive-write can never surface a partial directory.
+        """
+        m = self._meta()
+        paths = [os.path.join(self.state_dir, "archive", d) for d in m.get("archive_dirs", [])]
+        if m["version"] >= 0:
+            paths.append(os.path.join(self.state_dir, f"v{m['version']:010d}"))
+        if not paths:
             return None
         from pyspark.sql import functions as F  # noqa: N812
 
-        df = spark.read.schema(STATE_FIELDS).parquet(os.path.join(self.state_dir, f"v{v:010d}"))
+        df = spark.read.schema(STATE_FIELDS).parquet(*paths)
         split = F.split(F.col("group"), "\\|", 2)
         wm = self.watermark_us()
         win_end_us = split.getItem(0).cast("long") + _interval_us(self.window)
@@ -146,6 +173,11 @@ class WindowedStreamingSketchSink:
 
         spark = batch_df.sparkSession
         meta = self._meta()
+        if meta["version"] == batch_id:
+            # already committed (crash between pointer advance and streaming
+            # checkpoint commit): re-merging would read v{batch_id} while
+            # overwriting it and double-accumulate dropped_late. Replay = noop.
+            return
         wm_us = None if meta["max_event_us"] is None else meta["max_event_us"] - self._delay_us()
 
         ts_us = F.unix_micros(F.col(self.ts_col))
@@ -182,9 +214,34 @@ class WindowedStreamingSketchSink:
                 os.path.join(self.state_dir, f"v{meta['version']:010d}")
             )
         combined = new_partials if prev is None else new_partials.unionByName(prev)
-        merged = merge_states(combined)
+        merged = merge_states(combined).persist()
+
+        # COMPACTION/EVICTION: windows whose end is at or below the NEW
+        # watermark are final — they can never receive another row (any such
+        # row would be dropped as late above), so move them to the append-only
+        # archive and keep only LIVE windows in the per-batch-merged table.
+        # Per-batch merge cost is therefore O(live windows × groups), constant
+        # over a long-running stream, instead of growing with stream age.
+        new_wm = None if new_max is None else int(new_max) - self._delay_us()
+        win_end_us = F.split(F.col("group"), "\\|", 2).getItem(0).cast("long") + F.lit(win_us)
+        if new_wm is not None:
+            final_rows = merged.filter(win_end_us <= F.lit(new_wm))
+            live = merged.filter(win_end_us > F.lit(new_wm))
+        else:
+            final_rows, live = None, merged
+        archive_dirs = list(meta.get("archive_dirs", []))
+        arch_name = f"b{batch_id:010d}"
+        if final_rows is not None and final_rows.count():
+            # overwrite keeps replay idempotent; the dir joins the committed
+            # list only via the pointer write below
+            final_rows.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "archive", arch_name)
+            )
+            if arch_name not in archive_dirs:
+                archive_dirs.append(arch_name)
         out = os.path.join(self.state_dir, f"v{batch_id:010d}")
-        merged.write.mode("overwrite").parquet(out)
+        live.write.mode("overwrite").parquet(out)
+        merged.unpersist()
         batch_df.unpersist()
         tmp = self._ptr_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -193,6 +250,7 @@ class WindowedStreamingSketchSink:
                     "version": int(batch_id),
                     "max_event_us": None if new_max is None else int(new_max),
                     "dropped_late": int(meta.get("dropped_late", 0) + dropped),
+                    "archive_dirs": archive_dirs,
                 },
                 fh,
             )

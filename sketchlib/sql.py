@@ -85,12 +85,21 @@ def _expr_slug(expr: str) -> str:
 
 def _materialize_expr(df: DataFrame, col: str, slot: str = "") -> tuple[DataFrame, str]:
     """Sketch builds consume COLUMNS; an expression argument is projected to
-    a derived column first (Catalyst computes it inside the same scan)."""
+    a derived column first (Catalyst computes it inside the same scan).
+
+    The derived column is keyed on the EXACT expression text (slug for
+    readability + text hash for uniqueness): slugging alone strips operators,
+    so distinct expressions like ``a+b`` and ``a-b`` would collide on one
+    column and the second aggregate would silently reuse the first's values.
+    """
     if _IDENT.match(col):
         return df, col
+    import hashlib
+
     from pyspark.sql import functions as F
 
-    name = f"_expr_{_expr_slug(col)}"
+    digest = hashlib.sha1(col.strip().encode()).hexdigest()[:8]
+    name = f"_expr_{_expr_slug(col)}_{digest}"
     if name not in df.columns:
         df = df.withColumn(name, F.expr(col))
     return df, name
@@ -171,7 +180,10 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
 
         base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
         est = approx_agg_uniform(base, group, value_col, ratio)
-        cols = [F.col(group).alias("group")]
+        # sketch states carry group as STRING (STATE_FIELDS); cast the
+        # sampling side to match so the join below never relies on implicit
+        # cross-type coercion (dates/timestamps can mis-join or fail)
+        cols = [F.col(group).cast("string").alias("group")]
         for fn, out_name in slots:
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
@@ -205,7 +217,12 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     if not group:
         result = result.drop("group")
     else:
-        result = result.withColumnRenamed("group", group)
+        # every branch emitted group as string — restore the user's native
+        # GROUP BY type on the way out
+        native = dict(df.dtypes).get(group, "string")
+        result = result.withColumn("group", F.col("group").cast(native)).withColumnRenamed(
+            "group", group
+        )
     return result
 
 

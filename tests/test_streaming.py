@@ -112,6 +112,58 @@ def test_windowed_stream_watermark_semantics(spark, tmp_path):
     assert fin == {0, 1} and 3 in by_win
 
 
+def test_windowed_sink_compaction_bounds_live_state(spark, tmp_path):
+    """Finalized windows are EVICTED from the per-batch-merged live table
+    into the append-only archive: after streaming many windows the live
+    table holds only the open ones (per-batch merge cost O(live windows),
+    not O(stream age)), while states() still serves every window."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from sketchlib.sketches import deserialize
+    from sketchlib.spark.streaming import stream_build_windowed
+
+    specs = [SketchSpec("hll_u", "hll", "user_id", {"p": 12})]
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    H = 3_600_000_000  # 1h in µs
+
+    n_hours = 6
+    for h in range(n_hours):
+        pdf = pd.DataFrame(
+            [(h * 10 + 1, h * H, "a"), (h * 10 + 2, int((h + 0.4) * H), "a")],
+            columns=["user_id", "ts_us", "source"],
+        )
+        df = spark.createDataFrame(pdf)
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{h}")
+
+    schema = spark.read.parquet(f"{src}/b0").schema
+    state_dir = str(tmp_path / "cstates")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    q, sink = stream_build_windowed(
+        stream, specs, state_dir, group_by="source", ts_col="ts",
+        window="1 hour", delay="30 minutes", checkpoint_dir=str(tmp_path / "cckpt"),
+    )
+    q.awaitTermination(120)
+
+    # watermark = 5.4h − 0.5h = 4.9h → windows 0..3 final, 4 and 5 live
+    assert sink.live_state_count(spark) == 2
+    with open(os.path.join(state_dir, "_current.json")) as fh:
+        meta = json.load(fh)
+    assert len(meta["archive_dirs"]) >= 3  # finalized incrementally, not at once
+
+    st = sink.states(spark).toPandas()
+    wins = sorted(int(r["window_start"].timestamp() // 3600) for _, r in st.iterrows())
+    assert wins == list(range(n_hours))  # archive ∪ live covers every window
+    fin = {int(r["window_start"].timestamp() // 3600) for _, r in st[st["is_final"]].iterrows()}
+    assert fin == {0, 1, 2, 3}
+    for _, r in st.iterrows():  # every window's state intact: 2 distinct users
+        assert round(deserialize(bytes(r["state"])).estimate()[0]) == 2
+
+
 def test_sessionize_applyinpandaswithstate(spark, tmp_path):
     """Custom stateful operator: gap sessionization. Closed sessions are
     emitted as later events arrive; the open tail survives in the keyed

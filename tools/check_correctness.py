@@ -37,8 +37,12 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            if not np.array_equal(av.astype("float64"), bv.astype("float64")):
-                bad = np.nonzero(av.astype("float64") != bv.astype("float64"))[0][:3]
+            # equal_nan: a legitimately-NaN value (avg over an empty group)
+            # must compare equal when both sides agree it is NaN
+            af, bf = av.astype("float64"), bv.astype("float64")
+            if not np.array_equal(af, bf, equal_nan=True):
+                diff = (af != bf) & ~(np.isnan(af) & np.isnan(bf))
+                bad = np.nonzero(diff)[0][:3]
                 return False, f"col {c} float mismatch rows {bad.tolist()}: {av[bad]} vs {bv[bad]}"
         else:
             if not (av.astype(object) == bv.astype(object)).all():
