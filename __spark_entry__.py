@@ -273,6 +273,27 @@ def q_b01_hll_distinct_docs(spark, sf_dir):
     return spark.createDataFrame(m[["source", "within_bound"]])
 
 
+def q_b23_distributed_estimates_highcard(spark, sf_dir):
+    """High-cardinality GROUP BY (one group per order, ~15k at sf0.01 /
+    ~150k at sf0.1): estimates_df auto-routes to the DISTRIBUTED path —
+    estimation runs executor-side via mapInPandas over the merged state rows
+    (no added shuffle, plan-asserted in tests/test_query_distributed.py) and
+    the driver never materializes the state set. Each group's HLL estimate
+    must sit within 3·RSE + small-n slack of the exact distinct count."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("okey", F.col("l_orderkey").cast("string"))
+    states = build_sketches(
+        li, [SketchSpec("hll_part", "hll", "l_partkey", {"p": 12})], group_by="okey"
+    )
+    est = estimates_df(spark, states, "hll_part")  # auto → distributed (>1000 groups)
+    exact = li.groupBy("okey").agg(F.countDistinct("l_partkey").alias("exact"))
+    j = est.join(exact, est["group"] == exact["okey"])
+    tol = 3 * F.col("rse_bound") * F.col("exact") + F.lit(2.0)
+    return j.select(
+        F.col("okey").alias("grp"),
+        (F.abs(F.col("estimate") - F.col("exact")) <= tol).alias("within_bound"),
+    )
+
+
 def q_b02_hll_distinct_tokens(spark, sf_dir):
     """Q2: approx COUNT(DISTINCT token) GROUP BY source over tokenized text."""
     docs = with_tokens(_t(spark, sf_dir, "documents"))
@@ -979,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_multimodal_plumbing": _dist_wrapped(q_b20_multimodal_plumbing),
         "b21_checkpoint_resume": _dist_wrapped(q_b21_checkpoint_resume),
         "b22_streamed_states_match_batch": _dist_wrapped(q_b22_streamed_states_match_batch),
+        "b23_distributed_estimates_highcard": _dist_wrapped(q_b23_distributed_estimates_highcard),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1106,6 +1128,10 @@ def oracle_sql() -> dict[str, str]:
         "b20_multimodal_plumbing": "SELECT TRUE AS deterministic, TRUE AS bounded",
         "b21_checkpoint_resume": "SELECT TRUE AS clean_matches, TRUE AS resume_matches",
         "b22_streamed_states_match_batch": "SELECT TRUE AS states_match_batch",
+        "b23_distributed_estimates_highcard": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS grp, TRUE AS within_bound
+            FROM lineitem GROUP BY l_orderkey
+        """,
         "c11_sessionize": """
             WITH o AS (
                 SELECT user_id, ts,
