@@ -701,6 +701,41 @@ def q_c07_srp_batch_self_recovery(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q_c12_ann_from_persisted_index(spark, sf_dir):
+    """Persisted ANN index (SketchCatalog.create_ann_index): the base
+    embeddings are scanned ONCE at index build; the probe batch is answered
+    from the self-contained (id, bucket, vec) index with the bucket IN-filter
+    pushed to the parquet scan — proven by DELETING the base copy before
+    querying (the same moved-base trick as b16). Each probe's own stored
+    vector re-ranks to cosine-1.0 top-1."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    work = tempfile.mkdtemp(prefix="sketchlib_annq_")
+    try:
+        src = f"{sf_dir}/embeddings.parquet"
+        base_copy = os.path.join(work, "emb_base.parquet")
+        shutil.copytree(src, base_copy) if os.path.isdir(src) else shutil.copyfile(src, base_copy)
+        probes = spark.read.parquet(base_copy).orderBy("vec_id").limit(5).collect()
+        Q = [list(r["embedding"]) for r in probes]
+        qids = [int(r["vec_id"]) for r in probes]
+
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        cat.create_ann_index("emb_srp", base_copy, kind="srp", n_bits=12)
+        # queries must never resolve the base table
+        shutil.rmtree(base_copy) if os.path.isdir(base_copy) else os.remove(base_copy)
+
+        top = cat.ann_topk("emb_srp", Q, k=1, query_ids=qids)
+        out = top.select(
+            "query_id", (F.col("vec_id") == F.col("query_id")).alias("found_self")
+        ).toPandas()
+        return spark.createDataFrame(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_c08_asof_join(spark, sf_dir):
     """As-of join (no native Spark equivalent; union + last-non-null window,
     one shuffle): each event matched to its user's most recent signup at or
@@ -1014,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c08_asof_join": _dist_wrapped(q_c08_asof_join),
         "c09_winnow_containment": _dist_wrapped(q_c09_winnow_containment),
         "c10_ngram_minhash_dedup": _dist_wrapped(q_c10_ngram_minhash_dedup),
+        "c12_ann_from_persisted_index": _dist_wrapped(q_c12_ann_from_persisted_index),
     }
 
 
@@ -1192,6 +1228,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_recovered, CAST(0 AS BIGINT) AS n_other FROM embeddings
         """,
         "c07_srp_batch_self_recovery": """
+            SELECT vec_id AS query_id, TRUE AS found_self
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+            ORDER BY query_id
+        """,
+        "c12_ann_from_persisted_index": """
             SELECT vec_id AS query_id, TRUE AS found_self
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
             ORDER BY query_id

@@ -160,14 +160,27 @@ def _srp_planes(n_bits: int, dim: int, seed: int) -> np.ndarray:
     return z.reshape(n_bits, dim)
 
 
-def srp_signatures(df: DataFrame, vec_col: str, id_col: str, n_bits: int = 16, seed: int = 31) -> DataFrame:
-    """(id, bucket long): sign pattern of n_bits random projections.
+def srp_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_bits: int = 16,
+    seed: int = 31,
+    with_vec: bool = False,
+) -> DataFrame:
+    """(id, bucket long[, vec]): sign pattern of n_bits random projections.
 
     Vectorized: each Arrow batch becomes one (n_rows, dim) matrix; signatures
     are a single matmul + sign + bit-pack. No per-row Python.
+
+    ``with_vec=True`` passes the vector column through — used by the catalog
+    to build a SELF-CONTAINED persisted index (id, bucket, vec) in the same
+    single pass, with no join back to the base table.
     """
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, bucket long"
+    if with_vec:
+        schema += f", {vec_col} {dict(df.dtypes)[vec_col]}"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
@@ -186,9 +199,95 @@ def srp_signatures(df: DataFrame, vec_col: str, id_col: str, n_bits: int = 16, s
             bucket = np.zeros(len(mat), dtype=np.int64)
             for j in range(n_bits):  # tiny loop over bits
                 bucket |= bits[:, j].astype(np.int64) << j
-            yield pa.RecordBatch.from_arrays([ids, pa.array(bucket)], names=[id_col, "bucket"])
+            arrays = [ids, pa.array(bucket)] + ([col] if with_vec else [])
+            names = [id_col, "bucket"] + ([vec_col] if with_vec else [])
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.select(id_col, vec_col).mapInArrow(fn, schema)
+
+
+def srp_probe_rows(queries, query_ids, n_bits: int, seed: int, multiprobe: bool) -> list[tuple]:
+    """(query_id, bucket) probe rows for a query batch: each query's own
+    bucket plus (optionally) every 1-bit-flip neighbor."""
+    Q = np.asarray(queries, dtype=np.float64)
+    planes = _srp_planes(n_bits, Q.shape[1], seed)
+    bits = (Q @ planes.T) > 0  # (q, n_bits)
+    rows = []
+    for qi, brow in zip(query_ids, bits):
+        base = int(sum(1 << j for j in range(n_bits) if brow[j]))
+        rows.append((qi, base))
+        if multiprobe:
+            rows += [(qi, base ^ (1 << j)) for j in range(n_bits)]
+    return rows
+
+
+def topk_from_bucketed_index(
+    index: DataFrame,
+    bucket_col: str,
+    probe_rows: list[tuple],
+    queries,
+    query_ids,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k over a SELF-CONTAINED bucketed index
+    (id, bucket, vec) — the base table is never touched.
+
+    The union of probe buckets becomes a driver-side IN filter, which
+    Catalyst pushes to the parquet scan (row-group pruning on the
+    bucket-sorted index / partition pruning on a partitionBy index); the
+    (query_id, bucket) map and the query vectors ride along as broadcast
+    tables, so nothing but the pruned candidate rows ever moves.
+    """
+    from pyspark.sql import Window
+
+    Q = np.asarray(queries, dtype=np.float64)
+    qid_type = "string" if isinstance(query_ids[0], str) else "long"
+    spark = index.sparkSession
+    probes_df = spark.createDataFrame(probe_rows, f"query_id {qid_type}, {bucket_col} long")
+    qvec_df = spark.createDataFrame(
+        [(qi, [float(x) for x in row]) for qi, row in zip(query_ids, Q)],
+        f"query_id {qid_type}, _q array<double>",
+    )
+    all_buckets = sorted({b for _, b in probe_rows})
+    cand = (
+        index.filter(F.col(bucket_col).isin(all_buckets))  # pushed to the scan
+        .join(F.broadcast(probes_df.withColumn(bucket_col, F.col(bucket_col).cast(
+            dict(index.dtypes)[bucket_col]))), bucket_col)
+        .join(F.broadcast(qvec_df), "query_id")
+        .dropDuplicates(["query_id", id_col])
+        # float32 squares in _norm_expr would lose 1e-8 of precision vs the
+        # float→double-promoted dot product; compute everything in double
+        .withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_q"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm_expr(vec_col) * _norm_expr("_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
+def ivf_probe_rows(centroids: np.ndarray, queries, query_ids, nprobe: int) -> list[tuple]:
+    """(query_id, list) probe rows: the nprobe nearest coarse centroids of
+    each (normalized) query."""
+    Q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    rows = []
+    for qi, q in zip(query_ids, Qn):
+        d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        rows += [(qi, int(li)) for li in np.argsort(d2)[:nprobe]]
+    return rows
 
 
 def srp_topk(
@@ -228,6 +327,7 @@ def srp_topk_many(
     seed: int = 31,
     multiprobe: bool = True,
     query_ids=None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k for MANY queries — ONE signature pass.
 
@@ -237,6 +337,11 @@ def srp_topk_many(
     a second broadcast table, and the exact cosine re-rank is JVM-side
     zip_with/aggregate + a per-query window. Shuffle volume:
     O(candidates) ids, never vectors-per-band.
+
+    ``signatures``: a precomputed (id, bucket) DataFrame — e.g. the
+    persisted table from ``SketchCatalog.create_ann_index`` — built with the
+    SAME (n_bits, seed); when given, the signature pass is skipped entirely,
+    so repeated query batches never rescan the corpus for signatures.
     """
     from pyspark.sql import Window
 
@@ -247,23 +352,20 @@ def srp_topk_many(
         query_ids = list(range(len(Q)))
     qid_is_str = isinstance(query_ids[0], str)
     qid_type = "string" if qid_is_str else "long"
-    planes = _srp_planes(n_bits, Q.shape[1], seed)
-    bits = (Q @ planes.T) > 0  # (q, n_bits)
     spark = df.sparkSession
 
-    probe_rows = []
-    for qi, brow in zip(query_ids, bits):
-        base = int(sum(1 << j for j in range(n_bits) if brow[j]))
-        probe_rows.append((qi, base))
-        if multiprobe:
-            probe_rows += [(qi, base ^ (1 << j)) for j in range(n_bits)]
+    probe_rows = srp_probe_rows(Q, query_ids, n_bits, seed, multiprobe)
     probes_df = spark.createDataFrame(probe_rows, f"query_id {qid_type}, bucket long")
     qvec_df = spark.createDataFrame(
         [(qi, [float(x) for x in row]) for qi, row in zip(query_ids, Q)],
         f"query_id {qid_type}, _q array<double>",
     )
 
-    sigs = srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed)
+    sigs = (
+        signatures
+        if signatures is not None
+        else srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed)
+    )
     cand = (
         sigs.join(F.broadcast(probes_df), "bucket")
         .select("query_id", id_col)

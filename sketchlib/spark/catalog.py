@@ -35,6 +35,11 @@ _SAMPLE_SCHEMA = (
     "seed long, rows_sampled long, built_unix double, fractions_json string"
 )
 
+_ANN_SCHEMA = (
+    "name string, input_dir string, kind string, vec_col string, id_col string, "
+    "n_bits int, seed long, n_lists int, centroids_json string, rows long, built_unix double"
+)
+
 
 class SketchCatalog:
     def __init__(self, spark: SparkSession, root: str):
@@ -44,6 +49,8 @@ class SketchCatalog:
         os.makedirs(os.path.join(root, "states"), exist_ok=True)
         os.makedirs(os.path.join(root, "_sample_catalog"), exist_ok=True)
         os.makedirs(os.path.join(root, "samples"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_ann_catalog"), exist_ok=True)
+        os.makedirs(os.path.join(root, "ann"), exist_ok=True)
 
     # --- A2: CREATE SAMPLE analog -----------------------------------------
     def create(
@@ -215,3 +222,142 @@ class SketchCatalog:
         sdir = os.path.join(self.root, "samples", name)
         if os.path.isdir(sdir):
             shutil.rmtree(sdir)
+
+    # --- persisted ANN indexes (VERDICT r2 #3) -------------------------------
+    # The base embeddings are scanned exactly ONCE, at index build; every
+    # later probe batch is answered from the SELF-CONTAINED index table
+    # (id, bucket, vec) with a driver-side bucket IN-filter pushed to the
+    # parquet scan. SRP indexes are bucket-sorted within files (row-group
+    # pruning, zero build shuffle); IVF indexes are partitionBy(_list)
+    # (partition pruning) with the coarse centroids in the registration row.
+
+    def create_ann_index(
+        self,
+        name: str,
+        input_dir: str,
+        kind: str = "srp",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_bits: int = 16,
+        seed: int = 31,
+        n_lists: int = 16,
+        sample_frac: float | None = None,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Build, persist, and register an ANN index; returns the index table."""
+        import json as _json
+
+        from sketchlib.spark.ann import ivf_index, srp_signatures
+
+        if kind not in ("srp", "ivf"):
+            raise ValueError(f"unknown ANN index kind {kind!r} (srp|ivf)")
+        if self.ann_exists(name):
+            if not overwrite:
+                raise ValueError(f"ANN index {name!r} already exists (use overwrite=True)")
+            self.drop_ann_index(name)
+        df = self.spark.read.parquet(input_dir)
+        adir = os.path.join(self.root, "ann", name)
+        centroids_json = ""
+        if kind == "srp":
+            # one mapInArrow pass emits (id, bucket, vec) — no join back to
+            # the base; bucket-sort within files for row-group pruning
+            idx = srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed, with_vec=True)
+            idx.sortWithinPartitions("bucket").write.mode("overwrite").parquet(adir)
+        else:
+            import numpy as np
+
+            assigned, centroids = ivf_index(
+                df, vec_col, id_col, n_lists=n_lists, seed=seed, sample_frac=sample_frac
+            )
+            assigned.select(id_col, vec_col, "_list").write.mode("overwrite").partitionBy(
+                "_list"
+            ).parquet(adir)
+            centroids_json = _json.dumps(np.asarray(centroids).tolist())
+        persisted = self.spark.read.parquet(adir)
+        row = [
+            (
+                name, input_dir, kind, vec_col, id_col, int(n_bits), int(seed),
+                int(n_lists), centroids_json, persisted.count(), time.time(),
+            )
+        ]
+        self.spark.createDataFrame(row, _ANN_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_ann_catalog")
+        )
+        return persisted
+
+    def ann_exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, "ann", name))
+
+    def ann_index(self, name: str) -> DataFrame:
+        if not self.ann_exists(name):
+            raise ValueError(f"unknown ANN index {name!r}")
+        return self.spark.read.parquet(os.path.join(self.root, "ann", name))
+
+    def ann_meta(self, name: str):
+        from pyspark.sql import Window, functions as F
+
+        cat = os.path.join(self.root, "_ann_catalog")
+        df = self.spark.read.schema(_ANN_SCHEMA).parquet(cat)
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        rows = (
+            df.filter(df.name == name)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown ANN index {name!r}")
+        return rows[0]
+
+    def list_ann_indexes(self) -> DataFrame:
+        from pyspark.sql import Window, functions as F
+
+        cat = os.path.join(self.root, "_ann_catalog")
+        df = self.spark.read.schema(_ANN_SCHEMA).parquet(cat)
+        live = sorted(os.listdir(os.path.join(self.root, "ann")))
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        return (
+            df.filter(df.name.isin(live))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def drop_ann_index(self, name: str) -> None:
+        adir = os.path.join(self.root, "ann", name)
+        if os.path.isdir(adir):
+            shutil.rmtree(adir)
+
+    def ann_topk(
+        self,
+        name: str,
+        queries,
+        k: int = 10,
+        query_ids=None,
+        multiprobe: bool = True,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Answer a probe batch from the persisted index ALONE (the base
+        table is never read — tested with it deleted). Output:
+        (query_id, <id_col>, cosine), top-k per query."""
+        import json as _json
+
+        import numpy as np
+
+        from sketchlib.spark.ann import ivf_probe_rows, srp_probe_rows, topk_from_bucketed_index
+
+        meta = self.ann_meta(name)
+        idx = self.ann_index(name)
+        Q = np.asarray(queries, dtype=np.float64)
+        if query_ids is None:
+            query_ids = list(range(len(Q)))
+        if meta["kind"] == "srp":
+            probe_rows = srp_probe_rows(Q, query_ids, meta["n_bits"], meta["seed"], multiprobe)
+            bucket_col = "bucket"
+        else:
+            centroids = np.asarray(_json.loads(meta["centroids_json"]))
+            probe_rows = ivf_probe_rows(centroids, Q, query_ids, nprobe)
+            bucket_col = "_list"
+        return topk_from_bucketed_index(
+            idx, bucket_col, probe_rows, Q, query_ids, meta["vec_col"], meta["id_col"], k=k
+        )

@@ -1,0 +1,101 @@
+"""Persisted ANN indexes (VERDICT r2 #3): the base embeddings are scanned
+once at index build; probe batches are answered from the self-contained
+index with the bucket filter pushed to the parquet scan — verified with the
+base table DELETED."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark.ann import srp_signatures, srp_topk_many
+from sketchlib.spark.catalog import SketchCatalog
+
+
+@pytest.fixture(scope="module")
+def emb_base(spark, tmp_path_factory):
+    """200 deterministic 16-d vectors persisted as a parquet 'base table'."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(map(list, vecs))})
+    base = str(tmp_path_factory.mktemp("emb") / "base")
+    spark.createDataFrame(pdf).write.parquet(base)
+    return base
+
+
+def test_srp_index_answers_with_base_deleted(spark, emb_base, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    base_copy = str(tmp_path / "base_copy")
+    shutil.copytree(emb_base, base_copy)
+    probes = spark.read.parquet(base_copy).orderBy("vec_id").limit(5).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+
+    cat.create_ann_index("e_srp", base_copy, kind="srp", n_bits=12)
+    shutil.rmtree(base_copy)  # the proof: queries never resolve the base
+
+    top = cat.ann_topk("e_srp", Q, k=1, query_ids=qids).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in top} == {(q, q) for q in qids}
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in top)
+
+
+def test_srp_index_bucket_filter_pushed_to_scan(spark, emb_base, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_ann_index("e_srp", emb_base, kind="srp", n_bits=12)
+    probes = spark.read.parquet(emb_base).orderBy("vec_id").limit(2).collect()
+    out = cat.ann_topk("e_srp", [list(r["embedding"]) for r in probes], k=1,
+                       query_ids=[int(r["vec_id"]) for r in probes])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(bucket" in plan  # prunes row groups at the scan
+
+
+def test_ivf_index_partition_pruning_and_recovery(spark, emb_base, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    base_copy = str(tmp_path / "base_copy")
+    shutil.copytree(emb_base, base_copy)
+    probes = spark.read.parquet(base_copy).orderBy("vec_id").limit(4).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+
+    cat.create_ann_index("e_ivf", base_copy, kind="ivf", n_lists=8)
+    shutil.rmtree(base_copy)
+
+    out = cat.ann_topk("e_ivf", Q, k=1, query_ids=qids, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+    got = out.collect()
+    # nprobe=1 always finds the stored probe vector itself (its list IS the
+    # nearest centroid of its normalized vector)
+    assert {(r["query_id"], r["vec_id"]) for r in got} == {(q, q) for q in qids}
+
+
+def test_srp_topk_many_accepts_precomputed_signatures(spark, emb_base):
+    df = spark.read.parquet(emb_base)
+    probes = df.orderBy("vec_id").limit(3).collect()
+    Q = [list(r["embedding"]) for r in probes]
+    qids = [int(r["vec_id"]) for r in probes]
+    sigs = srp_signatures(df, "embedding", "vec_id", n_bits=12)
+    with_sigs = srp_topk_many(
+        df, "embedding", "vec_id", Q, k=2, n_bits=12, query_ids=qids, signatures=sigs
+    ).collect()
+    fresh = srp_topk_many(df, "embedding", "vec_id", Q, k=2, n_bits=12, query_ids=qids).collect()
+    key = lambda r: (r["query_id"], r["vec_id"], round(r["cosine"], 12))  # noqa: E731
+    assert sorted(map(key, with_sigs)) == sorted(map(key, fresh))
+
+
+def test_ann_catalog_lifecycle(spark, emb_base, tmp_path):
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_ann_index("a", emb_base, kind="srp", n_bits=10)
+    cat.create_ann_index("a", emb_base, kind="srp", n_bits=12, overwrite=True)
+    listed = cat.list_ann_indexes().collect()
+    assert len(listed) == 1 and listed[0]["n_bits"] == 12  # newest wins
+    assert cat.ann_meta("a")["kind"] == "srp"
+    assert cat.ann_index("a").count() == 200
+    cat.drop_ann_index("a")
+    assert not cat.ann_exists("a")
+    assert cat.list_ann_indexes().count() == 0
+    with pytest.raises(ValueError, match="unknown ANN index"):
+        cat.ann_index("a")
