@@ -294,6 +294,30 @@ def q_b23_distributed_estimates_highcard(spark, sf_dir):
     )
 
 
+def q_b24_multicol_group_by(spark, sf_dir):
+    """Multi-column GROUP BY (SURVEY A9): APPROX_COUNT_DISTINCT(doc_id)
+    GROUP BY source, lang through the SQL front door. The composite key is
+    factorized inside the one-pass kernel (states byte-identical to sketching
+    a concat column — property test in tests/test_spark_build.py) and split
+    back into native-typed output columns. Each (source, lang) estimate must
+    sit within 3·RSE + small-n slack of exact."""
+    from sketchlib.sql import approx_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    est = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id, 0.01) FROM docs GROUP BY source, lang",
+        tables={"docs": docs},
+    )
+    exact = docs.groupBy("source", "lang").agg(F.countDistinct("doc_id").alias("exact"))
+    j = est.join(exact, ["source", "lang"])
+    tol = 3 * F.col("rse_bound") * F.col("exact") + F.lit(2.0)
+    return j.select(
+        "source", "lang",
+        (F.abs(F.col("estimate") - F.col("exact")) <= tol).alias("within_bound"),
+    )
+
+
 def q_b02_hll_distinct_tokens(spark, sf_dir):
     """Q2: approx COUNT(DISTINCT token) GROUP BY source over tokenized text."""
     docs = with_tokens(_t(spark, sf_dir, "documents"))
@@ -1036,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_checkpoint_resume": _dist_wrapped(q_b21_checkpoint_resume),
         "b22_streamed_states_match_batch": _dist_wrapped(q_b22_streamed_states_match_batch),
         "b23_distributed_estimates_highcard": _dist_wrapped(q_b23_distributed_estimates_highcard),
+        "b24_multicol_group_by": _dist_wrapped(q_b24_multicol_group_by),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1167,6 +1192,10 @@ def oracle_sql() -> dict[str, str]:
         "b23_distributed_estimates_highcard": """
             SELECT CAST(l_orderkey AS VARCHAR) AS grp, TRUE AS within_bound
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "b24_multicol_group_by": """
+            SELECT source, lang, TRUE AS within_bound
+            FROM documents GROUP BY source, lang
         """,
         "c11_sessionize": """
             WITH o AS (

@@ -57,6 +57,29 @@ STATE_FIELDS = (
     "n_items long, part_id int, rows long, tokens long, wall_ms double"
 )
 
+# Multi-column GROUP BY (SURVEY.md A9): states carry ONE group string, so a
+# composite key is encoded as sep-joined per-column values (nulls as
+# "__null__", matching the single-column path). \x1f (ASCII unit separator)
+# cannot collide with real text in any sane corpus; split_group() inverts it.
+GROUP_SEP = "\x1f"
+
+
+def group_key_expr(group_by: list[str]) -> F.Column:
+    """JVM-side expression computing the SAME composite key string the
+    kernel produces — for building equivalent concat-column groupings
+    (property-tested byte-identical) and for exact-answer comparisons."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("__null__")) for c in group_by]
+    return F.concat_ws(GROUP_SEP, *parts)
+
+
+def split_group(df: DataFrame, group_by: list[str]) -> DataFrame:
+    """Explode a composite ``group`` column back into the original GROUP BY
+    columns (string-typed; cast as needed)."""
+    parts = F.split(F.col("group"), GROUP_SEP)
+    for i, c in enumerate(group_by):
+        df = df.withColumn(c, parts.getItem(i))
+    return df.drop("group")
+
 _ARROW_STATE_SCHEMA = pa.schema(
     [
         ("group", pa.string()),
@@ -221,6 +244,32 @@ class SketchAccumulator:
         if self.group_by is None or const_group is not None:
             codes = np.zeros(n, dtype=np.int32)
             uniques = [const_group if const_group is not None else ""]
+        elif isinstance(self.group_by, (list, tuple)):
+            # composite key: factorize each column, combine PAIRWISE with a
+            # re-factorize after every combine so codes stay < batch rows
+            # (no int64 overflow however many columns); only OBSERVED
+            # combinations materialize. Names are GROUP_SEP-joined — byte-
+            # identical to sketching a pre-concatenated column (tested).
+            codes, uniques = None, None
+            for c in self.group_by:
+                gcol, _, _ = _column_values(batch, c)
+                cc, uu = pd.factorize(gcol)
+                nn = [str(v) for v in uu] + ["__null__"]
+                cc = np.where(cc < 0, len(nn) - 1, cc).astype(np.int64)
+                if codes is None:
+                    codes, uniques = cc, nn
+                else:
+                    comp = codes * len(nn) + cc
+                    codes, cuniq = pd.factorize(comp)
+                    codes = codes.astype(np.int64, copy=False)
+                    uniques = [
+                        uniques[int(v) // len(nn)] + GROUP_SEP + nn[int(v) % len(nn)]
+                        for v in cuniq
+                    ]
+            # drop a trailing unreferenced "__null__" (single-column case)
+            if len(self.group_by) == 1 and not (codes == len(uniques) - 1).any():
+                uniques = uniques[:-1]
+            codes = codes.astype(np.int32, copy=False)
         else:
             gcol, _, _ = _column_values(batch, self.group_by)
             codes, uniques = pd.factorize(gcol)
@@ -375,9 +424,19 @@ def merge_states(states: DataFrame, fanout: int | None = None) -> DataFrame:
     return states.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
 
 
-def partial_states(df: DataFrame, specs: list[SketchSpec], group_by: str | None = "source") -> DataFrame:
-    """Stage 1 only: per-partition partial states (used by checkpointing + Bloom pruning)."""
-    cols = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+def group_cols(group_by) -> set[str]:
+    """Columns a group_by (None | str | list[str]) references."""
+    if group_by is None:
+        return set()
+    return set(group_by) if isinstance(group_by, (list, tuple)) else {group_by}
+
+
+def partial_states(df: DataFrame, specs: list[SketchSpec], group_by="source") -> DataFrame:
+    """Stage 1 only: per-partition partial states (used by checkpointing + Bloom pruning).
+
+    ``group_by``: None, a column name, or a LIST of column names (composite
+    key — states carry the GROUP_SEP-joined value; see split_group)."""
+    cols = sorted({s.column for s in specs} | group_cols(group_by))
     narrow = df.select(*cols)  # explicit pruning: the Python UDF boundary blocks Catalyst above it
     return narrow.mapInArrow(_make_update_fn(specs, group_by), STATE_FIELDS)
 
@@ -385,7 +444,7 @@ def partial_states(df: DataFrame, specs: list[SketchSpec], group_by: str | None 
 def build_sketches(
     df: DataFrame,
     specs: list[SketchSpec],
-    group_by: str | None = "source",
+    group_by: str | list[str] | None = "source",
     strategy: str = "map",
     fanout: int | None = None,
     n_salts: int = 32,
@@ -401,17 +460,23 @@ def build_sketches(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     # Verdict-style shuffle path with explicit salting (SURVEY.md B9).
-    cols = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+    gcols = sorted(group_cols(group_by))
+    cols = sorted({s.column for s in specs} | set(gcols))
     narrow = df.select(*cols)
-    salt_src = salt_on or (group_by if group_by else cols[0])
+    salt_src = salt_on or (gcols[0] if gcols else cols[0])
     salted = narrow.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_src).cast("string"), F.lit(17)), F.lit(n_salts))
     )
-    group_cols = ([group_by] if group_by else []) + ["_salt"]
+    shuffle_keys = gcols + ["_salt"]
+    glist = list(group_by) if isinstance(group_by, (list, tuple)) else (
+        [group_by] if group_by else []
+    )
 
     def update_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        g = str(pdf[group_by].iloc[0]) if group_by else ""
+        g = GROUP_SEP.join(
+            "__null__" if pd.isna(pdf[c].iloc[0]) else str(pdf[c].iloc[0]) for c in glist
+        )
         n_tokens = 0
         for spec in specs:
             sk = spec.make()
@@ -430,5 +495,5 @@ def build_sketches(
             columns=["group", "sketch", "kind", "state", "n_items", "part_id", "rows", "tokens", "wall_ms"],
         )
 
-    partial = salted.groupBy(*group_cols).applyInPandas(update_group, STATE_FIELDS)
+    partial = salted.groupBy(*shuffle_keys).applyInPandas(update_group, STATE_FIELDS)
     return merge_states(partial, fanout=fanout)

@@ -71,11 +71,14 @@ class SketchCatalog:
         states.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
         agg = persisted.groupBy().sum("rows", "tokens").collect()[0]
+        canon_group = (
+            ",".join(group_by) if isinstance(group_by, (list, tuple)) else (group_by or "")
+        )
         row = [
             (
                 name,
                 input_dir,
-                group_by or "",
+                canon_group,
                 json.dumps(
                     [
                         {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params}

@@ -149,7 +149,9 @@ def _make_chunk_reader(specs: list[SketchSpec], group_by: str | None, per_chunk:
     ``per_chunk=False``: one accumulator per task (state volume O(tasks)).
     ``per_chunk=True``: emit per chunk with part_id=chunk_id (stable lineage).
     """
-    need = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+    from sketchlib.spark.build import group_cols
+
+    need = sorted({s.column for s in specs} | group_cols(group_by))
 
     def reader(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark.taskcontext import TaskContext
@@ -162,7 +164,9 @@ def _make_chunk_reader(specs: list[SketchSpec], group_by: str | None, per_chunk:
             for row in b.to_pylist():
                 pv = row["part_vals"] or {}
                 pvals = dict(pv)  # arrow MapType surfaces as a list of (k, v) pairs
-                const = pvals.get(group_by) if group_by else None
+                # hive-partition const-group shortcut applies to single-column
+                # grouping only; composite keys read their columns from rows
+                const = pvals.get(group_by) if isinstance(group_by, str) else None
                 if per_chunk:
                     acc = SketchAccumulator(specs, group_by)
                 if min_chunk is None or row["chunk_id"] < min_chunk:

@@ -5,7 +5,7 @@ for the reference query surface (SURVEY.md §2C) without building a SQL
 dialect: only the STATEMENT SKELETON is parsed here —
 
     SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
-    FROM <table> [WHERE <expr>] [GROUP BY <col>]
+    FROM <table> [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
 
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
 statement — every sketch aggregate becomes one SketchSpec and they all
@@ -47,7 +47,7 @@ _SKELETON = re.compile(
     rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s*,\s*APPROX_[A-Z_]+\s*\({_ARGS}\))*)\s*"
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -103,6 +103,58 @@ def _materialize_expr(df: DataFrame, col: str, slot: str = "") -> tuple[DataFram
     if name not in df.columns:
         df = df.withColumn(name, F.expr(col))
     return df, name
+
+
+def _parse_group(raw: str | None):
+    """GROUP BY clause → None | column name | list of column names."""
+    if not raw:
+        return None
+    parts = [p.strip() for p in raw.split(",")]
+    return parts if len(parts) > 1 else parts[0]
+
+
+def _canon_group(group) -> str:
+    """Canonical registration string for a group_by of any shape."""
+    if group is None:
+        return ""
+    return ",".join(group) if isinstance(group, (list, tuple)) else group
+
+
+def _ungroup(df: DataFrame, base: DataFrame, group) -> DataFrame:
+    """Restore the user's GROUP BY columns from the internal string ``group``
+    column: split composite keys into one column each, cast every key column
+    back to its native type in ``base``."""
+    from pyspark.sql import functions as F
+
+    native = dict(base.dtypes)
+    if isinstance(group, (list, tuple)):
+        from sketchlib.spark.build import split_group
+
+        df = split_group(df, list(group))
+        for c in group:
+            df = df.withColumn(c, F.col(c).cast(native.get(c, "string")))
+        return df
+    return df.withColumn("group", F.col("group").cast(native.get(group, "string"))).withColumnRenamed(
+        "group", group
+    )
+
+
+def _finish_grouped(out: DataFrame, base: DataFrame | None, group) -> DataFrame:
+    """Shape a sketch-path result for the user: drop the group column when
+    ungrouped, split composite keys back into one (native-typed when the base
+    is known) column per GROUP BY key."""
+    if not group:
+        return out.drop("group")
+    if isinstance(group, (list, tuple)):
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.build import split_group
+
+        native = dict(base.dtypes) if base is not None else {}
+        out = split_group(out, list(group))
+        for c in group:
+            out = out.withColumn(c, F.col(c).cast(native.get(c, "string")))
+    return out
 
 
 def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataFrame:
@@ -179,11 +231,21 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
         from sketchlib.spark.sampling import approx_agg_uniform
 
         base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
-        est = approx_agg_uniform(base, group, value_col, ratio)
+        if isinstance(group, (list, tuple)):
+            # composite key: aggregate on the SAME joined string the sketch
+            # kernel emits, so the join below lines up byte-for-byte
+            from sketchlib.spark.build import group_key_expr
+
+            base = base.withColumn("_gkey", group_key_expr(list(group)))
+            est = approx_agg_uniform(base, "_gkey", value_col, ratio)
+            gexpr = F.col("_gkey")
+        else:
+            est = approx_agg_uniform(base, group, value_col, ratio)
+            gexpr = F.col(group)
         # sketch states carry group as STRING (STATE_FIELDS); cast the
         # sampling side to match so the join below never relies on implicit
         # cross-type coercion (dates/timestamps can mis-join or fail)
-        cols = [F.col(group).cast("string").alias("group")]
+        cols = [gexpr.cast("string").alias("group")]
         for fn, out_name in slots:
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
@@ -217,12 +279,9 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     if not group:
         result = result.drop("group")
     else:
-        # every branch emitted group as string — restore the user's native
-        # GROUP BY type on the way out
-        native = dict(df.dtypes).get(group, "string")
-        result = result.withColumn("group", F.col("group").cast(native)).withColumnRenamed(
-            "group", group
-        )
+        # every branch emitted group as string — restore the user's GROUP BY
+        # column(s) and native type(s) on the way out
+        result = _ungroup(result, df, group)
     return result
 
 
@@ -252,7 +311,7 @@ def approx_sql(
             "use the DataFrame API (sketchlib.spark) for anything richer"
         )
     aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
-    group = m.group("group")
+    group = _parse_group(m.group("group"))
 
     if len(aggs) > 1:
         if catalog is not None and catalog_key is not None:
@@ -343,7 +402,7 @@ def approx_sql(
         if not reg:
             raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
         reg = reg[0]
-        if (group or "") != reg["group_by"]:
+        if _canon_group(group) != reg["group_by"]:
             raise ValueError(
                 f"statement GROUP BY {group!r} != registered group_by "
                 f"{reg['group_by']!r} for {catalog_key!r}"
@@ -368,7 +427,7 @@ def approx_sql(
         else:  # APPROX_PERCENTILE
             qs = [float(a) for a in args[1:]] or [0.5]
             out = quantiles_df(spark, states, spec["name"], qs)
-        return out if group else out.drop("group")
+        return _finish_grouped(out, None, group)
 
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
@@ -380,7 +439,7 @@ def approx_sql(
         p = hll_params(rse)["p"]
         states = build_sketches(df, [SketchSpec("_q", "hll", col, {"p": p})], group_by=group)
         out = estimates_df(spark, states, "_q")
-        return out if group else out.drop("group")
+        return _finish_grouped(out, df, group)
 
     if fn == "APPROX_TOPK":
         df, col = _materialize_expr(df, args[0])
@@ -390,14 +449,14 @@ def approx_sql(
             df, [SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01})], group_by=group
         )
         out = topk_df(spark, states, "_q", k)
-        return out if group else out.drop("group")
+        return _finish_grouped(out, df, group)
 
     if fn == "APPROX_PERCENTILE":
         df, col = _materialize_expr(df, args[0])
         qs = [float(a) for a in args[1:]] or [0.5]
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
-        return out if group else out.drop("group")
+        return _finish_grouped(out, df, group)
 
     if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
         from sketchlib.spark.sampling import approx_agg_uniform
@@ -414,12 +473,21 @@ def approx_sql(
 
             df = df.withColumn("_one", F.lit(1.0))
             col = "_one"
-        out = approx_agg_uniform(df, group, col, ratio)
         keep = {
             "APPROX_COUNT": ["est_count", "count_err"],
             "APPROX_SUM": ["est_sum", "sum_err"],
             "APPROX_AVG": ["est_avg", "avg_err"],
         }[fn]
+        if isinstance(group, (list, tuple)):
+            # composite key: aggregate on the kernel's joined string, then
+            # split back into the user's columns
+            from sketchlib.spark.build import group_key_expr
+
+            df = df.withColumn("_gkey", group_key_expr(list(group)))
+            out = approx_agg_uniform(df, "_gkey", col, ratio)
+            out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
+            return _finish_grouped(out, df, group)
+        out = approx_agg_uniform(df, group, col, ratio)
         return out.select(group, *keep)
 
     raise ValueError(f"unknown approximate aggregate {fn!r}")

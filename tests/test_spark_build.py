@@ -217,3 +217,47 @@ def test_kmv_in_spark_build(spark, seq_small_dir, oracle_module_scope=None):
             assert r["estimate"] == e  # below-k groups are exact
         else:
             assert abs(r["estimate"] - e) / e <= 3 * r["rse_bound"]
+
+
+def test_multicol_group_states_equal_concat_column(spark, seq_tiny_dir):
+    """SURVEY A9 multi-column GROUP BY: sketching with group_by=[a, b] must
+    produce states BYTE-IDENTICAL to sketching a pre-concatenated key column
+    (the kernel's composite factorize is just a faster spelling of concat),
+    including null group values."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import group_key_expr
+
+    df = spark.read.parquet(seq_tiny_dir).withColumn(
+        "parity",
+        F.when(F.xxhash64("doc_id") % 5 == 0, None).otherwise(
+            (F.pmod(F.xxhash64("doc_id"), F.lit(2))).cast("string")
+        ),
+    )
+    specs = [
+        SketchSpec("hll_doc", "hll", "doc_id", {"p": 12}),
+        SketchSpec("kll_n", "kll", "n_tok", {"k": 200}),  # order-sensitive compaction
+        SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-3, "delta": 0.05}),
+    ]
+    multi = build_sketches(df, specs, group_by=["source", "parity"])
+    concat = build_sketches(
+        df.withColumn("_g", group_key_expr(["source", "parity"])), specs, group_by="_g"
+    )
+    a = {(r["group"], r["sketch"]): bytes(r["state"]) for r in multi.collect()}
+    b = {(r["group"], r["sketch"]): bytes(r["state"]) for r in concat.collect()}
+    assert a.keys() == b.keys() and len(a) == 5 * 3 * 3  # 5 sources × {0,1,null} × 3 specs
+    assert a == b
+
+
+def test_multicol_group_shuffle_strategy_matches_map(spark, seq_tiny_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(seq_tiny_dir).withColumn(
+        "parity", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("string")
+    )
+    specs = [SketchSpec("hll_doc", "hll", "doc_id", {"p": 12})]
+    m = build_sketches(df, specs, group_by=["source", "parity"], strategy="map")
+    s = build_sketches(df, specs, group_by=["source", "parity"], strategy="shuffle", n_salts=4)
+    assert {(r["group"], bytes(r["state"])) for r in m.collect()} == {
+        (r["group"], bytes(r["state"])) for r in s.collect()
+    }

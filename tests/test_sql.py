@@ -250,3 +250,41 @@ def test_expression_args_over_persisted_sample(spark, tmp_path, seq_tiny_dir):
     ).toPandas()
     m = out.set_index("source")["est_sum"] / plain.set_index("source")["est_sum"]
     assert np.allclose(m.to_numpy(), 2.0)  # same persisted rows → exact factor 2
+
+
+def test_multicol_group_by_sql(spark, tables):
+    """GROUP BY a, b through the SQL front door: output carries one NATIVE-
+    typed column per key, values match single-key slices."""
+    from pyspark.sql import functions as F
+
+    seqs = spark.read.parquet(tables["sequences"]).withColumn(
+        "parity", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("long")
+    )
+    t = {"seqs": seqs}
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id, 0.01) FROM seqs GROUP BY source, parity",
+        t,
+    ).toPandas()
+    assert {"source", "parity", "estimate", "rse_bound"} <= set(out.columns)
+    assert len(out) == 10  # 5 sources × 2 parities
+    assert str(out["parity"].dtype) == "int64"  # native type restored
+    # each (source, parity) estimate ≈ half the source's docs
+    single = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(doc_id, 0.01) FROM seqs GROUP BY source", t
+    ).toPandas()
+    per_src = dict(zip(single["group"], single["estimate"]))
+    for _, r in out.iterrows():
+        assert abs(r["estimate"] - per_src[r["source"]] / 2) <= 0.1 * per_src[r["source"]] + 3
+
+    # multi-aggregate statements take composite keys too
+    multi = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_SUM(n_tok, 0.5) "
+        "FROM seqs GROUP BY source, parity",
+        t,
+    ).toPandas()
+    assert len(multi) == 10 and {"source", "parity"} <= set(multi.columns)
+    assert {c for c in multi.columns if c.startswith("approx_sum_n_tok")} == {
+        "approx_sum_n_tok", "approx_sum_n_tok_err"
+    }
