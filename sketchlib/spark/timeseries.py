@@ -12,9 +12,13 @@ sorts within the partition by (ts, side), and takes a running
 ``last(value, ignorenulls=True)`` window — O(n log n) per key, one shuffle,
 no row ever multiplied. The window's running state is O(1) per value column.
 
-Skew note: one hot key lands in one task (the ordering requirement makes
-salting non-trivial); at 100 TB, pre-partition by (key, coarse time bucket)
-and run per-bucket with boundary carry-in if a single key exceeds task memory.
+Skew: by default one key lands in one window task (the ordering requirement
+makes salting non-trivial). ``time_buckets=n`` is the hot-key escape hatch:
+rows are pre-partitioned by (key, coarse time bucket) so a key with 10^9
+events spreads over n tasks, and correctness is restored by BOUNDARY
+CARRY-IN — the as-of state entering each bucket (the last right row of any
+earlier bucket, computed on a tiny per-(key, bucket) summary and
+forward-filled across empty buckets) is injected as a synthetic right row.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     tolerance: float | None = None,
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the matched right row's value_cols.
 
@@ -40,6 +45,12 @@ def asof_join(
     semantics). ``tolerance`` (seconds for timestamps, native units for
     numerics): matches farther than this are nulled out, like pandas
     merge_asof. Output: left columns + value_cols + ``_matched_ts``.
+
+    ``time_buckets``: split each key's timeline into n equal-width buckets
+    and window per (key, bucket) with boundary carry-in — value-identical
+    results (tested, incl. 90%-hot-key skew), bounded task size. Ties among
+    right rows at the exact same (key, ts) are resolved by value order on
+    this path (the unbucketed path leaves such ties partition-dependent).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -70,10 +81,59 @@ def asof_join(
     cols = lhs.columns
     u = lhs.select(*cols).unionByName(rhs.select(*cols))
 
+    part_cols = [on]
+    if time_buckets and time_buckets > 1:
+        backward = direction == "backward"
+        tsd = F.col("_ts").cast("double")
+        rng = u.agg(F.min(tsd).alias("lo"), F.max(tsd).alias("hi")).collect()[0]
+        lo, hi = rng["lo"], rng["hi"]
+        width = max(((hi or 0.0) - (lo or 0.0)) / time_buckets, 1e-9)
+        bkt = F.least(
+            F.greatest(F.floor((tsd - F.lit(lo or 0.0)) / width), F.lit(0)),
+            F.lit(time_buckets - 1),
+        ).cast("int")
+        u = u.withColumn("_bkt", bkt)
+
+        # boundary carry-in on a TINY per-(key, bucket) summary: the match
+        # state entering bucket b is the last (backward) / first (forward)
+        # right row of any earlier (later) bucket, forward-filled across
+        # buckets with no right rows, injected back as a synthetic right row
+        rstruct = F.struct(F.col("_ts"), F.col("_rts"), *[F.col(c) for c in value_cols])
+        per_bucket = (
+            u.filter(F.col("_is_right") == 1)
+            .groupBy(on, "_bkt")
+            .agg((F.max(rstruct) if backward else F.min(rstruct)).alias("_edge"))
+        )
+        occupied = u.select(on, "_bkt").distinct()
+        fill_order = F.asc("_bkt") if backward else F.desc("_bkt")
+        w_fill = (
+            Window.partitionBy(on)
+            .orderBy(fill_order)
+            .rowsBetween(Window.unboundedPreceding, -1)  # strictly earlier buckets
+        )
+        seeds = (
+            occupied.join(per_bucket, [on, "_bkt"], "left")
+            .withColumn("_seed", F.last("_edge", ignorenulls=True).over(w_fill))
+            .filter(F.col("_seed").isNotNull())
+            .select(
+                F.col(on),
+                F.col("_bkt"),
+                F.col("_seed._ts").alias("_ts"),
+                F.col("_seed._rts").alias("_rts"),
+                *[F.col(f"_seed.{c}").alias(c) for c in value_cols],
+            )
+            .withColumn("_is_right", F.lit(1))
+        )
+        for c in left.columns:
+            if c not in seeds.columns:
+                seeds = seeds.withColumn(c, F.lit(None).cast(ltypes[c]))
+        u = u.unionByName(seeds.select(*u.columns))
+        part_cols = [on, "_bkt"]
+
     # right rows sort BEFORE left rows at equal ts (inclusive match) in both
     # directions; forward just scans time in reverse
     order = [F.asc("_ts") if direction == "backward" else F.desc("_ts"), F.desc("_is_right")]
-    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(*part_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # the matched right ROW travels as one struct: per-column last(ignorenulls)
     # would stitch values from DIFFERENT right rows whenever a right value is
     # NULL (merge_asof/ASOF JOIN match a row, nulls and all — so must we)

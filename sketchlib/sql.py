@@ -54,6 +54,81 @@ _SKELETON = re.compile(
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# Sample-lifecycle DDL — Verdict's literal entry points (SURVEY A2/A3):
+#   CREATE [OR REPLACE] SAMPLE s FROM t KIND uniform RATIO 0.1
+#       [ON col] [FRACTIONS '{"g": 0.2}'] [SEED 7]
+#   SHOW SAMPLES
+#   DROP SAMPLE s
+_CREATE_SAMPLE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?SAMPLE\s+(?P<name>\w+)"
+    r"\s+FROM\s+(?P<table>[\w./:\-]+)"
+    r"\s+KIND\s+(?P<kind>uniform|universe|stratified)"
+    r"(?:\s+RATIO\s+(?P<ratio>[\d.eE+-]+))?"
+    r"(?:\s+ON\s+(?P<on>\w+))?"
+    r"(?:\s+FRACTIONS\s+'(?P<fractions>[^']*)')?"
+    r"(?:\s+SEED\s+(?P<seed>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
+_DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+
+
+def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
+    """Route sample-lifecycle DDL to the SketchCatalog; None if ``sql`` is
+    not a DDL statement."""
+    is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP)\b", sql, re.IGNORECASE)
+    if not is_ddl:
+        return None
+    if catalog is None:
+        raise ValueError("sample DDL needs a SketchCatalog — pass catalog=...")
+
+    m = _SHOW_SAMPLES.match(sql)
+    if m:
+        return catalog.list_samples()
+
+    m = _DROP_SAMPLE.match(sql)
+    if m:
+        name = m.group("name")
+        existed = catalog.sample_exists(name)
+        catalog.drop_sample(name)
+        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
+
+    m = _CREATE_SAMPLE.match(sql)
+    if m:
+        import json
+
+        name, table = m.group("name"), m.group("table")
+        # create_sample persists from a parquet path — resolve via tables
+        # (path values only) or a literal path in FROM
+        if tables and table in tables and isinstance(tables[table], str):
+            input_dir = tables[table]
+        elif "/" in table:
+            input_dir = table
+        else:
+            raise ValueError(
+                f"CREATE SAMPLE needs a parquet path for {table!r} — pass "
+                "tables={name: path} or a path in FROM"
+            )
+        kind = m.group("kind").lower()
+        fractions = json.loads(m.group("fractions")) if m.group("fractions") else None
+        catalog.create_sample(
+            name,
+            input_dir,
+            kind=kind,
+            ratio=float(m.group("ratio") or 0.1),
+            on=m.group("on"),
+            fractions=fractions,
+            seed=int(m.group("seed") or 42),
+            overwrite=bool(m.group("replace")),
+        )
+        return catalog.list_samples().where(f"name = '{name}'")
+
+    raise ValueError(
+        "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
+        "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
+        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s"
+    )
+
 
 def _split_args(argstr: str) -> list[str]:
     """Split on TOP-LEVEL commas only (expression args contain commas)."""
@@ -302,7 +377,16 @@ def approx_sql(
     registered sketch set must match the statement (same aggregate kind,
     column, and GROUP BY; no WHERE — states were built unfiltered); a
     mismatch raises rather than silently paying a rebuild the caller opted
-    out of."""
+    out of.
+
+    Sample-lifecycle DDL (Verdict's literal A2/A3 entry points) is routed to
+    the same catalog: ``CREATE [OR REPLACE] SAMPLE s FROM t KIND uniform
+    RATIO 0.1 [ON col] [FRACTIONS '<json>'] [SEED n]``, ``SHOW SAMPLES``,
+    ``DROP SAMPLE s``. CREATE returns the registration row, SHOW the
+    registry, DROP a (name, dropped) row."""
+    ddl = _ddl(spark, sql, tables, catalog)
+    if ddl is not None:
+        return ddl
     m = _SKELETON.match(sql)
     if not m:
         raise ValueError(

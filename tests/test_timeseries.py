@@ -131,3 +131,49 @@ def test_asof_randomized_against_pandas(spark, rng):
             on="ts", by="k", direction="backward",
         ).sort_values(["k", "ts", "lval"], ignore_index=True)
         assert np.allclose(got["price"].to_numpy(), want["price"].to_numpy(), equal_nan=True), trial
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_time_buckets_value_identical(spark, frames, direction):
+    """The hot-key escape hatch (time_buckets=n) must return value-identical
+    results to the single-window path in both directions."""
+    left, right = frames
+    base = _spark_result(spark, left, right, direction=direction)
+    bucketed = _spark_result(spark, left, right, direction=direction, time_buckets=7)
+    key = lambda df: sorted(  # noqa: E731
+        (int(r["k"]), float(r["ts"]), int(r["lval"]),
+         None if pd.isna(r["price"]) else round(float(r["price"]), 9),
+         None if pd.isna(r["_matched_ts"]) else round(float(r["_matched_ts"]), 9))
+        for _, r in df.iterrows()
+    )
+    assert key(bucketed) == key(base)
+
+
+def test_time_buckets_hot_key_skew(spark, rng):
+    """One key holding 90% of rows: bucketing spreads it across (key, bucket)
+    tasks; results still match pandas merge_asof exactly."""
+    n = 5000
+    hot = rng.uniform(0, 1000, int(n * 0.9))
+    cold_k = rng.integers(1, 6, n - len(hot))
+    left = pd.DataFrame({
+        "k": np.concatenate([np.zeros(len(hot), dtype=np.int64), cold_k]),
+        "ts": np.concatenate([hot, rng.uniform(0, 1000, n - len(hot))]).round(3),
+        "lval": np.arange(n),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, 300),
+        "ts": rng.uniform(0, 1000, 300).round(3),
+        "price": rng.uniform(1, 100, 300).round(2),
+    })
+    got = _spark_result(spark, left, right, time_buckets=16)
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    )
+    g = got.sort_values("lval", ignore_index=True)
+    w = want.sort_values("lval", ignore_index=True)
+    assert len(g) == len(w) == n
+    pd.testing.assert_series_equal(
+        g["price"].astype("float64"), w["price"].astype("float64"), check_names=False
+    )
