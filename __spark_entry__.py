@@ -513,6 +513,46 @@ def q_b16_catalog_sql(spark, sf_dir):
     return spark.createDataFrame(m[["source", "within_bound"]])
 
 
+def q_b25_stratified_avg_sql(spark, sf_dir):
+    """Stratified APPROX_AVG end-to-end through SQL strings only: CREATE
+    SAMPLE ... KIND stratified via the DDL front door (A2 literal), then
+    APPROX_AVG answered from the persisted scramble (A5). Per-stratum ratio
+    estimator with that stratum's own fraction — full-fraction strata are
+    exact (zero error), sampled strata within 3σ of exact."""
+    import json
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    fractions = {s: (1.0 if i % 2 == 0 else 0.8) for i, s in enumerate(sources)}
+    root = tempfile.mkdtemp(prefix="sketchcat_b25_")
+    try:
+        cat = SketchCatalog(spark, root)
+        fr = json.dumps(fractions)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE docs_st FROM {sf_dir}/documents.parquet "
+            f"KIND stratified ON source FRACTIONS '{fr}' SEED 11",
+            catalog=cat,
+        ).collect()
+        est = approx_sql(
+            spark,
+            "SELECT APPROX_AVG(n_chars, 0.8) FROM docs GROUP BY source",
+            catalog=cat,
+            catalog_key="docs_st",
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    exact = docs.groupBy("source").agg(F.avg("n_chars").alias("true_avg")).toPandas()
+    m = est.merge(exact, on="source")
+    m["within_bound"] = (m["est_avg"] - m["true_avg"]).abs() <= m["avg_err"] * (3 / 1.96) + 1e-9
+    return spark.createDataFrame(m[["source", "within_bound"]])
+
+
 def q_b10_partition_invariance(spark, sf_dir):
     """Mergeability contract, driver-checked (replaces round-1's rows-only
     estimate surface): building the same HLL states under a DIFFERENT
@@ -579,6 +619,55 @@ def q_b15_approx_join(spark, sf_dir):
     )
     ok_n = abs(est["est_count"] - exact["n"]) <= est["count_err"]
     ok_s = abs(est["est_sum"] - exact["s"]) <= est["sum_err"]
+    return spark.createDataFrame(
+        pd.DataFrame({"count_within_ci": [bool(ok_n)], "sum_within_ci": [bool(ok_s)]})
+    )
+
+
+def q_b26_approx_join_sql(spark, sf_dir):
+    """b15's ApproxJoinedRelation re-expressed through the SQL front door
+    end-to-end: CREATE SAMPLE ... KIND universe DDL persists both scrambles
+    (same ratio+seed so survival probabilities compose to p, not p²), then
+    one JOIN statement answers APPROX_SUM from the persisted samples alone.
+    Exact join count and sum must fall inside the ~3.3σ CI."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b26_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE os FROM {sf_dir}/orders.parquet KIND universe RATIO 0.2 ON o_custkey SEED 7",
+            catalog=cat,
+        ).collect()
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE cs FROM {sf_dir}/customer.parquet KIND universe RATIO 0.2 ON c_custkey SEED 7",
+            catalog=cat,
+        ).collect()
+        est = approx_sql(
+            spark,
+            "SELECT APPROX_SUM(o_totalprice) FROM orders JOIN customer "
+            "ON orders.o_custkey = customer.c_custkey",
+            tables={"orders": f"{sf_dir}/orders.parquet", "customer": f"{sf_dir}/customer.parquet"},
+            catalog=cat,
+            catalog_key="os,cs",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    exact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()[0]
+    )
+    wide = 3.29 / 1.96
+    ok_n = abs(est["est_count"] - exact["n"]) <= est["count_err"] * wide
+    ok_s = abs(est["est_sum"] - exact["s"]) <= est["sum_err"] * wide
     return spark.createDataFrame(
         pd.DataFrame({"count_within_ci": [bool(ok_n)], "sum_within_ci": [bool(ok_s)]})
     )
@@ -1061,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_streamed_states_match_batch": _dist_wrapped(q_b22_streamed_states_match_batch),
         "b23_distributed_estimates_highcard": _dist_wrapped(q_b23_distributed_estimates_highcard),
         "b24_multicol_group_by": _dist_wrapped(q_b24_multicol_group_by),
+        "b25_stratified_avg_sql": _dist_wrapped(q_b25_stratified_avg_sql),
+        "b26_approx_join_sql": _dist_wrapped(q_b26_approx_join_sql),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1174,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "b13_universe_distinct": "SELECT TRUE AS within_ci",
         "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b15_approx_join": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
+        "b26_approx_join_sql": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """
             SELECT a.source AS group_a, b.source AS group_b, TRUE AS within_bound
@@ -1197,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, TRUE AS within_bound
             FROM documents GROUP BY source, lang
         """,
+        "b25_stratified_avg_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "c11_sessionize": """
             WITH o AS (
                 SELECT user_id, ts,

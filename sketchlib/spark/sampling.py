@@ -150,8 +150,34 @@ def approx_join_agg(
     into the scans), so the join touches a p-fraction of each side.
     """
     p = float(ratio)
-    ls = universe_sample(left, left_key, p, seed)
-    rs = universe_sample(right, right_key, p, seed)
+    return approx_join_agg_from_samples(
+        universe_sample(left, left_key, p, seed),
+        universe_sample(right, right_key, p, seed),
+        left_key,
+        right_key,
+        p,
+        value_col=value_col,
+        z=z,
+        group_by=group_by,
+    )
+
+
+def approx_join_agg_from_samples(
+    ls: DataFrame,
+    rs: DataFrame,
+    left_key: str,
+    right_key: str,
+    ratio: float,
+    value_col: str | None = None,
+    z: float = 1.96,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Same estimator over ALREADY-DRAWN universe samples of both sides —
+    the A5 move for approximate joins: `CREATE SAMPLE ... KIND universe`
+    persists both scrambles once (they MUST share hash seed and ratio so the
+    survival probabilities compose to p), and join queries scan the
+    p-fraction tables instead of the corpora."""
+    p = float(ratio)
     joined = ls.join(rs, ls[left_key] == rs[right_key])
     aggs = [F.count(F.lit(1)).alias("c_k")]
     if value_col is not None:
@@ -197,10 +223,17 @@ def approx_agg_from_stratified_sample(
         .withColumn("p_g", frac_map[F.col(group_by)])
     )
     n_s, sum_s, sum_sq, p_g = F.col("n_s"), F.col("sum_s"), F.col("sum_sq"), F.col("p_g")
+    # AVG within a stratum: the stratum's sample is Bernoulli(p_g), so the
+    # same ratio estimator as the uniform path applies with that stratum's
+    # own fraction — est = sum_s/n_s, se ≈ s_v·√((1−p_g)/n_s); a stratum
+    # sampled at 1.0 gets the exact average with zero error
+    var_v = (sum_sq / n_s) - (sum_s / n_s) * (sum_s / n_s)
     return agg.select(
         F.col(group_by),
         (n_s / p_g).alias("est_count"),
         (F.lit(z) * F.sqrt(n_s * (1 - p_g)) / p_g).alias("count_err"),
         (sum_s / p_g).alias("est_sum"),
         (F.lit(z) * F.sqrt(sum_sq * (1 - p_g)) / p_g).alias("sum_err"),
+        (sum_s / n_s).alias("est_avg"),
+        (F.lit(z) * F.sqrt(F.greatest(var_v, F.lit(0.0)) * (1 - p_g) / n_s)).alias("avg_err"),
     )

@@ -54,6 +54,84 @@ _SKELETON = re.compile(
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# Verdict's ApproxJoinedRelation (A8) as SQL: one APPROX_COUNT/APPROX_SUM
+# over an equi-join, answered by universe-sampling both sides on the join
+# key (p-composition, sampling.approx_join_agg). Table qualifiers in ON must
+# name the FROM tables (no aliases).
+_JOIN_SKELETON = re.compile(
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))\s*"
+    r"FROM\s+(?P<ta>[\w./:\-]+)\s+JOIN\s+(?P<tb>[\w./:\-]+)"
+    r"\s+ON\s+(?P<qa>\w+)\.(?P<ka>\w+)\s*=\s*(?P<qb>\w+)\.(?P<kb>\w+)"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
+    fn, args = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))][0]
+    if fn == "APPROX_COUNT":
+        value_col, ratio_arg = None, (args[0] if args else None)
+    elif fn == "APPROX_SUM":
+        value_col, ratio_arg = args[0], (args[1] if len(args) > 1 else None)
+    else:
+        raise ValueError(
+            f"{fn} is not supported over a JOIN — approximate joins answer "
+            "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
+        )
+    ta, tb = m.group("ta"), m.group("tb")
+    qa, qb, ka, kb = m.group("qa"), m.group("qb"), m.group("ka"), m.group("kb")
+
+    def _owns(q: str, t: str) -> bool:
+        return q == t or t.rstrip("/").split("/")[-1].split(".")[0] == q
+
+    if _owns(qa, ta) and _owns(qb, tb):
+        left_key, right_key = ka, kb
+    elif _owns(qa, tb) and _owns(qb, ta):
+        left_key, right_key = kb, ka
+    else:
+        raise ValueError(
+            f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables ({ta!r}, {tb!r})"
+        )
+    group = m.group("group")
+
+    if catalog is not None and catalog_key is not None:
+        # A5 for joins: answer from TWO persisted universe scrambles —
+        # catalog_key = "left_sample,right_sample"; same seed+ratio required
+        # (p-composition only holds through a SHARED hash)
+        names = [s.strip() for s in str(catalog_key).split(",")]
+        if len(names) != 2:
+            raise ValueError(
+                "join statements take catalog_key='left_sample,right_sample'"
+            )
+        ma, mb = catalog.sample_meta(names[0]), catalog.sample_meta(names[1])
+        for meta, key in ((ma, left_key), (mb, right_key)):
+            if meta["kind"] != "universe" or meta["on_col"] != key:
+                raise ValueError(
+                    f"sample {meta['name']!r} must be a universe sample on {key!r}; "
+                    f"got {meta['kind']} on {meta['on_col']!r}"
+                )
+        if (ma["ratio"], ma["seed"]) != (mb["ratio"], mb["seed"]):
+            raise ValueError(
+                "join samples must share ratio and seed (survival probabilities "
+                f"compose only through the same hash): {names[0]}=({ma['ratio']}, "
+                f"{ma['seed']}) vs {names[1]}=({mb['ratio']}, {mb['seed']})"
+            )
+        from sketchlib.spark.sampling import approx_join_agg_from_samples
+
+        return approx_join_agg_from_samples(
+            catalog.sample(names[0]), catalog.sample(names[1]),
+            left_key, right_key, ma["ratio"], value_col=value_col, group_by=group,
+        )
+
+    from sketchlib.spark.sampling import approx_join_agg
+
+    left = _resolve_table(spark, ta, tables)
+    right = _resolve_table(spark, tb, tables)
+    return approx_join_agg(
+        left, right, left_key, right_key,
+        value_col=value_col, ratio=float(ratio_arg or 0.1), group_by=group,
+    )
+
 # Sample-lifecycle DDL — Verdict's literal entry points (SURVEY A2/A3):
 #   CREATE [OR REPLACE] SAMPLE s FROM t KIND uniform RATIO 0.1
 #       [ON col] [FRACTIONS '{"g": 0.2}'] [SEED 7]
@@ -387,6 +465,9 @@ def approx_sql(
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl
+    jm = _JOIN_SKELETON.match(sql)
+    if jm:
+        return _approx_join(spark, jm, tables, catalog, catalog_key)
     m = _SKELETON.match(sql)
     if not m:
         raise ValueError(
@@ -452,8 +533,6 @@ def approx_sql(
                         )
                     fractions = json.loads(meta["fractions_json"])
                     out = approx_agg_from_stratified_sample(s, group, col, fractions)
-                    if fn == "APPROX_AVG":
-                        raise ValueError("APPROX_AVG over stratified samples not implemented")
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
                 keep = {

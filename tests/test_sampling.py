@@ -134,3 +134,25 @@ def test_approx_join_agg_grouped(spark):
     for g, r in est.items():
         assert abs(r["est_count"] - exact[g]["n"]) <= r["count_err"], g
         assert abs(r["est_sum"] - exact[g]["s"]) <= r["sum_err"], g
+
+
+def test_stratified_avg_ratio_estimator(spark, seq_tiny_dir):
+    """Stratified APPROX_AVG (VERDICT r2 #7): per-stratum ratio estimator
+    with that stratum's own fraction; a stratum sampled at 1.0 is exact with
+    zero error, sampled strata cover the true average at 3σ."""
+    from sketchlib.spark.sampling import approx_agg_stratified
+
+    df = spark.read.parquet(seq_tiny_dir)
+    fractions = {"web": 0.3, "books": 1.0, "code": 0.5, "wiki": 1.0, "forums": 0.4}
+    got = approx_agg_stratified(df, "source", "n_tok", fractions, seed=11).toPandas()
+    exact = df.groupBy("source").agg(F.avg("n_tok").alias("true_avg")).toPandas()
+    m = got.merge(exact, on="source")
+    assert len(m) == 5 and {"est_avg", "avg_err"} <= set(m.columns)
+    full = m[m["source"].isin(["books", "wiki"])]
+    assert (full["avg_err"] == 0).all()
+    assert np.allclose(full["est_avg"], full["true_avg"])
+    sampled = m[~m["source"].isin(["books", "wiki"])]
+    assert (
+        (sampled["est_avg"] - sampled["true_avg"]).abs()
+        <= sampled["avg_err"] * (3 / 1.96) + 1e-9
+    ).all()

@@ -346,3 +346,56 @@ def test_stratified_sample_ddl_with_fractions(spark, tables, tmp_path):
         tables, catalog=cat,
     ).collect()[0]
     assert row["kind"] == "stratified" and row["on_col"] == "source"
+
+
+def test_approx_join_sql(spark, tmp_path):
+    """Verdict's ApproxJoinedRelation through the SQL front door: direct
+    mode universe-samples both sides (p-composition); catalog mode answers
+    from two persisted universe scrambles sharing ratio+seed."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(5)
+    fact = pd.DataFrame({"k": rng.integers(0, 200, 5000), "val": rng.uniform(0, 10, 5000).round(3)})
+    dim = pd.DataFrame({"j": np.arange(200), "attr": ["x"] * 200})
+    fpath, dpath = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.createDataFrame(fact).write.parquet(fpath)
+    spark.createDataFrame(dim).write.parquet(dpath)
+    t = {"fact": fpath, "dim": dpath}
+    exact_n, exact_s = len(fact), float(fact["val"].sum())  # dim covers every key
+
+    out = approx_sql(
+        spark, "SELECT APPROX_SUM(val, 0.5) FROM fact JOIN dim ON fact.k = dim.j", t
+    ).collect()[0]
+    wide = 3.29 / 1.96  # widen the default 95% CI to ~3.3σ for a one-shot check
+    assert abs(out["est_count"] - exact_n) <= out["count_err"] * wide
+    assert abs(out["est_sum"] - exact_s) <= out["sum_err"] * wide
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, f"CREATE SAMPLE fs FROM {fpath} KIND universe RATIO 0.5 ON k SEED 9",
+               catalog=cat).collect()
+    approx_sql(spark, f"CREATE SAMPLE ds FROM {dpath} KIND universe RATIO 0.5 ON j SEED 9",
+               catalog=cat).collect()
+    out2 = approx_sql(
+        spark, "SELECT APPROX_COUNT() FROM fact JOIN dim ON fact.k = dim.j", t,
+        catalog=cat, catalog_key="fs,ds",
+    ).collect()[0]
+    assert abs(out2["est_count"] - exact_n) <= out2["count_err"] * wide
+
+    # reversed ON qualifiers resolve to the same join
+    out3 = approx_sql(
+        spark, "SELECT APPROX_COUNT() FROM fact JOIN dim ON dim.j = fact.k", t,
+        catalog=cat, catalog_key="fs,ds",
+    ).collect()[0]
+    assert out3["est_count"] == out2["est_count"]
+
+    # mismatched seed breaks p-composition -> refused
+    approx_sql(spark, f"CREATE SAMPLE ds2 FROM {dpath} KIND universe RATIO 0.5 ON j SEED 10",
+               catalog=cat).collect()
+    with pytest.raises(ValueError, match="share ratio and seed"):
+        approx_sql(spark, "SELECT APPROX_COUNT() FROM fact JOIN dim ON fact.k = dim.j", t,
+                   catalog=cat, catalog_key="fs,ds2")
+    with pytest.raises(ValueError, match="not supported over a JOIN"):
+        approx_sql(spark, "SELECT APPROX_PERCENTILE(val, 0.5) FROM fact JOIN dim ON fact.k = dim.j", t)
