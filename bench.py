@@ -113,6 +113,30 @@ def main() -> None:
         assert n_states > 0
     times["sketch_build_sequences"] = round(build_sec, 3)
 
+    # ---- second scale block (VERDICT r2 #9): the same flagship build at
+    # 5× the rows, so round-over-round comparisons carry a scale axis and
+    # overhead-bound vs data-bound shifts are visible. Workers are already
+    # warm from the first build (same session), so best-of-2 timed directly.
+    scale2 = float(os.environ.get("SPARK_GRAFT_SCALE2", "5"))
+    second = {}
+    if scale2 > 0:
+        seq2_dir, seq2_tokens = seq_table_dir(sf * scale2)
+        b2 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n2 = build_sketches_from_parquet(spark, seq2_dir, SEQ_SPECS, group_by="source").count()
+            b2 = min(b2, time.perf_counter() - t0)
+            assert n2 > 0
+        second = {
+            "sf": sf * scale2,
+            "sequences_rows": max(2_000, int(sf * scale2 * 2_000_000)),
+            "sequences_tokens": seq2_tokens,
+            "sketch_build_sec": round(b2, 3),
+            "sketch_build_tokens_per_sec": round(seq2_tokens / b2, 1),
+            # >1: the small build is overhead-bound; ≈1: linear in data
+            "throughput_ratio_vs_sf1": round((seq2_tokens / b2) / (seq_tokens / build_sec), 3),
+        }
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -127,6 +151,7 @@ def main() -> None:
                     "sequences_tokens": seq_tokens,
                     "sketch_build_tokens_per_sec": round(seq_tokens / build_sec, 1),
                     "cpus": cpus,
+                    "second_scale": second,
                 },
             }
         )
