@@ -1,19 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-43 queries; naming maps to SURVEY.md §2:
+48 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
-  b* (21) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8).
+  b* (25) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
+       plus round 3: b23 distributed high-cardinality estimates, b24
+       multi-column GROUP BY, b25 stratified APPROX_AVG via DDL, b26
+       approximate JOIN via SQL).
        Accuracy claims are driver-checked: each returns ``within_bound``-
        style booleans computed against EXACT answers (calculated in Spark),
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (11) — training-data pipeline ops: exact dedup, token stats,
+  c* (12) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
-       containment, gap sessionization (DuckDB lag/cumsum oracle).
+       containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
+       from a persisted catalog index (c12, base table deleted first).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate

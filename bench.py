@@ -46,7 +46,8 @@ SEQ_SPECS = [
 ]
 
 
-def seq_table_dir(sf: float) -> tuple[str, int]:
+def seq_table_dir(sf: float) -> tuple[str, int, int]:
+    """(dir, total tokens, n_rows) for the cached synthetic sequences table."""
     n_rows = max(2_000, int(sf * 2_000_000))
     d = f"/tmp/sketchlib_bench/seq_n{n_rows}"
     if not os.path.exists(os.path.join(d, "_MANIFEST.json")):
@@ -54,7 +55,7 @@ def seq_table_dir(sf: float) -> tuple[str, int]:
         with open(os.path.join(d, "_MANIFEST.json"), "w") as fh:
             json.dump(m, fh)
     with open(os.path.join(d, "_MANIFEST.json")) as fh:
-        return d, json.load(fh)["tokens"]
+        return d, json.load(fh)["tokens"], n_rows
 
 
 def main() -> None:
@@ -79,7 +80,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).summary().collect()  # JVM warmup
 
-    seq_dir, seq_tokens = seq_table_dir(sf)
+    seq_dir, seq_tokens, seq_rows = seq_table_dir(sf)
 
     queries = entrymod.queries()
     # one untimed pass first: the initial query of a session pays JVM parquet-
@@ -120,7 +121,7 @@ def main() -> None:
     scale2 = float(os.environ.get("SPARK_GRAFT_SCALE2", "5"))
     second = {}
     if scale2 > 0:
-        seq2_dir, seq2_tokens = seq_table_dir(sf * scale2)
+        seq2_dir, seq2_tokens, seq2_rows = seq_table_dir(sf * scale2)
         b2 = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -129,12 +130,12 @@ def main() -> None:
             assert n2 > 0
         second = {
             "sf": sf * scale2,
-            "sequences_rows": max(2_000, int(sf * scale2 * 2_000_000)),
+            "sequences_rows": seq2_rows,
             "sequences_tokens": seq2_tokens,
             "sketch_build_sec": round(b2, 3),
             "sketch_build_tokens_per_sec": round(seq2_tokens / b2, 1),
-            # >1: the small build is overhead-bound; ≈1: linear in data
-            "throughput_ratio_vs_sf1": round((seq2_tokens / b2) / (seq_tokens / build_sec), 3),
+            # vs the FIRST block above; >1: the small build is overhead-bound
+            "throughput_ratio_vs_block1": round((seq2_tokens / b2) / (seq_tokens / build_sec), 3),
         }
 
     total = round(sum(times.values()), 3)
@@ -147,7 +148,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "extra": {
-                    "sequences_rows": int(sf * 2_000_000),
+                    "sequences_rows": seq_rows,
                     "sequences_tokens": seq_tokens,
                     "sketch_build_tokens_per_sec": round(seq_tokens / build_sec, 1),
                     "cpus": cpus,

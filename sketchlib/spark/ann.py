@@ -42,10 +42,18 @@ def _norm_expr(vec_col: str) -> F.Column:
     return F.sqrt(sq)
 
 
+def _safe_norm(vec_col: str) -> F.Column:
+    """Norm with the zero-vector guard: 0/0 would be NaN, and Spark ORDERS
+    NaN above every double — an all-zeros embedding would otherwise rank
+    first for every query (the numpy paths guard norms==0 -> 1.0 likewise)."""
+    n = _norm_expr(vec_col)
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+
 def brute_force_topk(df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10) -> DataFrame:
     """Exact cosine top-k: (id, cosine), ties broken by id for determinism."""
-    qn = float(np.linalg.norm(query))
-    cos = (_dot_expr(vec_col, query) / (_norm_expr(vec_col) * F.lit(qn))).alias("cosine")
+    qn = float(np.linalg.norm(query)) or 1.0
+    cos = (_dot_expr(vec_col, query) / (_safe_norm(vec_col) * F.lit(qn))).alias("cosine")
     return (
         df.select(F.col(id_col), cos)
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -266,7 +274,7 @@ def topk_from_bucketed_index(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm_expr(vec_col) * _norm_expr("_q"))
+    cos = dot / (_safe_norm(vec_col) * _safe_norm("_q"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         cand.withColumn("cosine", cos)
@@ -377,7 +385,7 @@ def srp_topk_many(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm_expr(vec_col) * _norm_expr("_q"))
+    cos = dot / (_safe_norm(vec_col) * _safe_norm("_q"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         joined.withColumn("cosine", cos)
@@ -481,9 +489,13 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    def norm(c):
+        n = F.sqrt(
+            F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        # zero-vector guard: NaN compares GREATER than the threshold in
+        # Spark's ordering semantics, which would pass junk pairs
+        return F.when(n == 0, F.lit(1.0)).otherwise(n)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -133,7 +133,18 @@ class SketchSpec:
 
 def _column_values(batch: pa.RecordBatch, name: str):
     """(row_values or None, flat_values or None, row_lengths or None) for a column."""
-    col = batch.column(batch.schema.get_field_index(name))
+    idx = batch.schema.get_field_index(name)
+    if idx < 0:
+        # pyarrow's column(-1) would silently return the LAST column — e.g. a
+        # hive-partition group column absent from the file schema would sketch
+        # garbage with no error. Fail loudly instead.
+        raise KeyError(
+            f"column {name!r} not in batch schema {batch.schema.names} — for "
+            "hive-partitioned layouts the partition column exists only as a "
+            "directory name (single-column group_by handles it via const_group; "
+            "composite keys need the column materialized in the files)"
+        )
+    col = batch.column(idx)
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         flat = col.flatten().to_numpy(zero_copy_only=False)
         lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)

@@ -96,16 +96,18 @@ class SketchCatalog:
         )
         return persisted
 
-    # --- A3: SHOW SAMPLES analog -------------------------------------------
-    def list(self) -> DataFrame:
+
+    # --- shared registry machinery (append-only parquet log per registry) ---
+
+    def _registry_live(self, cat_dir: str, schema: str, live_dir: str) -> "DataFrame":
+        """Newest registration row per LIVE name: the log is append-only
+        (drops leave stale rows, overwrite leaves both registrations), so
+        keep only the max-built_unix row per name that still has data on
+        disk — shared by all three registries (sketch sets, samples, ANN)."""
         from pyspark.sql import Window, functions as F
 
-        cat = os.path.join(self.root, "_sketch_catalog")
-        df = self.spark.read.schema(_CATALOG_SCHEMA).parquet(cat)
-        # the log is append-only: drops leave stale rows, and overwrite=True
-        # leaves BOTH registrations live — keep only the newest row per name
-        # (max built_unix), never an arbitrary duplicate
-        live = sorted(os.listdir(os.path.join(self.root, "states")))
+        df = self.spark.read.schema(schema).parquet(os.path.join(self.root, cat_dir))
+        live = sorted(os.listdir(os.path.join(self.root, live_dir)))
         w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
         return (
             df.filter(df.name.isin(live))
@@ -113,6 +115,25 @@ class SketchCatalog:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def _registry_meta(self, cat_dir: str, schema: str, name: str, kind_label: str):
+        from pyspark.sql import Window, functions as F
+
+        df = self.spark.read.schema(schema).parquet(os.path.join(self.root, cat_dir))
+        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
+        rows = (
+            df.filter(df.name == name)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown {kind_label} {name!r}")
+        return rows[0]
+
+    # --- A3: SHOW SAMPLES analog -------------------------------------------
+    def list(self) -> DataFrame:
+        return self._registry_live("_sketch_catalog", _CATALOG_SCHEMA, "states")
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.root, "states", name))
@@ -192,34 +213,10 @@ class SketchCatalog:
 
     def sample_meta(self, name: str):
         """Newest registration row for a persisted sample."""
-        from pyspark.sql import Window, functions as F
-
-        cat = os.path.join(self.root, "_sample_catalog")
-        df = self.spark.read.schema(_SAMPLE_SCHEMA).parquet(cat)
-        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
-        rows = (
-            df.filter(df.name == name)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .collect()
-        )
-        if not rows:
-            raise ValueError(f"unknown sample {name!r}")
-        return rows[0]
+        return self._registry_meta("_sample_catalog", _SAMPLE_SCHEMA, name, "sample")
 
     def list_samples(self) -> DataFrame:
-        from pyspark.sql import Window, functions as F
-
-        cat = os.path.join(self.root, "_sample_catalog")
-        df = self.spark.read.schema(_SAMPLE_SCHEMA).parquet(cat)
-        live = sorted(os.listdir(os.path.join(self.root, "samples")))
-        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
-        return (
-            df.filter(df.name.isin(live))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return self._registry_live("_sample_catalog", _SAMPLE_SCHEMA, "samples")
 
     def drop_sample(self, name: str) -> None:
         sdir = os.path.join(self.root, "samples", name)
@@ -297,34 +294,11 @@ class SketchCatalog:
         return self.spark.read.parquet(os.path.join(self.root, "ann", name))
 
     def ann_meta(self, name: str):
-        from pyspark.sql import Window, functions as F
-
-        cat = os.path.join(self.root, "_ann_catalog")
-        df = self.spark.read.schema(_ANN_SCHEMA).parquet(cat)
-        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
-        rows = (
-            df.filter(df.name == name)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .collect()
-        )
-        if not rows:
-            raise ValueError(f"unknown ANN index {name!r}")
-        return rows[0]
+        """Newest registration row for a persisted ANN index."""
+        return self._registry_meta("_ann_catalog", _ANN_SCHEMA, name, "ANN index")
 
     def list_ann_indexes(self) -> DataFrame:
-        from pyspark.sql import Window, functions as F
-
-        cat = os.path.join(self.root, "_ann_catalog")
-        df = self.spark.read.schema(_ANN_SCHEMA).parquet(cat)
-        live = sorted(os.listdir(os.path.join(self.root, "ann")))
-        w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
-        return (
-            df.filter(df.name.isin(live))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return self._registry_live("_ann_catalog", _ANN_SCHEMA, "ann")
 
     def drop_ann_index(self, name: str) -> None:
         adir = os.path.join(self.root, "ann", name)

@@ -20,7 +20,9 @@ Two execution paths, selected by group cardinality:
 
 ``distributed=None`` (default) auto-selects: the filtered states are
 persisted, counted, and routed; the driver path unpersists after collecting,
-the distributed path leaves the tiny cached states for its downstream plan.
+the distributed path eagerly materializes its (tiny) result via
+localCheckpoint and unpersists — no cached state sets accumulate across
+repeated calls.
 """
 
 from __future__ import annotations
@@ -68,18 +70,30 @@ def _route(states: DataFrame, sketch: str, distributed: bool | None):
     return sub, sub.count() > _DISTRIBUTED_THRESHOLD, True
 
 
+def _finish_dist(out: DataFrame, sub: DataFrame, persisted: bool) -> DataFrame:
+    """Release the routing cache on the distributed path: eagerly materialize
+    the (tiny — rows per group, not states) result via localCheckpoint, then
+    unpersist the cached state set so repeated auto-routed calls don't
+    accumulate MB-scale cached states in executor storage."""
+    if persisted:
+        out = out.localCheckpoint(eager=True)
+        sub.unpersist()
+    return out
+
+
 def estimates_df(
     spark: SparkSession, states: DataFrame, sketch: str, distributed: bool | None = None
 ) -> DataFrame:
     """(group, estimate, rse_bound) for a cardinality sketch (HLL/KMV)."""
     sub, dist, persisted = _route(states, sketch, distributed)
     if dist:
-        return _map_states(
+        out = _map_states(
             sub,
             lambda g, sk: [(g, *map(float, sk.estimate()))],
             "group string, estimate double, rse_bound double",
             ["group", "estimate", "rse_bound"],
         )
+        return _finish_dist(out, sub, persisted)
     out = []
     for (g, name), sk in sorted(load_states(sub).items()):
         est, rse = sk.estimate()
@@ -102,11 +116,12 @@ def topk_df(
             bound = float(sk.error_bound())
             return [(g, int(i), int(e), bound) for i, e in zip(ids.tolist(), est.tolist())]
 
-        return _map_states(
+        out = _map_states(
             sub, rows,
             "group string, token long, est_count long, err_bound double",
             ["group", "token", "est_count", "err_bound"],
         )
+        return _finish_dist(out, sub, persisted)
     out = []
     for (g, name), sk in sorted(load_states(sub).items()):
         ids, est = sk.topk(k)
@@ -134,11 +149,12 @@ def quantiles_df(
             bound = float(sk.error_bound())
             return [(g, float(q), float(v), bound) for q, v in zip(qs, vals.tolist())]
 
-        return _map_states(
+        out = _map_states(
             sub, rows,
             "group string, q double, value double, rank_err_bound double",
             ["group", "q", "value", "rank_err_bound"],
         )
+        return _finish_dist(out, sub, persisted)
     out = []
     for (g, name), sk in sorted(load_states(sub).items()):
         vals = sk.quantiles(np.array(qs))

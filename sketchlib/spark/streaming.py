@@ -59,6 +59,17 @@ class StreamingSketchSink:
             # pointer advance and the streaming checkpoint commit): merging
             # again would read v{batch_id} and overwrite the same path, which
             # Spark rejects — and would double-count. Idempotence = return.
+            # Loud, because the other way to land here is pointing a FRESH
+            # streaming checkpoint at an old state_dir — which silently drops
+            # the new batch 0. Pair each state_dir with ONE checkpoint dir.
+            import warnings
+
+            warnings.warn(
+                f"StreamingSketchSink: batch {batch_id} already committed in "
+                f"{self.state_dir} — skipping (replay). If this is a NEW "
+                "checkpoint reusing an old state_dir, its data was NOT merged.",
+                stacklevel=2,
+            )
             return
         spark = batch_df.sparkSession
         new_partials = partial_states(batch_df, self.specs, self.group_by)
@@ -176,7 +187,17 @@ class WindowedStreamingSketchSink:
         if meta["version"] == batch_id:
             # already committed (crash between pointer advance and streaming
             # checkpoint commit): re-merging would read v{batch_id} while
-            # overwriting it and double-accumulate dropped_late. Replay = noop.
+            # overwriting it and double-accumulate dropped_late. Replay = noop
+            # — loud for the fresh-checkpoint-over-old-state_dir misuse.
+            import warnings
+
+            warnings.warn(
+                f"WindowedStreamingSketchSink: batch {batch_id} already "
+                f"committed in {self.state_dir} — skipping (replay). If this "
+                "is a NEW checkpoint reusing an old state_dir, its data was "
+                "NOT merged.",
+                stacklevel=2,
+            )
             return
         wm_us = None if meta["max_event_us"] is None else meta["max_event_us"] - self._delay_us()
 

@@ -273,13 +273,13 @@ def _canon_group(group) -> str:
     return ",".join(group) if isinstance(group, (list, tuple)) else group
 
 
-def _ungroup(df: DataFrame, base: DataFrame, group) -> DataFrame:
+def _ungroup(df: DataFrame, base: DataFrame | None, group) -> DataFrame:
     """Restore the user's GROUP BY columns from the internal string ``group``
     column: split composite keys into one column each, cast every key column
-    back to its native type in ``base``."""
+    back to its native type in ``base`` (string when the base is unknown)."""
     from pyspark.sql import functions as F
 
-    native = dict(base.dtypes)
+    native = dict(base.dtypes) if base is not None else {}
     if isinstance(group, (list, tuple)):
         from sketchlib.spark.build import split_group
 
@@ -294,19 +294,12 @@ def _ungroup(df: DataFrame, base: DataFrame, group) -> DataFrame:
 
 def _finish_grouped(out: DataFrame, base: DataFrame | None, group) -> DataFrame:
     """Shape a sketch-path result for the user: drop the group column when
-    ungrouped, split composite keys back into one (native-typed when the base
-    is known) column per GROUP BY key."""
+    ungrouped, split composite keys back into native-typed columns (via
+    _ungroup); single-column groups keep the generic ``group`` column."""
     if not group:
         return out.drop("group")
     if isinstance(group, (list, tuple)):
-        from pyspark.sql import functions as F
-
-        from sketchlib.spark.build import split_group
-
-        native = dict(base.dtypes) if base is not None else {}
-        out = split_group(out, list(group))
-        for c in group:
-            out = out.withColumn(c, F.col(c).cast(native.get(c, "string")))
+        return _ungroup(out, base, group)
     return out
 
 
@@ -346,6 +339,18 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
             "with other aggregates — issue it as its own statement"
         )
 
+    # one JVM-derived key string serves BOTH the sketch build and the
+    # sampling aggregation, so the full-outer join below always lines up:
+    # the kernel's Python str() and Catalyst's cast-to-string disagree on
+    # booleans ('True' vs 'true'), NaN, and big-double formatting
+    gkey = None
+    if group:
+        from sketchlib.spark.build import group_key_expr
+
+        gcols = list(group) if isinstance(group, (list, tuple)) else [group]
+        gkey = "_gkey_sql"
+        df = df.withColumn(gkey, group_key_expr(gcols))
+
     specs, spec_slots = [], []  # spec_slots: (out_name, spec_name)
     sample_slots: dict[tuple, list] = {}  # (ratio, value_col) -> [(fn, out_name)]
     for i, (fn, args) in enumerate(aggs):
@@ -369,7 +374,7 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
 
     outs = []
     if specs:
-        states = build_sketches(df, specs, group_by=group)
+        states = build_sketches(df, specs, group_by=gkey)
         for out_name, spec_name in spec_slots:
             e = estimates_df(spark, states, spec_name)
             e = e.select(
@@ -384,21 +389,8 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
         from sketchlib.spark.sampling import approx_agg_uniform
 
         base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
-        if isinstance(group, (list, tuple)):
-            # composite key: aggregate on the SAME joined string the sketch
-            # kernel emits, so the join below lines up byte-for-byte
-            from sketchlib.spark.build import group_key_expr
-
-            base = base.withColumn("_gkey", group_key_expr(list(group)))
-            est = approx_agg_uniform(base, "_gkey", value_col, ratio)
-            gexpr = F.col("_gkey")
-        else:
-            est = approx_agg_uniform(base, group, value_col, ratio)
-            gexpr = F.col(group)
-        # sketch states carry group as STRING (STATE_FIELDS); cast the
-        # sampling side to match so the join below never relies on implicit
-        # cross-type coercion (dates/timestamps can mis-join or fail)
-        cols = [gexpr.cast("string").alias("group")]
+        est = approx_agg_uniform(base, gkey, value_col, ratio)
+        cols = [F.col(gkey).alias("group")]
         for fn, out_name in slots:
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
@@ -525,6 +517,11 @@ def approx_sql(
                     col, s = "_one", s.withColumn("_one", F.lit(1.0))
                 else:
                     s, col = _materialize_expr(s, args[0])
+                keep = {
+                    "APPROX_COUNT": ["est_count", "count_err"],
+                    "APPROX_SUM": ["est_sum", "sum_err"],
+                    "APPROX_AVG": ["est_avg", "avg_err"],
+                }[fn]
                 if meta["kind"] == "stratified":
                     if group != meta["on_col"]:
                         raise ValueError(
@@ -533,13 +530,17 @@ def approx_sql(
                         )
                     fractions = json.loads(meta["fractions_json"])
                     out = approx_agg_from_stratified_sample(s, group, col, fractions)
+                elif isinstance(group, (list, tuple)):
+                    # composite key over a persisted scramble: aggregate on
+                    # the derived key string, split back into native columns
+                    from sketchlib.spark.build import group_key_expr
+
+                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
+                    out = approx_agg_from_uniform_sample(s, "_gkey_sql", col, meta["ratio"])
+                    out = out.withColumnRenamed("_gkey_sql", "group").select("group", *keep)
+                    return _finish_grouped(out, s, group)
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
-                keep = {
-                    "APPROX_COUNT": ["est_count", "count_err"],
-                    "APPROX_SUM": ["est_sum", "sum_err"],
-                    "APPROX_AVG": ["est_avg", "avg_err"],
-                }[fn]
                 return out.select(group, *keep)
             if fn == "APPROX_COUNT_DISTINCT":
                 col = args[0]
@@ -550,6 +551,14 @@ def approx_sql(
                     )
                 from sketchlib.spark.sampling import count_distinct_from_universe_sample
 
+                if isinstance(group, (list, tuple)):
+                    from sketchlib.spark.build import group_key_expr
+
+                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
+                    out = count_distinct_from_universe_sample(
+                        s, col, meta["ratio"], group_by="_gkey_sql"
+                    ).withColumnRenamed("_gkey_sql", "group")
+                    return _finish_grouped(out, s, group)
                 return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 

@@ -69,13 +69,23 @@ def test_distributed_path_adds_no_shuffle_or_collect(spark, highcard_states):
     assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
 
 
-def test_auto_routing_by_group_cardinality(spark, highcard_states):
-    # 3000 groups > threshold → distributed plan
-    auto = estimates_df(spark, highcard_states, "h")
-    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+def test_auto_routing_by_group_cardinality(spark, highcard_states, monkeypatch):
+    """>1000 groups auto-routes to the executor-side path (observed via a
+    _map_states spy — the auto path localCheckpoints its result, so the
+    returned plan no longer shows MapInPandas), and releases the routing
+    cache; few groups take the driver path."""
+    import sketchlib.spark.query as q
 
-    # few groups → driver path (local result, no MapInPandas)
+    calls = []
+    real = q._map_states
+    monkeypatch.setattr(q, "_map_states", lambda *a, **kw: calls.append(1) or real(*a, **kw))
+
+    auto = estimates_df(spark, highcard_states, "h")
+    assert calls, "3000 groups must auto-route to the distributed path"
+    assert auto.count() == 3000
+
+    calls.clear()
     few = highcard_states.filter(F.col("group").isin([str(i) for i in range(5)]))
     small = estimates_df(spark, few, "h")
-    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert not calls, "5 groups must take the driver path"
     assert small.count() == 5
