@@ -144,7 +144,7 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from bench import seq_table_dir
 
-    seq_dir, tokens = seq_table_dir(n_rows / 2_000_000)
+    seq_dir, tokens, _ = seq_table_dir(n_rows / 2_000_000)
 
     # two interleaved visits per level (one for the slow 1-core point), best
     # across visits: this shared host's CPU delivery drifts on minute scales,
