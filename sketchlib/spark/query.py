@@ -168,24 +168,46 @@ def quantiles_df(
     )
 
 
-def membership_df(spark: SparkSession, states: DataFrame, sketch: str, keys) -> DataFrame:
+def membership_df(
+    spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
+) -> DataFrame:
     """(group, key, may_contain, fpr_bound) Bloom membership per group (Q5).
 
     ``may_contain = False`` is exact (zero false negatives); True is a maybe
-    with the reported false-positive bound.
+    with the reported false-positive bound. Same routing as estimates_df:
+    above the group threshold the probe runs executor-side (keys ride along
+    in the task closure — a probe batch is KBs).
     """
     keys = np.asarray(keys)
     integral = keys.dtype.kind in ("i", "u")
     hashed = keys if integral else hash_any(keys).astype(np.int64)
+    keys_list = keys.tolist()
+    sub, dist, persisted = _route(states, sketch, distributed)
+    if dist:
+        def rows(g, sk):
+            hits = sk.contains(hashed)
+            fpr = float(sk.fpr_bound())
+            return [
+                (g, int(kv) if integral else str(kv), bool(hit), fpr)
+                for kv, hit in zip(keys_list, hits.tolist())
+            ]
+
+        ktype = "long" if integral else "string"
+        out = _map_states(
+            sub, rows,
+            f"group string, key {ktype}, may_contain boolean, fpr_bound double",
+            ["group", "key", "may_contain", "fpr_bound"],
+        )
+        return _finish_dist(out, sub, persisted)
     out = []
-    for (g, name), sk in sorted(load_states(states).items()):
-        if name != sketch:
-            continue
+    for (g, name), sk in sorted(load_states(sub).items()):
         hits = sk.contains(hashed)
         fpr = sk.fpr_bound()
-        for kv, hit in zip(keys.tolist(), hits.tolist()):
+        for kv, hit in zip(keys_list, hits.tolist()):
             # emit the key in its native type — int() on a string key raised
             out.append((g, int(kv) if integral else str(kv), bool(hit), float(fpr)))
+    if persisted:
+        sub.unpersist()
     return spark.createDataFrame(
         pd.DataFrame(out, columns=["group", "key", "may_contain", "fpr_bound"])
     )
@@ -283,7 +305,12 @@ def difference_estimate(
 
 
 def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
-    """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash)."""
+    """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash).
+
+    Deliberately driver-side with no distributed twin: ALL-PAIRS similarity
+    is only meaningful at source-level group counts (pairs grow as G²); for
+    high-cardinality near-dup detection use the LSH paths in spark/dedup.py,
+    which never enumerate pairs."""
     sigs = {g: sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch}
     groups = sorted(sigs)
     out = []

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sketchlib.spark.build import SketchSpec, build_sketches
-from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+from sketchlib.spark.query import estimates_df, membership_df, quantiles_df, topk_df
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +29,7 @@ def highcard_states(spark, tmp_path_factory):
         SketchSpec("h", "hll", "v", {"p": 12}),
         SketchSpec("c", "cm", "v", {"eps": 1e-3, "delta": 0.05}),
         SketchSpec("q", "kll", "x", {"k": 200}),
+        SketchSpec("b", "bloom", "v", {"m_bits": 1 << 14, "h": 5}),
     ]
     states = build_sketches(df, specs, group_by="k")
     out = str(tmp_path_factory.mktemp("hc") / "states")
@@ -56,6 +57,12 @@ def test_distributed_equals_driver_path(spark, highcard_states):
     gq = quantiles_df(spark, highcard_states, "q", [0.5, 0.9], distributed=True)
     wq = quantiles_df(spark, highcard_states, "q", [0.5, 0.9], distributed=False)
     assert _rows(gq, qcols) == _rows(wq, qcols)
+
+    mcols = ["group", "key", "may_contain", "fpr_bound"]
+    gm = membership_df(spark, highcard_states, "b", [0, 7, 96], distributed=True)
+    wm = membership_df(spark, highcard_states, "b", [0, 7, 96], distributed=False)
+    assert _rows(gm, mcols) == _rows(wm, mcols)
+    assert gm.count() == 3000 * 3
 
 
 def test_distributed_path_adds_no_shuffle_or_collect(spark, highcard_states):
