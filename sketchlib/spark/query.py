@@ -221,6 +221,7 @@ def exact_rescore_topk(
     tokens_col: str = "tokens",
     group_by: str = "source",
     overfetch: int = 3,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Hybrid sketch→exact top-k: CM candidates prune the token domain, one
     filtered exact pass rescores them (the Verdict move — approximate to find
@@ -231,21 +232,49 @@ def exact_rescore_topk(
     estimate survives), then computes exact counts ONLY for candidate tokens
     — the explode+filter scan aggregates a few hundred keys instead of the
     full vocab. Output: (group, token, exact_count), exact top-k per group.
+
+    Routing (same threshold as estimates_df): the driver path collects the
+    union of all groups' candidates into one pushed-down ``isin`` filter;
+    above the group threshold candidates are extracted executor-side and
+    pruning is a PER-GROUP (group, token) semi-join, which both avoids the
+    driver collect and stops one group's candidates from surviving the
+    filter in every other group's rows.
     """
     from pyspark.sql.window import Window
 
-    cand: dict[str, list[int]] = {}
-    for (g, name), sk in sorted(load_states(states).items()):
-        if name == sketch:
+    sub, dist, persisted = _route(states, sketch, distributed)
+    if dist:
+        def rows(g, sk):
+            ids, _ = sk.topk(k * overfetch)
+            return [(g, int(i)) for i in ids.tolist()]
+
+        cand = _map_states(sub, rows, "group string, token long", ["group", "token"])
+        cand = _finish_dist(cand, sub, persisted)
+        exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
+        counts = (
+            exploded.join(
+                cand.withColumnRenamed("group", "_cg").withColumnRenamed("token", "_ct"),
+                (exploded["group"].cast("string") == F.col("_cg"))
+                & (exploded["token"] == F.col("_ct")),
+                "leftsemi",
+            )
+            .groupBy("group", "token")
+            .agg(F.count("*").alias("exact_count"))
+        )
+    else:
+        cand: dict[str, list[int]] = {}
+        for (g, name), sk in sorted(load_states(sub).items()):
             ids, _ = sk.topk(k * overfetch)
             cand[g] = [int(i) for i in ids.tolist()]
-    all_cands = sorted({t for ts in cand.values() for t in ts})
-    exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
-    counts = (
-        exploded.filter(F.col("token").isin(all_cands))
-        .groupBy("group", "token")
-        .agg(F.count("*").alias("exact_count"))
-    )
+        if persisted:
+            sub.unpersist()
+        all_cands = sorted({t for ts in cand.values() for t in ts})
+        exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
+        counts = (
+            exploded.filter(F.col("token").isin(all_cands))
+            .groupBy("group", "token")
+            .agg(F.count("*").alias("exact_count"))
+        )
     w = Window.partitionBy("group").orderBy(F.desc("exact_count"), F.asc("token"))
     return (
         counts.withColumn("_rn", F.row_number().over(w))

@@ -149,6 +149,8 @@ _CREATE_SAMPLE = re.compile(
 )
 _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
+_DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
@@ -164,11 +166,22 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     if m:
         return catalog.list_samples()
 
+    m = _SHOW_SKETCHES.match(sql)
+    if m:
+        return catalog.list()
+
     m = _DROP_SAMPLE.match(sql)
     if m:
         name = m.group("name")
         existed = catalog.sample_exists(name)
         catalog.drop_sample(name)
+        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
+
+    m = _DROP_SKETCHES.match(sql)
+    if m:
+        name = m.group("name")
+        existed = catalog.exists(name)
+        catalog.drop(name)
         return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
 
     m = _CREATE_SAMPLE.match(sql)
@@ -204,7 +217,7 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     raise ValueError(
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
-        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s"
+        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s; SHOW SKETCHES; DROP SKETCHES s"
     )
 
 

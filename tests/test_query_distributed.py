@@ -96,3 +96,37 @@ def test_auto_routing_by_group_cardinality(spark, highcard_states, monkeypatch):
     small = estimates_df(spark, few, "h")
     assert not calls, "5 groups must take the driver path"
     assert small.count() == 5
+
+
+def test_exact_rescore_distributed_matches_driver(spark):
+    """Hybrid sketch→exact top-k: the distributed candidate path (per-group
+    semi-join, no driver collect) returns exactly the driver path's answer —
+    which is the true top-k."""
+    from sketchlib.spark.query import exact_rescore_topk
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "source": np.repeat(["a", "b", "c"], 400),
+            "tokens": [rng.zipf(1.7, 50).clip(max=500).astype("int32").tolist() for _ in range(1200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    states = build_sketches(
+        df, [SketchSpec("cm", "cm", "tokens", {"eps": 1e-3, "delta": 0.05})], group_by="source"
+    )
+    cols = ["group", "token", "exact_count"]
+    got = exact_rescore_topk(df, states, "cm", 5, group_by="source", distributed=True)
+    want = exact_rescore_topk(df, states, "cm", 5, group_by="source", distributed=False)
+    assert _rows(got, cols) == _rows(want, cols)
+    # and the answer is the true top-5 per group
+    exact = (
+        df.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token").count().toPandas()
+    )
+    for g, sub in exact.groupby("source"):
+        true5 = set(
+            sub.sort_values(["count", "token"], ascending=[False, True]).head(5)["token"]
+        )
+        got_g = {t for gg, t, _ in _rows(got, cols) if gg == g}
+        assert got_g == true5

@@ -399,3 +399,17 @@ def test_approx_join_sql(spark, tmp_path):
                    catalog=cat, catalog_key="fs,ds2")
     with pytest.raises(ValueError, match="not supported over a JOIN"):
         approx_sql(spark, "SELECT APPROX_PERCENTILE(val, 0.5) FROM fact JOIN dim ON fact.k = dim.j", t)
+
+
+def test_sketch_set_ddl(spark, tables, tmp_path):
+    """SHOW SKETCHES / DROP SKETCHES route to the sketch-set registry."""
+    from sketchlib.spark import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("seqs", tables["sequences"], [SketchSpec("h", "hll", "doc_id", {"p": 12})])
+    shown = approx_sql(spark, "SHOW SKETCHES", tables, catalog=cat).collect()
+    assert [r["name"] for r in shown] == ["seqs"]
+    dropped = approx_sql(spark, "DROP SKETCHES seqs", tables, catalog=cat).collect()[0]
+    assert dropped["dropped"]
+    assert approx_sql(spark, "SHOW SKETCHES", tables, catalog=cat).count() == 0
