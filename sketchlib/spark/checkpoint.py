@@ -62,8 +62,10 @@ def committed_parts(ckpt_dir: str) -> set[str]:
     return {f[:-8] for f in os.listdir(sdir) if f.endswith(".parquet")}
 
 
-def _ckpt_reader(specs: list[SketchSpec], group_by: str | None, ckpt_dir: str, fail: frozenset[int]):
-    need = sorted({s.column for s in specs} | ({group_by} if group_by else set()))
+def _ckpt_reader(specs: list[SketchSpec], group_by, ckpt_dir: str, fail: frozenset[int]):
+    from sketchlib.spark.build import group_cols
+
+    need = sorted({s.column for s in specs} | group_cols(group_by))
 
     def reader(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -73,7 +75,8 @@ def _ckpt_reader(specs: list[SketchSpec], group_by: str | None, ckpt_dir: str, f
                     raise RuntimeError(f"injected failure in chunk {cid}")
                 t0 = time.perf_counter()
                 pvals = dict(row["part_vals"] or {})
-                const = pvals.get(group_by) if group_by else None
+                # hive const-group applies to single-column grouping only
+                const = pvals.get(group_by) if isinstance(group_by, str) else None
                 acc = SketchAccumulator(specs, group_by)
                 for batch in _read_chunk_batches(row["file"], row["rg_lo"], row["rg_hi"], need):
                     acc.consume_batch(batch, const_group=const)

@@ -413,3 +413,59 @@ def test_sketch_set_ddl(spark, tables, tmp_path):
     dropped = approx_sql(spark, "DROP SKETCHES seqs", tables, catalog=cat).collect()[0]
     assert dropped["dropped"]
     assert approx_sql(spark, "SHOW SKETCHES", tables, catalog=cat).count() == 0
+
+
+def test_multicol_group_from_catalog_states(spark, tables, tmp_path):
+    """Composite GROUP BY answered from PERSISTED states (A5 + round-3 A9):
+    the catalog registers group_by=['source','parity'], the statement's
+    GROUP BY must match, and the answer comes from states with the keys
+    split back into columns — base table never resolved."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    src = str(tmp_path / "seq2")
+    spark.read.parquet(tables["sequences"]).withColumn(
+        "parity", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("string")
+    ).write.parquet(src)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("s2", src, [SketchSpec("h", "hll", "doc_id", {"p": 12})],
+               group_by=["source", "parity"])
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM whatever GROUP BY source, parity",
+        catalog=cat, catalog_key="s2",
+    ).toPandas()
+    assert {"source", "parity", "estimate"} <= set(out.columns)
+    assert len(out) == 10
+    assert abs(out["estimate"].sum() - 2000) / 2000 < 0.1
+
+    with pytest.raises(ValueError, match="registered group_by"):
+        approx_sql(spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM w GROUP BY source",
+                   catalog=cat, catalog_key="s2")
+
+
+def test_grouped_approx_join_sql(spark, tmp_path):
+    """GROUP BY on an approximate JOIN statement: per-group counts with CIs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(8)
+    fact = pd.DataFrame({
+        "k": rng.integers(0, 300, 8000),
+        "seg": rng.choice(["x", "y"], 8000),
+    })
+    dim = pd.DataFrame({"j": np.arange(300)})
+    fpath, dpath = str(tmp_path / "f"), str(tmp_path / "d")
+    spark.createDataFrame(fact).write.parquet(fpath)
+    spark.createDataFrame(dim).write.parquet(dpath)
+    t = {"fact": fpath, "dim": dpath}
+    out = {r["seg"]: r for r in approx_sql(
+        spark, "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j GROUP BY seg", t
+    ).collect()}
+    exact = fact.groupby("seg").size()
+    wide = 3.29 / 1.96
+    for seg in ("x", "y"):
+        assert abs(out[seg]["est_count"] - exact[seg]) <= out[seg]["count_err"] * wide
