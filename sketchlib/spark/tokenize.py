@@ -11,16 +11,45 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# GPT-2-style BPE pre-tokenization (Radford et al. 2019, the `gpt2` regex),
+# expressed in Java regex (\p{L}/\p{N} classes, lookahead all supported):
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, then whitespace (leaving the last space
+# attached to the next token via the (?!\S) branch). Token COUNTS under this
+# split track real BPE tokenizer counts far better than whitespace words.
+_BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
 
-def token_ids(text_col: str | Column, vocab: int = 50_000) -> Column:
-    """array<int> of hashed token ids for a text column."""
+
+def pre_tokens(text_col: str | Column, mode: str = "whitespace") -> Column:
+    """array<string> of pre-tokens, entirely JVM-side.
+
+    ``whitespace``: split on runs of whitespace. ``bpe_regex``: GPT-2-style
+    regex pre-tokenizer (see _BPE_REGEX) — pure-whitespace tokens are kept,
+    matching how BPE vocabularies tokenize newline/indent runs.
+    """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
-    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(vocab)).cast("int"))
+    if mode == "whitespace":
+        return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    if mode == "bpe_regex":
+        return F.regexp_extract_all(col, F.lit(_BPE_REGEX), F.lit(0))
+    raise ValueError(f"unknown tokenizer mode {mode!r} (whitespace|bpe_regex)")
 
 
-def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens", vocab: int = 50_000) -> DataFrame:
+def token_ids(text_col: str | Column, vocab: int = 50_000, mode: str = "whitespace") -> Column:
+    """array<int> of hashed token ids for a text column."""
+    return F.transform(
+        pre_tokens(text_col, mode), lambda t: F.pmod(F.xxhash64(t), F.lit(vocab)).cast("int")
+    )
+
+
+def with_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "tokens",
+    vocab: int = 50_000,
+    mode: str = "whitespace",
+) -> DataFrame:
     """documents-style table -> sequences-style: adds tokens + n_tok columns."""
-    return df.withColumn(out, token_ids(text_col, vocab)).withColumn(
+    return df.withColumn(out, token_ids(text_col, vocab, mode)).withColumn(
         "n_tok", F.size(F.col(out)).cast("int")
     )

@@ -402,3 +402,27 @@ def test_winnow_fingerprint_guarantee_and_jvm_side(spark):
     assert len(out[3]) < 120 - k + 1 - w
     plan = with_winnow_fingerprint(df, k=k, w=w)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_regex_pretokenizer(spark):
+    """GPT-2-style regex pre-tokenization, JVM-side: contractions split off,
+    the leading space rides with the word, digit and punctuation runs are
+    their own tokens, whitespace runs are kept (newline tokens exist in BPE
+    vocabularies). n_tok under this mode tracks BPE token counts."""
+    from sketchlib.spark.tokenize import pre_tokens, with_tokens
+
+    df = spark.createDataFrame([("Hello world's  test, 123!",)], "text string")
+    got = df.select(pre_tokens("text", "bpe_regex").alias("t")).collect()[0]["t"]
+    assert got == ["Hello", " world", "'s", " ", " test", ",", " 123", "!"]
+
+    toks = with_tokens(df, mode="bpe_regex").collect()[0]
+    assert toks["n_tok"] == 8
+    assert all(0 <= t < 50_000 for t in toks["tokens"])
+
+    ws = with_tokens(df, mode="whitespace").collect()[0]
+    assert ws["n_tok"] == 4  # whitespace words: Hello / world's / test, / 123!
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tokenizer mode"):
+        df.select(pre_tokens("text", "nope"))
