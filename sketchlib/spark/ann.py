@@ -449,6 +449,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     seed: int = 31,
     max_bucket: int | None = 5000,
+    signatures: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP buckets → exact verify.
 
@@ -458,13 +459,27 @@ def embedding_near_dup_pairs(
     survivors are verified with the EXACT cosine (JVM-side zip_with), so
     precision is 1 at the stated threshold. Output: (id_a, id_b, cosine).
     Composes with dedup.cluster_min_id for embedding-based corpus dedup.
+
+    ``signatures``: one precomputed (id, bucket) DataFrame per hash table
+    (built with seeds ``seed + 101*t``) — e.g. persisted catalog tables —
+    so repeated dedup sweeps skip the signature pass entirely.
     """
-    sig_tables = [
-        srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed + 101 * t).withColumn(
-            "table", F.lit(t)
-        )
-        for t in range(n_tables)
-    ]
+    if signatures is not None:
+        if len(signatures) != n_tables:
+            raise ValueError(
+                f"signatures must have one table per n_tables={n_tables}, got {len(signatures)}"
+            )
+        sig_tables = [
+            s.select(id_col, "bucket").withColumn("table", F.lit(t))
+            for t, s in enumerate(signatures)
+        ]
+    else:
+        sig_tables = [
+            srp_signatures(df, vec_col, id_col, n_bits=n_bits, seed=seed + 101 * t).withColumn(
+                "table", F.lit(t)
+            )
+            for t in range(n_tables)
+        ]
     sigs = sig_tables[0]
     for s in sig_tables[1:]:
         sigs = sigs.unionByName(s)

@@ -153,6 +153,39 @@ class WindowedStreamingSketchSink:
         path = os.path.join(self.state_dir, f"v{m['version']:010d}")
         return spark.read.schema(STATE_FIELDS).parquet(path).count()
 
+    def compact_archive(self, spark: SparkSession) -> int:
+        """Consolidate the per-batch archive dirs into ONE directory.
+
+        A year-long stream finalizes a window most batches, so the committed
+        archive-dir list (and the file count behind `states()`) grows with
+        stream age. Compaction rewrites all archived rows into a single
+        `archive/compact_<version>` dir and commits it as the only list
+        entry — crash-safe for the same reason archiving is: the new dir
+        only becomes visible via the pointer write, and the stale dirs are
+        deleted only after it. Returns the number of dirs consolidated.
+        Safe to call any time between micro-batches (e.g. foreachBatch-
+        scheduled every N batches).
+        """
+        meta = self._meta()
+        dirs = meta.get("archive_dirs", [])
+        if len(dirs) <= 1:
+            return 0
+        paths = [os.path.join(self.state_dir, "archive", d) for d in dirs]
+        target = f"compact_{meta['version']:010d}"
+        out = os.path.join(self.state_dir, "archive", target)
+        spark.read.schema(STATE_FIELDS).parquet(*paths).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        tmp = self._ptr_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({**meta, "archive_dirs": [target]}, fh)
+        os.replace(tmp, self._ptr_path())
+        import shutil
+
+        for p in paths:  # stale only after the pointer committed
+            shutil.rmtree(p, ignore_errors=True)
+        return len(dirs)
+
     def states(self, spark: SparkSession) -> DataFrame | None:
         """(window_start timestamp, group, sketch, state, …, is_final).
 

@@ -573,6 +573,54 @@ def approx_sql(
                     ).withColumnRenamed("_gkey_sql", "group")
                     return _finish_grouped(out, s, group)
                 return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
+            if fn == "APPROX_PERCENTILE":
+                # Verdict's A12 over the scramble: EXACT percentile of the
+                # persisted sample rows (the sampling is the approximation).
+                # Rank error of an empirical quantile from a Bernoulli(p)
+                # sample of n_s rows: se ≈ √(q(1−q)/n_s) in rank terms (CLT
+                # for the empirical process), reported at z=1.96.
+                from pyspark.sql import functions as F
+
+                if meta["kind"] not in ("uniform", "stratified"):
+                    raise ValueError(
+                        f"APPROX_PERCENTILE needs a uniform or stratified sample; "
+                        f"{catalog_key!r} is {meta['kind']}"
+                    )
+                if meta["kind"] == "stratified" and group != meta["on_col"]:
+                    raise ValueError(
+                        f"stratified sample {catalog_key!r} is keyed by "
+                        f"{meta['on_col']!r}; GROUP BY must match (per-group "
+                        "quantiles across mixed-fraction strata would be biased)"
+                    )
+                s, col = _materialize_expr(s, args[0])
+                qs = [float(a) for a in args[1:]] or [0.5]
+                gsel = []
+                if isinstance(group, (list, tuple)):
+                    from sketchlib.spark.build import group_key_expr
+
+                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
+                    gsel = ["_gkey_sql"]
+                elif group:
+                    gsel = [group]
+                qs_sql = ", ".join(repr(float(q)) for q in qs)
+                agg = s.groupBy(*gsel).agg(
+                    F.expr(f"percentile({col}, array({qs_sql}))").alias("_vals"),
+                    F.count("*").alias("n_s"),
+                )
+                qlit = F.array(*[F.lit(float(q)) for q in qs])
+                out = (
+                    agg.select(*gsel, F.posexplode("_vals").alias("_i", "value"), "n_s")
+                    .withColumn("q", F.element_at(qlit, F.col("_i") + 1))
+                    .withColumn(
+                        "rank_err_bound",
+                        F.lit(1.96) * F.sqrt(F.col("q") * (1 - F.col("q")) / F.col("n_s")),
+                    )
+                    .select(*gsel, "q", "value", "rank_err_bound")
+                )
+                if isinstance(group, (list, tuple)):
+                    out = out.withColumnRenamed("_gkey_sql", "group")
+                    return _finish_grouped(out, s, group)
+                return out
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 
         if m.group("where"):

@@ -99,3 +99,32 @@ def test_ann_catalog_lifecycle(spark, emb_base, tmp_path):
     assert cat.list_ann_indexes().count() == 0
     with pytest.raises(ValueError, match="unknown ANN index"):
         cat.ann_index("a")
+
+
+def test_near_dup_pairs_accept_precomputed_signatures(spark, emb_base):
+    """Embedding near-dup with persisted signature tables equals the
+    fresh-signature run exactly (no corpus signature pass on repeats)."""
+    from sketchlib.spark.ann import embedding_near_dup_pairs
+
+    df = spark.read.parquet(emb_base)
+    # inject one exact duplicate pair so output is non-trivial
+    dup = df.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9000))
+    d2 = df.unionByName(dup)
+    sigs = [
+        srp_signatures(d2, "embedding", "vec_id", n_bits=10, seed=31 + 101 * t)
+        for t in range(3)
+    ]
+    fresh = embedding_near_dup_pairs(
+        d2, "embedding", "vec_id", threshold=0.99, n_bits=10, n_tables=3
+    ).collect()
+    reused = embedding_near_dup_pairs(
+        d2, "embedding", "vec_id", threshold=0.99, n_bits=10, n_tables=3, signatures=sigs
+    ).collect()
+    key = lambda rs: sorted((r["id_a"], r["id_b"]) for r in rs)  # noqa: E731
+    assert key(fresh) == key(reused)
+    assert (0, 9000) in key(reused)
+
+    with pytest.raises(ValueError, match="one table per"):
+        embedding_near_dup_pairs(
+            d2, "embedding", "vec_id", n_tables=3, signatures=sigs[:2]
+        )

@@ -469,3 +469,40 @@ def test_grouped_approx_join_sql(spark, tmp_path):
     wide = 3.29 / 1.96
     for seg in ("x", "y"):
         assert abs(out[seg]["est_count"] - exact[seg]) <= out[seg]["count_err"] * wide
+
+
+def test_percentile_from_persisted_sample(spark, tables, tmp_path):
+    """APPROX_PERCENTILE answered from a persisted uniform scramble (A12
+    over samples): exact percentile of the sample rows, rank-error CI from
+    the Bernoulli CLT; covered quantiles sit within 3σ rank error of exact."""
+    import numpy as np
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE su FROM sequences KIND uniform RATIO 0.5 SEED 5",
+               tables, catalog=cat).collect()
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(n_tok, 0.5, 0.9) FROM sequences GROUP BY source",
+        tables, catalog=cat, catalog_key="su",
+    ).toPandas()
+    assert len(out) == 5 * 2 and {"source", "q", "value", "rank_err_bound"} <= set(out.columns)
+
+    exact = spark.read.parquet(tables["sequences"]).toPandas()
+    for (src, q), sub in out.groupby(["source", "q"]):
+        vals = np.sort(exact[exact["source"] == src]["n_tok"].to_numpy())
+        v = float(sub["value"].iloc[0])
+        # achieved rank of the estimate in the TRUE distribution
+        lo = np.searchsorted(vals, v, "left") / len(vals)
+        hi = np.searchsorted(vals, v, "right") / len(vals)
+        err = max(lo - q, q - hi, 0.0)
+        assert err <= float(sub["rank_err_bound"].iloc[0]) * (3 / 1.96) + 1.0 / len(vals)
+
+    # WHERE commutes with row sampling on this path too
+    w = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(n_tok, 0.5) FROM sequences WHERE source = 'web' GROUP BY source",
+        tables, catalog=cat, catalog_key="su",
+    ).toPandas()
+    assert len(w) == 1 and w["source"].iloc[0] == "web"

@@ -163,6 +163,16 @@ def test_windowed_sink_compaction_bounds_live_state(spark, tmp_path):
     for _, r in st.iterrows():  # every window's state intact: 2 distinct users
         assert round(deserialize(bytes(r["state"])).estimate()[0]) == 2
 
+    # compaction: many per-batch archive dirs consolidate into ONE, states()
+    # unchanged; a second call is a no-op
+    n = sink.compact_archive(spark)
+    assert n >= 3
+    with open(os.path.join(state_dir, "_current.json")) as fh:
+        assert len(json.load(fh)["archive_dirs"]) == 1
+    st2 = sink.states(spark).toPandas()
+    assert sorted(int(r["window_start"].timestamp() // 3600) for _, r in st2.iterrows()) == wins
+    assert sink.compact_archive(spark) == 0
+
 
 def test_sessionize_applyinpandaswithstate(spark, tmp_path):
     """Custom stateful operator: gap sessionization. Closed sessions are
