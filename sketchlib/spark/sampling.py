@@ -43,21 +43,22 @@ def stratified_sample(df: DataFrame, group_by: str, fractions: dict, seed: int =
 
 
 def approx_agg_uniform(
-    df: DataFrame, group_by: str, value_col: str, ratio: float, seed: int = 42, z: float = 1.96
+    df: DataFrame, group_by: str | None, value_col: str, ratio: float, seed: int = 42, z: float = 1.96
 ) -> DataFrame:
     """Approx COUNT(*), SUM(v), AVG(v) per group from one uniform sample.
 
     Output per group: est_count ± count_err, est_sum ± sum_err, est_avg ±
     avg_err (half-widths at the given z). Rewrites are Verdict's A10:
     count → n_s/p, sum → Σ_s v/p, avg → ratio of the two; variances are
-    Horvitz-Thompson estimates computed in the same single aggregation."""
+    Horvitz-Thompson estimates computed in the same single aggregation.
+    ``group_by=None`` gives the single global row."""
     return approx_agg_from_uniform_sample(
         uniform_sample(df, float(ratio), seed), group_by, value_col, float(ratio), z=z
     )
 
 
 def approx_agg_from_uniform_sample(
-    sample: DataFrame, group_by: str, value_col: str, ratio: float, z: float = 1.96
+    sample: DataFrame, group_by: str | None, value_col: str, ratio: float, z: float = 1.96
 ) -> DataFrame:
     """Same estimators as approx_agg_uniform, but over an ALREADY-DRAWN
     Bernoulli(p) sample — Verdict's A5 move for the sampling aggregates:
@@ -66,7 +67,7 @@ def approx_agg_from_uniform_sample(
     p = float(ratio)
     s = sample
     v = F.col(value_col)
-    agg = s.groupBy(group_by).agg(
+    agg = s.groupBy(*([group_by] if group_by else [])).agg(
         F.count("*").alias("n_s"),
         F.sum(v).alias("sum_s"),
         F.sum(v * v).alias("sum_sq"),
@@ -83,7 +84,7 @@ def approx_agg_from_uniform_sample(
     var_v = (sum_sq / n_s) - (sum_s / n_s) * (sum_s / n_s)
     avg_err = F.lit(z) * F.sqrt(F.greatest(var_v, F.lit(0.0)) * (1 - p) / n_s)
     return agg.select(
-        F.col(group_by),
+        *([F.col(group_by)] if group_by else []),
         est_count.alias("est_count"),
         count_err.alias("count_err"),
         est_sum.alias("est_sum"),

@@ -397,13 +397,11 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
             )
             outs.append(e)
     for (ratio, value_col), slots in sample_slots.items():
-        if not group:
-            raise ValueError("sampling aggregates require GROUP BY (per-group CLT CIs)")
         from sketchlib.spark.sampling import approx_agg_uniform
 
         base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
         est = approx_agg_uniform(base, gkey, value_col, ratio)
-        cols = [F.col(gkey).alias("group")]
+        cols = [F.col(gkey).alias("group")] if gkey else []
         for fn, out_name in slots:
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
@@ -517,8 +515,6 @@ def approx_sql(
                     raise ValueError(
                         f"{fn} needs a uniform or stratified sample; {catalog_key!r} is {meta['kind']}"
                     )
-                if not group:
-                    raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
                 from pyspark.sql import functions as F
 
                 from sketchlib.spark.sampling import (
@@ -554,7 +550,7 @@ def approx_sql(
                     return _finish_grouped(out, s, group)
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
-                return out.select(group, *keep)
+                return out.select(*([group] if group else []), *keep)
             if fn == "APPROX_COUNT_DISTINCT":
                 col = args[0]
                 if meta["kind"] != "universe" or meta["on_col"] != col:
@@ -699,8 +695,6 @@ def approx_sql(
         else:
             df, col = _materialize_expr(df, args[0])
             ratio = float(args[1])
-        if not group:
-            raise ValueError(f"{fn} currently requires GROUP BY (per-group CLT CIs)")
         if col is None:  # pure COUNT: synthesize a numeric column for the shared kernel
             from pyspark.sql import functions as F
 
@@ -721,6 +715,6 @@ def approx_sql(
             out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
             return _finish_grouped(out, df, group)
         out = approx_agg_uniform(df, group, col, ratio)
-        return out.select(group, *keep)
+        return out.select(*([group] if group else []), *keep)
 
     raise ValueError(f"unknown approximate aggregate {fn!r}")

@@ -506,3 +506,30 @@ def test_percentile_from_persisted_sample(spark, tables, tmp_path):
         tables, catalog=cat, catalog_key="su",
     ).toPandas()
     assert len(w) == 1 and w["source"].iloc[0] == "web"
+
+
+def test_global_sampling_aggregates(spark, tables, tmp_path):
+    """No-GROUP-BY sampling aggregates: one global row with CLT CI — direct,
+    multi-aggregate, and persisted-sample paths."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    out = approx_sql(
+        spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM sequences", tables
+    ).collect()[0]
+    exact = spark.read.parquet(tables["sequences"]).agg({"n_tok": "sum"}).collect()[0][0]
+    assert abs(out["est_sum"] - exact) <= out["sum_err"] * (3.29 / 1.96)
+
+    multi = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_COUNT(0.5) FROM sequences",
+        tables,
+    ).collect()[0]
+    assert abs(multi["approx_count_distinct_doc_id"] - 2000) / 2000 < 0.05
+    assert abs(multi["approx_count_star"] - 2000) <= multi["approx_count_star_err"] * (3.29 / 1.96)
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE gu FROM sequences KIND uniform RATIO 0.5 SEED 2",
+               tables, catalog=cat).collect()
+    g = approx_sql(spark, "SELECT APPROX_COUNT(0.5) FROM sequences",
+                   tables, catalog=cat, catalog_key="gu").collect()[0]
+    assert abs(g["est_count"] - 2000) <= g["count_err"] * (3.29 / 1.96)
