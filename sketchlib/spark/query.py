@@ -81,27 +81,38 @@ def _finish_dist(out: DataFrame, sub: DataFrame, persisted: bool) -> DataFrame:
     return out
 
 
+def _answer(
+    spark: SparkSession,
+    states: DataFrame,
+    sketch: str,
+    distributed: bool | None,
+    rows_fn,
+    schema: str,
+    cols: list[str],
+) -> DataFrame:
+    """Shared driver/distributed execution for the per-state answer
+    functions: ONE ``rows_fn(group, sketch_obj) -> [tuples]`` drives both
+    paths, so the estimator logic exists exactly once per answer shape."""
+    sub, dist, persisted = _route(states, sketch, distributed)
+    if dist:
+        return _finish_dist(_map_states(sub, rows_fn, schema, cols), sub, persisted)
+    out = []
+    for (g, _name), sk in sorted(load_states(sub).items()):
+        out.extend(rows_fn(g, sk))
+    if persisted:
+        sub.unpersist()
+    return spark.createDataFrame(pd.DataFrame(out, columns=cols))
+
+
 def estimates_df(
     spark: SparkSession, states: DataFrame, sketch: str, distributed: bool | None = None
 ) -> DataFrame:
     """(group, estimate, rse_bound) for a cardinality sketch (HLL/KMV)."""
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
-        out = _map_states(
-            sub,
-            lambda g, sk: [(g, *map(float, sk.estimate()))],
-            "group string, estimate double, rse_bound double",
-            ["group", "estimate", "rse_bound"],
-        )
-        return _finish_dist(out, sub, persisted)
-    out = []
-    for (g, name), sk in sorted(load_states(sub).items()):
-        est, rse = sk.estimate()
-        out.append((g, float(est), float(rse)))
-    if persisted:
-        sub.unpersist()
-    return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group", "estimate", "rse_bound"])
+    return _answer(
+        spark, states, sketch, distributed,
+        lambda g, sk: [(g, *map(float, sk.estimate()))],
+        "group string, estimate double, rse_bound double",
+        ["group", "estimate", "rse_bound"],
     )
 
 
@@ -109,29 +120,16 @@ def topk_df(
     spark: SparkSession, states: DataFrame, sketch: str, k: int, distributed: bool | None = None
 ) -> DataFrame:
     """(group, token, est_count, err_bound) top-k heavy hitters per group (CM)."""
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
-        def rows(g, sk):
-            ids, est = sk.topk(k)
-            bound = float(sk.error_bound())
-            return [(g, int(i), int(e), bound) for i, e in zip(ids.tolist(), est.tolist())]
 
-        out = _map_states(
-            sub, rows,
-            "group string, token long, est_count long, err_bound double",
-            ["group", "token", "est_count", "err_bound"],
-        )
-        return _finish_dist(out, sub, persisted)
-    out = []
-    for (g, name), sk in sorted(load_states(sub).items()):
+    def rows(g, sk):
         ids, est = sk.topk(k)
-        bound = sk.error_bound()
-        for i, e in zip(ids.tolist(), est.tolist()):
-            out.append((g, int(i), int(e), float(bound)))
-    if persisted:
-        sub.unpersist()
-    return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group", "token", "est_count", "err_bound"])
+        bound = float(sk.error_bound())
+        return [(g, int(i), int(e), bound) for i, e in zip(ids.tolist(), est.tolist())]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, token long, est_count long, err_bound double",
+        ["group", "token", "est_count", "err_bound"],
     )
 
 
@@ -140,31 +138,17 @@ def quantiles_df(
 ) -> DataFrame:
     """(group, q, value, rank_err_bound) per group for KLL/t-digest states."""
     qs = list(qs)
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
-        qarr = np.array(qs)
+    qarr = np.array(qs)
 
-        def rows(g, sk):
-            vals = sk.quantiles(qarr)
-            bound = float(sk.error_bound())
-            return [(g, float(q), float(v), bound) for q, v in zip(qs, vals.tolist())]
+    def rows(g, sk):
+        vals = sk.quantiles(qarr)
+        bound = float(sk.error_bound())
+        return [(g, float(q), float(v), bound) for q, v in zip(qs, vals.tolist())]
 
-        out = _map_states(
-            sub, rows,
-            "group string, q double, value double, rank_err_bound double",
-            ["group", "q", "value", "rank_err_bound"],
-        )
-        return _finish_dist(out, sub, persisted)
-    out = []
-    for (g, name), sk in sorted(load_states(sub).items()):
-        vals = sk.quantiles(np.array(qs))
-        bound = sk.error_bound()
-        for q, v in zip(qs, vals.tolist()):
-            out.append((g, float(q), float(v), float(bound)))
-    if persisted:
-        sub.unpersist()
-    return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group", "q", "value", "rank_err_bound"])
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, q double, value double, rank_err_bound double",
+        ["group", "q", "value", "rank_err_bound"],
     )
 
 
@@ -182,34 +166,21 @@ def membership_df(
     integral = keys.dtype.kind in ("i", "u")
     hashed = keys if integral else hash_any(keys).astype(np.int64)
     keys_list = keys.tolist()
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
-        def rows(g, sk):
-            hits = sk.contains(hashed)
-            fpr = float(sk.fpr_bound())
-            return [
-                (g, int(kv) if integral else str(kv), bool(hit), fpr)
-                for kv, hit in zip(keys_list, hits.tolist())
-            ]
 
-        ktype = "long" if integral else "string"
-        out = _map_states(
-            sub, rows,
-            f"group string, key {ktype}, may_contain boolean, fpr_bound double",
-            ["group", "key", "may_contain", "fpr_bound"],
-        )
-        return _finish_dist(out, sub, persisted)
-    out = []
-    for (g, name), sk in sorted(load_states(sub).items()):
+    def rows(g, sk):
         hits = sk.contains(hashed)
-        fpr = sk.fpr_bound()
-        for kv, hit in zip(keys_list, hits.tolist()):
+        fpr = float(sk.fpr_bound())
+        return [
             # emit the key in its native type — int() on a string key raised
-            out.append((g, int(kv) if integral else str(kv), bool(hit), float(fpr)))
-    if persisted:
-        sub.unpersist()
-    return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group", "key", "may_contain", "fpr_bound"])
+            (g, int(kv) if integral else str(kv), bool(hit), fpr)
+            for kv, hit in zip(keys_list, hits.tolist())
+        ]
+
+    ktype = "long" if integral else "string"
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        f"group string, key {ktype}, may_contain boolean, fpr_bound double",
+        ["group", "key", "may_contain", "fpr_bound"],
     )
 
 

@@ -170,19 +170,16 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     if m:
         return catalog.list()
 
-    m = _DROP_SAMPLE.match(sql)
-    if m:
-        name = m.group("name")
-        existed = catalog.sample_exists(name)
-        catalog.drop_sample(name)
-        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
-
-    m = _DROP_SKETCHES.match(sql)
-    if m:
-        name = m.group("name")
-        existed = catalog.exists(name)
-        catalog.drop(name)
-        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
+    for pat, exists_fn, drop_fn in (
+        (_DROP_SAMPLE, catalog.sample_exists, catalog.drop_sample),
+        (_DROP_SKETCHES, catalog.exists, catalog.drop),
+    ):
+        m = pat.match(sql)
+        if m:
+            name = m.group("name")
+            existed = exists_fn(name)
+            drop_fn(name)
+            return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
 
     m = _CREATE_SAMPLE.match(sql)
     if m:
@@ -303,6 +300,16 @@ def _ungroup(df: DataFrame, base: DataFrame | None, group) -> DataFrame:
     return df.withColumn("group", F.col("group").cast(native.get(group, "string"))).withColumnRenamed(
         "group", group
     )
+
+
+def _with_gkey(s: DataFrame, group) -> tuple[DataFrame, str | None]:
+    """(df + derived key column, aggregation column) for a composite GROUP BY;
+    single-column / global groups pass through unchanged."""
+    if isinstance(group, (list, tuple)):
+        from sketchlib.spark.build import group_key_expr
+
+        return s.withColumn("_gkey_sql", group_key_expr(list(group))), "_gkey_sql"
+    return s, group
 
 
 def _finish_grouped(out: DataFrame, base: DataFrame | None, group) -> DataFrame:
@@ -542,11 +549,9 @@ def approx_sql(
                 elif isinstance(group, (list, tuple)):
                     # composite key over a persisted scramble: aggregate on
                     # the derived key string, split back into native columns
-                    from sketchlib.spark.build import group_key_expr
-
-                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
-                    out = approx_agg_from_uniform_sample(s, "_gkey_sql", col, meta["ratio"])
-                    out = out.withColumnRenamed("_gkey_sql", "group").select("group", *keep)
+                    s, gcol = _with_gkey(s, group)
+                    out = approx_agg_from_uniform_sample(s, gcol, col, meta["ratio"])
+                    out = out.withColumnRenamed(gcol, "group").select("group", *keep)
                     return _finish_grouped(out, s, group)
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
@@ -561,12 +566,10 @@ def approx_sql(
                 from sketchlib.spark.sampling import count_distinct_from_universe_sample
 
                 if isinstance(group, (list, tuple)):
-                    from sketchlib.spark.build import group_key_expr
-
-                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
+                    s, gcol = _with_gkey(s, group)
                     out = count_distinct_from_universe_sample(
-                        s, col, meta["ratio"], group_by="_gkey_sql"
-                    ).withColumnRenamed("_gkey_sql", "group")
+                        s, col, meta["ratio"], group_by=gcol
+                    ).withColumnRenamed(gcol, "group")
                     return _finish_grouped(out, s, group)
                 return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
             if fn == "APPROX_PERCENTILE":
@@ -590,14 +593,8 @@ def approx_sql(
                     )
                 s, col = _materialize_expr(s, args[0])
                 qs = [float(a) for a in args[1:]] or [0.5]
-                gsel = []
-                if isinstance(group, (list, tuple)):
-                    from sketchlib.spark.build import group_key_expr
-
-                    s = s.withColumn("_gkey_sql", group_key_expr(list(group)))
-                    gsel = ["_gkey_sql"]
-                elif group:
-                    gsel = [group]
+                s, gcol = _with_gkey(s, group)
+                gsel = [gcol] if gcol else []
                 qs_sql = ", ".join(repr(float(q)) for q in qs)
                 agg = s.groupBy(*gsel).agg(
                     F.expr(f"percentile({col}, array({qs_sql}))").alias("_vals"),
