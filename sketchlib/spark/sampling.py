@@ -210,6 +210,47 @@ def approx_agg_stratified(
     )
 
 
+def stratified_global_agg(
+    sample: DataFrame, on_col: str, value_col: str, fractions: dict, z: float = 1.96
+) -> DataFrame:
+    """GLOBAL COUNT/SUM/AVG from a stratified sample — one row.
+
+    Totals sum the per-stratum Horvitz-Thompson estimates (independent
+    Bernoulli strata ⇒ variances add):
+    N̂ = Σ n_g/p_g, Ŝ = Σ sum_g/p_g, Var(N̂) = Σ n_g(1−p_g)/p_g²,
+    Var(Ŝ) = Σ sumsq_g(1−p_g)/p_g². The mean is the RATIO estimator
+    μ̂ = Ŝ/N̂ with the delta-method variance
+    (Var(Ŝ) + μ̂²·Var(N̂) − 2μ̂·Cov(Ŝ,N̂)) / N̂², where per-stratum
+    Cov(Ŝ,N̂) = Σx(1−p)/p is estimated by sum_g(1−p_g)/p_g².
+    """
+    frac_map = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    v = F.col(value_col)
+    per = (
+        sample.groupBy(on_col)
+        .agg(F.count("*").alias("n_s"), F.sum(v).alias("sum_s"), F.sum(v * v).alias("sum_sq"))
+        .withColumn("p_g", frac_map[F.col(on_col)])
+    )
+    n_s, sum_s, sum_sq, p_g = F.col("n_s"), F.col("sum_s"), F.col("sum_sq"), F.col("p_g")
+    tot = per.agg(
+        F.sum(n_s / p_g).alias("N"),
+        F.sum(sum_s / p_g).alias("S"),
+        F.sum(n_s * (1 - p_g) / (p_g * p_g)).alias("varN"),
+        F.sum(sum_sq * (1 - p_g) / (p_g * p_g)).alias("varS"),
+        F.sum(sum_s * (1 - p_g) / (p_g * p_g)).alias("covSN"),
+    )
+    N, S = F.col("N"), F.col("S")
+    mu = S / N
+    avg_var = (F.col("varS") + mu * mu * F.col("varN") - 2 * mu * F.col("covSN")) / (N * N)
+    return tot.select(
+        N.alias("est_count"),
+        (F.lit(z) * F.sqrt(F.col("varN"))).alias("count_err"),
+        S.alias("est_sum"),
+        (F.lit(z) * F.sqrt(F.col("varS"))).alias("sum_err"),
+        mu.alias("est_avg"),
+        (F.lit(z) * F.sqrt(F.greatest(avg_var, F.lit(0.0)))).alias("avg_err"),
+    )
+
+
 def approx_agg_from_stratified_sample(
     sample: DataFrame, group_by: str, value_col: str, fractions: dict, z: float = 1.96
 ) -> DataFrame:

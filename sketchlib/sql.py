@@ -6,6 +6,7 @@ dialect: only the STATEMENT SKELETON is parsed here —
 
     SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
     FROM <table> [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
+               [ORDER BY <col> [ASC|DESC]] [LIMIT <n>]
 
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
 statement — every sketch aggregate becomes one SketchSpec and they all
@@ -53,6 +54,17 @@ _SKELETON = re.compile(
 
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
+# (Verdict A14) — stripped off the tail, the inner statement recurses.
+_ORDER_TAIL = re.compile(
+    r"^(?P<body>.*?\S)\s+ORDER\s+BY\s+(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+LIMIT\s+(?P<n>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIMIT_TAIL = re.compile(
+    r"^(?P<body>.*?\S)\s+LIMIT\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
 
 # Verdict's ApproxJoinedRelation (A8) as SQL: one APPROX_COUNT/APPROX_SUM
 # over an equi-join, answered by universe-sampling both sides on the join
@@ -475,6 +487,19 @@ def approx_sql(
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl
+    tm = _ORDER_TAIL.match(sql)
+    if tm:
+        from pyspark.sql import functions as F
+
+        inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key)
+        c = F.col(tm.group("col"))
+        inner = inner.orderBy(c.desc() if (tm.group("dir") or "").upper() == "DESC" else c.asc())
+        return inner.limit(int(tm.group("n"))) if tm.group("n") else inner
+    tm = _LIMIT_TAIL.match(sql)
+    if tm:
+        return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).limit(
+            int(tm.group("n"))
+        )
     jm = _JOIN_SKELETON.match(sql)
     if jm:
         return _approx_join(spark, jm, tables, catalog, catalog_key)
@@ -539,12 +564,19 @@ def approx_sql(
                     "APPROX_AVG": ["est_avg", "avg_err"],
                 }[fn]
                 if meta["kind"] == "stratified":
+                    fractions = json.loads(meta["fractions_json"])
+                    if group is None:
+                        # global totals: per-stratum HT estimates summed, mean
+                        # via the cross-strata ratio estimator (delta-method CI)
+                        from sketchlib.spark.sampling import stratified_global_agg
+
+                        out = stratified_global_agg(s, meta["on_col"], col, fractions)
+                        return out.select(*keep)
                     if group != meta["on_col"]:
                         raise ValueError(
                             f"stratified sample {catalog_key!r} is keyed by "
                             f"{meta['on_col']!r}; GROUP BY must match"
                         )
-                    fractions = json.loads(meta["fractions_json"])
                     out = approx_agg_from_stratified_sample(s, group, col, fractions)
                 elif isinstance(group, (list, tuple)):
                     # composite key over a persisted scramble: aggregate on

@@ -533,3 +533,60 @@ def test_global_sampling_aggregates(spark, tables, tmp_path):
     g = approx_sql(spark, "SELECT APPROX_COUNT(0.5) FROM sequences",
                    tables, catalog=cat, catalog_key="gu").collect()[0]
     assert abs(g["est_count"] - 2000) <= g["count_err"] * (3.29 / 1.96)
+
+
+def test_order_by_limit_passthrough(spark, tables):
+    """ORDER BY / LIMIT carry through the rewrite (A14), applied to the
+    estimate frame."""
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source "
+        "ORDER BY estimate DESC LIMIT 2",
+        tables,
+    ).collect()
+    assert len(out) == 2
+    assert out[0]["estimate"] >= out[1]["estimate"]
+    full = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source ORDER BY estimate DESC",
+        tables,
+    ).collect()
+    assert [r["group"] for r in out] == [r["group"] for r in full[:2]]
+
+    lim = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source LIMIT 3",
+        tables,
+    ).collect()
+    assert len(lim) == 3
+
+
+def test_stratified_global_aggregates(spark, tables, tmp_path):
+    """Global COUNT/SUM/AVG from a stratified scramble: per-stratum HT
+    totals summed, mean via the cross-strata ratio estimator with the
+    delta-method CI — all within ~3.3σ of exact."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    fr = '{"web": 0.3, "books": 1.0, "code": 0.6, "wiki": 1.0, "forums": 0.5}'
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        f"CREATE SAMPLE st FROM sequences KIND stratified ON source FRACTIONS '{fr}' SEED 13",
+        tables, catalog=cat,
+    ).collect()
+    exact = (
+        spark.read.parquet(tables["sequences"])
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("s"), F.avg("n_tok").alias("a"))
+        .collect()[0]
+    )
+    wide = 3.29 / 1.96
+    g = approx_sql(spark, "SELECT APPROX_SUM(n_tok, 0.5) FROM sequences",
+                   tables, catalog=cat, catalog_key="st").collect()[0]
+    assert abs(g["est_sum"] - exact["s"]) <= g["sum_err"] * wide
+    c = approx_sql(spark, "SELECT APPROX_COUNT(0.5) FROM sequences",
+                   tables, catalog=cat, catalog_key="st").collect()[0]
+    assert abs(c["est_count"] - exact["n"]) <= c["count_err"] * wide
+    a = approx_sql(spark, "SELECT APPROX_AVG(n_tok, 0.5) FROM sequences",
+                   tables, catalog=cat, catalog_key="st").collect()[0]
+    assert abs(a["est_avg"] - exact["a"]) <= a["avg_err"] * wide
