@@ -1,13 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-48 queries; naming maps to SURVEY.md §2:
+50 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
-  b* (25) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
+  b* (27) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
        plus round 3: b23 distributed high-cardinality estimates, b24
        multi-column GROUP BY, b25 stratified APPROX_AVG via DDL, b26
-       approximate JOIN via SQL).
+       approximate JOIN via SQL, b27 catalog auto-selection, b28 exact
+       pass-through).
        Accuracy claims are driver-checked: each returns ``within_bound``-
        style booleans computed against EXACT answers (calculated in Spark),
        and the oracle asserts they are all TRUE; property queries (b10
@@ -1120,6 +1121,93 @@ def _dist_wrapped(fn):
     return run
 
 
+def q_b27_auto_routed_sql(spark, sf_dir):
+    """Verdict's sample AUTO-SELECTION (the SampleManager behavior that
+    defines its UX): the user passes a catalog and NO artifact name;
+    approx_sql routes each statement to the best registered artifact —
+    persisted sketch states for the unfiltered group-matched COUNT
+    DISTINCT, the universe scramble once a WHERE blocks the pre-reduced
+    states, the stratified scramble for an AVG grouped on its key — and
+    every estimate lands within its error bound vs exact."""
+    import json
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, resolve_catalog_key
+
+    docs = _t(spark, sf_dir, "documents")
+    path = f"{sf_dir}/documents.parquet"
+    tables = {"docs": path}
+    wide = 3.29 / 1.96  # CI columns are z=1.96; accept up to ~3.3 sigma
+    root = tempfile.mkdtemp(prefix="sketchcat_b27_")
+    checks = []
+    try:
+        cat = SketchCatalog(spark, root)
+        cat.create(
+            "docs_states", path, [SketchSpec("h", "hll", "doc_id", {"p": 14})], group_by="source"
+        )
+        approx_sql(
+            spark,
+            "CREATE SAMPLE docs_uni FROM docs KIND universe RATIO 0.5 ON doc_id SEED 7",
+            tables, catalog=cat,
+        ).collect()
+        sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+        fr = json.dumps({s: (1.0 if i % 2 == 0 else 0.8) for i, s in enumerate(sources)})
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE docs_st FROM docs KIND stratified ON source FRACTIONS '{fr}' SEED 11",
+            tables, catalog=cat,
+        ).collect()
+
+        q1 = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs GROUP BY source"
+        checks.append(("route_states", resolve_catalog_key(spark, q1, tables, cat) == "docs_states"))
+        est1 = approx_sql(spark, q1, tables, catalog=cat).toPandas()
+        exact1 = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+        m1 = est1.merge(exact1, left_on="group", right_on="source")
+        checks.append((
+            "states_within_bound",
+            bool(((m1["estimate"] - m1["exact"]).abs() <= _hll_tol(m1["exact"], m1["rse_bound"])).all()),
+        ))
+
+        q2 = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM docs WHERE n_chars > 200"
+        checks.append(("route_universe", resolve_catalog_key(spark, q2, tables, cat) == "docs_uni"))
+        est2 = approx_sql(spark, q2, tables, catalog=cat).collect()[0]
+        ex2 = docs.filter("n_chars > 200").agg(F.countDistinct("doc_id")).collect()[0][0]
+        checks.append((
+            "universe_within_ci",
+            bool(abs(est2["est_distinct"] - ex2) <= est2["distinct_err"] * wide + 1e-9),
+        ))
+
+        q3 = "SELECT APPROX_AVG(n_chars, 0.8) FROM docs GROUP BY source"
+        checks.append(("route_stratified", resolve_catalog_key(spark, q3, tables, cat) == "docs_st"))
+        est3 = approx_sql(spark, q3, tables, catalog=cat).toPandas()
+        exact3 = docs.groupBy("source").agg(F.avg("n_chars").alias("true_avg")).toPandas()
+        m3 = est3.merge(exact3, on="source")
+        checks.append((
+            "stratified_within_ci",
+            bool(((m3["est_avg"] - m3["true_avg"]).abs() <= m3["avg_err"] * wide + 1e-9).all()),
+        ))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
+def q_b28_exact_passthrough(spark, sf_dir):
+    """Verdict middleware behavior (A4): a statement with no APPROX_
+    aggregate is NOT rewritten — approx_sql passes it through to Spark SQL
+    verbatim. Hash-checked value-for-value against DuckDB running the same
+    statement."""
+    from sketchlib.sql import approx_sql
+
+    return approx_sql(
+        spark,
+        "SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+        "FROM documents GROUP BY source, lang",
+        {"documents": f"{sf_dir}/documents.parquet"},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -1156,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_multicol_group_by": _dist_wrapped(q_b24_multicol_group_by),
         "b25_stratified_avg_sql": _dist_wrapped(q_b25_stratified_avg_sql),
         "b26_approx_join_sql": _dist_wrapped(q_b26_approx_join_sql),
+        "b27_auto_routed_sql": _dist_wrapped(q_b27_auto_routed_sql),
+        "b28_exact_passthrough": _dist_wrapped(q_b28_exact_passthrough),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1270,6 +1360,19 @@ def oracle_sql() -> dict[str, str]:
         "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b15_approx_join": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
         "b26_approx_join_sql": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
+        "b27_auto_routed_sql": """
+            SELECT 'route_states' AS check, TRUE AS ok
+            UNION ALL SELECT 'states_within_bound', TRUE
+            UNION ALL SELECT 'route_universe', TRUE
+            UNION ALL SELECT 'universe_within_ci', TRUE
+            UNION ALL SELECT 'route_stratified', TRUE
+            UNION ALL SELECT 'stratified_within_ci', TRUE
+        """,
+        "b28_exact_passthrough": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source, lang
+        """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """
             SELECT a.source AS group_a, b.source AS group_b, TRUE AS within_bound

@@ -138,6 +138,35 @@ def main() -> None:
             "throughput_ratio_vs_block1": round((seq2_tokens / b2) / (seq_tokens / build_sec), 3),
         }
 
+    # ---- second scale axis for the HEADLINE QUERIES too (VERDICT r2 #9:
+    # "the same headline set" at two sfs): run the full headline set against
+    # the sibling testdata sf dir (10× row delta between sf0.01 and sf0.1),
+    # so per-query scaling — not just the flagship build's — is visible.
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    alt = next(
+        (
+            os.path.join(base, d)
+            for d in ("sf0.01", "sf0.1")
+            if os.path.join(base, d) != sf_dir.rstrip("/") and os.path.isdir(os.path.join(base, d))
+        ),
+        None,
+    )
+    if alt is not None and second:
+        for name in HEADLINE:  # untimed warm pass on the new dir's files
+            queries[name](spark, alt).collect()
+        qt2: dict[str, float] = {}
+        for _ in range(2):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                queries[name](spark, alt).collect()
+                sec = round(time.perf_counter() - t0, 3)
+                qt2[name] = min(qt2.get(name, sec), sec)
+        try:
+            second["queries_sf"] = float(alt.rstrip("/").split("sf")[-1])
+        except ValueError:
+            second["queries_sf"] = None
+        second["queries"] = qt2
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -24,12 +24,18 @@ Supported aggregates:
 FROM accepts a registered temp view name, a parquet path, or a name found in
 the optional ``tables`` dict. If a ``SketchCatalog`` is passed and holds
 fresh states for (table, aggregate), the query is answered FROM STATES ONLY
-— Verdict's A5 "scan the sample instead of the base table" substitution;
-pass ``catalog_key`` to opt in. Every result carries explicit error columns.
+— Verdict's A5 "scan the sample instead of the base table" substitution.
+Pass ``catalog_key`` to name the artifact, or just ``catalog`` alone for
+Verdict's real UX: AUTO-SELECTION (``resolve_catalog_key``) picks the best
+registered states/sample for the statement and silently falls back to an
+on-the-fly build when nothing fits. Every result carries explicit error
+columns.
 
-Deliberately NOT a general SQL engine: anything outside the skeleton raises
-with a pointer to the DataFrame API. (Verdict itself accepted only a SQL
-subset it could rewrite — unsupported syntax erred likewise.)
+Statements with NO approx aggregate pass through to Spark SQL verbatim
+(Verdict's middleware behavior for exact queries — A4). Anything else
+outside the skeleton raises with a pointer to the DataFrame API. (Verdict
+itself accepted only a SQL subset it could rewrite — unsupported syntax
+erred likewise.)
 """
 
 from __future__ import annotations
@@ -351,6 +357,115 @@ _CATALOG_KINDS = {
 }
 
 
+def _table_dir(table_token: str, tables: dict | None) -> str | None:
+    """The FROM token's storage identity (a parquet dir), or None when the
+    token is a view/DataFrame whose lineage we can't match to registrations."""
+    if tables and table_token in tables and isinstance(tables[table_token], str):
+        return tables[table_token]
+    if "/" in table_token:
+        return table_token
+    return None
+
+
+def _resolve_key(fn, args, group, has_where, table_token, tables, catalog) -> str | None:
+    """Verdict's sample-selection step (SampleManager choosing the best
+    registered sample for a query — the user never names one): pick the
+    best catalog artifact that can answer (fn, col, group, where) over the
+    FROM table, or None to fall back to an on-the-fly build.
+
+    Ranking:
+    1. persisted SKETCH STATES — pre-reduced KBs, corpus-independent query
+       latency — when eligible (no WHERE, exact GROUP BY match: states were
+       built unfiltered at one grouping);
+    2. persisted SAMPLES (scrambles) — row/domain subsets, so WHERE commutes
+       with the sampling and any grouping works. A stratified sample keyed
+       on the GROUP BY column beats uniform (per-group variance control,
+       Verdict's own preference for grouped aggregates); remaining ties go
+       to the LARGEST ratio (lowest error), then name for determinism.
+    """
+    import json
+    import os
+
+    base = _table_dir(table_token, tables)
+    if base is None:
+        return None
+    base_n = os.path.normpath(base)
+    col = args[0] if args else None
+
+    kinds = _CATALOG_KINDS.get(fn)
+    if kinds and not has_where:
+        want_group = _canon_group(group)
+        for reg in catalog.list().collect():
+            if os.path.normpath(reg["input_dir"]) != base_n or reg["group_by"] != want_group:
+                continue
+            specs = json.loads(reg["specs_json"])
+            if any(s["kind"] in kinds and s["column"] == col for s in specs):
+                return reg["name"]
+
+    def eligible(r) -> bool:
+        k = r["kind"]
+        if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
+            # stratified serves global statements (cross-strata ratio
+            # estimator) and statements grouped exactly on its key column
+            return k == "uniform" or (
+                k == "stratified" and (group is None or group == r["on_col"])
+            )
+        if fn == "APPROX_COUNT_DISTINCT":
+            return k == "universe" and r["on_col"] == col
+        if fn == "APPROX_PERCENTILE":
+            return k == "uniform" or (k == "stratified" and group == r["on_col"])
+        return False
+
+    ok = [
+        r
+        for r in catalog.list_samples().collect()
+        if os.path.normpath(r["input_dir"]) == base_n and eligible(r)
+    ]
+    if not ok:
+        return None
+
+    def rank(r):
+        strat_on_group = r["kind"] == "stratified" and group is not None and group == r["on_col"]
+        return (1 if strat_on_group else 0, float(r["ratio"] or 0.0), r["name"])
+
+    return max(ok, key=rank)["name"]
+
+
+def resolve_catalog_key(
+    spark: SparkSession, sql: str, tables: dict | None = None, catalog=None
+) -> str | None:
+    """Which catalog artifact would ``approx_sql`` auto-select for this
+    statement? None = no registered artifact fits (the statement would run
+    as an on-the-fly build over the base table). Single-aggregate
+    statements only; ORDER BY/LIMIT tails are ignored for routing."""
+    if catalog is None:
+        return None
+    body = sql
+    tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body)
+    if tm:
+        body = tm.group("body")
+    m = _SKELETON.match(body)
+    if not m:
+        return None
+    aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
+    if len(aggs) != 1:
+        return None
+    fn, args = aggs[0]
+    group = _parse_group(m.group("group"))
+    return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog)
+
+
+def _exact_passthrough(spark: SparkSession, sql: str, tables: dict | None) -> DataFrame:
+    """Verdict middleware behavior (A4): a statement with no APPROX_
+    aggregate is NOT rewritten — it passes through to the backend (Spark
+    SQL) verbatim, with ``tables`` registered as temp views first."""
+    if tables:
+        for name, t in tables.items():
+            df = spark.read.parquet(t) if isinstance(t, str) else t
+            df.createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
 def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None) -> DataFrame:
     """Multiple scalar approximate aggregates in ONE statement.
 
@@ -473,7 +588,13 @@ def approx_sql(
     Pass ``catalog`` (a SketchCatalog) and ``catalog_key`` to answer FROM
     PERSISTED STATES ONLY — Verdict's A5 "scan the sample instead of the
     base table" substitution: the base table is never read (the FROM name is
-    not even resolved), so latency is independent of corpus size. The
+    not even resolved), so latency is independent of corpus size. With
+    ``catalog`` alone (no key), the best registered artifact is
+    AUTO-SELECTED per ``resolve_catalog_key`` — states when the statement
+    is unfiltered and group-matched, else the best-fitting sample — falling
+    back to an on-the-fly build when nothing is registered for the table.
+    Statements without any APPROX_ aggregate pass through to Spark SQL
+    exactly (A4). The
     registered sketch set must match the statement (same aggregate kind,
     column, and GROUP BY; no WHERE — states were built unfiltered); a
     mismatch raises rather than silently paying a rebuild the caller opted
@@ -487,6 +608,10 @@ def approx_sql(
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl
+    if not _AGG.search(sql):
+        # no APPROX_ aggregate anywhere in the statement → Verdict's
+        # pass-through: exact SQL goes to the backend untouched (A4)
+        return _exact_passthrough(spark, sql, tables)
     tm = _ORDER_TAIL.match(sql)
     if tm:
         from pyspark.sql import functions as F
@@ -525,6 +650,14 @@ def approx_sql(
         return _multi_agg(spark, df, aggs, group)
 
     fn, args = aggs[0]
+
+    if catalog is not None and catalog_key is None:
+        # Verdict's auto-selection: the user passed a catalog but named no
+        # artifact — pick the best registered states/sample for this
+        # statement (None → fall through to the on-the-fly build below)
+        catalog_key = _resolve_key(
+            fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog
+        )
 
     if catalog is not None and catalog_key is not None:
         import json

@@ -590,3 +590,90 @@ def test_stratified_global_aggregates(spark, tables, tmp_path):
     a = approx_sql(spark, "SELECT APPROX_AVG(n_tok, 0.5) FROM sequences",
                    tables, catalog=cat, catalog_key="st").collect()[0]
     assert abs(a["est_avg"] - exact["a"]) <= a["avg_err"] * wide
+
+
+def test_exact_passthrough(spark, tables):
+    """No APPROX_ aggregate → Verdict's middleware pass-through (A4): the
+    statement runs on Spark SQL verbatim and matches the DataFrame answer."""
+    from pyspark.sql import functions as F
+
+    out = approx_sql(
+        spark,
+        "SELECT source, COUNT(*) AS n, SUM(n_tok) AS s FROM sequences "
+        "GROUP BY source ORDER BY source",
+        tables,
+    ).toPandas()
+    exact = (
+        spark.read.parquet(tables["sequences"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("s"))
+        .orderBy("source")
+        .toPandas()
+    )
+    assert out.equals(exact)
+
+
+def test_auto_routing(spark, tables, tmp_path):
+    """Verdict's sample auto-selection: with a catalog but NO catalog_key,
+    approx_sql picks the best registered artifact — states for unfiltered
+    group-matched sketch aggregates, stratified-on-group for grouped
+    sampling aggregates, largest-ratio otherwise, on-the-fly fallback."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import resolve_catalog_key
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create(
+        "seq_states", tables["sequences"],
+        [SketchSpec("h", "hll", "doc_id", {"p": 14})], group_by="source",
+    )
+    for ddl in (
+        "CREATE SAMPLE u_small FROM sequences KIND uniform RATIO 0.2 SEED 7",
+        "CREATE SAMPLE u_big FROM sequences KIND uniform RATIO 0.6 SEED 7",
+        "CREATE SAMPLE uni FROM sequences KIND universe RATIO 0.5 ON doc_id SEED 7",
+        "CREATE SAMPLE st FROM sequences KIND stratified ON source "
+        "FRACTIONS '{\"web\": 0.4, \"books\": 1.0, \"code\": 0.6, \"wiki\": 1.0, "
+        "\"forums\": 0.5}' SEED 7",
+    ):
+        approx_sql(spark, ddl, tables, catalog=cat).collect()
+
+    base = spark.read.parquet(tables["sequences"])
+    wide = 3.29 / 1.96  # CI columns are z=1.96; accept up to ~3.3 sigma
+
+    # 1) unfiltered, group-matched COUNT DISTINCT → persisted states win
+    q1 = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q1, tables, cat) == "seq_states"
+    out1 = approx_sql(spark, q1, tables, catalog=cat).toPandas()
+    assert "estimate" in out1.columns and len(out1) == 5  # states schema, not est_distinct
+
+    # 2) WHERE blocks states → universe sample serves the filtered distinct
+    q2 = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences WHERE n_tok > 300"
+    assert resolve_catalog_key(spark, q2, tables, cat) == "uni"
+    est2 = approx_sql(spark, q2, tables, catalog=cat).collect()[0]
+    exact2 = base.filter("n_tok > 300").agg(F.countDistinct("doc_id")).collect()[0][0]
+    assert abs(est2["est_distinct"] - exact2) <= est2["distinct_err"] * wide
+
+    # 3) grouped AVG keyed on the stratification column → stratified wins
+    q3 = "SELECT APPROX_AVG(n_tok, 0.5) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q3, tables, cat) == "st"
+    out3 = {r["source"]: r for r in approx_sql(spark, q3, tables, catalog=cat).collect()}
+    exact3 = {r["source"]: r["a"] for r in
+              base.groupBy("source").agg(F.avg("n_tok").alias("a")).collect()}
+    for src, r in out3.items():
+        assert abs(r["est_avg"] - exact3[src]) <= max(r["avg_err"] * wide, 1e-9)
+
+    # 4) global filtered SUM → largest-ratio uniform sample
+    q4 = "SELECT APPROX_SUM(n_tok, 0.5) FROM sequences WHERE source = 'web'"
+    assert resolve_catalog_key(spark, q4, tables, cat) == "u_big"
+    est4 = approx_sql(spark, q4, tables, catalog=cat).collect()[0]
+    exact4 = base.filter("source = 'web'").agg(F.sum("n_tok")).collect()[0][0]
+    assert abs(est4["est_sum"] - exact4) <= est4["sum_err"] * wide
+
+    # 5) nothing registered fits (WHERE blocks the CM states path; no
+    # sample serves TOPK) → silent fallback to an on-the-fly build
+    q5 = "SELECT APPROX_TOPK(tokens, 5) FROM sequences WHERE n_tok > 0 GROUP BY source"
+    assert resolve_catalog_key(spark, q5, tables, cat) is None
+    out5 = approx_sql(spark, q5, tables, catalog=cat).toPandas()
+    assert (out5.groupby("group").size() == 5).all()
