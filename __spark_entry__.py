@@ -1188,6 +1188,32 @@ def q_b27_auto_routed_sql(spark, sf_dir):
             "stratified_within_ci",
             bool(((m3["est_avg"] - m3["true_avg"]).abs() <= m3["avg_err"] * wide + 1e-9).all()),
         ))
+
+        # multi-aggregate routing: both aggregates answered from artifacts
+        # (HLL states + universe scramble can't serve SUM — add a uniform
+        # scramble), joined on the group key, each within its bound
+        approx_sql(
+            spark, "CREATE SAMPLE docs_u FROM docs KIND uniform RATIO 0.6 SEED 7",
+            tables, catalog=cat,
+        ).collect()
+        q4 = (
+            "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_SUM(n_chars, 0.5) "
+            "FROM docs GROUP BY source"
+        )
+        est4 = approx_sql(spark, q4, tables, catalog=cat).toPandas()
+        exact4 = docs.groupBy("source").agg(
+            F.countDistinct("doc_id").alias("d"), F.sum("n_chars").alias("s")
+        ).toPandas()
+        m4 = est4.merge(exact4, on="source")
+        ok_d = (
+            (m4["approx_count_distinct_doc_id"] - m4["d"]).abs()
+            <= 3 * m4["approx_count_distinct_doc_id_err"] + 2.0
+        ).all()
+        ok_s = (
+            (m4["approx_sum_n_chars"] - m4["s"]).abs()
+            <= m4["approx_sum_n_chars_err"] * wide + 1e-9
+        ).all()
+        checks.append(("multi_agg_routed", bool(ok_d and ok_s)))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
@@ -1367,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'universe_within_ci', TRUE
             UNION ALL SELECT 'route_stratified', TRUE
             UNION ALL SELECT 'stratified_within_ci', TRUE
+            UNION ALL SELECT 'multi_agg_routed', TRUE
         """,
         "b28_exact_passthrough": """
             SELECT source, lang, count(*) AS n_docs,

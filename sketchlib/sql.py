@@ -112,6 +112,12 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
         )
     group = m.group("group")
 
+    if catalog is not None and catalog_key is None:
+        # auto-selection for joins: a pair of universe scrambles on the two
+        # join keys sharing (ratio, seed) — p-composition needs the shared
+        # hash — one per side's table; biggest shared ratio wins
+        catalog_key = _resolve_join_key(ta, tb, left_key, right_key, tables, catalog)
+
     if catalog is not None and catalog_key is not None:
         # A5 for joins: answer from TWO persisted universe scrambles —
         # catalog_key = "left_sample,right_sample"; same seed+ratio required
@@ -169,6 +175,33 @@ _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
 _DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+
+
+def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | None:
+    """Auto-selection for APPROX joins: find a (left, right) pair of
+    registered UNIVERSE scrambles — one per table, keyed on that side's
+    join column — sharing (ratio, seed): survival probabilities compose
+    only through the same hash. Largest shared ratio (lowest error) wins;
+    None → the statement samples both sides on the fly."""
+    import os
+
+    da, db = _table_dir(ta, tables), _table_dir(tb, tables)
+    if da is None or db is None:
+        return None
+    da, db = os.path.normpath(da), os.path.normpath(db)
+    rows = [r for r in catalog.list_samples().collect() if r["kind"] == "universe"]
+    lefts = [r for r in rows if os.path.normpath(r["input_dir"]) == da and r["on_col"] == left_key]
+    rights = [r for r in rows if os.path.normpath(r["input_dir"]) == db and r["on_col"] == right_key]
+    pairs = [
+        (a, b)
+        for a in lefts
+        for b in rights
+        if (a["ratio"], a["seed"]) == (b["ratio"], b["seed"]) and a["name"] != b["name"]
+    ]
+    if not pairs:
+        return None
+    a, b = max(pairs, key=lambda p: (float(p[0]["ratio"] or 0.0), p[0]["name"], p[1]["name"]))
+    return f"{a['name']},{b['name']}"
 
 
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
@@ -466,6 +499,86 @@ def _exact_passthrough(spark: SparkSession, sql: str, tables: dict | None) -> Da
     return spark.sql(sql)
 
 
+def _multi_agg_routed(
+    spark: SparkSession, aggs: list, group, where, table_token: str, tables, catalog
+) -> DataFrame | None:
+    """Multi-aggregate statements through Verdict's auto-selection: each
+    scalar aggregate is answered from ITS best registered artifact (sketch
+    aggregates from persisted states, sampling aggregates from scrambles)
+    and the per-aggregate single-statement results are joined on the GROUP
+    BY key. Routes only when EVERY aggregate resolves — partial routing
+    would still scan the base table, forfeiting the latency win, so it
+    falls back to the single-scan on-the-fly build instead (return None).
+
+    Output columns match ``_multi_agg`` (``<fn>_<col>`` + ``_err``); group
+    key columns come back STRING-typed (the states-schema convention — the
+    base table is never read, so native types are unknown here)."""
+    scalar = {"APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"}
+    keys = []
+    for fn, args in aggs:
+        if fn not in scalar:
+            return None
+        k = _resolve_key(fn, args, group, bool(where), table_token, tables, catalog)
+        if k is None:
+            return None
+        keys.append(k)
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import group_key_expr
+
+    gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
+    wclause = f" WHERE {where}" if where else ""
+    gclause = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    seen: dict[str, int] = {}
+    frames = []
+    for (fn, args), key in zip(aggs, keys):
+        stmt = f"SELECT {fn}({', '.join(args)}) FROM {table_token}{wclause}{gclause}"
+        out = approx_sql(spark, stmt, tables, catalog, key)
+        if fn == "APPROX_COUNT":
+            out_name = "approx_count_star"
+        else:
+            disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            out_name = f"{fn.lower()}_{disp}"
+        n = seen.get(out_name, 0)
+        seen[out_name] = n + 1
+        if n:
+            out_name = f"{out_name}_{n + 1}"
+        cols = set(out.columns)
+        if "estimate" in cols:  # states path reports a RELATIVE rse → absolute err
+            est, err = F.col("estimate"), F.col("rse_bound") * F.col("estimate")
+        elif "est_distinct" in cols:  # universe-scramble distinct
+            est, err = F.col("est_distinct"), F.col("distinct_err")
+        elif fn == "APPROX_COUNT":
+            est, err = F.col("est_count"), F.col("count_err")
+        elif fn == "APPROX_SUM":
+            est, err = F.col("est_sum"), F.col("sum_err")
+        else:
+            est, err = F.col("est_avg"), F.col("avg_err")
+        sel = [est.alias(out_name), err.alias(f"{out_name}_err")]
+        if gcols:
+            # states frames name a single-column group 'group'; sample
+            # frames keep the user's column — normalize, then join on one
+            # canonical string key (composite-safe)
+            if "group" in out.columns and len(gcols) == 1:
+                out = out.withColumnRenamed("group", gcols[0])
+            out = out.select(group_key_expr(gcols).alias("_gk"), *sel)
+        else:
+            out = out.select(*sel)
+        frames.append(out)
+
+    result = frames[0]
+    for o in frames[1:]:
+        # FULL OUTER, same rationale as _multi_agg: a group missing from one
+        # artifact (e.g. an empty stratum) must not erase the others' answers
+        result = result.join(o, "_gk", "full_outer") if gcols else result.crossJoin(o)
+    if gcols:
+        result = _ungroup(result.withColumnRenamed("_gk", "group"), None, group)
+        ordered = gcols + [c for c in result.columns if c not in gcols]
+        result = result.select(*ordered)
+    return result
+
+
 def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None) -> DataFrame:
     """Multiple scalar approximate aggregates in ONE statement.
 
@@ -642,8 +755,15 @@ def approx_sql(
         if catalog is not None and catalog_key is not None:
             raise ValueError(
                 "multi-aggregate statements can't take catalog_key — issue one "
-                "statement per aggregate to answer from persisted states"
+                "statement per aggregate to answer from persisted states, or "
+                "pass catalog alone for per-aggregate auto-selection"
             )
+        if catalog is not None:
+            routed = _multi_agg_routed(
+                spark, aggs, group, m.group("where"), m.group("table"), tables, catalog
+            )
+            if routed is not None:
+                return routed
         df = _resolve_table(spark, m.group("table"), tables)
         if m.group("where"):
             df = df.filter(m.group("where"))

@@ -65,10 +65,22 @@ def test_from_path_directly(spark, seq_tiny_dir):
 
 
 def test_unsupported_statement_rejected(spark, tables):
+    # an APPROX statement outside the skeleton is rejected by US (with a
+    # pointer to the DataFrame API), not handed to Spark to mis-parse
     with pytest.raises(ValueError, match="unsupported statement"):
-        approx_sql(spark, "SELECT a, b FROM sequences JOIN other ON x = y", tables)
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT(0.5) FROM sequences CLUSTER BY doc_id",
+            tables,
+        )
     with pytest.raises(ValueError, match="unknown approximate aggregate"):
         approx_sql(spark, "SELECT APPROX_MEDIAN_WRONG(x) FROM sequences", tables)
+    # a statement with NO approx aggregate passes through to Spark SQL —
+    # its errors are Spark's own (unknown table), not a ValueError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        approx_sql(spark, "SELECT a, b FROM nonexistent_passthrough_tbl", tables)
 
 
 def test_approx_sql_answers_from_catalog_states_only(spark, tmp_path, seq_tiny_dir):
@@ -677,3 +689,97 @@ def test_auto_routing(spark, tables, tmp_path):
     assert resolve_catalog_key(spark, q5, tables, cat) is None
     out5 = approx_sql(spark, q5, tables, catalog=cat).toPandas()
     assert (out5.groupby("group").size() == 5).all()
+
+
+def test_multi_agg_auto_routing(spark, tables, tmp_path):
+    """Multi-aggregate auto-selection: every scalar aggregate in one
+    statement answered from its own best artifact (HLL states for the
+    distinct, the uniform scramble for SUM/COUNT), joined on the group key
+    with _multi_agg's column conventions; dropping an artifact any
+    aggregate needs makes the WHOLE statement fall back to one on-the-fly
+    build over the base table."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create(
+        "seq_states", tables["sequences"],
+        [SketchSpec("h", "hll", "doc_id", {"p": 14})], group_by="source",
+    )
+    approx_sql(
+        spark, "CREATE SAMPLE u FROM sequences KIND uniform RATIO 0.6 SEED 7",
+        tables, catalog=cat,
+    ).collect()
+
+    stmt = (
+        "SELECT APPROX_COUNT_DISTINCT(doc_id), APPROX_SUM(n_tok, 0.5), APPROX_COUNT(0.5) "
+        "FROM sequences GROUP BY source"
+    )
+    out = approx_sql(spark, stmt, tables, catalog=cat).toPandas()
+    want = {
+        "source",
+        "approx_count_distinct_doc_id", "approx_count_distinct_doc_id_err",
+        "approx_sum_n_tok", "approx_sum_n_tok_err",
+        "approx_count_star", "approx_count_star_err",
+    }
+    assert set(out.columns) == want and len(out) == 5
+    exact = (
+        spark.read.parquet(tables["sequences"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("d"),
+            F.sum("n_tok").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .toPandas()
+    )
+    m = out.merge(exact, on="source")
+    wide = 3.29 / 1.96
+    assert ((m["approx_count_distinct_doc_id"] - m["d"]).abs()
+            <= 3 * m["approx_count_distinct_doc_id_err"] + 2.0).all()
+    assert ((m["approx_sum_n_tok"] - m["s"]).abs() <= m["approx_sum_n_tok_err"] * wide).all()
+    assert ((m["approx_count_star"] - m["n"]).abs() <= m["approx_count_star_err"] * wide).all()
+
+    # drop the states: COUNT_DISTINCT has no artifact left (the uniform
+    # scramble can't serve distincts) → entire statement falls back to the
+    # on-the-fly single-scan build, which still answers correctly
+    cat.drop("seq_states")
+    out2 = approx_sql(spark, stmt, tables, catalog=cat).toPandas()
+    assert set(out2.columns) == want and len(out2) == 5
+
+
+def test_join_auto_routing(spark, tables, tmp_path):
+    """Join auto-selection: with a catalog and no catalog_key, an APPROX
+    join statement finds the registered (left, right) universe-scramble
+    pair on the join keys sharing (ratio, seed) and answers from the
+    scrambles; without a usable pair it samples both sides on the fly."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    base = spark.read.parquet(tables["sequences"])
+    dim_dir = str(tmp_path / "dim")
+    base.select("doc_id").distinct().orderBy("doc_id").limit(800).write.parquet(dim_dir)
+    t2 = dict(tables, dim=dim_dir)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    for ddl in (
+        "CREATE SAMPLE su FROM sequences KIND universe RATIO 0.5 ON doc_id SEED 7",
+        "CREATE SAMPLE du FROM dim KIND universe RATIO 0.5 ON doc_id SEED 7",
+        # decoy with a different seed: must NOT pair with su/du
+        "CREATE SAMPLE du_off FROM dim KIND universe RATIO 0.5 ON doc_id SEED 99",
+    ):
+        approx_sql(spark, ddl, t2, catalog=cat).collect()
+
+    stmt = (
+        "SELECT APPROX_COUNT(0.5) FROM sequences JOIN dim "
+        "ON sequences.doc_id = dim.doc_id"
+    )
+    est = approx_sql(spark, stmt, t2, catalog=cat).collect()[0]
+    exact = base.join(spark.read.parquet(dim_dir), "doc_id").count()
+    assert abs(est["est_count"] - exact) <= est["count_err"] * (3.29 / 1.96) + 1e-9
+
+    # same statement, explicit pair: identical estimate (routing picked it)
+    explicit = approx_sql(spark, stmt, t2, catalog=cat, catalog_key="su,du").collect()[0]
+    assert est["est_count"] == explicit["est_count"]
