@@ -1,14 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-50 queries; naming maps to SURVEY.md §2:
+51 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
-  b* (27) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
+  b* (28) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
        plus round 3: b23 distributed high-cardinality estimates, b24
        multi-column GROUP BY, b25 stratified APPROX_AVG via DDL, b26
        approximate JOIN via SQL, b27 catalog auto-selection, b28 exact
-       pass-through).
+       pass-through, b29 incremental refresh on append).
        Accuracy claims are driver-checked: each returns ``within_bound``-
        style booleans computed against EXACT answers (calculated in Spark),
        and the oracle asserts they are all TRUE; property queries (b10
@@ -1219,6 +1219,56 @@ def q_b27_auto_routed_sql(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_b29_incremental_refresh(spark, sf_dir):
+    """Incremental sketch maintenance on append (catalog.refresh / REFRESH
+    SKETCHES): new parquet files land in a registered input dir; refresh
+    sketches ONLY those files and merges their partial states in. The
+    refreshed states must be BYTE-IDENTICAL to a from-scratch rebuild over
+    the grown dir (HLL register-max is order-free and serialization is
+    canonical), and the refreshed estimate covers the grown corpus within
+    the HLL bound — at 100 TB this replaces a corpus re-scan with a scan of
+    the day's append."""
+    import glob
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.scan import build_sketches_from_parquet
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = [SketchSpec("h", "hll", "doc_id", {"p": 14})]
+    root = tempfile.mkdtemp(prefix="sketchcat_b29_")
+    try:
+        data = os.path.join(root, "docs")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.parquet(data)
+        cat = SketchCatalog(spark, os.path.join(root, "cat"))
+        cat.create("d", data, spec, group_by="source")
+        odd_dir = os.path.join(root, "odd")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.parquet(odd_dir)
+        for i, f in enumerate(sorted(glob.glob(odd_dir + "/part-*.parquet"))):
+            shutil.copy(f, os.path.join(data, f"appended-{i:04d}.parquet"))
+        stats = cat.refresh("d")
+        full = build_sketches_from_parquet(spark, data, spec, group_by="source").toPandas()
+        got = cat.states("d").toPandas()
+        fb = {r["group"]: bytes(r["state"]) for _, r in full.iterrows()}
+        gb = {r["group"]: bytes(r["state"]) for _, r in got.iterrows()}
+        identical = set(fb) == set(gb) and all(fb[g] == gb[g] for g in fb)
+        est = estimates_df(spark, cat.states("d"), "h").toPandas()
+        exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+        m = est.merge(exact, left_on="group", right_on="source")
+        within = bool(
+            ((m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])).all()
+        )
+        rows = [
+            ("refresh_saw_new_files", bool(stats["new_files"] > 0)),
+            ("refresh_equals_rebuild", bool(identical)),
+            ("refreshed_estimate_within_bound", within),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["check", "ok"]))
+
+
 def q_b28_exact_passthrough(spark, sf_dir):
     """Verdict middleware behavior (A4): a statement with no APPROX_
     aggregate is NOT rewritten — approx_sql passes it through to Spark SQL
@@ -1272,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_approx_join_sql": _dist_wrapped(q_b26_approx_join_sql),
         "b27_auto_routed_sql": _dist_wrapped(q_b27_auto_routed_sql),
         "b28_exact_passthrough": _dist_wrapped(q_b28_exact_passthrough),
+        "b29_incremental_refresh": _dist_wrapped(q_b29_incremental_refresh),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1399,6 +1450,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source, lang
+        """,
+        "b29_incremental_refresh": """
+            SELECT 'refresh_saw_new_files' AS check, TRUE AS ok
+            UNION ALL SELECT 'refresh_equals_rebuild', TRUE
+            UNION ALL SELECT 'refreshed_estimate_within_bound', TRUE
         """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """

@@ -27,7 +27,7 @@ from sketchlib.spark.scan import build_sketches_from_parquet
 
 _CATALOG_SCHEMA = (
     "name string, input_dir string, group_by string, specs_json string, "
-    "n_states long, rows long, tokens long, built_unix double"
+    "n_states long, rows long, tokens long, built_unix double, files_json string"
 )
 
 _SAMPLE_SCHEMA = (
@@ -66,7 +66,15 @@ class SketchCatalog:
             if not overwrite:
                 raise ValueError(f"sketch set {name!r} already exists (use overwrite=True)")
             self.drop(name)
-        states = build_sketches_from_parquet(self.spark, input_dir, specs, group_by=group_by)
+        # plan the file list ONCE and build exactly those files, so the
+        # registered lineage matches what the states cover even if files
+        # land in input_dir mid-build (refresh() picks them up later)
+        from sketchlib.spark.scan import plan_chunks
+
+        files = sorted({c.file for c in plan_chunks(input_dir)})
+        states = build_sketches_from_parquet(
+            self.spark, input_dir, specs, group_by=group_by, files=files
+        )
         sdir = os.path.join(self.root, "states", name)
         states.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
@@ -89,12 +97,92 @@ class SketchCatalog:
                 int(agg[0] or 0) // max(len(specs), 1),
                 int(agg[1] or 0) // max(len(specs), 1),
                 time.time(),
+                json.dumps(files),
             )
         ]
         self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
             os.path.join(self.root, "_sketch_catalog")
         )
         return persisted
+
+    def refresh(self, name: str) -> dict:
+        """Incremental maintenance on APPEND — Verdict keeps its scrambles
+        fresh as base tables grow; mergeable sketches make the analog EXACT:
+        sketch ONLY the parquet files added to the input dir since the last
+        build/refresh and merge their partial states into the persisted
+        state table. At 100 TB this is the difference between touching the
+        day's append and re-scanning the corpus.
+
+        Append-only contract: every previously covered file must still
+        exist (sketch states cannot subtract) — a covered file gone from
+        the input dir raises; rebuild with ``create(overwrite=True)``.
+        Returns {new_files, rows_added, tokens_added}."""
+        from sketchlib.spark.build import merge_states
+        from sketchlib.spark.scan import partial_states_from_parquet, plan_chunks
+
+        reg = self._registry_meta("_sketch_catalog", _CATALOG_SCHEMA, name, "sketch set")
+        if reg["files_json"] is None:
+            raise ValueError(
+                f"sketch set {name!r} was registered without file lineage — "
+                "rebuild once with create(overwrite=True) to enable refresh"
+            )
+        covered = set(json.loads(reg["files_json"]))
+        current = {c.file for c in plan_chunks(reg["input_dir"])}
+        gone = sorted(covered - current)
+        if gone:
+            raise ValueError(
+                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
+                f"(e.g. {gone[0]!r}) — states cannot subtract; rebuild with "
+                "create(overwrite=True)"
+            )
+        new = sorted(current - covered)
+        if not new:
+            return {"new_files": 0, "rows_added": 0, "tokens_added": 0}
+
+        specs = [
+            SketchSpec(s["name"], s["kind"], s["column"], s["params"])
+            for s in json.loads(reg["specs_json"])
+        ]
+        gb = reg["group_by"] or None
+        if gb and "," in gb:
+            gb = gb.split(",")
+        newpart = partial_states_from_parquet(
+            self.spark, reg["input_dir"], specs, group_by=gb, files=new
+        )
+        before = self.states(name).groupBy().sum("rows", "tokens").collect()[0]
+        refreshed = merge_states(self.states(name).unionByName(newpart))
+        sdir = os.path.join(self.root, "states", name)
+        tmp, bak = sdir + "._refresh_tmp", sdir + "._refresh_old"
+        refreshed.write.mode("overwrite").parquet(tmp)
+        os.rename(sdir, bak)
+        os.rename(tmp, sdir)
+        shutil.rmtree(bak)
+        persisted = self.spark.read.parquet(sdir)
+        agg = persisted.groupBy().sum("rows", "tokens").collect()[0]
+        n_specs = max(len(specs), 1)
+        rows_total = int(agg[0] or 0) // n_specs
+        tokens_total = int(agg[1] or 0) // n_specs
+        row = [
+            (
+                name,
+                reg["input_dir"],
+                reg["group_by"],
+                reg["specs_json"],
+                persisted.count(),
+                rows_total,
+                tokens_total,
+                time.time(),
+                json.dumps(sorted(current)),
+            )
+        ]
+        self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_sketch_catalog")
+        )
+        return {
+            "new_files": len(new),
+            "rows_added": rows_total - int(before[0] or 0) // n_specs,
+            "tokens_added": tokens_total - int(before[1] or 0) // n_specs,
+        }
 
 
     # --- shared registry machinery (append-only parquet log per registry) ---

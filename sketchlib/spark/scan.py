@@ -193,8 +193,22 @@ def partial_states_from_parquet(
     n_tasks: int | None = None,
     target_bytes: int = 8 << 20,
     per_chunk: bool = False,
+    files: list[str] | None = None,
 ) -> DataFrame:
+    """``files``: restrict the scan to these parquet files (must live under
+    ``input_dir``) — the incremental-refresh path sketches only the files
+    APPENDED since the last build (catalog.refresh)."""
     chunks = plan_chunks(input_dir, target_bytes=target_bytes)
+    if files is not None:
+        from dataclasses import replace
+
+        fset = set(files)
+        chunks = [
+            replace(c, chunk_id=i)
+            for i, c in enumerate(c for c in chunks if c.file in fset)
+        ]
+        if not chunks:
+            raise ValueError(f"none of the {len(fset)} requested files found under {input_dir}")
     cores = spark.sparkContext.defaultParallelism
     # one wave of tasks: more waves only multiply per-task state emission
     # (CM states are ~1 MB each) without improving balance — chunks are
@@ -212,9 +226,10 @@ def build_sketches_from_parquet(
     fanout: int | None = None,
     n_tasks: int | None = None,
     target_bytes: int = 8 << 20,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Fast-path build: pyarrow-direct scan + the standard tiny state merge."""
     partial = partial_states_from_parquet(
-        spark, input_dir, specs, group_by, n_tasks=n_tasks, target_bytes=target_bytes
+        spark, input_dir, specs, group_by, n_tasks=n_tasks, target_bytes=target_bytes, files=files
     )
     return merge_states(partial, fanout=fanout)

@@ -175,6 +175,7 @@ _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
 _DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_REFRESH_SKETCHES = re.compile(r"^\s*REFRESH\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | None:
@@ -207,7 +208,7 @@ def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | Non
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
     """Route sample-lifecycle DDL to the SketchCatalog; None if ``sql`` is
     not a DDL statement."""
-    is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP)\b", sql, re.IGNORECASE)
+    is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP|REFRESH)\b", sql, re.IGNORECASE)
     if not is_ddl:
         return None
     if catalog is None:
@@ -216,6 +217,14 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     m = _SHOW_SAMPLES.match(sql)
     if m:
         return catalog.list_samples()
+
+    m = _REFRESH_SKETCHES.match(sql)
+    if m:
+        stats = catalog.refresh(m.group("name"))
+        return spark.createDataFrame(
+            [(m.group("name"), stats["new_files"], stats["rows_added"], stats["tokens_added"])],
+            "name string, new_files int, rows_added long, tokens_added long",
+        )
 
     m = _SHOW_SKETCHES.match(sql)
     if m:
@@ -265,7 +274,8 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     raise ValueError(
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
-        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s; SHOW SKETCHES; DROP SKETCHES s"
+        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s; SHOW SKETCHES; DROP SKETCHES s; "
+        "REFRESH SKETCHES s"
     )
 
 

@@ -256,3 +256,68 @@ def test_stratified_persisted_sample_served_by_sql(spark, tmp_path, seq_tiny_dir
     with _pytest.raises(ValueError, match="keyed by"):
         approx_sql(spark, "SELECT APPROX_COUNT(0.0) FROM t GROUP BY lang",
                    catalog=cat, catalog_key="st")
+
+
+def test_incremental_refresh(spark, tmp_path):
+    """catalog.refresh sketches ONLY files appended since the last build and
+    merges them in: byte-identical to a from-scratch rebuild for the
+    order-free sketches (HLL register-max, CM counter-add), estimate-level
+    identical for KLL; covered-file deletion raises (states can't subtract)."""
+    import glob
+    import os
+    import shutil as sh
+
+    import numpy as np
+
+    from sketchlib.data.gen import write_sequences
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.query import quantiles_df
+    from sketchlib.spark.scan import build_sketches_from_parquet
+    from sketchlib.sql import approx_sql
+
+    d = str(tmp_path / "seq")
+    write_sequences(d, 2000, seed=1)
+    specs = [
+        SketchSpec("h", "hll", "doc_id", {"p": 12}),
+        SketchSpec("c", "cm", "tokens", {"eps": 1e-3, "delta": 0.01}),
+        SketchSpec("k", "kll", "n_tok", {"k": 200}),
+    ]
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("s", d, specs, group_by="source")
+    assert cat.refresh("s") == {"new_files": 0, "rows_added": 0, "tokens_added": 0}
+
+    d2 = str(tmp_path / "seq2")
+    write_sequences(d2, 1000, seed=2)
+    n_copied = 0
+    for f in glob.glob(d2 + "/source=*/part-*.parquet"):
+        rel = os.path.relpath(f, d2)
+        dst = os.path.join(d, os.path.dirname(rel), "appended-" + os.path.basename(f))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        sh.copy(f, dst)
+        n_copied += 1
+    stats = cat.refresh("s")
+    assert stats["new_files"] == n_copied
+    assert stats["rows_added"] == 1000 and stats["tokens_added"] > 0
+
+    full = build_sketches_from_parquet(spark, d, specs, group_by="source")
+    full_pd, got_pd = full.toPandas(), cat.states("s").toPandas()
+    fk = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in full_pd.iterrows()}
+    gk = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in got_pd.iterrows()}
+    assert set(fk) == set(gk)
+    for (g, sk), st in fk.items():
+        if sk in ("h", "c"):  # semilattice states: canonical bytes
+            assert gk[(g, sk)] == st, f"{sk} state for {g} differs after refresh"
+    qf = quantiles_df(spark, full, "k", [0.5, 0.9]).toPandas().sort_values(["group", "q"])
+    qg = quantiles_df(spark, cat.states("s"), "k", [0.5, 0.9]).toPandas().sort_values(["group", "q"])
+    assert np.allclose(qf["value"].values, qg["value"].values, rtol=0.05)
+
+    # REFRESH SKETCHES through the SQL front door; second refresh is a no-op
+    out = approx_sql(spark, "REFRESH SKETCHES s", catalog=cat).collect()[0]
+    assert out["name"] == "s" and out["new_files"] == 0
+
+    # deleting a covered file breaks the append-only contract
+    victim = glob.glob(d + "/source=*/part-*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="cannot subtract"):
+        cat.refresh("s")
