@@ -171,11 +171,27 @@ _CREATE_SAMPLE = re.compile(
     r"(?:\s+SEED\s+(?P<seed>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_SKETCHES = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?SKETCHES\s+(?P<name>\w+)"
+    r"\s+FROM\s+(?P<table>[\w./:\-]+)"
+    r"\s+KINDS\s+(?P<specs>\w+\s*\([^()]*\)(?:\s*,\s*\w+\s*\([^()]*\))*)"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SKETCH_DDL_DEFAULTS = {
+    "hll": {"p": 14},
+    "cm": {"eps": 1e-4, "delta": 0.01},
+    "kll": {"k": 200},
+    "tdigest": {"compression": 200},
+    "bloom": {"m_bits": 1 << 20, "h": 7},
+    "kmv": {"k": 1024},
+}
 _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
 _DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _REFRESH_SKETCHES = re.compile(r"^\s*REFRESH\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_REFRESH_SAMPLE = re.compile(r"^\s*REFRESH\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | None:
@@ -205,6 +221,19 @@ def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | Non
     return f"{a['name']},{b['name']}"
 
 
+def _ddl_input_dir(table: str, tables: dict | None, stmt: str) -> str:
+    """DDL builds persist FROM a parquet path — resolve via tables (path
+    values only) or a literal path in FROM."""
+    if tables and table in tables and isinstance(tables[table], str):
+        return tables[table]
+    if "/" in table:
+        return table
+    raise ValueError(
+        f"{stmt} needs a parquet path for {table!r} — pass "
+        "tables={name: path} or a path in FROM"
+    )
+
+
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
     """Route sample-lifecycle DDL to the SketchCatalog; None if ``sql`` is
     not a DDL statement."""
@@ -226,6 +255,14 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
             "name string, new_files int, rows_added long, tokens_added long",
         )
 
+    m = _REFRESH_SAMPLE.match(sql)
+    if m:
+        stats = catalog.refresh_sample(m.group("name"))
+        return spark.createDataFrame(
+            [(m.group("name"), stats["new_files"], stats["rows_added"])],
+            "name string, new_files int, rows_added long",
+        )
+
     m = _SHOW_SKETCHES.match(sql)
     if m:
         return catalog.list()
@@ -241,22 +278,43 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
             drop_fn(name)
             return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
 
+    m = _CREATE_SKETCHES.match(sql)
+    if m:
+        name = m.group("name")
+        input_dir = _ddl_input_dir(m.group("table"), tables, "CREATE SKETCHES")
+        specs = []
+        for sm in re.finditer(r"(\w+)\s*\(([^()]*)\)", m.group("specs")):
+            kind = sm.group(1).lower()
+            if kind not in _SKETCH_DDL_DEFAULTS:
+                raise ValueError(
+                    f"unknown sketch kind {kind!r} — one of "
+                    f"{sorted(_SKETCH_DDL_DEFAULTS)}"
+                )
+            args = [a.strip() for a in sm.group(2).split(",") if a.strip()]
+            if not args or not _IDENT.match(args[0]):
+                raise ValueError(f"{kind}(...) needs a column name as its first argument")
+            col = args[0]
+            params = dict(_SKETCH_DDL_DEFAULTS[kind])
+            for kv in args[1:]:
+                k, eq, v = kv.partition("=")
+                if not eq:
+                    raise ValueError(f"sketch parameter {kv!r} must be key=value")
+                fv = float(v)
+                params[k.strip().lower()] = int(fv) if fv.is_integer() else fv
+            specs.append(SketchSpec(f"{kind}_{col}", kind, col, params))
+        catalog.create(
+            name, input_dir, specs,
+            group_by=_parse_group(m.group("group")),
+            overwrite=bool(m.group("replace")),
+        )
+        return catalog.list().where(f"name = '{name}'")
+
     m = _CREATE_SAMPLE.match(sql)
     if m:
         import json
 
-        name, table = m.group("name"), m.group("table")
-        # create_sample persists from a parquet path — resolve via tables
-        # (path values only) or a literal path in FROM
-        if tables and table in tables and isinstance(tables[table], str):
-            input_dir = tables[table]
-        elif "/" in table:
-            input_dir = table
-        else:
-            raise ValueError(
-                f"CREATE SAMPLE needs a parquet path for {table!r} — pass "
-                "tables={name: path} or a path in FROM"
-            )
+        name = m.group("name")
+        input_dir = _ddl_input_dir(m.group("table"), tables, "CREATE SAMPLE")
         kind = m.group("kind").lower()
         fractions = json.loads(m.group("fractions")) if m.group("fractions") else None
         catalog.create_sample(
@@ -274,8 +332,10 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     raise ValueError(
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
-        "[SEED n]; SHOW SAMPLES; DROP SAMPLE s; SHOW SKETCHES; DROP SKETCHES s; "
-        "REFRESH SKETCHES s"
+        "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
+        "[, cm(col), kll(col), tdigest(col), bloom(col), kmv(col)] [GROUP BY col]; "
+        "SHOW SAMPLES; DROP SAMPLE s; REFRESH SAMPLE s; "
+        "SHOW SKETCHES; DROP SKETCHES s; REFRESH SKETCHES s"
     )
 
 

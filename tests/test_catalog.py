@@ -321,3 +321,59 @@ def test_incremental_refresh(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(ValueError, match="cannot subtract"):
         cat.refresh("s")
+
+
+def test_sample_incremental_refresh(spark, tmp_path):
+    """refresh_sample applies the registered sampling rule to ONLY the
+    appended files and appends survivors: universe refresh is
+    content-deterministic (exactly re-sampling the grown dir), uniform
+    refresh keeps estimates within CI for the grown table, and REFRESH
+    SAMPLE works through the SQL front door."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.data.gen import write_sequences
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.sampling import universe_sample
+    from sketchlib.sql import approx_sql
+
+    d = str(tmp_path / "seq")
+    write_sequences(d, 2000, seed=1)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("u", d, kind="uniform", ratio=0.5, seed=7)
+    cat.create_sample("v", d, kind="universe", ratio=0.5, on="doc_id", seed=7)
+    assert cat.refresh_sample("u") == {"new_files": 0, "rows_added": 0}
+
+    d2 = str(tmp_path / "seq2")
+    write_sequences(d2, 1000, seed=2)
+    for f in glob.glob(d2 + "/source=*/part-*.parquet"):
+        rel = os.path.relpath(f, d2)
+        dst = os.path.join(d, os.path.dirname(rel), "appended-" + os.path.basename(f))
+        sh.copy(f, dst)
+
+    stats_u = cat.refresh_sample("u")
+    assert stats_u["new_files"] > 0 and stats_u["rows_added"] > 0
+    stats_v = cat.refresh_sample("v")
+
+    # universe: hash rule is content-keyed → refreshed sample row-set equals
+    # re-sampling the grown dir from scratch
+    grown = spark.read.parquet(d)
+    expect = universe_sample(grown, "doc_id", 0.5, seed=7)
+    got = cat.sample("v")
+    assert got.count() == expect.count()
+    assert got.select("doc_id").subtract(expect.select("doc_id")).count() == 0
+
+    # uniform: estimates from the refreshed scramble cover the GROWN table
+    est = approx_sql(
+        spark, "SELECT APPROX_COUNT(0.5) FROM ignored", {"ignored": d},
+        catalog=cat, catalog_key="u",
+    ).collect()[0]
+    n_exact = grown.count()
+    assert abs(est["est_count"] - n_exact) <= est["count_err"] * (3.29 / 1.96)
+
+    # SQL front door; second refresh is a no-op
+    out = approx_sql(spark, "REFRESH SAMPLE v", catalog=cat).collect()[0]
+    assert out["name"] == "v" and out["new_files"] == 0

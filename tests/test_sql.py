@@ -783,3 +783,40 @@ def test_join_auto_routing(spark, tables, tmp_path):
     # same statement, explicit pair: identical estimate (routing picked it)
     explicit = approx_sql(spark, stmt, t2, catalog=cat, catalog_key="su,du").collect()[0]
     assert est["est_count"] == explicit["est_count"]
+
+
+def test_create_sketches_ddl(spark, tables, tmp_path):
+    """Full sketch-set lifecycle through SQL strings only: CREATE SKETCHES
+    builds+registers, the statement auto-routes to it, SHOW lists it,
+    REFRESH no-ops on an unchanged dir, DROP removes it."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import resolve_catalog_key
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        "CREATE SKETCHES sq FROM sequences KINDS hll(doc_id, p=12), "
+        "cm(tokens), kll(n_tok) GROUP BY source",
+        tables, catalog=cat,
+    ).collect()
+    listed = {r["name"] for r in approx_sql(spark, "SHOW SKETCHES", catalog=cat).collect()}
+    assert "sq" in listed
+
+    q = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q, tables, cat) == "sq"
+    out = approx_sql(spark, q, tables, catalog=cat).toPandas()
+    assert len(out) == 5 and abs(out["estimate"].sum() - 2000) / 2000 < 0.1
+
+    # TOPK and PERCENTILE route to the same set's cm/kll specs
+    topq = "SELECT APPROX_TOPK(tokens, 3) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, topq, tables, cat) == "sq"
+    top = approx_sql(spark, topq, tables, catalog=cat).toPandas()
+    assert (top.groupby("group").size() == 3).all()
+    pq = "SELECT APPROX_PERCENTILE(n_tok, 0.5) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, pq, tables, cat) == "sq"
+
+    ref = approx_sql(spark, "REFRESH SKETCHES sq", catalog=cat).collect()[0]
+    assert ref["new_files"] == 0
+
+    approx_sql(spark, "DROP SKETCHES sq", catalog=cat).collect()
+    assert resolve_catalog_key(spark, q, tables, cat) is None
