@@ -6,6 +6,7 @@ dialect: only the STATEMENT SKELETON is parsed here —
 
     SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
     FROM <table> [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
+               [HAVING <pred over result cols>]
                [ORDER BY <col> [ASC|DESC]] [LIMIT <n>]
 
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
@@ -70,6 +71,13 @@ _ORDER_TAIL = re.compile(
 )
 _LIMIT_TAIL = re.compile(
     r"^(?P<body>.*?\S)\s+LIMIT\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+# HAVING filters the ESTIMATE frame (post-aggregation, like Verdict applying
+# it after scale-up): the predicate references result columns (estimate,
+# est_sum, group, ...) and is full Spark SQL
+_HAVING_TAIL = re.compile(
+    r"^(?P<body>.*GROUP\s+BY\s+\w+(?:\s*,\s*\w+)*)\s+HAVING\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 # Verdict's ApproxJoinedRelation (A8) as SQL: one APPROX_COUNT/APPROX_SUM
@@ -807,6 +815,11 @@ def approx_sql(
     if tm:
         return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).limit(
             int(tm.group("n"))
+        )
+    tm = _HAVING_TAIL.match(sql)
+    if tm:
+        return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).filter(
+            tm.group("pred")
         )
     jm = _JOIN_SKELETON.match(sql)
     if jm:

@@ -820,3 +820,24 @@ def test_create_sketches_ddl(spark, tables, tmp_path):
 
     approx_sql(spark, "DROP SKETCHES sq", catalog=cat).collect()
     assert resolve_catalog_key(spark, q, tables, cat) is None
+
+
+def test_having_clause(spark, tables):
+    """HAVING filters the estimate frame (post-aggregation, after scale-up),
+    composes with ORDER BY/LIMIT, and works on sampling aggregates too."""
+    base = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source"
+    full = approx_sql(spark, base, tables).toPandas()
+    had = approx_sql(spark, base + " HAVING estimate > 300", tables).toPandas()
+    assert set(had["group"]) == set(full[full["estimate"] > 300]["group"])
+
+    combo = approx_sql(
+        spark, base + " HAVING estimate > 100 ORDER BY estimate DESC LIMIT 2", tables
+    ).toPandas()
+    assert len(combo) == 2 and combo["estimate"].is_monotonic_decreasing
+
+    samp = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM sequences GROUP BY source HAVING est_count > 100",
+        tables,
+    ).toPandas()
+    assert (samp["est_count"] > 100).all() and len(samp) > 0
