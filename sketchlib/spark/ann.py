@@ -418,6 +418,37 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: np.ndarray) -> DataFrame:
+    """Assign vectors to their NEAREST FROZEN centroid — the refresh path
+    for a persisted IVF index. The centroid list is fixed at build time
+    (queries probe by it), so appending each new vector to the inverted
+    list of its nearest centroid preserves the index invariant exactly; no
+    re-clustering. Arrow-batched matmul argmin, no per-row Python. Centroid
+    drift from heavy appends is a rebuild decision, not a refresh one."""
+    from pyspark.sql.types import IntegerType, StructField
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C**2).sum(axis=1)
+    schema = df.select(id_col, vec_col).schema.add(StructField("_list", IntegerType()))
+
+    def assign(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            Vn = V / n[:, None]
+            # ||v-c||² over normalized vectors = cosine ordering (ivf_index
+            # fits k-means on the same normalization)
+            d2 = -2.0 * (Vn @ C.T) + c2[None, :]
+            out = pdf[[id_col, vec_col]].copy()
+            out["_list"] = np.argmin(d2, axis=1).astype("int32")
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

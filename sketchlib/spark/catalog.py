@@ -38,7 +38,8 @@ _SAMPLE_SCHEMA = (
 
 _ANN_SCHEMA = (
     "name string, input_dir string, kind string, vec_col string, id_col string, "
-    "n_bits int, seed long, n_lists int, centroids_json string, rows long, built_unix double"
+    "n_bits int, seed long, n_lists int, centroids_json string, rows long, built_unix double, "
+    "files_json string"
 )
 
 
@@ -418,7 +419,10 @@ class SketchCatalog:
             if not overwrite:
                 raise ValueError(f"ANN index {name!r} already exists (use overwrite=True)")
             self.drop_ann_index(name)
-        df = self.spark.read.parquet(input_dir)
+        from sketchlib.spark.scan import plan_chunks
+
+        files = sorted({c.file for c in plan_chunks(input_dir)})
+        df = self._read_files(input_dir, files)
         adir = os.path.join(self.root, "ann", name)
         centroids_json = ""
         if kind == "srp":
@@ -441,12 +445,72 @@ class SketchCatalog:
             (
                 name, input_dir, kind, vec_col, id_col, int(n_bits), int(seed),
                 int(n_lists), centroids_json, persisted.count(), time.time(),
+                json.dumps(files),
             )
         ]
         self.spark.createDataFrame(row, _ANN_SCHEMA).write.mode("append").parquet(
             os.path.join(self.root, "_ann_catalog")
         )
         return persisted
+
+    def refresh_ann_index(self, name: str) -> dict:
+        """Incremental ANN-index maintenance on APPEND. SRP: signatures are
+        content-keyed (same hyperplanes via the registered seed), so
+        bucketing only the new rows appends exactly what a full rebuild
+        would hold for them. IVF: new vectors go to their NEAREST FROZEN
+        centroid (`ivf_assign`) — the registered centroid list defines the
+        probe geometry, so assignment (not re-clustering) is the
+        contract-preserving refresh; rebuild when drift warrants it.
+        Covered files must still exist; returns {new_files, rows_added}."""
+        import json as _json
+
+        import numpy as np
+
+        from sketchlib.spark.ann import ivf_assign, srp_signatures
+        from sketchlib.spark.scan import plan_chunks
+
+        reg = self._registry_meta("_ann_catalog", _ANN_SCHEMA, name, "ANN index")
+        if reg["files_json"] is None:
+            raise ValueError(
+                f"ANN index {name!r} was registered without file lineage — "
+                "rebuild once with create_ann_index(overwrite=True) to enable refresh"
+            )
+        covered = set(_json.loads(reg["files_json"]))
+        current = {c.file for c in plan_chunks(reg["input_dir"])}
+        gone = sorted(covered - current)
+        if gone:
+            raise ValueError(
+                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
+                f"(e.g. {gone[0]!r}) — indexes cannot subtract; rebuild with "
+                "create_ann_index(overwrite=True)"
+            )
+        new = sorted(current - covered)
+        if not new:
+            return {"new_files": 0, "rows_added": 0}
+        df = self._read_files(reg["input_dir"], new)
+        adir = os.path.join(self.root, "ann", name)
+        if reg["kind"] == "srp":
+            idx = srp_signatures(
+                df, reg["vec_col"], reg["id_col"],
+                n_bits=reg["n_bits"], seed=reg["seed"], with_vec=True,
+            )
+            idx.sortWithinPartitions("bucket").write.mode("append").parquet(adir)
+        else:
+            centroids = np.array(_json.loads(reg["centroids_json"]))
+            assigned = ivf_assign(df, reg["vec_col"], reg["id_col"], centroids)
+            assigned.write.mode("append").partitionBy("_list").parquet(adir)
+        n_total = self.spark.read.parquet(adir).count()
+        row = [
+            (
+                name, reg["input_dir"], reg["kind"], reg["vec_col"], reg["id_col"],
+                reg["n_bits"], reg["seed"], reg["n_lists"], reg["centroids_json"],
+                n_total, time.time(), _json.dumps(sorted(current)),
+            )
+        ]
+        self.spark.createDataFrame(row, _ANN_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_ann_catalog")
+        )
+        return {"new_files": len(new), "rows_added": n_total - int(reg["rows"])}
 
     def ann_exists(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.root, "ann", name))

@@ -128,3 +128,55 @@ def test_near_dup_pairs_accept_precomputed_signatures(spark, emb_base):
         embedding_near_dup_pairs(
             d2, "embedding", "vec_id", n_tables=3, signatures=sigs[:2]
         )
+
+
+def test_ann_index_refresh(spark, tmp_path):
+    """Index maintenance on append: SRP refresh buckets only the new files
+    (content-keyed — same (id, bucket) set as a full rebuild); IVF refresh
+    assigns new vectors to the frozen centroids and the appended vector is
+    still self-recovered (its list is its nearest centroid = probe #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+
+    def write_part(path, lo, hi):
+        pq.write_table(
+            pa.table({
+                "vec_id": np.arange(lo, hi),
+                "embedding": [list(map(float, v)) for v in vecs[lo:hi]],
+            }),
+            path,
+        )
+
+    base = str(tmp_path / "emb")
+    os.makedirs(base)
+    write_part(os.path.join(base, "a.parquet"), 0, 120)
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_ann_index("r_srp", base, kind="srp", n_bits=12)
+    cat.create_ann_index("r_ivf", base, kind="ivf", n_lists=8)
+    assert cat.refresh_ann_index("r_srp") == {"new_files": 0, "rows_added": 0}
+
+    write_part(os.path.join(base, "b.parquet"), 120, 200)
+    assert cat.refresh_ann_index("r_srp") == {"new_files": 1, "rows_added": 80}
+    stats_ivf = cat.refresh_ann_index("r_ivf")
+    assert stats_ivf == {"new_files": 1, "rows_added": 80}
+
+    # SRP: refreshed index holds EXACTLY what a from-scratch rebuild holds
+    cat.create_ann_index("full", base, kind="srp", n_bits=12)
+    ref = {(r["vec_id"], r["bucket"]) for r in cat.ann_index("r_srp").collect()}
+    full = {(r["vec_id"], r["bucket"]) for r in cat.ann_index("full").collect()}
+    assert ref == full and len(ref) == 200
+
+    # both kinds self-recover a probe from the APPENDED half
+    q = [list(map(float, vecs[150]))]
+    for name in ("r_srp", "r_ivf"):
+        top = cat.ann_topk(name, q, k=1, query_ids=[150]).collect()
+        assert [(r["query_id"], r["vec_id"]) for r in top] == [(150, 150)], name
+
+    # covered-file deletion breaks the append-only contract
+    os.remove(os.path.join(base, "a.parquet"))
+    with pytest.raises(ValueError, match="cannot subtract"):
+        cat.refresh_ann_index("r_srp")
