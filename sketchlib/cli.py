@@ -59,6 +59,20 @@ def main(argv=None) -> int:
     ln = sub.add_parser("lineage", help="per-chunk lineage + throughput metrics")
     ln.add_argument("--checkpoint", required=True)
 
+    s = sub.add_parser(
+        "sql",
+        help="one Verdict-style statement: approx aggregate, sample/sketch "
+        "DDL (CREATE/SHOW/DROP/REFRESH), or exact pass-through",
+    )
+    s.add_argument("statement")
+    s.add_argument("--tables", nargs="*", default=[], metavar="NAME=PATH",
+                   help="table name → parquet path bindings for FROM")
+    s.add_argument("--catalog", default=None,
+                   help="SketchCatalog root (enables DDL, persisted-artifact "
+                   "answers, and auto-selection)")
+    s.add_argument("--catalog-key", default=None,
+                   help="force a specific artifact (default: auto-select)")
+
     args = p.parse_args(argv)
 
     from sketchlib.spark import get_spark
@@ -101,6 +115,19 @@ def main(argv=None) -> int:
         from sketchlib.spark.checkpoint import throughput_metrics
 
         print(json.dumps(throughput_metrics(spark, args.checkpoint)))
+
+    elif args.cmd == "sql":
+        from sketchlib.sql import approx_sql
+
+        tables = dict(kv.split("=", 1) for kv in args.tables) or None
+        cat = None
+        if args.catalog:
+            from sketchlib.spark.catalog import SketchCatalog
+
+            cat = SketchCatalog(spark, args.catalog)
+        out = approx_sql(spark, args.statement, tables, catalog=cat, catalog_key=args.catalog_key)
+        for row in out.toPandas().to_dict("records"):
+            print(json.dumps(row, default=str))
 
     spark.stop()
     return 0

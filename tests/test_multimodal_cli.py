@@ -105,3 +105,27 @@ def test_sample_frames_requires_codec(spark):
 
     with _pytest.raises(NotImplementedError):
         sample_frames(synth_media_df(spark, n_rows=2), codec=None)
+
+
+def test_cli_sql_lifecycle(seq_tiny_dir, tmp_path):
+    """The spark-submit `sql` surface end-to-end in subprocesses: DDL builds
+    a sketch set, the approx statement auto-routes to it, and an exact
+    statement passes through."""
+    import json as _json
+
+    cat = str(tmp_path / "cat")
+
+    def run(stmt, *extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "sketchlib.cli", "sql", stmt,
+             "--tables", f"sequences={seq_tiny_dir}", "--catalog", cat, *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
+
+    run("CREATE SKETCHES sq FROM sequences KINDS hll(doc_id, p=12) GROUP BY source")
+    rows = run("SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source")
+    assert len(rows) == 5 and abs(sum(r["estimate"] for r in rows) - 2000) / 2000 < 0.1
+    exact = run("SELECT source, COUNT(*) AS n FROM sequences GROUP BY source ORDER BY source")
+    assert sum(r["n"] for r in exact) == 2000
