@@ -200,8 +200,10 @@ def main() -> None:
         f"| local[8] | {results[8]['seconds']} | {results[8]['tokens_per_sec']:,} |",
         f"| local[32] (diagnostic) | {results[32]['seconds']} | {results[32]['tokens_per_sec']:,} |",
         "",
-        f"**Scaling efficiency N=1 → 4N=4: {eff14:.3f}; N=2 → 4N=8: {eff28:.3f}** "
-        f"({'PASS' if max(eff14, eff28) >= 0.8 else 'FAIL'} vs ≥0.8 target)",
+        f"**Primary N→4N pair (N=1 → 4N=4): {eff14:.3f} — "
+        f"{'PASS' if eff14 >= 0.8 else 'FAIL'} vs the ≥0.8 target.** "
+        f"Secondary pair N=2 → 4N=8: {eff28:.3f}"
+        f"{' (also ≥0.8)' if eff28 >= 0.8 else ' — below 0.8 on this box; the 8-slot level already collides with the JVM/daemon cores on the shared host (see 8→32 below), which is why N=1→4 is the pair that isolates the engine'}.",
         "",
         f"8→32 on this box: {eff832:.3f} — a local-mode/shared-host artifact, not an engine property:",
         "local[32] leaves zero spare cores for the JVM side (scan planning, arrow",

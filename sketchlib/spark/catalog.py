@@ -155,6 +155,8 @@ class SketchCatalog:
         refreshed = merge_states(self.states(name).unionByName(newpart))
         sdir = os.path.join(self.root, "states", name)
         tmp, bak = sdir + "._refresh_tmp", sdir + "._refresh_old"
+        # a stale backup from a crashed refresh would wedge the rename
+        shutil.rmtree(bak, ignore_errors=True)
         refreshed.write.mode("overwrite").parquet(tmp)
         os.rename(sdir, bak)
         os.rename(tmp, sdir)
@@ -226,7 +228,13 @@ class SketchCatalog:
         return self._registry_live("_sketch_catalog", _CATALOG_SCHEMA, "states")
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(os.path.join(self.root, "states", name))
+        sdir = os.path.join(self.root, "states", name)
+        bak = sdir + "._refresh_old"
+        if not os.path.isdir(sdir) and os.path.isdir(bak):
+            # crash landed between refresh()'s two renames — restore the
+            # pre-refresh states (refresh is then simply re-run)
+            os.rename(bak, sdir)
+        return os.path.isdir(sdir)
 
     # --- A5: approx scan — read states instead of the base table ----------
     def states(self, name: str) -> DataFrame:

@@ -245,8 +245,11 @@ def _ddl_input_dir(table: str, tables: dict | None, stmt: str) -> str:
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
     """Route sample-lifecycle DDL to the SketchCatalog; None if ``sql`` is
     not a DDL statement."""
+    # only claim statements aimed at OUR registries (… SAMPLE/SAMPLES/
+    # SKETCHES …) — SHOW TABLES / CREATE VIEW / REFRESH TABLE etc. are
+    # Spark's own DDL and fall through to the exact pass-through (A4)
     is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP|REFRESH)\b", sql, re.IGNORECASE)
-    if not is_ddl:
+    if not is_ddl or not re.search(r"\b(SAMPLES?|SKETCHES)\b", sql, re.IGNORECASE):
         return None
     if catalog is None:
         raise ValueError("sample DDL needs a SketchCatalog — pass catalog=...")
@@ -478,7 +481,10 @@ def _table_dir(table_token: str, tables: dict | None) -> str | None:
     return None
 
 
-def _resolve_key(fn, args, group, has_where, table_token, tables, catalog) -> str | None:
+def _resolve_key(
+    fn, args, group, has_where, table_token, tables, catalog,
+    reg_rows=None, sample_rows=None,
+) -> str | None:
     """Verdict's sample-selection step (SampleManager choosing the best
     registered sample for a query — the user never names one): pick the
     best catalog artifact that can answer (fn, col, group, where) over the
@@ -506,7 +512,12 @@ def _resolve_key(fn, args, group, has_where, table_token, tables, catalog) -> st
     kinds = _CATALOG_KINDS.get(fn)
     if kinds and not has_where:
         want_group = _canon_group(group)
-        for reg in catalog.list().collect():
+        # newest registration first, name as tie-break — deterministic when
+        # several sets hold the same sketch
+        if reg_rows is None:
+            reg_rows = catalog.list().collect()
+        regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
+        for reg in regs:
             if os.path.normpath(reg["input_dir"]) != base_n or reg["group_by"] != want_group:
                 continue
             specs = json.loads(reg["specs_json"])
@@ -527,11 +538,9 @@ def _resolve_key(fn, args, group, has_where, table_token, tables, catalog) -> st
             return k == "uniform" or (k == "stratified" and group == r["on_col"])
         return False
 
-    ok = [
-        r
-        for r in catalog.list_samples().collect()
-        if os.path.normpath(r["input_dir"]) == base_n and eligible(r)
-    ]
+    if sample_rows is None:
+        sample_rows = catalog.list_samples().collect()
+    ok = [r for r in sample_rows if os.path.normpath(r["input_dir"]) == base_n and eligible(r)]
     if not ok:
         return None
 
@@ -552,8 +561,10 @@ def resolve_catalog_key(
     if catalog is None:
         return None
     body = sql
-    tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body)
-    if tm:
+    while True:  # peel ORDER BY / LIMIT / HAVING tails, innermost last
+        tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body) or _HAVING_TAIL.match(body)
+        if not tm:
+            break
         body = tm.group("body")
     m = _SKELETON.match(body)
     if not m:
@@ -569,9 +580,16 @@ def resolve_catalog_key(
 def _exact_passthrough(spark: SparkSession, sql: str, tables: dict | None) -> DataFrame:
     """Verdict middleware behavior (A4): a statement with no APPROX_
     aggregate is NOT rewritten — it passes through to the backend (Spark
-    SQL) verbatim, with ``tables`` registered as temp views first."""
+    SQL) verbatim, with ``tables`` registered as temp views first.
+
+    Only table names the statement actually REFERENCES are registered
+    (word-boundary match), limiting the createOrReplaceTempView side effect
+    to names this query uses; a same-named pre-existing temp view is still
+    rebound to the ``tables`` binding — the dict is authoritative."""
     if tables:
         for name, t in tables.items():
+            if not re.search(rf"\b{re.escape(name)}\b", sql):
+                continue
             df = spark.read.parquet(t) if isinstance(t, str) else t
             df.createOrReplaceTempView(name)
     return spark.sql(sql)
@@ -592,14 +610,36 @@ def _multi_agg_routed(
     key columns come back STRING-typed (the states-schema convention — the
     base table is never read, so native types are unknown here)."""
     scalar = {"APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"}
+    if any(fn not in scalar for fn, _ in aggs):
+        return None
+    reg_rows = catalog.list().collect()  # registries collected ONCE per statement
+    sample_rows = catalog.list_samples().collect()
     keys = []
     for fn, args in aggs:
-        if fn not in scalar:
-            return None
-        k = _resolve_key(fn, args, group, bool(where), table_token, tables, catalog)
+        k = _resolve_key(
+            fn, args, group, bool(where), table_token, tables, catalog,
+            reg_rows=reg_rows, sample_rows=sample_rows,
+        )
         if k is None:
             return None
         keys.append(k)
+
+    # mixed sources join state-derived group keys (kernel Python str()) with
+    # sample-derived keys (Catalyst cast): the two stringifications agree for
+    # string/integer group columns but NOT for booleans, big doubles, or
+    # timestamps ('True' vs 'true', '1e+20' vs '1.0E20'). When mixing, check
+    # the group dtypes on a sample table's schema (footer read) and fall back
+    # to the single-scan build when any column is outside the safe set.
+    if group:
+        state_names = {r["name"] for r in reg_rows}
+        kinds_used = {k in state_names for k in keys}
+        if kinds_used == {True, False}:
+            safe = ("string", "int", "bigint", "smallint", "tinyint")
+            sample_key = next(k for k in keys if k not in state_names)
+            dtypes = dict(catalog.sample(sample_key).dtypes)
+            gcols_chk = list(group) if isinstance(group, (list, tuple)) else [group]
+            if any(dtypes.get(c) not in safe for c in gcols_chk):
+                return None
 
     from pyspark.sql import functions as F
 
@@ -796,10 +836,16 @@ def approx_sql(
     RATIO 0.1 [ON col] [FRACTIONS '<json>'] [SEED n]``, ``SHOW SAMPLES``,
     ``DROP SAMPLE s``. CREATE returns the registration row, SHOW the
     registry, DROP a (name, dropped) row."""
+    if catalog is None and catalog_key is not None:
+        raise ValueError(
+            "catalog_key without catalog does nothing — pass catalog=SketchCatalog(...)"
+        )
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl
-    if not _AGG.search(sql):
+    # classification ignores string literals: 'APPROX_X(1)' inside quotes
+    # must not drag an exact statement into the approx skeleton
+    if not _AGG.search(re.sub(r"'[^']*'", "''", sql)):
         # no APPROX_ aggregate anywhere in the statement → Verdict's
         # pass-through: exact SQL goes to the backend untouched (A4)
         return _exact_passthrough(spark, sql, tables)

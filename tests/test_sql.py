@@ -841,3 +841,36 @@ def test_having_clause(spark, tables):
         tables,
     ).toPandas()
     assert (samp["est_count"] > 100).all() and len(samp) > 0
+
+
+def test_passthrough_edge_cases(spark, tables, tmp_path):
+    """Spark's own DDL (SHOW TABLES / REFRESH TABLE) and APPROX_-shaped
+    tokens inside string literals pass through to Spark SQL; catalog_key
+    without a catalog raises instead of being silently ignored; and
+    resolve_catalog_key sees through a HAVING tail."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import resolve_catalog_key
+
+    assert approx_sql(spark, "SHOW TABLES", tables).count() >= 0
+
+    lit = approx_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM sequences WHERE source != 'APPROX_X(1)'",
+        tables,
+    ).collect()[0]
+    assert lit["n"] == 2000
+
+    with pytest.raises(ValueError, match="catalog_key without catalog"):
+        approx_sql(
+            spark, "SELECT APPROX_COUNT(0.5) FROM sequences", tables, catalog_key="x"
+        )
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE u FROM sequences KIND uniform RATIO 0.5 SEED 7",
+        tables, catalog=cat,
+    ).collect()
+    q = "SELECT APPROX_COUNT(0.5) FROM sequences GROUP BY source HAVING est_count > 10"
+    assert resolve_catalog_key(spark, q, tables, cat) == "u"
+    out = approx_sql(spark, q, tables, catalog=cat).toPandas()
+    assert (out["est_count"] > 10).all()
