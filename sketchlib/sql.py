@@ -196,6 +196,20 @@ _SKETCH_DDL_DEFAULTS = {
 }
 _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_CREATE_ANN = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?ANN\s+INDEX\s+(?P<name>\w+)"
+    r"\s+FROM\s+(?P<table>[\w./:\-]+)"
+    r"\s+KIND\s+(?P<kind>srp|ivf)"
+    r"\s+ON\s+(?P<vec>\w+)"
+    r"\s+ID\s+(?P<id>\w+)"
+    r"(?:\s+BITS\s+(?P<bits>\d+))?"
+    r"(?:\s+LISTS\s+(?P<lists>\d+))?"
+    r"(?:\s+SEED\s+(?P<seed>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_ANN = re.compile(r"^\s*SHOW\s+ANN\s+INDEXES\s*;?\s*$", re.IGNORECASE)
+_DROP_ANN = re.compile(r"^\s*DROP\s+ANN\s+INDEX\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_REFRESH_ANN = re.compile(r"^\s*REFRESH\s+ANN\s+INDEX\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
 _DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _REFRESH_SKETCHES = re.compile(r"^\s*REFRESH\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
@@ -249,7 +263,9 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     # SKETCHES …) — SHOW TABLES / CREATE VIEW / REFRESH TABLE etc. are
     # Spark's own DDL and fall through to the exact pass-through (A4)
     is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP|REFRESH)\b", sql, re.IGNORECASE)
-    if not is_ddl or not re.search(r"\b(SAMPLES?|SKETCHES)\b", sql, re.IGNORECASE):
+    if not is_ddl or not re.search(
+        r"\b(SAMPLES?|SKETCHES|ANN\s+INDEX(?:ES)?)\b", sql, re.IGNORECASE
+    ):
         return None
     if catalog is None:
         raise ValueError("sample DDL needs a SketchCatalog — pass catalog=...")
@@ -273,6 +289,40 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
             [(m.group("name"), stats["new_files"], stats["rows_added"])],
             "name string, new_files int, rows_added long",
         )
+
+    m = _SHOW_ANN.match(sql)
+    if m:
+        return catalog.list_ann_indexes()
+
+    m = _DROP_ANN.match(sql)
+    if m:
+        name = m.group("name")
+        existed = catalog.ann_exists(name)
+        catalog.drop_ann_index(name)
+        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
+
+    m = _REFRESH_ANN.match(sql)
+    if m:
+        stats = catalog.refresh_ann_index(m.group("name"))
+        return spark.createDataFrame(
+            [(m.group("name"), stats["new_files"], stats["rows_added"])],
+            "name string, new_files int, rows_added long",
+        )
+
+    m = _CREATE_ANN.match(sql)
+    if m:
+        catalog.create_ann_index(
+            m.group("name"),
+            _ddl_input_dir(m.group("table"), tables, "CREATE ANN INDEX"),
+            kind=m.group("kind").lower(),
+            vec_col=m.group("vec"),
+            id_col=m.group("id"),
+            n_bits=int(m.group("bits") or 16),
+            n_lists=int(m.group("lists") or 16),
+            seed=int(m.group("seed") or 31),
+            overwrite=bool(m.group("replace")),
+        )
+        return catalog.list_ann_indexes().where(f"name = '{m.group('name')}'")
 
     m = _SHOW_SKETCHES.match(sql)
     if m:
@@ -345,8 +395,11 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
         "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
         "[, cm(col), kll(col), tdigest(col), bloom(col), kmv(col)] [GROUP BY col]; "
+        "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "
+        "[BITS n] [LISTS n] [SEED n]; "
         "SHOW SAMPLES; DROP SAMPLE s; REFRESH SAMPLE s; "
-        "SHOW SKETCHES; DROP SKETCHES s; REFRESH SKETCHES s"
+        "SHOW SKETCHES; DROP SKETCHES s; REFRESH SKETCHES s; "
+        "SHOW ANN INDEXES; DROP ANN INDEX s; REFRESH ANN INDEX s"
     )
 
 

@@ -180,3 +180,29 @@ def test_ann_index_refresh(spark, tmp_path):
     os.remove(os.path.join(base, "a.parquet"))
     with pytest.raises(ValueError, match="cannot subtract"):
         cat.refresh_ann_index("r_srp")
+
+
+def test_ann_ddl_lifecycle(spark, emb_base, tmp_path):
+    """ANN registry through SQL strings only: CREATE ANN INDEX builds and
+    registers, SHOW lists it, probes answer from it, REFRESH no-ops on an
+    unchanged dir, DROP removes it."""
+    from sketchlib.sql import approx_sql
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        f"CREATE ANN INDEX e FROM {emb_base} KIND srp ON embedding ID vec_id BITS 12",
+        catalog=cat,
+    ).collect()
+    listed = {r["name"] for r in approx_sql(spark, "SHOW ANN INDEXES", catalog=cat).collect()}
+    assert listed == {"e"}
+
+    probe = spark.read.parquet(emb_base).orderBy("vec_id").limit(1).collect()[0]
+    top = cat.ann_topk("e", [list(probe["embedding"])], k=1, query_ids=[0]).collect()
+    assert [(r["query_id"], r["vec_id"]) for r in top] == [(0, 0)]
+
+    ref = approx_sql(spark, "REFRESH ANN INDEX e", catalog=cat).collect()[0]
+    assert ref["new_files"] == 0
+
+    out = approx_sql(spark, "DROP ANN INDEX e", catalog=cat).collect()[0]
+    assert out["dropped"] is True and not cat.ann_exists("e")
