@@ -167,6 +167,57 @@ def main() -> None:
             second["queries_sf"] = None
         second["queries"] = qt2
 
+    # ---- incremental-refresh economics (DESIGN_100TB §2, measured) at the
+    # LARGER second-scale table, where refresh's fixed driver costs stop
+    # masking the delta-proportional work: build a catalog set over symlinks
+    # (the cached table is never mutated), append a 10% delta, time REFRESH
+    # vs a full rebuild over the grown dir.
+    refresh_block = {}
+    if scale2 > 0:
+        import glob
+        import shutil
+        import tempfile
+
+        from sketchlib.spark.catalog import SketchCatalog
+
+        work = tempfile.mkdtemp(prefix="sketchlib_bench_refresh_")
+        try:
+            base_dir, _, base_rows = seq_table_dir(sf * scale2)
+            linked = os.path.join(work, "seq")
+            for f in glob.glob(os.path.join(base_dir, "source=*", "*.parquet")):
+                rel = os.path.relpath(f, base_dir)
+                dst = os.path.join(linked, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.symlink(f, dst)
+            cat = SketchCatalog(spark, os.path.join(work, "cat"))
+            cat.create("bench", linked, SEQ_SPECS, group_by="source")
+            delta_rows = max(2_000, base_rows // 10)
+            delta_dir = f"/tmp/sketchlib_bench/seq_delta_n{delta_rows}"
+            if not os.path.isdir(delta_dir):
+                write_sequences(delta_dir, delta_rows, seed=43)
+            for f in glob.glob(os.path.join(delta_dir, "source=*", "*.parquet")):
+                rel = os.path.relpath(f, delta_dir)
+                dst = os.path.join(linked, os.path.dirname(rel), "delta-" + os.path.basename(f))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.symlink(f, dst)
+            t0 = time.perf_counter()
+            rstats = cat.refresh("bench")
+            refresh_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_full = build_sketches_from_parquet(spark, linked, SEQ_SPECS, group_by="source").count()
+            rebuild_sec = time.perf_counter() - t0
+            assert n_full > 0 and rstats["rows_added"] == delta_rows
+            refresh_block = {
+                "base_rows": base_rows,
+                "delta_rows": delta_rows,
+                "delta_frac": round(delta_rows / (base_rows + delta_rows), 3),
+                "refresh_sec": round(refresh_sec, 3),
+                "full_rebuild_sec": round(rebuild_sec, 3),
+                "speedup": round(rebuild_sec / refresh_sec, 2),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -181,6 +232,7 @@ def main() -> None:
                     "sequences_tokens": seq_tokens,
                     "sketch_build_tokens_per_sec": round(seq_tokens / build_sec, 1),
                     "cpus": cpus,
+                    "incremental_refresh": refresh_block,
                     "second_scale": second,
                 },
             }

@@ -151,7 +151,8 @@ class SketchCatalog:
         newpart = partial_states_from_parquet(
             self.spark, reg["input_dir"], specs, group_by=gb, files=new
         )
-        before = self.states(name).groupBy().sum("rows", "tokens").collect()[0]
+        # prior totals come from the registration row — no extra Spark job
+        before_rows, before_tokens = int(reg["rows"]), int(reg["tokens"])
         refreshed = merge_states(self.states(name).unionByName(newpart))
         sdir = os.path.join(self.root, "states", name)
         tmp, bak = sdir + "._refresh_tmp", sdir + "._refresh_old"
@@ -161,18 +162,22 @@ class SketchCatalog:
         os.rename(sdir, bak)
         os.rename(tmp, sdir)
         shutil.rmtree(bak)
+        from pyspark.sql import functions as F
+
         persisted = self.spark.read.parquet(sdir)
-        agg = persisted.groupBy().sum("rows", "tokens").collect()[0]
+        agg = persisted.agg(
+            F.count("*").alias("n"), F.sum("rows").alias("r"), F.sum("tokens").alias("t")
+        ).collect()[0]  # one job for count + totals
         n_specs = max(len(specs), 1)
-        rows_total = int(agg[0] or 0) // n_specs
-        tokens_total = int(agg[1] or 0) // n_specs
+        rows_total = int(agg["r"] or 0) // n_specs
+        tokens_total = int(agg["t"] or 0) // n_specs
         row = [
             (
                 name,
                 reg["input_dir"],
                 reg["group_by"],
                 reg["specs_json"],
-                persisted.count(),
+                int(agg["n"]),
                 rows_total,
                 tokens_total,
                 time.time(),
@@ -184,8 +189,8 @@ class SketchCatalog:
         )
         return {
             "new_files": len(new),
-            "rows_added": rows_total - int(before[0] or 0) // n_specs,
-            "tokens_added": tokens_total - int(before[1] or 0) // n_specs,
+            "rows_added": rows_total - before_rows,
+            "tokens_added": tokens_total - before_tokens,
         }
 
 
