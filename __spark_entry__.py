@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-51 queries; naming maps to SURVEY.md §2:
+52 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -14,11 +14,12 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (12) — training-data pipeline ops: exact dedup, token stats,
+  c* (13) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
-       from a persisted catalog index (c12, base table deleted first).
+       from a persisted catalog index (c12, base table deleted first),
+       sequence packing (c13, FFD batch assembly).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1284,6 +1285,47 @@ def q_b28_exact_passthrough(spark, sf_dir):
     )
 
 
+def q_c13_sequence_packing(spark, sf_dir):
+    """Sequence packing (D20, training-batch assembly): FFD per partition
+    inside one mapInPandas pass — zero raw-row shuffle, pack ids namespaced
+    by partition. Properties checked against the documents table: no
+    non-overflow pack exceeds the budget, every document assigned exactly
+    once, offsets tile each pack head-to-head, fill ≥ 0.9."""
+    from sketchlib.spark.packing import pack_sequences, packing_stats
+
+    budget = 4096
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget, id_col="doc_id", len_col="n_chars").cache()
+    try:
+        n_docs = docs.count()
+        over_budget = (
+            packed.filter("NOT overflow")
+            .groupBy("pack_id").agg(F.sum("n_chars").alias("tok"))
+            .filter(F.col("tok") > budget).count()
+        )
+        exactly_once = (
+            packed.count() == n_docs
+            and packed.select("doc_id").distinct().count() == n_docs
+        )
+        rows = packed.orderBy("pack_id", "pack_offset").toPandas()
+        tile_ok = True
+        for _, g in rows.groupby("pack_id"):
+            offs, lens = g["pack_offset"].to_numpy(), g["n_chars"].to_numpy()
+            if offs[0] != 0 or not (offs[1:] == np.cumsum(lens)[:-1]).all():
+                tile_ok = False
+                break
+        stats = packing_stats(packed, budget)
+    finally:
+        packed.unpersist()
+    checks = [
+        ("packs_within_budget", bool(over_budget == 0)),
+        ("exactly_once", bool(exactly_once)),
+        ("offsets_tile", bool(tile_ok)),
+        ("fill_at_least_090", bool(stats["fill_fraction"] >= 0.9)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -1337,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c09_winnow_containment": _dist_wrapped(q_c09_winnow_containment),
         "c10_ngram_minhash_dedup": _dist_wrapped(q_c10_ngram_minhash_dedup),
         "c12_ann_from_persisted_index": _dist_wrapped(q_c12_ann_from_persisted_index),
+        "c13_sequence_packing": _dist_wrapped(q_c13_sequence_packing),
     }
 
 
@@ -1455,6 +1498,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'refresh_saw_new_files' AS check, TRUE AS ok
             UNION ALL SELECT 'refresh_equals_rebuild', TRUE
             UNION ALL SELECT 'refreshed_estimate_within_bound', TRUE
+        """,
+        "c13_sequence_packing": """
+            SELECT 'packs_within_budget' AS check, TRUE AS ok
+            UNION ALL SELECT 'exactly_once', TRUE
+            UNION ALL SELECT 'offsets_tile', TRUE
+            UNION ALL SELECT 'fill_at_least_090', TRUE
         """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """

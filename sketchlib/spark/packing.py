@@ -1,0 +1,151 @@
+"""Sequence packing — batch assembly for pretraining (SURVEY.md §2D).
+
+Training pipelines concatenate variable-length tokenized sequences into
+fixed-size examples (e.g. 4096-token windows); wasted tail tokens are wasted
+compute, so the packer's job is to assign sequences to packs such that each
+pack's token sum stays ≤ budget while the fill fraction stays high.
+
+Spark-first shape: optimal bin packing is NP-hard and inherently sequential,
+but packing quality needs only LOCAL decisions — so each partition packs its
+own rows with first-fit-decreasing (FFD, ≤ 11/9·OPT + 1 bins guaranteed;
+empirically ≥0.9 fill on natural length distributions), entirely inside one
+Arrow-batched `mapInPandas` pass. No shuffle of raw rows at all: pack ids are
+namespaced by `TaskContext.partitionId()`, so the assignment is globally
+unique without any cross-partition coordination. At 100 TB the pass is
+embarrassingly parallel and the only global artifact is the (id → pack)
+assignment table. Fill fraction is layout-dependent only at the margins (each
+partition wastes at most its own last-bin tails); partitions of ≥10⁴ rows
+keep FFD's asymptotic quality.
+
+Oversized sequences (len > budget) get a dedicated pack each with
+``overflow=true`` (the caller decides whether to split/truncate them —
+packing never silently drops or mutates tokens).
+"""
+
+from __future__ import annotations
+
+from bisect import insort
+
+from pyspark.sql import DataFrame
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Assign each row to a pack of total length ≤ ``budget``.
+
+    Returns (id_col, len_col, pack_id string, pack_offset long, overflow
+    boolean): ``pack_offset`` is the token position where this sequence
+    starts inside its pack (sequences within a pack are laid out in
+    assignment order), so downstream concatenation is a deterministic
+    gather. FFD per partition via one ``mapInPandas`` pass.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    from pyspark import TaskContext
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField
+
+    schema = (
+        df.select(id_col, len_col)
+        .schema.add(StructField("pack_id", StringType()))
+        .add(StructField("pack_offset", LongType()))
+        .add(StructField("overflow", BooleanType()))
+    )
+
+    def pack(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        # one packer state across ALL Arrow batches of this partition — bins
+        # stay open between batches so batch boundaries don't cost fill
+        bins: list[list] = []  # sorted by remaining: [remaining, bin_idx]
+        fills: dict[int, int] = {}  # bin_idx -> filled tokens
+        assign: list[tuple] = []  # (id, length, bin_idx, offset, overflow)
+        n_bins = 0
+        rows_id, rows_len = [], []
+        for pdf in pdf_iter:
+            rows_id.append(pdf[id_col].to_numpy())
+            rows_len.append(pdf[len_col].to_numpy())
+        if not rows_id:
+            return
+        ids = np.concatenate(rows_id)
+        lens = np.concatenate(rows_len).astype(np.int64)
+        order = np.lexsort((ids, -lens))  # FFD: longest first, id tie-break
+        for i in order:
+            length = int(lens[i])
+            if length > budget:
+                assign.append((ids[i], length, n_bins, 0, True))
+                fills[n_bins] = length
+                n_bins += 1  # dedicated overflow pack, never reused
+                continue
+            # first (tightest-fitting) open bin with remaining >= length:
+            # bins sorted ascending by remaining → bisect for best fit.
+            # Best-fit-decreasing shares FFD's 11/9 guarantee and keeps the
+            # list operations O(log n) search + O(n) memmove worst case.
+            lo, hi = 0, len(bins)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if bins[mid][0] < length:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo == len(bins):
+                b = n_bins
+                n_bins += 1
+                fills[b] = length
+                rem = budget - length
+                assign.append((ids[i], length, b, 0, False))
+            else:
+                rem_old, b = bins.pop(lo)
+                off = fills[b]
+                fills[b] = off + length
+                rem = rem_old - length
+                assign.append((ids[i], length, b, off, False))
+            if rem > 0:
+                insort(bins, [rem, b])
+        out = pd.DataFrame(
+            {
+                id_col: [a[0] for a in assign],
+                len_col: [a[1] for a in assign],
+                "pack_id": [f"p{pid}_{a[2]}" for a in assign],
+                "pack_offset": [a[3] for a in assign],
+                "overflow": [a[4] for a in assign],
+            }
+        )
+        yield out
+
+    return df.select(id_col, len_col).mapInPandas(pack, schema)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> dict:
+    """{n_sequences, n_packs, fill_fraction, max_pack_tokens, n_overflow} —
+    fill_fraction counts non-overflow packs only (overflow packs are the
+    caller's split/truncate decision, not packing waste)."""
+    from pyspark.sql import functions as F
+
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(packed.columns[1]).alias("tok"),
+        F.max("overflow").alias("overflow"),
+        F.count("*").alias("n"),
+    )
+    row = per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n").alias("n_seq"),
+        F.sum(F.when(~F.col("overflow"), F.col("tok"))).alias("packed_tok"),
+        F.sum(F.when(~F.col("overflow"), 1).otherwise(0)).alias("n_norm"),
+        F.max(F.when(~F.col("overflow"), F.col("tok"))).alias("max_tok"),
+        F.sum(F.when(F.col("overflow"), 1).otherwise(0)).alias("n_over"),
+    ).collect()[0]
+    n_norm = int(row["n_norm"] or 0)
+    return {
+        "n_sequences": int(row["n_seq"] or 0),
+        "n_packs": int(row["n_packs"] or 0),
+        "fill_fraction": (float(row["packed_tok"]) / (n_norm * budget)) if n_norm else 0.0,
+        "max_pack_tokens": int(row["max_tok"] or 0),
+        "n_overflow": int(row["n_over"] or 0),
+    }

@@ -1,0 +1,63 @@
+"""Sequence packing (D20): FFD per partition, no raw-row shuffle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark.packing import pack_sequences, packing_stats
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark, seq_tiny_dir):
+    return spark.read.parquet(seq_tiny_dir)
+
+
+def test_packing_invariants(spark, seq_df):
+    """Every pack ≤ budget; every sequence assigned exactly once; offsets
+    tile each pack contiguously; fill ≥ 0.9 on the lognormal lengths."""
+    budget = 4096
+    packed = pack_sequences(seq_df, budget).cache()
+
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("tok"), F.max("overflow").alias("ov")
+    )
+    assert per_pack.filter("NOT ov AND tok > 4096").count() == 0
+
+    assert packed.count() == seq_df.count()
+    assert packed.select("doc_id").distinct().count() == seq_df.count()
+
+    # offsets are a contiguous tiling: per pack, sorted offsets == cumsum of
+    # lengths laid head-to-head
+    rows = packed.orderBy("pack_id", "pack_offset").toPandas()
+    for _, g in rows.groupby("pack_id"):
+        offs = g["pack_offset"].to_numpy()
+        lens = g["n_tok"].to_numpy()
+        assert offs[0] == 0 and (offs[1:] == np.cumsum(lens)[:-1]).all()
+
+    stats = packing_stats(packed, budget)
+    assert stats["n_sequences"] == 2000
+    assert stats["max_pack_tokens"] <= budget
+    assert stats["fill_fraction"] >= 0.9, stats
+    packed.unpersist()
+
+
+def test_packing_overflow_and_layout_robustness(spark, seq_df):
+    """Sequences longer than the budget get dedicated flagged packs (never
+    dropped/mutated); invariants survive an adversarial repartition."""
+    budget = 600  # median ≈ 512 → plenty of singles and some overflow
+    packed = pack_sequences(seq_df.repartition(13), budget).cache()
+    n_over_src = seq_df.filter(F.col("n_tok") > budget).count()
+    assert n_over_src > 0
+    over = packed.filter("overflow")
+    assert over.count() == n_over_src
+    # overflow packs hold exactly one sequence each
+    assert over.groupBy("pack_id").count().filter("count != 1").count() == 0
+    # normal packs still respect the budget under the hostile layout
+    bad = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("pack_id").agg(F.sum("n_tok").alias("tok"))
+        .filter(F.col("tok") > budget)
+    )
+    assert bad.count() == 0
+    assert packed.count() == seq_df.count()
+    packed.unpersist()
