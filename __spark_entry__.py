@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-52 queries; naming maps to SURVEY.md §2:
+53 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -14,12 +14,13 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (13) — training-data pipeline ops: exact dedup, token stats,
+  c* (14) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
        from a persisted catalog index (c12, base table deleted first),
-       sequence packing (c13, FFD batch assembly).
+       sequence packing (c13, FFD batch assembly), benchmark
+       decontamination (c14, exact n-gram overlap vs broadcast eval set).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1326,6 +1327,46 @@ def q_c13_sequence_packing(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_c14_contamination(spark, sf_dir):
+    """Benchmark decontamination (D21): exact token-8-gram overlap between
+    the train corpus and a broadcast eval set — one train scan, no payload
+    shuffle. Properties: an eval doc built from a real document's token
+    prefix flags THAT document (recall on true contamination), and an eval
+    doc of out-of-vocabulary tokens flags nothing (no false hits)."""
+    from sketchlib.spark.dedup import contamination_pairs
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens").cache()
+    try:
+        seeds = (
+            docs.withColumn("_n", F.size("tokens"))
+            .filter(F.col("_n") >= 40)
+            .orderBy(F.desc("_n"), "doc_id")
+            .limit(3)
+            .collect()
+        )
+        eval_rows = [
+            {"doc_id": f"eval_{i}", "tokens": list(r["tokens"][:40])}
+            for i, r in enumerate(seeds)
+        ]
+        eval_rows.append(
+            {"doc_id": "eval_clean", "tokens": [2_000_000_000 - i for i in range(40)]}
+        )
+        eval_df = spark.createDataFrame(pd.DataFrame(eval_rows))
+        hits = contamination_pairs(docs, eval_df, n=8).collect()
+        flagged = {(r["train_id"], r["eval_id"]) for r in hits}
+        recall_ok = all(
+            (seeds[i]["doc_id"], f"eval_{i}") in flagged for i in range(len(seeds))
+        )
+        clean_ok = not any(e == "eval_clean" for _, e in flagged)
+    finally:
+        docs.unpersist()
+    checks = [
+        ("seeded_docs_flagged", bool(recall_ok)),
+        ("clean_eval_no_hits", bool(clean_ok)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -1380,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_ngram_minhash_dedup": _dist_wrapped(q_c10_ngram_minhash_dedup),
         "c12_ann_from_persisted_index": _dist_wrapped(q_c12_ann_from_persisted_index),
         "c13_sequence_packing": _dist_wrapped(q_c13_sequence_packing),
+        "c14_contamination": _dist_wrapped(q_c14_contamination),
     }
 
 
@@ -1504,6 +1546,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'exactly_once', TRUE
             UNION ALL SELECT 'offsets_tile', TRUE
             UNION ALL SELECT 'fill_at_least_090', TRUE
+        """,
+        "c14_contamination": """
+            SELECT 'seeded_docs_flagged' AS check, TRUE AS ok
+            UNION ALL SELECT 'clean_eval_no_hits', TRUE
         """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """

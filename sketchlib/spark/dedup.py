@@ -381,3 +381,49 @@ def with_token_ngrams(df: DataFrame, tokens_col: str, n: int = 3, out: str = "sh
         f"ELSE array() END"
     )
     return df.withColumn(out, F.expr(expr))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, n_shared) for every
+    train document sharing ≥ ``min_shared`` distinct token n-grams with an
+    eval document — EXACT (hash-equality of n-grams), not sketched: a
+    decontamination pass must not miss hits.
+
+    Scale shape: both sides reduce to (shingle hash, id) pairs — the
+    shuffle never carries token payloads. The eval side (benchmarks: 10³-10⁶
+    docs) is broadcast, so the train corpus is ONE scan with a map-side
+    hash join: no shuffle of the 100 TB side at all. n=8 (64-bit hashes of
+    8-grams) makes coincidental collisions negligible (~n_pairs/2⁶⁴).
+
+    Both sides are canonicalized to array<bigint> first: Spark's xxhash64
+    hashes int32 and int64 DIFFERENTLY for the same value, so an int-typed
+    train corpus would silently never match a long-typed eval set.
+    """
+    wide = "array<bigint>"
+    t = (
+        with_token_ngrams(
+            train.withColumn(tokens_col, F.col(tokens_col).cast(wide)), tokens_col, n=n, out="_sh"
+        )
+        .select(F.col(id_col).alias("train_id"), F.explode("_sh").alias("h"))
+        .distinct()
+    )
+    e = (
+        with_token_ngrams(
+            eval_df.withColumn(tokens_col, F.col(tokens_col).cast(wide)), tokens_col, n=n, out="_sh"
+        )
+        .select(F.col(id_col).alias("eval_id"), F.explode("_sh").alias("h"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(e), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

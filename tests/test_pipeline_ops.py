@@ -426,3 +426,32 @@ def test_bpe_regex_pretokenizer(spark):
 
     with _pytest.raises(ValueError, match="unknown tokenizer mode"):
         df.select(pre_tokens("text", "nope"))
+
+
+def test_contamination_pairs(spark, seq_tiny_dir):
+    """Decontamination is exact: every train doc holding an injected eval
+    n-gram run is flagged against the right eval doc; untouched docs are
+    not flagged (8-gram hash collisions ~2^-64)."""
+    from pyspark.sql import Row, functions as F
+
+    from sketchlib.spark.dedup import contamination_pairs
+
+    train = spark.read.parquet(seq_tiny_dir)
+    # eval set = 3 synthetic docs; inject eval doc e1's first 12 tokens into
+    # 5 known train docs (prepend), leave the rest untouched
+    rng = __import__("numpy").random.default_rng(5)
+    evals = [Row(doc_id=f"e{i}", tokens=[int(x) for x in rng.integers(10**7, 10**8, 40)])
+             for i in range(3)]
+    eval_df = spark.createDataFrame(evals)
+    snippet = evals[1]["tokens"][:12]
+    victims = {r["doc_id"] for r in train.select("doc_id").orderBy("doc_id").limit(5).collect()}
+    lit_snip = F.array(*[F.lit(t) for t in snippet])
+    train2 = train.withColumn(
+        "tokens",
+        F.when(F.col("doc_id").isin(victims), F.concat(lit_snip, F.col("tokens")))
+         .otherwise(F.col("tokens")),
+    )
+    hits = contamination_pairs(train2, eval_df, n=8).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in hits} == {(v, "e1") for v in victims}
+    # 12-token snippet with 8-grams → 5 shared shingles per victim
+    assert all(r["n_shared"] == 5 for r in hits)
