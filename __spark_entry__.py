@@ -1315,7 +1315,7 @@ def q_c13_sequence_packing(spark, sf_dir):
             if offs[0] != 0 or not (offs[1:] == np.cumsum(lens)[:-1]).all():
                 tile_ok = False
                 break
-        stats = packing_stats(packed, budget)
+        stats = packing_stats(packed, budget, len_col="n_chars")
     finally:
         packed.unpersist()
     checks = [

@@ -193,8 +193,12 @@ def main() -> None:
             cat.create("bench", linked, SEQ_SPECS, group_by="source")
             delta_rows = max(2_000, base_rows // 10)
             delta_dir = f"/tmp/sketchlib_bench/seq_delta_n{delta_rows}"
-            if not os.path.isdir(delta_dir):
-                write_sequences(delta_dir, delta_rows, seed=43)
+            # same completion-marker pattern as seq_table_dir: a crashed
+            # half-written delta dir must not be silently reused
+            if not os.path.exists(os.path.join(delta_dir, "_MANIFEST.json")):
+                m = write_sequences(delta_dir, delta_rows, seed=43)
+                with open(os.path.join(delta_dir, "_MANIFEST.json"), "w") as fh:
+                    json.dump(m, fh)
             for f in glob.glob(os.path.join(delta_dir, "source=*", "*.parquet")):
                 rel = os.path.relpath(f, delta_dir)
                 dst = os.path.join(linked, os.path.dirname(rel), "delta-" + os.path.basename(f))

@@ -371,10 +371,22 @@ def simhash_candidates(
 # token n-gram shingles (JVM-side) for higher-order near-dup
 # --------------------------------------------------------------------------
 
-def with_token_ngrams(df: DataFrame, tokens_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+def with_token_ngrams(
+    df: DataFrame, tokens_col: str, n: int = 3, out: str = "shingles",
+    element_cast: str | None = None,
+) -> DataFrame:
     """array<long> of hashed token n-grams, built with SQL higher-order
-    functions (whole-stage codegen; no Python). Rows shorter than n get []."""
-    args = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    functions (whole-stage codegen; no Python). Rows shorter than n get [].
+
+    ``element_cast``: cast each ELEMENT inside the lambda (e.g. 'BIGINT' to
+    hash-normalize int32 corpora against int64 ones). Never cast the array
+    column itself before calling this: Catalyst inlines the array cast into
+    every ``tokens[i+j]`` access inside the lambda — n array copies per
+    position (measured 150+ s on a 2k-doc table) versus a per-scalar cast."""
+    if element_cast:
+        args = ", ".join(f"CAST({tokens_col}[i + {j}] AS {element_cast})" for j in range(n))
+    else:
+        args = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
     expr = (
         f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(0, size({tokens_col}) - {n}), i -> xxhash64({args})) "
@@ -402,28 +414,26 @@ def contamination_pairs(
     hash join: no shuffle of the 100 TB side at all. n=8 (64-bit hashes of
     8-grams) makes coincidental collisions negligible (~n_pairs/2⁶⁴).
 
-    Both sides are canonicalized to array<bigint> first: Spark's xxhash64
-    hashes int32 and int64 DIFFERENTLY for the same value, so an int-typed
-    train corpus would silently never match a long-typed eval set.
+    Shingle hashes are computed over per-ELEMENT BIGINT casts: Spark's
+    xxhash64 hashes int32 and int64 DIFFERENTLY for the same value, so an
+    int-typed train corpus would silently never match a long-typed eval set.
     """
-    wide = "array<bigint>"
-    t = (
-        with_token_ngrams(
-            train.withColumn(tokens_col, F.col(tokens_col).cast(wide)), tokens_col, n=n, out="_sh"
-        )
-        .select(F.col(id_col).alias("train_id"), F.explode("_sh").alias("h"))
-        .distinct()
+    # the raw exploded train side joins the broadcast eval side FIRST — no
+    # pre-aggregation, so the corpus side never shuffles (a distinct() here
+    # would force a full (id, hash) exchange before the join); duplicate
+    # n-grams within a doc are collapsed AFTER the join by countDistinct,
+    # where only matching pairs (tiny) remain
+    t = with_token_ngrams(train, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
+        F.col(id_col).alias("train_id"), F.explode("_sh").alias("h")
     )
     e = (
-        with_token_ngrams(
-            eval_df.withColumn(tokens_col, F.col(tokens_col).cast(wide)), tokens_col, n=n, out="_sh"
-        )
+        with_token_ngrams(eval_df, tokens_col, n=n, out="_sh", element_cast="BIGINT")
         .select(F.col(id_col).alias("eval_id"), F.explode("_sh").alias("h"))
         .distinct()
     )
     return (
         t.join(F.broadcast(e), "h")
         .groupBy("train_id", "eval_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -74,7 +74,14 @@ def pack_sequences(
         if not rows_id:
             return
         ids = np.concatenate(rows_id)
-        lens = np.concatenate(rows_len).astype(np.int64)
+        raw = np.concatenate(rows_len)
+        # a NULL length arrives as NaN and would cast to INT64_MIN, opening
+        # an unbounded bin that silently breaks the budget invariant
+        if raw.dtype.kind == "f" and np.isnan(raw).any():
+            raise ValueError(f"pack_sequences: NULL in length column (partition {pid})")
+        lens = raw.astype(np.int64)
+        if (lens < 0).any():
+            raise ValueError(f"pack_sequences: negative length (partition {pid})")
         order = np.lexsort((ids, -lens))  # FFD: longest first, id tie-break
         for i in order:
             length = int(lens[i])
@@ -122,14 +129,14 @@ def pack_sequences(
     return df.select(id_col, len_col).mapInPandas(pack, schema)
 
 
-def packing_stats(packed: DataFrame, budget: int) -> dict:
+def packing_stats(packed: DataFrame, budget: int, len_col: str = "n_tok") -> dict:
     """{n_sequences, n_packs, fill_fraction, max_pack_tokens, n_overflow} —
     fill_fraction counts non-overflow packs only (overflow packs are the
     caller's split/truncate decision, not packing waste)."""
     from pyspark.sql import functions as F
 
     per_pack = packed.groupBy("pack_id").agg(
-        F.sum(packed.columns[1]).alias("tok"),
+        F.sum(len_col).alias("tok"),
         F.max("overflow").alias("overflow"),
         F.count("*").alias("n"),
     )

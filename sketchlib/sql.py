@@ -294,13 +294,6 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     if m:
         return catalog.list_ann_indexes()
 
-    m = _DROP_ANN.match(sql)
-    if m:
-        name = m.group("name")
-        existed = catalog.ann_exists(name)
-        catalog.drop_ann_index(name)
-        return spark.createDataFrame([(name, existed)], "name string, dropped boolean")
-
     m = _REFRESH_ANN.match(sql)
     if m:
         stats = catalog.refresh_ann_index(m.group("name"))
@@ -331,6 +324,7 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     for pat, exists_fn, drop_fn in (
         (_DROP_SAMPLE, catalog.sample_exists, catalog.drop_sample),
         (_DROP_SKETCHES, catalog.exists, catalog.drop),
+        (_DROP_ANN, catalog.ann_exists, catalog.drop_ann_index),
     ):
         m = pat.match(sql)
         if m:
