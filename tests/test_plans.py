@@ -112,3 +112,35 @@ def test_asof_join_single_shuffle(spark):
                            value_cols=["price"]))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_no_corpus_shuffle_before_join(spark):
+    """Decontamination contract: the train (corpus) side reaches the
+    BroadcastHashJoin with NO Exchange below it — only matched pairs (post-
+    join) ever shuffle, so a 100 TB corpus is one scan, not an exchange."""
+    from pyspark.sql import Row
+
+    from sketchlib.spark.dedup import contamination_pairs
+
+    train = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "transform(sequence(1, 30), i -> CAST(doc_id * 100 + i AS INT)) AS tokens"
+    )
+    eval_df = spark.createDataFrame([Row(doc_id=1, tokens=[101, 102, 103, 104,
+                                                           105, 106, 107, 108, 109])])
+    plan = _plan(contamination_pairs(train, eval_df, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    # the subtree BELOW the broadcast join's streamed (train) side must be
+    # exchange-free: the first Exchange in the plan text must appear ABOVE
+    # (before) the join, i.e. belong to the post-join aggregation
+    join_pos = plan.index("BroadcastHashJoin")
+    shuffle = "Exchange hashpartitioning"
+    first_shuffle = plan.index(shuffle) if shuffle in plan else len(plan)
+    assert first_shuffle < join_pos, "no post-join aggregation exchange found"
+    # the STREAMED (train) subtree is the text between the join node and its
+    # build side's BroadcastExchange; the eval side may shuffle internally
+    # (its own tiny distinct) — the corpus side must not
+    train_side = plan[join_pos:plan.index("BroadcastExchange", join_pos)]
+    assert shuffle not in train_side, (
+        "corpus side shuffles below the broadcast join:\n" + train_side
+    )
+    assert "FileScan parquet" in train_side  # corpus side is the scan itself

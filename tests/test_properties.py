@@ -108,3 +108,74 @@ def test_kmv_bytes_invariant(vals, boundaries, perm_seed):
     for c in _regroup(data, boundaries, perm_seed):
         acc.merge(KMV(k=64).update_hashes(hash_ints(c)))
     assert acc.hashes.tobytes() == whole.hashes.tobytes()
+
+
+def test_incremental_refresh_equals_rebuild_under_any_split(spark, tmp_path_factory):
+    """North-rule merge associativity AT THE CATALOG LEVEL: split one table
+    into arbitrary file groups, create on the first group, refresh through
+    the rest one group at a time — after every refresh the semilattice
+    sketch states (HLL, CM) are byte-identical to a from-scratch build over
+    the files covered so far, for EVERY split shape."""
+    import json
+    import os
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from sketchlib.data.gen import write_sequences
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.scan import build_sketches_from_parquet, plan_chunks
+
+    src = str(tmp_path_factory.mktemp("refsplit") / "seq")
+    write_sequences(src, 2_000)
+    all_files = sorted({c.file for c in plan_chunks(src)})
+    specs = [
+        SketchSpec("h", "hll", "doc_id", {"p": 12}),
+        SketchSpec("c", "cm", "tokens", {"eps": 1e-3, "delta": 0.01}),
+    ]
+    work_root = str(tmp_path_factory.mktemp("refsplit_work"))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.permutations(list(range(len(all_files)))), st.data())
+    def run(perm, data):
+        n = len(all_files)
+        n_groups = data.draw(st.integers(min_value=2, max_value=min(4, n)))
+        cuts = sorted(data.draw(
+            st.lists(st.integers(1, n - 1), min_size=n_groups - 1,
+                     max_size=n_groups - 1, unique=True)))
+        groups, lo = [], 0
+        for c in cuts + [n]:
+            groups.append([all_files[i] for i in perm[lo:c]])
+            lo = c
+        groups = [g for g in groups if g]
+
+        work = os.path.join(work_root, f"w{abs(hash(tuple(perm))) % 10**9}_{len(groups)}")
+        shutil.rmtree(work, ignore_errors=True)
+        linked = os.path.join(work, "seq")
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+
+        def link(files):
+            for f in files:
+                rel = os.path.relpath(f, src)
+                dst = os.path.join(linked, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.symlink(f, dst)
+
+        try:
+            link(groups[0])
+            cat.create("s", linked, specs, group_by="source")
+            for g in groups[1:]:
+                link(g)
+                cat.refresh("s")
+                full = build_sketches_from_parquet(
+                    spark, linked, specs, group_by="source"
+                ).toPandas()
+                got = cat.states("s").toPandas()
+                fk = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in full.iterrows()}
+                gk = {(r["group"], r["sketch"]): bytes(r["state"]) for _, r in got.iterrows()}
+                assert fk == gk
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    run()
