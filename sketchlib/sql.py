@@ -5,9 +5,10 @@ for the reference query surface (SURVEY.md §2C) without building a SQL
 dialect: only the STATEMENT SKELETON is parsed here —
 
     SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
-    FROM <table> [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
-               [HAVING <pred over result cols>]
-               [ORDER BY <col> [ASC|DESC]] [LIMIT <n>]
+    FROM <table> | (<exact SELECT ...>)
+    [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
+    [HAVING <pred over result cols>]
+    [ORDER BY <col> [ASC|DESC]] [LIMIT <n>]
 
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
 statement — every sketch aggregate becomes one SketchSpec and they all
@@ -624,6 +625,24 @@ def resolve_catalog_key(
     return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog)
 
 
+def _extract_subquery(sql: str):
+    """Split ``... FROM ( <inner> ) <tail>`` on the balanced outer parens;
+    None when the statement has no derived table."""
+    m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return None
+    start = sql.index("(", m.end() - 1)
+    depth = 0
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[: m.start()], sql[start + 1 : i], sql[i + 1 :]
+    return None
+
+
 def _exact_passthrough(spark: SparkSession, sql: str, tables: dict | None) -> DataFrame:
     """Verdict middleware behavior (A4): a statement with no APPROX_
     aggregate is NOT rewritten — it passes through to the backend (Spark
@@ -913,6 +932,17 @@ def approx_sql(
     if tm:
         return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).filter(
             tm.group("pred")
+        )
+    sub = _extract_subquery(sql)
+    if sub is not None:
+        # Verdict's A16 recursion, scoped: the DERIVED TABLE is computed
+        # exactly (full Spark SQL via pass-through), the approx aggregate
+        # runs on top of it. Registered as a temp view so the rewritten
+        # outer statement takes every path above (tails, routing, ...).
+        head, inner, tail = sub
+        _exact_passthrough(spark, inner, tables).createOrReplaceTempView("_approx_subquery")
+        return approx_sql(
+            spark, f"{head} FROM _approx_subquery{tail}", tables, catalog, catalog_key
         )
     jm = _JOIN_SKELETON.match(sql)
     if jm:

@@ -874,3 +874,37 @@ def test_passthrough_edge_cases(spark, tables, tmp_path):
     assert resolve_catalog_key(spark, q, tables, cat) == "u"
     out = approx_sql(spark, q, tables, catalog=cat).toPandas()
     assert (out["est_count"] > 10).all()
+
+
+def test_approx_over_derived_table(spark, tables):
+    """A16 recursion: the derived table runs as exact Spark SQL, the approx
+    aggregate runs on top — filters, expressions, and GROUP BY in the inner
+    query all apply before sketching; tails still compose on the outside."""
+    from pyspark.sql import functions as F
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM "
+        "(SELECT doc_id, source FROM sequences WHERE n_tok > 400) GROUP BY source",
+        tables,
+    ).toPandas()
+    exact = (
+        spark.read.parquet(tables["sequences"])
+        .filter("n_tok > 400")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .toPandas()
+    )
+    m = out.merge(exact, left_on="group", right_on="source")
+    assert len(m) == len(exact)
+    assert ((m["estimate"] - m["d"]).abs() <= 3 * m["rse_bound"] * m["d"] + 2.0).all()
+
+    # inner aggregation + outer approx + ORDER BY tail
+    top = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(total_tok, 0.5) FROM "
+        "(SELECT source, SUM(n_tok) AS total_tok FROM sequences GROUP BY source, doc_id) "
+        "GROUP BY source ORDER BY value DESC",
+        tables,
+    ).toPandas()
+    assert len(top) == 5 and top["value"].is_monotonic_decreasing
