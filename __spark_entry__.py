@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-53 queries; naming maps to SURVEY.md §2:
+54 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -14,13 +14,14 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (14) — training-data pipeline ops: exact dedup, token stats,
+  c* (15) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
        from a persisted catalog index (c12, base table deleted first),
        sequence packing (c13, FFD batch assembly), benchmark
-       decontamination (c14, exact n-gram overlap vs broadcast eval set).
+       decontamination (c14, exact n-gram overlap vs broadcast eval set),
+       dataset mixture composition (c15, weight-targeted sampleBy).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1367,6 +1368,55 @@ def q_c14_contamination(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_c15_mixture_sample(spark, sf_dir):
+    """Dataset mixture composition (D22): per-source Bernoulli fractions
+    solved so each source's expected output-token share matches the target
+    weights under a global budget. Checks: every uncapped source's achieved
+    token sum lands inside the Bernoulli CLT bound of its target; an
+    over-inventory ask is capped AND flagged; unlisted sources are absent."""
+    import math
+
+    from sketchlib.spark.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = {s: float(i + 1) for i, s in enumerate(sources[:3])}
+    total = int(docs.agg(F.sum("n_chars")).collect()[0][0])
+    sampled, report = mixture_sample(
+        docs, weights, int(total * 0.3), len_col="n_chars", seed=11
+    )
+    rep = {r["source"]: r for r in report.collect()}
+    got = {
+        r["source"]: int(r["tok"])
+        for r in sampled.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    within = True
+    for s, r in rep.items():
+        if r["capped"]:
+            continue
+        f = r["fraction"]
+        sumsq = int(
+            docs.filter(F.col("source") == s)
+            .agg(F.sum(F.col("n_chars").cast("double") ** 2)).collect()[0][0]
+        )
+        tol = 3.29 * math.sqrt(f * (1 - f) * sumsq)
+        if abs(got.get(s, 0) - r["target_tokens"]) > tol + 1e-9:
+            within = False
+    excluded_ok = set(got) <= set(weights)
+
+    _, rep2 = mixture_sample(
+        docs, {sources[0]: 0.99, sources[1]: 0.01}, int(total * 0.95),
+        len_col="n_chars", seed=11,
+    )
+    capped_flagged = {r["source"]: r["capped"] for r in rep2.collect()}[sources[0]]
+    checks = [
+        ("uncapped_within_clt", bool(within)),
+        ("unlisted_sources_excluded", bool(excluded_ok)),
+        ("over_inventory_capped_flagged", bool(capped_flagged)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -1422,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c12_ann_from_persisted_index": _dist_wrapped(q_c12_ann_from_persisted_index),
         "c13_sequence_packing": _dist_wrapped(q_c13_sequence_packing),
         "c14_contamination": _dist_wrapped(q_c14_contamination),
+        "c15_mixture_sample": _dist_wrapped(q_c15_mixture_sample),
     }
 
 
@@ -1550,6 +1601,11 @@ def oracle_sql() -> dict[str, str]:
         "c14_contamination": """
             SELECT 'seeded_docs_flagged' AS check, TRUE AS ok
             UNION ALL SELECT 'clean_eval_no_hits', TRUE
+        """,
+        "c15_mixture_sample": """
+            SELECT 'uncapped_within_clt' AS check, TRUE AS ok
+            UNION ALL SELECT 'unlisted_sources_excluded', TRUE
+            UNION ALL SELECT 'over_inventory_capped_flagged', TRUE
         """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """

@@ -279,3 +279,53 @@ def approx_agg_from_stratified_sample(
         (sum_s / n_s).alias("est_avg"),
         (F.lit(z) * F.sqrt(F.greatest(var_v, F.lit(0.0)) * (1 - p_g) / n_s)).alias("avg_err"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    len_col: str = "n_tok",
+    source_col: str = "source",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Compose a training-data MIXTURE: per-source Bernoulli fractions are
+    solved so each source's expected share of the output tokens matches
+    ``weights`` under the global ``token_budget`` (the standard data-mixture
+    step of a pretraining pipeline — e.g. 50% web / 30% books / 20% code).
+
+    One exact per-source token-count pass plans the fractions (driver-side
+    math over G rows), then a single ``sampleBy`` draws the mixture — the
+    corpus is scanned twice, shuffled never. A source whose target exceeds
+    its inventory is capped at fraction 1.0 and flagged (``capped`` —
+    up-weighting requires replication, a policy the caller owns; silent
+    over-claiming of a source would skew the mixture).
+
+    Returns (sampled rows, plan report): report columns are (source,
+    weight, target_tokens, available_tokens, fraction, capped). Sources in
+    the data but absent from ``weights`` get fraction 0 (excluded).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    totals = {
+        r[source_col]: int(r["tok"])
+        for r in df.groupBy(source_col).agg(F.sum(len_col).alias("tok")).collect()
+    }
+    fracs: dict = {}
+    rows = []
+    for s, w in weights.items():
+        target = w / wsum * token_budget
+        have = totals.get(s, 0)
+        frac = min(1.0, target / have) if have > 0 else 0.0
+        fracs[s] = frac
+        rows.append((s, float(w), int(target), have, frac, bool(have < target)))
+    spark = df.sparkSession
+    report = spark.createDataFrame(
+        rows,
+        "source string, weight double, target_tokens long, available_tokens long, "
+        "fraction double, capped boolean",
+    )
+    return df.sampleBy(source_col, fracs, seed), report

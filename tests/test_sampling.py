@@ -156,3 +156,36 @@ def test_stratified_avg_ratio_estimator(spark, seq_tiny_dir):
         (sampled["est_avg"] - sampled["true_avg"]).abs()
         <= sampled["avg_err"] * (3 / 1.96) + 1e-9
     ).all()
+
+
+def test_mixture_sample(spark, seq_tiny_dir):
+    """Data-mixture composition: achieved per-source token sums land within
+    the Bernoulli CLT bound of their weight targets; sources over their
+    inventory are capped+flagged; unlisted sources are excluded."""
+    import math
+
+    from sketchlib.spark.sampling import mixture_sample
+
+    df = spark.read.parquet(seq_tiny_dir)
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    weights = {"web": 0.5, "books": 0.3, "code": 0.2}
+    budget = int(total * 0.2)
+    sampled, report = mixture_sample(df, weights, budget, seed=11)
+    rep = {r["source"]: r for r in report.collect()}
+    assert set(rep) == set(weights)
+    got = {r["source"]: r["tok"] for r in
+           sampled.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()}
+    assert set(got) <= set(weights)  # unlisted sources excluded
+    for s, r in rep.items():
+        if r["capped"]:
+            assert got.get(s, 0) == r["available_tokens"] or r["fraction"] == 1.0
+            continue
+        # CLT bound on the sampled token sum: var = f(1-f)·Σ len²
+        f = r["fraction"]
+        sumsq = df.filter(F.col("source") == s).agg(F.sum(F.col("n_tok") ** 2)).collect()[0][0]
+        tol = 3.29 * math.sqrt(f * (1 - f) * sumsq)
+        assert abs(got.get(s, 0) - r["target_tokens"]) <= tol + 1e-9, (s, got.get(s), r)
+
+    # a 'books'-heavy ask beyond inventory gets capped and flagged
+    _, rep2 = mixture_sample(df, {"books": 0.9, "web": 0.1}, int(total * 0.9), seed=11)
+    assert {r["source"]: r["capped"] for r in rep2.collect()}["books"] is True
