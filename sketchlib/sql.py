@@ -625,6 +625,11 @@ def resolve_catalog_key(
     return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog)
 
 
+from itertools import count as _count
+
+_SUBQUERY_IDS = _count()
+
+
 def _extract_subquery(sql: str):
     """Split ``... FROM ( <inner> ) <tail>`` on the balanced outer parens;
     None when the statement has no derived table."""
@@ -938,12 +943,13 @@ def approx_sql(
         # Verdict's A16 recursion, scoped: the DERIVED TABLE is computed
         # exactly (full Spark SQL via pass-through), the approx aggregate
         # runs on top of it. Registered as a temp view so the rewritten
-        # outer statement takes every path above (tails, routing, ...).
+        # outer statement takes every path above (tails, routing, ...);
+        # the view name is per-call unique so concurrent statements (and
+        # nested derived tables) never collide
         head, inner, tail = sub
-        _exact_passthrough(spark, inner, tables).createOrReplaceTempView("_approx_subquery")
-        return approx_sql(
-            spark, f"{head} FROM _approx_subquery{tail}", tables, catalog, catalog_key
-        )
+        view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
+        _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
+        return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, catalog_key)
     jm = _JOIN_SKELETON.match(sql)
     if jm:
         return _approx_join(spark, jm, tables, catalog, catalog_key)
