@@ -2,6 +2,7 @@
 media libs) and the spark-submit CLI surface."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -129,3 +130,42 @@ def test_cli_sql_lifecycle(seq_tiny_dir, tmp_path):
     assert len(rows) == 5 and abs(sum(r["estimate"] for r in rows) - 2000) / 2000 < 0.1
     exact = run("SELECT source, COUNT(*) AS n FROM sequences GROUP BY source ORDER BY source")
     assert sum(r["n"] for r in exact) == 2000
+
+
+def test_spark_submit_py_files(seq_tiny_dir, tmp_path):
+    """The north rule's literal launch path: `spark-submit --py-files
+    sketchlib.zip` from a cwd OUTSIDE the repo — the zip is the only way
+    executors (and the driver) can import sketchlib."""
+    import json as _json
+    import shutil
+    import zipfile
+
+    if not shutil.which("spark-submit"):
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "sketchlib")
+    zf = str(tmp_path / "sketchlib.zip")
+    with zipfile.ZipFile(zf, "w") as z:
+        for root, dirs, files in os.walk(src):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, os.path.dirname(src)))
+    entry = str(tmp_path / "cli_entry.py")
+    shutil.copy(os.path.join(src, "cli.py"), entry)
+
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zf, entry, "sql",
+         "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source",
+         "--tables", f"sequences={seq_tiny_dir}"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [_json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
+    assert len(rows) == 5
+    assert abs(sum(x["estimate"] for x in rows) - 2000) / 2000 < 0.1
