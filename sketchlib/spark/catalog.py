@@ -77,13 +77,26 @@ class SketchCatalog:
         states = build_sketches_from_parquet(
             self.spark, input_dir, specs, group_by=group_by, files=files
         )
+        return self._persist_set(name, states, specs, group_by, input_dir, json.dumps(files))
+
+    def _persist_set(
+        self, name: str, states: DataFrame, specs, group_by, input_dir: str, files_json
+    ) -> DataFrame:
+        """Shared persist-and-register tail for sketch sets (create /
+        register_states): snapshot to states/<name>, ONE stats job, one
+        registration row."""
+        from pyspark.sql import functions as F
+
         sdir = os.path.join(self.root, "states", name)
         states.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
-        agg = persisted.groupBy().sum("rows", "tokens").collect()[0]
+        agg = persisted.agg(
+            F.count("*").alias("n"), F.sum("rows").alias("r"), F.sum("tokens").alias("t")
+        ).collect()[0]
         canon_group = (
             ",".join(group_by) if isinstance(group_by, (list, tuple)) else (group_by or "")
         )
+        n_specs = max(len(specs), 1)
         row = [
             (
                 name,
@@ -95,11 +108,11 @@ class SketchCatalog:
                         for s in specs
                     ]
                 ),
-                persisted.count(),
-                int(agg[0] or 0) // max(len(specs), 1),
-                int(agg[1] or 0) // max(len(specs), 1),
+                int(agg["n"]),
+                int(agg["r"] or 0) // n_specs,
+                int(agg["t"] or 0) // n_specs,
                 time.time(),
-                json.dumps(files),
+                files_json,
             )
         ]
         self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
@@ -128,41 +141,9 @@ class SketchCatalog:
             if not overwrite:
                 raise ValueError(f"sketch set {name!r} already exists (use overwrite=True)")
             self.drop(name)
-        sdir = os.path.join(self.root, "states", name)
-        states.write.mode("overwrite").parquet(sdir)
-
-        from pyspark.sql import functions as F
-
-        persisted = self.spark.read.parquet(sdir)
-        agg = persisted.agg(
-            F.count("*").alias("n"), F.sum("rows").alias("r"), F.sum("tokens").alias("t")
-        ).collect()[0]
-        canon_group = (
-            ",".join(group_by) if isinstance(group_by, (list, tuple)) else (group_by or "")
-        )
-        n_specs = max(len(specs), 1)
-        row = [
-            (
-                name,
-                input_dir,
-                canon_group,
-                json.dumps(
-                    [
-                        {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params}
-                        for s in specs
-                    ]
-                ),
-                int(agg["n"]),
-                int(agg["r"] or 0) // n_specs,
-                int(agg["t"] or 0) // n_specs,
-                time.time(),
-                None,  # no file lineage: refresh() raises, re-register instead
-            )
-        ]
-        self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sketch_catalog")
-        )
-        return persisted
+        # files_json None: no lineage for externally built states —
+        # refresh() refuses and points back at re-registration
+        return self._persist_set(name, states, specs, group_by, input_dir, None)
 
     def refresh(self, name: str) -> dict:
         """Incremental maintenance on APPEND — Verdict keeps its scrambles
@@ -182,8 +163,10 @@ class SketchCatalog:
         reg = self._registry_meta("_sketch_catalog", _CATALOG_SCHEMA, name, "sketch set")
         if reg["files_json"] is None:
             raise ValueError(
-                f"sketch set {name!r} was registered without file lineage — "
-                "rebuild once with create(overwrite=True) to enable refresh"
+                f"sketch set {name!r} has no file lineage — if it came from "
+                "register_states (e.g. a streaming sink), re-register a fresh "
+                "snapshot (that IS its refresh); a file-backed set built "
+                "before lineage existed needs one create(overwrite=True)"
             )
         covered = set(json.loads(reg["files_json"]))
         current = {c.file for c in plan_chunks(reg["input_dir"])}

@@ -307,6 +307,9 @@ def mixture_sample(
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"weights must be non-negative, got {bad}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -630,18 +630,27 @@ from itertools import count as _count
 _SUBQUERY_IDS = _count()
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length text with single-quoted literal CONTENTS blanked, so
+    regex/paren scans can't be fooled by 'FROM (' or ')' inside strings
+    while every index still maps onto the original text."""
+    return re.sub(r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
+
+
 def _extract_subquery(sql: str):
     """Split ``... FROM ( <inner> ) <tail>`` on the balanced outer parens;
-    None when the statement has no derived table."""
-    m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
+    None when the statement has no derived table. Scans literal-masked
+    text; slices the original."""
+    masked = _mask_literals(sql)
+    m = re.search(r"\bFROM\s*\(", masked, re.IGNORECASE)
     if not m:
         return None
-    start = sql.index("(", m.end() - 1)
+    start = masked.index("(", m.end() - 1)
     depth = 0
-    for i in range(start, len(sql)):
-        if sql[i] == "(":
+    for i in range(start, len(masked)):
+        if masked[i] == "(":
             depth += 1
-        elif sql[i] == ")":
+        elif masked[i] == ")":
             depth -= 1
             if depth == 0:
                 return sql[: m.start()], sql[start + 1 : i], sql[i + 1 :]
@@ -916,10 +925,33 @@ def approx_sql(
         return ddl
     # classification ignores string literals: 'APPROX_X(1)' inside quotes
     # must not drag an exact statement into the approx skeleton
-    if not _AGG.search(re.sub(r"'[^']*'", "''", sql)):
+    if not _AGG.search(_mask_literals(sql)):
         # no APPROX_ aggregate anywhere in the statement → Verdict's
         # pass-through: exact SQL goes to the backend untouched (A4)
         return _exact_passthrough(spark, sql, tables)
+    sub = _extract_subquery(sql)
+    if sub is not None:
+        # Verdict's A16 recursion, scoped: the DERIVED TABLE is computed
+        # exactly (full Spark SQL via pass-through), the approx aggregate
+        # runs on top of it. Extracted BEFORE tail peeling so an inner
+        # HAVING/ORDER BY/LIMIT stays inside the subquery; registered as a
+        # per-call-unique temp view so the rewritten outer statement takes
+        # every path below (tails, routing, ...), then dropped (plans are
+        # resolved at DataFrame analysis — the view is not needed after).
+        if catalog_key is not None:
+            raise ValueError(
+                "catalog_key cannot answer a derived-table statement — the "
+                "registered artifact was built over the BASE table, not the "
+                "subquery's filtered/derived rows; drop catalog_key to "
+                "compute over the derived table"
+            )
+        head, inner, tail = sub
+        view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
+        _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
+        try:
+            return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
+        finally:
+            spark.catalog.dropTempView(view)
     tm = _ORDER_TAIL.match(sql)
     if tm:
         from pyspark.sql import functions as F
@@ -938,18 +970,6 @@ def approx_sql(
         return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).filter(
             tm.group("pred")
         )
-    sub = _extract_subquery(sql)
-    if sub is not None:
-        # Verdict's A16 recursion, scoped: the DERIVED TABLE is computed
-        # exactly (full Spark SQL via pass-through), the approx aggregate
-        # runs on top of it. Registered as a temp view so the rewritten
-        # outer statement takes every path above (tails, routing, ...);
-        # the view name is per-call unique so concurrent statements (and
-        # nested derived tables) never collide
-        head, inner, tail = sub
-        view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
-        _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
-        return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, catalog_key)
     jm = _JOIN_SKELETON.match(sql)
     if jm:
         return _approx_join(spark, jm, tables, catalog, catalog_key)

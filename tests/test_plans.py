@@ -134,8 +134,8 @@ def test_contamination_no_corpus_shuffle_before_join(spark):
     # (before) the join, i.e. belong to the post-join aggregation
     join_pos = plan.index("BroadcastHashJoin")
     shuffle = "Exchange hashpartitioning"
-    first_shuffle = plan.index(shuffle) if shuffle in plan else len(plan)
-    assert first_shuffle < join_pos, "no post-join aggregation exchange found"
+    if shuffle in plan:  # any shuffle present must sit ABOVE the join
+        assert plan.index(shuffle) < join_pos, plan
     # the STREAMED (train) subtree is the text between the join node and its
     # build side's BroadcastExchange; the eval side may shuffle internally
     # (its own tiny distinct) — the corpus side must not

@@ -178,7 +178,8 @@ def test_mixture_sample(spark, seq_tiny_dir):
     assert set(got) <= set(weights)  # unlisted sources excluded
     for s, r in rep.items():
         if r["capped"]:
-            assert got.get(s, 0) == r["available_tokens"] or r["fraction"] == 1.0
+            # capped = fraction 1.0 → the whole inventory comes through
+            assert got.get(s, 0) == r["available_tokens"]
             continue
         # CLT bound on the sampled token sum: var = f(1-f)·Σ len²
         f = r["fraction"]

@@ -908,3 +908,43 @@ def test_approx_over_derived_table(spark, tables):
         tables,
     ).toPandas()
     assert len(top) == 5 and top["value"].is_monotonic_decreasing
+
+
+def test_derived_table_guards(spark, tables, tmp_path):
+    """Derived-table edges: explicit catalog_key raises (the artifact was
+    built over the BASE table, not the subquery's rows); an inner HAVING
+    stays inside the subquery; 'FROM (' inside a string literal does not
+    trigger extraction; the scratch temp view is dropped afterwards."""
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create(
+        "s", tables["sequences"], [SketchSpec("h", "hll", "doc_id", {"p": 12})],
+        group_by="source",
+    )
+    with pytest.raises(ValueError, match="derived-table"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM "
+            "(SELECT * FROM sequences WHERE n_tok > 400) GROUP BY source",
+            tables, catalog=cat, catalog_key="s",
+        )
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM "
+        "(SELECT doc_id, source FROM sequences GROUP BY doc_id, source HAVING COUNT(*) >= 1)",
+        tables,
+    ).collect()[0]
+    assert abs(out["estimate"] - 2000) / 2000 < 0.1
+
+    lit = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences WHERE source != 'FROM (x)'",
+        tables,
+    ).collect()[0]
+    assert abs(lit["estimate"] - 2000) / 2000 < 0.1
+
+    views = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert not any(v.startswith("_approx_subquery_") for v in views)
