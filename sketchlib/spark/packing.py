@@ -156,3 +156,42 @@ def packing_stats(packed: DataFrame, budget: int, len_col: str = "n_tok") -> dic
         "max_pack_tokens": int(row["max_tok"] or 0),
         "n_overflow": int(row["n_over"] or 0),
     }
+
+
+def materialize_packs(
+    df: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Assemble the actual training examples: join the (id → pack)
+    assignment back to the token rows and concatenate each pack's
+    sequences in offset order. Returns (pack_id, n_seqs, n_tokens, tokens).
+
+    This is the one stage of the packing pipeline that MUST move payloads —
+    a pack's members have to co-locate — so it shuffles exactly once, keyed
+    on pack_id, carrying each token array once. JVM-side assembly:
+    collect_list of (offset, tokens) structs → array_sort (struct order =
+    field order, so offset sorts first) → flatten; no Python in the path.
+    """
+    from pyspark.sql import functions as F
+
+    joined = packed.select(id_col, "pack_id", "pack_offset").join(
+        df.select(id_col, tokens_col), id_col
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pack_offset"), F.col(tokens_col).alias("_t")))
+            ).alias("_parts"),
+            F.count("*").alias("n_seqs"),
+        )
+        .select(
+            "pack_id",
+            "n_seqs",
+            F.flatten(F.col("_parts._t")).alias(tokens_col),
+        )
+        .withColumn("n_tokens", F.size(tokens_col))
+        .select("pack_id", "n_seqs", "n_tokens", tokens_col)
+    )

@@ -61,3 +61,37 @@ def test_packing_overflow_and_layout_robustness(spark, seq_df):
     assert bad.count() == 0
     assert packed.count() == seq_df.count()
     packed.unpersist()
+
+
+def test_materialize_packs(spark, seq_df):
+    """The gather step: every pack's token array is its members' arrays
+    concatenated in offset order — per-pack token counts equal the
+    assignment's sums, and a spot-checked pack byte-matches a manual
+    concatenation."""
+    budget = 4096
+    packed = pack_sequences(seq_df, budget).cache()
+    from sketchlib.spark.packing import materialize_packs
+
+    packs = materialize_packs(seq_df, packed).cache()
+    want = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("tok"), F.count("*").alias("n")
+    )
+    m = packs.join(want, "pack_id")
+    assert m.filter("n_tokens != tok OR n_seqs != n").count() == 0
+    assert packs.count() == packed.select("pack_id").distinct().count()
+
+    # spot-check: the largest multi-sequence pack equals manual concat
+    pid = (
+        packed.groupBy("pack_id").count().filter("count >= 2")
+        .orderBy(F.desc("count"), "pack_id").limit(1).collect()[0]["pack_id"]
+    )
+    members = (
+        packed.filter(F.col("pack_id") == pid)
+        .join(seq_df.select("doc_id", "tokens"), "doc_id")
+        .orderBy("pack_offset")
+        .collect()
+    )
+    manual = [t for r in members for t in r["tokens"]]
+    got = packs.filter(F.col("pack_id") == pid).collect()[0]["tokens"]
+    assert list(got) == manual
+    packed.unpersist(); packs.unpersist()
