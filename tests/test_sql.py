@@ -948,3 +948,26 @@ def test_derived_table_guards(spark, tables, tmp_path):
 
     views = {v.name for v in spark.catalog.listTables() if v.isTemporary}
     assert not any(v.startswith("_approx_subquery_") for v in views)
+
+
+def test_auto_routing_never_reads_base(spark, tmp_path, seq_tiny_dir):
+    """A5 through the AUTO path: with a catalog and no key, a statement
+    whose best artifact is a sketch set answers with the base table GONE —
+    routing matches on the registered path string, never a scan."""
+    import shutil
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import resolve_catalog_key
+
+    base = str(tmp_path / "base")
+    shutil.copytree(seq_tiny_dir, base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("s", base, [SketchSpec("h", "hll", "doc_id", {"p": 12})], group_by="source")
+    shutil.rmtree(base)  # any scan of the base would now fail loudly
+
+    t = {"sequences": base}
+    q = "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q, t, cat) == "s"
+    out = approx_sql(spark, q, t, catalog=cat).toPandas()
+    assert len(out) == 5 and abs(out["estimate"].sum() - 2000) / 2000 < 0.1
