@@ -1,14 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-54 queries; naming maps to SURVEY.md §2:
+57 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
-  b* (28) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
+  b* (31) — sketch/sample/catalog queries (B1–B11 / §2C Q1–Q5 / A2+A5+A8,
        plus round 3: b23 distributed high-cardinality estimates, b24
        multi-column GROUP BY, b25 stratified APPROX_AVG via DDL, b26
        approximate JOIN via SQL, b27 catalog auto-selection, b28 exact
-       pass-through, b29 incremental refresh on append).
+       pass-through, b29 incremental refresh on append; round 4: b30 WHERE
+       on approximate joins, b31 aliased fact×dim mixed join — sampled
+       fact, exact broadcast dimension — b32 approx-over-approx derived
+       tables with the inner-error caveat column).
        Accuracy claims are driver-checked: each returns ``within_bound``-
        style booleans computed against EXACT answers (calculated in Spark),
        and the oracle asserts they are all TRUE; property queries (b10
@@ -678,6 +681,136 @@ def q_b26_approx_join_sql(spark, sf_dir):
     ok_s = abs(est["est_sum"] - exact["s"]) <= est["sum_err"] * wide
     return spark.createDataFrame(
         pd.DataFrame({"count_within_ci": [bool(ok_n)], "sum_within_ci": [bool(ok_s)]})
+    )
+
+
+def q_b30_join_where_sql(spark, sf_dir):
+    """Round 4 (VERDICT r3 #2): WHERE on an approximate JOIN statement. The
+    predicate filters the joined scramble rows before aggregation — row
+    predicates commute with universe sampling (key survival is independent
+    of the row filter), so the same 1/p scale-up is unbiased for the
+    FILTERED join. Answered from two persisted universe scrambles; the
+    exact filtered join count and sum must fall inside the ~3.3σ CI."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b30_")
+    pred = "o_totalprice > 100000"
+    try:
+        cat = SketchCatalog(spark, root)
+        for ddl in (
+            f"CREATE SAMPLE os FROM {sf_dir}/orders.parquet KIND universe RATIO 0.2 ON o_custkey SEED 7",
+            f"CREATE SAMPLE cs FROM {sf_dir}/customer.parquet KIND universe RATIO 0.2 ON c_custkey SEED 7",
+        ):
+            approx_sql(spark, ddl, catalog=cat).collect()
+        est = approx_sql(
+            spark,
+            "SELECT APPROX_SUM(o_totalprice) FROM orders JOIN customer "
+            f"ON orders.o_custkey = customer.c_custkey WHERE {pred}",
+            tables={"orders": f"{sf_dir}/orders.parquet", "customer": f"{sf_dir}/customer.parquet"},
+            catalog=cat,
+            catalog_key="os,cs",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    exact = (
+        o.join(c, o.o_custkey == c.c_custkey).filter(pred)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()[0]
+    )
+    wide = 3.29 / 1.96
+    ok_n = abs(est["est_count"] - exact["n"]) <= est["count_err"] * wide
+    ok_s = abs(est["est_sum"] - exact["s"]) <= est["sum_err"] * wide
+    return spark.createDataFrame(
+        pd.DataFrame({"count_within_ci": [bool(ok_n)], "sum_within_ci": [bool(ok_s)]})
+    )
+
+
+def q_b31_join_alias_mixed_sql(spark, sf_dir):
+    """Round 4 (VERDICT r3 #4): Verdict's most common join shape — a
+    SAMPLED FACT table joined to a small EXACT dimension — through the SQL
+    door with table aliases: FROM orders o JOIN customer c ON o.o_custkey =
+    c.c_custkey GROUP BY c_mktsegment. Only the fact side has a scramble
+    (uniform, auto-selected); the dim side is read exact and broadcast.
+    Every segment's exact count and revenue must fall inside the ~3.3σ CI,
+    and every segment must be present (the dim grouping column comes from
+    the broadcast side)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b31_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE ou FROM {sf_dir}/orders.parquet KIND uniform RATIO 0.5 SEED 11",
+            catalog=cat,
+        ).collect()
+        est = approx_sql(
+            spark,
+            "SELECT APPROX_SUM(o_totalprice) FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment",
+            tables={"orders": f"{sf_dir}/orders.parquet", "customer": f"{sf_dir}/customer.parquet"},
+            catalog=cat,
+        ).toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    exact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .toPandas()
+    )
+    m = est.merge(exact, on="c_mktsegment", how="outer")
+    wide = 3.29 / 1.96
+    m["count_within_ci"] = (m["est_count"] - m["n"]).abs() <= m["count_err"] * wide + 1e-9
+    m["sum_within_ci"] = (m["est_sum"] - m["s"]).abs() <= m["sum_err"] * wide + 1e-9
+    out = m[["c_mktsegment", "count_within_ci", "sum_within_ci"]].sort_values("c_mktsegment")
+    return spark.createDataFrame(out)
+
+
+def q_b32_approx_subquery(spark, sf_dir):
+    """Round 4 (VERDICT r3 #5): approx-over-approx derived tables — the
+    inner statement (per-priority APPROX_COUNT_DISTINCT of customers) is
+    itself approximate; the outer APPROX_PERCENTILE sketches its estimate
+    column. The inner stage's error surfaces as the inner_rel_err_max
+    caveat column; the bound-aware oracle checks the exact median of the
+    EXACT per-group distinct counts lies within the composed tolerance
+    (outer is rank-exact over 5 values; inner contributes 3σ of its
+    reported relative error plus HLL small-n collision slack)."""
+    from sketchlib.sql import approx_sql
+
+    stmt = (
+        "SELECT APPROX_PERCENTILE(estimate, 0.5) FROM "
+        "(SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM orders GROUP BY o_orderpriority)"
+    )
+    out = approx_sql(spark, stmt, tables={"orders": f"{sf_dir}/orders.parquet"}).toPandas()
+    has_caveat = "inner_rel_err_max" in out.columns and float(out["inner_rel_err_max"].iloc[0]) > 0
+    o = _t(spark, sf_dir, "orders")
+    exact = sorted(
+        r["d"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    )
+    exact_med = float(exact[len(exact) // 2])
+    est = float(out["value"].iloc[0])
+    tol = 3 * float(out["inner_rel_err_max"].iloc[0]) * exact_med + 2.0
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "caveat_present": [bool(has_caveat)],
+                "median_within_tol": [bool(abs(est - exact_med) <= tol)],
+            }
+        )
     )
 
 
@@ -1456,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b27_auto_routed_sql": _dist_wrapped(q_b27_auto_routed_sql),
         "b28_exact_passthrough": _dist_wrapped(q_b28_exact_passthrough),
         "b29_incremental_refresh": _dist_wrapped(q_b29_incremental_refresh),
+        "b30_join_where_sql": _dist_wrapped(q_b30_join_where_sql),
+        "b31_join_alias_mixed_sql": _dist_wrapped(q_b31_join_alias_mixed_sql),
+        "b32_approx_subquery": _dist_wrapped(q_b32_approx_subquery),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1573,6 +1709,12 @@ def oracle_sql() -> dict[str, str]:
         "b14_kmv_distinct": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b15_approx_join": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
         "b26_approx_join_sql": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
+        "b30_join_where_sql": "SELECT TRUE AS count_within_ci, TRUE AS sum_within_ci",
+        "b31_join_alias_mixed_sql": """
+            SELECT c_mktsegment, TRUE AS count_within_ci, TRUE AS sum_within_ci
+            FROM (SELECT DISTINCT c_mktsegment FROM customer) ORDER BY c_mktsegment
+        """,
+        "b32_approx_subquery": "SELECT TRUE AS caveat_present, TRUE AS median_within_tol",
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok
             UNION ALL SELECT 'states_within_bound', TRUE

@@ -236,6 +236,19 @@ class SketchCatalog:
 
     # --- shared registry machinery (append-only parquet log per registry) ---
 
+    def _restore_crashed(self, live_dir: str) -> None:
+        """Restore any '<name>._refresh_old' left by a crash between
+        refresh()'s two renames back to '<name>' — run wherever the live
+        set is ENUMERATED (listing, auto-selection), not just in exists():
+        a wedged set must not silently vanish from SHOW/routing until some
+        code path happens to probe it by name."""
+        d = os.path.join(self.root, live_dir)
+        for entry in os.listdir(d):
+            if entry.endswith("._refresh_old"):
+                name = entry[: -len("._refresh_old")]
+                if not os.path.isdir(os.path.join(d, name)):
+                    os.rename(os.path.join(d, entry), os.path.join(d, name))
+
     def _registry_live(self, cat_dir: str, schema: str, live_dir: str) -> "DataFrame":
         """Newest registration row per LIVE name: the log is append-only
         (drops leave stale rows, overwrite leaves both registrations), so
@@ -244,10 +257,19 @@ class SketchCatalog:
         from pyspark.sql import Window, functions as F
 
         df = self.spark.read.schema(schema).parquet(os.path.join(self.root, cat_dir))
-        live = sorted(os.listdir(os.path.join(self.root, live_dir)))
+        self._restore_crashed(live_dir)
+        live = sorted(
+            e for e in os.listdir(os.path.join(self.root, live_dir))
+            if not e.endswith("._refresh_old") and not e.endswith("._refresh_tmp")
+        )
+        # broadcast-join the live names rather than isin(): a 10⁴-entry
+        # registry turned the In() literal list into multi-second Catalyst
+        # planning per statement (measured 6 s); the join keeps listing and
+        # auto-selection sub-second at that scale
+        live_df = self.spark.createDataFrame([(n,) for n in live], "name string")
         w = Window.partitionBy("name").orderBy(F.desc("built_unix"))
         return (
-            df.filter(df.name.isin(live))
+            df.join(F.broadcast(live_df), "name", "inner")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")

@@ -402,6 +402,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 8,
     min_shared: int = 1,
+    broadcast_threshold: int = 100_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: (train_id, eval_id, n_shared) for every
     train document sharing ≥ ``min_shared`` distinct token n-grams with an
@@ -410,19 +411,29 @@ def contamination_pairs(
 
     Scale shape: both sides reduce to (shingle hash, id) pairs — the
     shuffle never carries token payloads. The eval side (benchmarks: 10³-10⁶
-    docs) is broadcast, so the train corpus is ONE scan with a map-side
-    hash join: no shuffle of the 100 TB side at all. n=8 (64-bit hashes of
-    8-grams) makes coincidental collisions negligible (~n_pairs/2⁶⁴).
+    docs) is SIZE-GATED: its distinct (hash, eval_id) rows are counted
+    first (one job over the small side only), and the join broadcasts only
+    below ``broadcast_threshold`` rows (default 10⁸ ≈ 1.6 GB of 16 B pairs,
+    under Spark's 8 GB broadcast hard cap with headroom) — the common
+    benchmark-sized case then runs as ONE train scan with a map-side hash
+    join, no shuffle of the 100 TB side at all. Above the threshold it
+    falls back to a plain shuffle join, which still moves only (hash, id)
+    pairs, never token payloads — an unconditional broadcast at 10⁶ docs ×
+    10³ shingles (~16 GB) would blow past the cap and the driver heap.
+    n=8 (64-bit hashes of 8-grams) makes coincidental collisions negligible
+    (~n_pairs/2⁶⁴).
 
     Shingle hashes are computed over per-ELEMENT BIGINT casts: Spark's
     xxhash64 hashes int32 and int64 DIFFERENTLY for the same value, so an
     int-typed train corpus would silently never match a long-typed eval set.
     """
-    # the raw exploded train side joins the broadcast eval side FIRST — no
-    # pre-aggregation, so the corpus side never shuffles (a distinct() here
-    # would force a full (id, hash) exchange before the join); duplicate
-    # n-grams within a doc are collapsed AFTER the join by countDistinct,
-    # where only matching pairs (tiny) remain
+    import logging
+
+    # the raw exploded train side joins the eval side FIRST — no
+    # pre-aggregation, so the corpus side never shuffles on the broadcast
+    # path (a distinct() here would force a full (id, hash) exchange before
+    # the join); duplicate n-grams within a doc are collapsed AFTER the
+    # join by countDistinct, where only matching pairs (tiny) remain
     t = with_token_ngrams(train, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
         F.col(id_col).alias("train_id"), F.explode("_sh").alias("h")
     )
@@ -431,8 +442,26 @@ def contamination_pairs(
         .select(F.col(id_col).alias("eval_id"), F.explode("_sh").alias("h"))
         .distinct()
     )
+    # the size probe recomputes the eval side once (eval-sized — benchmarks,
+    # not the corpus); deliberately NOT persisted: a cached eval set would
+    # accumulate across calls and perturb the captured c14 plan
+    n_eval_pairs = e.count()
+    log = logging.getLogger(__name__)
+    if n_eval_pairs <= broadcast_threshold:
+        log.info(
+            "contamination_pairs: eval side %d (hash, id) rows <= %d — broadcast join",
+            n_eval_pairs, broadcast_threshold,
+        )
+        joined = t.join(F.broadcast(e), "h")
+    else:
+        log.info(
+            "contamination_pairs: eval side %d (hash, id) rows > %d — shuffle join "
+            "(pairs only, no payloads)",
+            n_eval_pairs, broadcast_threshold,
+        )
+        joined = t.join(e, "h")
     return (
-        t.join(F.broadcast(e), "h")
+        joined
         .groupBy("train_id", "eval_id")
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

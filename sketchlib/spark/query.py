@@ -18,11 +18,15 @@ Two execution paths, selected by group cardinality:
   groupBy+applyInPandas, which would pay an Exchange for nothing) and the
   driver never materializes the state set.
 
-``distributed=None`` (default) auto-selects: the filtered states are
-persisted, counted, and routed; the driver path unpersists after collecting,
-the distributed path eagerly materializes its (tiny) result via
-localCheckpoint and unpersists — no cached state sets accumulate across
-repeated calls.
+``distributed=None`` (default) auto-selects in ONE job for the common
+driver case: a ``limit(threshold+1).collect()`` probe both decides the
+path and delivers the state rows the driver path answers from (no
+persist+count job preceding the answer — that two-job shape re-executed
+the whole upstream sketch build once per query and was the measured r3
+bench regression). Only the high-cardinality overflow persists the states
+so the distributed pass doesn't recompute the build; it then eagerly
+materializes its (tiny) result via localCheckpoint and unpersists — no
+cached state sets accumulate across repeated calls.
 """
 
 from __future__ import annotations
@@ -62,12 +66,32 @@ def _map_states(sub: DataFrame, per_state_rows, out_schema: str, out_cols: list[
 
 
 def _route(states: DataFrame, sketch: str, distributed: bool | None):
-    """(filtered states, distributed?, persisted?) — see module docstring."""
+    """(probe rows | None, filtered states, persisted?) — see module
+    docstring. Auto-routing costs ONE job in the common driver case: a
+    ``limit(threshold+1).collect()`` probe both decides the path AND
+    delivers the state rows the driver path needs, so no persist+count job
+    precedes the answer (round 3 ran count-then-collect — two jobs, and the
+    first one re-executed the whole upstream sketch build; the A/B bisect
+    of the r3 bench regression landed exactly here). Only the
+    high-cardinality overflow (> threshold rows) pays a persist so the
+    distributed pass doesn't recompute the build."""
     sub = states.filter(F.col("sketch") == sketch)
-    if distributed is not None:
-        return sub, distributed, False
+    if distributed is True:
+        return None, sub, False
+    if distributed is False:
+        return sub.select("group", "sketch", "state").collect(), sub, False
+    probe = (
+        sub.select("group", "sketch", "state").limit(_DISTRIBUTED_THRESHOLD + 1).collect()
+    )
+    if len(probe) <= _DISTRIBUTED_THRESHOLD:
+        return probe, sub, False
     sub = sub.persist()
-    return sub, sub.count() > _DISTRIBUTED_THRESHOLD, True
+    return None, sub, True
+
+
+def _rows_to_states(rows) -> dict[tuple[str, str], object]:
+    """{(group, sketch_name): sketch object} from collected state rows."""
+    return {(r["group"], r["sketch"]): deserialize(r["state"]) for r in rows}
 
 
 def _finish_dist(out: DataFrame, sub: DataFrame, persisted: bool) -> DataFrame:
@@ -93,14 +117,12 @@ def _answer(
     """Shared driver/distributed execution for the per-state answer
     functions: ONE ``rows_fn(group, sketch_obj) -> [tuples]`` drives both
     paths, so the estimator logic exists exactly once per answer shape."""
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
+    probe, sub, persisted = _route(states, sketch, distributed)
+    if probe is None:
         return _finish_dist(_map_states(sub, rows_fn, schema, cols), sub, persisted)
     out = []
-    for (g, _name), sk in sorted(load_states(sub).items()):
+    for (g, _name), sk in sorted(_rows_to_states(probe).items()):
         out.extend(rows_fn(g, sk))
-    if persisted:
-        sub.unpersist()
     return spark.createDataFrame(pd.DataFrame(out, columns=cols))
 
 
@@ -213,8 +235,8 @@ def exact_rescore_topk(
     """
     from pyspark.sql.window import Window
 
-    sub, dist, persisted = _route(states, sketch, distributed)
-    if dist:
+    probe, sub, persisted = _route(states, sketch, distributed)
+    if probe is None:
         def rows(g, sk):
             ids, _ = sk.topk(k * overfetch)
             return [(g, int(i)) for i in ids.tolist()]
@@ -222,23 +244,32 @@ def exact_rescore_topk(
         cand = _map_states(sub, rows, "group string, token long", ["group", "token"])
         cand = _finish_dist(cand, sub, persisted)
         exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
-        counts = (
-            exploded.join(
+        # the per-group semi-join matches Catalyst's cast-to-string against
+        # the kernel's Python str() — the two agree ONLY for string/integer
+        # group columns ('true' vs 'True' for booleans, '1.0E20' vs '1e+20'
+        # for doubles, formatting for timestamps). Outside the safe set the
+        # per-group prune would silently semi-join to zero rows, so fall
+        # back to a token-only isin prune: the candidate-token union is
+        # vocab-bounded (≤ G·k·overfetch distinct values collapse hard —
+        # hot tokens repeat across groups), and grouping below stays on the
+        # NATIVE column, so correctness never depends on stringification.
+        safe = ("string", "int", "bigint", "smallint", "tinyint")
+        if dict(df.dtypes).get(group_by) in safe:
+            counts = exploded.join(
                 cand.withColumnRenamed("group", "_cg").withColumnRenamed("token", "_ct"),
                 (exploded["group"].cast("string") == F.col("_cg"))
                 & (exploded["token"] == F.col("_ct")),
                 "leftsemi",
             )
-            .groupBy("group", "token")
-            .agg(F.count("*").alias("exact_count"))
-        )
+        else:
+            cand_tokens = [r["token"] for r in cand.select("token").distinct().collect()]
+            counts = exploded.filter(F.col("token").isin(cand_tokens))
+        counts = counts.groupBy("group", "token").agg(F.count("*").alias("exact_count"))
     else:
         cand: dict[str, list[int]] = {}
-        for (g, name), sk in sorted(load_states(sub).items()):
+        for (g, name), sk in sorted(_rows_to_states(probe).items()):
             ids, _ = sk.topk(k * overfetch)
             cand[g] = [int(i) for i in ids.tolist()]
-        if persisted:
-            sub.unpersist()
         all_cands = sorted({t for ts in cand.values() for t in ts})
         exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
         counts = (

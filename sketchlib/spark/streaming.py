@@ -153,7 +153,7 @@ class WindowedStreamingSketchSink:
         path = os.path.join(self.state_dir, f"v{m['version']:010d}")
         return spark.read.schema(STATE_FIELDS).parquet(path).count()
 
-    def compact_archive(self, spark: SparkSession) -> int:
+    def compact_archive(self, spark: SparkSession, target_rows_per_file: int = 100_000) -> int:
         """Consolidate the per-batch archive dirs into ONE directory.
 
         A year-long stream finalizes a window most batches, so the committed
@@ -165,6 +165,12 @@ class WindowedStreamingSketchSink:
         deleted only after it. Returns the number of dirs consolidated.
         Safe to call any time between micro-batches (e.g. foreachBatch-
         scheduled every N batches).
+
+        The rewrite fans out: output file count scales with the archived
+        row count (``target_rows_per_file`` KB-sized state rows per file),
+        so a years-long high-cardinality stream compacts with cluster
+        parallelism instead of one task rewriting GBs through coalesce(1);
+        months of KB-state windows still land in a single file.
         """
         meta = self._meta()
         dirs = meta.get("archive_dirs", [])
@@ -173,9 +179,10 @@ class WindowedStreamingSketchSink:
         paths = [os.path.join(self.state_dir, "archive", d) for d in dirs]
         target = f"compact_{meta['version']:010d}"
         out = os.path.join(self.state_dir, "archive", target)
-        spark.read.schema(STATE_FIELDS).parquet(*paths).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
+        archived = spark.read.schema(STATE_FIELDS).parquet(*paths)
+        n_rows = archived.count()
+        n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
+        archived.coalesce(n_files).write.mode("overwrite").parquet(out)
         tmp = self._ptr_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({**meta, "archive_dirs": [target]}, fh)

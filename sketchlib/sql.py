@@ -65,11 +65,25 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
 # (Verdict A14) — stripped off the tail, the inner statement recurses.
+# Multi-key: ORDER BY est DESC, group [ASC] over result columns.
 _ORDER_TAIL = re.compile(
-    r"^(?P<body>.*?\S)\s+ORDER\s+BY\s+(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?"
+    r"^(?P<body>.*?\S)\s+ORDER\s+BY\s+"
+    r"(?P<keys>\w+(?:\s+(?:ASC|DESC))?(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
     r"(?:\s+LIMIT\s+(?P<n>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _order_cols(keys: str):
+    """ORDER BY key list → [Column with direction], result columns only."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for part in keys.split(","):
+        toks = part.split()
+        c = F.col(toks[0])
+        out.append(c.desc() if len(toks) > 1 and toks[1].upper() == "DESC" else c.asc())
+    return out
 _LIMIT_TAIL = re.compile(
     r"^(?P<body>.*?\S)\s+LIMIT\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -83,15 +97,30 @@ _HAVING_TAIL = re.compile(
 
 # Verdict's ApproxJoinedRelation (A8) as SQL: one APPROX_COUNT/APPROX_SUM
 # over an equi-join, answered by universe-sampling both sides on the join
-# key (p-composition, sampling.approx_join_agg). Table qualifiers in ON must
-# name the FROM tables (no aliases).
+# key (p-composition, sampling.approx_join_agg), or — the fact×dimension
+# shape — by ONE fact-side scramble broadcast-joined to the exact dim.
+# Table qualifiers in ON must name the FROM tables or their aliases
+# (FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey). WHERE is
+# full Spark SQL over the joined columns (commutes with the sampling).
 _JOIN_SKELETON = re.compile(
     rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))\s*"
-    r"FROM\s+(?P<ta>[\w./:\-]+)\s+JOIN\s+(?P<tb>[\w./:\-]+)"
+    r"FROM\s+(?P<ta>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<aa>(?!JOIN\b)\w+))?"
+    r"\s+JOIN\s+(?P<tb>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<ab>(?!ON\b)\w+))?"
     r"\s+ON\s+(?P<qa>\w+)\.(?P<ka>\w+)\s*=\s*(?P<qb>\w+)\.(?P<kb>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _strip_qualifiers(expr: str, names: set[str]) -> str:
+    """Drop ``alias.`` / ``table.`` prefixes naming the FROM tokens from a
+    predicate: the joined frame carries unqualified columns (TPC-H-style
+    schemas have table-prefixed column names, so collisions don't arise)."""
+    if not expr:
+        return expr
+    pat = r"\b(?:" + "|".join(re.escape(n) for n in sorted(names, key=len, reverse=True)) + r")\.(?=\w)"
+    return re.sub(pat, "", expr)
 
 
 def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
@@ -106,36 +135,75 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
             "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
         )
     ta, tb = m.group("ta"), m.group("tb")
+    aa, ab = m.group("aa"), m.group("ab")
     qa, qb, ka, kb = m.group("qa"), m.group("qb"), m.group("ka"), m.group("kb")
 
-    def _owns(q: str, t: str) -> bool:
-        return q == t or t.rstrip("/").split("/")[-1].split(".")[0] == q
+    def _base(t: str) -> str:
+        return t.rstrip("/").split("/")[-1].split(".")[0]
 
-    if _owns(qa, ta) and _owns(qb, tb):
+    def _owns(q: str, t: str, alias: str | None) -> bool:
+        return q == t or q == alias or _base(t) == q
+
+    if _owns(qa, ta, aa) and _owns(qb, tb, ab):
         left_key, right_key = ka, kb
-    elif _owns(qa, tb) and _owns(qb, ta):
+    elif _owns(qa, tb, ab) and _owns(qb, ta, aa):
         left_key, right_key = kb, ka
     else:
         raise ValueError(
-            f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables ({ta!r}, {tb!r})"
+            f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables "
+            f"({ta!r}, {tb!r}) or their aliases ({aa!r}, {ab!r})"
         )
     group = m.group("group")
+    qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
+    where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
 
     if catalog is not None and catalog_key is None:
-        # auto-selection for joins: a pair of universe scrambles on the two
-        # join keys sharing (ratio, seed) — p-composition needs the shared
-        # hash — one per side's table; biggest shared ratio wins
+        # auto-selection for joins: best = a PAIR of universe scrambles on
+        # the two join keys sharing (ratio, seed) — p-composition needs the
+        # shared hash; else ONE fact-side scramble (uniform, or universe on
+        # that side's join key) broadcast-joined to the exact other side
         catalog_key = _resolve_join_key(ta, tb, left_key, right_key, tables, catalog)
 
     if catalog is not None and catalog_key is not None:
-        # A5 for joins: answer from TWO persisted universe scrambles —
-        # catalog_key = "left_sample,right_sample"; same seed+ratio required
-        # (p-composition only holds through a SHARED hash)
         names = [s.strip() for s in str(catalog_key).split(",")]
+        if len(names) == 1:
+            # fact×dimension (A8's common shape): the single named scramble
+            # covers ONE side; the other side is read exact and broadcast
+            meta = catalog.sample_meta(names[0])
+            import os as _os
+
+            sdir = _os.path.normpath(meta["input_dir"])
+            da, db = _table_dir(ta, tables), _table_dir(tb, tables)
+            if da is not None and _os.path.normpath(da) == sdir:
+                fact_key, dim_key, dim_token = left_key, right_key, tb
+            elif db is not None and _os.path.normpath(db) == sdir:
+                fact_key, dim_key, dim_token = right_key, left_key, ta
+            else:
+                raise ValueError(
+                    f"sample {names[0]!r} was built over {meta['input_dir']!r}, "
+                    f"which is neither join side ({ta!r}, {tb!r})"
+                )
+            if meta["kind"] == "universe" and meta["on_col"] != fact_key:
+                raise ValueError(
+                    f"universe sample {names[0]!r} is keyed on {meta['on_col']!r}, "
+                    f"not the join key {fact_key!r} — key survival would not "
+                    "compose through the join"
+                )
+            from sketchlib.spark.sampling import approx_join_agg_mixed
+
+            return approx_join_agg_mixed(
+                catalog.sample(names[0]), _resolve_table(spark, dim_token, tables),
+                fact_key, dim_key, meta["kind"], meta["ratio"],
+                value_col=value_col, group_by=group, where=where,
+            )
         if len(names) != 2:
             raise ValueError(
-                "join statements take catalog_key='left_sample,right_sample'"
+                "join statements take catalog_key='left_sample,right_sample' "
+                "(two universe scrambles) or one fact-side sample name"
             )
+        # A5 for joins: answer from TWO persisted universe scrambles —
+        # same seed+ratio required (p-composition only holds through a
+        # SHARED hash)
         ma, mb = catalog.sample_meta(names[0]), catalog.sample_meta(names[1])
         for meta, key in ((ma, left_key), (mb, right_key)):
             if meta["kind"] != "universe" or meta["on_col"] != key:
@@ -154,6 +222,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
         return approx_join_agg_from_samples(
             catalog.sample(names[0]), catalog.sample(names[1]),
             left_key, right_key, ma["ratio"], value_col=value_col, group_by=group,
+            where=where,
         )
 
     from sketchlib.spark.sampling import approx_join_agg
@@ -163,6 +232,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
     return approx_join_agg(
         left, right, left_key, right_key,
         value_col=value_col, ratio=float(ratio_arg or 0.1), group_by=group,
+        where=where,
     )
 
 # Sample-lifecycle DDL — Verdict's literal entry points (SURVEY A2/A3):
@@ -218,18 +288,21 @@ _REFRESH_SAMPLE = re.compile(r"^\s*REFRESH\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", r
 
 
 def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | None:
-    """Auto-selection for APPROX joins: find a (left, right) pair of
+    """Auto-selection for APPROX joins. Best: a (left, right) pair of
     registered UNIVERSE scrambles — one per table, keyed on that side's
     join column — sharing (ratio, seed): survival probabilities compose
-    only through the same hash. Largest shared ratio (lowest error) wins;
-    None → the statement samples both sides on the fly."""
+    only through the same hash; largest shared ratio (lowest error) wins.
+    Fallback: ONE fact-side scramble (uniform, or universe on that side's
+    join key) — the fact×dimension shape, the other side read exact and
+    broadcast. None → the statement samples both sides on the fly."""
     import os
 
     da, db = _table_dir(ta, tables), _table_dir(tb, tables)
     if da is None or db is None:
         return None
     da, db = os.path.normpath(da), os.path.normpath(db)
-    rows = [r for r in catalog.list_samples().collect() if r["kind"] == "universe"]
+    all_rows = catalog.list_samples().collect()
+    rows = [r for r in all_rows if r["kind"] == "universe"]
     lefts = [r for r in rows if os.path.normpath(r["input_dir"]) == da and r["on_col"] == left_key]
     rights = [r for r in rows if os.path.normpath(r["input_dir"]) == db and r["on_col"] == right_key]
     pairs = [
@@ -238,10 +311,22 @@ def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | Non
         for b in rights
         if (a["ratio"], a["seed"]) == (b["ratio"], b["seed"]) and a["name"] != b["name"]
     ]
-    if not pairs:
+    if pairs:
+        a, b = max(pairs, key=lambda p: (float(p[0]["ratio"] or 0.0), p[0]["name"], p[1]["name"]))
+        return f"{a['name']},{b['name']}"
+    # single fact-side candidates: uniform anywhere, or the universe
+    # scrambles already matched to their own side's join key above
+    singles = lefts + rights + [
+        r for r in all_rows
+        if r["kind"] == "uniform" and os.path.normpath(r["input_dir"]) in (da, db)
+    ]
+    if not singles:
         return None
-    a, b = max(pairs, key=lambda p: (float(p[0]["ratio"] or 0.0), p[0]["name"], p[1]["name"]))
-    return f"{a['name']},{b['name']}"
+    best = max(
+        singles,
+        key=lambda r: (float(r["ratio"] or 0.0), r["kind"] == "universe", r["name"]),
+    )
+    return best["name"]
 
 
 def _ddl_input_dir(table: str, tables: dict | None, stmt: str) -> str:
@@ -257,16 +342,26 @@ def _ddl_input_dir(table: str, tables: dict | None, stmt: str) -> str:
     )
 
 
+# A statement is OURS only when its HEAD names one of the three registries —
+# a free-floating word search would claim exact Spark SQL that merely
+# MENTIONS a user table named 'samples'/'sketches' (e.g. DROP TABLE samples),
+# breaking the A4 pass-through contract.
+_DDL_HEAD = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:SAMPLE|SKETCHES|ANN\s+INDEX)\b"
+    r"|SHOW\s+(?:SAMPLES|SKETCHES|ANN\s+INDEXES)\b"
+    r"|(?:DROP|REFRESH)\s+(?:SAMPLE|SKETCHES|ANN\s+INDEX)\b)",
+    re.IGNORECASE,
+)
+
+
 def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFrame | None:
     """Route sample-lifecycle DDL to the SketchCatalog; None if ``sql`` is
     not a DDL statement."""
-    # only claim statements aimed at OUR registries (… SAMPLE/SAMPLES/
-    # SKETCHES …) — SHOW TABLES / CREATE VIEW / REFRESH TABLE etc. are
-    # Spark's own DDL and fall through to the exact pass-through (A4)
-    is_ddl = re.match(r"^\s*(CREATE|SHOW|DROP|REFRESH)\b", sql, re.IGNORECASE)
-    if not is_ddl or not re.search(
-        r"\b(SAMPLES?|SKETCHES|ANN\s+INDEX(?:ES)?)\b", sql, re.IGNORECASE
-    ):
+    # only claim statements whose HEAD is registry DDL (CREATE SAMPLE …,
+    # SHOW SKETCHES, DROP ANN INDEX …) — SHOW TABLES / CREATE VIEW /
+    # REFRESH TABLE / DROP TABLE samples etc. are Spark's own DDL and fall
+    # through to the exact pass-through (A4)
+    if not _DDL_HEAD.match(sql):
         return None
     if catalog is None:
         raise ValueError("sample DDL needs a SketchCatalog — pass catalog=...")
@@ -547,6 +642,20 @@ def _resolve_key(
        on the GROUP BY column beats uniform (per-group variance control,
        Verdict's own preference for grouped aggregates); remaining ties go
        to the LARGEST ratio (lowest error), then name for determinism.
+
+    An EXPLICIT accuracy argument in the statement is honored, not silently
+    dropped: APPROX_COUNT_DISTINCT(col, rse) only routes to sketch states
+    whose parameters achieve that rse (HLL: 1.04/√2ᵖ; KMV: 1/√(k−1)) and
+    skips universe scrambles (their achieved rse depends on the unknown
+    distinct count, so a static guarantee is impossible); the sampling
+    aggregates' ratio argument only routes to uniform samples of ≥ that
+    ratio. When nothing registered can achieve the request, the resolver
+    returns None and the on-the-fly build honors it exactly. Stratified
+    samples stay exempt from the ratio test — they are chosen for
+    per-group variance control, and their per-stratum fractions aren't
+    comparable to a single uniform ratio. Statements WITHOUT an explicit
+    accuracy argument route to any fitting artifact (the registered
+    artifact's own error columns stay honest either way).
     """
     import json
     import os
@@ -556,6 +665,31 @@ def _resolve_key(
         return None
     base_n = os.path.normpath(base)
     col = args[0] if args else None
+
+    def _num(a) -> float | None:
+        try:
+            return float(a)
+        except (TypeError, ValueError):
+            return None
+
+    req_rse = _num(args[1]) if fn == "APPROX_COUNT_DISTINCT" and len(args) > 1 else None
+    if fn == "APPROX_COUNT" and args:
+        req_ratio = _num(args[0])
+    elif fn in ("APPROX_SUM", "APPROX_AVG") and len(args) > 1:
+        req_ratio = _num(args[1])
+    else:
+        req_ratio = None
+
+    def _achieves_rse(s: dict) -> bool:
+        if req_rse is None:
+            return True
+        params = s.get("params", {})
+        if s["kind"] == "hll":
+            return 1.04 / (2.0 ** float(params.get("p", 14))) ** 0.5 <= req_rse * (1 + 1e-9)
+        if s["kind"] == "kmv":
+            k = float(params.get("k", 1024))
+            return k > 1 and 1.0 / (k - 1) ** 0.5 <= req_rse * (1 + 1e-9)
+        return False
 
     kinds = _CATALOG_KINDS.get(fn)
     if kinds and not has_where:
@@ -569,7 +703,9 @@ def _resolve_key(
             if os.path.normpath(reg["input_dir"]) != base_n or reg["group_by"] != want_group:
                 continue
             specs = json.loads(reg["specs_json"])
-            if any(s["kind"] in kinds and s["column"] == col for s in specs):
+            if any(
+                s["kind"] in kinds and s["column"] == col and _achieves_rse(s) for s in specs
+            ):
                 return reg["name"]
 
     def eligible(r) -> bool:
@@ -577,11 +713,11 @@ def _resolve_key(
         if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
             # stratified serves global statements (cross-strata ratio
             # estimator) and statements grouped exactly on its key column
-            return k == "uniform" or (
-                k == "stratified" and (group is None or group == r["on_col"])
-            )
+            if k == "uniform":
+                return req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12
+            return k == "stratified" and (group is None or group == r["on_col"])
         if fn == "APPROX_COUNT_DISTINCT":
-            return k == "universe" and r["on_col"] == col
+            return k == "universe" and r["on_col"] == col and req_rse is None
         if fn == "APPROX_PERCENTILE":
             return k == "uniform" or (k == "stratified" and group == r["on_col"])
         return False
@@ -886,6 +1022,45 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     return result
 
 
+def _inner_rel_err_max(df: DataFrame) -> float:
+    """Largest relative error among an approx result frame's estimates —
+    the caveat attached to approx-over-approx statements. Covers every
+    answer shape the library emits: (estimate, rse_bound) pairs are already
+    relative; ``X``/``X_err`` and ``est_X``/``X_err`` pairs divide;
+    rank-bounded quantile frames report the rank bound itself. NaN when the
+    frame carries no recognizable error columns (nothing to claim).
+
+    The frame is groups-sized (an aggregate result, never the corpus), so
+    the pandas collect here is KBs."""
+    pdf = df.toPandas()
+    if len(pdf) == 0:
+        return 0.0
+    cols = set(pdf.columns)
+    rel: list[float] = []
+
+    def _push(series):
+        v = series.max()
+        if v == v:  # not NaN
+            rel.append(float(v))
+
+    if "rse_bound" in cols:
+        _push(pdf["rse_bound"].abs())
+    if "rank_err_bound" in cols:
+        _push(pdf["rank_err_bound"].abs())
+    if "err_bound" in cols and "est_count" in cols:  # top-k frames
+        est = pdf["est_count"].abs()
+        _push((pdf["err_bound"].abs() / est.where(est > 0)))
+    for c in pdf.columns:
+        if not c.endswith("_err"):
+            continue
+        base = c[:-4] if c[:-4] in cols else ("est_" + c[:-4] if "est_" + c[:-4] in cols else None)
+        if base is None:
+            continue
+        est = pdf[base].abs()
+        _push(pdf[c].abs() / est.where(est > 0))
+    return max(rel) if rel else float("nan")
+
+
 def approx_sql(
     spark: SparkSession,
     sql: str,
@@ -931,13 +1106,13 @@ def approx_sql(
         return _exact_passthrough(spark, sql, tables)
     sub = _extract_subquery(sql)
     if sub is not None:
-        # Verdict's A16 recursion, scoped: the DERIVED TABLE is computed
-        # exactly (full Spark SQL via pass-through), the approx aggregate
-        # runs on top of it. Extracted BEFORE tail peeling so an inner
-        # HAVING/ORDER BY/LIMIT stays inside the subquery; registered as a
-        # per-call-unique temp view so the rewritten outer statement takes
-        # every path below (tails, routing, ...), then dropped (plans are
-        # resolved at DataFrame analysis — the view is not needed after).
+        # Verdict's A16 recursion: the DERIVED TABLE is computed first, the
+        # approx aggregate runs on top of it. Extracted BEFORE tail peeling
+        # so an inner HAVING/ORDER BY/LIMIT stays inside the subquery;
+        # registered as a per-call-unique temp view so the rewritten outer
+        # statement takes every path below (tails, routing, ...), then
+        # dropped (plans are resolved at DataFrame analysis — the view is
+        # not needed after).
         if catalog_key is not None:
             raise ValueError(
                 "catalog_key cannot answer a derived-table statement — the "
@@ -947,6 +1122,32 @@ def approx_sql(
             )
         head, inner, tail = sub
         view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
+        if _AGG.search(_mask_literals(inner)):
+            # APPROX-OVER-APPROX (Verdict recursed approximation through
+            # nested relations): the inner statement is itself evaluated
+            # via approx_sql (auto-routing/catalog apply to it), eagerly
+            # checkpointed — the inner result is groups-sized, and the
+            # caveat stats below plus the outer aggregate must not each
+            # re-run the inner build — and the outer statement sketches on
+            # top of the ESTIMATE frame. The outer bound covers only the
+            # outer stage's error, so the inner stage's error is surfaced
+            # as an explicit caveat column: ``inner_rel_err_max`` = the
+            # largest relative half-width among the inner estimates (for
+            # rank-bounded inner results, the largest rank error). The
+            # composed uncertainty is NOT folded into the outer bound —
+            # the two stages' errors are in different units (value vs
+            # rank) in general, so they are reported separately rather
+            # than summed into a false single number.
+            inner_df = approx_sql(spark, inner, tables, catalog, None).localCheckpoint(eager=True)
+            caveat = _inner_rel_err_max(inner_df)
+            inner_df.createOrReplaceTempView(view)
+            try:
+                out = approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
+            finally:
+                spark.catalog.dropTempView(view)
+            from pyspark.sql import functions as F
+
+            return out.withColumn("inner_rel_err_max", F.lit(caveat))
         _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
         try:
             return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
@@ -954,11 +1155,8 @@ def approx_sql(
             spark.catalog.dropTempView(view)
     tm = _ORDER_TAIL.match(sql)
     if tm:
-        from pyspark.sql import functions as F
-
         inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key)
-        c = F.col(tm.group("col"))
-        inner = inner.orderBy(c.desc() if (tm.group("dir") or "").upper() == "DESC" else c.asc())
+        inner = inner.orderBy(*_order_cols(tm.group("keys")))
         return inner.limit(int(tm.group("n"))) if tm.group("n") else inner
     tm = _LIMIT_TAIL.match(sql)
     if tm:

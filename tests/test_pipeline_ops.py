@@ -455,3 +455,11 @@ def test_contamination_pairs(spark, seq_tiny_dir):
     assert {(r["train_id"], r["eval_id"]) for r in hits} == {(v, "e1") for v in victims}
     # 12-token snippet with 8-grams → 5 shared shingles per victim
     assert all(r["n_shared"] == 5 for r in hits)
+
+    # size gate (VERDICT r3 #3): forcing the threshold below the eval
+    # shingle count drives the shuffle-join fallback — pair-identical
+    # output, so an oversized eval side degrades latency, never recall
+    shuffled = contamination_pairs(train2, eval_df, n=8, broadcast_threshold=1).collect()
+    assert {(r["train_id"], r["eval_id"], r["n_shared"]) for r in shuffled} == {
+        (r["train_id"], r["eval_id"], r["n_shared"]) for r in hits
+    }

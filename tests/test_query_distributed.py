@@ -130,3 +130,34 @@ def test_exact_rescore_distributed_matches_driver(spark):
         )
         got_g = {t for gg, t, _ in _rows(got, cols) if gg == g}
         assert got_g == true5
+
+
+def test_exact_rescore_distributed_unsafe_group_dtype(spark):
+    """ADVICE r3 (low): a BOOLEAN group column stringifies as 'True' in the
+    kernel but 'true' in Catalyst — the per-group semi-join would silently
+    prune every row. The distributed path must detect the unsafe dtype and
+    fall back to the token-only isin prune, still returning the true top-k."""
+    from sketchlib.spark.query import exact_rescore_topk
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "flag": np.repeat([True, False], 300),
+            "tokens": [rng.zipf(1.7, 40).clip(max=300).astype("int32").tolist() for _ in range(600)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    states = build_sketches(
+        df, [SketchSpec("cm", "cm", "tokens", {"eps": 1e-3, "delta": 0.05})], group_by="flag"
+    )
+    got = exact_rescore_topk(df, states, "cm", 5, group_by="flag", distributed=True).toPandas()
+    assert len(got) == 10  # 2 groups × top-5 — the broken join returned 0 rows
+    exact = (
+        df.select("flag", F.explode("tokens").alias("token"))
+        .groupBy("flag", "token").count().toPandas()
+    )
+    for g, sub in exact.groupby("flag"):
+        true5 = set(
+            sub.sort_values(["count", "token"], ascending=[False, True]).head(5)["token"]
+        )
+        assert set(got[got["group"] == g]["token"]) == true5
