@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-57 queries; naming maps to SURVEY.md §2:
+58 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -17,14 +17,17 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (15) — training-data pipeline ops: exact dedup, token stats,
+  c* (16) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
        from a persisted catalog index (c12, base table deleted first),
        sequence packing (c13, FFD batch assembly), benchmark
        decontamination (c14, exact n-gram overlap vs broadcast eval set),
-       dataset mixture composition (c15, weight-targeted sampleBy).
+       dataset mixture composition (c15, weight-targeted sampleBy),
+       Gopher-style repetition gates (c16, round 4 — duplicate-token /
+       duplicate-bigram / top-token-occupancy stats, hash-matched vs a
+       DuckDB list-function oracle).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1247,6 +1250,32 @@ def q_c11_sessionize(spark, sf_dir):
     )
 
 
+def q_c16_repetition_stats(spark, sf_dir):
+    """Round 4: Gopher-style intra-document repetition gates (Rae et al.
+    2021 §A1.1) over the documents table — whitespace words, so DuckDB can
+    reproduce every quantity exactly. Per source: duplicate-token
+    occurrences (Σ n − |distinct|), total tokens, top-token occupancy
+    (Σ per-doc max token count), and docs flagged repetitive by the bigram
+    gate (dup_ngram_frac > 0.1). All integers — hash-stable both engines."""
+    from sketchlib.spark.text import with_repetition_stats
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("w", pre_tokens("text"))
+    rep = with_repetition_stats(docs, tokens_col="w", ngram=2)
+    n = F.size("w")
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.sum(n - F.size(F.array_distinct("w"))).cast("long").alias("dup_token_occurrences"),
+            F.sum(n).cast("long").alias("total_tokens"),
+            # per-doc top count recovered exactly from the frac: frac = c/n
+            F.sum(F.round(F.col("top_token_frac") * n, 0)).cast("long").alias("top_token_occurrences"),
+            F.sum((F.col("dup_ngram_frac") > 0.1).cast("long")).alias("repetitive_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def _dist_wrapped(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_dist(spark)
@@ -1609,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c13_sequence_packing": _dist_wrapped(q_c13_sequence_packing),
         "c14_contamination": _dist_wrapped(q_c14_contamination),
         "c15_mixture_sample": _dist_wrapped(q_c15_mixture_sample),
+        "c16_repetition_stats": _dist_wrapped(q_c16_repetition_stats),
     }
 
 
@@ -1748,6 +1778,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'uncapped_within_clt' AS check, TRUE AS ok
             UNION ALL SELECT 'unlisted_sources_excluded', TRUE
             UNION ALL SELECT 'over_inventory_capped_flagged', TRUE
+        """,
+        "c16_repetition_stats": r"""
+            WITH w AS (
+                SELECT source, doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM documents
+            ), per AS (
+                SELECT source, doc_id, len(l) AS n, len(list_distinct(l)) AS d,
+                       CASE WHEN len(l) >= 2 THEN len(l) - 1 ELSE 0 END AS nsh,
+                       CASE WHEN len(l) >= 2 THEN len(list_distinct(
+                           list_transform(range(1, len(l)), i -> l[i] || chr(31) || l[i+1])
+                       )) ELSE 0 END AS dsh
+                FROM w
+            ), top AS (
+                SELECT source, doc_id, max(c) AS topc FROM (
+                    SELECT source, doc_id, t, count(*) AS c
+                    FROM (SELECT source, doc_id, unnest(l) AS t FROM w)
+                    GROUP BY source, doc_id, t
+                ) GROUP BY source, doc_id
+            )
+            SELECT per.source,
+                   CAST(sum(per.n - per.d) AS BIGINT) AS dup_token_occurrences,
+                   CAST(sum(per.n) AS BIGINT) AS total_tokens,
+                   CAST(sum(coalesce(top.topc, 0)) AS BIGINT) AS top_token_occurrences,
+                   CAST(sum(CASE WHEN per.nsh > 0
+                                  AND (per.nsh - per.dsh) / CAST(per.nsh AS DOUBLE) > 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs
+            FROM per LEFT JOIN top ON per.source = top.source AND per.doc_id = top.doc_id
+            GROUP BY per.source ORDER BY per.source
         """,
         "b16_catalog_sql": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b17_intersection_estimate": """

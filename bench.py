@@ -222,6 +222,52 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    # ---- corpus-independence of the states-answered query surface
+    # (VERDICT r3 #8): register sketch states for BOTH scales' sequences
+    # tables, then time the SAME statements answered FROM STATES ONLY.
+    # Verdict's headline property is that this latency does not grow with
+    # the corpus — the ratio column should sit ~1.0 while the corpus grows
+    # by `scale2`x (the builds above are where corpus size is paid).
+    states_flat = {}
+    if scale2 > 0:
+        import shutil
+        import tempfile
+
+        from sketchlib.spark.catalog import SketchCatalog
+        from sketchlib.sql import approx_sql
+
+        work2 = tempfile.mkdtemp(prefix="sketchlib_bench_states_")
+        try:
+            cat = SketchCatalog(spark, os.path.join(work2, "cat"))
+            for key, d in (("seq_small", seq_dir), ("seq_big", seq2_dir)):
+                st = build_sketches_from_parquet(spark, d, SEQ_SPECS, group_by="source")
+                cat.register_states(key, st, SEQ_SPECS, group_by="source", input_dir=d)
+            stmts = {
+                "hll_count_distinct": "SELECT APPROX_COUNT_DISTINCT(doc_id) FROM t GROUP BY source",
+                "cm_topk": "SELECT APPROX_TOPK(tokens, 10) FROM t GROUP BY source",
+                "kll_percentile": "SELECT APPROX_PERCENTILE(n_tok, 0.5, 0.99) FROM t GROUP BY source",
+            }
+            lat: dict[str, dict[str, float]] = {"seq_small": {}, "seq_big": {}}
+            for key in lat:
+                for qn, stmt in stmts.items():
+                    approx_sql(spark, stmt, catalog=cat, catalog_key=key).collect()  # warm
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        approx_sql(spark, stmt, catalog=cat, catalog_key=key).collect()
+                        best = min(best, time.perf_counter() - t0)
+                    lat[key][qn] = round(best, 3)
+            states_flat = {
+                "rows_ratio": round(seq2_rows / seq_rows, 1),
+                "small": lat["seq_small"],
+                "big": lat["seq_big"],
+                "latency_ratio_big_over_small": {
+                    qn: round(lat["seq_big"][qn] / lat["seq_small"][qn], 2) for qn in stmts
+                },
+            }
+        finally:
+            shutil.rmtree(work2, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -238,6 +284,7 @@ def main() -> None:
                     "cpus": cpus,
                     "incremental_refresh": refresh_block,
                     "second_scale": second,
+                    "states_flat_latency": states_flat,
                 },
             }
         )

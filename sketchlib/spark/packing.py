@@ -42,6 +42,14 @@ def pack_sequences(
     starts inside its pack (sequences within a pack are laid out in
     assignment order), so downstream concatenation is a deterministic
     gather. FFD per partition via one ``mapInPandas`` pass.
+
+    Memory contract: the packer buffers the PARTITION's (id, len) pairs —
+    never the token payloads — before sorting (FFD's quality needs the
+    whole partition's length distribution). That is ~16 B/row: ~160 MB at
+    10⁷ rows/partition, ~1.6 GB at 10⁸ — size
+    ``spark.sql.files.maxPartitionBytes`` so partitions stay under ~10⁷
+    rows (the default 128 MB split of ~2.5 KB token rows gives ~5×10⁴
+    rows/partition, three orders of magnitude inside the envelope).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

@@ -130,3 +130,55 @@ def with_winnow_fingerprint(
         .otherwise(F.array().cast("array<bigint>"))
     )
     return df.withColumn(out, fp).drop("_shingles")
+
+
+def with_repetition_stats(
+    df: DataFrame, tokens_col: str = "tokens", ngram: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document REPETITION gates (Rae et al. 2021 §A1.1:
+    'fraction of duplicate n-grams' filters), entirely SQL higher-order
+    functions — no Python in the row path:
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — the fraction
+      of token occurrences that repeat an earlier token;
+    - ``dup_ngram_frac``: same for ``ngram``-grams (hashed; consecutive
+      repetition like "foo bar foo bar ..." scores high here even when
+      individual token diversity looks fine);
+    - ``top_token_frac``: share of the document taken by its single most
+      frequent token (template/boilerplate detector).
+
+    Empty docs score 0 on all three. Compose with a threshold filter for
+    the actual gate (Gopher drops docs with dup_ngram_frac over ~0.2-0.6
+    depending on n); thresholds are policy, so they stay with the caller.
+    """
+    from sketchlib.spark.dedup import with_token_ngrams
+
+    n_tok = F.size(F.col(tokens_col))
+    safe_n = F.greatest(n_tok, F.lit(1))
+    dup_tok = (n_tok - F.size(F.array_distinct(F.col(tokens_col)))) / safe_n
+    df = with_token_ngrams(df, tokens_col, n=ngram, out="_rep_sh")
+    n_sh = F.size(F.col("_rep_sh"))
+    dup_ng = F.when(
+        n_sh > 0, (n_sh - F.size(F.array_distinct(F.col("_rep_sh")))) / n_sh
+    ).otherwise(F.lit(0.0))
+    # top-token share = longest run in the SORTED token array — one
+    # O(n log n) sort + one linear aggregate pass per row (a naive
+    # per-distinct-token filter would be O(|vocab|·|tokens|) per row,
+    # quadratic on repetitive docs — exactly the docs this gate exists for)
+    elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
+    top = F.expr(
+        f"aggregate(array_sort({tokens_col}), "
+        f"named_struct('prev', CAST(NULL AS {elem_t}), 'run', CAST(0 AS BIGINT), "
+        f"             'best', CAST(0 AS BIGINT)), "
+        f"(s, t) -> named_struct('prev', t, "
+        f"  'run', IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L), "
+        f"  'best', greatest(s.best, IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L))), "
+        f"s -> s.best)"
+    )
+    top_frac = F.when(n_tok > 0, top / safe_n).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_token_frac", dup_tok.cast("double"))
+        .withColumn("dup_ngram_frac", dup_ng.cast("double"))
+        .withColumn("top_token_frac", top_frac.cast("double"))
+        .drop("_rep_sh")
+    )

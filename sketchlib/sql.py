@@ -5,10 +5,17 @@ for the reference query surface (SURVEY.md §2C) without building a SQL
 dialect: only the STATEMENT SKELETON is parsed here —
 
     SELECT <approx_fn>(...)[, <approx_fn>(...) ...]
-    FROM <table> | (<exact SELECT ...>)
-    [WHERE <expr>] [GROUP BY <col>[, <col> ...]]
+    FROM <table> | (<SELECT ...>)               -- derived tables may
+    [WHERE <expr>] [GROUP BY <col>[, <col> ...]]  -- themselves be approx
     [HAVING <pred over result cols>]
-    [ORDER BY <col> [ASC|DESC]] [LIMIT <n>]
+    [ORDER BY <col> [ASC|DESC][, <col> [ASC|DESC] ...]] [LIMIT <n>]
+
+and single APPROX_COUNT/APPROX_SUM aggregates over equi-joins —
+``FROM a [alias] JOIN b [alias] ON qual.k = qual.k [JOIN c ON ...]
+[WHERE ...] [GROUP BY col]`` — answered from a universe-scramble pair
+(p-composition), a single fact-side scramble with the exact dimension(s)
+broadcast (the fact×dim shape, incl. the three-table chain), or on-the-fly
+sampling.
 
 Multiple SCALAR aggregates (COUNT_DISTINCT/COUNT/SUM/AVG) compose in one
 statement — every sketch aggregate becomes one SketchSpec and they all
@@ -111,6 +118,145 @@ _JOIN_SKELETON = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+# Three-table chain (a08's real shape: fact ⋈ dim ⋈ dim, e.g. orders ⋈
+# customer ⋈ nation GROUP BY n_name): the FACT side is sampled (a registered
+# uniform scramble via catalog, or an on-the-fly Bernoulli draw of the FIRST
+# FROM table), both dimensions are exact and broadcast.
+_JOIN3_SKELETON = re.compile(
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))\s*"
+    r"FROM\s+(?P<t1>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a1>(?!JOIN\b)\w+))?"
+    r"\s+JOIN\s+(?P<t2>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a2>(?!ON\b)\w+))?"
+    r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
+    r"\s+JOIN\s+(?P<t3>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a3>(?!ON\b)\w+))?"
+    r"\s+ON\s+(?P<q3>\w+)\.(?P<k3>\w+)\s*=\s*(?P<q4>\w+)\.(?P<k4>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
+    """fact ⋈ dim ⋈ dim with a Bernoulli-sampled fact side: each surviving
+    joined row inherits its fact row's independent inclusion draw (both
+    dims unique on their join keys — the dimension contract), so the
+    chained join of the sample is itself Bernoulli(p) and the uniform HT
+    estimators apply. The fact is the table holding the registered uniform
+    scramble (catalog path) or the FIRST FROM table (on-the-fly path);
+    universe scrambles are refused here — per-key survival does not
+    compose across two chained keys (use the two-table pair path for
+    universe⋈universe).
+    """
+    from pyspark.sql import functions as F
+
+    fn, args = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))][0]
+    if fn == "APPROX_COUNT":
+        value_col, ratio_arg = None, (args[0] if args else None)
+    elif fn == "APPROX_SUM":
+        value_col, ratio_arg = args[0], (args[1] if len(args) > 1 else None)
+    else:
+        raise ValueError(
+            f"{fn} is not supported over a JOIN — approximate joins answer "
+            "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
+        )
+
+    def _base(t: str) -> str:
+        return t.rstrip("/").split("/")[-1].split(".")[0]
+
+    toks = [(m.group(f"t{i}"), m.group(f"a{i}")) for i in (1, 2, 3)]
+
+    def _which(q: str) -> int:
+        for i, (t, a) in enumerate(toks):
+            if q == t or q == a or _base(t) == q:
+                return i
+        raise ValueError(
+            f"ON qualifier {q!r} names none of the FROM tables/aliases "
+            f"{[t for t, _ in toks]} / {[a for _, a in toks]}"
+        )
+
+    conds = [
+        ((_which(m.group("q1")), m.group("k1")), (_which(m.group("q2")), m.group("k2"))),
+        ((_which(m.group("q3")), m.group("k3")), (_which(m.group("q4")), m.group("k4"))),
+    ]
+    qnames = {n for t, a in toks for n in (t, a, _base(t)) if n}
+    where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
+    group = m.group("group")
+
+    fact_i, ratio, fact_df = 0, None, None
+    if catalog is not None:
+        import os as _os
+
+        key = catalog_key
+        if key is None:
+            dirs = [_table_dir(t, tables) for t, _ in toks]
+            cands = [
+                r for r in catalog.list_samples().collect()
+                if r["kind"] == "uniform"
+                and any(d is not None and _os.path.normpath(d) == _os.path.normpath(r["input_dir"]) for d in dirs)
+            ]
+            if cands:
+                key = max(cands, key=lambda r: (float(r["ratio"] or 0.0), r["name"]))["name"]
+        if key is not None:
+            meta = catalog.sample_meta(key)
+            if meta["kind"] != "uniform":
+                raise ValueError(
+                    "three-table approx joins take a UNIFORM fact scramble — "
+                    f"{key!r} is {meta['kind']} (universe survival does not "
+                    "compose across two chained join keys)"
+                )
+            sdir = _os.path.normpath(meta["input_dir"])
+            fact_i = next(
+                (i for i, (t, _) in enumerate(toks)
+                 if (d := _table_dir(t, tables)) is not None and _os.path.normpath(d) == sdir),
+                None,
+            )
+            if fact_i is None:
+                raise ValueError(
+                    f"sample {key!r} was built over {meta['input_dir']!r}, which is "
+                    f"none of the FROM tables {[t for t, _ in toks]}"
+                )
+            fact_df, ratio = catalog.sample(key), float(meta["ratio"])
+    if fact_df is None:
+        # on-the-fly: the FIRST FROM table is the fact (the conventional
+        # statement order), Bernoulli-sampled at the aggregate's ratio arg
+        from sketchlib.spark.sampling import uniform_sample
+
+        fact_i, ratio = 0, float(ratio_arg or 0.1)
+        fact_df = uniform_sample(_resolve_table(spark, toks[0][0], tables), ratio)
+
+    frames = {
+        i: (fact_df if i == fact_i else _resolve_table(spark, toks[i][0], tables))
+        for i in range(3)
+    }
+    joined, in_join = frames[fact_i], {fact_i}
+    remaining = list(conds)
+    while remaining:
+        for c in remaining:
+            (ia, ka), (ib, kb) = c
+            if (ia in in_join) != (ib in in_join):
+                new_i, new_k, old_k = (ib, kb, ka) if ia in in_join else (ia, ka, kb)
+                bdim = F.broadcast(frames[new_i])
+                joined = joined.join(bdim, joined[old_k] == bdim[new_k])
+                in_join.add(new_i)
+                remaining.remove(c)
+                break
+            if ia in in_join and ib in in_join:
+                joined = joined.filter(F.col(ka) == F.col(kb))
+                remaining.remove(c)
+                break
+        else:
+            raise ValueError("ON clauses do not connect the three FROM tables into a chain")
+    if where:
+        joined = joined.filter(where)
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+    col = value_col
+    if col is None:
+        joined, col = joined.withColumn("_one", F.lit(1.0)), "_one"
+    out = approx_agg_from_uniform_sample(joined, group, col, ratio)
+    keep = ["est_count", "count_err"] + (["est_sum", "sum_err"] if value_col is not None else [])
+    return out.select(*([group] if group else []), *keep)
 
 
 def _strip_qualifiers(expr: str, names: set[str]) -> str:
@@ -1168,6 +1314,9 @@ def approx_sql(
         return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).filter(
             tm.group("pred")
         )
+    jm = _JOIN3_SKELETON.match(sql)
+    if jm:
+        return _approx_join3(spark, jm, tables, catalog, catalog_key)
     jm = _JOIN_SKELETON.match(sql)
     if jm:
         return _approx_join(spark, jm, tables, catalog, catalog_key)

@@ -463,3 +463,31 @@ def test_contamination_pairs(spark, seq_tiny_dir):
     assert {(r["train_id"], r["eval_id"], r["n_shared"]) for r in shuffled} == {
         (r["train_id"], r["eval_id"], r["n_shared"]) for r in hits
     }
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition gates: hand-checked fractions, empty-safe."""
+    from pyspark.sql import Row
+
+    from sketchlib.spark.text import with_repetition_stats
+
+    rows = [
+        Row(doc_id="a", tokens=[1, 1, 1, 2]),     # dup_tok 2/4, bigrams (1,1)x2 (1,2) -> 1/3, top 3/4
+        Row(doc_id="b", tokens=[5, 6, 7, 8]),     # all distinct: 0, 0, 1/4
+        Row(doc_id="c", tokens=[9]),              # too short for bigrams
+        Row(doc_id="d", tokens=[]),               # empty
+    ]
+    out = {r["doc_id"]: r for r in with_repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert abs(out["a"]["dup_token_frac"] - 0.5) < 1e-12
+    assert abs(out["a"]["dup_ngram_frac"] - 1 / 3) < 1e-12
+    assert abs(out["a"]["top_token_frac"] - 0.75) < 1e-12
+    assert out["b"]["dup_token_frac"] == 0.0 and out["b"]["dup_ngram_frac"] == 0.0
+    assert abs(out["b"]["top_token_frac"] - 0.25) < 1e-12
+    assert out["c"]["dup_ngram_frac"] == 0.0 and out["c"]["top_token_frac"] == 1.0
+    assert out["d"]["dup_token_frac"] == 0.0 and out["d"]["top_token_frac"] == 0.0
+
+    # string tokens work too (the documents-table path)
+    srows = [Row(doc_id="s", tokens=["x", "y", "x", "x"])]
+    sout = with_repetition_stats(spark.createDataFrame(srows)).collect()[0]
+    assert abs(sout["dup_token_frac"] - 0.5) < 1e-12
+    assert abs(sout["top_token_frac"] - 0.75) < 1e-12

@@ -144,3 +144,29 @@ def test_contamination_no_corpus_shuffle_before_join(spark):
         "corpus side shuffles below the broadcast join:\n" + train_side
     )
     assert "FileScan parquet" in train_side  # corpus side is the scan itself
+
+
+def test_mixed_join_broadcasts_dim_and_pushes_where(spark, tmp_path):
+    """Round-4 fact×dim mixed join contract: the exact dimension reaches
+    the join through a BroadcastExchange (no SortMergeJoin of the fact
+    sample), and a fact-side WHERE predicate is pushed into the SAMPLE
+    scan — the only Exchange is the post-join aggregation's."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("ou", f"{SF}/orders.parquet", kind="uniform", ratio=0.5, seed=11)
+    df = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(o_totalprice) FROM orders o JOIN customer c "
+        "ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 1000 GROUP BY c_mktsegment",
+        tables={"orders": f"{SF}/orders.parquet", "customer": f"{SF}/customer.parquet"},
+        catalog=cat,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "GreaterThan(o_totalprice,1000" in plan, plan  # pushed to the sample scan
+    # the fact (streamed) side below the join must be exchange-free
+    join_pos = plan.index("BroadcastHashJoin")
+    fact_side = plan[join_pos:plan.index("BroadcastExchange", join_pos)]
+    assert "Exchange hashpartitioning" not in fact_side, fact_side

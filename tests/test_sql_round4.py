@@ -308,3 +308,58 @@ def test_crashed_refresh_restores_in_listing(spark, tables, tmp_path):
     assert "crashy" in listed  # restored by the listing itself
     assert os.path.isdir(sdir)
     assert cat.states("crashy").count() > 0
+
+
+def test_three_table_join_chain(spark, tmp_path):
+    """a08's real shape through the SQL door: fact ⋈ dim1 ⋈ dim2 with a
+    uniform fact scramble (auto-selected), GROUP BY a second-dim attribute;
+    on-the-fly path Bernoulli-samples the FIRST FROM table."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(23)
+    fact = pd.DataFrame({"ck": rng.integers(0, 200, 10000),
+                         "price": rng.uniform(1, 100, 10000).round(2)})
+    cust = pd.DataFrame({"cid": np.arange(200), "nk": np.arange(200) % 7})
+    nation = pd.DataFrame({"nid": np.arange(7), "nname": [f"n{i}" for i in range(7)]})
+    d = tmp_path
+    paths = {}
+    for name, pdf in (("orders", fact), ("cust", cust), ("nation", nation)):
+        paths[name] = str(d / name)
+        spark.createDataFrame(pdf).write.parquet(paths[name])
+    t = paths
+    stmt = (
+        "SELECT APPROX_SUM(price) FROM orders o JOIN cust c ON o.ck = c.cid "
+        "JOIN nation n ON c.nk = n.nid GROUP BY nname"
+    )
+    exact = (
+        fact.merge(cust, left_on="ck", right_on="cid")
+        .merge(nation, left_on="nk", right_on="nid")
+        .groupby("nname")["price"].agg(["count", "sum"])
+    )
+
+    # catalog path: uniform scramble on the fact side, auto-selected
+    cat = SketchCatalog(spark, str(d / "cat"))
+    cat.create_sample("ou", paths["orders"], kind="uniform", ratio=0.5, seed=5)
+    est = {r["nname"]: r for r in approx_sql(spark, stmt, t, catalog=cat).collect()}
+    assert set(est) == set(exact.index)
+    for g, row in exact.iterrows():
+        assert abs(est[g]["est_count"] - row["count"]) <= est[g]["count_err"] * WIDE
+        assert abs(est[g]["est_sum"] - row["sum"]) <= est[g]["sum_err"] * WIDE
+
+    # on-the-fly path: first FROM table sampled at the ratio argument
+    stmt2 = (
+        "SELECT APPROX_COUNT(0.5) FROM orders o JOIN cust c ON o.ck = c.cid "
+        "JOIN nation n ON c.nk = n.nid WHERE o.price > 50 GROUP BY nname"
+    )
+    est2 = {r["nname"]: r for r in approx_sql(spark, stmt2, t).collect()}
+    ex2 = (
+        fact[fact["price"] > 50].merge(cust, left_on="ck", right_on="cid")
+        .merge(nation, left_on="nk", right_on="nid").groupby("nname").size()
+    )
+    for g, n in ex2.items():
+        assert abs(est2[g]["est_count"] - n) <= est2[g]["count_err"] * WIDE
+
+    # a universe scramble cannot drive the 3-chain
+    cat.create_sample("ouu", paths["orders"], kind="universe", ratio=0.5, on="ck", seed=5)
+    with pytest.raises(ValueError, match="UNIFORM fact scramble"):
+        approx_sql(spark, stmt, t, catalog=cat, catalog_key="ouu").collect()

@@ -6,7 +6,11 @@ names), and exact values (columns sorted by name, rows sorted by all
 columns) — the same canonicalization the driver hashes. Exact equality of
 values implies any value-hash matches.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--out FILE] [sf_dir] [query ...]
+
+--out FILE additionally writes the per-query result dict as JSON (the same
+shape the driver records in CORRECTNESS_r{N}.json), so a full-registry
+sweep can be committed as verification evidence between driver rounds.
 """
 
 from __future__ import annotations
@@ -52,8 +56,13 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    out_file = None
+    if args and args[0] == "--out":
+        out_file = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +116,9 @@ def main() -> int:
         if entry.get("why"):
             print(f"     why: {entry['why']}")
     print(f"\n{len(results) - n_bad}/{len(results)} green")
+    if out_file:
+        with open(out_file, "w") as fh:
+            json.dump(results, fh, indent=1)
     spark.stop()
     return 1 if n_bad else 0
 
