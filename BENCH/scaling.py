@@ -231,8 +231,18 @@ def main() -> None:
         "max normalized rank error across p50/p90/p99.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write("\n".join(md))
+    # preserve hand-written sections appended after the generated block
+    # (e.g. the round-4 A/B bisect) — only the generated prefix is replaced
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        marker = "\n## Round-"
+        if marker in old:
+            tail = old[old.index(marker):]
+    with open(path, "w") as fh:
+        fh.write("\n".join(md) + tail)
     print(json.dumps(payload))
 
 

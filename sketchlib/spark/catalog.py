@@ -200,8 +200,19 @@ class SketchCatalog:
         shutil.rmtree(bak, ignore_errors=True)
         refreshed.write.mode("overwrite").parquet(tmp)
         os.rename(sdir, bak)
-        os.rename(tmp, sdir)
-        shutil.rmtree(bak)
+        try:
+            os.rename(tmp, sdir)
+        except OSError:
+            # a concurrent reader's crash-restore (_restore_crashed) can
+            # rename the backup into place between our two renames; the
+            # restored content IS the pre-refresh states, which the tmp
+            # table supersedes — replace it and finish the swap
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir)
+                os.rename(tmp, sdir)
+            else:
+                raise
+        shutil.rmtree(bak, ignore_errors=True)
         from pyspark.sql import functions as F
 
         persisted = self.spark.read.parquet(sdir)

@@ -45,8 +45,7 @@ _DISTRIBUTED_THRESHOLD = 1000
 
 def load_states(states: DataFrame) -> dict[tuple[str, str], object]:
     """{(group, sketch_name): sketch object} from a merged-states DataFrame."""
-    rows = states.select("group", "sketch", "state").collect()
-    return {(r["group"], r["sketch"]): deserialize(r["state"]) for r in rows}
+    return _rows_to_states(states.select("group", "sketch", "state").collect())
 
 
 def _map_states(sub: DataFrame, per_state_rows, out_schema: str, out_cols: list[str]) -> DataFrame:
@@ -65,27 +64,36 @@ def _map_states(sub: DataFrame, per_state_rows, out_schema: str, out_cols: list[
     return sub.select("group", "state").mapInPandas(gen, out_schema)
 
 
+_PROBE_ROWS = 64  # caps probe TRANSFER at 64 × state size (~70 MB for ε=1e-4 CM)
+
+
 def _route(states: DataFrame, sketch: str, distributed: bool | None):
     """(probe rows | None, filtered states, persisted?) — see module
     docstring. Auto-routing costs ONE job in the common driver case: a
-    ``limit(threshold+1).collect()`` probe both decides the path AND
+    ``limit(_PROBE_ROWS+1).collect()`` probe both decides the path AND
     delivers the state rows the driver path needs, so no persist+count job
-    precedes the answer (round 3 ran count-then-collect — two jobs, and the
-    first one re-executed the whole upstream sketch build; the A/B bisect
-    of the r3 bench regression landed exactly here). Only the
-    high-cardinality overflow (> threshold rows) pays a persist so the
-    distributed pass doesn't recompute the build."""
+    precedes the answer (round 3 ran count-then-collect — two jobs; the
+    A/B bisect of the r3 bench regression landed exactly here). The probe
+    limit is SMALL (64) because probe rows carry the serialized states —
+    probing at the full distributed threshold would pull up to 10³
+    MB-scale CM blobs to the driver just to learn "too many groups".
+    Group counts between the probe limit and the distributed threshold
+    fall back to persist+count routing: count transfers nothing, and the
+    persisted states serve whichever path wins without recomputing the
+    upstream build."""
     sub = states.filter(F.col("sketch") == sketch)
     if distributed is True:
         return None, sub, False
     if distributed is False:
         return sub.select("group", "sketch", "state").collect(), sub, False
-    probe = (
-        sub.select("group", "sketch", "state").limit(_DISTRIBUTED_THRESHOLD + 1).collect()
-    )
-    if len(probe) <= _DISTRIBUTED_THRESHOLD:
+    probe = sub.select("group", "sketch", "state").limit(_PROBE_ROWS + 1).collect()
+    if len(probe) <= _PROBE_ROWS:
         return probe, sub, False
     sub = sub.persist()
+    if sub.count() <= _DISTRIBUTED_THRESHOLD:
+        rows = sub.select("group", "sketch", "state").collect()
+        sub.unpersist()
+        return rows, sub, False
     return None, sub, True
 
 

@@ -194,10 +194,42 @@ def approx_join_agg_from_samples(
     joined = ls.join(rs, ls[left_key] == rs[right_key])
     if where:
         joined = joined.filter(where)
+    return cluster_join_agg(
+        joined, ls[left_key], p, value_col=value_col, z=z, group_by=group_by
+    )
+
+
+def cluster_join_agg(
+    joined: DataFrame,
+    cluster_col,
+    ratio: float,
+    value_col: str | None = None,
+    z: float = 1.96,
+    group_by: str | None = None,
+) -> DataFrame:
+    """COUNT/SUM estimator for a joined frame whose rows were included via
+    independent Bernoulli(p) draws of CLUSTERS — the shared core of every
+    approximate-join shape. ``cluster_col`` identifies the independent
+    inclusion unit: the shared join key for universe⋈universe (a key
+    survives as a unit and brings every pair), or the sampled row's own id
+    for a uniform scramble joined to exact tables (each sampled row brings
+    every row it joins to — one joined row when the other side is unique
+    on the key, many otherwise; treating joined rows as independent would
+    understate the CI by ~√(rows/cluster) whenever they aren't).
+
+    Estimators: est = Σ_s c_r/p (unbiased, HT), Var = Σ_pop c_r²(1−p)/p
+    estimated from the sample as Σ_s c_r²(1−p)/p². With one row per
+    cluster this reduces exactly to the plain uniform-sample formulas.
+    Grouped: clusters contribute to each group they appear in; per-group
+    variances use that group's own cluster cells (cells of one cluster are
+    correlated ACROSS groups, but each group's estimator only sums its own
+    cells, so the per-group CI is unaffected).
+    """
+    p = float(ratio)
     aggs = [F.count(F.lit(1)).alias("c_k")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("s_k"))
-    gb = [ls[left_key]] + ([F.col(group_by)] if group_by else [])
+    gb = [cluster_col] + ([F.col(group_by)] if group_by else [])
     per_key = joined.groupBy(*gb).agg(*aggs)
     c_k = F.col("c_k")
     out = [
@@ -232,12 +264,14 @@ def approx_join_agg_mixed(
     may name a column of either side (grouping happens after the join —
     the usual fact×dim rollup groups by a dim attribute).
 
-    kind='uniform': each fact row was kept independently with probability
-    p, and each joined row inherits exactly its fact row's draw (dim is a
-    dimension — unique on the join key — so no fact row multiplies), making
-    the joined sample itself Bernoulli(p): the standard HT estimators
-    apply. With a non-unique dim key the estimate stays unbiased but the
-    reported CI understates (correlated inclusions).
+    kind='uniform': each sampled row was kept independently with
+    probability p and brings ALL the rows it joins to, so the inclusion
+    unit is the sampled ROW — the estimator clusters joined rows by a
+    per-sampled-row id (``cluster_join_agg``). With a key-unique dim this
+    reduces exactly to the plain Bernoulli HT formulas; with a many-match
+    other side (e.g. the scramble sits on the key-unique dimension and the
+    exact side is the fact) the clustered variance stays honest where a
+    row-independence formula would understate by ~√(rows/cluster).
 
     kind='universe' (fact sampled on ITS join key): a key survives with
     probability p and brings all its joined rows, so the per-key clustered
@@ -254,15 +288,13 @@ def approx_join_agg_mixed(
         )
     if kind != "uniform":
         raise ValueError(f"mixed approx join needs a uniform or universe fact sample, got {kind!r}")
-    joined = fact_sample.join(F.broadcast(dim), fact_sample[fact_key] == dim[dim_key])
+    s = fact_sample.withColumn("_cluster", F.monotonically_increasing_id())
+    joined = s.join(F.broadcast(dim), s[fact_key] == dim[dim_key])
     if where:
         joined = joined.filter(where)
-    col = value_col
-    if col is None:
-        joined, col = joined.withColumn("_one", F.lit(1.0)), "_one"
-    out = approx_agg_from_uniform_sample(joined, group_by, col, ratio, z=z)
-    keep = ["est_count", "count_err"] + (["est_sum", "sum_err"] if value_col is not None else [])
-    return out.select(*([group_by] if group_by else []), *keep)
+    return cluster_join_agg(
+        joined, F.col("_cluster"), ratio, value_col=value_col, z=z, group_by=group_by
+    )
 
 
 def approx_agg_stratified(

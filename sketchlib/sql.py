@@ -138,15 +138,18 @@ _JOIN3_SKELETON = re.compile(
 
 
 def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
-    """fact ⋈ dim ⋈ dim with a Bernoulli-sampled fact side: each surviving
-    joined row inherits its fact row's independent inclusion draw (both
-    dims unique on their join keys — the dimension contract), so the
-    chained join of the sample is itself Bernoulli(p) and the uniform HT
-    estimators apply. The fact is the table holding the registered uniform
+    """fact ⋈ dim ⋈ dim with a Bernoulli-sampled fact side: the sampled
+    row is the independent inclusion unit and brings every row the chained
+    joins attach to it, so the estimator clusters joined rows per sampled
+    row (``cluster_join_agg``) — exact CIs whatever the dims' key
+    multiplicity, reducing to plain Bernoulli HT when both dims are
+    key-unique. The fact is the table holding the registered uniform
     scramble (catalog path) or the FIRST FROM table (on-the-fly path);
     universe scrambles are refused here — per-key survival does not
     compose across two chained keys (use the two-table pair path for
-    universe⋈universe).
+    universe⋈universe). An explicit ratio argument is honored: only
+    samples of ≥ that ratio are auto-selected, else the on-the-fly draw
+    runs at the requested ratio.
     """
     from pyspark.sql import functions as F
 
@@ -183,6 +186,13 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
     group = m.group("group")
 
+    req_ratio = None
+    if ratio_arg is not None:
+        try:
+            req_ratio = float(ratio_arg)
+        except (TypeError, ValueError):
+            req_ratio = None
+
     fact_i, ratio, fact_df = 0, None, None
     if catalog is not None:
         import os as _os
@@ -193,6 +203,9 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
             cands = [
                 r for r in catalog.list_samples().collect()
                 if r["kind"] == "uniform"
+                # an explicit ratio argument is a precision request — only
+                # samples meeting it may serve (else on-the-fly fallback)
+                and (req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12)
                 and any(d is not None and _os.path.normpath(d) == _os.path.normpath(r["input_dir"]) for d in dirs)
             ]
             if cands:
@@ -225,6 +238,10 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
         fact_i, ratio = 0, float(ratio_arg or 0.1)
         fact_df = uniform_sample(_resolve_table(spark, toks[0][0], tables), ratio)
 
+    # the sampled row is the independent inclusion unit: it brings every
+    # row the chained joins attach to it, so the estimator clusters by a
+    # per-sampled-row id (cluster_join_agg), not per joined row
+    fact_df = fact_df.withColumn("_cluster", F.monotonically_increasing_id())
     frames = {
         i: (fact_df if i == fact_i else _resolve_table(spark, toks[i][0], tables))
         for i in range(3)
@@ -247,14 +264,21 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
                 break
         else:
             raise ValueError("ON clauses do not connect the three FROM tables into a chain")
+    if len(in_join) != 3:
+        missing = [toks[i][0] for i in range(3) if i not in in_join]
+        raise ValueError(
+            f"ON clauses never join {missing} — each JOINed table needs an ON "
+            "condition linking it to the others (a redundant condition between "
+            "two already-joined tables leaves the third as a cross join, which "
+            "the approximate path refuses rather than silently mis-estimating)"
+        )
     if where:
         joined = joined.filter(where)
-    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+    from sketchlib.spark.sampling import cluster_join_agg
 
-    col = value_col
-    if col is None:
-        joined, col = joined.withColumn("_one", F.lit(1.0)), "_one"
-    out = approx_agg_from_uniform_sample(joined, group, col, ratio)
+    out = cluster_join_agg(
+        joined, F.col("_cluster"), ratio, value_col=value_col, group_by=group
+    )
     keep = ["est_count", "count_err"] + (["est_sum", "sum_err"] if value_col is not None else [])
     return out.select(*([group] if group else []), *keep)
 
@@ -262,11 +286,22 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
 def _strip_qualifiers(expr: str, names: set[str]) -> str:
     """Drop ``alias.`` / ``table.`` prefixes naming the FROM tokens from a
     predicate: the joined frame carries unqualified columns (TPC-H-style
-    schemas have table-prefixed column names, so collisions don't arise)."""
+    schemas have table-prefixed column names, so collisions don't arise).
+    Matches are located on LITERAL-MASKED text, so a string literal that
+    happens to contain ``alias.`` (e.g. ``url LIKE 'fact.%'``) is never
+    rewritten — only real qualifier positions are."""
     if not expr:
         return expr
-    pat = r"\b(?:" + "|".join(re.escape(n) for n in sorted(names, key=len, reverse=True)) + r")\.(?=\w)"
-    return re.sub(pat, "", expr)
+    pat = re.compile(
+        r"\b(?:" + "|".join(re.escape(n) for n in sorted(names, key=len, reverse=True)) + r")\.(?=\w)"
+    )
+    masked = _mask_literals(expr)
+    out, last = [], 0
+    for m in pat.finditer(masked):
+        out.append(expr[last:m.start()])
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
 
 
 def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
@@ -303,12 +338,23 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
     qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
 
+    req_ratio = None
+    if ratio_arg is not None:
+        try:
+            req_ratio = float(ratio_arg)
+        except (TypeError, ValueError):
+            req_ratio = None
+
     if catalog is not None and catalog_key is None:
         # auto-selection for joins: best = a PAIR of universe scrambles on
         # the two join keys sharing (ratio, seed) — p-composition needs the
         # shared hash; else ONE fact-side scramble (uniform, or universe on
-        # that side's join key) broadcast-joined to the exact other side
-        catalog_key = _resolve_join_key(ta, tb, left_key, right_key, tables, catalog)
+        # that side's join key) broadcast-joined to the exact other side.
+        # An explicit ratio argument is a precision request: only samples
+        # meeting it may serve (None → on-the-fly at the requested ratio).
+        catalog_key = _resolve_join_key(
+            ta, tb, left_key, right_key, tables, catalog, req_ratio=req_ratio
+        )
 
     if catalog is not None and catalog_key is not None:
         names = [s.strip() for s in str(catalog_key).split(",")]
@@ -433,14 +479,19 @@ _REFRESH_SKETCHES = re.compile(r"^\s*REFRESH\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$
 _REFRESH_SAMPLE = re.compile(r"^\s*REFRESH\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
 
-def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | None:
+def _resolve_join_key(
+    ta, tb, left_key, right_key, tables, catalog, req_ratio: float | None = None
+) -> str | None:
     """Auto-selection for APPROX joins. Best: a (left, right) pair of
     registered UNIVERSE scrambles — one per table, keyed on that side's
     join column — sharing (ratio, seed): survival probabilities compose
     only through the same hash; largest shared ratio (lowest error) wins.
     Fallback: ONE fact-side scramble (uniform, or universe on that side's
     join key) — the fact×dimension shape, the other side read exact and
-    broadcast. None → the statement samples both sides on the fly."""
+    broadcast. None → the statement samples both sides on the fly.
+    ``req_ratio`` (the statement's explicit ratio argument) is honored:
+    samples below it are skipped, so the fallback draw runs at the
+    requested precision instead of silently widening the CI."""
     import os
 
     da, db = _table_dir(ta, tables), _table_dir(tb, tables)
@@ -448,6 +499,8 @@ def _resolve_join_key(ta, tb, left_key, right_key, tables, catalog) -> str | Non
         return None
     da, db = os.path.normpath(da), os.path.normpath(db)
     all_rows = catalog.list_samples().collect()
+    if req_ratio is not None:
+        all_rows = [r for r in all_rows if float(r["ratio"] or 0.0) >= req_ratio - 1e-12]
     rows = [r for r in all_rows if r["kind"] == "universe"]
     lefts = [r for r in rows if os.path.normpath(r["input_dir"]) == da and r["on_col"] == left_key]
     rights = [r for r in rows if os.path.normpath(r["input_dir"]) == db and r["on_col"] == right_key]
@@ -833,8 +886,11 @@ def _resolve_key(
         if s["kind"] == "hll":
             return 1.04 / (2.0 ** float(params.get("p", 14))) ** 0.5 <= req_rse * (1 + 1e-9)
         if s["kind"] == "kmv":
+            # same bound the sketch itself reports (sketches/kmv.py): a
+            # looser gate formula would admit states whose answer frame
+            # then carries rse_bound > the requested rse
             k = float(params.get("k", 1024))
-            return k > 1 and 1.0 / (k - 1) ** 0.5 <= req_rse * (1 + 1e-9)
+            return k > 2 and 1.0 / (k - 2) ** 0.5 <= req_rse * (1 + 1e-9)
         return False
 
     kinds = _CATALOG_KINDS.get(fn)

@@ -161,3 +161,25 @@ def test_exact_rescore_distributed_unsafe_group_dtype(spark):
             sub.sort_values(["count", "token"], ascending=[False, True]).head(5)["token"]
         )
         assert set(got[got["group"] == g]["token"]) == true5
+
+
+def test_auto_routing_mid_band_takes_driver_path(spark, highcard_states, monkeypatch):
+    """Review r4: group counts between the byte-capped probe limit (64)
+    and the distributed threshold (1000) overflow the probe but must still
+    take the DRIVER path via persist+count routing — no _map_states call,
+    correct answers, cache released."""
+    import sketchlib.spark.query as q
+
+    calls = []
+    real = q._map_states
+    monkeypatch.setattr(q, "_map_states", lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    mid = highcard_states.filter(
+        F.col("group").isin([str(i) for i in range(200)])
+    )
+    out = estimates_df(spark, mid, "h")
+    assert not calls, "200 groups (probe overflow, under threshold) must stay driver-side"
+    assert out.count() == 200
+    # answers match the explicit driver path exactly
+    want = estimates_df(spark, mid, "h", distributed=False)
+    cols = ["group", "estimate", "rse_bound"]
+    assert _rows(out, cols) == _rows(want, cols)

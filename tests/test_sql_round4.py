@@ -363,3 +363,106 @@ def test_three_table_join_chain(spark, tmp_path):
     cat.create_sample("ouu", paths["orders"], kind="universe", ratio=0.5, on="ck", seed=5)
     with pytest.raises(ValueError, match="UNIFORM fact scramble"):
         approx_sql(spark, stmt, t, catalog=cat, catalog_key="ouu").collect()
+
+
+def test_strip_qualifiers_spares_literals(spark, join_tables):
+    """Review r4: a string literal containing 'fact.' must not be rewritten
+    by qualifier stripping — only real qualifier positions are."""
+    from sketchlib.sql import _strip_qualifiers
+
+    out = _strip_qualifiers("f.val > 5 AND name LIKE 'f.%'", {"f", "fact"})
+    assert out == "val > 5 AND name LIKE 'f.%'"
+    # end-to-end: the literal predicate reaches Catalyst intact
+    t, fact, dim = join_tables
+    res = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact f JOIN dim d ON f.k = d.j "
+        "WHERE f.val > 5 AND d.region != 'f.notaregion'",
+        t,
+    ).collect()[0]
+    exact = int((fact["val"] > 5).sum())
+    assert abs(res["est_count"] - exact) <= res["count_err"] * WIDE
+
+
+def test_dim_side_sample_clustered_ci(spark, tmp_path):
+    """Review r4: a uniform scramble on the KEY-UNIQUE side joined to a
+    many-rows-per-key exact side — inclusions cluster per sampled row, and
+    the reported CI must be the clustered one (Σc², ~√m wider than a
+    row-independence formula), with the exact answer inside it."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    m = 25
+    keys = np.arange(80)
+    fact = pd.DataFrame({"k": np.repeat(keys, m)})       # exactly m rows per key
+    dim = pd.DataFrame({"j": keys})
+    fpath, dpath = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.createDataFrame(fact).write.parquet(fpath)
+    spark.createDataFrame(dim).write.parquet(dpath)
+    t = {"fact": fpath, "dim": dpath}
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("du", dpath, kind="uniform", ratio=0.5, seed=3)
+    n_s = cat.sample("du").count()
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT() FROM fact JOIN dim ON fact.k = dim.j",
+        t, catalog=cat, catalog_key="du",
+    ).collect()[0]
+    p, z = 0.5, 1.96
+    assert out["est_count"] == pytest.approx(n_s * m / p)
+    # clustered formula: every sampled dim row brings exactly m joined rows
+    assert out["count_err"] == pytest.approx(z * (n_s * m * m * (1 - p)) ** 0.5 / p)
+    assert abs(out["est_count"] - len(fact)) <= out["count_err"] * WIDE
+
+
+def test_three_table_join_refuses_disconnected(spark, tmp_path):
+    """Review r4: ON clauses that never link the third table must raise,
+    not silently drop it from the join."""
+    for name, pdf in (
+        ("ta", pd.DataFrame({"x": [1, 2], "k": [1, 2]})),
+        ("tb", pd.DataFrame({"y": [1, 2], "k2": [1, 2]})),
+        ("tc", pd.DataFrame({"z": [1, 2]})),
+    ):
+        spark.createDataFrame(pdf).write.parquet(str(tmp_path / name))
+    t = {n: str(tmp_path / n) for n in ("ta", "tb", "tc")}
+    with pytest.raises(ValueError, match="never join"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT(0.5) FROM ta JOIN tb ON ta.x = tb.y "
+            "JOIN tc ON ta.k = tb.k2",
+            t,
+        ).collect()
+
+
+def test_kmv_accuracy_gate_uses_sketch_bound(spark, tables, tmp_path):
+    """Review r4: the KMV routing gate must use the sketch's own reported
+    bound 1/√(k−2) — k=101 achieves 0.1005, not the 0.1 a 1/√(k−1) gate
+    would admit."""
+    from sketchlib.spark import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("kmv101", tables["sequences"],
+               [SketchSpec("km", "kmv", "doc_id", {"k": 101})], group_by="source")
+    q = "SELECT APPROX_COUNT_DISTINCT(doc_id, 0.1) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q, tables, cat) is None
+    q_loose = "SELECT APPROX_COUNT_DISTINCT(doc_id, 0.11) FROM sequences GROUP BY source"
+    assert resolve_catalog_key(spark, q_loose, tables, cat) == "kmv101"
+
+
+def test_join_routing_honors_explicit_ratio(spark, join_tables, tmp_path):
+    """Review r4: an explicit ratio argument in a join statement skips
+    samples below it (the single-table rule, extended to joins)."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import _resolve_join_key
+
+    t, fact, dim = join_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("fu02", t["fact"], kind="uniform", ratio=0.2, seed=3)
+    assert _resolve_join_key("fact", "dim", "k", "j", t, cat, req_ratio=0.5) is None
+    assert _resolve_join_key("fact", "dim", "k", "j", t, cat, req_ratio=0.1) == "fu02"
+    # end-to-end: the 0.5 request falls back to an on-the-fly 0.5 draw
+    out = approx_sql(
+        spark, "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j",
+        t, catalog=cat,
+    ).collect()[0]
+    joined = fact.merge(dim, left_on="k", right_on="j")
+    assert abs(out["est_count"] - len(joined)) <= out["count_err"] * WIDE
