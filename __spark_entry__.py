@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-58 queries; naming maps to SURVEY.md §2:
+59 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -17,7 +17,7 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (16) — training-data pipeline ops: exact dedup, token stats,
+  c* (17) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
@@ -27,7 +27,8 @@
        dataset mixture composition (c15, weight-targeted sampleBy),
        Gopher-style repetition gates (c16, round 4 — duplicate-token /
        duplicate-bigram / top-token-occupancy stats, hash-matched vs a
-       DuckDB list-function oracle).
+       DuckDB list-function oracle), span-level decontamination (c17,
+       round 4 — longest consecutive shared-n-gram run per pair).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1530,6 +1531,50 @@ def q_c14_contamination(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_c17_contamination_spans(spark, sf_dir):
+    """Round 4: span-level decontamination (contamination_spans) — the
+    longest CONSECUTIVE run of shared 8-grams per (train, eval) pair, via
+    positioned shingles + diagonal gaps-and-islands over matched rows
+    only. Properties: an eval doc built from a real document's 40-token
+    prefix reports max_span_tokens EXACTLY 40 against that document (the
+    full verbatim inclusion, not just 'some overlap'), and an
+    out-of-vocabulary eval doc reports nothing."""
+    from sketchlib.spark.dedup import contamination_spans
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens").cache()
+    try:
+        seeds = (
+            docs.withColumn("_n", F.size("tokens"))
+            .filter(F.col("_n") >= 40)
+            .orderBy(F.desc("_n"), "doc_id")
+            .limit(3)
+            .collect()
+        )
+        eval_rows = [
+            {"doc_id": f"eval_{i}", "tokens": list(r["tokens"][:40])}
+            for i, r in enumerate(seeds)
+        ]
+        eval_rows.append(
+            {"doc_id": "eval_clean", "tokens": [2_000_000_000 - i for i in range(40)]}
+        )
+        eval_df = spark.createDataFrame(pd.DataFrame(eval_rows))
+        spans = contamination_spans(docs, eval_df, n=8).collect()
+        by_pair = {(r["train_id"], r["eval_id"]): r for r in spans}
+        span_ok = all(
+            by_pair.get((seeds[i]["doc_id"], f"eval_{i}")) is not None
+            and by_pair[(seeds[i]["doc_id"], f"eval_{i}")]["max_span_tokens"] == 40
+            for i in range(len(seeds))
+        )
+        clean_ok = not any(e == "eval_clean" for _, e in by_pair)
+    finally:
+        docs.unpersist()
+    checks = [
+        ("seed_span_exactly_40", bool(span_ok)),
+        ("clean_eval_no_hits", bool(clean_ok)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
 def q_c15_mixture_sample(spark, sf_dir):
     """Dataset mixture composition (D22): per-source Bernoulli fractions
     solved so each source's expected output-token share matches the target
@@ -1639,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c14_contamination": _dist_wrapped(q_c14_contamination),
         "c15_mixture_sample": _dist_wrapped(q_c15_mixture_sample),
         "c16_repetition_stats": _dist_wrapped(q_c16_repetition_stats),
+        "c17_contamination_spans": _dist_wrapped(q_c17_contamination_spans),
     }
 
 
@@ -1778,6 +1824,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'uncapped_within_clt' AS check, TRUE AS ok
             UNION ALL SELECT 'unlisted_sources_excluded', TRUE
             UNION ALL SELECT 'over_inventory_capped_flagged', TRUE
+        """,
+        "c17_contamination_spans": """
+            SELECT 'seed_span_exactly_40' AS check, TRUE AS ok
+            UNION ALL SELECT 'clean_eval_no_hits', TRUE
         """,
         "c16_repetition_stats": r"""
             WITH w AS (

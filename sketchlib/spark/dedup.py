@@ -466,3 +466,64 @@ def contamination_pairs(
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_threshold: int = 100_000_000,
+) -> DataFrame:
+    """Per contaminated (train, eval) pair, the LONGEST CONSECUTIVE run of
+    shared token n-grams: (train_id, eval_id, n_shared, max_run_ngrams,
+    max_span_tokens). ``contamination_pairs`` counts shared n-grams;
+    decontamination POLICY usually keys on span length — a 200-token
+    verbatim inclusion is a leak, eight scattered 8-grams are phrasing —
+    so this emits ``max_span_tokens`` (= longest run + n − 1, the length
+    of the longest verbatim token run the two documents share).
+
+    Mechanics (all JVM): both sides explode to POSITIONED shingle hashes
+    (posexplode keeps the n-gram start index), matches join on the hash,
+    and a shared run lies on a DIAGONAL — consecutive matches share
+    ``train_pos − eval_pos`` — so runs are gaps-and-islands per
+    (pair, diagonal) with one window over the MATCHED rows only. The
+    window's exchange is matched-pairs-sized (post-join), never
+    corpus-sized; the eval side is size-gated exactly like
+    ``contamination_pairs`` (broadcast under the threshold, pairs-only
+    shuffle above).
+    """
+    import logging
+
+    from pyspark.sql import Window
+
+    t = with_token_ngrams(train, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
+        F.col(id_col).alias("train_id"), F.posexplode("_sh").alias("tpos", "h")
+    )
+    e = with_token_ngrams(eval_df, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
+        F.col(id_col).alias("eval_id"), F.posexplode("_sh").alias("epos", "h")
+    )
+    n_eval_pairs = e.count()
+    log = logging.getLogger(__name__)
+    if n_eval_pairs <= broadcast_threshold:
+        log.info("contamination_spans: eval side %d rows — broadcast join", n_eval_pairs)
+        m = t.join(F.broadcast(e), "h")
+    else:
+        log.info("contamination_spans: eval side %d rows — shuffle join", n_eval_pairs)
+        m = t.join(e, "h")
+    m = m.withColumn("_diag", F.col("tpos") - F.col("epos"))
+    w = Window.partitionBy("train_id", "eval_id", "_diag").orderBy("tpos")
+    runs = (
+        m.withColumn("_isl", F.col("tpos") - F.row_number().over(w))
+        .groupBy("train_id", "eval_id", "_diag", "_isl")
+        .agg(F.count("*").alias("_run"), F.count_distinct("h").alias("_uniq"))
+    )
+    return (
+        runs.groupBy("train_id", "eval_id")
+        .agg(
+            F.sum("_uniq").alias("n_shared"),
+            F.max("_run").alias("max_run_ngrams"),
+            (F.max("_run") + F.lit(n - 1)).alias("max_span_tokens"),
+        )
+    )

@@ -491,3 +491,34 @@ def test_repetition_stats(spark):
     sout = with_repetition_stats(spark.createDataFrame(srows)).collect()[0]
     assert abs(sout["dup_token_frac"] - 0.5) < 1e-12
     assert abs(sout["top_token_frac"] - 0.75) < 1e-12
+
+
+def test_contamination_spans(spark):
+    """Span detection: a 20-token verbatim inclusion reports
+    max_span_tokens=20; two separated 12-token inclusions report 12 (spans
+    don't bridge the gap); untouched docs report nothing."""
+    from pyspark.sql import Row
+
+    from sketchlib.spark.dedup import contamination_spans
+
+    rng = np.random.default_rng(11)
+    ev = [int(x) for x in rng.integers(10**7, 10**8, 40)]
+    eval_df = spark.createDataFrame([Row(doc_id="e1", tokens=ev)])
+    base = [int(x) for x in rng.integers(1, 50_000, 60)]
+    train = spark.createDataFrame([
+        Row(doc_id="t_full", tokens=ev[:20] + base),          # one 20-token span
+        Row(doc_id="t_split", tokens=ev[:12] + base[:10] + ev[20:32] + base[10:]),
+        Row(doc_id="t_clean", tokens=base),
+    ])
+    out = {r["train_id"]: r for r in contamination_spans(train, eval_df, n=8).collect()}
+    assert set(out) == {"t_full", "t_split"}
+    assert out["t_full"]["max_span_tokens"] == 20
+    assert out["t_full"]["max_run_ngrams"] == 13       # 20 - 8 + 1
+    assert out["t_split"]["max_span_tokens"] == 12
+    assert out["t_split"]["n_shared"] == 10            # 5 + 5 distinct shingles
+    # shuffle fallback is pair-identical
+    shuffled = {r["train_id"]: r for r in
+                contamination_spans(train, eval_df, n=8, broadcast_threshold=1).collect()}
+    assert {(k, v["max_span_tokens"]) for k, v in out.items()} == {
+        (k, v["max_span_tokens"]) for k, v in shuffled.items()
+    }
