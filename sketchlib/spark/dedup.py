@@ -269,8 +269,18 @@ def minhash_lsh_dedup(
     n_bands: int = 32,
     threshold: float = 0.8,
     max_bucket: int | None = 5000,
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Near-duplicate removal: keep the min-id representative per cluster."""
+    """Near-duplicate removal: keep one representative per cluster.
+
+    Default representative is the MIN id (deterministic, join-free).
+    ``keep_by`` names a SCORE column (e.g. a quality score from
+    text.with_quality_score) and keeps each cluster's HIGHEST-scoring row
+    instead — the real pipeline policy: near-dup groups usually contain one
+    clean original and several boilerplate-wrapped copies, and min-id keeps
+    an arbitrary one. Ties break to min id (deterministic). The selection
+    is one window over (cluster rep) — cluster-count-sized, not corpus-
+    sized, and only (id, rep, score) rows shuffle, never payloads."""
     # materialize signatures ONCE: candidate_pairs references them in three
     # subtrees (band join + both sides of the sig join), and cluster_min_id
     # re-evaluates its edge input every round — without this the Python
@@ -278,7 +288,18 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands).localCheckpoint()
     pairs = candidate_pairs(sigs, id_col, threshold=threshold, max_bucket=max_bucket).localCheckpoint()
     clusters = cluster_min_id(pairs, df.select(id_col), id_col)
-    keep = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    if keep_by is None:
+        keep = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    else:
+        from pyspark.sql import Window
+
+        scored = clusters.join(df.select(id_col, keep_by), id_col)
+        w = Window.partitionBy("rep").orderBy(F.desc(keep_by), F.asc(id_col))
+        keep = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col)
+        )
     return df.join(keep, id_col, "leftsemi")
 
 

@@ -129,7 +129,7 @@ def approx_join_agg(
     ratio: float = 0.1,
     seed: int = 42,
     z: float = 1.96,
-    group_by: str | None = None,
+    group_by: str | list[str] | None = None,
     where: str | None = None,
 ) -> DataFrame:
     """Approx COUNT(*) / SUM(value) of ``left ⋈ right`` from universe samples
@@ -180,7 +180,7 @@ def approx_join_agg_from_samples(
     ratio: float,
     value_col: str | None = None,
     z: float = 1.96,
-    group_by: str | None = None,
+    group_by: str | list[str] | None = None,
     where: str | None = None,
 ) -> DataFrame:
     """Same estimator over ALREADY-DRAWN universe samples of both sides —
@@ -205,7 +205,7 @@ def cluster_join_agg(
     ratio: float,
     value_col: str | None = None,
     z: float = 1.96,
-    group_by: str | None = None,
+    group_by: str | list[str] | None = None,
 ) -> DataFrame:
     """COUNT/SUM estimator for a joined frame whose rows were included via
     independent Bernoulli(p) draws of CLUSTERS — the shared core of every
@@ -226,10 +226,14 @@ def cluster_join_agg(
     cells, so the per-group CI is unaffected).
     """
     p = float(ratio)
+    gcols = (
+        [] if not group_by
+        else (list(group_by) if isinstance(group_by, (list, tuple)) else [group_by])
+    )
     aggs = [F.count(F.lit(1)).alias("c_k")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("s_k"))
-    gb = [cluster_col] + ([F.col(group_by)] if group_by else [])
+    gb = [cluster_col] + [F.col(c) for c in gcols]
     per_key = joined.groupBy(*gb).agg(*aggs)
     c_k = F.col("c_k")
     out = [
@@ -242,7 +246,7 @@ def cluster_join_agg(
             (F.sum(s_k) / p).alias("est_sum"),
             (F.lit(z) * F.sqrt(F.sum(s_k * s_k) * (1 - p)) / p).alias("sum_err"),
         ]
-    return per_key.groupBy(group_by).agg(*out) if group_by else per_key.agg(*out)
+    return per_key.groupBy(*gcols).agg(*out) if gcols else per_key.agg(*out)
 
 
 def approx_join_agg_mixed(
@@ -254,7 +258,7 @@ def approx_join_agg_mixed(
     ratio: float,
     value_col: str | None = None,
     z: float = 1.96,
-    group_by: str | None = None,
+    group_by: str | list[str] | None = None,
     where: str | None = None,
 ) -> DataFrame:
     """Approx COUNT(*) / SUM(value) of ``fact ⋈ dim`` when only the FACT

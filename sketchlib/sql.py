@@ -115,7 +115,7 @@ _JOIN_SKELETON = re.compile(
     r"\s+JOIN\s+(?P<tb>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<ab>(?!ON\b)\w+))?"
     r"\s+ON\s+(?P<qa>\w+)\.(?P<ka>\w+)\s*=\s*(?P<qb>\w+)\.(?P<kb>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -132,7 +132,7 @@ _JOIN3_SKELETON = re.compile(
     r"\s+JOIN\s+(?P<t3>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a3>(?!ON\b)\w+))?"
     r"\s+ON\s+(?P<q3>\w+)\.(?P<k3>\w+)\s*=\s*(?P<q4>\w+)\.(?P<k4>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -184,7 +184,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     ]
     qnames = {n for t, a in toks for n in (t, a, _base(t)) if n}
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
-    group = m.group("group")
+    group = _parse_group(m.group("group"))
 
     req_ratio = None
     if ratio_arg is not None:
@@ -280,7 +280,8 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
         joined, F.col("_cluster"), ratio, value_col=value_col, group_by=group
     )
     keep = ["est_count", "count_err"] + (["est_sum", "sum_err"] if value_col is not None else [])
-    return out.select(*([group] if group else []), *keep)
+    gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
+    return out.select(*gcols, *keep)
 
 
 def _strip_qualifiers(expr: str, names: set[str]) -> str:
@@ -334,7 +335,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
             f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables "
             f"({ta!r}, {tb!r}) or their aliases ({aa!r}, {ab!r})"
         )
-    group = m.group("group")
+    group = _parse_group(m.group("group"))
     qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
 

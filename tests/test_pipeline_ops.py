@@ -522,3 +522,20 @@ def test_contamination_spans(spark):
     assert {(k, v["max_span_tokens"]) for k, v in out.items()} == {
         (k, v["max_span_tokens"]) for k, v in shuffled.items()
     }
+
+
+def test_minhash_lsh_dedup_keep_by_quality(spark, seq_tiny_dir):
+    """keep_by: the cluster representative is the HIGHEST-scoring member,
+    not the min id — the duplicate set's winner carries the injected score."""
+    df = spark.read.parquet(seq_tiny_dir).limit(200).cache()
+    n = df.count()
+    dup = df.withColumn("doc_id", F.concat(F.lit("zz_"), F.col("doc_id")))
+    # copies get the HIGHER score: keep_by must retain zz_* and drop originals
+    doubled = df.withColumn("score", F.lit(1.0)).unionByName(
+        dup.withColumn("score", F.lit(2.0))
+    )
+    kept = minhash_lsh_dedup(
+        doubled, "tokens", "doc_id", r=64, n_bands=16, threshold=0.9, keep_by="score"
+    )
+    assert kept.count() == n
+    assert kept.filter(~F.col("doc_id").startswith("zz_")).count() == 0

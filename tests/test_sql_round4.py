@@ -466,3 +466,45 @@ def test_join_routing_honors_explicit_ratio(spark, join_tables, tmp_path):
     ).collect()[0]
     joined = fact.merge(dim, left_on="k", right_on="j")
     assert abs(out["est_count"] - len(joined)) <= out["count_err"] * WIDE
+
+
+def test_join_multicol_group_by(spark, tmp_path):
+    """GROUP BY two columns on a join statement — per-(seg, region) counts
+    with clustered CIs, every cell's exact answer inside them."""
+    rng = np.random.default_rng(31)
+    fact = pd.DataFrame({
+        "k": rng.integers(0, 300, 9000),
+        "seg": rng.choice(["x", "y"], 9000),
+    })
+    dim = pd.DataFrame({"j": np.arange(300), "region": ["r%d" % (i % 2) for i in range(300)]})
+    fpath, dpath = str(tmp_path / "f"), str(tmp_path / "d")
+    spark.createDataFrame(fact).write.parquet(fpath)
+    spark.createDataFrame(dim).write.parquet(dpath)
+    t = {"fact": fpath, "dim": dpath}
+    out = {(r["seg"], r["region"]): r for r in approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j "
+        "GROUP BY seg, region",
+        t,
+    ).collect()}
+    exact = fact.merge(dim, left_on="k", right_on="j").groupby(["seg", "region"]).size()
+    assert set(out) == set(exact.index)
+    for cell, n in exact.items():
+        assert abs(out[cell]["est_count"] - n) <= out[cell]["count_err"] * WIDE
+
+
+def test_tails_on_join_statements(spark, join_tables, tmp_path):
+    """HAVING / ORDER BY / LIMIT tails compose with join statements (tails
+    peel before the join skeleton matches)."""
+    t, fact, dim = join_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j "
+        "GROUP BY region HAVING est_count > 0 ORDER BY est_count DESC, region LIMIT 2",
+        t,
+    ).toPandas()
+    assert len(out) == 2
+    assert list(out["est_count"]) == sorted(out["est_count"], reverse=True)
+    exact = fact.merge(dim, left_on="k", right_on="j").groupby("region").size()
+    for _, r in out.iterrows():
+        assert abs(r["est_count"] - exact[r["region"]]) <= r["count_err"] * WIDE
