@@ -81,14 +81,17 @@ _ORDER_TAIL = re.compile(
 )
 
 
-def _order_cols(keys: str):
-    """ORDER BY key list → [Column with direction], result columns only."""
+def _order_cols(keys: str, rename: dict[str, str] | None = None):
+    """ORDER BY key list → [Column with direction], result columns only.
+    ``rename`` maps statement-level names onto result-frame names (the
+    single-column sketch paths emit the generic ``group`` column, so
+    ``GROUP BY source … ORDER BY source`` must order that column)."""
     from pyspark.sql import functions as F
 
     out = []
     for part in keys.split(","):
         toks = part.split()
-        c = F.col(toks[0])
+        c = F.col((rename or {}).get(toks[0].lower(), toks[0]))
         out.append(c.desc() if len(toks) > 1 and toks[1].upper() == "DESC" else c.asc())
     return out
 _LIMIT_TAIL = re.compile(
@@ -1359,7 +1362,13 @@ def approx_sql(
     tm = _ORDER_TAIL.match(sql)
     if tm:
         inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key)
-        inner = inner.orderBy(*_order_cols(tm.group("keys")))
+        # single-column sketch paths emit the generic 'group' column; let
+        # ORDER BY name the user's GROUP BY column anyway
+        rename = {}
+        gm = re.search(r"GROUP\s+BY\s+(\w+)\s*$", tm.group("body"), re.IGNORECASE)
+        if gm and gm.group(1) not in inner.columns and "group" in inner.columns:
+            rename[gm.group(1).lower()] = "group"
+        inner = inner.orderBy(*_order_cols(tm.group("keys"), rename))
         return inner.limit(int(tm.group("n"))) if tm.group("n") else inner
     tm = _LIMIT_TAIL.match(sql)
     if tm:

