@@ -1560,7 +1560,9 @@ def q_c17_contamination_spans(spark, sf_dir):
         eval_df = spark.createDataFrame(pd.DataFrame(eval_rows))
         spans = contamination_spans(docs, eval_df, n=8).collect()
         by_pair = {(r["train_id"], r["eval_id"]): r for r in spans}
-        span_ok = all(
+        # len(seeds) == 3 guards against a vacuous all() over zero seeds on
+        # a testdata variant with only short documents
+        span_ok = len(seeds) == 3 and all(
             by_pair.get((seeds[i]["doc_id"], f"eval_{i}")) is not None
             and by_pair[(seeds[i]["doc_id"], f"eval_{i}")]["max_span_tokens"] == 40
             for i in range(len(seeds))

@@ -206,9 +206,14 @@ class SketchCatalog:
             # a concurrent reader's crash-restore (_restore_crashed) can
             # rename the backup into place between our two renames; the
             # restored content IS the pre-refresh states, which the tmp
-            # table supersedes — replace it and finish the swap
+            # table supersedes. Re-establish the sdir-OR-bak invariant
+            # FIRST (rename the restored copy back to the backup name —
+            # never an unprotected rmtree of the only live copy: a crash
+            # right after that rmtree would leave nothing a restore scan
+            # recognizes), then finish the swap
             if os.path.isdir(sdir):
-                shutil.rmtree(sdir)
+                shutil.rmtree(bak, ignore_errors=True)
+                os.rename(sdir, bak)
                 os.rename(tmp, sdir)
             else:
                 raise
@@ -258,7 +263,15 @@ class SketchCatalog:
             if entry.endswith("._refresh_old"):
                 name = entry[: -len("._refresh_old")]
                 if not os.path.isdir(os.path.join(d, name)):
-                    os.rename(os.path.join(d, entry), os.path.join(d, name))
+                    try:
+                        os.rename(os.path.join(d, entry), os.path.join(d, name))
+                    except OSError:
+                        # lost the race to a refresh() completing its swap
+                        # between our isdir check and the rename — the live
+                        # dir exists now and the backup is the writer's to
+                        # clean up; anything else is a real error
+                        if not os.path.isdir(os.path.join(d, name)):
+                            raise
 
     def _registry_live(self, cat_dir: str, schema: str, live_dir: str) -> "DataFrame":
         """Newest registration row per LIVE name: the log is append-only

@@ -416,6 +416,26 @@ def with_token_ngrams(
     return df.withColumn(out, F.expr(expr))
 
 
+
+def _gated_eval_join(t: DataFrame, e: DataFrame, broadcast_threshold: int, op: str) -> DataFrame:
+    """Size-gated join of an exploded train side against an exploded eval
+    side: count the eval rows first (one job over the SMALL side only;
+    deliberately not persisted — a cached eval set would accumulate across
+    calls and perturb the captured plans), broadcast under the threshold
+    (map-side join, ONE corpus scan, zero corpus shuffle), plain shuffle
+    join above it (still only (hash, id[, pos]) rows, never payloads)."""
+    import logging
+
+    n_eval = e.count()
+    log = logging.getLogger(__name__)
+    if n_eval <= broadcast_threshold:
+        log.info("%s: eval side %d rows <= %d — broadcast join", op, n_eval, broadcast_threshold)
+        return t.join(F.broadcast(e), "h")
+    log.info("%s: eval side %d rows > %d — shuffle join (pairs only, no payloads)",
+             op, n_eval, broadcast_threshold)
+    return t.join(e, "h")
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,
@@ -448,8 +468,6 @@ def contamination_pairs(
     xxhash64 hashes int32 and int64 DIFFERENTLY for the same value, so an
     int-typed train corpus would silently never match a long-typed eval set.
     """
-    import logging
-
     # the raw exploded train side joins the eval side FIRST — no
     # pre-aggregation, so the corpus side never shuffles on the broadcast
     # path (a distinct() here would force a full (id, hash) exchange before
@@ -463,26 +481,8 @@ def contamination_pairs(
         .select(F.col(id_col).alias("eval_id"), F.explode("_sh").alias("h"))
         .distinct()
     )
-    # the size probe recomputes the eval side once (eval-sized — benchmarks,
-    # not the corpus); deliberately NOT persisted: a cached eval set would
-    # accumulate across calls and perturb the captured c14 plan
-    n_eval_pairs = e.count()
-    log = logging.getLogger(__name__)
-    if n_eval_pairs <= broadcast_threshold:
-        log.info(
-            "contamination_pairs: eval side %d (hash, id) rows <= %d — broadcast join",
-            n_eval_pairs, broadcast_threshold,
-        )
-        joined = t.join(F.broadcast(e), "h")
-    else:
-        log.info(
-            "contamination_pairs: eval side %d (hash, id) rows > %d — shuffle join "
-            "(pairs only, no payloads)",
-            n_eval_pairs, broadcast_threshold,
-        )
-        joined = t.join(e, "h")
     return (
-        joined
+        _gated_eval_join(t, e, broadcast_threshold, "contamination_pairs")
         .groupBy("train_id", "eval_id")
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -515,8 +515,6 @@ def contamination_spans(
     ``contamination_pairs`` (broadcast under the threshold, pairs-only
     shuffle above).
     """
-    import logging
-
     from pyspark.sql import Window
 
     t = with_token_ngrams(train, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
@@ -525,26 +523,24 @@ def contamination_spans(
     e = with_token_ngrams(eval_df, tokens_col, n=n, out="_sh", element_cast="BIGINT").select(
         F.col(id_col).alias("eval_id"), F.posexplode("_sh").alias("epos", "h")
     )
-    n_eval_pairs = e.count()
-    log = logging.getLogger(__name__)
-    if n_eval_pairs <= broadcast_threshold:
-        log.info("contamination_spans: eval side %d rows — broadcast join", n_eval_pairs)
-        m = t.join(F.broadcast(e), "h")
-    else:
-        log.info("contamination_spans: eval side %d rows — shuffle join", n_eval_pairs)
-        m = t.join(e, "h")
+    # NOTE the gate counts POSITIONED rows (~24 B each, no distinct), so the
+    # same default threshold sits ~1.5× lower in bytes-of-broadcast than
+    # contamination_pairs' distinct (hash, id) rows — still inside the cap
+    m = _gated_eval_join(t, e, broadcast_threshold, "contamination_spans")
     m = m.withColumn("_diag", F.col("tpos") - F.col("epos"))
     w = Window.partitionBy("train_id", "eval_id", "_diag").orderBy("tpos")
     runs = (
         m.withColumn("_isl", F.col("tpos") - F.row_number().over(w))
         .groupBy("train_id", "eval_id", "_diag", "_isl")
-        .agg(F.count("*").alias("_run"), F.count_distinct("h").alias("_uniq"))
+        .agg(F.count("*").alias("_run"))
     )
-    return (
-        runs.groupBy("train_id", "eval_id")
-        .agg(
-            F.sum("_uniq").alias("n_shared"),
-            F.max("_run").alias("max_run_ngrams"),
-            (F.max("_run") + F.lit(n - 1)).alias("max_span_tokens"),
-        )
+    spans = runs.groupBy("train_id", "eval_id").agg(
+        F.max("_run").alias("max_run_ngrams"),
+        (F.max("_run") + F.lit(n - 1)).alias("max_span_tokens"),
     )
+    # n_shared = DISTINCT shared hashes per pair, counted over the matches
+    # directly: summing per-island distincts would double-count an n-gram
+    # appearing in several islands/diagonals (a repeated phrase), reporting
+    # 2-4x contamination_pairs' count for the same pair
+    shared = m.groupBy("train_id", "eval_id").agg(F.count_distinct("h").alias("n_shared"))
+    return shared.join(spans, ["train_id", "eval_id"])

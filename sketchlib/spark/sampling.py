@@ -264,9 +264,14 @@ def approx_join_agg_mixed(
     """Approx COUNT(*) / SUM(value) of ``fact ⋈ dim`` when only the FACT
     side has a scramble — Verdict's most common join shape (A8: a sampled
     fact table joined to small exact dimensions). The exact dim side is
-    BROADCAST, so the only scan is the p-fraction fact sample; ``group_by``
-    may name a column of either side (grouping happens after the join —
-    the usual fact×dim rollup groups by a dim attribute).
+    joined exact — the planner auto-broadcasts it when it is small
+    (``spark.sql.autoBroadcastJoinThreshold`` / AQE), which is the
+    canonical fact×dim case; no broadcast is FORCED, because the
+    dim-side-scramble shape ("the sampled side is the key-unique
+    dimension") makes the exact side the LARGE fact table, and a forced
+    broadcast there would blow the 8 GB cap where a shuffle join works.
+    ``group_by`` may name a column of either side (grouping happens after
+    the join — the usual fact×dim rollup groups by a dim attribute).
 
     kind='uniform': each sampled row was kept independently with
     probability p and brings ALL the rows it joins to, so the inclusion
@@ -287,18 +292,31 @@ def approx_join_agg_mixed(
     """
     if kind == "universe":
         return approx_join_agg_from_samples(
-            fact_sample, F.broadcast(dim), fact_key, dim_key, ratio,
+            fact_sample, dim, fact_key, dim_key, ratio,
             value_col=value_col, z=z, group_by=group_by, where=where,
         )
     if kind != "uniform":
         raise ValueError(f"mixed approx join needs a uniform or universe fact sample, got {kind!r}")
-    s = fact_sample.withColumn("_cluster", F.monotonically_increasing_id())
-    joined = s.join(F.broadcast(dim), s[fact_key] == dim[dim_key])
+    s = fact_sample.withColumn("_cluster", row_fingerprint(fact_sample))
+    joined = s.join(dim, s[fact_key] == dim[dim_key])
     if where:
         joined = joined.filter(where)
     return cluster_join_agg(
         joined, F.col("_cluster"), ratio, value_col=value_col, z=z, group_by=group_by
     )
+
+
+def row_fingerprint(df: DataFrame):
+    """Deterministic per-row cluster id: xxhash64 over every column. Chosen
+    over ``monotonically_increasing_id`` because that expression is
+    NONDETERMINISTIC, and Catalyst refuses to push filter predicates
+    through a nondeterministic Project — a WHERE on the mixed join would
+    silently stop reaching the fact sample's parquet scan (no pushdown, no
+    row-group pruning), breaking the captured-plan contract. Byte-identical
+    duplicate rows share a fingerprint and therefore a cluster, which only
+    makes the CI CONSERVATIVE (their counts add into one Σc² term — the
+    estimate itself is unchanged); cross-row collisions are ~n²/2⁶⁴."""
+    return F.xxhash64(*[F.col(c) for c in df.columns])
 
 
 def approx_agg_stratified(

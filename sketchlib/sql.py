@@ -70,6 +70,15 @@ _SKELETON = re.compile(
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+
+def _num(a) -> float | None:
+    """float(a) or None — the optional-numeric-argument parse shared by
+    every accuracy/ratio-honoring site (one tolerance policy, one place)."""
+    try:
+        return float(a)
+    except (TypeError, ValueError):
+        return None
+
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
 # (Verdict A14) — stripped off the tail, the inner statement recurses.
 # Multi-key: ORDER BY est DESC, group [ASC] over result columns.
@@ -189,12 +198,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
     group = _parse_group(m.group("group"))
 
-    req_ratio = None
-    if ratio_arg is not None:
-        try:
-            req_ratio = float(ratio_arg)
-        except (TypeError, ValueError):
-            req_ratio = None
+    req_ratio = _num(ratio_arg)
 
     fact_i, ratio, fact_df = 0, None, None
     if catalog is not None:
@@ -243,8 +247,11 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
 
     # the sampled row is the independent inclusion unit: it brings every
     # row the chained joins attach to it, so the estimator clusters by a
-    # per-sampled-row id (cluster_join_agg), not per joined row
-    fact_df = fact_df.withColumn("_cluster", F.monotonically_increasing_id())
+    # per-sampled-row fingerprint (deterministic — see row_fingerprint:
+    # a nondeterministic id would block predicate pushdown to the scan)
+    from sketchlib.spark.sampling import row_fingerprint
+
+    fact_df = fact_df.withColumn("_cluster", row_fingerprint(fact_df))
     frames = {
         i: (fact_df if i == fact_i else _resolve_table(spark, toks[i][0], tables))
         for i in range(3)
@@ -256,7 +263,9 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
             (ia, ka), (ib, kb) = c
             if (ia in in_join) != (ib in in_join):
                 new_i, new_k, old_k = (ib, kb, ka) if ia in in_join else (ia, ka, kb)
-                bdim = F.broadcast(frames[new_i])
+                # no forced broadcast: the planner auto-broadcasts small
+                # dims; a big exact side must be allowed to shuffle-join
+                bdim = frames[new_i]
                 joined = joined.join(bdim, joined[old_k] == bdim[new_k])
                 in_join.add(new_i)
                 remaining.remove(c)
@@ -342,12 +351,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
     qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
 
-    req_ratio = None
-    if ratio_arg is not None:
-        try:
-            req_ratio = float(ratio_arg)
-        except (TypeError, ValueError):
-            req_ratio = None
+    req_ratio = _num(ratio_arg)
 
     if catalog is not None and catalog_key is None:
         # auto-selection for joins: best = a PAIR of universe scrambles on
@@ -869,12 +873,6 @@ def _resolve_key(
     base_n = os.path.normpath(base)
     col = args[0] if args else None
 
-    def _num(a) -> float | None:
-        try:
-            return float(a)
-        except (TypeError, ValueError):
-            return None
-
     req_rse = _num(args[1]) if fn == "APPROX_COUNT_DISTINCT" and len(args) > 1 else None
     if fn == "APPROX_COUNT" and args:
         req_ratio = _num(args[0])
@@ -1365,7 +1363,10 @@ def approx_sql(
         # single-column sketch paths emit the generic 'group' column; let
         # ORDER BY name the user's GROUP BY column anyway
         rename = {}
-        gm = re.search(r"GROUP\s+BY\s+(\w+)\s*$", tm.group("body"), re.IGNORECASE)
+        gm = re.search(
+            r"GROUP\s+BY\s+(\w+)\s*(?:HAVING\b.*)?$",  # a HAVING tail may trail
+            tm.group("body"), re.IGNORECASE | re.DOTALL,
+        )
         if gm and gm.group(1) not in inner.columns and "group" in inner.columns:
             rename[gm.group(1).lower()] = "group"
         inner = inner.orderBy(*_order_cols(tm.group("keys"), rename))

@@ -508,14 +508,19 @@ def test_contamination_spans(spark):
     train = spark.createDataFrame([
         Row(doc_id="t_full", tokens=ev[:20] + base),          # one 20-token span
         Row(doc_id="t_split", tokens=ev[:12] + base[:10] + ev[20:32] + base[10:]),
+        Row(doc_id="t_repeat", tokens=ev[:12] + base[:10] + ev[:12] + base[10:]),
         Row(doc_id="t_clean", tokens=base),
     ])
     out = {r["train_id"]: r for r in contamination_spans(train, eval_df, n=8).collect()}
-    assert set(out) == {"t_full", "t_split"}
+    assert set(out) == {"t_full", "t_split", "t_repeat"}
     assert out["t_full"]["max_span_tokens"] == 20
     assert out["t_full"]["max_run_ngrams"] == 13       # 20 - 8 + 1
     assert out["t_split"]["max_span_tokens"] == 12
     assert out["t_split"]["n_shared"] == 10            # 5 + 5 distinct shingles
+    # a REPEATED phrase shares the same 5 distinct shingles twice over —
+    # n_shared counts distinct hashes (matches contamination_pairs), span 12
+    assert out["t_repeat"]["n_shared"] == 5
+    assert out["t_repeat"]["max_span_tokens"] == 12
     # shuffle fallback is pair-identical
     shuffled = {r["train_id"]: r for r in
                 contamination_spans(train, eval_df, n=8, broadcast_threshold=1).collect()}
