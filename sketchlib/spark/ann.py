@@ -549,3 +549,35 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str = "vec_id",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the brute-force truth:
+    one row per query — (query_id, n_true, n_hit, recall) — plus use
+    ``.agg(avg("recall"))`` for the headline number. Inputs are any two
+    top-k frames carrying (query_col, id_col), e.g. ``catalog.ann_topk``
+    vs ``brute_force_topk_many`` over the same probe batch.
+
+    The operational knob this measures: SRP multiprobe / IVF nprobe trade
+    probe fan-out against recall, and an index refresh policy needs the
+    number watched over time. Pure DataFrame: one semi-join + two counts
+    over k-sized-per-query frames — never the corpus.
+    """
+    truth = exact.select(F.col(query_col), F.col(id_col))
+    got = approx.select(F.col(query_col), F.col(id_col))
+    n_true = truth.groupBy(query_col).agg(F.count("*").alias("n_true"))
+    hits = (
+        got.join(truth, [query_col, id_col], "leftsemi")
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_true.join(hits, query_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("recall", F.col("n_hit") / F.col("n_true"))
+    )

@@ -206,3 +206,24 @@ def test_ann_ddl_lifecycle(spark, emb_base, tmp_path):
 
     out = approx_sql(spark, "DROP ANN INDEX e", catalog=cat).collect()[0]
     assert out["dropped"] is True and not cat.ann_exists("e")
+
+
+def test_ann_recall_metric(spark):
+    """ann_recall: perfect agreement -> 1.0; a query with half the truth
+    -> 0.5; a query absent from the approx result -> 0.0, never dropped."""
+    from pyspark.sql import Row
+
+    from sketchlib.spark.ann import ann_recall
+
+    exact = spark.createDataFrame([
+        Row(query_id=0, vec_id=i) for i in range(4)
+    ] + [Row(query_id=1, vec_id=i) for i in range(4)]
+      + [Row(query_id=2, vec_id=i) for i in range(4)])
+    approx = spark.createDataFrame(
+        [Row(query_id=0, vec_id=i) for i in range(4)]          # perfect
+        + [Row(query_id=1, vec_id=i) for i in (0, 1, 9, 8)]    # half right
+    )                                                          # q2 missing
+    out = {r["query_id"]: r for r in ann_recall(approx, exact).collect()}
+    assert out[0]["recall"] == 1.0
+    assert out[1]["recall"] == 0.5
+    assert out[2]["recall"] == 0.0 and out[2]["n_hit"] == 0
