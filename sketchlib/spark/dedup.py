@@ -528,19 +528,22 @@ def contamination_spans(
     # contamination_pairs' distinct (hash, id) rows — still inside the cap
     m = _gated_eval_join(t, e, broadcast_threshold, "contamination_spans")
     m = m.withColumn("_diag", F.col("tpos") - F.col("epos"))
-    w = Window.partitionBy("train_id", "eval_id", "_diag").orderBy("tpos")
-    runs = (
-        m.withColumn("_isl", F.col("tpos") - F.row_number().over(w))
-        .groupBy("train_id", "eval_id", "_diag", "_isl")
-        .agg(F.count("*").alias("_run"))
+    # one corpus pass: run lengths come from TWO stacked windows — island
+    # assignment ordered by tpos, then an unordered count over (…, island).
+    # The second window's ClusteredDistribution on a SUPERSET of the
+    # first's keys is satisfied by the existing hash partitioning, so it
+    # adds a sort but NO second exchange — and crucially no second subtree
+    # referencing the join (a shared+spans two-branch join would scan the
+    # 100 TB train side twice). n_shared counts DISTINCT hashes in the
+    # same aggregation: per-island distinct sums would double-count a
+    # repeated phrase's n-grams 2-4x.
+    w_isl = Window.partitionBy("train_id", "eval_id", "_diag").orderBy("tpos")
+    w_run = Window.partitionBy("train_id", "eval_id", "_diag", "_isl")
+    m = m.withColumn("_isl", F.col("tpos") - F.row_number().over(w_isl)).withColumn(
+        "_run", F.count("*").over(w_run)
     )
-    spans = runs.groupBy("train_id", "eval_id").agg(
+    return m.groupBy("train_id", "eval_id").agg(
+        F.count_distinct("h").alias("n_shared"),
         F.max("_run").alias("max_run_ngrams"),
         (F.max("_run") + F.lit(n - 1)).alias("max_span_tokens"),
     )
-    # n_shared = DISTINCT shared hashes per pair, counted over the matches
-    # directly: summing per-island distincts would double-count an n-gram
-    # appearing in several islands/diagonals (a repeated phrase), reporting
-    # 2-4x contamination_pairs' count for the same pair
-    shared = m.groupBy("train_id", "eval_id").agg(F.count_distinct("h").alias("n_shared"))
-    return shared.join(spans, ["train_id", "eval_id"])

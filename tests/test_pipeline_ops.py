@@ -544,3 +544,43 @@ def test_minhash_lsh_dedup_keep_by_quality(spark, seq_tiny_dir):
     )
     assert kept.count() == n
     assert kept.filter(~F.col("doc_id").startswith("zz_")).count() == 0
+
+
+def test_sketch_build_over_csv_and_json_sources(spark, tmp_path):
+    """Source-format independence: the generic mapInArrow build path takes
+    ANY Spark-readable DataFrame — CSV and JSON sources produce the same
+    estimates as the parquet path (the pyarrow-direct scan is a parquet
+    FAST PATH, not a format requirement)."""
+    import pandas as pd
+
+    from sketchlib.spark.query import estimates_df
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "source": np.repeat(["a", "b", "c"], 1000),
+        "val": rng.integers(0, 500, 3000),
+    })
+    base = spark.createDataFrame(pdf)
+    paths = {}
+    for fmt in ("parquet", "csv", "json"):
+        p = str(tmp_path / fmt)
+        w = base.write
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, fmt)(p)
+        paths[fmt] = p
+    spec = [SketchSpec("h", "hll", "doc_id", {"p": 12})]
+    outs = {}
+    for fmt, p in paths.items():
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", True).option("inferSchema", True)
+        df = getattr(r, fmt)(p)
+        # normalize dtypes: csv/json may infer differently; cast to long
+        df = df.select(F.col("doc_id").cast("long"), "source", F.col("val").cast("long"))
+        states = build_sketches(df, spec, group_by="source")
+        outs[fmt] = {
+            r["group"]: r["estimate"] for r in estimates_df(spark, states, "h").collect()
+        }
+    assert outs["csv"] == outs["parquet"] == outs["json"]

@@ -170,3 +170,24 @@ def test_mixed_join_broadcasts_dim_and_pushes_where(spark, tmp_path):
     join_pos = plan.index("BroadcastHashJoin")
     fact_side = plan[join_pos:plan.index("BroadcastExchange", join_pos)]
     assert "Exchange hashpartitioning" not in fact_side, fact_side
+
+
+def test_contamination_spans_single_corpus_scan(spark):
+    """Round-4 spans contract: ONE corpus scan (the distinct-count and
+    run-length aggregates share the join subtree), and the two windows
+    share one exchange (superset clustering keys)."""
+    from pyspark.sql import Row
+
+    from sketchlib.spark.dedup import contamination_spans
+
+    train = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "transform(sequence(1, 30), i -> CAST(doc_id * 100 + i AS INT)) AS tokens"
+    )
+    ev = spark.createDataFrame([Row(doc_id=1, tokens=[101 + i for i in range(12)])])
+    plan = _plan(contamination_spans(train, ev, n=8))
+    assert plan.count("documents.parquet") == 1, "corpus must be scanned exactly once"
+    assert plan.count("Window") == 2
+    # no exchange BETWEEN the two Window nodes
+    w1 = plan.index("Window")
+    w2 = plan.index("Window", w1 + 1)
+    assert "Exchange" not in plan[w1:w2], plan[w1:w2]
