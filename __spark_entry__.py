@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-59 queries; naming maps to SURVEY.md §2:
+60 queries; naming maps to SURVEY.md §2:
   a* (11) — Verdict's exact/relational surface (A4–A17 + left join),
        DataFrame-native, each with an ANSI-SQL DuckDB oracle (value-hash
        checked).
@@ -17,7 +17,7 @@
        and the oracle asserts they are all TRUE; property queries (b10
        partition invariance, b20 multimodal, b21 checkpoint resume, b22
        streamed-vs-batch byte match) are the same shape.
-  c* (17) — training-data pipeline ops: exact dedup, token stats,
+  c* (18) — training-data pipeline ops: exact dedup, token stats,
        MinHash-LSH / SimHash / n-gram / embedding near-dup, batched
        brute-force + SRP ANN, as-of join (DuckDB ASOF oracle), winnowing
        containment, gap sessionization (DuckDB lag/cumsum oracle), ANN
@@ -28,7 +28,9 @@
        Gopher-style repetition gates (c16, round 4 — duplicate-token /
        duplicate-bigram / top-token-occupancy stats, hash-matched vs a
        DuckDB list-function oracle), span-level decontamination (c17,
-       round 4 — longest consecutive shared-n-gram run per pair).
+       round 4 — longest consecutive shared-n-gram run per pair),
+       incremental delta dedup against persisted corpus signatures (c18,
+       round 4 — recall on injected copies + signature-append closure).
 
 Numeric determinism rule: float aggregates are hashed by the driver, and
 floating SUM order differs between engines — so every money/value aggregate
@@ -1577,6 +1579,46 @@ def q_c17_contamination_spans(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_c18_dedup_delta(spark, sf_dir):
+    """Round 4: INCREMENTAL near-dup dedup (dedup_delta) — the daily
+    operation of a growing corpus: a delta is deduped against the
+    persisted corpus SIGNATURE table (corpus raw data untouched; delta
+    bands broadcast, corpus side map-side probed) and within itself.
+    Properties: injected copies of corpus docs are dropped (recall on true
+    duplicates), a delta-internal twin is dropped, kept docs are a subset
+    of the genuinely-new ones, and appending the returned signatures
+    CLOSES THE LOOP — replaying the same delta then keeps nothing."""
+    from sketchlib.spark.dedup import dedup_delta, minhash_signatures
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens").cache()
+    try:
+        corpus = docs.filter(F.col("doc_id") % 2 == 0).cache()
+        fresh = docs.filter(F.col("doc_id") % 2 == 1).limit(60).cache()
+        corpus_sigs = minhash_signatures(
+            corpus, "tokens", "doc_id", r=64, n_bands=16
+        ).localCheckpoint()
+        copies = corpus.limit(25).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        twin = fresh.limit(1).withColumn("doc_id", F.col("doc_id") + 20_000_000)
+        delta = fresh.unionByName(copies).unionByName(twin)
+        kept, kept_sigs = dedup_delta(delta, corpus_sigs, threshold=0.9)
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+        copies_dropped = not any(i >= 10_000_000 and i < 20_000_000 for i in kept_ids)
+        twin_dropped = not any(i >= 20_000_000 for i in kept_ids)
+        kept_subset_of_fresh = kept_ids <= fresh_ids
+        grown = corpus_sigs.unionByName(kept_sigs)
+        closed = dedup_delta(delta, grown, threshold=0.9)[0].count() == 0
+    finally:
+        docs.unpersist()
+    checks = [
+        ("corpus_copies_dropped", bool(copies_dropped)),
+        ("delta_internal_twin_dropped", bool(twin_dropped)),
+        ("kept_subset_of_fresh", bool(kept_subset_of_fresh)),
+        ("sig_append_closes_loop", bool(closed)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
 def q_c15_mixture_sample(spark, sf_dir):
     """Dataset mixture composition (D22): per-source Bernoulli fractions
     solved so each source's expected output-token share matches the target
@@ -1687,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c15_mixture_sample": _dist_wrapped(q_c15_mixture_sample),
         "c16_repetition_stats": _dist_wrapped(q_c16_repetition_stats),
         "c17_contamination_spans": _dist_wrapped(q_c17_contamination_spans),
+        "c18_dedup_delta": _dist_wrapped(q_c18_dedup_delta),
     }
 
 
@@ -1826,6 +1869,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'uncapped_within_clt' AS check, TRUE AS ok
             UNION ALL SELECT 'unlisted_sources_excluded', TRUE
             UNION ALL SELECT 'over_inventory_capped_flagged', TRUE
+        """,
+        "c18_dedup_delta": """
+            SELECT 'corpus_copies_dropped' AS check, TRUE AS ok
+            UNION ALL SELECT 'delta_internal_twin_dropped', TRUE
+            UNION ALL SELECT 'kept_subset_of_fresh', TRUE
+            UNION ALL SELECT 'sig_append_closes_loop', TRUE
         """,
         "c17_contamination_spans": """
             SELECT 'seed_span_exactly_40' AS check, TRUE AS ok

@@ -547,3 +547,90 @@ def contamination_spans(
         F.max("_run").alias("max_run_ngrams"),
         (F.max("_run") + F.lit(n - 1)).alias("max_span_tokens"),
     )
+
+
+def dedup_delta(
+    new_df: DataFrame,
+    existing_sigs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket: int | None = 5000,
+    max_candidates_per_doc: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: dedup a NEW batch against an already-deduped
+    corpus via the corpus's PERSISTED signature table, then within itself.
+    Returns (kept new rows, signatures of the kept rows) — append the
+    signatures to the persisted table to close the daily loop. ``r`` and
+    ``n_bands`` are taken from the existing signature table's shape, so
+    delta signatures are always band-compatible with the corpus's.
+
+    This is the operation a 100 TB corpus actually runs every day: a crawl
+    drop arrives, and re-clustering the corpus (minhash_lsh_dedup over
+    everything) would re-scan and re-shuffle 100 TB to dedup a 100 GB
+    delta. Scale shape here: the corpus's RAW DATA is never touched — only
+    its signature table — and the delta's (id, band_hash) pairs are
+    BROADCAST, so the corpus-side band stream is a map-side probe: one
+    column-pruned scan of (id, bands), no corpus-side shuffle. Cross
+    verification then reads (id, sig) for CANDIDATE ids only (a second
+    column-pruned, semi-join-filtered scan of the signature table).
+    A new doc colliding with a boilerplate bucket caps at
+    ``max_candidates_per_doc`` verification partners (one verified match
+    already decides "duplicate"; the cap bounds a 10⁶-member template
+    bucket's fan-out), and within-delta dedup reuses the standard capped
+    LSH path.
+    """
+    from pyspark.sql import Window
+
+    first = existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b")).first()
+    if first is None:
+        raise ValueError(
+            "existing_sigs is empty — bootstrap with minhash_lsh_dedup + "
+            "minhash_signatures over the initial corpus, then dedup deltas"
+        )
+    r, n_bands = int(first["r"]), int(first["b"])
+    new_sigs = minhash_signatures(
+        new_df, tokens_col, id_col, r=r, n_bands=n_bands
+    ).localCheckpoint()
+
+    # cross candidates: corpus band stream map-side-probes the broadcast
+    # delta bands; cap fan-out per new doc (deterministic by existing id)
+    nb = new_sigs.select(F.col(id_col).alias("_nid"), F.explode("bands").alias("bh"))
+    eb = existing_sigs.select(F.col(id_col).alias("_eid"), F.explode("bands").alias("bh"))
+    cross = (
+        eb.join(F.broadcast(nb), "bh")
+        .select("_nid", "_eid")
+        .dropDuplicates(["_nid", "_eid"])
+    )
+    w = Window.partitionBy("_nid").orderBy("_eid")
+    cross = (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_candidates_per_doc)
+        .drop("_rn")
+    )
+    sa = new_sigs.select(F.col(id_col).alias("_nid"), F.col("sig").alias("_sa"))
+    se = existing_sigs.select(F.col(id_col).alias("_eid"), F.col("sig").alias("_sb"))
+    # corpus sigs fetched for candidates only (broadcast semi-join by id)
+    se = se.join(F.broadcast(cross.select("_eid").distinct()), "_eid", "leftsemi")
+    n_agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    dup_of_corpus = (
+        cross.join(F.broadcast(sa), "_nid")
+        .join(se, "_eid")
+        .withColumn("_j", n_agree / F.size("_sa"))
+        .filter(F.col("_j") >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    survivors = new_sigs.join(dup_of_corpus, id_col, "left_anti").localCheckpoint()
+
+    # within-delta dedup over the survivors (standard capped LSH path)
+    pairs = candidate_pairs(survivors, id_col, threshold=threshold, max_bucket=max_bucket)
+    clusters = cluster_min_id(pairs, survivors.select(id_col), id_col)
+    keep_ids = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    kept_rows = new_df.join(keep_ids, id_col, "leftsemi")
+    kept_sigs = survivors.join(keep_ids, id_col, "leftsemi")
+    return kept_rows, kept_sigs

@@ -584,3 +584,39 @@ def test_sketch_build_over_csv_and_json_sources(spark, tmp_path):
             r["group"]: r["estimate"] for r in estimates_df(spark, states, "h").collect()
         }
     assert outs["csv"] == outs["parquet"] == outs["json"]
+
+
+def test_dedup_delta_incremental(spark, seq_tiny_dir):
+    """Incremental dedup: a delta is deduped against the persisted corpus
+    signatures (corpus raw data untouched) AND within itself; appending
+    the returned signatures closes the loop — a second delta of the same
+    docs is then fully deduped too."""
+    from sketchlib.spark.dedup import dedup_delta, minhash_signatures
+
+    corpus = spark.read.parquet(seq_tiny_dir).limit(300).cache()
+    corpus.count()
+    corpus_sigs = minhash_signatures(corpus, "tokens", "doc_id", r=64, n_bands=16)
+    corpus_sigs = corpus_sigs.localCheckpoint()
+
+    fresh = spark.read.parquet(seq_tiny_dir).orderBy(F.desc("doc_id")).limit(100).cache()
+    fresh = fresh.join(corpus.select("doc_id"), "doc_id", "left_anti").cache()
+    n_fresh = fresh.count()
+    assert n_fresh > 50
+    # delta = copies of corpus docs (dup of corpus) + fresh docs (kept) +
+    # an internal duplicate pair within the delta
+    copies = corpus.limit(40).withColumn("doc_id", F.concat(F.lit("dup_"), F.col("doc_id")))
+    twin = fresh.limit(1).withColumn("doc_id", F.concat(F.lit("twin_"), F.col("doc_id")))
+    delta = fresh.unionByName(copies).unionByName(twin)
+
+    kept, kept_sigs = dedup_delta(delta, corpus_sigs, threshold=0.9)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not any(i.startswith("dup_") for i in kept_ids)   # corpus dups dropped
+    assert not any(i.startswith("twin_") for i in kept_ids)  # delta-internal dup dropped
+    assert len(kept_ids) == n_fresh                          # every fresh doc kept
+    assert kept_sigs.count() == n_fresh                      # sigs of kept rows only
+    assert kept_sigs.select(F.size("sig")).first()[0] == 64  # r inherited from corpus
+
+    # close the loop: append kept sigs, replay the SAME delta -> nothing survives
+    grown = corpus_sigs.unionByName(kept_sigs)
+    kept2, _ = dedup_delta(delta, grown, threshold=0.9)
+    assert kept2.count() == 0
