@@ -1609,7 +1609,11 @@ def q_c18_dedup_delta(spark, sf_dir):
         grown = corpus_sigs.unionByName(kept_sigs)
         closed = dedup_delta(delta, grown, threshold=0.9)[0].count() == 0
     finally:
-        docs.unpersist()
+        for cached in (fresh, corpus, docs):
+            try:
+                cached.unpersist()
+            except NameError:
+                pass
     checks = [
         ("corpus_copies_dropped", bool(copies_dropped)),
         ("delta_internal_twin_dropped", bool(twin_dropped)),

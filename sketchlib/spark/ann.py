@@ -568,8 +568,10 @@ def ann_recall(
     number watched over time. Pure DataFrame: one semi-join + two counts
     over k-sized-per-query frames — never the corpus.
     """
-    truth = exact.select(F.col(query_col), F.col(id_col))
-    got = approx.select(F.col(query_col), F.col(id_col))
+    # dropDuplicates: a concatenated multiprobe result (or a truth frame
+    # with repeated rows) must not inflate n_hit/n_true past recall 1.0
+    truth = exact.select(F.col(query_col), F.col(id_col)).dropDuplicates([query_col, id_col])
+    got = approx.select(F.col(query_col), F.col(id_col)).dropDuplicates([query_col, id_col])
     n_true = truth.groupBy(query_col).agg(F.count("*").alias("n_true"))
     hits = (
         got.join(truth, [query_col, id_col], "leftsemi")

@@ -167,6 +167,18 @@ def oversized_buckets(sig_df: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+
+def _sig_agreement(a: str, b: str):
+    """Number of agreeing minima between two signature columns — the
+    load-bearing Jaccard-estimate numerator, shared by the batch
+    (candidate_pairs) and incremental (dedup_delta) verification paths."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def candidate_pairs(
     sig_df: DataFrame, id_col: str, threshold: float = 0.8, max_bucket: int | None = 5000
 ) -> DataFrame:
@@ -191,11 +203,7 @@ def candidate_pairs(
     )
     sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
     sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
-    n_agree = F.aggregate(
-        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    n_agree = _sig_agreement("_sa", "_sb")
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
@@ -557,13 +565,17 @@ def dedup_delta(
     threshold: float = 0.8,
     max_bucket: int | None = 5000,
     max_candidates_per_doc: int = 200,
+    seed: int = 17,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: dedup a NEW batch against an already-deduped
     corpus via the corpus's PERSISTED signature table, then within itself.
     Returns (kept new rows, signatures of the kept rows) — append the
     signatures to the persisted table to close the daily loop. ``r`` and
     ``n_bands`` are taken from the existing signature table's shape, so
-    delta signatures are always band-compatible with the corpus's.
+    delta signatures are always band-compatible with the corpus's; ``seed``
+    MUST match the seed the corpus signatures were built with (signature
+    tables don't carry it — a mismatched seed would make every comparison
+    silently miss, so record the seed wherever the table is persisted).
 
     This is the operation a 100 TB corpus actually runs every day: a crawl
     drop arrives, and re-clustering the corpus (minhash_lsh_dedup over
@@ -590,45 +602,50 @@ def dedup_delta(
         )
     r, n_bands = int(first["r"]), int(first["b"])
     new_sigs = minhash_signatures(
-        new_df, tokens_col, id_col, r=r, n_bands=n_bands
+        new_df, tokens_col, id_col, r=r, n_bands=n_bands, seed=seed
     ).localCheckpoint()
 
     # cross candidates: corpus band stream map-side-probes the broadcast
-    # delta bands; cap fan-out per new doc (deterministic by existing id)
+    # delta bands. The per-new-doc cap ranks candidates by SHARED-BAND
+    # COUNT descending (a true near-duplicate agrees on ~all bands; a
+    # boilerplate-bucket collision agrees on few) — capping by an
+    # arbitrary id order could evict the one true match behind 10⁴
+    # template collisions and silently keep a duplicate. Checkpointed:
+    # two downstream branches reference it, and re-evaluating would scan
+    # the corpus signature table twice.
     nb = new_sigs.select(F.col(id_col).alias("_nid"), F.explode("bands").alias("bh"))
     eb = existing_sigs.select(F.col(id_col).alias("_eid"), F.explode("bands").alias("bh"))
     cross = (
         eb.join(F.broadcast(nb), "bh")
-        .select("_nid", "_eid")
-        .dropDuplicates(["_nid", "_eid"])
+        .groupBy("_nid", "_eid")
+        .agg(F.count("*").alias("_shared_bands"))
     )
-    w = Window.partitionBy("_nid").orderBy("_eid")
+    w = Window.partitionBy("_nid").orderBy(F.desc("_shared_bands"), F.asc("_eid"))
     cross = (
         cross.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_candidates_per_doc)
-        .drop("_rn")
+        .select("_nid", "_eid")
+        .localCheckpoint()
     )
     sa = new_sigs.select(F.col(id_col).alias("_nid"), F.col("sig").alias("_sa"))
     se = existing_sigs.select(F.col(id_col).alias("_eid"), F.col("sig").alias("_sb"))
     # corpus sigs fetched for candidates only (broadcast semi-join by id)
     se = se.join(F.broadcast(cross.select("_eid").distinct()), "_eid", "leftsemi")
-    n_agree = F.aggregate(
-        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     dup_of_corpus = (
         cross.join(F.broadcast(sa), "_nid")
         .join(se, "_eid")
-        .withColumn("_j", n_agree / F.size("_sa"))
+        .withColumn("_j", _sig_agreement("_sa", "_sb") / F.size("_sa"))
         .filter(F.col("_j") >= threshold)
         .select(F.col("_nid").alias(id_col))
         .distinct()
     )
     survivors = new_sigs.join(dup_of_corpus, id_col, "left_anti").localCheckpoint()
 
-    # within-delta dedup over the survivors (standard capped LSH path)
-    pairs = candidate_pairs(survivors, id_col, threshold=threshold, max_bucket=max_bucket)
+    # within-delta dedup over the survivors (standard capped LSH path);
+    # checkpointed — cluster_min_id re-evaluates its edge input per round
+    pairs = candidate_pairs(
+        survivors, id_col, threshold=threshold, max_bucket=max_bucket
+    ).localCheckpoint()
     clusters = cluster_min_id(pairs, survivors.select(id_col), id_col)
     keep_ids = clusters.filter(F.col(id_col) == F.col("rep")).select(id_col)
     kept_rows = new_df.join(keep_ids, id_col, "leftsemi")
