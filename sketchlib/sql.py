@@ -977,6 +977,43 @@ def _mask_literals(sql: str) -> str:
     return re.sub(r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql)
 
 
+def _extract_ctes(sql: str):
+    """Parse ``WITH name AS ( <body> ) [, name2 AS ( <body> ) ...] <final>``
+    → ([(name, body), ...], final statement); None when the statement has
+    no WITH prefix. Balanced-paren scan over literal-masked text (slices
+    the original), so parens inside string literals can't derail it."""
+    masked = _mask_literals(sql)
+    if not re.match(r"^\s*WITH\b", masked, re.IGNORECASE):
+        return None
+    ctes = []
+    pos = re.match(r"^\s*WITH\s+", masked, re.IGNORECASE).end()
+    while True:
+        m = re.match(r"(\w+)\s+AS\s*\(", masked[pos:], re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                "malformed WITH clause — expected `name AS ( SELECT ... )` "
+                f"at: {sql[pos:pos + 40]!r}"
+            )
+        name = m.group(1)
+        start = pos + m.end() - 1  # the '('
+        depth = 0
+        for i in range(start, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise ValueError("malformed WITH clause — unbalanced parentheses")
+        ctes.append((name, sql[start + 1 : i]))
+        rest = re.match(r"\s*,\s*", masked[i + 1 :])
+        if rest:
+            pos = i + 1 + rest.end()
+            continue
+        return ctes, sql[i + 1 :].strip()
+
+
 def _extract_subquery(sql: str):
     """Split ``... FROM ( <inner> ) <tail>`` on the balanced outer parens;
     None when the statement has no derived table. Scans literal-masked
@@ -1306,8 +1343,33 @@ def approx_sql(
     # must not drag an exact statement into the approx skeleton
     if not _AGG.search(_mask_literals(sql)):
         # no APPROX_ aggregate anywhere in the statement → Verdict's
-        # pass-through: exact SQL goes to the backend untouched (A4)
+        # pass-through: exact SQL goes to the backend untouched (A4) —
+        # including plain WITH statements, which Spark SQL parses natively
         return _exact_passthrough(spark, sql, tables)
+    cte = _extract_ctes(sql)
+    if cte is not None:
+        # WITH + approx: each CTE body runs as its own statement (exact
+        # bodies via pass-through — lazy; approx bodies via approx_sql,
+        # eagerly checkpointed so the groups-sized estimate frame computes
+        # once however often the final statement references it), registered
+        # as temp views, then the final statement recurses through every
+        # path below. A CTE name colliding with a `tables` binding is
+        # shadowed BY the dict (the dict is authoritative, as in
+        # pass-through) — pick distinct names.
+        ctes, final = cte
+        views = []
+        try:
+            for name, body in ctes:
+                if _AGG.search(_mask_literals(body)):
+                    df = approx_sql(spark, body, tables, catalog, None).localCheckpoint(eager=True)
+                else:
+                    df = _exact_passthrough(spark, body, tables)
+                df.createOrReplaceTempView(name)
+                views.append(name)
+            return approx_sql(spark, final, tables, catalog, catalog_key)
+        finally:
+            for v in views:
+                spark.catalog.dropTempView(v)
     sub = _extract_subquery(sql)
     if sub is not None:
         # Verdict's A16 recursion: the DERIVED TABLE is computed first, the

@@ -553,3 +553,43 @@ def test_sql_grammar_sweep(spark, tables):
             assert "source" in cols or "group" in cols, f"{stmt} lost its group column: {cols}"
         n_ok += 1
     assert n_ok >= 15  # the sweep exercised a real cross-section
+
+
+def test_cte_statements(spark, tables):
+    """WITH support: exact CTEs feed approx final statements; approx CTEs
+    compose (evaluated via approx_sql, checkpointed); plain exact WITH
+    statements pass through to Spark SQL untouched."""
+    # exact CTE -> approx final
+    out = approx_sql(
+        spark,
+        "WITH big AS (SELECT * FROM sequences WHERE n_tok > 400) "
+        "SELECT APPROX_COUNT(0.5) FROM big GROUP BY source",
+        tables,
+    ).toPandas()
+    docs = spark.read.parquet(tables["sequences"])
+    exact = {r["source"]: r["n"] for r in
+             docs.filter("n_tok > 400").groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for _, r in out.iterrows():
+        assert abs(r["est_count"] - exact[r["source"]]) <= r["count_err"] * WIDE
+
+    # two CTEs, the second referencing the first; approx inner composes
+    out2 = approx_sql(
+        spark,
+        "WITH big AS (SELECT * FROM sequences WHERE n_tok > 400), "
+        "counts AS (SELECT APPROX_COUNT_DISTINCT(doc_id) FROM big GROUP BY source) "
+        "SELECT count(*) AS n_groups FROM counts",
+        tables,
+    ).collect()[0]
+    assert out2["n_groups"] == len(exact)
+
+    # plain exact WITH passes through untouched
+    out3 = approx_sql(
+        spark,
+        "WITH t AS (SELECT n_tok FROM sequences) SELECT count(*) AS n FROM t",
+        tables,
+    ).collect()[0]
+    assert out3["n"] == 2000
+
+    # malformed WITH raises OUR error
+    with pytest.raises(ValueError, match="malformed WITH"):
+        approx_sql(spark, "WITH t SELECT APPROX_COUNT(0.5) FROM t", tables)
