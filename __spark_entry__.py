@@ -1590,6 +1590,7 @@ def q_c18_dedup_delta(spark, sf_dir):
     CLOSES THE LOOP — replaying the same delta then keeps nothing."""
     from sketchlib.spark.dedup import dedup_delta, minhash_signatures
 
+    corpus = fresh = None  # bound before try: the finally must not NameError
     docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens").cache()
     try:
         corpus = docs.filter(F.col("doc_id") % 2 == 0).cache()
@@ -1610,10 +1611,8 @@ def q_c18_dedup_delta(spark, sf_dir):
         closed = dedup_delta(delta, grown, threshold=0.9)[0].count() == 0
     finally:
         for cached in (fresh, corpus, docs):
-            try:
+            if cached is not None:
                 cached.unpersist()
-            except NameError:
-                pass
     checks = [
         ("corpus_copies_dropped", bool(copies_dropped)),
         ("delta_internal_twin_dropped", bool(twin_dropped)),
@@ -1621,6 +1620,91 @@ def q_c18_dedup_delta(spark, sf_dir):
         ("sig_append_closes_loop", bool(closed)),
     ]
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
+
+
+def q_c19_signature_catalog(spark, sf_dir):
+    """Round 5: signature-table REGISTRY with a machine-enforced signing
+    contract (VERDICT r4 #1). The daily-dedup artifact gets the same
+    lifecycle as sketches/scrambles/ANN indexes: CREATE SIGNATURES DDL
+    persists (id, sig, bands) WITH its (r, n_bands, seed) contract and
+    file lineage; REFRESH SIGNATURES signs only appended files;
+    dedup_delta(catalog=...) reads the contract from the registry — so a
+    mismatched seed (the silent zero-recall footgun) RAISES instead of
+    quietly keeping every duplicate. Checks: DDL bootstrap registers the
+    contract, refresh counts exactly the appended rows, catalog-routed
+    delta dedup drops injected corpus copies, an explicit conflicting seed
+    is refused, and appending the kept signatures through the catalog
+    closes the loop (replaying the same delta keeps 0)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.dedup import dedup_delta
+    from sketchlib.sql import approx_sql
+
+    grow = fresh = None
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens").cache()
+    root = tempfile.mkdtemp(prefix="sigcat_c19_")
+    try:
+        data = os.path.join(root, "corpus")
+        docs.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.parquet(data)
+        cat = SketchCatalog(spark, os.path.join(root, "cat"))
+        reg = approx_sql(
+            spark,
+            "CREATE SIGNATURES s FROM corpus ON tokens ID doc_id R 64 BANDS 16 SEED 5",
+            {"corpus": data}, catalog=cat,
+        ).collect()
+        boot_ok = (
+            len(reg) == 1 and reg[0]["r"] == 64 and reg[0]["n_bands"] == 16
+            and reg[0]["seed"] == 5
+        )
+
+        # corpus grows: new parquet files land in the registered dir;
+        # REFRESH signs only those (content-keyed, same contract)
+        grow = docs.filter(F.col("doc_id") % 4 == 2).cache()
+        n_grow = grow.count()
+        grow.coalesce(1).write.mode("append").parquet(data)
+        rstats = approx_sql(spark, "REFRESH SIGNATURES s", catalog=cat).collect()[0]
+        refresh_ok = rstats["new_files"] > 0 and rstats["rows_added"] == n_grow
+
+        # a delta arrives: genuinely-new odd docs + injected corpus copies
+        fresh = docs.filter(F.col("doc_id") % 2 == 1).limit(40).cache()
+        copies = (
+            docs.filter(F.col("doc_id") % 4 == 0).limit(20)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        )
+        delta = fresh.unionByName(copies)
+        kept, kept_sigs = dedup_delta(
+            delta, catalog=cat, catalog_key="s", threshold=0.9
+        )
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+        copies_dropped = not any(i >= 10_000_000 for i in kept_ids)
+        kept_ok = copies_dropped and kept_ids <= fresh_ids and len(kept_ids) > 0
+
+        try:
+            dedup_delta(delta, catalog=cat, catalog_key="s", threshold=0.9, seed=999)
+            seed_refused = False
+        except ValueError as e:
+            seed_refused = "seed" in str(e)
+
+        cat.append_signatures("s", kept_sigs)
+        replay_kept, _ = dedup_delta(delta, catalog=cat, catalog_key="s", threshold=0.9)
+        closed = replay_kept.count() == 0
+
+        rows = [
+            ("ddl_bootstrap_registers_contract", bool(boot_ok)),
+            ("refresh_signs_only_appends", bool(refresh_ok)),
+            ("catalog_delta_drops_corpus_copies", bool(kept_ok)),
+            ("conflicting_seed_refused", bool(seed_refused)),
+            ("append_via_catalog_closes_loop", bool(closed)),
+        ]
+    finally:
+        for cached in (grow, fresh, docs):
+            if cached is not None:
+                cached.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["check", "ok"]))
 
 
 def q_c15_mixture_sample(spark, sf_dir):
@@ -1734,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c16_repetition_stats": _dist_wrapped(q_c16_repetition_stats),
         "c17_contamination_spans": _dist_wrapped(q_c17_contamination_spans),
         "c18_dedup_delta": _dist_wrapped(q_c18_dedup_delta),
+        "c19_signature_catalog": _dist_wrapped(q_c19_signature_catalog),
     }
 
 
@@ -1883,6 +1968,13 @@ def oracle_sql() -> dict[str, str]:
         "c17_contamination_spans": """
             SELECT 'seed_span_exactly_40' AS check, TRUE AS ok
             UNION ALL SELECT 'clean_eval_no_hits', TRUE
+        """,
+        "c19_signature_catalog": """
+            SELECT 'ddl_bootstrap_registers_contract' AS check, TRUE AS ok
+            UNION ALL SELECT 'refresh_signs_only_appends', TRUE
+            UNION ALL SELECT 'catalog_delta_drops_corpus_copies', TRUE
+            UNION ALL SELECT 'conflicting_seed_refused', TRUE
+            UNION ALL SELECT 'append_via_catalog_closes_loop', TRUE
         """,
         "c16_repetition_stats": r"""
             WITH w AS (

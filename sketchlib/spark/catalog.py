@@ -42,6 +42,11 @@ _ANN_SCHEMA = (
     "files_json string"
 )
 
+_SIG_SCHEMA = (
+    "name string, input_dir string, tokens_col string, id_col string, "
+    "r int, n_bands int, seed long, rows long, built_unix double, files_json string"
+)
+
 
 class SketchCatalog:
     def __init__(self, spark: SparkSession, root: str):
@@ -53,6 +58,8 @@ class SketchCatalog:
         os.makedirs(os.path.join(root, "samples"), exist_ok=True)
         os.makedirs(os.path.join(root, "_ann_catalog"), exist_ok=True)
         os.makedirs(os.path.join(root, "ann"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_sig_catalog"), exist_ok=True)
+        os.makedirs(os.path.join(root, "signatures"), exist_ok=True)
 
     # --- A2: CREATE SAMPLE analog -----------------------------------------
     def create(
@@ -630,6 +637,146 @@ class SketchCatalog:
         adir = os.path.join(self.root, "ann", name)
         if os.path.isdir(adir):
             shutil.rmtree(adir)
+
+    # --- persisted MinHash SIGNATURE tables (VERDICT r4 #1) ------------------
+    # The artifact incremental dedup (dedup_delta) probes daily. The
+    # registration row carries the FULL signing contract — (r, n_bands,
+    # seed) plus input lineage — so a delta can never be signed with a
+    # mismatched seed against this table: a seed mismatch makes every
+    # MinHash comparison silently miss (zero recall, duplicates kept), the
+    # one failure mode a dedup pipeline cannot observe from its output.
+    # dedup_delta(catalog=..., catalog_key=...) reads the contract from
+    # here and REFUSES an explicit conflicting seed.
+
+    def create_signatures(
+        self,
+        name: str,
+        input_dir: str,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+        r: int = 128,
+        n_bands: int = 32,
+        seed: int = 17,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Sign a token-array parquet table (ONE corpus scan, zero shuffle —
+        minhash_signatures is a mapInArrow pass) and register the persisted
+        (id, sig, bands) table with its signing contract."""
+        from sketchlib.spark.dedup import minhash_signatures
+
+        if r % n_bands != 0:
+            raise ValueError(f"r={r} must be divisible by n_bands={n_bands}")
+        if self.sig_exists(name):
+            if not overwrite:
+                raise ValueError(f"signature table {name!r} already exists (use overwrite=True)")
+            self.drop_signatures(name)
+        from sketchlib.spark.scan import plan_chunks
+
+        files = sorted({c.file for c in plan_chunks(input_dir)})
+        df = self._read_files(input_dir, files)
+        sigs = minhash_signatures(df, tokens_col, id_col, r=r, n_bands=n_bands, seed=seed)
+        sdir = os.path.join(self.root, "signatures", name)
+        sigs.write.mode("overwrite").parquet(sdir)
+        persisted = self.spark.read.parquet(sdir)
+        self._register_sigs(
+            name, input_dir, tokens_col, id_col, r, n_bands, seed,
+            persisted.count(), json.dumps(files),
+        )
+        return persisted
+
+    def _register_sigs(
+        self, name, input_dir, tokens_col, id_col, r, n_bands, seed, rows, files_json
+    ) -> None:
+        row = [(name, input_dir, tokens_col, id_col, int(r), int(n_bands),
+                int(seed), int(rows), time.time(), files_json)]
+        self.spark.createDataFrame(row, _SIG_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, "_sig_catalog")
+        )
+
+    def refresh_signatures(self, name: str) -> dict:
+        """Sign ONLY the parquet files appended to the input dir since the
+        last build/refresh (content-keyed — the registered (r, n_bands,
+        seed) make the new rows byte-identical to what a full rebuild would
+        hold for them) and append. Covered files must still exist
+        (signature tables cannot subtract); returns {new_files, rows_added}."""
+        from sketchlib.spark.dedup import minhash_signatures
+        from sketchlib.spark.scan import plan_chunks
+
+        reg = self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
+        covered = set(json.loads(reg["files_json"]))
+        current = {c.file for c in plan_chunks(reg["input_dir"])}
+        gone = sorted(covered - current)
+        if gone:
+            raise ValueError(
+                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
+                f"(e.g. {gone[0]!r}) — signature tables cannot subtract; rebuild "
+                "with create_signatures(overwrite=True)"
+            )
+        new = sorted(current - covered)
+        if not new:
+            return {"new_files": 0, "rows_added": 0}
+        df = self._read_files(reg["input_dir"], new)
+        sigs = minhash_signatures(
+            df, reg["tokens_col"], reg["id_col"],
+            r=reg["r"], n_bands=reg["n_bands"], seed=reg["seed"],
+        )
+        sdir = os.path.join(self.root, "signatures", name)
+        sigs.write.mode("append").parquet(sdir)
+        n_total = self.spark.read.parquet(sdir).count()
+        self._register_sigs(
+            name, reg["input_dir"], reg["tokens_col"], reg["id_col"],
+            reg["r"], reg["n_bands"], reg["seed"], n_total, json.dumps(sorted(current)),
+        )
+        return {"new_files": len(new), "rows_added": n_total - int(reg["rows"])}
+
+    def append_signatures(self, name: str, sig_df: DataFrame) -> dict:
+        """Append already-signed rows — dedup_delta's kept-signature output —
+        closing the daily loop THROUGH the catalog. The rows must have been
+        signed under this table's registered contract; shape is verified
+        against the registration (a wrong (r, n_bands) append would poison
+        every later probe), and callers that signed outside
+        ``dedup_delta(catalog=...)`` own the seed match. File lineage is
+        unchanged (these rows have no input files); the registration row is
+        re-stamped with the new total. Returns {rows_added}."""
+        reg = self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
+        first = sig_df.select("sig", "bands").first()
+        if first is not None:
+            got_r, got_b = len(first["sig"]), len(first["bands"])
+            if (got_r, got_b) != (reg["r"], reg["n_bands"]):
+                raise ValueError(
+                    f"appended signatures have (r={got_r}, n_bands={got_b}) but "
+                    f"{name!r} is registered with (r={reg['r']}, "
+                    f"n_bands={reg['n_bands']}) — sign the rows via "
+                    "dedup_delta(catalog=...) so the contract cannot drift"
+                )
+        sdir = os.path.join(self.root, "signatures", name)
+        sig_df.write.mode("append").parquet(sdir)
+        n_total = self.spark.read.parquet(sdir).count()
+        self._register_sigs(
+            name, reg["input_dir"], reg["tokens_col"], reg["id_col"],
+            reg["r"], reg["n_bands"], reg["seed"], n_total, reg["files_json"],
+        )
+        return {"rows_added": n_total - int(reg["rows"])}
+
+    def sig_exists(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, "signatures", name))
+
+    def signatures(self, name: str) -> DataFrame:
+        if not self.sig_exists(name):
+            raise ValueError(f"unknown signature table {name!r}")
+        return self.spark.read.parquet(os.path.join(self.root, "signatures", name))
+
+    def sig_meta(self, name: str):
+        """Newest registration row for a persisted signature table."""
+        return self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
+
+    def list_signatures(self) -> DataFrame:
+        return self._registry_live("_sig_catalog", _SIG_SCHEMA, "signatures")
+
+    def drop_signatures(self, name: str) -> None:
+        sdir = os.path.join(self.root, "signatures", name)
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)
 
     def ann_topk(
         self,

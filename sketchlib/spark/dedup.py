@@ -559,51 +559,114 @@ def contamination_spans(
 
 def dedup_delta(
     new_df: DataFrame,
-    existing_sigs: DataFrame,
+    existing_sigs: DataFrame | None = None,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_bucket: int | None = 5000,
     max_candidates_per_doc: int = 200,
-    seed: int = 17,
+    seed: int | None = None,
+    broadcast_threshold: int = 100_000_000,
+    catalog=None,
+    catalog_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: dedup a NEW batch against an already-deduped
     corpus via the corpus's PERSISTED signature table, then within itself.
     Returns (kept new rows, signatures of the kept rows) — append the
-    signatures to the persisted table to close the daily loop. ``r`` and
-    ``n_bands`` are taken from the existing signature table's shape, so
-    delta signatures are always band-compatible with the corpus's; ``seed``
-    MUST match the seed the corpus signatures were built with (signature
-    tables don't carry it — a mismatched seed would make every comparison
-    silently miss, so record the seed wherever the table is persisted).
+    signatures to the persisted table to close the daily loop.
+
+    TWO ways to name the corpus signatures:
+
+    - ``catalog=SketchCatalog(...), catalog_key='name'`` (preferred): the
+      signing contract — (r, n_bands, SEED) — is read from the registry,
+      so the delta CANNOT be signed with a mismatched seed; an explicit
+      ``seed`` argument that conflicts with the registered one raises.
+      ``tokens_col``/``id_col`` likewise default to the registered ones.
+    - ``existing_sigs=DataFrame`` (raw): ``r`` and ``n_bands`` are taken
+      from the table's shape, but the table does not carry its seed —
+      ``seed`` (default 17) MUST match the seed the corpus signatures were
+      built with: a mismatch makes every comparison silently miss (zero
+      recall), so prefer the catalog path wherever the table is persisted.
 
     This is the operation a 100 TB corpus actually runs every day: a crawl
     drop arrives, and re-clustering the corpus (minhash_lsh_dedup over
     everything) would re-scan and re-shuffle 100 TB to dedup a 100 GB
     delta. Scale shape here: the corpus's RAW DATA is never touched — only
-    its signature table — and the delta's (id, band_hash) pairs are
-    BROADCAST, so the corpus-side band stream is a map-side probe: one
-    column-pruned scan of (id, bands), no corpus-side shuffle. Cross
-    verification then reads (id, sig) for CANDIDATE ids only (a second
-    column-pruned, semi-join-filtered scan of the signature table).
-    A new doc colliding with a boilerplate bucket caps at
+    its signature table — and, when the delta is small enough, its
+    (id, band_hash) pairs are BROADCAST, so the corpus-side band stream is
+    a map-side probe: one column-pruned scan of (id, bands), no
+    corpus-side shuffle. Cross verification then reads (id, sig) for
+    CANDIDATE ids only (a second column-pruned, semi-join-filtered scan of
+    the signature table). The broadcasts are SIZE-GATED on the delta's
+    exploded band-row count (docs × n_bands, known from the checkpointed
+    signature count — no extra job): above ``broadcast_threshold`` rows
+    (default 10⁸ ≈ 1.6 GB of 16 B pairs, under Spark's 8 GB broadcast
+    hard cap with headroom) every broadcast falls back to a plain shuffle
+    join — which still moves only (id, band_hash) / (id, sig) rows, never
+    token payloads. An unconditional broadcast at a 100 GB delta (~4×10⁷
+    docs × 16+ bands ≈ 10⁹ band rows) would blow past the cap and the
+    driver heap. A new doc colliding with a boilerplate bucket caps at
     ``max_candidates_per_doc`` verification partners (one verified match
     already decides "duplicate"; the cap bounds a 10⁶-member template
     bucket's fan-out), and within-delta dedup reuses the standard capped
     LSH path.
     """
+    import logging
+
     from pyspark.sql import Window
 
-    first = existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b")).first()
-    if first is None:
-        raise ValueError(
-            "existing_sigs is empty — bootstrap with minhash_lsh_dedup + "
-            "minhash_signatures over the initial corpus, then dedup deltas"
-        )
-    r, n_bands = int(first["r"]), int(first["b"])
+    if (catalog is None) != (catalog_key is None):
+        raise ValueError("pass catalog and catalog_key together (or neither)")
+    if catalog is not None:
+        if existing_sigs is not None:
+            raise ValueError(
+                "pass either catalog/catalog_key OR existing_sigs, not both — "
+                "the registry is authoritative for the signing contract"
+            )
+        meta = catalog.sig_meta(catalog_key)
+        if seed is not None and int(seed) != int(meta["seed"]):
+            raise ValueError(
+                f"seed={seed} conflicts with signature table {catalog_key!r}'s "
+                f"registered seed {meta['seed']} — a mismatched seed silently "
+                "zeroes recall; drop the seed argument to use the registered one"
+            )
+        seed = int(meta["seed"])
+        tokens_col, id_col = meta["tokens_col"], meta["id_col"]
+        existing_sigs = catalog.signatures(catalog_key)
+        r, n_bands = int(meta["r"]), int(meta["n_bands"])
+    else:
+        if existing_sigs is None:
+            raise ValueError("pass existing_sigs, or catalog + catalog_key")
+        if seed is None:
+            seed = 17
+        first = existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b")).first()
+        if first is None:
+            raise ValueError(
+                "existing_sigs is empty — bootstrap with minhash_lsh_dedup + "
+                "minhash_signatures over the initial corpus, then dedup deltas"
+            )
+        r, n_bands = int(first["r"]), int(first["b"])
     new_sigs = minhash_signatures(
         new_df, tokens_col, id_col, r=r, n_bands=n_bands, seed=seed
     ).localCheckpoint()
+
+    # the gate's decision variable: delta docs × bands = exploded band rows
+    # (exact, no extra scan — the count reads the checkpoint); the same
+    # count gates the signature broadcasts below (delta sigs are r×8 B
+    # each — strictly smaller than the band side whenever r ≤ 16·n_bands,
+    # and within the same order otherwise, so one gate serves both)
+    n_delta = new_sigs.count()
+    delta_band_rows = n_delta * n_bands
+    small_delta = delta_band_rows <= broadcast_threshold
+    logging.getLogger(__name__).info(
+        "dedup_delta: %d delta docs × %d bands = %d band rows — %s",
+        n_delta, n_bands, delta_band_rows,
+        "broadcast (map-side corpus probe)" if small_delta
+        else f"> {broadcast_threshold}: shuffle joins (pairs only, no payloads)",
+    )
+
+    def _gated(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_delta else df
 
     # cross candidates: corpus band stream map-side-probes the broadcast
     # delta bands. The per-new-doc cap ranks candidates by SHARED-BAND
@@ -616,7 +679,7 @@ def dedup_delta(
     nb = new_sigs.select(F.col(id_col).alias("_nid"), F.explode("bands").alias("bh"))
     eb = existing_sigs.select(F.col(id_col).alias("_eid"), F.explode("bands").alias("bh"))
     cross = (
-        eb.join(F.broadcast(nb), "bh")
+        eb.join(_gated(nb), "bh")
         .groupBy("_nid", "_eid")
         .agg(F.count("*").alias("_shared_bands"))
     )
@@ -629,10 +692,12 @@ def dedup_delta(
     )
     sa = new_sigs.select(F.col(id_col).alias("_nid"), F.col("sig").alias("_sa"))
     se = existing_sigs.select(F.col(id_col).alias("_eid"), F.col("sig").alias("_sb"))
-    # corpus sigs fetched for candidates only (broadcast semi-join by id)
-    se = se.join(F.broadcast(cross.select("_eid").distinct()), "_eid", "leftsemi")
+    # corpus sigs fetched for candidates only (semi-join by id; candidate
+    # ids are capped at n_delta × max_candidates_per_doc, but that bound
+    # still scales with the delta — gate it like the rest)
+    se = se.join(_gated(cross.select("_eid").distinct()), "_eid", "leftsemi")
     dup_of_corpus = (
-        cross.join(F.broadcast(sa), "_nid")
+        cross.join(_gated(sa), "_nid")
         .join(se, "_eid")
         .withColumn("_j", _sig_agreement("_sa", "_sb") / F.size("_sa"))
         .filter(F.col("_j") >= threshold)

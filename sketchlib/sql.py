@@ -79,6 +79,22 @@ def _num(a) -> float | None:
     except (TypeError, ValueError):
         return None
 
+
+def _ratio_or_default(fn: str, ratio_arg, default: float = 0.1) -> float:
+    """The on-the-fly sampling ratio: the statement's numeric argument, the
+    default when none was given — and a DESCRIPTIVE error (not a leaked
+    float() traceback) when an argument was given but isn't numeric."""
+    r = _num(ratio_arg)
+    if r is None:
+        if ratio_arg is not None:
+            raise ValueError(
+                f"{fn} over a JOIN takes a numeric sampling ratio argument, "
+                f"got {ratio_arg!r} — e.g. APPROX_COUNT(0.1) or "
+                "APPROX_SUM(col, 0.1)"
+            )
+        return default
+    return r
+
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
 # (Verdict A14) — stripped off the tail, the inner statement recurses.
 # Multi-key: ORDER BY est DESC, group [ASC] over result columns.
@@ -242,7 +258,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
         # statement order), Bernoulli-sampled at the aggregate's ratio arg
         from sketchlib.spark.sampling import uniform_sample
 
-        fact_i, ratio = 0, float(ratio_arg or 0.1)
+        fact_i, ratio = 0, _ratio_or_default(fn, ratio_arg)
         fact_df = uniform_sample(_resolve_table(spark, toks[0][0], tables), ratio)
 
     # the sampled row is the independent inclusion unit: it brings every
@@ -431,7 +447,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
     right = _resolve_table(spark, tb, tables)
     return approx_join_agg(
         left, right, left_key, right_key,
-        value_col=value_col, ratio=float(ratio_arg or 0.1), group_by=group,
+        value_col=value_col, ratio=_ratio_or_default(fn, ratio_arg), group_by=group,
         where=where,
     )
 
@@ -481,6 +497,19 @@ _CREATE_ANN = re.compile(
 _SHOW_ANN = re.compile(r"^\s*SHOW\s+ANN\s+INDEXES\s*;?\s*$", re.IGNORECASE)
 _DROP_ANN = re.compile(r"^\s*DROP\s+ANN\s+INDEX\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _REFRESH_ANN = re.compile(r"^\s*REFRESH\s+ANN\s+INDEX\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_CREATE_SIGS = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?SIGNATURES\s+(?P<name>\w+)"
+    r"\s+FROM\s+(?P<table>[\w./:\-]+)"
+    r"\s+ON\s+(?P<tokens>\w+)"
+    r"\s+ID\s+(?P<id>\w+)"
+    r"(?:\s+R\s+(?P<r>\d+))?"
+    r"(?:\s+BANDS\s+(?P<bands>\d+))?"
+    r"(?:\s+SEED\s+(?P<seed>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_SIGS = re.compile(r"^\s*SHOW\s+SIGNATURES\s*;?\s*$", re.IGNORECASE)
+_DROP_SIGS = re.compile(r"^\s*DROP\s+SIGNATURES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+_REFRESH_SIGS = re.compile(r"^\s*REFRESH\s+SIGNATURES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _SHOW_SKETCHES = re.compile(r"^\s*SHOW\s+SKETCHES\s*;?\s*$", re.IGNORECASE)
 _DROP_SKETCHES = re.compile(r"^\s*DROP\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 _REFRESH_SKETCHES = re.compile(r"^\s*REFRESH\s+SKETCHES\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
@@ -554,9 +583,9 @@ def _ddl_input_dir(table: str, tables: dict | None, stmt: str) -> str:
 # MENTIONS a user table named 'samples'/'sketches' (e.g. DROP TABLE samples),
 # breaking the A4 pass-through contract.
 _DDL_HEAD = re.compile(
-    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:SAMPLE|SKETCHES|ANN\s+INDEX)\b"
-    r"|SHOW\s+(?:SAMPLES|SKETCHES|ANN\s+INDEXES)\b"
-    r"|(?:DROP|REFRESH)\s+(?:SAMPLE|SKETCHES|ANN\s+INDEX)\b)",
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:SAMPLE|SKETCHES|SIGNATURES|ANN\s+INDEX)\b"
+    r"|SHOW\s+(?:SAMPLES|SKETCHES|SIGNATURES|ANN\s+INDEXES)\b"
+    r"|(?:DROP|REFRESH)\s+(?:SAMPLE|SKETCHES|SIGNATURES|ANN\s+INDEX)\b)",
     re.IGNORECASE,
 )
 
@@ -597,6 +626,32 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
     if m:
         return catalog.list_ann_indexes()
 
+    m = _SHOW_SIGS.match(sql)
+    if m:
+        return catalog.list_signatures()
+
+    m = _REFRESH_SIGS.match(sql)
+    if m:
+        stats = catalog.refresh_signatures(m.group("name"))
+        return spark.createDataFrame(
+            [(m.group("name"), stats["new_files"], stats["rows_added"])],
+            "name string, new_files int, rows_added long",
+        )
+
+    m = _CREATE_SIGS.match(sql)
+    if m:
+        catalog.create_signatures(
+            m.group("name"),
+            _ddl_input_dir(m.group("table"), tables, "CREATE SIGNATURES"),
+            tokens_col=m.group("tokens"),
+            id_col=m.group("id"),
+            r=int(m.group("r") or 128),
+            n_bands=int(m.group("bands") or 32),
+            seed=int(m.group("seed") or 17),
+            overwrite=bool(m.group("replace")),
+        )
+        return catalog.list_signatures().where(f"name = '{m.group('name')}'")
+
     m = _REFRESH_ANN.match(sql)
     if m:
         stats = catalog.refresh_ann_index(m.group("name"))
@@ -628,6 +683,7 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         (_DROP_SAMPLE, catalog.sample_exists, catalog.drop_sample),
         (_DROP_SKETCHES, catalog.exists, catalog.drop),
         (_DROP_ANN, catalog.ann_exists, catalog.drop_ann_index),
+        (_DROP_SIGS, catalog.sig_exists, catalog.drop_signatures),
     ):
         m = pat.match(sql)
         if m:
@@ -694,9 +750,12 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "[, cm(col), kll(col), tdigest(col), bloom(col), kmv(col)] [GROUP BY col]; "
         "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "
         "[BITS n] [LISTS n] [SEED n]; "
+        "CREATE [OR REPLACE] SIGNATURES s FROM t ON tokens ID id "
+        "[R n] [BANDS n] [SEED n]; "
         "SHOW SAMPLES; DROP SAMPLE s; REFRESH SAMPLE s; "
         "SHOW SKETCHES; DROP SKETCHES s; REFRESH SKETCHES s; "
-        "SHOW ANN INDEXES; DROP ANN INDEX s; REFRESH ANN INDEX s"
+        "SHOW ANN INDEXES; DROP ANN INDEX s; REFRESH ANN INDEX s; "
+        "SHOW SIGNATURES; DROP SIGNATURES s; REFRESH SIGNATURES s"
     )
 
 
