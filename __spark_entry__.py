@@ -820,6 +820,78 @@ def q_b32_approx_subquery(spark, sf_dir):
     )
 
 
+def q_b33_in_subquery_where(spark, sf_dir):
+    """Round 5 (VERDICT r4 #4): IN-subquery predicates in approximate
+    statements — ``APPROX_SUM(x) FROM t WHERE k IN (SELECT k FROM dim
+    WHERE ...)``. filter() strings reject subqueries, so the WHERE routes
+    through spark.sql over registered views; Catalyst plans the
+    uncorrelated IN as a (broadcast) semi-join. Exercised on BOTH serving
+    paths: a persisted uniform scramble (filtering commutes with Bernoulli
+    sampling, so the registered 1/p scale-up is unbiased for the
+    subquery-filtered population) and the on-the-fly grouped sketch path
+    (HLL over the semi-joined scan). Exact answers must fall inside the
+    ~3.3σ CI / 3σ HLL bound."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "customer": f"{sf_dir}/customer.parquet",
+    }
+    pred = (
+        "o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    )
+    root = tempfile.mkdtemp(prefix="sketchcat_b33_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE us FROM {tabs['orders']} KIND uniform RATIO 0.25 SEED 7",
+            catalog=cat,
+        ).collect()
+        est = approx_sql(
+            spark,
+            f"SELECT APPROX_SUM(o_totalprice) FROM orders WHERE {pred}",
+            tabs, catalog=cat, catalog_key="us",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    keys = c.filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    filt = o.join(keys, "o_custkey", "leftsemi")
+    exact_sum = filt.agg(F.sum("o_totalprice")).collect()[0][0]
+    wide = 3.29 / 1.96
+    sum_ok = abs(est["est_sum"] - exact_sum) <= est["sum_err"] * wide
+
+    cd = approx_sql(
+        spark,
+        f"SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM orders WHERE {pred} "
+        "GROUP BY o_orderstatus",
+        tabs,
+    ).toPandas()
+    exact_cd = {
+        r["o_orderstatus"]: r["d"]
+        for r in filt.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    cd_ok = set(cd["group"]) == set(exact_cd) and all(
+        abs(r["estimate"] - exact_cd[r["group"]])
+        <= _hll_tol(exact_cd[r["group"]], r["rse_bound"])
+        for _, r in cd.iterrows()
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"sample_sum_within_ci": [bool(sum_ok)], "sketch_cd_within_bound": [bool(cd_ok)]}
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -1798,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_join_where_sql": _dist_wrapped(q_b30_join_where_sql),
         "b31_join_alias_mixed_sql": _dist_wrapped(q_b31_join_alias_mixed_sql),
         "b32_approx_subquery": _dist_wrapped(q_b32_approx_subquery),
+        "b33_in_subquery_where": _dist_wrapped(q_b33_in_subquery_where),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -1925,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT c_mktsegment FROM customer) ORDER BY c_mktsegment
         """,
         "b32_approx_subquery": "SELECT TRUE AS caveat_present, TRUE AS median_within_tol",
+        "b33_in_subquery_where": "SELECT TRUE AS sample_sum_within_ci, TRUE AS sketch_cd_within_bound",
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok
             UNION ALL SELECT 'states_within_bound', TRUE

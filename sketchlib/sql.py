@@ -1093,6 +1093,33 @@ def _extract_subquery(sql: str):
     return None
 
 
+def _apply_where(spark: SparkSession, df: DataFrame, where: str, tables: dict | None) -> DataFrame:
+    """Apply a statement's WHERE to a frame. Plain predicates go through
+    ``DataFrame.filter`` (full Spark SQL, pushed to the scan by Catalyst).
+    Predicates containing a SUBQUERY — ``k IN (SELECT ...)``, ``EXISTS
+    (SELECT ...)`` — are routed through ``spark.sql`` over a per-call temp
+    view instead: Spark's expression parser rejects subqueries inside
+    filter() strings, but accepts them in a full statement, where Catalyst
+    plans the uncorrelated IN as a semi-join (broadcast when the subquery
+    side is small — the dim-filter shape this serves). Tables the subquery
+    references are registered from ``tables`` exactly like the exact
+    pass-through; the view is dropped after analysis (plans resolve
+    eagerly at DataFrame creation)."""
+    if not re.search(r"\(\s*SELECT\b", _mask_literals(where), re.IGNORECASE):
+        return df.filter(where)
+    if tables:
+        for name, t in tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", where):
+                d = spark.read.parquet(t) if isinstance(t, str) else t
+                d.createOrReplaceTempView(name)
+    view = f"_approx_where_{next(_SUBQUERY_IDS)}"
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"SELECT * FROM {view} WHERE {where}")
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def _exact_passthrough(spark: SparkSession, sql: str, tables: dict | None) -> DataFrame:
     """Verdict middleware behavior (A4): a statement with no APPROX_
     aggregate is NOT rewritten — it passes through to the backend (Spark
@@ -1322,7 +1349,7 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     return result
 
 
-def _inner_rel_err_max(df: DataFrame) -> float:
+def _inner_rel_err_max(pdf) -> float:
     """Largest relative error among an approx result frame's estimates —
     the caveat attached to approx-over-approx statements. Covers every
     answer shape the library emits: (estimate, rse_bound) pairs are already
@@ -1330,9 +1357,8 @@ def _inner_rel_err_max(df: DataFrame) -> float:
     rank-bounded quantile frames report the rank bound itself. NaN when the
     frame carries no recognizable error columns (nothing to claim).
 
-    The frame is groups-sized (an aggregate result, never the corpus), so
-    the pandas collect here is KBs."""
-    pdf = df.toPandas()
+    Takes the already-collected pandas frame — it is groups-sized (an
+    aggregate result, never the corpus), so the collect is KBs."""
     if len(pdf) == 0:
         return 0.0
     cols = set(pdf.columns)
@@ -1359,6 +1385,21 @@ def _inner_rel_err_max(df: DataFrame) -> float:
         est = pdf[base].abs()
         _push(pdf[c].abs() / est.where(est > 0))
     return max(rel) if rel else float("nan")
+
+
+def _inner_abs_errs(pdf, col):
+    """Per-row ABSOLUTE error bounds for an inner estimate column ``col``,
+    or None when the column carries no recognizable error companion (the
+    composed bound is then not computable and only the relative caveat is
+    emitted). Mirrors the shapes _inner_rel_err_max recognizes."""
+    cols = set(pdf.columns)
+    if col == "estimate" and "rse_bound" in cols:
+        return pdf["rse_bound"].abs() * pdf["estimate"].abs()
+    if f"{col}_err" in cols and col in cols:
+        return pdf[f"{col}_err"].abs()
+    if col.startswith("est_") and f"{col[4:]}_err" in cols:
+        return pdf[f"{col[4:]}_err"].abs()
+    return None
 
 
 def approx_sql(
@@ -1412,13 +1453,23 @@ def approx_sql(
         # eagerly checkpointed so the groups-sized estimate frame computes
         # once however often the final statement references it), registered
         # as temp views, then the final statement recurses through every
-        # path below. A CTE name colliding with a `tables` binding is
-        # shadowed BY the dict (the dict is authoritative, as in
-        # pass-through) — pick distinct names.
+        # path below — so a later CTE can read an earlier one (chained
+        # CTEs), its body resolving the view the previous iteration
+        # registered. A CTE name colliding with a `tables` binding is
+        # REJECTED loudly: the dict is authoritative in every resolution
+        # path (_resolve_table checks it before views), so the CTE would
+        # be silently shadowed — estimates computed over the wrong
+        # relation with no error is the worst failure shape.
         ctes, final = cte
         views = []
         try:
             for name, body in ctes:
+                if tables and name in tables:
+                    raise ValueError(
+                        f"CTE name {name!r} collides with a `tables` binding — "
+                        "the dict is authoritative in table resolution, so the "
+                        "CTE would be silently shadowed; rename the CTE"
+                    )
                 if _AGG.search(_mask_literals(body)):
                     df = approx_sql(spark, body, tables, catalog, None).localCheckpoint(eager=True)
                 else:
@@ -1459,12 +1510,22 @@ def approx_sql(
             # as an explicit caveat column: ``inner_rel_err_max`` = the
             # largest relative half-width among the inner estimates (for
             # rank-bounded inner results, the largest rank error). The
-            # composed uncertainty is NOT folded into the outer bound —
-            # the two stages' errors are in different units (value vs
-            # rank) in general, so they are reported separately rather
-            # than summed into a false single number.
+            # composed uncertainty is NOT folded into the outer bound in
+            # general — the two stages' errors can be in different units
+            # (value vs rank) — EXCEPT where they provably share units:
+            # an outer SUM/AVG of an inner ESTIMATE column is linear in
+            # its inputs, so the inner stage shifts the outer answer by
+            # at most Σ|err_i| (SUM) / Σ|err_i|/n (AVG) — the perfectly-
+            # correlated worst case, hence a conservative first-order
+            # bound. That case additionally emits ``inner_abs_err`` (the
+            # propagated inner bound in the outer aggregate's units) and
+            # ``composed_err_bound`` (outer CI + propagated inner), so
+            # composition is not left to the reader. Grouped outer
+            # statements keep the caveat-only form (propagation would
+            # need the inner rows regrouped per outer key).
             inner_df = approx_sql(spark, inner, tables, catalog, None).localCheckpoint(eager=True)
-            caveat = _inner_rel_err_max(inner_df)
+            inner_pdf = inner_df.toPandas()
+            caveat = _inner_rel_err_max(inner_pdf)
             inner_df.createOrReplaceTempView(view)
             try:
                 out = approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
@@ -1472,7 +1533,23 @@ def approx_sql(
                 spark.catalog.dropTempView(view)
             from pyspark.sql import functions as F
 
-            return out.withColumn("inner_rel_err_max", F.lit(caveat))
+            out = out.withColumn("inner_rel_err_max", F.lit(caveat))
+            outer_aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(head)]
+            if (
+                len(outer_aggs) == 1
+                and len(inner_pdf) > 0
+                and not re.search(r"GROUP\s+BY", _mask_literals(tail), re.IGNORECASE)
+            ):
+                ofn, oargs = outer_aggs[0]
+                if ofn in ("APPROX_SUM", "APPROX_AVG") and oargs and _IDENT.match(oargs[0]):
+                    errs = _inner_abs_errs(inner_pdf, oargs[0])
+                    if errs is not None:
+                        prop = float(errs.sum()) if ofn == "APPROX_SUM" else float(errs.mean())
+                        ocol = "sum_err" if ofn == "APPROX_SUM" else "avg_err"
+                        out = out.withColumn("inner_abs_err", F.lit(prop)).withColumn(
+                            "composed_err_bound", F.col(ocol) + F.lit(prop)
+                        )
+            return out
         _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
         try:
             return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
@@ -1533,7 +1610,7 @@ def approx_sql(
                 return routed
         df = _resolve_table(spark, m.group("table"), tables)
         if m.group("where"):
-            df = df.filter(m.group("where"))
+            df = _apply_where(spark, df, m.group("where"), tables)
         return _multi_agg(spark, df, aggs, group)
 
     fn, args = aggs[0]
@@ -1561,7 +1638,7 @@ def approx_sql(
             meta = catalog.sample_meta(catalog_key)
             s = catalog.sample(catalog_key)
             if m.group("where"):
-                s = s.filter(m.group("where"))
+                s = _apply_where(spark, s, m.group("where"), tables)
             if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
                 if meta["kind"] not in ("uniform", "stratified"):
                     raise ValueError(
@@ -1709,7 +1786,7 @@ def approx_sql(
 
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
-        df = df.filter(m.group("where"))
+        df = _apply_where(spark, df, m.group("where"), tables)
 
     if fn == "APPROX_COUNT_DISTINCT":
         df, col = _materialize_expr(df, args[0])

@@ -1,0 +1,179 @@
+"""Round-5 surface: IN-subquery predicates in approx statements, chained
+CTEs + CTE/tables-binding collision rejection, descriptive join-ratio
+errors, and composed inner-error bounds for value-unit approx-over-approx."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.sql import approx_sql
+
+WIDE = 3.29 / 1.96  # widen the default 95% CI to ~3.3σ for one-shot checks
+
+
+@pytest.fixture(scope="module")
+def sub_tables(spark, tmp_path_factory):
+    """(tables dict, fact pdf, dim pdf): fact rows keyed into a dim whose
+    attribute the IN-subquery filters on."""
+    rng = np.random.default_rng(29)
+    fact = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, 15000),
+            "val": rng.uniform(0, 10, 15000).round(3),
+            "seg": [f"s{i % 4}" for i in range(15000)],
+        }
+    )
+    dim = pd.DataFrame(
+        {"j": np.arange(300), "grp": ["keep" if i % 3 == 0 else "drop" for i in range(300)]}
+    )
+    d = tmp_path_factory.mktemp("sub5")
+    fpath, dpath = str(d / "fact"), str(d / "dim")
+    spark.createDataFrame(fact).write.parquet(fpath)
+    spark.createDataFrame(dim).write.parquet(dpath)
+    return {"fact": fpath, "dim": dpath}, fact, dim
+
+
+def test_in_subquery_where_sampling_path(spark, sub_tables):
+    """APPROX_SUM ... WHERE k IN (SELECT ...) (VERDICT r4 #4): the predicate
+    routes through spark.sql (a filter() string rejects subqueries) and the
+    exact filtered aggregate falls inside the CI."""
+    t, fact, dim = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val, 0.5) FROM fact "
+        "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')",
+        t,
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[fact["k"].isin(keep)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+
+def test_in_subquery_where_sketch_path_grouped(spark, sub_tables):
+    """The same subquery predicate on the SKETCH path (grouped
+    APPROX_COUNT_DISTINCT): estimates per group stay within the HLL bound
+    of the exact filtered distinct counts."""
+    t, fact, dim = sub_tables
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k) FROM fact "
+        "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep') GROUP BY seg",
+        t,
+    ).collect()
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[fact["k"].isin(keep)]
+    exact = sub.groupby("seg")["k"].nunique().to_dict()
+    assert {r["group"] for r in rows} == set(exact)
+    for r in rows:
+        tol = 3 * r["rse_bound"] * exact[r["group"]] + 2.0
+        assert abs(r["estimate"] - exact[r["group"]]) <= tol
+
+
+def test_in_subquery_where_persisted_sample(spark, sub_tables, tmp_path):
+    """Subquery WHERE over a PERSISTED scramble (the A5 path): filtering
+    commutes with Bernoulli sampling, so the registered 1/p scale-up covers
+    the subquery-filtered population too."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, dim = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE us FROM fact KIND uniform RATIO 0.5 SEED 3", t, catalog=cat
+    ).collect()
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val) FROM fact "
+        "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')",
+        t, catalog=cat, catalog_key="us",
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[fact["k"].isin(keep)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+
+def test_cte_chained(spark, sub_tables):
+    """A CTE reading an EARLIER CTE (VERDICT r4 #6): sequential view
+    registration makes `b` resolve `a`; lock it with an exact check."""
+    t, fact, _ = sub_tables
+    out = approx_sql(
+        spark,
+        "WITH a AS (SELECT k, val FROM fact WHERE val > 5), "
+        "b AS (SELECT k FROM a WHERE k < 100) "
+        "SELECT COUNT(*) AS n FROM b",
+        t,
+    ).collect()[0]
+    assert out["n"] == len(fact[(fact["val"] > 5) & (fact["k"] < 100)])
+
+
+def test_cte_chained_approx(spark, sub_tables):
+    """Chained CTEs where the FINAL statement is approximate: the approx
+    aggregate runs over the second CTE's frame."""
+    t, fact, _ = sub_tables
+    out = approx_sql(
+        spark,
+        "WITH a AS (SELECT k, val FROM fact WHERE val > 5), "
+        "b AS (SELECT val FROM a WHERE val < 9) "
+        "SELECT APPROX_SUM(val, 0.5) FROM b",
+        t,
+    ).collect()[0]
+    sub = fact[(fact["val"] > 5) & (fact["val"] < 9)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+
+def test_cte_name_collision_rejected(spark, sub_tables):
+    """A CTE name colliding with a `tables` binding is rejected loudly —
+    the dict is authoritative in resolution, so the CTE would be silently
+    shadowed (answers computed over the wrong relation)."""
+    t, _, _ = sub_tables
+    with pytest.raises(ValueError, match="collides"):
+        approx_sql(
+            spark,
+            "WITH dim AS (SELECT k FROM fact WHERE val > 5) "
+            "SELECT APPROX_COUNT(0.5) FROM dim",
+            t,
+        )
+
+
+def test_join_ratio_arg_descriptive_error(spark, sub_tables):
+    """A non-numeric ratio argument on an on-the-fly approx join raises the
+    library's descriptive error, not a leaked float() traceback."""
+    t, _, _ = sub_tables
+    with pytest.raises(ValueError, match="numeric sampling ratio"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT(*) FROM fact JOIN dim ON fact.k = dim.j",
+            t,
+        )
+
+
+def test_composed_inner_error_bound(spark, sub_tables):
+    """VERDICT r4 #8: an outer APPROX_SUM of an inner APPROX_COUNT's
+    estimate column shares VALUE units across the two stages, so the
+    first-order propagated bound is computable: composed_err_bound =
+    outer CI + Σ|inner err_i| (worst case). The exact answer must fall
+    inside it, and the propagated term must match the inner frame."""
+    t, fact, _ = sub_tables
+    inner = "SELECT APPROX_COUNT(0.5) FROM fact GROUP BY k"
+    out = approx_sql(spark, f"SELECT APPROX_SUM(est_count, 0.9) FROM ({inner})", t).collect()[0]
+    assert out["composed_err_bound"] == out["sum_err"] + out["inner_abs_err"]
+    assert out["inner_abs_err"] > 0
+    inner_pdf = approx_sql(spark, inner, t).toPandas()
+    assert out["inner_abs_err"] == pytest.approx(float(inner_pdf["count_err"].abs().sum()))
+    exact = len(fact)
+    assert abs(out["est_sum"] - exact) <= WIDE * out["composed_err_bound"]
+
+
+def test_composed_bound_absent_for_rank_units(spark, sub_tables):
+    """Unit discipline: an outer PERCENTILE over inner estimates mixes
+    rank and value units — only the relative caveat is emitted, never a
+    falsely-summed composed bound."""
+    t, _, _ = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(est_count, 0.5) FROM "
+        "(SELECT APPROX_COUNT(0.5) FROM fact GROUP BY seg)",
+        t,
+    )
+    assert "inner_rel_err_max" in out.columns
+    assert "composed_err_bound" not in out.columns
