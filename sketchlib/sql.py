@@ -1093,20 +1093,31 @@ def _extract_subquery(sql: str):
     return None
 
 
-def _apply_where(spark: SparkSession, df: DataFrame, where: str, tables: dict | None) -> DataFrame:
+def _apply_where(
+    spark: SparkSession, df: DataFrame, where: str, tables: dict | None,
+    from_name: str | None = None,
+) -> DataFrame:
     """Apply a statement's WHERE to a frame. Plain predicates go through
     ``DataFrame.filter`` (full Spark SQL, pushed to the scan by Catalyst).
-    Predicates containing a SUBQUERY — ``k IN (SELECT ...)``, ``EXISTS
-    (SELECT ...)`` — are routed through ``spark.sql`` over a per-call temp
-    view instead: Spark's expression parser rejects subqueries inside
-    filter() strings, but accepts them in a full statement, where Catalyst
-    plans the uncorrelated IN as a semi-join (broadcast when the subquery
-    side is small — the dim-filter shape this serves). Tables the subquery
-    references are registered from ``tables`` exactly like the exact
-    pass-through; the view is dropped after analysis (plans resolve
-    eagerly at DataFrame creation)."""
+    Predicates containing a SUBQUERY — ``k IN (SELECT ...)``, ``NOT IN``,
+    ``EXISTS (SELECT ...)`` — are routed through ``spark.sql`` over a
+    per-call temp view instead: Spark's expression parser rejects
+    subqueries inside filter() strings, but accepts them in a full
+    statement, where Catalyst plans the uncorrelated IN as a semi-join
+    (broadcast when the subquery side is small — the dim-filter shape this
+    serves) and a correlated EXISTS as a correlated semi-join. The view is
+    aliased back to the statement's FROM token (``from_name``) so
+    correlated predicates can qualify outer columns (``fact.k``). Tables
+    the subquery references are registered from ``tables`` exactly like
+    the exact pass-through; the view is dropped after analysis (plans
+    resolve eagerly at DataFrame creation)."""
     if not re.search(r"\(\s*SELECT\b", _mask_literals(where), re.IGNORECASE):
         return df.filter(where)
+    # register every referenced table — INCLUDING the FROM table itself: a
+    # self-referencing subquery (`WHERE val > (SELECT avg(val) FROM fact)`)
+    # must aggregate over the BASE table even when the outer frame is a
+    # scramble; the outer alias below only shadows column qualification
+    # (nearest FROM wins), not catalog lookup of the inner FROM
     if tables:
         for name, t in tables.items():
             if re.search(rf"\b{re.escape(name)}\b", where):
@@ -1114,8 +1125,9 @@ def _apply_where(spark: SparkSession, df: DataFrame, where: str, tables: dict | 
                 d.createOrReplaceTempView(name)
     view = f"_approx_where_{next(_SUBQUERY_IDS)}"
     df.createOrReplaceTempView(view)
+    alias = f" AS {from_name}" if from_name and _IDENT.match(from_name) else ""
     try:
-        return spark.sql(f"SELECT * FROM {view} WHERE {where}")
+        return spark.sql(f"SELECT * FROM {view}{alias} WHERE {where}")
     finally:
         spark.catalog.dropTempView(view)
 
@@ -1610,7 +1622,7 @@ def approx_sql(
                 return routed
         df = _resolve_table(spark, m.group("table"), tables)
         if m.group("where"):
-            df = _apply_where(spark, df, m.group("where"), tables)
+            df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
         return _multi_agg(spark, df, aggs, group)
 
     fn, args = aggs[0]
@@ -1638,7 +1650,7 @@ def approx_sql(
             meta = catalog.sample_meta(catalog_key)
             s = catalog.sample(catalog_key)
             if m.group("where"):
-                s = _apply_where(spark, s, m.group("where"), tables)
+                s = _apply_where(spark, s, m.group("where"), tables, m.group("table"))
             if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
                 if meta["kind"] not in ("uniform", "stratified"):
                     raise ValueError(
@@ -1786,7 +1798,7 @@ def approx_sql(
 
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
-        df = _apply_where(spark, df, m.group("where"), tables)
+        df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
 
     if fn == "APPROX_COUNT_DISTINCT":
         df, col = _materialize_expr(df, args[0])

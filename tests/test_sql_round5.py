@@ -177,3 +177,67 @@ def test_composed_bound_absent_for_rank_units(spark, sub_tables):
     )
     assert "inner_rel_err_max" in out.columns
     assert "composed_err_bound" not in out.columns
+
+
+def test_not_in_and_exists_subquery_where(spark, sub_tables):
+    """The subquery-WHERE route is not IN-specific: NOT IN and correlated
+    EXISTS predicates take the same spark.sql path."""
+    t, fact, dim = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val, 0.5) FROM fact "
+        "WHERE k NOT IN (SELECT j FROM dim WHERE grp = 'keep')",
+        t,
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[~fact["k"].isin(keep)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+    out2 = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact "
+        "WHERE EXISTS (SELECT 1 FROM dim WHERE dim.j = fact.k AND dim.grp = 'keep')",
+        t,
+    ).collect()[0]
+    sub2 = fact[fact["k"].isin(keep)]
+    assert abs(out2["est_count"] - len(sub2)) <= out2["count_err"] * WIDE
+
+
+def test_signatures_ddl_grammar_errors(spark, tmp_path):
+    """Malformed SIGNATURES DDL raises the library's descriptive error (the
+    no-leaked-traceback contract), and `DROP TABLE signatures` — Spark's
+    own DDL over a user table that merely shares the word — is NOT claimed
+    by the registry (head-only claiming)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="CREATE \\[OR REPLACE\\] SIGNATURES"):
+        approx_sql(spark, "CREATE SIGNATURES x FROM", catalog=cat)
+    # head-only claiming: a Spark statement naming a table 'signatures'
+    # passes through to Spark SQL (which then errors on the missing table,
+    # proving the registry never claimed it)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        approx_sql(spark, "SELECT * FROM signatures_t", catalog=cat)
+
+
+def test_scalar_subquery_resolves_base_not_sample(spark, sub_tables, tmp_path):
+    """A self-referencing scalar subquery (`WHERE val > (SELECT avg(val)
+    FROM fact)`) must aggregate over the BASE table even when the outer
+    statement is served from a persisted scramble — the outer alias only
+    shadows column qualification, not catalog lookup of the inner FROM."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE u2 FROM fact KIND uniform RATIO 0.5 SEED 5", t, catalog=cat
+    ).collect()
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact WHERE val > (SELECT avg(val) FROM fact)",
+        t, catalog=cat, catalog_key="u2",
+    ).collect()[0]
+    exact = int((fact["val"] > fact["val"].mean()).sum())
+    assert abs(out["est_count"] - exact) <= out["count_err"] * WIDE
