@@ -1779,6 +1779,31 @@ def q_c19_signature_catalog(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["check", "ok"]))
 
 
+def q_c20_chunking(spark, sf_dir):
+    """Round 5: context-window chunking (`packing.chunk_documents`) — split
+    long token arrays into ≤ max_len windows with `overlap` carried
+    context; the complement of c13's packing (a pipeline runs chunk →
+    pack). Pure higher-order SQL (no Python, no shuffle — plan-locked in
+    tests). VALUE-matched vs DuckDB computing the same closed form:
+    n_chunks = 1 if n ≤ L else ceil((n−L)/(L−o)) + 1, total chunk tokens
+    = n + (n_chunks−1)·o — so the oracle verifies the chunk COUNTS and
+    the exactly-once-plus-overlap token accounting, not just booleans."""
+    from sketchlib.spark.packing import chunk_documents
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("source", "doc_id", "tokens")
+    ch = chunk_documents(docs, max_len=64, overlap=8)
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("sum_chunk_tokens"),
+            F.max("n_chunk_tokens").cast("int").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_c15_mixture_sample(spark, sf_dir):
     """Dataset mixture composition (D22): per-source Bernoulli fractions
     solved so each source's expected output-token share matches the target
@@ -1892,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c17_contamination_spans": _dist_wrapped(q_c17_contamination_spans),
         "c18_dedup_delta": _dist_wrapped(q_c18_dedup_delta),
         "c19_signature_catalog": _dist_wrapped(q_c19_signature_catalog),
+        "c20_chunking": _dist_wrapped(q_c20_chunking),
     }
 
 
@@ -2042,6 +2068,25 @@ def oracle_sql() -> dict[str, str]:
         "c17_contamination_spans": """
             SELECT 'seed_span_exactly_40' AS check, TRUE AS ok
             UNION ALL SELECT 'clean_eval_no_hits', TRUE
+        """,
+
+        "c20_chunking": r"""
+            WITH per AS (
+                SELECT source, doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, n,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE CAST(ceil((n - 64) / 56.0) AS INT) + 1 END AS k
+                FROM per
+            )
+            SELECT source,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(sum(k) AS BIGINT) AS n_chunks,
+                   CAST(sum(n + (k - 1) * 8) AS BIGINT) AS sum_chunk_tokens,
+                   CAST(max(CASE WHEN n <= 64 THEN n ELSE 64 END) AS INT) AS max_chunk_tokens
+            FROM c GROUP BY source ORDER BY source
         """,
         "c19_signature_catalog": """
             SELECT 'ddl_bootstrap_registers_contract' AS check, TRUE AS ok

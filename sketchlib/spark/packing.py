@@ -203,3 +203,57 @@ def materialize_packs(
         .withColumn("n_tokens", F.size(tokens_col))
         .select("pack_id", "n_seqs", "n_tokens", tokens_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_len: int = 4096,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split token arrays into context-window chunks of ≤ ``max_len`` tokens
+    with ``overlap`` tokens of carried context between consecutive chunks —
+    the complement of pack_sequences: packing concatenates short docs up to
+    the window, chunking cuts long docs down to it (a pipeline usually runs
+    chunk → pack).
+
+    Chunk i covers token positions [i·stride, i·stride + max_len) with
+    stride = max_len − overlap, so consecutive chunks share exactly
+    ``overlap`` tokens and every token appears in ≥1 chunk:
+    n_chunks = 1 if n ≤ max_len else ceil((n − max_len)/stride) + 1 (the
+    last chunk may be shorter; empty docs yield one empty chunk so no row
+    silently vanishes). Output: every non-token input column (metadata
+    rides along — chunking is per-row, so carrying payload costs nothing),
+    plus chunk_idx int, chunk_id string = '<id>#<idx>', <tokens_col> = the
+    chunk slice, n_chunk_tokens int.
+
+    Spark-first shape: pure higher-order SQL — one ``transform(sequence(…),
+    i -> slice(…))`` + ``posexplode`` inside whole-stage codegen, zero
+    Python, zero shuffle (chunking is per-row); at 100 TB it pipelines
+    directly into the scan. Row fan-out is bounded by n/stride, and the
+    emitted rows carry only the chunk slices — total output tokens =
+    n + (n_chunks − 1)·overlap per doc.
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= max_len:
+        raise ValueError(f"overlap ({overlap}) must be < max_len ({max_len})")
+    stride = max_len - overlap
+    n = f"size({tokens_col})"
+    n_chunks = (
+        f"CASE WHEN {n} <= {max_len} THEN 1 "
+        f"ELSE CAST(ceil(({n} - {max_len}) / CAST({stride} AS DOUBLE)) AS INT) + 1 END"
+    )
+    # slice() is 1-indexed; sequence(0, n_chunks-1) enumerates chunk starts
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> slice({tokens_col}, i * {stride} + 1, {max_len}))"
+    )
+    keep = [c for c in df.columns if c != tokens_col]
+    return (
+        df.select(*keep, F.posexplode(F.expr(chunks)).alias("chunk_idx", tokens_col))
+        .withColumn("chunk_id", F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")))
+        .withColumn("n_chunk_tokens", F.size(tokens_col))
+        .select(*keep, "chunk_idx", "chunk_id", tokens_col, "n_chunk_tokens")
+    )

@@ -211,6 +211,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
         ((_which(m.group("q3")), m.group("k3")), (_which(m.group("q4")), m.group("k4"))),
     ]
     qnames = {n for t, a in toks for n in (t, a, _base(t)) if n}
+    _refuse_join_subquery_where(m.group("where"))
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
     group = _parse_group(m.group("group"))
 
@@ -312,6 +313,21 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     return out.select(*gcols, *keep)
 
 
+def _refuse_join_subquery_where(where: str | None) -> None:
+    """Approximate JOIN statements hand their WHERE to DataFrame.filter /
+    the sampling kernels, which reject subqueries — refuse with a pointer
+    to the supported shape instead of leaking Spark's AnalysisException.
+    (Single-table statements DO support subquery predicates via
+    _apply_where; for joins, pre-filter in a CTE or derived table.)"""
+    if where and re.search(r"\(\s*SELECT\b", _mask_literals(where), re.IGNORECASE):
+        raise ValueError(
+            "subquery predicates are not supported in the WHERE of an "
+            "approximate JOIN statement — pre-filter the table in a CTE "
+            "(WITH f AS (SELECT ... WHERE k IN (...)) SELECT APPROX_... "
+            "FROM f JOIN ...) or a derived table instead"
+        )
+
+
 def _strip_qualifiers(expr: str, names: set[str]) -> str:
     """Drop ``alias.`` / ``table.`` prefixes naming the FROM tokens from a
     predicate: the joined frame carries unqualified columns (TPC-H-style
@@ -365,6 +381,7 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
         )
     group = _parse_group(m.group("group"))
     qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
+    _refuse_join_subquery_where(m.group("where"))
     where = _strip_qualifiers(m.group("where"), qnames) if m.group("where") else None
 
     req_ratio = _num(ratio_arg)

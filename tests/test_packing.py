@@ -95,3 +95,61 @@ def test_materialize_packs(spark, seq_df):
     got = packs.filter(F.col("pack_id") == pid).collect()[0]["tokens"]
     assert list(got) == manual
     packed.unpersist(); packs.unpersist()
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunking (round 5): chunk lengths ≤ max_len; consecutive chunks share
+    exactly `overlap` tokens; dropping each non-first chunk's overlap prefix
+    and concatenating reconstructs the original doc exactly; empty and
+    short docs yield exactly one chunk; token accounting matches
+    n + (n_chunks-1)*overlap."""
+    import pandas as pd
+
+    from sketchlib.spark.packing import chunk_documents
+
+    docs = [
+        ("empty", []),
+        ("short", list(range(5))),
+        ("exact", list(range(16))),
+        ("one_over", list(range(17))),
+        ("long", list(range(100))),
+        ("long2", list(range(999))),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "tokens"]))
+    max_len, overlap = 16, 4
+    stride = max_len - overlap
+    out = chunk_documents(df, max_len=max_len, overlap=overlap)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in docs:
+        chunks = by_doc[doc_id]
+        n = len(toks)
+        want_chunks = 1 if n <= max_len else -(-(n - max_len) // stride) + 1
+        assert len(chunks) == want_chunks, doc_id
+        assert [c["chunk_idx"] for c in chunks] == list(range(want_chunks))
+        assert all(c["n_chunk_tokens"] <= max_len for c in chunks)
+        assert all(c["chunk_id"] == f"{doc_id}#{c['chunk_idx']}" for c in chunks)
+        # overlap contract + exact reconstruction
+        recon = list(chunks[0]["tokens"])
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert list(prev["tokens"])[-overlap:] == list(cur["tokens"])[:overlap]
+            recon += list(cur["tokens"])[overlap:]
+        assert recon == toks, doc_id
+        total = sum(c["n_chunk_tokens"] for c in chunks)
+        assert total == n + (want_chunks - 1) * overlap
+
+
+def test_chunk_documents_no_python_in_plan(spark):
+    """Chunking is pure higher-order SQL: the physical plan must contain no
+    Python evaluation (it pipelines into the scan at 100 TB)."""
+    import pandas as pd
+
+    from sketchlib.spark.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "tokens": [list(range(50))]})
+    )
+    plan = chunk_documents(df, max_len=16, overlap=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan

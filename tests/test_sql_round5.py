@@ -241,3 +241,44 @@ def test_scalar_subquery_resolves_base_not_sample(spark, sub_tables, tmp_path):
     ).collect()[0]
     exact = int((fact["val"] > fact["val"].mean()).sum())
     assert abs(out["est_count"] - exact) <= out["count_err"] * WIDE
+
+
+def test_join_where_subquery_refused_with_cte_workaround(spark, sub_tables):
+    """Subquery predicates on approximate JOIN statements are refused with
+    a descriptive error (the sampling kernels' filter() would leak an
+    AnalysisException) — and the error's suggested CTE workaround actually
+    works, end to end."""
+    t, fact, dim = sub_tables
+    with pytest.raises(ValueError, match="CTE"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j "
+            "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')",
+            t,
+        )
+    out = approx_sql(
+        spark,
+        "WITH f AS (SELECT * FROM fact WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')) "
+        "SELECT APPROX_COUNT(0.5) FROM f JOIN dim ON f.k = dim.j",
+        t,
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    exact = int(fact["k"].isin(keep).sum())  # dim is key-unique: join preserves count
+    assert abs(out["est_count"] - exact) <= out["count_err"] * WIDE
+
+
+def test_derived_table_inside_where_subquery(spark, sub_tables):
+    """`WHERE k IN (SELECT ... FROM (SELECT ...))` — a derived table NESTED
+    inside the predicate's subquery: the positional FROM-( rewrite registers
+    the innermost block as a view and reassembles the same semantics. Locked
+    because it works by construction, not by accident review."""
+    t, fact, dim = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val, 0.5) FROM fact WHERE k IN "
+        "(SELECT j FROM (SELECT * FROM dim WHERE grp = 'keep'))",
+        t,
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[fact["k"].isin(keep)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
