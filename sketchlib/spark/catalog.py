@@ -175,16 +175,9 @@ class SketchCatalog:
                 "snapshot (that IS its refresh); a file-backed set built "
                 "before lineage existed needs one create(overwrite=True)"
             )
-        covered = set(json.loads(reg["files_json"]))
-        current = {c.file for c in plan_chunks(reg["input_dir"])}
-        gone = sorted(covered - current)
-        if gone:
-            raise ValueError(
-                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
-                f"(e.g. {gone[0]!r}) — states cannot subtract; rebuild with "
-                "create(overwrite=True)"
-            )
-        new = sorted(current - covered)
+        new, current = self._lineage_new_files(
+            reg, "sketch state", "rebuild with create(overwrite=True)"
+        )
         if not new:
             return {"new_files": 0, "rows_added": 0, "tokens_added": 0}
 
@@ -258,6 +251,28 @@ class SketchCatalog:
 
 
     # --- shared registry machinery (append-only parquet log per registry) ---
+
+    def _lineage_new_files(self, reg, kind_label: str, rebuild_hint: str):
+        """(new_files_sorted, current_set) from a registration row's file
+        lineage — the refresh preamble all four registries share: rows
+        registered without lineage refuse refresh, and every covered file
+        must still exist (sketch states / samples / indexes / signatures
+        cannot subtract). Raises with the registry's own rebuild hint."""
+        from sketchlib.spark.scan import plan_chunks
+
+        if reg["files_json"] is None:
+            raise ValueError(
+                f"{kind_label} {reg['name']!r} has no file lineage — {rebuild_hint}"
+            )
+        covered = set(json.loads(reg["files_json"]))
+        current = {c.file for c in plan_chunks(reg["input_dir"])}
+        gone = sorted(covered - current)
+        if gone:
+            raise ValueError(
+                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
+                f"(e.g. {gone[0]!r}) — {kind_label}s cannot subtract; {rebuild_hint}"
+            )
+        return sorted(current - covered), current
 
     def _restore_crashed(self, live_dir: str) -> None:
         """Restore any '<name>._refresh_old' left by a crash between
@@ -433,24 +448,22 @@ class SketchCatalog:
 
         Covered files must still exist (samples can't subtract) — raises
         otherwise. Returns {new_files, rows_added}."""
-        from sketchlib.spark.scan import plan_chunks
-
+        if not self.sample_exists(name):
+            # append-only registry: a DROPPED sample's stale row must not
+            # let refresh resurrect a partial table claiming full lineage
+            raise ValueError(
+                f"sample {name!r} has no data on disk (dropped or never "
+                "created) — create_sample() it before refreshing"
+            )
         reg = self._registry_meta("_sample_catalog", _SAMPLE_SCHEMA, name, "sample")
         if reg["files_json"] is None:
             raise ValueError(
                 f"sample {name!r} was registered without file lineage — "
                 "rebuild once with create_sample(overwrite=True) to enable refresh"
             )
-        covered = set(json.loads(reg["files_json"]))
-        current = {c.file for c in plan_chunks(reg["input_dir"])}
-        gone = sorted(covered - current)
-        if gone:
-            raise ValueError(
-                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
-                f"(e.g. {gone[0]!r}) — samples cannot subtract; rebuild with "
-                "create_sample(overwrite=True)"
-            )
-        new = sorted(current - covered)
+        new, current = self._lineage_new_files(
+            reg, "sample", "rebuild with create_sample(overwrite=True)"
+        )
         if not new:
             return {"new_files": 0, "rows_added": 0}
         df = self._read_files(reg["input_dir"], new)
@@ -573,24 +586,22 @@ class SketchCatalog:
         import numpy as np
 
         from sketchlib.spark.ann import ivf_assign, srp_signatures
-        from sketchlib.spark.scan import plan_chunks
 
+        if not self.ann_exists(name):
+            # same dropped-row resurrection guard as samples/signatures
+            raise ValueError(
+                f"ANN index {name!r} has no data on disk (dropped or never "
+                "created) — create_ann_index() it before refreshing"
+            )
         reg = self._registry_meta("_ann_catalog", _ANN_SCHEMA, name, "ANN index")
         if reg["files_json"] is None:
             raise ValueError(
                 f"ANN index {name!r} was registered without file lineage — "
                 "rebuild once with create_ann_index(overwrite=True) to enable refresh"
             )
-        covered = set(_json.loads(reg["files_json"]))
-        current = {c.file for c in plan_chunks(reg["input_dir"])}
-        gone = sorted(covered - current)
-        if gone:
-            raise ValueError(
-                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
-                f"(e.g. {gone[0]!r}) — indexes cannot subtract; rebuild with "
-                "create_ann_index(overwrite=True)"
-            )
-        new = sorted(current - covered)
+        new, current = self._lineage_new_files(
+            reg, "index", "rebuild with create_ann_index(overwrite=True)"
+        )
         if not new:
             return {"new_files": 0, "rows_added": 0}
         df = self._read_files(reg["input_dir"], new)
@@ -700,19 +711,11 @@ class SketchCatalog:
         hold for them) and append. Covered files must still exist
         (signature tables cannot subtract); returns {new_files, rows_added}."""
         from sketchlib.spark.dedup import minhash_signatures
-        from sketchlib.spark.scan import plan_chunks
 
-        reg = self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
-        covered = set(json.loads(reg["files_json"]))
-        current = {c.file for c in plan_chunks(reg["input_dir"])}
-        gone = sorted(covered - current)
-        if gone:
-            raise ValueError(
-                f"{len(gone)} covered file(s) no longer in {reg['input_dir']!r} "
-                f"(e.g. {gone[0]!r}) — signature tables cannot subtract; rebuild "
-                "with create_signatures(overwrite=True)"
-            )
-        new = sorted(current - covered)
+        reg = self._live_sig_meta(name)
+        new, current = self._lineage_new_files(
+            reg, "signature table", "rebuild with create_signatures(overwrite=True)"
+        )
         if not new:
             return {"new_files": 0, "rows_added": 0}
         df = self._read_files(reg["input_dir"], new)
@@ -738,7 +741,7 @@ class SketchCatalog:
         ``dedup_delta(catalog=...)`` own the seed match. File lineage is
         unchanged (these rows have no input files); the registration row is
         re-stamped with the new total. Returns {rows_added}."""
-        reg = self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
+        reg = self._live_sig_meta(name)
         first = sig_df.select("sig", "bands").first()
         if first is not None:
             got_r, got_b = len(first["sig"]), len(first["bands"])
@@ -757,6 +760,22 @@ class SketchCatalog:
             reg["r"], reg["n_bands"], reg["seed"], n_total, reg["files_json"],
         )
         return {"rows_added": n_total - int(reg["rows"])}
+
+    def _live_sig_meta(self, name: str):
+        """Registration row for a signature table that is ALIVE on disk.
+        The registry log is append-only, so a DROPPED table's stale row
+        would otherwise let refresh/append silently RESURRECT a partial
+        table (new rows only, lineage claiming full coverage) — and a
+        later dedup_delta probing it would keep every duplicate of the
+        missing docs, the exact zero-recall failure the registry exists
+        to prevent. Mutations must come through here, not _registry_meta."""
+        if not self.sig_exists(name):
+            raise ValueError(
+                f"signature table {name!r} has no data on disk (dropped or "
+                "never created) — create_signatures() it before refreshing "
+                "or appending"
+            )
+        return self._registry_meta("_sig_catalog", _SIG_SCHEMA, name, "signature table")
 
     def sig_exists(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.root, "signatures", name))

@@ -560,8 +560,8 @@ def contamination_spans(
 def dedup_delta(
     new_df: DataFrame,
     existing_sigs: DataFrame | None = None,
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    id_col: str | None = None,
     threshold: float = 0.8,
     max_bucket: int | None = 5000,
     max_candidates_per_doc: int = 200,
@@ -580,8 +580,8 @@ def dedup_delta(
     - ``catalog=SketchCatalog(...), catalog_key='name'`` (preferred): the
       signing contract — (r, n_bands, SEED) — is read from the registry,
       so the delta CANNOT be signed with a mismatched seed; an explicit
-      ``seed`` argument that conflicts with the registered one raises.
-      ``tokens_col``/``id_col`` likewise default to the registered ones.
+      ``seed``/``tokens_col``/``id_col`` argument that conflicts with the
+      registered contract raises (defaults come from the registry).
     - ``existing_sigs=DataFrame`` (raw): ``r`` and ``n_bands`` are taken
       from the table's shape, but the table does not carry its seed —
       ``seed`` (default 17) MUST match the seed the corpus signatures were
@@ -624,12 +624,21 @@ def dedup_delta(
                 "the registry is authoritative for the signing contract"
             )
         meta = catalog.sig_meta(catalog_key)
-        if seed is not None and int(seed) != int(meta["seed"]):
-            raise ValueError(
-                f"seed={seed} conflicts with signature table {catalog_key!r}'s "
-                f"registered seed {meta['seed']} — a mismatched seed silently "
-                "zeroes recall; drop the seed argument to use the registered one"
-            )
+        # the registry is authoritative for the WHOLE signing contract —
+        # every explicitly-passed knob must agree or raise (a silently
+        # overridden id/tokens column keys signatures on the wrong data,
+        # as undetectable downstream as a mismatched seed)
+        for arg, val, reg_val in (
+            ("seed", seed, int(meta["seed"])),
+            ("tokens_col", tokens_col, meta["tokens_col"]),
+            ("id_col", id_col, meta["id_col"]),
+        ):
+            if val is not None and val != reg_val and str(val) != str(reg_val):
+                raise ValueError(
+                    f"{arg}={val!r} conflicts with signature table "
+                    f"{catalog_key!r}'s registered {arg} {reg_val!r} — drop "
+                    f"the {arg} argument to use the registered contract"
+                )
         seed = int(meta["seed"])
         tokens_col, id_col = meta["tokens_col"], meta["id_col"]
         existing_sigs = catalog.signatures(catalog_key)
@@ -639,6 +648,8 @@ def dedup_delta(
             raise ValueError("pass existing_sigs, or catalog + catalog_key")
         if seed is None:
             seed = 17
+        tokens_col = tokens_col or "tokens"
+        id_col = id_col or "doc_id"
         first = existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b")).first()
         if first is None:
             raise ValueError(

@@ -222,8 +222,10 @@ def chunk_documents(
     stride = max_len − overlap, so consecutive chunks share exactly
     ``overlap`` tokens and every token appears in ≥1 chunk:
     n_chunks = 1 if n ≤ max_len else ceil((n − max_len)/stride) + 1 (the
-    last chunk may be shorter; empty docs yield one empty chunk so no row
-    silently vanishes). Output: every non-token input column (metadata
+    last chunk may be shorter; empty and NULL token arrays both yield one
+    EMPTY chunk so no row silently vanishes — size(NULL) = -1 would
+    otherwise flow a corrupt (NULL tokens, n_chunk_tokens = -1) row into
+    downstream token accounting). Output: every non-token input column (metadata
     rides along — chunking is per-row, so carrying payload costs nothing),
     plus chunk_idx int, chunk_id string = '<id>#<idx>', <tokens_col> = the
     chunk slice, n_chunk_tokens int.
@@ -239,6 +241,13 @@ def chunk_documents(
 
     if overlap >= max_len:
         raise ValueError(f"overlap ({overlap}) must be < max_len ({max_len})")
+    # NULL-proof: a typed empty array (bare array() would infer array<string>
+    # and break the column type)
+    dtype = dict(df.dtypes)[tokens_col]
+    df = df.withColumn(
+        tokens_col,
+        F.coalesce(F.col(tokens_col), F.expr(f"CAST(array() AS {dtype})")),
+    )
     stride = max_len - overlap
     n = f"size({tokens_col})"
     n_chunks = (

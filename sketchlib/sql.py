@@ -1092,21 +1092,37 @@ def _extract_ctes(sql: str):
 
 def _extract_subquery(sql: str):
     """Split ``... FROM ( <inner> ) <tail>`` on the balanced outer parens;
-    None when the statement has no derived table. Scans literal-masked
-    text; slices the original."""
+    None when the statement has no derived table. Only the STATEMENT'S OWN
+    FROM counts: the first ``FROM`` at paren depth 0 of the literal-masked
+    text must be the one followed by ``(`` — a ``FROM (`` nested inside a
+    WHERE subquery (``WHERE k IN (SELECT j FROM (SELECT ...))``) is that
+    predicate's business (routed whole through _apply_where, where Spark
+    parses the nesting natively), not a derived-table statement; keying on
+    ANY ``FROM (`` made catalog_key statements with such predicates
+    spuriously take (and then refuse) the derived-table branch. Scans
+    masked text; slices the original."""
     masked = _mask_literals(sql)
-    m = re.search(r"\bFROM\s*\(", masked, re.IGNORECASE)
-    if not m:
-        return None
-    start = masked.index("(", m.end() - 1)
     depth = 0
-    for i in range(start, len(masked)):
-        if masked[i] == "(":
+    for m in re.finditer(r"[()]|\bFROM\b", masked, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
             depth += 1
-        elif masked[i] == ")":
+        elif tok == ")":
             depth -= 1
-            if depth == 0:
-                return sql[: m.start()], sql[start + 1 : i], sql[i + 1 :]
+        elif depth == 0:  # the statement's own FROM
+            after = re.match(r"\s*\(", masked[m.end():])
+            if not after:
+                return None
+            start = m.end() + after.end() - 1
+            d = 0
+            for i in range(start, len(masked)):
+                if masked[i] == "(":
+                    d += 1
+                elif masked[i] == ")":
+                    d -= 1
+                    if d == 0:
+                        return sql[: m.start()], sql[start + 1 : i], sql[i + 1 :]
+            return None
     return None
 
 
@@ -1564,12 +1580,21 @@ def approx_sql(
 
             out = out.withColumn("inner_rel_err_max", F.lit(caveat))
             outer_aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(head)]
+            masked_tail = _mask_literals(tail)
             if (
                 len(outer_aggs) == 1
                 and len(inner_pdf) > 0
-                and not re.search(r"GROUP\s+BY", _mask_literals(tail), re.IGNORECASE)
+                and not re.search(r"GROUP\s+BY", masked_tail, re.IGNORECASE)
             ):
                 ofn, oargs = outer_aggs[0]
+                # a WHERE tail restricts the outer aggregate to a SUBSET of
+                # inner rows. SUM stays conservative (Σ|err_i| over all ≥
+                # over any subset) but AVG does not — the filter can select
+                # exactly the rows with the largest errors, making the
+                # full-frame mean an UNDER-estimate — so AVG composition is
+                # skipped under WHERE (caveat-only, never a too-small bound)
+                if ofn == "APPROX_AVG" and re.search(r"\bWHERE\b", masked_tail, re.IGNORECASE):
+                    ofn = None
                 if ofn in ("APPROX_SUM", "APPROX_AVG") and oargs and _IDENT.match(oargs[0]):
                     errs = _inner_abs_errs(inner_pdf, oargs[0])
                     if errs is not None:

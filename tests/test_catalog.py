@@ -444,3 +444,55 @@ def test_signature_registry_lifecycle(spark, tmp_path, seq_tiny_dir):
     out = approx_sql(spark, "DROP SIGNATURES s", catalog=cat).collect()[0]
     assert out["dropped"] is True and not cat.sig_exists("s")
     extra.unpersist()
+
+
+def test_refresh_after_drop_refuses_resurrection(spark, tmp_path, seq_tiny_dir):
+    """The append-only registry keeps a DROPPED artifact's stale row —
+    refresh/append on it must refuse instead of silently resurrecting a
+    PARTIAL table whose lineage claims full coverage (for signatures that
+    would mean dedup_delta keeping every duplicate of the missing docs)."""
+    import glob
+    import shutil
+
+    from sketchlib.spark.dedup import minhash_signatures
+
+    src = spark.read.parquet(seq_tiny_dir)
+    data = str(tmp_path / "corpus")
+    src.limit(100).coalesce(1).write.parquet(data)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+
+    cat.create_signatures("s", data, r=32, n_bands=8, seed=3)
+    sigs = minhash_signatures(src.limit(5), "tokens", "doc_id", r=32, n_bands=8, seed=3)
+    cat.drop_signatures("s")
+    with pytest.raises(ValueError, match="no data on disk"):
+        cat.refresh_signatures("s")
+    with pytest.raises(ValueError, match="no data on disk"):
+        cat.append_signatures("s", sigs)
+
+    cat.create_sample("v", data, kind="uniform", ratio=0.5, seed=3)
+    cat.drop_sample("v")
+    with pytest.raises(ValueError, match="no data on disk"):
+        cat.refresh_sample("v")
+
+
+def test_dedup_delta_catalog_column_conflicts_refused(spark, tmp_path, seq_tiny_dir):
+    """The registry owns the WHOLE signing contract: explicitly-passed
+    tokens_col/id_col that conflict with the registered ones raise (a
+    silently overridden id column keys signatures on the wrong data)."""
+    from sketchlib.spark.dedup import dedup_delta
+
+    src = spark.read.parquet(seq_tiny_dir)
+    data = str(tmp_path / "corpus")
+    src.limit(80).coalesce(1).write.parquet(data)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_signatures("s", data, r=32, n_bands=8, seed=3)
+    delta = src.orderBy("doc_id").limit(10)
+    with pytest.raises(ValueError, match="id_col"):
+        dedup_delta(delta, catalog=cat, catalog_key="s", id_col="other_id")
+    with pytest.raises(ValueError, match="tokens_col"):
+        dedup_delta(delta, catalog=cat, catalog_key="s", tokens_col="other_toks")
+    # matching explicit values still pass
+    kept, _ = dedup_delta(
+        delta, catalog=cat, catalog_key="s", tokens_col="tokens", id_col="doc_id"
+    )
+    assert kept.count() >= 0

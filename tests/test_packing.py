@@ -109,13 +109,17 @@ def test_chunk_documents_invariants(spark):
 
     docs = [
         ("empty", []),
+        ("nulldoc", None),  # NULL array → one EMPTY chunk (never size()=-1)
         ("short", list(range(5))),
         ("exact", list(range(16))),
         ("one_over", list(range(17))),
         ("long", list(range(100))),
         ("long2", list(range(999))),
     ]
-    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "tokens"]))
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs], "doc_id string, tokens array<bigint>"
+    )
+    docs = [(d, t if t is not None else []) for d, t in docs]  # expected view
     max_len, overlap = 16, 4
     stride = max_len - overlap
     out = chunk_documents(df, max_len=max_len, overlap=overlap)

@@ -282,3 +282,49 @@ def test_derived_table_inside_where_subquery(spark, sub_tables):
     keep = set(dim[dim["grp"] == "keep"]["j"])
     sub = fact[fact["k"].isin(keep)]
     assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+
+def test_where_subquery_derived_with_catalog_key(spark, sub_tables, tmp_path):
+    """Review fix (round 5): a derived table NESTED INSIDE a WHERE subquery
+    must not trip the derived-table branch's catalog_key refusal — the
+    statement's own FROM is the plain base table the scramble covers, so it
+    answers from the registered sample."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, dim = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE u3 FROM fact KIND uniform RATIO 0.5 SEED 11", t, catalog=cat
+    ).collect()
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val) FROM fact WHERE k IN "
+        "(SELECT j FROM (SELECT * FROM dim WHERE grp = 'keep'))",
+        t, catalog=cat, catalog_key="u3",
+    ).collect()[0]
+    keep = set(dim[dim["grp"] == "keep"]["j"])
+    sub = fact[fact["k"].isin(keep)]
+    assert abs(out["est_sum"] - float(sub["val"].sum())) <= out["sum_err"] * WIDE
+
+
+def test_composed_bound_skipped_for_avg_with_where_tail(spark, sub_tables):
+    """Review fix (round 5): an outer APPROX_AVG restricted by a WHERE tail
+    averages a SUBSET of inner rows, so the full-frame mean of inner errors
+    can UNDERstate the propagated bound — composition is skipped (caveat
+    only); SUM keeps its composed bound under WHERE (sum-over-all is
+    conservative for any subset)."""
+    t, _, _ = sub_tables
+    inner = "SELECT APPROX_COUNT(0.5) FROM fact GROUP BY k"
+    avg_out = approx_sql(
+        spark,
+        f"SELECT APPROX_AVG(est_count, 0.9) FROM ({inner}) WHERE est_count > 10",
+        t,
+    )
+    assert "inner_rel_err_max" in avg_out.columns
+    assert "composed_err_bound" not in avg_out.columns
+    sum_out = approx_sql(
+        spark,
+        f"SELECT APPROX_SUM(est_count, 0.9) FROM ({inner}) WHERE est_count > 10",
+        t,
+    )
+    assert "composed_err_bound" in sum_out.columns
