@@ -1581,28 +1581,58 @@ def approx_sql(
             out = out.withColumn("inner_rel_err_max", F.lit(caveat))
             outer_aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(head)]
             masked_tail = _mask_literals(tail)
-            if (
-                len(outer_aggs) == 1
-                and len(inner_pdf) > 0
-                and not re.search(r"GROUP\s+BY", masked_tail, re.IGNORECASE)
-            ):
+            # composition shapes: a bare tail (global reduce), or a tail of
+            # exactly [WHERE pred] GROUP BY <one column of the inner frame>
+            # (per-group reduce — the propagated term is then computed PER
+            # OUTER GROUP from the inner rows and joined back). ORDER
+            # BY/LIMIT tails are left caveat-only: the join-back would not
+            # preserve the requested ordering.
+            m_grp = re.fullmatch(
+                r"\s*(?:WHERE\s+.+?\s+)?GROUP\s+BY\s+(\w+)\s*;?\s*",
+                masked_tail, re.IGNORECASE | re.DOTALL,
+            )
+            grouped_ok = m_grp is not None and m_grp.group(1) in inner_pdf.columns
+            global_ok = not re.search(r"GROUP\s+BY", masked_tail, re.IGNORECASE)
+            if len(outer_aggs) == 1 and len(inner_pdf) > 0 and (global_ok or grouped_ok):
                 ofn, oargs = outer_aggs[0]
                 # a WHERE tail restricts the outer aggregate to a SUBSET of
                 # inner rows. SUM stays conservative (Σ|err_i| over all ≥
                 # over any subset) but AVG does not — the filter can select
                 # exactly the rows with the largest errors, making the
-                # full-frame mean an UNDER-estimate — so AVG composition is
-                # skipped under WHERE (caveat-only, never a too-small bound)
+                # full-frame/per-group mean an UNDER-estimate — so AVG
+                # composition is skipped under WHERE (caveat-only, never a
+                # too-small bound)
                 if ofn == "APPROX_AVG" and re.search(r"\bWHERE\b", masked_tail, re.IGNORECASE):
                     ofn = None
                 if ofn in ("APPROX_SUM", "APPROX_AVG") and oargs and _IDENT.match(oargs[0]):
                     errs = _inner_abs_errs(inner_pdf, oargs[0])
                     if errs is not None:
-                        prop = float(errs.sum()) if ofn == "APPROX_SUM" else float(errs.mean())
                         ocol = "sum_err" if ofn == "APPROX_SUM" else "avg_err"
-                        out = out.withColumn("inner_abs_err", F.lit(prop)).withColumn(
-                            "composed_err_bound", F.col(ocol) + F.lit(prop)
-                        )
+                        if global_ok:
+                            prop = float(errs.sum()) if ofn == "APPROX_SUM" else float(errs.mean())
+                            out = out.withColumn("inner_abs_err", F.lit(prop)).withColumn(
+                                "composed_err_bound", F.col(ocol) + F.lit(prop)
+                            )
+                        else:
+                            import pandas as pd
+
+                            gcol = m_grp.group(1)
+                            agg = errs.abs().groupby(inner_pdf[gcol])
+                            per = (agg.sum() if ofn == "APPROX_SUM" else agg.mean())
+                            prop_df = spark.createDataFrame(
+                                pd.DataFrame({gcol: per.index, "_inner_abs": per.to_numpy()})
+                            )
+                            out = (
+                                out.join(F.broadcast(prop_df), gcol, "left")
+                                .withColumn(
+                                    "inner_abs_err",
+                                    F.coalesce(F.col("_inner_abs"), F.lit(0.0)),
+                                )
+                                .drop("_inner_abs")
+                                .withColumn(
+                                    "composed_err_bound", F.col(ocol) + F.col("inner_abs_err")
+                                )
+                            )
             return out
         _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
         try:

@@ -328,3 +328,26 @@ def test_composed_bound_skipped_for_avg_with_where_tail(spark, sub_tables):
         t,
     )
     assert "composed_err_bound" in sum_out.columns
+
+
+def test_composed_bound_grouped_outer(spark, sub_tables):
+    """Grouped composition (round 5 extension of VERDICT r4 #8): an outer
+    APPROX_SUM ... GROUP BY g over inner estimates emits a PER-GROUP
+    propagated bound — each group's inner_abs_err is the sum of |err_i|
+    over exactly that group's inner rows, and the per-group exact totals
+    land inside the composed bound."""
+    t, fact, _ = sub_tables
+    inner = "SELECT APPROX_COUNT(0.5) FROM fact GROUP BY k, seg"
+    out = approx_sql(
+        spark,
+        f"SELECT APPROX_SUM(est_count, 0.9) FROM ({inner}) GROUP BY seg",
+        t,
+    ).toPandas()
+    assert {"seg", "est_sum", "sum_err", "inner_abs_err", "composed_err_bound"} <= set(out.columns)
+    inner_pdf = approx_sql(spark, inner, t).toPandas()
+    want_prop = inner_pdf.groupby("seg")["count_err"].apply(lambda s: float(s.abs().sum()))
+    exact = fact.groupby("seg").size()
+    for _, r in out.iterrows():
+        assert r["inner_abs_err"] == pytest.approx(want_prop[r["seg"]])
+        assert r["composed_err_bound"] == pytest.approx(r["sum_err"] + r["inner_abs_err"])
+        assert abs(r["est_sum"] - exact[r["seg"]]) <= WIDE * r["composed_err_bound"]
