@@ -892,6 +892,53 @@ def q_b33_in_subquery_where(spark, sf_dir):
     )
 
 
+def q_b34_explain_routing(spark, sf_dir):
+    """Round 5: EXPLAIN through the SQL door — Verdict's which-sample-
+    served question, answered BEFORE execution: statement kind, route
+    (persisted states / persisted sample / on-the-fly), and the artifact
+    auto-selection would pick. Nothing is read or built (classification +
+    registry lookups only). Value-matched: the (stmt, property, value)
+    rows are deterministic strings, so the DuckDB oracle states them
+    literally."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "documents": f"{sf_dir}/documents.parquet",
+    }
+    root = tempfile.mkdtemp(prefix="sketchcat_b34_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE us FROM {tabs['orders']} KIND uniform RATIO 0.25 SEED 7",
+            catalog=cat,
+        ).collect()
+        approx_sql(
+            spark,
+            f"CREATE SKETCHES dd FROM {tabs['documents']} KINDS hll(doc_id) GROUP BY source",
+            catalog=cat,
+        ).collect()
+        stmts = {
+            "states": "EXPLAIN SELECT APPROX_COUNT_DISTINCT(doc_id) FROM documents GROUP BY source",
+            "sample": "EXPLAIN SELECT APPROX_SUM(o_totalprice) FROM orders",
+            "otf": "EXPLAIN SELECT APPROX_SUM(o_totalprice, 0.5) FROM orders",
+        }
+        rows = []
+        for label, stmt in stmts.items():
+            for r in approx_sql(spark, stmt, tabs, catalog=cat).collect():
+                rows.append((label, r["property"], r["value"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["stmt", "property", "value"])
+    )
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -1896,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b31_join_alias_mixed_sql": _dist_wrapped(q_b31_join_alias_mixed_sql),
         "b32_approx_subquery": _dist_wrapped(q_b32_approx_subquery),
         "b33_in_subquery_where": _dist_wrapped(q_b33_in_subquery_where),
+        "b34_explain_routing": _dist_wrapped(q_b34_explain_routing),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2025,6 +2073,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b32_approx_subquery": "SELECT TRUE AS caveat_present, TRUE AS median_within_tol",
         "b33_in_subquery_where": "SELECT TRUE AS sample_sum_within_ci, TRUE AS sketch_cd_within_bound",
+        "b34_explain_routing": """
+            SELECT * FROM (VALUES
+              ('states', 'statement_kind', 'approx_single'),
+              ('states', 'table', 'documents'),
+              ('states', 'group_by', 'source'),
+              ('states', 'aggregate', 'APPROX_COUNT_DISTINCT(doc_id)'),
+              ('states', 'route', 'persisted_sketch_states (base table never read, A5)'),
+              ('states', 'artifact', 'dd'),
+              ('sample', 'statement_kind', 'approx_single'),
+              ('sample', 'table', 'orders'),
+              ('sample', 'aggregate', 'APPROX_SUM(o_totalprice)'),
+              ('sample', 'route', 'persisted_sample (uniform, ratio=0.25)'),
+              ('sample', 'artifact', 'us'),
+              ('otf', 'statement_kind', 'approx_single'),
+              ('otf', 'table', 'orders'),
+              ('otf', 'aggregate', 'APPROX_SUM(o_totalprice, 0.5)'),
+              ('otf', 'route', 'on_the_fly (scan the base table, build per statement)')
+            ) AS t(stmt, property, value)
+        """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok
             UNION ALL SELECT 'states_within_bound', TRUE

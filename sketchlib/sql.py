@@ -1041,6 +1041,141 @@ def resolve_catalog_key(
     return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog)
 
 
+_EXPLAIN_SCHEMA = "property string, value string"
+
+
+def explain_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict | None = None,
+    catalog=None,
+    catalog_key: str | None = None,
+) -> DataFrame:
+    """Routing EXPLAIN for the approx front door — ``approx_sql(spark,
+    "EXPLAIN <statement>")`` lands here. Verdict's users could ask WHICH
+    sample served a query; this is that surface, statement-first: the
+    answer is (property, value) rows naming the statement kind, the route
+    (persisted states / persisted sample / on-the-fly build / join pair),
+    and the artifact that would serve it — WITHOUT executing anything.
+    Classification + registry lookups only; no scan, no build, no
+    temp-view side effects."""
+    rows: list[tuple[str, str]] = []
+
+    def emit(k, v) -> None:
+        rows.append((k, str(v)))
+
+    def done() -> DataFrame:
+        return spark.createDataFrame(rows, _EXPLAIN_SCHEMA)
+
+    stmt = sql.strip()
+    if _DDL_HEAD.match(stmt):
+        emit("statement_kind", "ddl")
+        emit("backend", "SketchCatalog registry")
+        return done()
+    if not _AGG.search(_mask_literals(stmt)):
+        emit("statement_kind", "exact_passthrough")
+        emit("backend", "spark.sql verbatim (A4)")
+        return done()
+    cte = _extract_ctes(stmt)
+    if cte is not None:
+        ctes, final = cte
+        emit("statement_kind", "cte")
+        emit("cte_names", ",".join(n for n, _ in ctes))
+        emit(
+            "cte_bodies",
+            ",".join(
+                "approx" if _AGG.search(_mask_literals(b)) else "exact" for _, b in ctes
+            ),
+        )
+        emit("final_statement", "see nested properties below")
+        for k, v in explain_sql(spark, final, tables, catalog, catalog_key).collect():
+            emit(f"final.{k}", v)
+        return done()
+    sub = _extract_subquery(stmt)
+    if sub is not None:
+        head, inner, tail = sub
+        inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
+            _mask_literals(inner)
+        ) else "exact"
+        emit("statement_kind", "derived_table")
+        emit("inner_statement", inner_kind)
+        for k, v in explain_sql(spark, f"{head} FROM _derived_{tail}", tables, catalog, None).collect():
+            if k != "statement_kind":
+                emit(f"outer.{k}", v)
+        return done()
+    body, tails = stmt, []
+    while True:
+        tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body) or _HAVING_TAIL.match(body)
+        if not tm:
+            break
+        tails.append("HAVING" if "pred" in tm.groupdict() else
+                     ("ORDER BY" if "keys" in tm.groupdict() else "LIMIT"))
+        body = tm.group("body")
+    if tails:
+        emit("result_tails", ",".join(reversed(tails)))
+    jm = _JOIN3_SKELETON.match(body) or _JOIN_SKELETON.match(body)
+    if jm:
+        n_tables = 3 if "t3" in jm.groupdict() else 2
+        emit("statement_kind", f"approx_join{'' if n_tables == 2 else '3'}")
+        key = catalog_key
+        if key is None and catalog is not None and n_tables == 2:
+            ta, tb = jm.group("ta"), jm.group("tb")
+            aa, ab = jm.group("aa"), jm.group("ab")
+            qa, ka, kb = jm.group("qa"), jm.group("ka"), jm.group("kb")
+
+            def _base(t: str) -> str:
+                return t.rstrip("/").split("/")[-1].split(".")[0]
+
+            left_key, right_key = (
+                (ka, kb) if qa in (ta, aa, _base(ta)) else (kb, ka)
+            )
+            key = _resolve_join_key(ta, tb, left_key, right_key, tables, catalog)
+        if key is None:
+            emit("route", "on_the_fly (Bernoulli-sample the fact side per statement)")
+        elif "," in str(key):
+            emit("route", "universe_scramble_pair (p-composition)")
+            emit("artifacts", key)
+        else:
+            emit("route", "fact_sample_x_exact_dim (broadcast dim)")
+            emit("artifact", key)
+        return done()
+    m = _SKELETON.match(body)
+    if not m:
+        emit("statement_kind", "unsupported")
+        emit("error", "outside the approx statement skeleton — approx_sql would raise")
+        return done()
+    aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))]
+    group = _parse_group(m.group("group"))
+    emit("statement_kind", "approx_single" if len(aggs) == 1 else "approx_multi")
+    emit("table", m.group("table"))
+    if m.group("where"):
+        has_sub = bool(re.search(r"\(\s*SELECT\b", _mask_literals(m.group("where")), re.IGNORECASE))
+        emit("where", "subquery predicate (routed via spark.sql)" if has_sub else "plain predicate")
+    if group:
+        emit("group_by", _canon_group(group))
+    state_names = set()
+    if catalog is not None:
+        state_names = {r["name"] for r in catalog.list().collect()}
+    for i, (fn, args) in enumerate(aggs):
+        prefix = f"agg{i}." if len(aggs) > 1 else ""
+        emit(f"{prefix}aggregate", f"{fn}({', '.join(args)})")
+        key = catalog_key
+        if key is None and catalog is not None:
+            key = _resolve_key(
+                fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog
+            )
+        if key is None:
+            emit(f"{prefix}route", "on_the_fly (scan the base table, build per statement)")
+        elif key in state_names:
+            emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
+            emit(f"{prefix}artifact", key)
+        else:
+            meta = catalog.sample_meta(key)
+            emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
+            emit(f"{prefix}artifact", key)
+    return done()
+
+
 from itertools import count as _count
 
 _SUBQUERY_IDS = _count()
@@ -1481,6 +1616,12 @@ def approx_sql(
         raise ValueError(
             "catalog_key without catalog does nothing — pass catalog=SketchCatalog(...)"
         )
+    # EXPLAIN over OUR statements (any APPROX_ aggregate, or registry DDL)
+    # answers from the router without executing; an exact EXPLAIN is
+    # Spark's own statement and passes through verbatim (A4)
+    em = re.match(r"^\s*EXPLAIN\s+(?P<stmt>.*)$", sql, re.IGNORECASE | re.DOTALL)
+    if em and (_AGG.search(_mask_literals(em.group("stmt"))) or _DDL_HEAD.match(em.group("stmt"))):
+        return explain_sql(spark, em.group("stmt"), tables, catalog, catalog_key)
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl

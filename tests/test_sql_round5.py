@@ -351,3 +351,51 @@ def test_composed_bound_grouped_outer(spark, sub_tables):
         assert r["inner_abs_err"] == pytest.approx(want_prop[r["seg"]])
         assert r["composed_err_bound"] == pytest.approx(r["sum_err"] + r["inner_abs_err"])
         assert abs(r["est_sum"] - exact[r["seg"]]) <= WIDE * r["composed_err_bound"]
+
+
+def test_explain_routing(spark, sub_tables, tmp_path):
+    """EXPLAIN over approx statements (round 5): answers WHICH route and
+    artifact would serve the statement — Verdict's which-sample-served
+    question — without executing anything (classification + registry only;
+    proven by explaining over a nonexistent base path)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, _, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE ex FROM fact KIND uniform RATIO 0.25 SEED 7", t, catalog=cat
+    ).collect()
+
+    def props(stmt, tables=t):
+        return dict(
+            (r["property"], r["value"])
+            for r in approx_sql(spark, stmt, tables, catalog=cat).collect()
+        )
+
+    p = props("EXPLAIN SELECT APPROX_SUM(val) FROM fact")
+    assert p["statement_kind"] == "approx_single"
+    assert p["artifact"] == "ex" and p["route"].startswith("persisted_sample")
+
+    # explicit ratio ABOVE the registered sample's: auto-selection skips it
+    p2 = props("EXPLAIN SELECT APPROX_SUM(val, 0.5) FROM fact")
+    assert p2["route"].startswith("on_the_fly")
+
+    # no execution: a nonexistent base path still explains (nothing is read)
+    p3 = props(
+        "EXPLAIN SELECT APPROX_COUNT_DISTINCT(k) FROM missing",
+        {"missing": "/nonexistent/never_written.parquet"},
+    )
+    assert p3["statement_kind"] == "approx_single"
+    assert p3["route"].startswith("on_the_fly")
+
+    # exact EXPLAIN is Spark's own statement — passes through (A4), so the
+    # result is Spark's plan frame, not our property rows
+    ex = approx_sql(spark, "EXPLAIN SELECT count(*) FROM fact", t, catalog=cat)
+    assert "property" not in ex.columns
+
+    # subquery-WHERE classification is surfaced
+    p4 = props(
+        "EXPLAIN SELECT APPROX_SUM(val) FROM fact "
+        "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')"
+    )
+    assert "subquery" in p4["where"]
