@@ -1851,6 +1851,30 @@ def q_c20_chunking(spark, sf_dir):
     )
 
 
+def q_c21_quality_gates(spark, sf_dir):
+    """Round 5: quality-gate composition (`text.filter_documents`) — one
+    pass computes per-gate INDEPENDENT failure counts plus the kept count
+    (which gate rejected how many is the operational signal; a gate
+    silently dropping 40% of a source is a data incident). Gates here:
+    token-count bounds and a duplicate-token-fraction cap, all DuckDB-
+    replicable, so the report rows are VALUE-matched, not booleans."""
+    from sketchlib.spark.text import filter_documents, words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words("text")
+    n_tok = F.size(w)
+    dup_frac = (n_tok - F.size(F.array_distinct(w))) / n_tok
+    _, report = filter_documents(
+        docs,
+        {
+            "min_tokens": n_tok >= 5,
+            "max_tokens": n_tok <= 400,
+            "dup_frac": dup_frac <= 0.5,
+        },
+    )
+    return report.select("gate", "n").orderBy("gate")
+
+
 def q_c15_mixture_sample(spark, sf_dir):
     """Dataset mixture composition (D22): per-source Bernoulli fractions
     solved so each source's expected output-token share matches the target
@@ -1965,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c17_contamination_spans": _dist_wrapped(q_c17_contamination_spans),
         "c18_dedup_delta": _dist_wrapped(q_c18_dedup_delta),
         "c19_signature_catalog": _dist_wrapped(q_c19_signature_catalog),
+        "c21_quality_gates": _dist_wrapped(q_c21_quality_gates),
         "c20_chunking": _dist_wrapped(q_c20_chunking),
     }
 
@@ -2154,6 +2179,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n + (k - 1) * 8) AS BIGINT) AS sum_chunk_tokens,
                    CAST(max(CASE WHEN n <= 64 THEN n ELSE 64 END) AS INT) AS max_chunk_tokens
             FROM c GROUP BY source ORDER BY source
+        """,
+        "c21_quality_gates": r"""
+            WITH per AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM documents
+            ), m AS (
+                SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS d FROM per
+            )
+            SELECT gate, n FROM (
+                SELECT '__kept__' AS gate,
+                       CAST(sum(CASE WHEN n >= 5 AND n <= 400
+                                      AND (n - d) / CAST(n AS DOUBLE) <= 0.5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n
+                FROM m
+                UNION ALL
+                SELECT 'dup_frac',
+                       CAST(sum(CASE WHEN (n - d) / CAST(n AS DOUBLE) <= 0.5
+                                 THEN 0 ELSE 1 END) AS BIGINT) FROM m
+                UNION ALL
+                SELECT 'max_tokens',
+                       CAST(sum(CASE WHEN n <= 400 THEN 0 ELSE 1 END) AS BIGINT) FROM m
+                UNION ALL
+                SELECT 'min_tokens',
+                       CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
+            ) ORDER BY gate
         """,
         "c19_signature_catalog": """
             SELECT 'ddl_bootstrap_registers_contract' AS check, TRUE AS ok

@@ -182,3 +182,64 @@ def with_repetition_stats(
         .withColumn("top_token_frac", top_frac.cast("double"))
         .drop("_rep_sh")
     )
+
+
+def filter_documents(
+    df: DataFrame, gates: dict[str, Column | str]
+) -> tuple[DataFrame, DataFrame]:
+    """Compose quality gates into ONE filtering pass with per-gate
+    accounting — the operational shape of a corpus quality stage: the
+    pipeline needs not just the kept rows but WHICH gate rejected how many
+    (a gate silently dropping 40% of a source is a data incident, not a
+    filter working).
+
+    ``gates``: {name: boolean expression}, True = PASS (strings go through
+    F.expr — full Spark SQL, typically over columns added by
+    with_text_stats / with_repetition_stats / with_lang_guess upstream).
+    Returns (kept, report):
+
+    - kept   = rows passing EVERY gate (original columns only — the
+      per-gate flag columns are internal);
+    - report = one row per gate: (gate, n_failed, fail_rate) counted
+      INDEPENDENTLY (a row failing two gates counts in both — attribution
+      must not depend on gate order), plus a final ('__kept__', n_kept,
+      kept_rate) row.
+
+    Scale shape: the report is ONE aggregation over per-row boolean flags
+    (all JVM expressions, no Python, no shuffle before the KB-sized final
+    agg); `kept` re-evaluates the gate conjunction as a plain pushed
+    filter. Evaluating both report and kept therefore scans the input
+    twice — cache/checkpoint the input (or write `kept` and derive the
+    report from counts) when the scan is the dominant cost.
+    """
+    if not gates:
+        raise ValueError("gates must name at least one boolean expression")
+    flags = {
+        name: (F.expr(g) if isinstance(g, str) else g).cast("boolean")
+        for name, g in gates.items()
+    }
+    flagged = df.select(
+        *[F.coalesce(c, F.lit(False)).alias(f"_g_{i}") for i, c in enumerate(flags.values())]
+    )
+    n_gates = len(flags)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(n_gates):
+        aggs.append(F.sum(F.when(F.col(f"_g_{i}"), 0).otherwise(1)).alias(f"_f_{i}"))
+    all_pass = F.lit(True)
+    for i in range(n_gates):
+        all_pass = all_pass & F.col(f"_g_{i}")
+    aggs.append(F.sum(F.when(all_pass, 1).otherwise(0)).alias("_kept"))
+    row = flagged.agg(*aggs).collect()[0]
+    n = row["_n"] or 0
+    rep_rows = [
+        (name, int(row[f"_f_{i}"] or 0), (row[f"_f_{i}"] or 0) / n if n else 0.0)
+        for i, name in enumerate(flags)
+    ]
+    rep_rows.append(("__kept__", int(row["_kept"] or 0), (row["_kept"] or 0) / n if n else 0.0))
+    report = df.sparkSession.createDataFrame(
+        rep_rows, "gate string, n long, rate double"
+    )
+    conj = F.lit(True)
+    for c in flags.values():
+        conj = conj & F.coalesce(c, F.lit(False))
+    return df.filter(conj), report

@@ -647,3 +647,36 @@ def test_dedup_delta_shuffle_fallback_identical(spark, seq_tiny_dir):
     assert sigs_b.count() == sigs_s.count() == len(ids_b)
     corpus.unpersist()
     delta.unpersist()
+
+
+def test_filter_documents_gates_and_report(spark):
+    """Quality-gate composition (round 5): kept = rows passing EVERY gate;
+    the report counts each gate's failures INDEPENDENTLY (a doc failing
+    two gates appears in both counts — attribution must not depend on
+    gate order); NULL gate results count as failures, never silent
+    passes."""
+    import pandas as pd
+
+    from sketchlib.spark.text import filter_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c", "d", "e"],
+                "n_tok": [10, 2, 500, 3, 50],
+                "score": [0.9, 0.8, 0.1, 0.05, None],
+            }
+        ).astype({"score": "float64"})
+    )
+    kept, report = filter_documents(
+        df, {"min_len": "n_tok >= 5", "max_len": "n_tok <= 400", "quality": "score >= 0.5"}
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {"a"}
+    rep = {r["gate"]: (r["n"], r["rate"]) for r in report.collect()}
+    assert rep["min_len"] == (2, 0.4)       # b, d
+    assert rep["max_len"] == (1, 0.2)       # c
+    assert rep["quality"] == (3, 0.6)       # c, d, e(NULL)
+    assert rep["__kept__"] == (1, 0.2)      # a only
+
+    with pytest.raises(ValueError, match="at least one"):
+        filter_documents(df, {})
