@@ -1875,6 +1875,93 @@ def q_c21_quality_gates(spark, sf_dir):
     return report.select("gate", "n").orderBy("gate")
 
 
+def q_c22_streaming_signatures(spark, sf_dir):
+    """Round 5: the STREAMING half of the incremental-dedup loop
+    (`StreamingSignatureSink`) — a document stream signs itself via
+    foreachBatch into batch-keyed signature files with the signing
+    contract persisted beside the data. Checks: the drained stream's
+    signature table is byte-equal to batch signing of the same rows, a
+    replayed batch id overwrites (never duplicates), a conflicting
+    contract on the same state_dir is refused, and dedup_delta against
+    the sink's live table drops a copy of a streamed doc while keeping a
+    genuinely new one."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.dedup import dedup_delta, minhash_signatures
+    from sketchlib.spark.streaming import StreamingSignatureSink
+
+    docs = (
+        with_tokens(_t(spark, sf_dir, "documents"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "tokens")
+        .orderBy("doc_id")
+        .limit(80)
+        .cache()
+    )
+    root = tempfile.mkdtemp(prefix="sigstream_c22_")
+    try:
+        src = os.path.join(root, "src")
+        docs.limit(40).coalesce(1).write.parquet(f"{src}/a")
+        docs.exceptAll(docs.limit(40)).coalesce(1).write.parquet(f"{src}/b")
+        sd = os.path.join(root, "sigs")
+        sink = StreamingSignatureSink(sd, r=64, n_bands=16, seed=9)
+        stream = (
+            spark.readStream.schema("doc_id string, tokens array<bigint>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            r["doc_id"]: (tuple(r["sig"]), tuple(r["bands"]))
+            for r in sink.signatures(spark).collect()
+        }
+        want = {
+            r["doc_id"]: (tuple(r["sig"]), tuple(r["bands"]))
+            for r in minhash_signatures(
+                docs, "tokens", "doc_id", r=64, n_bands=16, seed=9
+            ).collect()
+        }
+        matches_batch = got == want
+
+        n_before = sink.signatures(spark).count()
+        sink(docs.limit(40), 0)  # replay of committed batch 0
+        replay_idempotent = sink.signatures(spark).count() == n_before
+
+        try:
+            StreamingSignatureSink(sd, r=64, n_bands=16, seed=10)
+            contract_enforced = False
+        except ValueError as e:
+            contract_enforced = "contract" in str(e)
+
+        one = docs.limit(1)
+        copy = one.withColumn("doc_id", F.concat(F.lit("copy_"), F.col("doc_id")))
+        new = one.withColumn("doc_id", F.lit("brand_new")).withColumn(
+            "tokens", F.expr("transform(sequence(0, 29), j -> CAST(990000 + j AS BIGINT))")
+        )
+        kept, _ = dedup_delta(
+            copy.unionByName(new), sink.signatures(spark), threshold=0.9, seed=9
+        )
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        loop_ok = kept_ids == {"brand_new"}
+        rows = [
+            ("streamed_equals_batch_signing", bool(matches_batch)),
+            ("replay_overwrites_not_duplicates", bool(replay_idempotent)),
+            ("conflicting_contract_refused", bool(contract_enforced)),
+            ("delta_dedup_against_stream_table", bool(loop_ok)),
+        ]
+    finally:
+        docs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["check", "ok"]))
+
+
 def q_c15_mixture_sample(spark, sf_dir):
     """Dataset mixture composition (D22): per-source Bernoulli fractions
     solved so each source's expected output-token share matches the target
@@ -1990,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c18_dedup_delta": _dist_wrapped(q_c18_dedup_delta),
         "c19_signature_catalog": _dist_wrapped(q_c19_signature_catalog),
         "c21_quality_gates": _dist_wrapped(q_c21_quality_gates),
+        "c22_streaming_signatures": _dist_wrapped(q_c22_streaming_signatures),
         "c20_chunking": _dist_wrapped(q_c20_chunking),
     }
 
@@ -2205,6 +2293,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        "c22_streaming_signatures": """
+            SELECT 'streamed_equals_batch_signing' AS check, TRUE AS ok
+            UNION ALL SELECT 'replay_overwrites_not_duplicates', TRUE
+            UNION ALL SELECT 'conflicting_contract_refused', TRUE
+            UNION ALL SELECT 'delta_dedup_against_stream_table', TRUE
         """,
         "c19_signature_catalog": """
             SELECT 'ddl_bootstrap_registers_contract' AS check, TRUE AS ok

@@ -439,3 +439,86 @@ def stream_build(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start(), sink
+
+
+class StreamingSignatureSink:
+    """foreachBatch sink maintaining a persisted MinHash SIGNATURE table
+    from a stream of documents — the signature analog of
+    StreamingSketchSink, and the streaming half of the incremental-dedup
+    loop: a crawl stream signs itself as batches land, so `dedup_delta`
+    probes an always-fresh corpus signature table instead of waiting on a
+    nightly signing job (the reference is batch-only; this exceeds it).
+
+    Idempotency: each micro-batch's signatures are written to a
+    batch-id-keyed subdir (``b<id>``) with mode=overwrite — a crash/replay
+    of the same batch rewrites the same path, never duplicating rows (the
+    signing kernel is content-keyed, so the rewrite is byte-identical).
+    The signing contract (r, n_bands, seed, tokens_col, id_col) is fixed
+    at construction and persisted to ``_contract.json`` beside the data
+    (underscore-prefixed: invisible to Spark's file index), so consumers
+    — dedup_delta, or a later catalog registration — can read the exact
+    contract instead of trusting call sites to repeat it.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+        r: int = 128,
+        n_bands: int = 32,
+        seed: int = 17,
+    ):
+        if r % n_bands != 0:
+            raise ValueError(f"r={r} must be divisible by n_bands={n_bands}")
+        self.state_dir = state_dir
+        self.tokens_col, self.id_col = tokens_col, id_col
+        self.r, self.n_bands, self.seed = r, n_bands, seed
+        os.makedirs(state_dir, exist_ok=True)
+        cpath = os.path.join(state_dir, "_contract.json")
+        contract = {
+            "tokens_col": tokens_col, "id_col": id_col,
+            "r": r, "n_bands": n_bands, "seed": seed,
+        }
+        if os.path.exists(cpath):
+            with open(cpath) as fh:
+                existing = json.load(fh)
+            if existing != contract:
+                raise ValueError(
+                    f"state_dir {state_dir!r} already holds signatures under "
+                    f"contract {existing} — constructing a sink with "
+                    f"{contract} would mix incompatible signatures; use a "
+                    "fresh state_dir or the recorded contract"
+                )
+        else:
+            tmp = cpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(contract, fh)
+            os.replace(tmp, cpath)
+
+    @staticmethod
+    def contract(state_dir: str) -> dict:
+        """The signing contract recorded at ``state_dir`` (for consumers)."""
+        with open(os.path.join(state_dir, "_contract.json")) as fh:
+            return json.load(fh)
+
+    def signatures(self, spark: SparkSession) -> DataFrame | None:
+        """All signatures signed so far (None before the first batch) —
+        feed directly to ``dedup_delta(existing_sigs=..., seed=self.seed)``."""
+        import glob as _glob
+
+        dirs = sorted(_glob.glob(os.path.join(self.state_dir, "b*")))
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sketchlib.spark.dedup import minhash_signatures
+
+        sigs = minhash_signatures(
+            batch_df, self.tokens_col, self.id_col,
+            r=self.r, n_bands=self.n_bands, seed=self.seed,
+        )
+        out = os.path.join(self.state_dir, f"b{batch_id:010d}")
+        # replay-safe: same batch id -> same dir, overwritten byte-identically
+        sigs.write.mode("overwrite").parquet(out)

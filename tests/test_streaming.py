@@ -292,3 +292,67 @@ def test_streamed_states_served_through_sql_door(spark, seq_tiny_dir, tmp_path):
     # streams have no file lineage: refresh() refuses, re-register instead
     with pytest.raises(ValueError, match="file lineage"):
         cat.refresh("live")
+
+
+def test_streaming_signature_sink(spark, tmp_path):
+    """StreamingSignatureSink (round 5): a document stream signs itself —
+    after the stream drains, the persisted signature table is byte-equal
+    to batch signing of the same rows under the same contract, a replayed
+    batch id overwrites rather than duplicates, a conflicting contract on
+    the same state_dir is refused, and dedup_delta against the sink's
+    table drops a duplicate of a streamed doc."""
+    import pandas as pd
+
+    from sketchlib.spark.dedup import dedup_delta, minhash_signatures
+    from sketchlib.spark.streaming import StreamingSignatureSink
+
+    src = str(tmp_path / "src")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "tokens": [[(i * 7 + j) % 900 + 11 for j in range(30)] for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    df.limit(20).coalesce(1).write.parquet(f"{src}/a")
+    df.exceptAll(df.limit(20)).coalesce(1).write.parquet(f"{src}/b")
+
+    sd = str(tmp_path / "sigs")
+    sink = StreamingSignatureSink(sd, r=64, n_bands=16, seed=9)
+    schema = "doc_id string, tokens array<bigint>"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sink.signatures(spark)
+    want = minhash_signatures(df, "tokens", "doc_id", r=64, n_bands=16, seed=9)
+    gp = {r["doc_id"]: (r["sig"], r["bands"]) for r in got.collect()}
+    wp = {r["doc_id"]: (r["sig"], r["bands"]) for r in want.collect()}
+    assert gp == wp  # streamed == batch, byte-for-byte
+
+    # replaying an already-committed batch id overwrites, never duplicates
+    sink(df.limit(20), 0)
+    assert sink.signatures(spark).count() == 40
+
+    # contract recorded and enforced
+    assert StreamingSignatureSink.contract(sd)["seed"] == 9
+    with pytest.raises(ValueError, match="contract"):
+        StreamingSignatureSink(sd, r=64, n_bands=16, seed=10)
+
+    # the streaming half of the dedup loop: a delta with one copy of a
+    # streamed doc and one genuinely-new doc probes the sink's table
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["copy_d3", "brand_new"],
+                "tokens": [rows["tokens"][3], [999_000 + j for j in range(30)]],
+            }
+        )
+    )
+    kept, _ = dedup_delta(delta, sink.signatures(spark), threshold=0.9, seed=9)
+    assert {r["doc_id"] for r in kept.collect()} == {"brand_new"}
