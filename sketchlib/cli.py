@@ -14,8 +14,16 @@ package with --py-files sketchlib.zip):
 
     spark-submit sketchlib/cli.py lineage --checkpoint /data/ckpt/run1
 
+    spark-submit sketchlib/cli.py dedup-delta \
+        --input /data/crawl_drop --catalog /data/cat --signatures corpus \
+        --out /data/crawl_drop_deduped --threshold 0.9
+
 ``build`` with --checkpoint is resumable: re-running the same command after
 a failure skips committed chunks and produces byte-identical states.
+``dedup-delta`` is the daily incremental-dedup operation as one command:
+the signing contract comes from the catalog registration (a conflicting
+seed is impossible), kept rows are written, and the kept signatures are
+appended so replaying the same delta keeps nothing.
 """
 
 from __future__ import annotations
@@ -73,6 +81,21 @@ def main(argv=None) -> int:
     s.add_argument("--catalog-key", default=None,
                    help="force a specific artifact (default: auto-select)")
 
+    dd = sub.add_parser(
+        "dedup-delta",
+        help="incremental near-dup: dedup a delta parquet dir against a "
+        "catalog-registered corpus signature table, write kept rows, "
+        "close the loop by appending the kept signatures",
+    )
+    dd.add_argument("--input", required=True, help="delta parquet dir (token arrays)")
+    dd.add_argument("--catalog", required=True, help="SketchCatalog root")
+    dd.add_argument("--signatures", required=True,
+                    help="registered signature table name (seed contract enforced)")
+    dd.add_argument("--out", required=True, help="output dir for the kept delta rows")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--no-append", action="store_true",
+                    help="skip appending the kept signatures to the corpus table")
+
     args = p.parse_args(argv)
 
     from sketchlib.spark import get_spark
@@ -115,6 +138,25 @@ def main(argv=None) -> int:
         from sketchlib.spark.checkpoint import throughput_metrics
 
         print(json.dumps(throughput_metrics(spark, args.checkpoint)))
+
+    elif args.cmd == "dedup-delta":
+        from sketchlib.spark.catalog import SketchCatalog
+        from sketchlib.spark.dedup import dedup_delta
+
+        cat = SketchCatalog(spark, args.catalog)
+        delta = spark.read.parquet(args.input)
+        kept, kept_sigs = dedup_delta(
+            delta, catalog=cat, catalog_key=args.signatures, threshold=args.threshold
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_kept = spark.read.parquet(args.out).count()
+        appended = 0
+        if not args.no_append:
+            appended = cat.append_signatures(args.signatures, kept_sigs)["rows_added"]
+        print(json.dumps({
+            "delta_rows": delta.count(), "kept_rows": n_kept,
+            "signatures_appended": appended, "out": args.out,
+        }))
 
     elif args.cmd == "sql":
         from sketchlib.sql import approx_sql

@@ -169,3 +169,49 @@ def test_spark_submit_py_files(seq_tiny_dir, tmp_path):
     rows = [_json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
     assert len(rows) == 5
     assert abs(sum(x["estimate"] for x in rows) - 2000) / 2000 < 0.1
+
+
+def test_cli_dedup_delta(spark, seq_tiny_dir, tmp_path):
+    """The daily dedup operation as ONE CLI command: sign the corpus via
+    SIGNATURES DDL, then `dedup-delta` dedups a delta dir against the
+    registered table (seed contract from the registry), writes the kept
+    rows, and appends the kept signatures — re-running the same delta then
+    keeps 0 (the loop is closed)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    cat = str(tmp_path / "cat")
+    corpus_dir = str(tmp_path / "corpus")
+    delta_dir = str(tmp_path / "delta")
+    src = spark.read.parquet(seq_tiny_dir)
+    src.limit(300).coalesce(1).write.parquet(corpus_dir)
+    fresh = (
+        src.orderBy(F.desc("doc_id")).limit(50)
+        .join(src.limit(300).select("doc_id"), "doc_id", "left_anti")
+    )
+    copies = src.limit(20).withColumn("doc_id", F.concat(F.lit("dup_"), F.col("doc_id")))
+    fresh.unionByName(copies).coalesce(1).write.parquet(delta_dir)
+    n_fresh = fresh.count()
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "sketchlib.cli", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+    run("sql", "CREATE SIGNATURES s FROM corpus ON tokens ID doc_id R 64 BANDS 16 SEED 5",
+        "--tables", f"corpus={corpus_dir}", "--catalog", cat)
+    out1 = run("dedup-delta", "--input", delta_dir, "--catalog", cat,
+               "--signatures", "s", "--out", str(tmp_path / "kept1"),
+               "--threshold", "0.9")[0]
+    assert out1["kept_rows"] == n_fresh and out1["signatures_appended"] == n_fresh
+    kept = spark.read.parquet(str(tmp_path / "kept1"))
+    assert kept.filter(F.col("doc_id").startswith("dup_")).count() == 0
+    # replay: the appended signatures make the same delta fully deduped
+    out2 = run("dedup-delta", "--input", delta_dir, "--catalog", cat,
+               "--signatures", "s", "--out", str(tmp_path / "kept2"),
+               "--threshold", "0.9", "--no-append")[0]
+    assert out2["kept_rows"] == 0

@@ -157,3 +157,37 @@ def test_chunk_documents_no_python_in_plan(spark):
     )
     plan = chunk_documents(df, max_len=16, overlap=4)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_property_reconstruction(spark):
+    """Hypothesis property: for ANY token array and any (max_len, overlap)
+    with overlap < max_len, dropping each non-first chunk's overlap prefix
+    and concatenating reconstructs the input exactly, and every chunk
+    respects the window."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from sketchlib.spark.packing import chunk_documents
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        toks=st.lists(st.integers(0, 10_000), min_size=0, max_size=300),
+        max_len=st.integers(2, 64),
+        data=st.data(),
+    )
+    def prop(toks, max_len, data):
+        overlap = data.draw(st.integers(0, max_len - 1))
+        df = spark.createDataFrame([("x", toks)], "doc_id string, tokens array<bigint>")
+        chunks = sorted(
+            chunk_documents(df, max_len=max_len, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert all(len(c["tokens"]) <= max_len for c in chunks)
+        recon = list(chunks[0]["tokens"])
+        for prev, cur in zip(chunks, chunks[1:]):
+            if overlap:
+                assert list(prev["tokens"])[-overlap:] == list(cur["tokens"])[:overlap]
+            recon += list(cur["tokens"])[overlap:]
+        assert recon == toks
+
+    prop()

@@ -399,3 +399,21 @@ def test_explain_routing(spark, sub_tables, tmp_path):
         "WHERE k IN (SELECT j FROM dim WHERE grp = 'keep')"
     )
     assert "subquery" in p4["where"]
+
+
+def test_join_multicol_group_by(spark, sub_tables):
+    """Multi-column GROUP BY on an approximate JOIN statement: per-key
+    estimates stay inside the CI of the exact grouped join counts."""
+    t, fact, dim = sub_tables
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j "
+        "GROUP BY seg, grp",
+        t,
+    ).collect()
+    joined = fact.merge(dim, left_on="k", right_on="j")
+    exact = joined.groupby(["seg", "grp"]).size()
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[(r["seg"], r["grp"])]
+        assert abs(r["est_count"] - e) <= r["count_err"] * WIDE
