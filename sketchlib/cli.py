@@ -145,16 +145,21 @@ def main(argv=None) -> int:
 
         cat = SketchCatalog(spark, args.catalog)
         delta = spark.read.parquet(args.input)
+        # count the input ONCE up front for the summary line — counting
+        # after the pipeline would re-scan the delta dir a second time
+        n_delta = delta.count()
         kept, kept_sigs = dedup_delta(
             delta, catalog=cat, catalog_key=args.signatures, threshold=args.threshold
         )
         kept.write.mode("overwrite").parquet(args.out)
+        # footer-metadata count of what was just written (no data scan);
+        # append_signatures re-evaluates only checkpoint-backed joins
         n_kept = spark.read.parquet(args.out).count()
         appended = 0
         if not args.no_append:
             appended = cat.append_signatures(args.signatures, kept_sigs)["rows_added"]
         print(json.dumps({
-            "delta_rows": delta.count(), "kept_rows": n_kept,
+            "delta_rows": n_delta, "kept_rows": n_kept,
             "signatures_appended": appended, "out": args.out,
         }))
 

@@ -165,6 +165,29 @@ _JOIN3_SKELETON = re.compile(
 )
 
 
+def _resolve_join3_key(toks, tables, catalog, req_ratio) -> str | None:
+    """Auto-selected UNIFORM fact scramble for a three-table chain (None →
+    on-the-fly Bernoulli draw of the first FROM table) — shared by
+    _approx_join3 and EXPLAIN so the which-sample-served answer can never
+    diverge from execution. An explicit ratio argument is a precision
+    request: only samples meeting it may serve."""
+    import os as _os
+
+    dirs = [_table_dir(t, tables) for t, _ in toks]
+    cands = [
+        r for r in catalog.list_samples().collect()
+        if r["kind"] == "uniform"
+        and (req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12)
+        and any(
+            d is not None and _os.path.normpath(d) == _os.path.normpath(r["input_dir"])
+            for d in dirs
+        )
+    ]
+    if not cands:
+        return None
+    return max(cands, key=lambda r: (float(r["ratio"] or 0.0), r["name"]))["name"]
+
+
 def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     """fact ⋈ dim ⋈ dim with a Bernoulli-sampled fact side: the sampled
     row is the independent inclusion unit and brings every row the chained
@@ -181,16 +204,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    fn, args = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))][0]
-    if fn == "APPROX_COUNT":
-        value_col, ratio_arg = None, (args[0] if args else None)
-    elif fn == "APPROX_SUM":
-        value_col, ratio_arg = args[0], (args[1] if len(args) > 1 else None)
-    else:
-        raise ValueError(
-            f"{fn} is not supported over a JOIN — approximate joins answer "
-            "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
-        )
+    fn, value_col, ratio_arg = _join_agg(m.group("select"))
 
     def _base(t: str) -> str:
         return t.rstrip("/").split("/")[-1].split(".")[0]
@@ -223,17 +237,7 @@ def _approx_join3(spark, m, tables, catalog, catalog_key) -> DataFrame:
 
         key = catalog_key
         if key is None:
-            dirs = [_table_dir(t, tables) for t, _ in toks]
-            cands = [
-                r for r in catalog.list_samples().collect()
-                if r["kind"] == "uniform"
-                # an explicit ratio argument is a precision request — only
-                # samples meeting it may serve (else on-the-fly fallback)
-                and (req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12)
-                and any(d is not None and _os.path.normpath(d) == _os.path.normpath(r["input_dir"]) for d in dirs)
-            ]
-            if cands:
-                key = max(cands, key=lambda r: (float(r["ratio"] or 0.0), r["name"]))["name"]
+            key = _resolve_join3_key(toks, tables, catalog, req_ratio)
         if key is not None:
             meta = catalog.sample_meta(key)
             if meta["kind"] != "uniform":
@@ -349,17 +353,25 @@ def _strip_qualifiers(expr: str, names: set[str]) -> str:
     return "".join(out)
 
 
-def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
-    fn, args = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))][0]
+def _join_agg(select: str) -> tuple[str, str | None, str | None]:
+    """(fn, value_col, ratio_arg) for a join statement's single aggregate —
+    the ONE parse both execution and EXPLAIN use, so the two can never
+    disagree about supported functions or the explicit ratio argument."""
+    fn, args = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(select)][0]
     if fn == "APPROX_COUNT":
-        value_col, ratio_arg = None, (args[0] if args else None)
-    elif fn == "APPROX_SUM":
-        value_col, ratio_arg = args[0], (args[1] if len(args) > 1 else None)
-    else:
-        raise ValueError(
-            f"{fn} is not supported over a JOIN — approximate joins answer "
-            "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
-        )
+        return fn, None, (args[0] if args else None)
+    if fn == "APPROX_SUM":
+        return fn, args[0], (args[1] if len(args) > 1 else None)
+    raise ValueError(
+        f"{fn} is not supported over a JOIN — approximate joins answer "
+        "APPROX_COUNT/APPROX_SUM (Verdict's ApproxJoinedRelation)"
+    )
+
+
+def _join_keys(m) -> tuple[str, str]:
+    """(left_key, right_key) from a two-table join match — shared by
+    execution and EXPLAIN (a weaker re-implementation in EXPLAIN once
+    silently swapped keys where execution raises)."""
     ta, tb = m.group("ta"), m.group("tb")
     aa, ab = m.group("aa"), m.group("ab")
     qa, qb, ka, kb = m.group("qa"), m.group("qb"), m.group("ka"), m.group("kb")
@@ -371,14 +383,24 @@ def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
         return q == t or q == alias or _base(t) == q
 
     if _owns(qa, ta, aa) and _owns(qb, tb, ab):
-        left_key, right_key = ka, kb
-    elif _owns(qa, tb, ab) and _owns(qb, ta, aa):
-        left_key, right_key = kb, ka
-    else:
-        raise ValueError(
-            f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables "
-            f"({ta!r}, {tb!r}) or their aliases ({aa!r}, {ab!r})"
-        )
+        return ka, kb
+    if _owns(qa, tb, ab) and _owns(qb, ta, aa):
+        return kb, ka
+    raise ValueError(
+        f"ON qualifiers ({qa!r}, {qb!r}) must name the FROM tables "
+        f"({ta!r}, {tb!r}) or their aliases ({aa!r}, {ab!r})"
+    )
+
+
+def _approx_join(spark, m, tables, catalog, catalog_key) -> DataFrame:
+    fn, value_col, ratio_arg = _join_agg(m.group("select"))
+    ta, tb = m.group("ta"), m.group("tb")
+    aa, ab = m.group("aa"), m.group("ab")
+    left_key, right_key = _join_keys(m)
+
+    def _base(t: str) -> str:
+        return t.rstrip("/").split("/")[-1].split(".")[0]
+
     group = _parse_group(m.group("group"))
     qnames = {n for n in (ta, tb, aa, ab, _base(ta), _base(tb)) if n}
     _refuse_join_subquery_where(m.group("where"))
@@ -1117,26 +1139,42 @@ def explain_sql(
     if jm:
         n_tables = 3 if "t3" in jm.groupdict() else 2
         emit("statement_kind", f"approx_join{'' if n_tables == 2 else '3'}")
+        # the SAME parse execution uses — so an unsupported aggregate or an
+        # explicit ratio argument changes EXPLAIN's answer exactly as it
+        # changes execution's (the first EXPLAIN cut re-implemented both
+        # and diverged: ratio ignored, bad qualifiers silently swapped)
+        try:
+            fn, _vc, ratio_arg = _join_agg(jm.group("select"))
+        except ValueError as e:
+            emit("route", "error — approx_sql would raise")
+            emit("error", str(e))
+            return done()
+        emit("aggregate", f"{fn}(...)" if not ratio_arg else f"{fn}(..., {ratio_arg})")
+        req_ratio = _num(ratio_arg)
         key = catalog_key
-        if key is None and catalog is not None and n_tables == 2:
-            ta, tb = jm.group("ta"), jm.group("tb")
-            aa, ab = jm.group("aa"), jm.group("ab")
-            qa, ka, kb = jm.group("qa"), jm.group("ka"), jm.group("kb")
-
-            def _base(t: str) -> str:
-                return t.rstrip("/").split("/")[-1].split(".")[0]
-
-            left_key, right_key = (
-                (ka, kb) if qa in (ta, aa, _base(ta)) else (kb, ka)
-            )
-            key = _resolve_join_key(ta, tb, left_key, right_key, tables, catalog)
+        if key is None and catalog is not None:
+            try:
+                if n_tables == 2:
+                    lk, rk = _join_keys(jm)
+                    key = _resolve_join_key(
+                        jm.group("ta"), jm.group("tb"), lk, rk, tables, catalog,
+                        req_ratio=req_ratio,
+                    )
+                else:
+                    toks = [(jm.group(f"t{i}"), jm.group(f"a{i}")) for i in (1, 2, 3)]
+                    key = _resolve_join3_key(toks, tables, catalog, req_ratio)
+            except ValueError as e:
+                emit("route", "error — approx_sql would raise")
+                emit("error", str(e))
+                return done()
         if key is None:
             emit("route", "on_the_fly (Bernoulli-sample the fact side per statement)")
         elif "," in str(key):
             emit("route", "universe_scramble_pair (p-composition)")
             emit("artifacts", key)
         else:
-            emit("route", "fact_sample_x_exact_dim (broadcast dim)")
+            emit("route", "fact_sample_x_exact_dim (broadcast dim)"
+                 if n_tables == 2 else "uniform_fact_scramble_x_exact_dims")
             emit("artifact", key)
         return done()
     m = _SKELETON.match(body)
@@ -1153,26 +1191,41 @@ def explain_sql(
         emit("where", "subquery predicate (routed via spark.sql)" if has_sub else "plain predicate")
     if group:
         emit("group_by", _canon_group(group))
-    state_names = set()
+    # registries collected ONCE per EXPLAIN (mirrors _multi_agg_routed's
+    # caching — k aggregates must not pay 2k registry collects)
+    reg_rows = sample_rows = None
     if catalog is not None:
-        state_names = {r["name"] for r in catalog.list().collect()}
+        reg_rows = catalog.list().collect()
+        sample_rows = catalog.list_samples().collect()
     for i, (fn, args) in enumerate(aggs):
         prefix = f"agg{i}." if len(aggs) > 1 else ""
         emit(f"{prefix}aggregate", f"{fn}({', '.join(args)})")
         key = catalog_key
         if key is None and catalog is not None:
             key = _resolve_key(
-                fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog
+                fn, args, group, bool(m.group("where")), m.group("table"), tables,
+                catalog, reg_rows=reg_rows, sample_rows=sample_rows,
             )
         if key is None:
             emit(f"{prefix}route", "on_the_fly (scan the base table, build per statement)")
-        elif key in state_names:
-            emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
-            emit(f"{prefix}artifact", key)
-        else:
+        elif catalog is None:
+            # catalog_key without a catalog: approx_sql refuses the pair —
+            # report that instead of crashing on a None catalog
+            emit(f"{prefix}route", "error — approx_sql would raise")
+            emit(f"{prefix}error", "catalog_key without catalog does nothing")
+        elif catalog.sample_exists(key):
+            # SAMPLE FIRST — execution's own priority (a sketch set and a
+            # sample may share a name across the two registries; the serving
+            # path checks sample_exists first, so EXPLAIN must too)
             meta = catalog.sample_meta(key)
             emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
             emit(f"{prefix}artifact", key)
+        elif any(r["name"] == key for r in reg_rows):
+            emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
+            emit(f"{prefix}artifact", key)
+        else:
+            emit(f"{prefix}route", "error — approx_sql would raise")
+            emit(f"{prefix}error", f"catalog has no sketch set or sample {key!r}")
     return done()
 
 
@@ -1732,7 +1785,16 @@ def approx_sql(
                 r"\s*(?:WHERE\s+.+?\s+)?GROUP\s+BY\s+(\w+)\s*;?\s*",
                 masked_tail, re.IGNORECASE | re.DOTALL,
             )
-            grouped_ok = m_grp is not None and m_grp.group(1) in inner_pdf.columns
+            # a NULL group key would silently UNDERSTATE: pandas groupby
+            # drops NaN keys and the Spark equi-join never matches NULL, so
+            # the NULL group's composed bound would omit the inner term
+            # entirely (coalesce→0) — exactly the too-small-bound shape
+            # this block promises never to emit. NULL keys → caveat-only.
+            grouped_ok = (
+                m_grp is not None
+                and m_grp.group(1) in inner_pdf.columns
+                and not inner_pdf[m_grp.group(1)].isna().any()
+            )
             global_ok = not re.search(r"GROUP\s+BY", masked_tail, re.IGNORECASE)
             if len(outer_aggs) == 1 and len(inner_pdf) > 0 and (global_ok or grouped_ok):
                 ofn, oargs = outer_aggs[0]

@@ -417,3 +417,65 @@ def test_join_multicol_group_by(spark, sub_tables):
     for r in rows:
         e = exact[(r["seg"], r["grp"])]
         assert abs(r["est_count"] - e) <= r["count_err"] * WIDE
+
+
+def test_explain_matches_execution_on_joins(spark, sub_tables, tmp_path):
+    """Review fixes (round 5, second pass): join EXPLAIN uses the SAME
+    parse/resolution as execution — an explicit ratio above the registered
+    sample's makes both fall back on-the-fly, a three-table chain reports
+    its auto-selected fact scramble, an unsupported aggregate and a bad ON
+    qualifier report the error execution would raise."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, _, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE jx FROM fact KIND uniform RATIO 0.25 SEED 7", t, catalog=cat
+    ).collect()
+
+    def props(stmt):
+        return dict(
+            (r["property"], r["value"])
+            for r in approx_sql(spark, stmt, t, catalog=cat).collect()
+        )
+
+    p = props("EXPLAIN SELECT APPROX_COUNT() FROM fact JOIN dim ON fact.k = dim.j")
+    assert p["artifact"] == "jx" and p["route"].startswith("fact_sample")
+    # explicit ratio above the sample's: execution refuses it — so must EXPLAIN
+    p2 = props("EXPLAIN SELECT APPROX_COUNT(0.5) FROM fact JOIN dim ON fact.k = dim.j")
+    assert p2["route"].startswith("on_the_fly")
+    # three-table chain auto-selects the registered fact scramble
+    p3 = props(
+        "EXPLAIN SELECT APPROX_COUNT() FROM fact JOIN dim ON fact.k = dim.j "
+        "JOIN dim2 ON dim.j = dim2.j2"
+    )
+    assert p3.get("artifact") == "jx"
+    # unsupported aggregate over a join: the error execution raises
+    p4 = props("EXPLAIN SELECT APPROX_PERCENTILE(val, 0.5) FROM fact JOIN dim ON fact.k = dim.j")
+    assert "error" in p4 and "not supported over a JOIN" in p4["error"]
+    # bad ON qualifier: error, never silently-swapped keys
+    p5 = props("EXPLAIN SELECT APPROX_COUNT() FROM fact JOIN dim ON typo.k = dim.j")
+    assert "error" in p5 and "qualifiers" in p5["error"]
+
+
+def test_composed_bound_skipped_for_null_group_keys(spark):
+    """Review fix (round 5, second pass): a NULL inner group key would make
+    the grouped composed bound silently UNDERSTATE (pandas drops NaN keys,
+    the join never matches NULL) — composition is skipped, caveat only."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", None, None], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    df.createOrReplaceTempView("nullg")
+    try:
+        out = approx_sql(
+            spark,
+            "SELECT APPROX_SUM(est_sum, 0.9) FROM "
+            "(SELECT APPROX_SUM(v, 0.9) FROM nullg GROUP BY g) GROUP BY g",
+            None,
+        )
+        assert "inner_rel_err_max" in out.columns
+        assert "composed_err_bound" not in out.columns
+    finally:
+        spark.catalog.dropTempView("nullg")
