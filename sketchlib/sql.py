@@ -752,7 +752,12 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                 k, eq, v = kv.partition("=")
                 if not eq:
                     raise ValueError(f"sketch parameter {kv!r} must be key=value")
-                fv = float(v)
+                try:
+                    fv = float(v)
+                except ValueError:
+                    raise ValueError(
+                        f"sketch parameter {k.strip()}={v.strip()!r} must be numeric"
+                    ) from None
                 params[k.strip().lower()] = int(fv) if fv.is_integer() else fv
             specs.append(SketchSpec(f"{kind}_{col}", kind, col, params))
         catalog.create(
@@ -769,12 +774,27 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         name = m.group("name")
         input_dir = _ddl_input_dir(m.group("table"), tables, "CREATE SAMPLE")
         kind = m.group("kind").lower()
-        fractions = json.loads(m.group("fractions")) if m.group("fractions") else None
+        if m.group("fractions"):
+            try:
+                fractions = json.loads(m.group("fractions"))
+            except json.JSONDecodeError:
+                raise ValueError(
+                    "FRACTIONS must be a JSON object mapping group -> probability, "
+                    "e.g. FRACTIONS '{\"web\": 0.1, \"books\": 0.5}'"
+                ) from None
+        else:
+            fractions = None
+        try:
+            ratio = float(m.group("ratio") or 0.1)
+        except ValueError:
+            raise ValueError(
+                f"RATIO {m.group('ratio')!r} must be a number in (0, 1]"
+            ) from None
         catalog.create_sample(
             name,
             input_dir,
             kind=kind,
-            ratio=float(m.group("ratio") or 0.1),
+            ratio=ratio,
             on=m.group("on"),
             fractions=fractions,
             seed=int(m.group("seed") or 42),

@@ -479,3 +479,195 @@ def test_composed_bound_skipped_for_null_group_keys(spark):
         assert "composed_err_bound" not in out.columns
     finally:
         spark.catalog.dropTempView("nullg")
+
+
+# ---------------------------------------------------------------------------
+# DDL grammar sweep (round-5 close-out): every registry statement family —
+# CREATE/SHOW/REFRESH/DROP × SAMPLE/SKETCHES/ANN INDEX/SIGNATURES — driven
+# through its full lifecycle, plus a malformed-variant matrix that must
+# refuse with OUR descriptive ValueError (the no-leaked-traceback contract
+# the aggregate sweep in test_sql_round4 locks for query statements).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ddl_env(spark, tmp_path_factory):
+    """A sequences table (doc_id/tokens/n_tok/source), a tiny embeddings
+    table, and a fresh catalog — enough surface for all four DDL families."""
+    from sketchlib.data.gen import write_sequences
+    from sketchlib.spark.catalog import SketchCatalog
+
+    d = tmp_path_factory.mktemp("ddl5")
+    seq = str(d / "seq")
+    write_sequences(seq, 1000)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    emb = pd.DataFrame({"vec_id": np.arange(120), "embedding": list(map(list, vecs))})
+    epath = str(d / "emb")
+    spark.createDataFrame(emb).write.parquet(epath)
+    cat = SketchCatalog(spark, str(d / "cat"))
+    return {"sequences": seq, "emb": epath}, cat
+
+
+def test_ddl_lifecycle_sweep(spark, ddl_env):
+    """CREATE → SHOW (listed) → REFRESH (0 new files) → DROP (dropped=True)
+    → DROP again (dropped=False) for each of the four registry families,
+    all through the SQL front door."""
+    tables, cat = ddl_env
+    families = [
+        (
+            "CREATE SAMPLE gs1 FROM sequences KIND uniform RATIO 0.2 SEED 7",
+            "SHOW SAMPLES", "REFRESH SAMPLE gs1", "DROP SAMPLE gs1", "gs1",
+        ),
+        (
+            "CREATE SKETCHES gk1 FROM sequences KINDS hll(doc_id, p=12), kll(n_tok)",
+            "SHOW SKETCHES", "REFRESH SKETCHES gk1", "DROP SKETCHES gk1", "gk1",
+        ),
+        (
+            "CREATE ANN INDEX ga1 FROM emb KIND srp ON embedding ID vec_id BITS 8 SEED 3",
+            "SHOW ANN INDEXES", "REFRESH ANN INDEX ga1", "DROP ANN INDEX ga1", "ga1",
+        ),
+        (
+            "CREATE SIGNATURES gg1 FROM sequences ON tokens ID doc_id R 32 BANDS 8 SEED 5",
+            "SHOW SIGNATURES", "REFRESH SIGNATURES gg1", "DROP SIGNATURES gg1", "gg1",
+        ),
+    ]
+    for create, show, refresh, drop, name in families:
+        made = approx_sql(spark, create, tables, catalog=cat).collect()
+        assert len(made) == 1 and made[0]["name"] == name, create
+        listed = {r["name"] for r in approx_sql(spark, show, catalog=cat).collect()}
+        assert name in listed, show
+        ref = approx_sql(spark, refresh, catalog=cat).collect()[0]
+        assert ref["name"] == name and ref["new_files"] == 0, refresh
+        dropped = approx_sql(spark, drop, catalog=cat).collect()[0]
+        assert dropped["dropped"] is True, drop
+        again = approx_sql(spark, drop, catalog=cat).collect()[0]
+        assert again["dropped"] is False, f"{drop} (second time)"
+        assert name not in {
+            r["name"] for r in approx_sql(spark, show, catalog=cat).collect()
+        }
+
+
+def test_ddl_malformed_sweep(spark, ddl_env):
+    """Every malformed registry statement refuses with OUR ValueError whose
+    message names the problem — never a bare float()/json traceback, never
+    a mis-parse into Spark SQL."""
+    tables, cat = ddl_env
+    cases = [
+        # truncated statements fall to the family usage error
+        ("CREATE SAMPLE s FROM", "unsupported DDL"),
+        ("CREATE SKETCHES s FROM sequences", "unsupported DDL"),
+        ("CREATE ANN INDEX a FROM emb KIND srp", "unsupported DDL"),
+        ("CREATE SIGNATURES g FROM sequences", "unsupported DDL"),
+        ("REFRESH SAMPLE", "unsupported DDL"),
+        ("DROP SKETCHES", "unsupported DDL"),
+        # wrong enum values never reach the catalog half-parsed
+        ("CREATE SAMPLE s FROM sequences KIND bogus RATIO 0.1", "unsupported DDL"),
+        ("CREATE ANN INDEX a FROM emb KIND flann ON embedding ID vec_id", "unsupported DDL"),
+        # bad sketch kind and non-numeric parameter: descriptive, not float()
+        ("CREATE SKETCHES s FROM sequences KINDS wavelet(doc_id)", "unknown sketch kind"),
+        ("CREATE SKETCHES s FROM sequences KINDS hll(doc_id, p=bogus)", "must be numeric"),
+        ("CREATE SKETCHES s FROM sequences KINDS hll(doc_id, p14)", "key=value"),
+        ("CREATE SKETCHES s FROM sequences KINDS hll(, p=14)", "column name"),
+        # malformed FRACTIONS json and a regex-passing non-number RATIO
+        (
+            "CREATE SAMPLE s FROM sequences KIND stratified ON source FRACTIONS '{not json'",
+            "JSON object",
+        ),
+        ("CREATE SAMPLE s FROM sequences KIND uniform RATIO 1.2.3", "must be a number"),
+        # unknown names on the read/maintain side
+        ("REFRESH SKETCHES never_made", "never_made"),
+        ("REFRESH SAMPLE never_made", "never_made"),
+        ("REFRESH ANN INDEX never_made", "never_made"),
+        ("REFRESH SIGNATURES never_made", "never_made"),
+        # signature parameter contract (r divisible by bands)
+        (
+            "CREATE SIGNATURES g FROM sequences ON tokens ID doc_id R 30 BANDS 8",
+            "divisible",
+        ),
+    ]
+    for stmt, needle in cases:
+        with pytest.raises(ValueError, match=needle):
+            approx_sql(spark, stmt, tables, catalog=cat)
+    # stratified without fractions: the catalog's own contract error
+    with pytest.raises(ValueError, match="stratified"):
+        approx_sql(
+            spark, "CREATE SAMPLE s FROM sequences KIND stratified RATIO 0.1",
+            tables, catalog=cat,
+        )
+    # duplicate CREATE without OR REPLACE: named, actionable
+    approx_sql(
+        spark, "CREATE SAMPLE dup1 FROM sequences KIND uniform RATIO 0.2",
+        tables, catalog=cat,
+    )
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            approx_sql(
+                spark, "CREATE SAMPLE dup1 FROM sequences KIND uniform RATIO 0.2",
+                tables, catalog=cat,
+            )
+        # ... and OR REPLACE succeeds where the bare CREATE refused
+        out = approx_sql(
+            spark, "CREATE OR REPLACE SAMPLE dup1 FROM sequences KIND uniform RATIO 0.3",
+            tables, catalog=cat,
+        ).collect()
+        assert len(out) == 1
+    finally:
+        approx_sql(spark, "DROP SAMPLE dup1", catalog=cat)
+
+
+def test_ddl_head_only_near_misses(spark, ddl_env):
+    """Statements that merely RESEMBLE registry DDL are not claimed: they
+    fall through to Spark SQL (whose own error proves the fall-through) or
+    to the registry usage error only when the head genuinely matches."""
+    tables, cat = ddl_env
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    # Spark's own DDL over tables that share the keywords passes through
+    for stmt in (
+        "DROP TABLE samples_t",
+        "REFRESH TABLE sketches_t",
+        "SELECT * FROM ann_indexes_t",
+        "SHOW TABLES IN missing_db_xyz",
+    ):
+        with pytest.raises(AnalysisException):
+            approx_sql(spark, stmt, tables, catalog=cat)
+    # registry DDL without a catalog is refused with the catalog hint
+    with pytest.raises(ValueError, match="catalog"):
+        approx_sql(spark, "SHOW SAMPLES", tables, catalog=None)
+
+
+def test_explain_statement_kind_sweep(spark, ddl_env):
+    """EXPLAIN classifies every statement family without executing it —
+    DDL, exact pass-through, single-table approx, CTE, derived table —
+    and EXPLAIN of garbage raises our error, not a traceback."""
+    tables, cat = ddl_env
+
+    def kind(stmt):
+        rows = {r["property"]: r["value"] for r in
+                approx_sql(spark, f"EXPLAIN {stmt}", tables, catalog=cat).collect()}
+        return rows["statement_kind"], rows
+
+    k, _ = kind("CREATE SAMPLE zz FROM sequences KIND uniform RATIO 0.1")
+    assert k == "ddl"
+    # EXPLAIN of DDL must not have created anything
+    assert not cat.sample_exists("zz")
+    # an exact EXPLAIN is Spark's own statement — verbatim pass-through
+    # (A4), so it returns Spark's native plan frame, not our report
+    native = approx_sql(
+        spark, "EXPLAIN SELECT count(*) FROM sequences", tables, catalog=cat
+    )
+    assert native.columns == ["plan"]
+    assert "count" in native.collect()[0]["plan"]
+    k, rows = kind("SELECT APPROX_COUNT_DISTINCT(doc_id) FROM sequences GROUP BY source")
+    assert k in ("approx", "single_table_approx", "aggregate") or "route" in rows
+    k, _ = kind(
+        "WITH big AS (SELECT * FROM sequences WHERE n_tok > 100) "
+        "SELECT APPROX_COUNT(0.5) FROM big"
+    )
+    assert k == "cte"
+    k, _ = kind(
+        "SELECT APPROX_SUM(est_count, 0.5) FROM "
+        "(SELECT APPROX_COUNT(0.5) FROM sequences GROUP BY source)"
+    )
+    assert k == "derived_table"
