@@ -939,6 +939,53 @@ def q_b34_explain_routing(spark, sf_dir):
     )
 
 
+def q_b35_setop_sql(spark, sf_dir):
+    """Round 5: sketch-merge SET OPERATIONS through the SQL door (A17
+    exceeded — Verdict passed set-ops through unapproximated). UNION /
+    INTERSECT / EXCEPT of the orders custkey space vs the lineitem suppkey
+    space are each answered from PER-SIDE sketch states built in one pass
+    over the narrow unioned projections — the sides are never
+    distinct-shuffled or materialized (at 100 TB a UNION-distinct of two
+    fact tables is among the biggest shuffles a query can ask for; HLL
+    register-max IS set union). Checks: estimate within 3× the emitted
+    composed bound (+2 discrete slack) of the Spark-exact set size, AND
+    EXPLAIN classifies the statement as the sketch route (sketch_routed)."""
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "lineitem": f"{sf_dir}/lineitem.parquet",
+    }
+    o = spark.read.parquet(tabs["orders"]).select(F.col("o_custkey").alias("k"))
+    li = spark.read.parquet(tabs["lineitem"]).select(F.col("l_suppkey").alias("k"))
+    exact = {
+        "union": o.union(li).distinct().count(),
+        "intersect": o.distinct().intersect(li.distinct()).count(),
+        "except": o.distinct().exceptAll(li.distinct()).count(),
+    }
+    out = []
+    for op in ("UNION", "INTERSECT", "EXCEPT"):
+        q = (
+            "SELECT APPROX_COUNT_DISTINCT(o_custkey, 0.01) AS est FROM "
+            f"(SELECT o_custkey FROM orders {op} "
+            "SELECT l_suppkey AS o_custkey FROM lineitem)"
+        )
+        r = approx_sql(spark, q, tabs).collect()[0]
+        ok = abs(r["est"] - exact[op.lower()]) <= 3 * r["est_err"] + 2
+        props = {
+            row["property"]: row["value"]
+            for row in approx_sql(spark, "EXPLAIN " + q, tabs).collect()
+        }
+        routed = (
+            props.get("statement_kind") == "approx_setop"
+            and props.get("set_operation") == op.lower()
+        )
+        out.append((op.lower(), bool(ok), bool(routed)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["op", "within_bound", "sketch_routed"])
+    )
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2055,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b32_approx_subquery": _dist_wrapped(q_b32_approx_subquery),
         "b33_in_subquery_where": _dist_wrapped(q_b33_in_subquery_where),
         "b34_explain_routing": _dist_wrapped(q_b34_explain_routing),
+        "b35_setop_sql": _dist_wrapped(q_b35_setop_sql),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2204,6 +2252,13 @@ def oracle_sql() -> dict[str, str]:
               ('otf', 'aggregate', 'APPROX_SUM(o_totalprice, 0.5)'),
               ('otf', 'route', 'on_the_fly (scan the base table, build per statement)')
             ) AS t(stmt, property, value)
+        """,
+        "b35_setop_sql": """
+            SELECT * FROM (VALUES
+              ('union', TRUE, TRUE),
+              ('intersect', TRUE, TRUE),
+              ('except', TRUE, TRUE)
+            ) AS t(op, within_bound, sketch_routed)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

@@ -1136,6 +1136,17 @@ def explain_sql(
     sub = _extract_subquery(stmt)
     if sub is not None:
         head, inner, tail = sub
+        setop = _setop_route(head, inner, tail)  # the SAME decision execution makes
+        if setop is not None:
+            op, parsed, _args, _alias = setop
+            emit("statement_kind", "approx_setop")
+            emit("set_operation", op)
+            emit("n_sides", len(parsed))
+            emit("sketches", "hll (state merge IS set union)" if op == "union"
+                 else "hll + minhash (J·|A ∪ B| composition)")
+            emit("route", "per-side sketch build in one pass — the sides are "
+                 "never distinct-shuffled or materialized")
+            return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
         ) else "exact"
@@ -1332,6 +1343,198 @@ def _extract_subquery(sql: str):
                         return sql[: m.start()], sql[start + 1 : i], sql[i + 1 :]
             return None
     return None
+
+
+# ---------------------------------------------------------------------------
+# Sketch-merge set operations (SURVEY.md A17, exceeding Verdict, which passed
+# set-ops through unapproximated): ``SELECT APPROX_COUNT_DISTINCT(x) FROM
+# (SELECT x FROM a UNION SELECT x FROM b)`` is answered by building an HLL
+# PER SIDE in one pass over the narrow unioned projections and MERGING the
+# KB-sized states — the sides are never distinct-shuffled or materialized.
+# At 100 TB a UNION-distinct of two fact tables is among the largest shuffles
+# a query can ask for; register-wise HLL merge IS set union, so the merged
+# estimate is byte-identical to sketching the concatenation (locked by
+# test). INTERSECT routes through J·|A ∪ B| (MinHash Jaccard × merged-HLL
+# union) and EXCEPT through |A| − |A ∩ B|, each with its composed bound in
+# the _err column. The route is an OPTIMIZATION, never the only door: any
+# shape it cannot fully parse (mixed operators, chained INTERSECT, multi-
+# aggregate heads, GROUP BY tails, un-derivable side columns) falls back to
+# the generic derived-table path, which materializes the set-op exactly and
+# sketches on top — today's behavior, still correct, just not shuffle-free.
+# ---------------------------------------------------------------------------
+
+_SETOP_TOKENS = re.compile(
+    r"[()]|\bUNION\s+ALL\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b", re.IGNORECASE
+)
+_SETOP_SIDE = re.compile(
+    r"^\s*SELECT\s+(?:DISTINCT\s+)?(?P<col>.+?)\s+FROM\s+(?P<table>[\w./-]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SETOP_HEAD = re.compile(
+    r"^\s*SELECT\s+APPROX_COUNT_DISTINCT\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"(?:AS\s+(?P<alias>\w+)\s*)?$",
+    re.IGNORECASE,
+)
+# minhash rows for INTERSECT/EXCEPT: se_J = 0.5/√r ≈ 0.016 at r=1024 —
+# a few KB of state, small next to the HLL registers it rides with
+_SETOP_MINHASH_R = 1024
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Peel balanced outer parentheses: '(SELECT ...)' → 'SELECT ...'."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and i < len(s) - 1:
+                return s  # the opening paren closes early — not outer parens
+        s = s[1:-1].strip()
+    return s
+
+
+def _side_out_name(col: str) -> tuple[str, str | None]:
+    """A side's projection → (sketchable expression, output column name).
+    ``x`` → ('x', 'x'); ``expr AS k`` → ('expr', 'k'); a bare expression has
+    no derivable name (None) — the route then cannot check the outer
+    aggregate references it and falls back."""
+    am = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<name>\w+)\s*$", col.strip(),
+                  re.IGNORECASE | re.DOTALL)
+    if am:
+        return am.group("expr"), am.group("name")
+    c = col.strip()
+    return c, c if _IDENT.match(c) else None
+
+
+def _split_setop(inner: str):
+    """Depth-0 set-operator split of a derived-table body → (op, sides) with
+    op in {'union','intersect','except'}; None when there is no depth-0 set
+    operator, the operators are mixed (SQL gives them different precedence —
+    Spark resolves that correctly on the fallback path), or INTERSECT/EXCEPT
+    chain beyond two sides. UNION may be n-ary (state merge is n-ary)."""
+    masked = _mask_literals(inner)
+    depth, cuts = 0, []
+    for m in _SETOP_TOKENS.finditer(masked):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            op = "union" if t.upper().startswith("UNION") else t.lower()
+            cuts.append((m.start(), m.end(), op))
+    if not cuts:
+        return None
+    ops = {op for *_, op in cuts}
+    if len(ops) > 1:
+        return None
+    op = ops.pop()
+    if op != "union" and len(cuts) > 1:
+        return None
+    sides, prev = [], 0
+    for s, e, _ in cuts:
+        sides.append(inner[prev:s])
+        prev = e
+    sides.append(inner[prev:])
+    return op, [_strip_outer_parens(s) for s in sides]
+
+
+def _setop_route(head: str, inner: str, tail: str):
+    """The ONE routing decision execution and EXPLAIN share (the same
+    fidelity rule as join-key resolution: a weaker re-implementation in
+    EXPLAIN would let the two answers diverge). Returns
+    (op, parsed_sides, agg_args, alias) when the sketch-merge route
+    applies; None sends the statement down the generic derived-table path."""
+    if _AGG.search(_mask_literals(inner)):
+        return None  # approx-over-approx owns APPROX inners
+    hm = _SETOP_HEAD.match(head)
+    if hm is None or tail.strip().strip(";").strip():
+        return None  # multi-aggregate heads / WHERE-GROUP BY-ORDER tails
+    so = _split_setop(inner)
+    if so is None:
+        return None
+    op, sides = so
+    args = _split_args(hm.group("args"))
+    if not args or not _IDENT.match(args[0]):
+        return None  # outer must reference the union's column by name
+    parsed = []
+    for s in sides:
+        sm = _SETOP_SIDE.match(s)
+        if sm is None or len(_split_args(sm.group("col"))) != 1:
+            return None
+        parsed.append(sm)
+    # the derived relation's column name comes from the FIRST side; the
+    # outer aggregate must reference it (a mismatch falls back, where
+    # Spark's unresolved-column error names the offender)
+    _, first_name = _side_out_name(parsed[0].group("col"))
+    if first_name is None or first_name.lower() != args[0].lower():
+        return None
+    return op, parsed, args, hm.group("alias")
+
+
+def _approx_setop(spark: SparkSession, route, tables: dict | None) -> DataFrame:
+    """Execute the sketch-merge set-operation route: project each side to
+    its single column (WHERE applied side-local, pushed to that side's
+    scan), tag with a side label, UNION ALL the narrow projections (no
+    shuffle — union is a plan concatenation), build the sketch states in
+    ONE pass grouped by side, then answer from the states driver-side.
+    Output matches the single-table convention:
+    (approx_count_distinct_<col>, approx_count_distinct_<col>_err)."""
+    from pyspark.sql import functions as F
+
+    op, sides, args, alias = route
+    rse = 0.01
+    if len(args) > 1:
+        r = _num(args[1])
+        if r is None or not (0 < r < 1):
+            raise ValueError(
+                f"APPROX_COUNT_DISTINCT second argument {args[1]!r} must be "
+                "a target relative standard error in (0, 1)"
+            )
+        rse = r
+    out_name = alias or f"approx_count_distinct_{args[0]}"
+    tags = [f"s{i}" for i in range(len(sides))]
+    frames = []
+    for tag, sm in zip(tags, sides):
+        df = _resolve_table(spark, sm.group("table"), tables)
+        if sm.group("where"):
+            df = _apply_where(spark, df, sm.group("where"), tables, sm.group("table"))
+        expr, _ = _side_out_name(sm.group("col"))
+        frames.append(
+            df.selectExpr(f"({expr}) AS _v").withColumn("_side", F.lit(tag))
+        )
+    types = {f.schema["_v"].dataType.simpleString() for f in frames}
+    if len(types) > 1:
+        raise ValueError(
+            f"set-operation sides project incompatible types {sorted(types)} "
+            "— CAST the sides to a common type first"
+        )
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    specs = [SketchSpec("hll_v", "hll", "_v", {"p": hll_params(rse)["p"]})]
+    if op in ("intersect", "except"):
+        specs.append(SketchSpec("mh_v", "minhash", "_v", {"r": _SETOP_MINHASH_R}))
+    states = build_sketches(allf, specs, group_by="_side")
+    from sketchlib.spark.query import (
+        difference_estimate,
+        intersection_estimate,
+        union_estimate,
+    )
+
+    if op == "union":
+        est, rse_b = union_estimate(states, "hll_v")
+        err = rse_b * est
+    elif op == "intersect":
+        est, rel = intersection_estimate(states, "hll_v", "mh_v", tags[0], tags[1])
+        err = rel * est
+    else:  # except: |A| − |A ∩ B|, absolute composed bound
+        est, err = difference_estimate(states, "hll_v", "mh_v", tags[0], tags[1])
+    return spark.createDataFrame(
+        [(float(est), float(err))], f"{out_name} double, {out_name}_err double"
+    )
 
 
 def _apply_where(
@@ -1756,6 +1959,9 @@ def approx_sql(
                 "compute over the derived table"
             )
         head, inner, tail = sub
+        setop = _setop_route(head, inner, tail)
+        if setop is not None:
+            return _approx_setop(spark, setop, tables)
         view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
         if _AGG.search(_mask_literals(inner)):
             # APPROX-OVER-APPROX (Verdict recursed approximation through

@@ -671,3 +671,165 @@ def test_explain_statement_kind_sweep(spark, ddl_env):
         "(SELECT APPROX_COUNT(0.5) FROM sequences GROUP BY source)"
     )
     assert k == "derived_table"
+
+
+# ---------------------------------------------------------------------------
+# Sketch-merge set operations (A17 exceeded): APPROX_COUNT_DISTINCT over a
+# derived-table UNION/INTERSECT/EXCEPT answered from per-side sketch states
+# — the sides are never distinct-shuffled. Everything the route cannot
+# fully parse must FALL BACK to the generic derived-table path, not refuse.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setop_tables(spark, tmp_path_factory):
+    """Two overlapping key spaces: ta.k ∈ [0, 3000), tb.j ∈ [2000, 6000) —
+    so union, intersection, and difference are all non-trivial."""
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame(
+        {"k": rng.integers(0, 3000, 20000), "val": rng.normal(size=20000).round(3)}
+    )
+    b = pd.DataFrame({"j": rng.integers(2000, 6000, 30000)})
+    d = tmp_path_factory.mktemp("setop5")
+    pa_, pb = str(d / "a"), str(d / "b")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    return {"ta": pa_, "tb": pb}, set(a["k"]), set(b["j"])
+
+
+def _setop_q(op, rse="0.01", where=""):
+    return (
+        f"SELECT APPROX_COUNT_DISTINCT(k, {rse}) FROM "
+        f"(SELECT k FROM ta{where} {op} SELECT j AS k FROM tb{where and where.replace('k', 'j')})"
+    )
+
+
+def test_setop_union_equals_single_sketch_exactly(spark, setop_tables):
+    """Register-wise HLL merge IS set union: the set-op route's estimate is
+    EXACTLY the single-table estimate over the materialized UNION ALL —
+    merge associativity, surfaced at the SQL layer."""
+    t, ka, kb = setop_tables
+    merged = approx_sql(spark, _setop_q("UNION"), t).collect()[0]
+    u = (
+        spark.read.parquet(t["ta"]).select("k")
+        .unionByName(spark.read.parquet(t["tb"]).selectExpr("j AS k"))
+    )
+    u.createOrReplaceTempView("u_exact")
+    try:
+        single = approx_sql(
+            spark, "SELECT APPROX_COUNT_DISTINCT(k, 0.01) FROM u_exact", None
+        ).collect()[0]
+    finally:
+        spark.catalog.dropTempView("u_exact")
+    # the single-statement path emits (estimate, rse_bound); values match
+    # EXACTLY because register-wise max over per-side states equals the
+    # registers of one sketch over the concatenation
+    assert merged["approx_count_distinct_k"] == single["estimate"]
+    assert merged["approx_count_distinct_k"] == pytest.approx(len(ka | kb), rel=0.05)
+
+
+def test_setop_union_all_same_answer_and_nary(spark, setop_tables):
+    """UNION ALL answers identically to UNION (HLL is duplicate-
+    insensitive), and a THREE-side union merges n-ary."""
+    t, ka, kb = setop_tables
+    u1 = approx_sql(spark, _setop_q("UNION"), t).collect()[0][0]
+    u2 = approx_sql(spark, _setop_q("UNION ALL"), t).collect()[0][0]
+    assert u1 == u2
+    q3 = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) FROM "
+        "(SELECT k FROM ta UNION SELECT j AS k FROM tb UNION SELECT k FROM ta)"
+    )
+    assert approx_sql(spark, q3, t).collect()[0][0] == u1  # idempotent merge
+
+
+def test_setop_intersect_and_except_within_bound(spark, setop_tables):
+    """INTERSECT (J·|A ∪ B|) and EXCEPT (|A| − |A ∩ B|) land within 3× the
+    composed bound (+2 discrete slack) of the exact set sizes."""
+    t, ka, kb = setop_tables
+    for op, exact in (("INTERSECT", len(ka & kb)), ("EXCEPT", len(ka - kb))):
+        r = approx_sql(spark, _setop_q(op), t).collect()[0]
+        est, err = r["approx_count_distinct_k"], r["approx_count_distinct_k_err"]
+        assert abs(est - exact) <= 3 * err + 2, (op, est, exact, err)
+
+
+def test_setop_side_where_and_alias(spark, setop_tables):
+    """Per-side WHERE is honored (applied before the side's sketch build)
+    and an outer AS alias names the output columns."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS n_low FROM "
+        "(SELECT k FROM ta WHERE k < 2500 UNION SELECT j AS k FROM tb WHERE j < 2500)"
+    )
+    r = approx_sql(spark, q, t).collect()[0]
+    exact = len({x for x in ka if x < 2500} | {x for x in kb if x < 2500})
+    assert set(r.asDict()) == {"n_low", "n_low_err"}
+    assert abs(r["n_low"] - exact) <= 3 * r["n_low_err"] + 2
+
+
+def test_setop_type_mismatch_refused(spark, setop_tables):
+    """Sides projecting incompatible types refuse with a named error —
+    hashing an int side against a float side would silently estimate the
+    wrong set."""
+    t, *_ = setop_tables
+    with pytest.raises(ValueError, match="incompatible types"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(k) FROM "
+            "(SELECT k FROM ta UNION SELECT val AS k FROM ta)",
+            t,
+        )
+
+
+def test_setop_fallback_shapes_still_answer(spark, setop_tables):
+    """Shapes outside the sketch route — GROUP BY tail, non-distinct outer
+    aggregate, mixed operators — fall back to the generic derived-table
+    path and still answer correctly (never a refusal)."""
+    t, ka, kb = setop_tables
+    # mixed operators: INTERSECT binds tighter, Spark resolves it on the
+    # materialized path; the answer is |A ∪ (B ∩ B)| = |A ∪ B|
+    mixed = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) FROM "
+        "(SELECT k FROM ta UNION SELECT j AS k FROM tb INTERSECT SELECT j AS k FROM tb)"
+    )
+    r = approx_sql(spark, mixed, t).collect()[0]
+    exact = len(ka | kb)
+    assert abs(r[0] - exact) <= 0.05 * exact
+    # non-COUNT-DISTINCT outer aggregate over UNION ALL
+    s = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(0.5) FROM (SELECT k FROM ta UNION ALL SELECT j AS k FROM tb)",
+        t,
+    ).collect()[0]
+    assert abs(s["est_count"] - 50000) <= s["count_err"] * WIDE
+    # GROUP BY tail (the set-op route is global-only)
+    g = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) FROM "
+        "(SELECT k FROM ta WHERE k < 4 UNION ALL SELECT j AS k FROM tb WHERE j < 4) "
+        "GROUP BY k",
+        t,
+    ).collect()
+    assert {int(row["group"]) for row in g} == {x for x in range(4)} & (ka | kb)
+
+
+def test_setop_explain_matches_execution_route(spark, setop_tables):
+    """EXPLAIN classifies the sketch-merge shapes as approx_setop and the
+    fallback shapes as derived_table — the same _setop_route decision."""
+    t, *_ = setop_tables
+    rows = {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + _setop_q("INTERSECT"), t).collect()
+    }
+    assert rows["statement_kind"] == "approx_setop"
+    assert rows["set_operation"] == "intersect"
+    assert "minhash" in rows["sketches"]
+    rows = {
+        r["property"]: r["value"]
+        for r in approx_sql(
+            spark,
+            "EXPLAIN SELECT APPROX_COUNT(0.5) FROM "
+            "(SELECT k FROM ta UNION ALL SELECT j AS k FROM tb)",
+            t,
+        ).collect()
+    }
+    assert rows["statement_kind"] == "derived_table"
