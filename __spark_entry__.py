@@ -986,6 +986,52 @@ def q_b35_setop_sql(spark, sf_dir):
     )
 
 
+def q_b36_union_rewrite(spark, sf_dir):
+    """Round 5: UNION → UNION ALL rewrite for duplicate-insensitive heads
+    (the general-shape complement to b35's state-merge route). A GROUPED
+    count-distinct over a UNION of two fact-table key spaces is answered
+    with the distinct shuffle ELIDED — row dedup never changes a column's
+    distinct-value set, so the rewrite is exact, and at 100 TB the distinct
+    exchange it removes is a full shuffle of both fact tables. Checks per
+    group: estimate within 3× the relative bound (+2 discrete slack) of the
+    Spark-exact count, and EXPLAIN reports the rewrite."""
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "lineitem": f"{sf_dir}/lineitem.parquet",
+    }
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) FROM "
+        "(SELECT o_custkey % 4 AS g, o_custkey AS k FROM orders "
+        "UNION SELECT l_suppkey % 4 AS g, l_suppkey AS k FROM lineitem) "
+        "GROUP BY g"
+    )
+    props = {
+        row["property"]: row["value"]
+        for row in approx_sql(spark, "EXPLAIN " + q, tabs).collect()
+    }
+    rewritten = "union_rewrite" in props
+    exact = {
+        int(r["g"]): r["n"]
+        for r in spark.sql(
+            "SELECT g, COUNT(DISTINCT k) AS n FROM ("
+            f"SELECT o_custkey % 4 AS g, o_custkey AS k FROM parquet.`{tabs['orders']}` "
+            "UNION ALL "
+            f"SELECT l_suppkey % 4 AS g, l_suppkey AS k FROM parquet.`{tabs['lineitem']}`"
+            ") GROUP BY g"
+        ).collect()
+    }
+    out = []
+    for r in approx_sql(spark, q, tabs).collect():
+        g, est, rel = int(r["group"]), r[1], r[2]
+        ok = abs(est - exact[g]) <= 3 * rel * est + 2
+        out.append((g, bool(ok), bool(rewritten)))
+    return spark.createDataFrame(
+        pd.DataFrame(sorted(out), columns=["g", "within_bound", "rewrite_applied"])
+    )
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2103,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b33_in_subquery_where": _dist_wrapped(q_b33_in_subquery_where),
         "b34_explain_routing": _dist_wrapped(q_b34_explain_routing),
         "b35_setop_sql": _dist_wrapped(q_b35_setop_sql),
+        "b36_union_rewrite": _dist_wrapped(q_b36_union_rewrite),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2259,6 +2306,11 @@ def oracle_sql() -> dict[str, str]:
               ('intersect', TRUE, TRUE),
               ('except', TRUE, TRUE)
             ) AS t(op, within_bound, sketch_routed)
+        """,
+        "b36_union_rewrite": """
+            SELECT * FROM (VALUES
+              (0, TRUE, TRUE), (1, TRUE, TRUE), (2, TRUE, TRUE), (3, TRUE, TRUE)
+            ) AS t(g, within_bound, rewrite_applied)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

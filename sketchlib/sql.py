@@ -1152,6 +1152,9 @@ def explain_sql(
         ) else "exact"
         emit("statement_kind", "derived_table")
         emit("inner_statement", inner_kind)
+        if _union_all_rewrite(head, inner) is not None:
+            emit("union_rewrite", "UNION → UNION ALL (duplicate-insensitive "
+                 "aggregates; the distinct shuffle is elided)")
         for k, v in explain_sql(spark, f"{head} FROM _derived_{tail}", tables, catalog, None).collect():
             if k != "statement_kind":
                 emit(f"outer.{k}", v)
@@ -1439,6 +1442,50 @@ def _split_setop(inner: str):
         prev = e
     sides.append(inner[prev:])
     return op, [_strip_outer_parens(s) for s in sides]
+
+
+def _union_all_rewrite(head: str, inner: str) -> str | None:
+    """UNION → UNION ALL in a derived table when every outer aggregate is
+    duplicate-INSENSITIVE (APPROX_COUNT_DISTINCT): row-level dedup never
+    changes the SET of distinct values in any column, so the answer is
+    identical — and the distinct exchange (at 100 TB, a full shuffle of two
+    fact tables' rows) is elided entirely. This is the general-shape
+    complement to the state-merge route above: it composes with GROUP BY /
+    WHERE tails, multi-aggregate COUNT-DISTINCT heads, and arbitrary side
+    SELECTs the narrow-side parser cannot claim, because the sides are
+    never parsed — only the depth-0 UNION tokens are touched. Returns the
+    rewritten inner, or None when the rewrite does not apply (a duplicate-
+    sensitive aggregate in the head, INTERSECT/EXCEPT at depth 0 — their
+    semantics depend on multiplicity — an APPROX inner, which the
+    approx-over-approx branch owns, or nothing to rewrite)."""
+    aggs = _AGG.findall(head)
+    if not aggs or any(fn.upper() != "APPROX_COUNT_DISTINCT" for fn, _ in aggs):
+        return None
+    masked = _mask_literals(inner)
+    if _AGG.search(masked):
+        return None
+    depth, spans = 0, []
+    for m in _SETOP_TOKENS.finditer(masked):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            u = t.upper()
+            if u in ("INTERSECT", "EXCEPT"):
+                return None
+            if u == "UNION":  # bare UNION only — UNION ALL matched whole
+                spans.append((m.start(), m.end()))
+    if not spans:
+        return None
+    out, prev = [], 0
+    for s, e in spans:
+        out.append(inner[prev:s])
+        out.append("UNION ALL")
+        prev = e
+    out.append(inner[prev:])
+    return "".join(out)
 
 
 def _setop_route(head: str, inner: str, tail: str):
@@ -1962,6 +2009,9 @@ def approx_sql(
         setop = _setop_route(head, inner, tail)
         if setop is not None:
             return _approx_setop(spark, setop, tables)
+        rewritten = _union_all_rewrite(head, inner)
+        if rewritten is not None:
+            inner = rewritten  # distinct shuffle elided; answer identical
         view = f"_approx_subquery_{next(_SUBQUERY_IDS)}"
         if _AGG.search(_mask_literals(inner)):
             # APPROX-OVER-APPROX (Verdict recursed approximation through

@@ -833,3 +833,94 @@ def test_setop_explain_matches_execution_route(spark, setop_tables):
         ).collect()
     }
     assert rows["statement_kind"] == "derived_table"
+
+
+# ---------------------------------------------------------------------------
+# UNION → UNION ALL rewrite: when every outer aggregate is duplicate-
+# insensitive (APPROX_COUNT_DISTINCT), the derived table's distinct shuffle
+# is elided — for the GENERAL shapes the state-merge route cannot claim
+# (GROUP BY, multi-agg heads, expression sides). Answer identical by
+# construction (row dedup never changes a column's distinct-value set).
+# ---------------------------------------------------------------------------
+
+
+def _explain_props(spark, q, t):
+    return {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + q, t).collect()
+    }
+
+
+def test_union_rewrite_grouped_matches_exact_and_union_all(spark, setop_tables):
+    """Grouped COUNT DISTINCT over a UNION: rewrite applies (EXPLAIN says
+    so), estimates land within bound of exact per-group counts, and the
+    answer is BYTE-IDENTICAL to the explicit UNION ALL statement — the two
+    texts reach the same plan."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) FROM "
+        "(SELECT k % 3 AS g, k FROM ta UNION SELECT j % 3 AS g, j AS k FROM tb) "
+        "GROUP BY g"
+    )
+    assert "union_rewrite" in _explain_props(spark, q, t)
+    rows = {int(r["group"]): r for r in approx_sql(spark, q, t).collect()}
+    allk = ka | kb
+    for g in (0, 1, 2):
+        exact = len({x for x in allk if x % 3 == g})
+        est, rel = rows[g][1], rows[g][2]  # grouped path: relative bound
+        assert abs(est - exact) <= 3 * rel * est + 2, (g, est, exact)
+    ua = approx_sql(spark, q.replace("UNION SELECT", "UNION ALL SELECT"), t)
+    assert sorted(map(tuple, ua.collect())) == sorted(
+        map(tuple, approx_sql(spark, q, t).collect())
+    )
+
+
+def test_union_rewrite_multiagg_and_where_tail(spark, setop_tables):
+    """Multi-aggregate COUNT-DISTINCT head + WHERE tail on the derived
+    output both ride the rewrite (shapes the state-merge route declines)."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01), APPROX_COUNT_DISTINCT(g, 0.01) "
+        "FROM (SELECT k % 100 AS g, k FROM ta UNION SELECT j % 100 AS g, j AS k FROM tb) "
+        "WHERE k >= 1000"
+    )
+    assert "union_rewrite" in _explain_props(spark, q, t)
+    r = approx_sql(spark, q, t).collect()[0]
+    exact_k = len({x for x in (ka | kb) if x >= 1000})
+    exact_g = len({x % 100 for x in (ka | kb) if x >= 1000})
+    assert abs(r["approx_count_distinct_k"] - exact_k) <= 3 * r["approx_count_distinct_k_err"] + 2
+    assert abs(r["approx_count_distinct_g"] - exact_g) <= 3 * r["approx_count_distinct_g_err"] + 2
+
+
+def test_union_rewrite_skipped_for_duplicate_sensitive_head(spark, setop_tables):
+    """APPROX_COUNT over UNION counts DISTINCT rows — the rewrite would
+    change the answer, so it must NOT apply; the materialized path still
+    answers correctly."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT(0.5) FROM "
+        "(SELECT k FROM ta UNION SELECT j AS k FROM tb)"
+    )
+    assert "union_rewrite" not in _explain_props(spark, q, t)
+    r = approx_sql(spark, q, t).collect()[0]
+    exact = len(ka | kb)  # distinct rows of the single-column union
+    assert abs(r["est_count"] - exact) <= r["count_err"] * WIDE
+
+
+def test_union_rewrite_skipped_for_mixed_setops(spark, setop_tables):
+    """A depth-0 INTERSECT/EXCEPT blocks the rewrite — their semantics
+    depend on row multiplicity; Spark resolves precedence on the
+    materialized path."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) FROM "
+        "(SELECT k % 5 AS g, k FROM ta UNION SELECT j % 5 AS g, j AS k FROM tb "
+        "EXCEPT SELECT j % 5 AS g, j AS k FROM tb) GROUP BY g"
+    )
+    assert "union_rewrite" not in _explain_props(spark, q, t)
+    rows = {int(r["group"]): r for r in approx_sql(spark, q, t).collect()}
+    only_a = ka - kb
+    for g in sorted({x % 5 for x in only_a}):
+        exact = len({x for x in only_a if x % 5 == g})
+        assert abs(rows[g][1] - exact) <= 3 * rows[g][2] * rows[g][1] + 2, (
+            g, rows[g][1], exact)
