@@ -60,7 +60,8 @@ from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
 _ARGS = r"(?:[^()]|\([^()]*\))*"  # one nesting level: APPROX_SUM(round(x, 2), 0.1)
 
 _SKELETON = re.compile(
-    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s*,\s*APPROX_[A-Z_]+\s*\({_ARGS}\))*)\s*"
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s+AS\s+\w+)?"
+    rf"(?:\s*,\s*APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s+AS\s+\w+)?)*)\s*"
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
@@ -68,6 +69,10 @@ _SKELETON = re.compile(
 )
 
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
+# alias-aware variant for the select list only: APPROX_X(args) [AS name]
+_AGG_ALIASED = re.compile(
+    rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)(?:\s+AS\s+(\w+))?", re.IGNORECASE
+)
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -138,7 +143,7 @@ _HAVING_TAIL = re.compile(
 # (FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey). WHERE is
 # full Spark SQL over the joined columns (commutes with the sampling).
 _JOIN_SKELETON = re.compile(
-    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))\s*"
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))(?:\s+AS\s+(?P<salias>\w+))?\s*"
     r"FROM\s+(?P<ta>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<aa>(?!JOIN\b)\w+))?"
     r"\s+JOIN\s+(?P<tb>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<ab>(?!ON\b)\w+))?"
     r"\s+ON\s+(?P<qa>\w+)\.(?P<ka>\w+)\s*=\s*(?P<qb>\w+)\.(?P<kb>\w+)"
@@ -153,7 +158,7 @@ _JOIN_SKELETON = re.compile(
 # uniform scramble via catalog, or an on-the-fly Bernoulli draw of the FIRST
 # FROM table), both dimensions are exact and broadcast.
 _JOIN3_SKELETON = re.compile(
-    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))\s*"
+    rf"^\s*SELECT\s+(?P<select>APPROX_[A-Z_]+\s*\({_ARGS}\))(?:\s+AS\s+(?P<salias>\w+))?\s*"
     r"FROM\s+(?P<t1>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a1>(?!JOIN\b)\w+))?"
     r"\s+JOIN\s+(?P<t2>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<a2>(?!ON\b)\w+))?"
     r"\s+ON\s+(?P<q1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<k2>\w+)"
@@ -1905,6 +1910,113 @@ def _inner_abs_errs(pdf, col):
     return None
 
 
+def _alias_join_out(out: DataFrame, jm) -> DataFrame:
+    """Apply a join statement's ``AS name`` to the estimate column (and its
+    bound → ``name_err``). Join aggregates are APPROX_COUNT/APPROX_SUM only
+    (_join_agg), so the default names are fixed."""
+    alias = jm.groupdict().get("salias")
+    if not alias:
+        return out
+    fn, _, _ = _join_agg(jm.group("select"))
+    default, err = {
+        "APPROX_COUNT": ("est_count", "count_err"),
+        "APPROX_SUM": ("est_sum", "sum_err"),
+    }[fn]
+    return (out.withColumnRenamed(default, alias)
+               .withColumnRenamed(err, f"{alias}_err"))
+
+
+def _default_out_names(aggs: list) -> list[str]:
+    """_multi_agg's output naming, replicated (incl. the duplicate-name
+    suffix pass, which runs in OUTPUT-frame order: sketch aggregates first,
+    then sampling aggregates grouped by (ratio, column)) so alias renames
+    always target the column that actually exists in the joined frame."""
+    sketch, samples = [], {}
+    for i, (fn, args) in enumerate(aggs):
+        if fn == "APPROX_COUNT_DISTINCT":
+            disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            sketch.append((i, f"approx_count_distinct_{disp}"))
+        elif fn == "APPROX_COUNT":
+            samples.setdefault((float(args[0]), "_one"), []).append(
+                (i, "approx_count_star"))
+        else:
+            disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            samples.setdefault((float(args[1]), disp), []).append(
+                (i, f"{fn.lower()}_{disp}"))
+    order = sketch + [slot for slots in samples.values() for slot in slots]
+    seen: dict[str, int] = {}
+    final = [""] * len(aggs)
+    for i, base in order:
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        final[i] = f"{base}_{n + 1}" if n else base
+    return final
+
+
+def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
+    """Named estimate columns — ``SELECT APPROX_X(args) AS name`` (Verdict
+    lets users name their estimate columns; the driver's oracle compare
+    requires both sides to agree on names). The statement re-runs alias-free
+    and the estimate column is renamed to ``name``, its companion bound to
+    ``name_err`` (``name_rank_err`` for percentiles — that bound is in RANK
+    units, not value units). COUNT_DISTINCT's relative ``rse_bound`` is
+    converted to an ABSOLUTE ``name_err`` (rse × estimate) — the same
+    normalization _multi_agg_routed applies, so a named column and its _err
+    always share units no matter which path answered."""
+    from pyspark.sql import functions as F
+
+    names = [al or None for *_, al in aliased]
+    given = [al for al in names if al]
+    if len(set(given)) != len(given):
+        raise ValueError(f"duplicate alias in select list: {given!r}")
+    clean = ", ".join(f"{fn}({args})" for fn, args, _ in aliased)
+    stmt = f"SELECT {clean} FROM {m.group('table')}"
+    if m.group("where"):
+        stmt += f" WHERE {m.group('where')}"
+    if m.group("group"):
+        stmt += f" GROUP BY {m.group('group')}"
+    out = approx_sql(spark, stmt, tables, catalog, catalog_key)
+    aggs = [(fn.upper(), _split_args(args)) for fn, args, _ in aliased]
+    if len(aggs) == 1:
+        fn, alias = aggs[0][0], names[0]
+        cols = set(out.columns)
+        if fn == "APPROX_COUNT_DISTINCT" and "estimate" in cols:
+            others = [c for c in out.columns if c not in ("estimate", "rse_bound")]
+            return out.select(
+                *others,
+                F.col("estimate").alias(alias),
+                (F.col("rse_bound") * F.col("estimate")).alias(f"{alias}_err"),
+            )
+        pairs = {
+            "APPROX_COUNT_DISTINCT": ("est_distinct", "distinct_err"),
+            "APPROX_COUNT": ("est_count", "count_err"),
+            "APPROX_SUM": ("est_sum", "sum_err"),
+            "APPROX_AVG": ("est_avg", "avg_err"),
+            "APPROX_TOPK": ("est_count", "err_bound"),
+            "APPROX_PERCENTILE": ("value", "rank_err_bound"),
+        }.get(fn)
+        if pairs is None or pairs[0] not in cols:
+            raise ValueError(
+                f"cannot alias {fn} here — the result frame has no "
+                f"{pairs[0] if pairs else 'estimate'!r} column "
+                f"(columns: {out.columns})"
+            )
+        err_name = f"{alias}_rank_err" if fn == "APPROX_PERCENTILE" else f"{alias}_err"
+        return (out.withColumnRenamed(pairs[0], alias)
+                   .withColumnRenamed(pairs[1], err_name))
+    defaults = _default_out_names(aggs)
+    for default, alias in zip(defaults, names):
+        if not alias:
+            continue
+        if default not in out.columns:
+            raise ValueError(
+                f"cannot alias {default!r} — not in result columns {out.columns}"
+            )
+        out = (out.withColumnRenamed(default, alias)
+                  .withColumnRenamed(f"{default}_err", f"{alias}_err"))
+    return out
+
+
 def approx_sql(
     spark: SparkSession,
     sql: str,
@@ -2144,10 +2256,10 @@ def approx_sql(
         )
     jm = _JOIN3_SKELETON.match(sql)
     if jm:
-        return _approx_join3(spark, jm, tables, catalog, catalog_key)
+        return _alias_join_out(_approx_join3(spark, jm, tables, catalog, catalog_key), jm)
     jm = _JOIN_SKELETON.match(sql)
     if jm:
-        return _approx_join(spark, jm, tables, catalog, catalog_key)
+        return _alias_join_out(_approx_join(spark, jm, tables, catalog, catalog_key), jm)
     m = _SKELETON.match(sql)
     if not m:
         raise ValueError(
@@ -2155,6 +2267,9 @@ def approx_sql(
             "'SELECT APPROX_*(...) FROM t [WHERE expr] [GROUP BY col]'; "
             "use the DataFrame API (sketchlib.spark) for anything richer"
         )
+    aliased = _AGG_ALIASED.findall(m.group("select"))
+    if any(al for *_, al in aliased):
+        return _run_aliased(spark, m, aliased, tables, catalog, catalog_key)
     aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
     group = _parse_group(m.group("group"))
 

@@ -924,3 +924,94 @@ def test_union_rewrite_skipped_for_mixed_setops(spark, setop_tables):
         exact = len({x for x in only_a if x % 5 == g})
         assert abs(rows[g][1] - exact) <= 3 * rows[g][2] * rows[g][1] + 2, (
             g, rows[g][1], exact)
+
+
+# ---------------------------------------------------------------- aliases
+
+
+def test_agg_alias_single_paths(spark, sub_tables):
+    """SELECT APPROX_X(...) AS name: the estimate column takes the user's
+    name and the companion bound becomes name_err in the SAME units as the
+    estimate (rse_bound × estimate for HLL — the _multi_agg_routed
+    normalization), name_rank_err for percentiles (rank units)."""
+    t, fact, _ = sub_tables
+    out = approx_sql(spark, "SELECT APPROX_COUNT_DISTINCT(k) AS d_k FROM fact", t)
+    assert out.columns == ["d_k", "d_k_err"]
+    r = out.collect()[0]
+    exact = fact["k"].nunique()
+    assert abs(r["d_k"] - exact) <= r["d_k_err"] * WIDE + 2
+
+    out = approx_sql(
+        spark, "SELECT APPROX_SUM(val, 0.5) AS total FROM fact GROUP BY seg", t
+    )
+    assert set(out.columns) == {"seg", "total", "total_err"}
+    for r in out.collect():
+        exact = float(fact[fact["seg"] == r["seg"]]["val"].sum())
+        assert abs(r["total"] - exact) <= r["total_err"] * WIDE
+
+    out = approx_sql(spark, "SELECT APPROX_PERCENTILE(val, 0.5) AS med FROM fact", t)
+    assert out.columns == ["q", "med", "med_rank_err"]
+
+
+def test_agg_alias_multi_and_tails(spark, sub_tables):
+    """Aliases in multi-aggregate lists rename only the named slots; an
+    ORDER BY on the alias works (the body recursion renames before the tail
+    applies); duplicate aliases are refused descriptively."""
+    t, fact, _ = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k) AS d, APPROX_SUM(val, 0.5) FROM fact "
+        "GROUP BY seg",
+        t,
+    )
+    assert {"seg", "d", "d_err", "approx_sum_val", "approx_sum_val_err"} == set(out.columns)
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k) AS d_k FROM fact "
+        "GROUP BY seg ORDER BY d_k DESC LIMIT 2",
+        t,
+    )
+    rows = out.collect()
+    assert len(rows) == 2 and rows[0]["d_k"] >= rows[1]["d_k"]
+
+    with pytest.raises(ValueError, match="duplicate alias"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_SUM(val, 0.5) AS s, APPROX_AVG(val, 0.5) AS s FROM fact",
+            t,
+        )
+
+
+def test_agg_alias_derived_table_union(spark, setop_tables):
+    """Aliases compose with derived-table set operations: the rewritten
+    outer statement carries the alias through the view recursion."""
+    t, ka, kb = setop_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) AS d FROM "
+        "(SELECT k % 5 AS g, k FROM ta UNION SELECT j % 5 AS g, j AS k FROM tb) "
+        "GROUP BY g",
+        t,
+    )
+    assert {"d", "d_err"} <= set(out.columns)
+    rows = {int(r["group"]): r for r in out.collect()}
+    both = ka | kb
+    for g in sorted({x % 5 for x in both}):
+        exact = len({x for x in both if x % 5 == g})
+        assert abs(rows[g]["d"] - exact) <= rows[g]["d_err"] * WIDE + 2
+
+
+def test_agg_alias_on_joins(spark, sub_tables):
+    """AS name on a join statement renames the named aggregate's estimate
+    and bound; the companion count columns keep their default names."""
+    t, fact, dim = sub_tables
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val, 0.5) AS s FROM fact JOIN dim ON fact.k = dim.j",
+        t,
+    )
+    assert {"s", "s_err"} <= set(out.columns)
+    r = out.collect()[0]
+    exact = float(fact[fact["k"].isin(set(dim["j"]))]["val"].sum())
+    assert abs(r["s"] - exact) <= r["s_err"] * WIDE
