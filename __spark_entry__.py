@@ -1032,6 +1032,59 @@ def q_b36_union_rewrite(spark, sf_dir):
     )
 
 
+def q_b37_grouped_setop(spark, sf_dir):
+    """Round 5: GROUPED INTERSECT/EXCEPT through the sketch-merge route —
+    `APPROX_COUNT_DISTINCT(k) FROM (a INTERSECT|EXCEPT b) GROUP BY g` with
+    both sides projecting the key alongside the value. One sketch-build
+    pass keyed by (side × group), per-group HLL+MinHash merges; the set
+    operation is never materialized or distinct-shuffled (the shape the
+    UNION ALL rewrite cannot claim — INTERSECT/EXCEPT semantics depend on
+    per-row matching). Checks per (op, group): estimate within 3× the
+    emitted ABSOLUTE bound (+2 discrete slack) of the Spark-exact per-group
+    set size, group key restored to its native type under the user's name,
+    and EXPLAIN classifies the statement as the grouped sketch route."""
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "lineitem": f"{sf_dir}/lineitem.parquet",
+    }
+    od = (spark.read.parquet(tabs["orders"])
+          .selectExpr("o_custkey AS k", "o_custkey % 4 AS g").distinct())
+    ld = (spark.read.parquet(tabs["lineitem"])
+          .selectExpr("l_suppkey AS k", "l_suppkey % 4 AS g").distinct())
+    exact = {
+        "intersect": {r["g"]: r["c"] for r in od.intersect(ld)
+                      .groupBy("g").agg(F.count("*").alias("c")).collect()},
+        "except": {r["g"]: r["c"] for r in od.exceptAll(ld)
+                   .groupBy("g").agg(F.count("*").alias("c")).collect()},
+    }
+    out = []
+    for op in ("INTERSECT", "EXCEPT"):
+        q = (
+            "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+            f"(SELECT o_custkey AS k, o_custkey % 4 AS g FROM orders {op} "
+            "SELECT l_suppkey AS k, l_suppkey % 4 AS g FROM lineitem) GROUP BY g"
+        )
+        props = {
+            row["property"]: row["value"]
+            for row in approx_sql(spark, "EXPLAIN " + q, tabs).collect()
+        }
+        routed = (
+            props.get("statement_kind") == "approx_setop"
+            and props.get("set_operation") == op.lower()
+            and props.get("group_by") == "g"
+        )
+        rows = {int(r["g"]): r for r in approx_sql(spark, q, tabs).collect()}
+        for g, ex in sorted(exact[op.lower()].items()):
+            r = rows.get(int(g))
+            ok = r is not None and abs(r["est"] - ex) <= 3 * r["est_err"] + 2
+            out.append((op.lower(), f"g{int(g)}", bool(ok), bool(routed)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["op", "grp", "within_bound", "sketch_routed"])
+    )
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2150,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b34_explain_routing": _dist_wrapped(q_b34_explain_routing),
         "b35_setop_sql": _dist_wrapped(q_b35_setop_sql),
         "b36_union_rewrite": _dist_wrapped(q_b36_union_rewrite),
+        "b37_grouped_setop": _dist_wrapped(q_b37_grouped_setop),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2311,6 +2365,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (0, TRUE, TRUE), (1, TRUE, TRUE), (2, TRUE, TRUE), (3, TRUE, TRUE)
             ) AS t(g, within_bound, rewrite_applied)
+        """,
+        "b37_grouped_setop": """
+            SELECT * FROM (VALUES
+              ('intersect', 'g0', TRUE, TRUE), ('intersect', 'g1', TRUE, TRUE),
+              ('intersect', 'g2', TRUE, TRUE), ('intersect', 'g3', TRUE, TRUE),
+              ('except', 'g0', TRUE, TRUE), ('except', 'g1', TRUE, TRUE),
+              ('except', 'g2', TRUE, TRUE), ('except', 'g3', TRUE, TRUE)
+            ) AS t(op, grp, within_bound, sketch_routed)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

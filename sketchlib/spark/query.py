@@ -343,6 +343,125 @@ def difference_estimate(
     return est, abs_bound
 
 
+def _setop_group_row(op: str, sks: dict, tags, hll: str, mh: str | None):
+    """One group's set-operation answer from its per-side sketches —
+    (estimate, ABSOLUTE err) or None when the exact operation would emit no
+    row for this group (see grouped_setop_df's presence semantics)."""
+    if op == "union":
+        acc = None
+        for t in tags:
+            sk = sks.get((t, hll))
+            if sk is not None:
+                acc = sk if acc is None else acc.merge(sk)
+        if acc is None:
+            return None
+        est, rse = acc.estimate()
+        return float(est), float(rse * est)
+    a, b = sks.get((tags[0], hll)), sks.get((tags[1], hll))
+    if op == "intersect":
+        if a is None or b is None:
+            return None
+        j, se = sks[(tags[0], mh)].jaccard(sks[(tags[1], mh)])
+        if j <= 0:
+            return None  # exact per-group presence: empty intersection → no row
+        union_est, rse = a.merge(b).estimate()
+        est = j * union_est
+        # absolute form of intersection_estimate's rel bound (rse + se/J):
+        # est·rse + |A∪B|·se — finite even as J → 0
+        return float(est), float(est * rse + union_est * se)
+    # except: groups only the LEFT side holds pass through with |A_g| alone
+    if a is None:
+        return None
+    a_est, a_rse = a.estimate()
+    if b is None:
+        return float(a_est), float(a_rse * a_est)
+    j, se = sks[(tags[0], mh)].jaccard(sks[(tags[1], mh)])
+    union_est, rse = a.merge(b).estimate()
+    inter = j * union_est
+    inter_err = inter * rse + union_est * se
+    return float(max(0.0, a_est - inter)), float(a_rse * a_est + inter_err)
+
+
+def grouped_setop_df(
+    spark: SparkSession,
+    states: DataFrame,
+    op: str,
+    hll_sketch: str,
+    minhash_sketch: str | None,
+    tags: list[str],
+    distributed: bool | None = None,
+) -> DataFrame:
+    """(group, estimate, err_bound) per group for a GROUPED set operation
+    (union/intersect/except), answered from per-(side × group) states alone.
+
+    The build keyed its sketches by the composite (side, group) string, so
+    each group's answer merges at most len(tags) × len(sketches) KB-sized
+    state rows. ``err_bound`` is ABSOLUTE. Presence semantics mirror the
+    exact operation's per-group row production: UNION emits every group any
+    side holds; INTERSECT emits only groups both sides hold with a nonzero
+    MinHash intersection (an exact engine emits no row for a group whose
+    intersection is empty — sketch resolution caps how small a nonzero
+    intersection this can detect); EXCEPT emits exactly the left side's
+    groups. Routing mirrors estimates_df: driver-side at source-level group
+    counts (rows here carry ≤ tags×sketches states per group, so the probe
+    cap scales by that factor), groupBy(group).applyInPandas above the
+    threshold — that shuffle moves only KB state rows, never data rows."""
+    from sketchlib.spark.build import GROUP_SEP
+
+    need = [hll_sketch] + ([minhash_sketch] if minhash_sketch else [])
+    sub = states.filter(F.col("sketch").isin(need))
+    per_group = max(1, len(tags) * len(need))
+    schema = "group string, estimate double, err_bound double"
+    cols = ["group", "estimate", "err_bound"]
+
+    def finish(rows) -> DataFrame:
+        per_g: dict[str, dict] = {}
+        for r in rows:
+            side, _, g = r["group"].partition(GROUP_SEP)
+            per_g.setdefault(g, {})[(side, r["sketch"])] = deserialize(bytes(r["state"]))
+        out = []
+        for g in sorted(per_g):
+            row = _setop_group_row(op, per_g[g], tags, hll_sketch, minhash_sketch)
+            if row is not None:
+                out.append((g, *row))
+        return spark.createDataFrame(pd.DataFrame(out, columns=cols) if out else [], schema)
+
+    rows = None
+    if distributed is False:
+        rows = sub.select("group", "sketch", "state").collect()
+    elif distributed is None:
+        probe = (sub.select("group", "sketch", "state")
+                    .limit(_PROBE_ROWS * per_group + 1).collect())
+        if len(probe) <= _PROBE_ROWS * per_group:
+            rows = probe
+        else:
+            sub = sub.persist()
+            if sub.count() <= _DISTRIBUTED_THRESHOLD * per_group:
+                rows = sub.select("group", "sketch", "state").collect()
+                sub.unpersist()
+    if rows is not None:
+        return finish(rows)
+
+    key = F.split(F.col("group"), GROUP_SEP, 2)
+    d = sub.select(
+        key.getItem(0).alias("_side"), key.getItem(1).alias("_g"), "sketch", "state"
+    )
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        sks = {
+            (s, name): deserialize(bytes(st))
+            for s, name, st in zip(pdf["_side"], pdf["sketch"], pdf["state"])
+        }
+        row = _setop_group_row(op, sks, tags, hll_sketch, minhash_sketch)
+        if row is None:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame([(pdf["_g"].iloc[0], *row)], columns=cols)
+
+    out = d.groupBy("_g").applyInPandas(apply, schema).localCheckpoint()
+    sub.unpersist()
+    return out
+
+
 def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame:
     """(group_a, group_b, jaccard_est, se_bound) for all group pairs (MinHash).
 

@@ -1143,14 +1143,18 @@ def explain_sql(
         head, inner, tail = sub
         setop = _setop_route(head, inner, tail)  # the SAME decision execution makes
         if setop is not None:
-            op, parsed, _args, _alias = setop
+            op, parsed, _args, _alias, grouped = setop
             emit("statement_kind", "approx_setop")
             emit("set_operation", op)
             emit("n_sides", len(parsed))
+            if grouped is not None:
+                emit("group_by", grouped[0])
             emit("sketches", "hll (state merge IS set union)" if op == "union"
                  else "hll + minhash (J·|A ∪ B| composition)")
-            emit("route", "per-side sketch build in one pass — the sides are "
-                 "never distinct-shuffled or materialized")
+            emit("route", ("per-(side × group) sketch build in one pass, "
+                           "per-group state merge" if grouped is not None else
+                           "per-side sketch build in one pass") +
+                 " — the sides are never distinct-shuffled or materialized")
             return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
@@ -1497,13 +1501,25 @@ def _setop_route(head: str, inner: str, tail: str):
     """The ONE routing decision execution and EXPLAIN share (the same
     fidelity rule as join-key resolution: a weaker re-implementation in
     EXPLAIN would let the two answers diverge). Returns
-    (op, parsed_sides, agg_args, alias) when the sketch-merge route
-    applies; None sends the statement down the generic derived-table path."""
+    (op, parsed_sides, agg_args, alias, grouped) when the sketch-merge
+    route applies — grouped is None for global statements, or
+    (group_name, value_pos, group_pos) when a ``GROUP BY g`` tail rides an
+    INTERSECT/EXCEPT whose sides project the key alongside the value
+    (grouped UNION is left to the UNION → UNION ALL rewrite, which builds
+    the same one-pass plan without the side tag); None sends the statement
+    down the generic derived-table path."""
     if _AGG.search(_mask_literals(inner)):
         return None  # approx-over-approx owns APPROX inners
     hm = _SETOP_HEAD.match(head)
-    if hm is None or tail.strip().strip(";").strip():
-        return None  # multi-aggregate heads / WHERE-GROUP BY-ORDER tails
+    if hm is None:
+        return None  # multi-aggregate / non-COUNT-DISTINCT heads
+    group = None
+    t = tail.strip().strip(";").strip()
+    if t:
+        gm = re.match(r"^GROUP\s+BY\s+(\w+)$", t, re.IGNORECASE)
+        if gm is None:
+            return None  # WHERE/ORDER/HAVING tails take the generic path
+        group = gm.group(1)
     so = _split_setop(inner)
     if so is None:
         return None
@@ -1511,32 +1527,53 @@ def _setop_route(head: str, inner: str, tail: str):
     args = _split_args(hm.group("args"))
     if not args or not _IDENT.match(args[0]):
         return None  # outer must reference the union's column by name
+    n_items = 2 if group else 1
     parsed = []
     for s in sides:
         sm = _SETOP_SIDE.match(s)
-        if sm is None or len(_split_args(sm.group("col"))) != 1:
+        if sm is None or len(_split_args(sm.group("col"))) != n_items:
             return None
         parsed.append(sm)
-    # the derived relation's column name comes from the FIRST side; the
-    # outer aggregate must reference it (a mismatch falls back, where
-    # Spark's unresolved-column error names the offender)
-    _, first_name = _side_out_name(parsed[0].group("col"))
-    if first_name is None or first_name.lower() != args[0].lower():
+    # the derived relation's column names come from the FIRST side; the
+    # outer aggregate (and GROUP BY key) must reference them — set-op
+    # columns align BY POSITION, so later sides contribute positions only.
+    # A name mismatch falls back, where Spark's unresolved-column error
+    # names the offender.
+    first_items = _split_args(parsed[0].group("col"))
+    first_names = [(_side_out_name(it)[1] or "").lower() for it in first_items]
+    if group is None:
+        if first_names[0] != args[0].lower():
+            return None
+        return op, parsed, args, hm.group("alias"), None
+    if op == "union":
+        # grouped UNION belongs to the UNION → UNION ALL rewrite: same
+        # zero-shuffle one-pass build keyed by the group alone (no side tag,
+        # no driver merge), and it covers shapes this route cannot
         return None
-    return op, parsed, args, hm.group("alias")
+    want = {args[0].lower(), group.lower()}
+    if set(first_names) != want or len(want) != 2:
+        return None
+    pos_v = first_names.index(args[0].lower())
+    return op, parsed, args, hm.group("alias"), (group, pos_v, 1 - pos_v)
 
 
 def _approx_setop(spark: SparkSession, route, tables: dict | None) -> DataFrame:
     """Execute the sketch-merge set-operation route: project each side to
-    its single column (WHERE applied side-local, pushed to that side's
-    scan), tag with a side label, UNION ALL the narrow projections (no
-    shuffle — union is a plan concatenation), build the sketch states in
-    ONE pass grouped by side, then answer from the states driver-side.
+    its column(s) (WHERE applied side-local, pushed to that side's scan),
+    tag with a side label, UNION ALL the narrow projections (no shuffle —
+    union is a plan concatenation), build the sketch states in ONE pass
+    grouped by side (× group key when GROUPED), then answer from the states.
     Output matches the single-table convention:
-    (approx_count_distinct_<col>, approx_count_distinct_<col>_err)."""
+    ([group,] approx_count_distinct_<col>, approx_count_distinct_<col>_err).
+
+    GROUPED statements (``... FROM (a UNION b) GROUP BY g``, sides
+    projecting the key alongside the value) key the one-pass build by the
+    composite (side, group) and merge per group — the set operation is
+    still never materialized or distinct-shuffled; grouped_setop_df
+    documents the per-group presence semantics and routing."""
     from pyspark.sql import functions as F
 
-    op, sides, args, alias = route
+    op, sides, args, alias, grouped = route
     rse = 0.01
     if len(args) > 1:
         r = _num(args[1])
@@ -1553,22 +1590,50 @@ def _approx_setop(spark: SparkSession, route, tables: dict | None) -> DataFrame:
         df = _resolve_table(spark, sm.group("table"), tables)
         if sm.group("where"):
             df = _apply_where(spark, df, sm.group("where"), tables, sm.group("table"))
-        expr, _ = _side_out_name(sm.group("col"))
-        frames.append(
-            df.selectExpr(f"({expr}) AS _v").withColumn("_side", F.lit(tag))
-        )
-    types = {f.schema["_v"].dataType.simpleString() for f in frames}
-    if len(types) > 1:
-        raise ValueError(
-            f"set-operation sides project incompatible types {sorted(types)} "
-            "— CAST the sides to a common type first"
-        )
+        items = _split_args(sm.group("col"))
+        if grouped is None:
+            sel = [f"({_side_out_name(items[0])[0]}) AS _v"]
+        else:
+            _, pos_v, pos_g = grouped
+            sel = [
+                f"({_side_out_name(items[pos_v])[0]}) AS _v",
+                f"({_side_out_name(items[pos_g])[0]}) AS _g",
+            ]
+        frames.append(df.selectExpr(*sel).withColumn("_side", F.lit(tag)))
+    for c in ["_v"] + (["_g"] if grouped else []):
+        types = {f.schema[c].dataType.simpleString() for f in frames}
+        if len(types) > 1:
+            raise ValueError(
+                f"set-operation sides project incompatible types {sorted(types)} "
+                f"for {'the GROUP BY key' if c == '_g' else 'the aggregate column'} "
+                "— CAST the sides to a common type first"
+            )
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)
     specs = [SketchSpec("hll_v", "hll", "_v", {"p": hll_params(rse)["p"]})]
     if op in ("intersect", "except"):
         specs.append(SketchSpec("mh_v", "minhash", "_v", {"r": _SETOP_MINHASH_R}))
+    mh = "mh_v" if op in ("intersect", "except") else None
+
+    if grouped is not None:
+        from sketchlib.spark.query import grouped_setop_df
+
+        gname, _, _ = grouped
+        states = build_sketches(allf, specs, group_by=["_side", "_g"])
+        out = grouped_setop_df(spark, states, op, "hll_v", mh, tags)
+        # restore the key's native type ('__null__' is the composite
+        # kernel's NULL placeholder)
+        gtype = frames[0].schema["_g"].dataType
+        key = F.when(F.col("group") == "__null__", F.lit(None)).otherwise(
+            F.col("group").cast(gtype)
+        )
+        return out.select(
+            key.alias(gname),
+            F.col("estimate").alias(out_name),
+            F.col("err_bound").alias(f"{out_name}_err"),
+        )
+
     states = build_sketches(allf, specs, group_by="_side")
     from sketchlib.spark.query import (
         difference_estimate,

@@ -1015,3 +1015,124 @@ def test_agg_alias_on_joins(spark, sub_tables):
     r = out.collect()[0]
     exact = float(fact[fact["k"].isin(set(dim["j"]))]["val"].sum())
     assert abs(r["s"] - exact) <= r["s_err"] * WIDE
+
+
+# ------------------------------------------------------- grouped set-ops
+
+
+def test_grouped_intersect_except_state_merge(spark, setop_tables):
+    """GROUP BY over INTERSECT/EXCEPT takes the sketch-merge route (one
+    build pass keyed by side × group, never materialized), per-group
+    estimates within the emitted absolute bound, group key restored to its
+    native type under the user's name."""
+    t, ka, kb = setop_tables
+    for op, sel in (("INTERSECT", ka & kb), ("EXCEPT", ka - kb)):
+        q = (
+            "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+            f"(SELECT k, k % 3 AS g FROM ta {op} "
+            "SELECT j AS k, j % 3 AS g FROM tb) GROUP BY g"
+        )
+        props = _explain_props(spark, q, t)
+        assert props.get("statement_kind") == "approx_setop"
+        assert props.get("group_by") == "g"
+        out = approx_sql(spark, q, t)
+        assert out.columns == ["g", "d", "d_err"]
+        rows = {int(r["g"]): r for r in out.collect()}
+        for g in sorted({x % 3 for x in sel}):
+            exact = len({x for x in sel if x % 3 == g})
+            r = rows[g]
+            assert abs(r["d"] - exact) <= 3 * r["d_err"] + 2, (op, g, r["d"], exact)
+
+
+def test_grouped_setop_presence_semantics(spark):
+    """Per-group row production matches the exact operation: EXCEPT emits
+    exactly the left side's groups (a group only in B is absent, a group
+    with no B overlap keeps |A_g| alone); INTERSECT omits groups either
+    side lacks."""
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(100)) + list(range(200, 300)),
+                      "g": ["a"] * 100 + ["b"] * 100})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(50)) + list(range(400, 500)),
+                      "g": ["a"] * 50 + ["c"] * 100})
+    )
+    t = {"ta": a, "tb": b}
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+        "(SELECT k, g FROM ta EXCEPT SELECT k, g FROM tb) GROUP BY g",
+        t,
+    )
+    rows = {r["g"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}  # 'c' only in B — absent, like the exact op
+    assert abs(rows["a"]["d"] - 50) <= 3 * rows["a"]["d_err"] + 2
+    assert abs(rows["b"]["d"] - 100) <= 3 * rows["b"]["d_err"] + 2
+
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+        "(SELECT k, g FROM ta INTERSECT SELECT k, g FROM tb) GROUP BY g",
+        t,
+    )
+    rows = {r["g"]: r for r in out.collect()}
+    assert set(rows) == {"a"}  # only group on both sides with overlap
+    assert abs(rows["a"]["d"] - 50) <= 3 * rows["a"]["d_err"] + 2
+
+
+def test_grouped_setop_distributed_path_matches_driver(spark):
+    """grouped_setop_df's two routes (driver collect vs
+    groupBy+applyInPandas) return identical rows for the same states."""
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import grouped_setop_df
+
+    a = spark.range(0, 5000).selectExpr(
+        "id AS _v", "CAST(id % 7 AS STRING) AS _g", "'s0' AS _side")
+    b = spark.range(2500, 7500).selectExpr(
+        "id AS _v", "CAST(id % 7 AS STRING) AS _g", "'s1' AS _side")
+    states = build_sketches(
+        a.unionByName(b),
+        [SketchSpec("hll_v", "hll", "_v", {"p": hll_params(0.01)["p"]}),
+         SketchSpec("mh_v", "minhash", "_v", {"r": 1024})],
+        group_by=["_side", "_g"],
+    ).persist()
+    for op in ("union", "intersect", "except"):
+        mh = None if op == "union" else "mh_v"
+        drv = grouped_setop_df(
+            spark, states, op, "hll_v", mh, ["s0", "s1"], distributed=False
+        ).collect()
+        dst = grouped_setop_df(
+            spark, states, op, "hll_v", mh, ["s0", "s1"], distributed=True
+        ).collect()
+        assert sorted(map(tuple, drv)) == sorted(map(tuple, dst)), op
+    states.unpersist()
+
+
+def test_grouped_setop_key_type_mismatch_refused(spark):
+    """Sides projecting incompatible GROUP BY key types raise the
+    descriptive CAST error rather than merging stringified keys."""
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "g": [1, 2]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "g": ["1", "2"]}))
+    with pytest.raises(ValueError, match="GROUP BY key"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(k) AS d FROM "
+            "(SELECT k, g FROM ta EXCEPT SELECT k, g FROM tb) GROUP BY g",
+            {"ta": a, "tb": b},
+        )
+
+
+def test_grouped_union_left_to_rewrite(spark, setop_tables):
+    """Grouped UNION is deliberately NOT claimed by the state-merge route —
+    the UNION ALL rewrite builds the same zero-shuffle plan without the
+    side tag; EXPLAIN must report the rewrite, not approx_setop."""
+    t, ka, kb = setop_tables
+    q = (
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.02) FROM "
+        "(SELECT k, k % 3 AS g FROM ta UNION SELECT j AS k, j % 3 AS g FROM tb) "
+        "GROUP BY g"
+    )
+    props = _explain_props(spark, q, t)
+    assert props.get("statement_kind") != "approx_setop"
+    assert "union_rewrite" in props
