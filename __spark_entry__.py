@@ -1085,6 +1085,64 @@ def q_b37_grouped_setop(spark, sf_dir):
     )
 
 
+def q_b38_setop_from_states(spark, sf_dir):
+    """Round 5: set operations ANSWERED FROM PERSISTED STATES ALONE —
+    Verdict's A5 substitution (scan the artifact, never the base) extended
+    to UNION/INTERSECT/EXCEPT. Each side's registered sketch set (HLL +
+    MinHash on the key column, one side registered GROUPED on purpose —
+    merging per-group states IS the whole-table sketch) serves the
+    statement; proven by DELETING both base-table copies before querying.
+    Checks per op: estimate within 3× the emitted bound (+2 slack) of the
+    exact set size (computed before deletion), and EXPLAIN reports the
+    states route with both artifact names."""
+    import shutil
+    import tempfile
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    work = tempfile.mkdtemp(prefix="sketchlib_setopst_")
+    try:
+        ca = os.path.join(work, "orders_keys")
+        cb = os.path.join(work, "lineitem_keys")
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .selectExpr("o_custkey AS k", "o_orderstatus AS g").write.parquet(ca))
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .selectExpr("l_suppkey AS k").write.parquet(cb))
+        ka = {r["k"] for r in spark.read.parquet(ca).select("k").distinct().collect()}
+        kb = {r["k"] for r in spark.read.parquet(cb).select("k").distinct().collect()}
+        exact = {"union": len(ka | kb), "intersect": len(ka & kb),
+                 "except": len(ka - kb)}
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+                 SketchSpec("m_k", "minhash", "k", {"r": 1024})]
+        cat.create("orders_k", ca, specs, group_by="g")  # grouped on purpose
+        cat.create("lineitem_k", cb, specs, group_by=None)
+        shutil.rmtree(ca)
+        shutil.rmtree(cb)
+        t = {"ta": ca, "tb": cb}
+        out = []
+        for op in ("UNION", "INTERSECT", "EXCEPT"):
+            q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+                 f"(SELECT k FROM ta {op} SELECT k FROM tb)")
+            props = {
+                row["property"]: row["value"]
+                for row in approx_sql(spark, "EXPLAIN " + q, t, catalog=cat).collect()
+            }
+            routed = ("PERSISTED STATES" in str(props.get("route", ""))
+                      and props.get("artifacts") == "orders_k, lineitem_k")
+            r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+            ok = abs(r["est"] - exact[op.lower()]) <= 3 * r["est_err"] + 2
+            out.append((op.lower(), bool(ok), bool(routed)))
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["op", "within_bound", "states_routed"])
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2204,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b35_setop_sql": _dist_wrapped(q_b35_setop_sql),
         "b36_union_rewrite": _dist_wrapped(q_b36_union_rewrite),
         "b37_grouped_setop": _dist_wrapped(q_b37_grouped_setop),
+        "b38_setop_from_states": _dist_wrapped(q_b38_setop_from_states),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2373,6 +2432,13 @@ def oracle_sql() -> dict[str, str]:
               ('except', 'g0', TRUE, TRUE), ('except', 'g1', TRUE, TRUE),
               ('except', 'g2', TRUE, TRUE), ('except', 'g3', TRUE, TRUE)
             ) AS t(op, grp, within_bound, sketch_routed)
+        """,
+        "b38_setop_from_states": """
+            SELECT * FROM (VALUES
+              ('union', TRUE, TRUE),
+              ('intersect', TRUE, TRUE),
+              ('except', TRUE, TRUE)
+            ) AS t(op, within_bound, states_routed)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

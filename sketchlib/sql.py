@@ -1151,10 +1151,19 @@ def explain_sql(
                 emit("group_by", grouped[0])
             emit("sketches", "hll (state merge IS set union)" if op == "union"
                  else "hll + minhash (J·|A ∪ B| composition)")
-            emit("route", ("per-(side × group) sketch build in one pass, "
-                           "per-group state merge" if grouped is not None else
-                           "per-side sketch build in one pass") +
-                 " — the sides are never distinct-shuffled or materialized")
+            picks = None
+            if grouped is None:
+                picks = _resolve_setop_states(op, parsed, _args, tables, catalog)
+            if picks is not None:
+                emit("artifacts", ", ".join(p["reg"] for p in picks))
+                emit("route", "ANSWERED FROM PERSISTED STATES — per-side "
+                     "registered sketch sets merged; the base tables are "
+                     "never scanned (A5 extended to set operations)")
+            else:
+                emit("route", ("per-(side × group) sketch build in one pass, "
+                               "per-group state merge" if grouped is not None
+                               else "per-side sketch build in one pass") +
+                     " — the sides are never distinct-shuffled or materialized")
             return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
@@ -1557,7 +1566,133 @@ def _setop_route(head: str, inner: str, tail: str):
     return op, parsed, args, hm.group("alias"), (group, pos_v, 1 - pos_v)
 
 
-def _approx_setop(spark: SparkSession, route, tables: dict | None) -> DataFrame:
+def _resolve_setop_states(op, sides, args, tables, catalog, reg_rows=None):
+    """Verdict's A5 substitution extended to SET OPERATIONS: when every
+    side is a bare ``SELECT col FROM table`` (no WHERE, plain identifier)
+    and a registered sketch set holds a compatible HLL (+ MinHash for
+    INTERSECT/EXCEPT) on that side's column, the statement is answered
+    from PERSISTED STATES ALONE — the base tables are never scanned, so
+    latency is corpus-independent. The registration's GROUPING does not
+    matter: merging a set's per-group states IS the whole-table sketch
+    (register-max for HLL, element-min for MinHash). Compatibility is
+    machine-checked — HLL merges need one register width (same p), and a
+    MinHash Jaccard across sides is only meaningful when both sides share
+    (r, seed): different permutation constants would compare unrelated
+    minima and return noise, not J. Any miss or mismatch returns None →
+    the one-pass scan route. Shared by execution and EXPLAIN (the same
+    fidelity rule as every other route). Returns one
+    {reg, hll_spec, mh_spec} per side, newest registration first."""
+    import json as _json
+    import os as _os
+
+    if catalog is None:
+        return None
+    need_mh = op in ("intersect", "except")
+    req_rse = _num(args[1]) if len(args) > 1 else None
+    if reg_rows is None:
+        reg_rows = catalog.list().collect()
+    regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
+    out = []
+    for sm in sides:
+        if sm.group("where"):
+            return None  # states were built unfiltered
+        expr, _ = _side_out_name(sm.group("col"))
+        col = expr.strip()
+        if not _IDENT.match(col):
+            return None
+        base = _table_dir(sm.group("table"), tables)
+        if base is None:
+            return None
+        base_n = _os.path.normpath(base)
+        pick = None
+        for reg in regs:
+            if _os.path.normpath(reg["input_dir"]) != base_n:
+                continue
+            specs = _json.loads(reg["specs_json"])
+            hll = next(
+                (s for s in specs if s["kind"] == "hll" and s["column"] == col), None
+            )
+            if hll is None:
+                continue
+            if req_rse is not None and (
+                1.04 / (2.0 ** float(hll["params"].get("p", 14))) ** 0.5
+                > req_rse * (1 + 1e-9)
+            ):
+                continue
+            mh = None
+            if need_mh:
+                mh = next(
+                    (s for s in specs if s["kind"] == "minhash" and s["column"] == col),
+                    None,
+                )
+                if mh is None:
+                    continue
+            pick = {"reg": reg["name"], "hll": hll, "mh": mh}
+            break
+        if pick is None:
+            return None
+        out.append(pick)
+    if len({float(p["hll"]["params"].get("p", 14)) for p in out}) > 1:
+        return None  # mixed register widths cannot merge
+    if need_mh and len(
+        {(int(p["mh"]["params"].get("r", 128)), int(p["mh"]["params"].get("seed", 17)))
+         for p in out}
+    ) > 1:
+        return None  # mixed permutations cannot Jaccard
+    return out
+
+
+def _setop_from_states(spark, op, picks, catalog, out_name) -> DataFrame:
+    """Answer a global set-operation from registered states (see
+    _resolve_setop_states): per side, merge the set's per-group states into
+    one whole-table sketch, then the same estimate math as the scan route.
+    Reads KBs of state rows; no base-table scan, no build, no shuffle."""
+    from sketchlib.spark.query import load_states
+
+    merged = []
+    for p in picks:
+        st = load_states(catalog.states(p["reg"]))
+        hs = [sk for (g, n), sk in sorted(st.items()) if n == p["hll"]["name"]]
+        if not hs:
+            raise ValueError(
+                f"sketch set {p['reg']!r} has no persisted rows for "
+                f"{p['hll']['name']!r} — re-register or REFRESH it"
+            )
+        acc = hs[0]
+        for sk in hs[1:]:
+            acc = acc.merge(sk)
+        m = None
+        if p["mh"] is not None:
+            ms = [sk for (g, n), sk in sorted(st.items()) if n == p["mh"]["name"]]
+            m = ms[0]
+            for sk in ms[1:]:
+                m = m.merge(sk)
+        merged.append((acc, m))
+    if op == "union":
+        u = merged[0][0]
+        for h, _ in merged[1:]:
+            u = u.merge(h)
+        est, rse = u.estimate()
+        err = rse * est
+    else:
+        (a, ma), (b, mb) = merged
+        a_est, a_rse = a.estimate()  # before the merge below touches a
+        j, se = ma.jaccard(mb)
+        union_est, rse = a.merge(b).estimate()
+        inter = j * union_est
+        inter_err = inter * rse + union_est * se
+        if op == "intersect":
+            est, err = inter, inter_err
+        else:
+            est, err = max(0.0, a_est - inter), a_rse * a_est + inter_err
+    return spark.createDataFrame(
+        [(float(est), float(err))], f"{out_name} double, {out_name}_err double"
+    )
+
+
+def _approx_setop(
+    spark: SparkSession, route, tables: dict | None, catalog=None
+) -> DataFrame:
     """Execute the sketch-merge set-operation route: project each side to
     its column(s) (WHERE applied side-local, pushed to that side's scan),
     tag with a side label, UNION ALL the narrow projections (no shuffle —
@@ -1584,6 +1719,10 @@ def _approx_setop(spark: SparkSession, route, tables: dict | None) -> DataFrame:
             )
         rse = r
     out_name = alias or f"approx_count_distinct_{args[0]}"
+    if grouped is None:
+        picks = _resolve_setop_states(op, sides, args, tables, catalog)
+        if picks is not None:
+            return _setop_from_states(spark, op, picks, catalog, out_name)
     tags = [f"s{i}" for i in range(len(sides))]
     frames = []
     for tag, sm in zip(tags, sides):
@@ -2185,7 +2324,7 @@ def approx_sql(
         head, inner, tail = sub
         setop = _setop_route(head, inner, tail)
         if setop is not None:
-            return _approx_setop(spark, setop, tables)
+            return _approx_setop(spark, setop, tables, catalog)
         rewritten = _union_all_rewrite(head, inner)
         if rewritten is not None:
             inner = rewritten  # distinct shuffle elided; answer identical

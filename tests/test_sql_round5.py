@@ -1136,3 +1136,94 @@ def test_grouped_union_left_to_rewrite(spark, setop_tables):
     props = _explain_props(spark, q, t)
     assert props.get("statement_kind") != "approx_setop"
     assert "union_rewrite" in props
+
+
+def test_setop_answered_from_persisted_states(spark, tmp_path):
+    """A5 extended to set operations: when each side has a registered
+    sketch set holding HLL (+ MinHash) on its column, the statement is
+    answered from states alone — proven by DELETING both base tables first.
+    A grouped registration serves too (merging its per-group states IS the
+    whole-table sketch)."""
+    import shutil
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame({"k": rng.integers(0, 4000, 30000).astype("int64"),
+                      "g": rng.integers(0, 3, 30000).astype(str)})
+    b = pd.DataFrame({"k": rng.integers(2000, 8000, 30000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    exact = {"union": len(set(a.k) | set(b.k)),
+             "intersect": len(set(a.k) & set(b.k)),
+             "except": len(set(a.k) - set(b.k))}
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m_k", "minhash", "k", {"r": 1024})]
+    cat.create("sa", pa_, specs, group_by="g")  # grouped on purpose
+    cat.create("sb", pb, specs, group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    for op in ("UNION", "INTERSECT", "EXCEPT"):
+        q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+             f"(SELECT k FROM ta {op} SELECT k FROM tb)")
+        props = {r["property"]: r["value"]
+                 for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=cat).collect()}
+        assert "PERSISTED STATES" in props["route"], op
+        assert props["artifacts"] == "sa, sb"
+        r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+        assert abs(r["est"] - exact[op.lower()]) <= 3 * r["est_err"] + 2, (
+            op, r["est"], exact[op.lower()])
+
+
+def test_setop_states_compat_gates_fall_back_to_scan(spark, tmp_path):
+    """Machine-checked compatibility: mismatched MinHash (r, seed) across
+    sides (noise, not J), a missing MinHash for INTERSECT, or an HLL p too
+    coarse for the statement's explicit rse each fall back to the scan
+    route — EXPLAIN reports the one-pass build, and the answer (bases
+    intact here) stays within bound."""
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(13)
+    a = pd.DataFrame({"k": rng.integers(0, 2000, 15000).astype("int64")})
+    b = pd.DataFrame({"k": rng.integers(1000, 3000, 15000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    p = hll_params(0.01)["p"]
+    cat.create("sa", pa_, [SketchSpec("h", "hll", "k", {"p": p}),
+                           SketchSpec("m", "minhash", "k", {"r": 1024, "seed": 17})],
+               group_by=None)
+    cat.create("sb", pb, [SketchSpec("h", "hll", "k", {"p": p}),
+                          SketchSpec("m", "minhash", "k", {"r": 1024, "seed": 99})],
+               group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+         "(SELECT k FROM ta INTERSECT SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=cat).collect()}
+    assert "PERSISTED STATES" not in props["route"]  # seed mismatch → scan
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    exact = len(set(a.k) & set(b.k))
+    assert abs(r["est"] - exact) <= 3 * r["est_err"] + 2
+
+    # UNION has no MinHash requirement — same registrations DO serve it
+    qu = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+          "(SELECT k FROM ta UNION SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + qu, t, catalog=cat).collect()}
+    assert "PERSISTED STATES" in props["route"]
+
+    # explicit rse finer than the registered p achieves → scan
+    qr = ("SELECT APPROX_COUNT_DISTINCT(k, 0.001) AS est FROM "
+          "(SELECT k FROM ta UNION SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + qr, t, catalog=cat).collect()}
+    assert "PERSISTED STATES" not in props["route"]
