@@ -1108,23 +1108,26 @@ def q_b38_setop_from_states(spark, sf_dir):
         ca = os.path.join(work, "orders_keys")
         cb = os.path.join(work, "lineitem_keys")
         (spark.read.parquet(f"{sf_dir}/orders.parquet")
-         .selectExpr("o_custkey AS k", "o_orderstatus AS g").write.parquet(ca))
+         .selectExpr("o_custkey AS k", "o_custkey % 4 AS g").write.parquet(ca))
         (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-         .selectExpr("l_suppkey AS k").write.parquet(cb))
+         .selectExpr("l_suppkey AS k", "l_suppkey % 4 AS g").write.parquet(cb))
         ka = {r["k"] for r in spark.read.parquet(ca).select("k").distinct().collect()}
         kb = {r["k"] for r in spark.read.parquet(cb).select("k").distinct().collect()}
-        exact = {"union": len(ka | kb), "intersect": len(ka & kb),
-                 "except": len(ka - kb)}
+        sets = {"union": ka | kb, "intersect": ka & kb, "except": ka - kb}
         cat = SketchCatalog(spark, os.path.join(work, "cat"))
         specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
                  SketchSpec("m_k", "minhash", "k", {"r": 1024})]
-        cat.create("orders_k", ca, specs, group_by="g")  # grouped on purpose
-        cat.create("lineitem_k", cb, specs, group_by=None)
+        # ONE pair of grouped registrations serves BOTH shapes: grouped
+        # statements match the grouping exactly; global statements merge
+        # across the groups (register-max/element-min IS the whole table)
+        cat.create("orders_k", ca, specs, group_by="g")
+        cat.create("lineitem_k", cb, specs, group_by="g")
         shutil.rmtree(ca)
         shutil.rmtree(cb)
         t = {"ta": ca, "tb": cb}
         out = []
         for op in ("UNION", "INTERSECT", "EXCEPT"):
+            sel = sets[op.lower()]
             q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
                  f"(SELECT k FROM ta {op} SELECT k FROM tb)")
             props = {
@@ -1134,8 +1137,25 @@ def q_b38_setop_from_states(spark, sf_dir):
             routed = ("PERSISTED STATES" in str(props.get("route", ""))
                       and props.get("artifacts") == "orders_k, lineitem_k")
             r = approx_sql(spark, q, t, catalog=cat).collect()[0]
-            ok = abs(r["est"] - exact[op.lower()]) <= 3 * r["est_err"] + 2
+            ok = abs(r["est"] - len(sel)) <= 3 * r["est_err"] + 2
             out.append((op.lower(), bool(ok), bool(routed)))
+
+            gq = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS est FROM "
+                  f"(SELECT k, g FROM ta {op} SELECT k, g FROM tb) GROUP BY g")
+            gprops = {
+                row["property"]: row["value"]
+                for row in approx_sql(spark, "EXPLAIN " + gq, t, catalog=cat).collect()
+            }
+            grouted = "PERSISTED STATES" in str(gprops.get("route", ""))
+            rows = {r["g"]: r for r in approx_sql(spark, gq, t, catalog=cat).collect()}
+            exact_g = {}
+            for k in sel:
+                exact_g[str(k % 4)] = exact_g.get(str(k % 4), 0) + 1
+            gok = set(rows) == set(exact_g) and all(
+                abs(rows[g]["est"] - ex) <= 3 * rows[g]["est_err"] + 2
+                for g, ex in exact_g.items()
+            )
+            out.append((f"grouped_{op.lower()}", bool(gok), bool(grouted)))
         return spark.createDataFrame(
             pd.DataFrame(out, columns=["op", "within_bound", "states_routed"])
         )
@@ -2436,8 +2456,11 @@ def oracle_sql() -> dict[str, str]:
         "b38_setop_from_states": """
             SELECT * FROM (VALUES
               ('union', TRUE, TRUE),
+              ('grouped_union', TRUE, TRUE),
               ('intersect', TRUE, TRUE),
-              ('except', TRUE, TRUE)
+              ('grouped_intersect', TRUE, TRUE),
+              ('except', TRUE, TRUE),
+              ('grouped_except', TRUE, TRUE)
             ) AS t(op, within_bound, states_routed)
         """,
         "b27_auto_routed_sql": """

@@ -1144,27 +1144,35 @@ def explain_sql(
         setop = _setop_route(head, inner, tail)  # the SAME decision execution makes
         if setop is not None:
             op, parsed, _args, _alias, grouped = setop
-            emit("statement_kind", "approx_setop")
-            emit("set_operation", op)
-            emit("n_sides", len(parsed))
-            if grouped is not None:
-                emit("group_by", grouped[0])
-            emit("sketches", "hll (state merge IS set union)" if op == "union"
-                 else "hll + minhash (J·|A ∪ B| composition)")
-            picks = None
             if grouped is None:
                 picks = _resolve_setop_states(op, parsed, _args, tables, catalog)
-            if picks is not None:
-                emit("artifacts", ", ".join(p["reg"] for p in picks))
-                emit("route", "ANSWERED FROM PERSISTED STATES — per-side "
-                     "registered sketch sets merged; the base tables are "
-                     "never scanned (A5 extended to set operations)")
             else:
-                emit("route", ("per-(side × group) sketch build in one pass, "
-                               "per-group state merge" if grouped is not None
-                               else "per-side sketch build in one pass") +
-                     " — the sides are never distinct-shuffled or materialized")
-            return done()
+                idents = _setop_side_idents(parsed, grouped)
+                picks = None if idents is None else _resolve_setop_states(
+                    op, parsed, _args, tables, catalog,
+                    cols=idents[0], group_cols=idents[1],
+                )
+            if picks is None and grouped is not None and op == "union":
+                setop = None  # execution declines too → the rewrite reports below
+            else:
+                emit("statement_kind", "approx_setop")
+                emit("set_operation", op)
+                emit("n_sides", len(parsed))
+                if grouped is not None:
+                    emit("group_by", grouped[0])
+                emit("sketches", "hll (state merge IS set union)" if op == "union"
+                     else "hll + minhash (J·|A ∪ B| composition)")
+                if picks is not None:
+                    emit("artifacts", ", ".join(p["reg"] for p in picks))
+                    emit("route", "ANSWERED FROM PERSISTED STATES — per-side "
+                         "registered sketch sets merged; the base tables are "
+                         "never scanned (A5 extended to set operations)")
+                else:
+                    emit("route", ("per-(side × group) sketch build in one pass, "
+                                   "per-group state merge" if grouped is not None
+                                   else "per-side sketch build in one pass") +
+                         " — the sides are never distinct-shuffled or materialized")
+                return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
         ) else "exact"
@@ -1512,11 +1520,13 @@ def _setop_route(head: str, inner: str, tail: str):
     EXPLAIN would let the two answers diverge). Returns
     (op, parsed_sides, agg_args, alias, grouped) when the sketch-merge
     route applies — grouped is None for global statements, or
-    (group_name, value_pos, group_pos) when a ``GROUP BY g`` tail rides an
-    INTERSECT/EXCEPT whose sides project the key alongside the value
-    (grouped UNION is left to the UNION → UNION ALL rewrite, which builds
-    the same one-pass plan without the side tag); None sends the statement
-    down the generic derived-table path."""
+    (group_name, value_pos, group_pos) when a ``GROUP BY g`` tail rides a
+    set operation whose sides project the key alongside the value; None
+    sends the statement down the generic derived-table path. Execution
+    note: a grouped UNION claims this route ONLY when registered states
+    can answer it (zero scan); otherwise _approx_setop declines (returns
+    None) and the statement falls to the UNION → UNION ALL rewrite, which
+    builds the same one-pass scan plan without the side tag."""
     if _AGG.search(_mask_literals(inner)):
         return None  # approx-over-approx owns APPROX inners
     hm = _SETOP_HEAD.match(head)
@@ -1554,11 +1564,6 @@ def _setop_route(head: str, inner: str, tail: str):
         if first_names[0] != args[0].lower():
             return None
         return op, parsed, args, hm.group("alias"), None
-    if op == "union":
-        # grouped UNION belongs to the UNION → UNION ALL rewrite: same
-        # zero-shuffle one-pass build keyed by the group alone (no side tag,
-        # no driver merge), and it covers shapes this route cannot
-        return None
     want = {args[0].lower(), group.lower()}
     if set(first_names) != want or len(want) != 2:
         return None
@@ -1566,7 +1571,9 @@ def _setop_route(head: str, inner: str, tail: str):
     return op, parsed, args, hm.group("alias"), (group, pos_v, 1 - pos_v)
 
 
-def _resolve_setop_states(op, sides, args, tables, catalog, reg_rows=None):
+def _resolve_setop_states(
+    op, sides, args, tables, catalog, reg_rows=None, cols=None, group_cols=None
+):
     """Verdict's A5 substitution extended to SET OPERATIONS: when every
     side is a bare ``SELECT col FROM table`` (no WHERE, plain identifier)
     and a registered sketch set holds a compatible HLL (+ MinHash for
@@ -1581,7 +1588,12 @@ def _resolve_setop_states(op, sides, args, tables, catalog, reg_rows=None):
     minima and return noise, not J. Any miss or mismatch returns None →
     the one-pass scan route. Shared by execution and EXPLAIN (the same
     fidelity rule as every other route). Returns one
-    {reg, hll_spec, mh_spec} per side, newest registration first."""
+    {reg, hll_spec, mh_spec} per side, newest registration first.
+
+    GROUPED statements pass ``cols`` (per-side value column) and
+    ``group_cols`` (per-side group column): a side's registration must then
+    be grouped EXACTLY by that side's key column, so its per-group states
+    line up one-to-one with the statement's groups."""
     import json as _json
     import os as _os
 
@@ -1593,13 +1605,16 @@ def _resolve_setop_states(op, sides, args, tables, catalog, reg_rows=None):
         reg_rows = catalog.list().collect()
     regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
     out = []
-    for sm in sides:
+    for i, sm in enumerate(sides):
         if sm.group("where"):
             return None  # states were built unfiltered
-        expr, _ = _side_out_name(sm.group("col"))
-        col = expr.strip()
-        if not _IDENT.match(col):
-            return None
+        if cols is not None:
+            col = cols[i]
+        else:
+            expr, _ = _side_out_name(sm.group("col"))
+            col = expr.strip()
+            if not _IDENT.match(col):
+                return None
         base = _table_dir(sm.group("table"), tables)
         if base is None:
             return None
@@ -1607,6 +1622,10 @@ def _resolve_setop_states(op, sides, args, tables, catalog, reg_rows=None):
         pick = None
         for reg in regs:
             if _os.path.normpath(reg["input_dir"]) != base_n:
+                continue
+            if group_cols is not None and (
+                (reg["group_by"] or "").lower() != group_cols[i].lower()
+            ):
                 continue
             specs = _json.loads(reg["specs_json"])
             hll = next(
@@ -1690,9 +1709,66 @@ def _setop_from_states(spark, op, picks, catalog, out_name) -> DataFrame:
     )
 
 
+def _grouped_setop_from_states(spark, op, picks, catalog, gname, out_name) -> DataFrame:
+    """Grouped set operation from registered states (see
+    _resolve_setop_states): each side's registration is grouped by its key
+    column, so its state rows line up one-to-one with the statement's
+    groups — per-group merges reuse _setop_group_row (same presence
+    semantics and bounds as the scan route). Zero base-table scan. States
+    canonicalize group keys to strings, so the key column is returned as
+    STRING here (the scan route, which sees the side frames, restores the
+    native type); driver-side merge — source-level group counts, the
+    regime registered sketch sets serve."""
+    from sketchlib.spark.query import _setop_group_row, load_states
+
+    tags = [f"s{i}" for i in range(len(picks))]
+    mh = None if op == "union" else "mh_v"
+    per_g: dict[str, dict] = {}
+    for tag, p in zip(tags, picks):
+        st = load_states(catalog.states(p["reg"]))
+        found = False
+        for (g, n), sk in st.items():
+            if n == p["hll"]["name"]:
+                per_g.setdefault(g, {})[(tag, "hll_v")] = sk
+                found = True
+            elif mh and p["mh"] is not None and n == p["mh"]["name"]:
+                per_g.setdefault(g, {})[(tag, "mh_v")] = sk
+        if not found:
+            raise ValueError(
+                f"sketch set {p['reg']!r} has no persisted rows for "
+                f"{p['hll']['name']!r} — re-register or REFRESH it"
+            )
+    rows = []
+    for g in sorted(per_g):
+        row = _setop_group_row(op, per_g[g], tags, "hll_v", mh)
+        if row is not None:
+            rows.append((g, float(row[0]), float(row[1])))
+    return spark.createDataFrame(
+        rows or [], f"{gname} string, {out_name} double, {out_name}_err double"
+    )
+
+
+def _setop_side_idents(sides, grouped):
+    """(value_cols, group_cols) — per-side plain-identifier projections of a
+    grouped set operation, or None when any side projects an expression
+    (states are keyed by stored columns; an expression needs the scan)."""
+    _, pos_v, pos_g = grouped
+    vals, gcols = [], []
+    for sm in sides:
+        items = _split_args(sm.group("col"))
+        v, _ = _side_out_name(items[pos_v])
+        g, _ = _side_out_name(items[pos_g])
+        v, g = v.strip(), g.strip()
+        if not (_IDENT.match(v) and _IDENT.match(g)):
+            return None
+        vals.append(v)
+        gcols.append(g)
+    return vals, gcols
+
+
 def _approx_setop(
     spark: SparkSession, route, tables: dict | None, catalog=None
-) -> DataFrame:
+) -> DataFrame | None:
     """Execute the sketch-merge set-operation route: project each side to
     its column(s) (WHERE applied side-local, pushed to that side's scan),
     tag with a side label, UNION ALL the narrow projections (no shuffle —
@@ -1723,6 +1799,22 @@ def _approx_setop(
         picks = _resolve_setop_states(op, sides, args, tables, catalog)
         if picks is not None:
             return _setop_from_states(spark, op, picks, catalog, out_name)
+    else:
+        idents = _setop_side_idents(sides, grouped)
+        picks = None
+        if idents is not None:
+            picks = _resolve_setop_states(
+                op, sides, args, tables, catalog, cols=idents[0], group_cols=idents[1]
+            )
+        if picks is not None:
+            return _grouped_setop_from_states(
+                spark, op, picks, catalog, grouped[0], out_name
+            )
+        if op == "union":
+            # without states, grouped UNION belongs to the UNION → UNION ALL
+            # rewrite (same one-pass scan keyed by the group alone, no side
+            # tag) — decline and let the caller fall through to it
+            return None
     tags = [f"s{i}" for i in range(len(sides))]
     frames = []
     for tag, sm in zip(tags, sides):
@@ -2324,7 +2416,9 @@ def approx_sql(
         head, inner, tail = sub
         setop = _setop_route(head, inner, tail)
         if setop is not None:
-            return _approx_setop(spark, setop, tables, catalog)
+            res = _approx_setop(spark, setop, tables, catalog)
+            if res is not None:
+                return res  # None = grouped UNION without states → rewrite
         rewritten = _union_all_rewrite(head, inner)
         if rewritten is not None:
             inner = rewritten  # distinct shuffle elided; answer identical

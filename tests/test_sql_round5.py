@@ -844,10 +844,10 @@ def test_setop_explain_matches_execution_route(spark, setop_tables):
 # ---------------------------------------------------------------------------
 
 
-def _explain_props(spark, q, t):
+def _explain_props(spark, q, t, catalog=None):
     return {
         r["property"]: r["value"]
-        for r in approx_sql(spark, "EXPLAIN " + q, t).collect()
+        for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=catalog).collect()
     }
 
 
@@ -1227,3 +1227,78 @@ def test_setop_states_compat_gates_fall_back_to_scan(spark, tmp_path):
     props = {r["property"]: r["value"]
              for r in approx_sql(spark, "EXPLAIN " + qr, t, catalog=cat).collect()}
     assert "PERSISTED STATES" not in props["route"]
+
+
+def test_grouped_setop_from_persisted_states(spark, tmp_path):
+    """Grouped set-ops answer from states when BOTH sides' registrations
+    are grouped exactly by the statement's key column — zero base-table
+    scan (bases deleted first). Grouped UNION claims the route only here;
+    without states it declines to the rewrite (separate test)."""
+    import shutil
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(23)
+    a = pd.DataFrame({"k": rng.integers(0, 3000, 25000).astype("int64")})
+    a["g"] = (a.k % 3).astype("int64")
+    b = pd.DataFrame({"k": rng.integers(1500, 4500, 25000).astype("int64")})
+    b["g"] = (b.k % 3).astype("int64")
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    sa, sb = set(a.k), set(b.k)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m_k", "minhash", "k", {"r": 1024})]
+    cat.create("ga", pa_, specs, group_by="g")
+    cat.create("gb", pb, specs, group_by="g")
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    for op, sel in (("UNION", sa | sb), ("INTERSECT", sa & sb), ("EXCEPT", sa - sb)):
+        q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+             f"(SELECT k, g FROM ta {op} SELECT k, g FROM tb) GROUP BY g")
+        props = _explain_props(spark, q, t, catalog=cat)
+        assert "PERSISTED STATES" in props["route"], op
+        rows = {r["g"]: r for r in approx_sql(spark, q, t, catalog=cat).collect()}
+        exact = {}
+        for k in sel:
+            exact[str(k % 3)] = exact.get(str(k % 3), 0) + 1
+        assert set(rows) == set(exact), op
+        for g, ex in exact.items():
+            assert abs(rows[g]["d"] - ex) <= 3 * rows[g]["d_err"] + 2, (op, g)
+
+
+def test_grouped_setop_states_require_matching_grouping(spark, tmp_path):
+    """A side registered UNGROUPED (or grouped by a different column)
+    cannot serve a grouped set-op — its states don't line up with the
+    statement's groups; the resolver declines and the scan route answers."""
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(29)
+    a = pd.DataFrame({"k": rng.integers(0, 2000, 12000).astype("int64")})
+    a["g"] = (a.k % 3).astype("int64")
+    b = pd.DataFrame({"k": rng.integers(1000, 3000, 12000).astype("int64")})
+    b["g"] = (b.k % 3).astype("int64")
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m_k", "minhash", "k", {"r": 1024})]
+    cat.create("ga", pa_, specs, group_by="g")
+    cat.create("gb", pb, specs, group_by=None)  # ungrouped — cannot serve
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k, g FROM ta INTERSECT SELECT k, g FROM tb) GROUP BY g")
+    props = _explain_props(spark, q, t, catalog=cat)
+    assert "PERSISTED STATES" not in props["route"]
+    sel = set(a.k) & set(b.k)
+    rows = {int(r["g"]): r for r in approx_sql(spark, q, t, catalog=cat).collect()}
+    for g in {k % 3 for k in sel}:
+        exact = len({k for k in sel if k % 3 == g})
+        assert abs(rows[g]["d"] - exact) <= 3 * rows[g]["d_err"] + 2
