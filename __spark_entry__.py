@@ -1163,6 +1163,91 @@ def q_b38_setop_from_states(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_b39_unionall_merge_states(spark, sf_dir):
+    """Round 5: UNION ALL bodies answered by MERGING persisted states —
+    the mergeable-sketch generalization of A5: a bag concatenation's sketch
+    IS the merge of the per-side sketches, so APPROX_PERCENTILE (KLL) and
+    APPROX_TOPK (Count-Min) over ``(a UNION ALL b)`` run with ZERO
+    base-table scan (both bases deleted before querying). One pair of
+    GROUPED registrations serves the global statements (merging a set's
+    per-group states is the whole-table sketch) AND the grouped one.
+    Checks: each returned percentile's exact rank within the emitted rank
+    bound, top-k counts within the CM bound, EXPLAIN reporting the merge
+    route with both artifact names."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    work = tempfile.mkdtemp(prefix="sketchlib_uamerge_")
+    try:
+        ca = os.path.join(work, "orders_v")
+        cb = os.path.join(work, "lineitem_v")
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .selectExpr("o_totalprice AS v", "o_custkey AS tok",
+                     "o_custkey % 4 AS g").write.parquet(ca))
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .selectExpr("l_extendedprice AS v", "l_suppkey AS tok",
+                     "l_suppkey % 4 AS g").write.parquet(cb))
+        pa = spark.read.parquet(ca).toPandas()
+        pb = spark.read.parquet(cb).toPandas()
+        both = pd.concat([pa, pb], ignore_index=True)
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        specs = [SketchSpec("k_v", "kll", "v", {"k": 200}),
+                 SketchSpec("c_tok", "cm", "tok", {"eps": 1e-4, "delta": 0.01})]
+        cat.create("ua_orders", ca, specs, group_by="g")
+        cat.create("ua_lineitem", cb, specs, group_by="g")
+        shutil.rmtree(ca)
+        shutil.rmtree(cb)
+        t = {"ta": ca, "tb": cb}
+
+        def props_of(stmt):
+            return {r["property"]: r["value"]
+                    for r in approx_sql(spark, "EXPLAIN " + stmt, t, catalog=cat).collect()}
+
+        out = []
+        q1 = ("SELECT APPROX_PERCENTILE(v, 0.5, 0.9) FROM "
+              "(SELECT v FROM ta UNION ALL SELECT v FROM tb)")
+        p1 = props_of(q1)
+        routed1 = (p1.get("statement_kind") == "approx_unionall_merge"
+                   and p1.get("artifacts") == "ua_orders, ua_lineitem")
+        n = len(both)
+        ok1 = True
+        for r in approx_sql(spark, q1, t, catalog=cat).collect():
+            rank_of = float((both.v <= r["value"]).sum()) / n
+            ok1 = ok1 and abs(rank_of - r["q"]) <= r["rank_err_bound"] + 2.0 / n
+        out.append(("percentile_global", bool(ok1), bool(routed1)))
+
+        q2 = ("SELECT APPROX_PERCENTILE(v, 0.5) FROM "
+              "(SELECT v, g FROM ta UNION ALL SELECT v, g FROM tb) GROUP BY g")
+        p2 = props_of(q2)
+        routed2 = p2.get("statement_kind") == "approx_unionall_merge"
+        rows = approx_sql(spark, q2, t, catalog=cat).collect()
+        ok2 = {r["group"] for r in rows} == {str(v) for v in both.g.unique()}
+        for r in rows:
+            grp = both[both.g == int(r["group"])].v
+            rank_of = float((grp <= r["value"]).sum()) / len(grp)
+            ok2 = ok2 and abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(grp)
+        out.append(("percentile_grouped", bool(ok2), bool(routed2)))
+
+        q3 = ("SELECT APPROX_TOPK(tok, 5) FROM "
+              "(SELECT tok FROM ta UNION ALL SELECT tok FROM tb)")
+        p3 = props_of(q3)
+        routed3 = p3.get("statement_kind") == "approx_unionall_merge"
+        vc = both.tok.value_counts()
+        ok3 = True
+        for r in approx_sql(spark, q3, t, catalog=cat).collect():
+            ok3 = ok3 and abs(r["est_count"] - int(vc.get(r["token"], 0))) <= r["err_bound"]
+        out.append(("topk_global", bool(ok3), bool(routed3)))
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["chk", "within_bound", "states_routed"])
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2283,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b36_union_rewrite": _dist_wrapped(q_b36_union_rewrite),
         "b37_grouped_setop": _dist_wrapped(q_b37_grouped_setop),
         "b38_setop_from_states": _dist_wrapped(q_b38_setop_from_states),
+        "b39_unionall_merge_states": _dist_wrapped(q_b39_unionall_merge_states),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2462,6 +2548,13 @@ def oracle_sql() -> dict[str, str]:
               ('except', TRUE, TRUE),
               ('grouped_except', TRUE, TRUE)
             ) AS t(op, within_bound, states_routed)
+        """,
+        "b39_unionall_merge_states": """
+            SELECT * FROM (VALUES
+              ('percentile_global', TRUE, TRUE),
+              ('percentile_grouped', TRUE, TRUE),
+              ('topk_global', TRUE, TRUE)
+            ) AS t(chk, within_bound, states_routed)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

@@ -84,10 +84,22 @@ class SketchCatalog:
         states = build_sketches_from_parquet(
             self.spark, input_dir, specs, group_by=group_by, files=files
         )
-        return self._persist_set(name, states, specs, group_by, input_dir, json.dumps(files))
+        # record the sketched columns' INPUT types (a footer read, no job):
+        # set-operation answers merge sketches ACROSS registrations, and the
+        # kernel hashes int/float/string values differently — the resolver
+        # must be able to refuse a cross-type merge (silently wrong counts)
+        try:
+            schema = self.spark.read.parquet(input_dir).schema
+            dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        except Exception:
+            dtypes = None
+        return self._persist_set(
+            name, states, specs, group_by, input_dir, json.dumps(files), dtypes
+        )
 
     def _persist_set(
-        self, name: str, states: DataFrame, specs, group_by, input_dir: str, files_json
+        self, name: str, states: DataFrame, specs, group_by, input_dir: str,
+        files_json, dtypes: dict | None = None,
     ) -> DataFrame:
         """Shared persist-and-register tail for sketch sets (create /
         register_states): snapshot to states/<name>, ONE stats job, one
@@ -111,7 +123,16 @@ class SketchCatalog:
                 canon_group,
                 json.dumps(
                     [
-                        {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params}
+                        {
+                            "name": s.name, "kind": s.kind, "column": s.column,
+                            "params": s.params,
+                            # input types (None when unknowable, e.g. stream
+                            # states): lets cross-registration merges refuse
+                            # hash-incompatible columns instead of silently
+                            # comparing unrelated hashes
+                            "dtype": (dtypes or {}).get(s.column),
+                            "group_dtype": (dtypes or {}).get(canon_group) if canon_group else None,
+                        }
                         for s in specs
                     ]
                 ),

@@ -329,18 +329,34 @@ def intersection_estimate(
     return est, rel_bound
 
 
+def intersection_abs_estimate(
+    states: DataFrame, hll_sketch: str, minhash_sketch: str, group_a: str, group_b: str
+) -> tuple[float, float]:
+    """intersection_estimate with an ABSOLUTE bound: est·rse_∪ + |A ∪ B|·se_J
+    — algebraically identical to rel·est for J > 0, but finite as J → 0
+    (the relative form is rse + se/J, which is inf at J = 0 and turns
+    err = inf·0.0 into NaN for disjoint sides)."""
+    st = load_states(states)
+    j, se = st[(group_a, minhash_sketch)].jaccard(st[(group_b, minhash_sketch)])
+    u = st[(group_a, hll_sketch)].merge(st[(group_b, hll_sketch)])
+    union_est, rse = u.estimate()
+    est = j * union_est
+    return est, est * rse + union_est * se
+
+
 def difference_estimate(
     states: DataFrame, hll_sketch: str, minhash_sketch: str, group_a: str, group_b: str
 ) -> tuple[float, float]:
     """|A \\ B| from sketches alone: |A| − |A ∩ B| (intersection via
-    J·|A ∪ B|, see intersection_estimate); bound = sum of the parts' bounds
-    in absolute terms."""
+    J·|A ∪ B|, see intersection_abs_estimate); bound = sum of the parts'
+    bounds in absolute terms — finite even for disjoint sides (J = 0)."""
     st = load_states(states)
     a_est, a_rse = st[(group_a, hll_sketch)].estimate()
-    inter, inter_rel = intersection_estimate(states, hll_sketch, minhash_sketch, group_a, group_b)
+    inter, inter_err = intersection_abs_estimate(
+        states, hll_sketch, minhash_sketch, group_a, group_b
+    )
     est = max(0.0, a_est - inter)
-    abs_bound = a_rse * a_est + inter_rel * inter
-    return est, abs_bound
+    return est, a_rse * a_est + inter_err
 
 
 def _setop_group_row(op: str, sks: dict, tags, hll: str, mh: str | None):

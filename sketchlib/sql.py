@@ -1154,6 +1154,12 @@ def explain_sql(
                 )
             if picks is None and grouped is not None and op == "union":
                 setop = None  # execution declines too → the rewrite reports below
+            elif picks is None and _setop_scan_frames(
+                spark, parsed, grouped, tables
+            ) is None:
+                # mixed non-numeric side types: execution declines the scan
+                # route to the generic derived-table path — report that
+                setop = None
             else:
                 emit("statement_kind", "approx_setop")
                 emit("set_operation", op)
@@ -1172,6 +1178,29 @@ def explain_sql(
                                    "per-group state merge" if grouped is not None
                                    else "per-side sketch build in one pass") +
                          " — the sides are never distinct-shuffled or materialized")
+                return done()
+        merged = _unionall_merge_route(head, inner, tail)
+        if merged is not None:
+            mfn, margs, msides, _malias, mgrouped = merged
+            if mgrouped is None:
+                mpicks = _resolve_merge_states(mfn, msides, margs, tables, catalog)
+            else:
+                idents = _setop_side_idents(msides, mgrouped)
+                mpicks = None if idents is None else _resolve_merge_states(
+                    mfn, msides, margs, tables, catalog,
+                    cols=idents[0], group_cols=idents[1],
+                )
+            if mpicks is not None:  # the same resolution execution performs
+                emit("statement_kind", "approx_unionall_merge")
+                emit("aggregate", mfn)
+                emit("n_sides", len(msides))
+                if mgrouped is not None:
+                    emit("group_by", mgrouped[0])
+                emit("sketches", mpicks[0]["spec"]["kind"])
+                emit("artifacts", ", ".join(p["reg"] for p in mpicks))
+                emit("route", "ANSWERED FROM PERSISTED STATES — the sides' "
+                     "registered sketches MERGE into the UNION ALL bag's "
+                     "sketch; the base tables are never scanned")
                 return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
@@ -1546,6 +1575,16 @@ def _setop_route(head: str, inner: str, tail: str):
     args = _split_args(hm.group("args"))
     if not args or not _IDENT.match(args[0]):
         return None  # outer must reference the union's column by name
+    if len(args) > 1:
+        # validate the rse argument HERE, the decision point both doors
+        # share — were this left to execution, EXPLAIN would report a route
+        # for a statement whose execution raises
+        r = _num(args[1])
+        if r is None or not (0 < r < 1):
+            raise ValueError(
+                f"APPROX_COUNT_DISTINCT second argument {args[1]!r} must be "
+                "a target relative standard error in (0, 1)"
+            )
     n_items = 2 if group else 1
     parsed = []
     for s in sides:
@@ -1658,6 +1697,22 @@ def _resolve_setop_states(
          for p in out}
     ) > 1:
         return None  # mixed permutations cannot Jaccard
+    # the kernel hashes by dtype FAMILY (ints as uint64, floats as canonical
+    # float64, everything else via siphash of its string/object form), so a
+    # cross-registration merge is only meaningful when every side's column
+    # sits in ONE family — a bigint side against a string side would union
+    # unrelated hash spaces and return a confidently-bounded wrong answer.
+    # A registration without a recorded dtype (pre-dtype rows, stream
+    # registrations) is unknowable → decline; the scan route is always safe.
+    vclasses = {_hash_class(p["hll"].get("dtype")) for p in out}
+    if None in vclasses or len(vclasses) > 1:
+        return None
+    if group_cols is not None:
+        # grouped alignment compares the kernel's STRING canonicalization of
+        # the key across sides ('5' vs '5.0' would silently never align)
+        gclasses = {_hash_class(p["hll"].get("group_dtype")) for p in out}
+        if None in gclasses or len(gclasses) > 1:
+            return None
     return out
 
 
@@ -1742,7 +1797,9 @@ def _grouped_setop_from_states(spark, op, picks, catalog, gname, out_name) -> Da
     for g in sorted(per_g):
         row = _setop_group_row(op, per_g[g], tags, "hll_v", mh)
         if row is not None:
-            rows.append((g, float(row[0]), float(row[1])))
+            # '__null__' is the build kernel's NULL placeholder — emit a real
+            # NULL, as the scan route does (only the native TYPE is lost here)
+            rows.append((None if g == "__null__" else g, float(row[0]), float(row[1])))
     return spark.createDataFrame(
         rows or [], f"{gname} string, {out_name} double, {out_name}_err double"
     )
@@ -1766,6 +1823,250 @@ def _setop_side_idents(sides, grouped):
     return vals, gcols
 
 
+_SETOP_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+_HASH_INT = {"tinyint", "smallint", "int", "bigint"}
+_HASH_FLOAT = {"float", "double"}
+
+
+def _hash_class(dtype: str | None) -> str | None:
+    """The kernel's hash family for a Spark type (see hash_any): any int
+    width hashes identically for equal values, floats canonicalize to
+    float64, everything else must match exactly. None = unknown."""
+    if dtype is None:
+        return None
+    if dtype in _HASH_INT:
+        return "int"
+    if dtype in _HASH_FLOAT:
+        return "float"
+    return dtype
+
+
+def _setop_scan_frames(spark, sides, grouped, tables):
+    """Per-side (_v[, _g]) projections for the sketch-merge SCAN route, or
+    None when the sides' projected types are neither identical nor all in
+    the numeric family (where the union's widening is lossless and matches
+    Spark SQL's set-operation coercion). Schema-only — no job runs — so
+    EXPLAIN shares this gate and cannot claim a route execution declines.
+    Mixed non-numeric sides decline rather than raise: the generic
+    derived-table path materializes the set operation through spark.sql,
+    whose own coercion rules then own the semantics."""
+    frames = []
+    for sm in sides:
+        df = _resolve_table(spark, sm.group("table"), tables)
+        if sm.group("where"):
+            df = _apply_where(spark, df, sm.group("where"), tables, sm.group("table"))
+        items = _split_args(sm.group("col"))
+        if grouped is None:
+            sel = [f"({_side_out_name(items[0])[0]}) AS _v"]
+        else:
+            _, pos_v, pos_g = grouped
+            sel = [
+                f"({_side_out_name(items[pos_v])[0]}) AS _v",
+                f"({_side_out_name(items[pos_g])[0]}) AS _g",
+            ]
+        frames.append(df.selectExpr(*sel))
+    for c in ["_v"] + (["_g"] if grouped else []):
+        types = {f.schema[c].dataType.simpleString() for f in frames}
+        if len(types) > 1 and not types <= _SETOP_NUMERIC:
+            return None
+    return frames
+
+
+_MERGE_HEAD = re.compile(
+    r"^\s*SELECT\s+(?P<fn>APPROX_PERCENTILE|APPROX_TOPK)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"(?:AS\s+(?P<alias>\w+)\s*)?$",
+    re.IGNORECASE,
+)
+_MERGE_KINDS = {"APPROX_PERCENTILE": ("kll", "tdigest"), "APPROX_TOPK": ("cm",)}
+
+
+def _unionall_merge_route(head: str, inner: str, tail: str):
+    """UNION ALL bodies under a PERCENTILE/TOPK head — the mergeable-sketch
+    case Verdict's A5 substitution generalizes to: the bag concatenation's
+    sketch IS the merge of the per-side sketches, so registered states can
+    answer ``SELECT APPROX_PERCENTILE(x, ...) FROM (a UNION ALL b)`` with
+    zero base-table scan. Claims the shape only: every depth-0 set operator
+    is UNION ALL (a distinct UNION or INTERSECT/EXCEPT changes the bag), no
+    side is SELECT DISTINCT, sides are bare projections, tail is empty or
+    one GROUP BY. Returns (fn, args, parsed_sides, alias, grouped) or None;
+    this route is an OPTIMIZATION only — a None (or failed resolution)
+    falls through to the generic derived-table path, which materializes the
+    UNION ALL (plan concatenation, no shuffle) and builds on the fly."""
+    hm = _MERGE_HEAD.match(head)
+    if hm is None:
+        return None
+    group = None
+    t = tail.strip().strip(";").strip()
+    if t:
+        gm = re.match(r"^GROUP\s+BY\s+(\w+)$", t, re.IGNORECASE)
+        if gm is None:
+            return None
+        group = gm.group(1)
+    masked = _mask_literals(inner)
+    depth, cuts = 0, []
+    for m in _SETOP_TOKENS.finditer(masked):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if not re.match(r"UNION\s+ALL$", tok, re.IGNORECASE):
+                return None  # dedup/set semantics: a different bag than the states
+            cuts.append((m.start(), m.end()))
+    if not cuts:
+        return None
+    args = _split_args(hm.group("args"))
+    if not args or not _IDENT.match(args[0]):
+        return None
+    try:  # malformed k/quantile arguments: the generic path owns the error
+        if hm.group("fn").upper() == "APPROX_TOPK":
+            int(args[1])
+        else:
+            [float(a) for a in args[1:]]
+    except (ValueError, IndexError):
+        return None
+    sides_txt, prev = [], 0
+    for s, e in cuts:
+        sides_txt.append(inner[prev:s])
+        prev = e
+    sides_txt.append(inner[prev:])
+    n_items = 2 if group else 1
+    parsed = []
+    for s in sides_txt:
+        s = _strip_outer_parens(s)
+        if re.match(r"^\s*SELECT\s+DISTINCT\b", s, re.IGNORECASE):
+            return None  # a deduped side is a different bag than its states
+        sm = _SETOP_SIDE.match(s)
+        if sm is None or len(_split_args(sm.group("col"))) != n_items:
+            return None
+        parsed.append(sm)
+    first_items = _split_args(parsed[0].group("col"))
+    first_names = [(_side_out_name(it)[1] or "").lower() for it in first_items]
+    fn = hm.group("fn").upper()
+    if group is None:
+        if first_names[0] != args[0].lower():
+            return None
+        return fn, args, parsed, hm.group("alias"), None
+    want = {args[0].lower(), group.lower()}
+    if set(first_names) != want or len(want) != 2:
+        return None
+    pos_v = first_names.index(args[0].lower())
+    return fn, args, parsed, hm.group("alias"), (group, pos_v, 1 - pos_v)
+
+
+def _resolve_merge_states(
+    fn, sides, args, tables, catalog, reg_rows=None, cols=None, group_cols=None
+):
+    """Per-side registrations whose sketches can MERGE into the UNION ALL
+    answer: one sketch kind across sides, IDENTICAL params (merge
+    compatibility), and one hash family for CM (it hashes values; see
+    _hash_class) / one-or-mixed-numeric value family for KLL & t-digest
+    (they store values, and numerics are mutually comparable). Global
+    statements accept ANY registered grouping — merging a set's per-group
+    states is the whole-table sketch; grouped statements require each
+    side's registration grouped exactly by its key column. A registration
+    without a recorded dtype is unknowable → None (the scan is always
+    safe). Shared by execution and EXPLAIN."""
+    import json as _json
+    import os as _os
+
+    if catalog is None:
+        return None
+    kinds = _MERGE_KINDS[fn]
+    if reg_rows is None:
+        reg_rows = catalog.list().collect()
+    regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
+    out = []
+    for i, sm in enumerate(sides):
+        if sm.group("where"):
+            return None  # states were built unfiltered
+        if cols is not None:
+            col = cols[i]
+        else:
+            expr, _ = _side_out_name(sm.group("col"))
+            col = expr.strip()
+            if not _IDENT.match(col):
+                return None
+        base = _table_dir(sm.group("table"), tables)
+        if base is None:
+            return None
+        base_n = _os.path.normpath(base)
+        pick = None
+        for reg in regs:
+            if _os.path.normpath(reg["input_dir"]) != base_n:
+                continue
+            if group_cols is not None and (
+                (reg["group_by"] or "").lower() != group_cols[i].lower()
+            ):
+                continue
+            specs = _json.loads(reg["specs_json"])
+            sp = next(
+                (s for s in specs if s["kind"] in kinds and s["column"] == col), None
+            )
+            if sp is None:
+                continue
+            pick = {"reg": reg["name"], "spec": sp}
+            break
+        if pick is None:
+            return None
+        out.append(pick)
+    if len({p["spec"]["kind"] for p in out}) > 1:
+        return None  # kll states cannot merge with tdigest states
+    if len({_json.dumps(p["spec"]["params"], sort_keys=True) for p in out}) > 1:
+        return None  # merge needs identical sketch parameters
+    classes = {_hash_class(p["spec"].get("dtype")) for p in out}
+    if None in classes:
+        return None
+    if len(classes) > 1 and not (
+        out[0]["spec"]["kind"] in ("kll", "tdigest") and classes <= {"int", "float"}
+    ):
+        return None
+    if group_cols is not None:
+        g = {_hash_class(p["spec"].get("group_dtype")) for p in out}
+        if None in g or len(g) > 1:
+            return None
+    return out
+
+
+def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> DataFrame:
+    """Answer a UNION ALL statement by MERGING the sides' persisted states:
+    sketch states are semilattice elements, so the merge of per-side states
+    IS the state of the concatenated bag — KBs of state rows move and the
+    base tables are never scanned. Global statements first collapse each
+    side's groups to the ungrouped key (register/bag merges across groups
+    ARE the whole-table sketch); grouped statements merge groupwise — keys
+    align on the kernel's canonical group string."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import STATE_FIELDS, _merge_pdf
+
+    frames = []
+    for p in picks:
+        st = catalog.states(p["reg"]).where(F.col("sketch") == p["spec"]["name"])
+        st = st.withColumn("sketch", F.lit("_q"))
+        if grouped is None:
+            st = st.withColumn("group", F.lit(""))  # the ungrouped build's key
+        frames.append(st)
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    states = allf.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
+    if fn == "APPROX_TOPK":
+        out = topk_df(spark, states, "_q", int(args[1]))
+        est_col, err_col, err_sfx = "est_count", "err_bound", "_err"
+    else:
+        qs = [float(a) for a in args[1:]] or [0.5]
+        out = quantiles_df(spark, states, "_q", qs)
+        est_col, err_col, err_sfx = "value", "rank_err_bound", "_rank_err"
+    out = _finish_grouped(out, None, grouped[0] if grouped else None)
+    if alias:
+        out = (out.withColumnRenamed(est_col, alias)
+                  .withColumnRenamed(err_col, f"{alias}{err_sfx}"))
+    return out
+
+
 def _approx_setop(
     spark: SparkSession, route, tables: dict | None, catalog=None
 ) -> DataFrame | None:
@@ -1785,15 +2086,9 @@ def _approx_setop(
     from pyspark.sql import functions as F
 
     op, sides, args, alias, grouped = route
-    rse = 0.01
-    if len(args) > 1:
-        r = _num(args[1])
-        if r is None or not (0 < r < 1):
-            raise ValueError(
-                f"APPROX_COUNT_DISTINCT second argument {args[1]!r} must be "
-                "a target relative standard error in (0, 1)"
-            )
-        rse = r
+    # the rse argument was validated by _setop_route (the shared decision
+    # point), so a second argument here is always a numeric in (0, 1)
+    rse = _num(args[1]) if len(args) > 1 else 0.01
     out_name = alias or f"approx_count_distinct_{args[0]}"
     if grouped is None:
         picks = _resolve_setop_states(op, sides, args, tables, catalog)
@@ -1816,29 +2111,14 @@ def _approx_setop(
             # tag) — decline and let the caller fall through to it
             return None
     tags = [f"s{i}" for i in range(len(sides))]
-    frames = []
-    for tag, sm in zip(tags, sides):
-        df = _resolve_table(spark, sm.group("table"), tables)
-        if sm.group("where"):
-            df = _apply_where(spark, df, sm.group("where"), tables, sm.group("table"))
-        items = _split_args(sm.group("col"))
-        if grouped is None:
-            sel = [f"({_side_out_name(items[0])[0]}) AS _v"]
-        else:
-            _, pos_v, pos_g = grouped
-            sel = [
-                f"({_side_out_name(items[pos_v])[0]}) AS _v",
-                f"({_side_out_name(items[pos_g])[0]}) AS _g",
-            ]
-        frames.append(df.selectExpr(*sel).withColumn("_side", F.lit(tag)))
-    for c in ["_v"] + (["_g"] if grouped else []):
-        types = {f.schema[c].dataType.simpleString() for f in frames}
-        if len(types) > 1:
-            raise ValueError(
-                f"set-operation sides project incompatible types {sorted(types)} "
-                f"for {'the GROUP BY key' if c == '_g' else 'the aggregate column'} "
-                "— CAST the sides to a common type first"
-            )
+    base_frames = _setop_scan_frames(spark, sides, grouped, tables)
+    if base_frames is None:
+        # sides project types outside one numeric family — decline to the
+        # generic derived-table path, where Spark SQL's own set-operation
+        # coercion owns the semantics (the DataFrame union's coercion can
+        # silently null-cast e.g. string→bigint, corrupting the count)
+        return None
+    frames = [f.withColumn("_side", F.lit(tag)) for tag, f in zip(tags, base_frames)]
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)
@@ -1855,7 +2135,7 @@ def _approx_setop(
         out = grouped_setop_df(spark, states, op, "hll_v", mh, tags)
         # restore the key's native type ('__null__' is the composite
         # kernel's NULL placeholder)
-        gtype = frames[0].schema["_g"].dataType
+        gtype = allf.schema["_g"].dataType  # the WIDENED union type, not side 0's
         key = F.when(F.col("group") == "__null__", F.lit(None)).otherwise(
             F.col("group").cast(gtype)
         )
@@ -1868,7 +2148,7 @@ def _approx_setop(
     states = build_sketches(allf, specs, group_by="_side")
     from sketchlib.spark.query import (
         difference_estimate,
-        intersection_estimate,
+        intersection_abs_estimate,
         union_estimate,
     )
 
@@ -1876,8 +2156,9 @@ def _approx_setop(
         est, rse_b = union_estimate(states, "hll_v")
         err = rse_b * est
     elif op == "intersect":
-        est, rel = intersection_estimate(states, "hll_v", "mh_v", tags[0], tags[1])
-        err = rel * est
+        # absolute bound: finite for disjoint sides (the relative form is
+        # inf at J = 0, and inf·0.0 would emit a NaN err column)
+        est, err = intersection_abs_estimate(states, "hll_v", "mh_v", tags[0], tags[1])
     else:  # except: |A| − |A ∩ B|, absolute composed bound
         est, err = difference_estimate(states, "hll_v", "mh_v", tags[0], tags[1])
     return spark.createDataFrame(
@@ -2097,15 +2378,29 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
                 out_name = f"{fn.lower()}_{disp}"
             sample_slots.setdefault((ratio, col), []).append((fn, out_name))
 
+    # duplicate aggregates (e.g. the same SUM at two ratios, or twice in one
+    # list) would collide in the joined output — disambiguate with a suffix
+    # AT CONSTRUCTION TIME, in output order. A rename post-pass cannot do
+    # this: withColumnRenamed renames EVERY column with that name, so a slot
+    # list carrying the same aggregate twice (one frame, duplicate names)
+    # would have both copies renamed together and the plain name lost.
+    seen: dict[str, int] = {}
+
+    def _final_name(base: str) -> str:
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        return f"{base}_{n + 1}" if n else base
+
     outs = []
     if specs:
         states = build_sketches(df, specs, group_by=gkey)
         for out_name, spec_name in spec_slots:
+            nm = _final_name(out_name)
             e = estimates_df(spark, states, spec_name)
             e = e.select(
                 "group",
-                F.col("estimate").alias(out_name),
-                (F.col("rse_bound") * F.col("estimate")).alias(f"{out_name}_err"),
+                F.col("estimate").alias(nm),
+                (F.col("rse_bound") * F.col("estimate")).alias(f"{nm}_err"),
             )
             outs.append(e)
     for (ratio, value_col), slots in sample_slots.items():
@@ -2115,28 +2410,12 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
         est = approx_agg_uniform(base, gkey, value_col, ratio)
         cols = [F.col(gkey).alias("group")] if gkey else []
         for fn, out_name in slots:
+            nm = _final_name(out_name)
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
                    "APPROX_AVG": ("est_avg", "avg_err")}[fn]
-            cols += [F.col(src[0]).alias(out_name), F.col(src[1]).alias(f"{out_name}_err")]
+            cols += [F.col(src[0]).alias(nm), F.col(src[1]).alias(f"{nm}_err")]
         outs.append(est.select(*cols))
-
-    # duplicate aggregates (e.g. the same SUM at two ratios) would collide in
-    # the joined output — disambiguate deterministically with a suffix
-    seen: dict[str, int] = {}
-    renamed = []
-    for o in outs:
-        for c in o.columns:
-            if c == "group" or c.endswith("_err"):
-                continue
-            n = seen.get(c, 0)
-            seen[c] = n + 1
-            if n:
-                o = o.withColumnRenamed(c, f"{c}_{n + 1}").withColumnRenamed(
-                    f"{c}_err", f"{c}_{n + 1}_err"
-                )
-        renamed.append(o)
-    outs = renamed
 
     result = outs[0]
     for o in outs[1:]:
@@ -2237,7 +2516,12 @@ def _default_out_names(aggs: list) -> list[str]:
                 (i, "approx_count_star"))
         else:
             disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
-            samples.setdefault((float(args[1]), disp), []).append(
+            # slot key = (ratio, EXACT expression text) — the same identity
+            # _materialize_expr keys derived columns on. Keying on the slug
+            # would merge distinct expressions that slug alike (a+b vs a-b),
+            # partitioning the slots differently from _multi_agg and renaming
+            # aliases onto the wrong columns.
+            samples.setdefault((float(args[1]), args[0].strip()), []).append(
                 (i, f"{fn.lower()}_{disp}"))
     order = sketch + [slot for slots in samples.values() for slot in slots]
     seen: dict[str, int] = {}
@@ -2301,6 +2585,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
         return (out.withColumnRenamed(pairs[0], alias)
                    .withColumnRenamed(pairs[1], err_name))
     defaults = _default_out_names(aggs)
+    mapping = {}
     for default, alias in zip(defaults, names):
         if not alias:
             continue
@@ -2308,9 +2593,21 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
             raise ValueError(
                 f"cannot alias {default!r} — not in result columns {out.columns}"
             )
-        out = (out.withColumnRenamed(default, alias)
-                  .withColumnRenamed(f"{default}_err", f"{alias}_err"))
-    return out
+        mapping[default] = alias
+        mapping[f"{default}_err"] = f"{alias}_err"
+    # ONE projection, not sequential withColumnRenamed calls: an alias equal
+    # to a later slot's default would otherwise duplicate a name mid-sequence
+    # and the later rename would grab both columns
+    final_cols = [mapping.get(c, c) for c in out.columns]
+    clash = next((n for n in final_cols if final_cols.count(n) > 1), None)
+    if clash:
+        # an alias equal to another slot's (default) name, or to a group
+        # column, would leave two identically-named columns — refuse
+        raise ValueError(
+            f"output name {clash!r} appears more than once in the result "
+            f"({final_cols}) — every output column must have a unique name"
+        )
+    return out.select(*[F.col(c).alias(mapping.get(c, c)) for c in out.columns])
 
 
 def approx_sql(
@@ -2419,6 +2716,23 @@ def approx_sql(
             res = _approx_setop(spark, setop, tables, catalog)
             if res is not None:
                 return res  # None = grouped UNION without states → rewrite
+        merged = _unionall_merge_route(head, inner, tail)
+        if merged is not None:
+            mfn, margs, msides, malias, mgrouped = merged
+            if mgrouped is None:
+                mpicks = _resolve_merge_states(mfn, msides, margs, tables, catalog)
+            else:
+                idents = _setop_side_idents(msides, mgrouped)
+                mpicks = None if idents is None else _resolve_merge_states(
+                    mfn, msides, margs, tables, catalog,
+                    cols=idents[0], group_cols=idents[1],
+                )
+            if mpicks is not None:
+                return _unionall_from_states(
+                    spark, mfn, margs, malias, mpicks, catalog, mgrouped
+                )
+            # no compatible registrations → the generic derived-table path
+            # materializes the UNION ALL (plan concatenation) and builds
         rewritten = _union_all_rewrite(head, inner)
         if rewritten is not None:
             inner = rewritten  # distinct shuffle elided; answer identical

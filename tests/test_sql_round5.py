@@ -766,18 +766,24 @@ def test_setop_side_where_and_alias(spark, setop_tables):
     assert abs(r["n_low"] - exact) <= 3 * r["n_low_err"] + 2
 
 
-def test_setop_type_mismatch_refused(spark, setop_tables):
-    """Sides projecting incompatible types refuse with a named error —
-    hashing an int side against a float side would silently estimate the
-    wrong set."""
-    t, *_ = setop_tables
-    with pytest.raises(ValueError, match="incompatible types"):
-        approx_sql(
-            spark,
-            "SELECT APPROX_COUNT_DISTINCT(k) FROM "
-            "(SELECT k FROM ta UNION SELECT val AS k FROM ta)",
-            t,
-        )
+def test_setop_numeric_mix_widens_like_sql(spark, setop_tables):
+    """A bigint side against a double side stays on the sketch route: the
+    union WIDENS both to double — the same coercion Spark SQL applies to
+    the materialized set operation — so the estimate matches the exact
+    count over the coerced union. (Mixed NON-numeric sides decline to the
+    generic path instead; see the review-pass-3 tests.)"""
+    t, ka, _ = setop_tables
+    import pandas as _pd
+
+    a = _pd.read_parquet(t["ta"])
+    exact = len(set(a.k.astype("float64")) | set(a.val))
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+        "(SELECT k FROM ta UNION SELECT val AS k FROM ta)",
+        t,
+    ).collect()[0]
+    assert abs(r["d"] - exact) <= 3 * r["d_err"] + 2
 
 
 def test_setop_fallback_shapes_still_answer(spark, setop_tables):
@@ -1109,18 +1115,20 @@ def test_grouped_setop_distributed_path_matches_driver(spark):
     states.unpersist()
 
 
-def test_grouped_setop_key_type_mismatch_refused(spark):
-    """Sides projecting incompatible GROUP BY key types raise the
-    descriptive CAST error rather than merging stringified keys."""
-    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "g": [1, 2]}))
-    b = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "g": ["1", "2"]}))
-    with pytest.raises(ValueError, match="GROUP BY key"):
-        approx_sql(
-            spark,
-            "SELECT APPROX_COUNT_DISTINCT(k) AS d FROM "
-            "(SELECT k, g FROM ta EXCEPT SELECT k, g FROM tb) GROUP BY g",
-            {"ta": a, "tb": b},
-        )
+def test_grouped_setop_key_type_mismatch_declines_to_generic(spark):
+    """Sides projecting a bigint key against a string key DECLINE the
+    sketch-merge route (stringified-key merging would diverge from Spark
+    SQL's coercion) — the generic derived-table path materializes the set
+    operation and still answers."""
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 4], "g": [1, 2, 1, 2]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [3, 4], "g": ["1", "2"]}))
+    t = {"ta": a, "tb": b}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k) AS d FROM "
+         "(SELECT k, g FROM ta EXCEPT SELECT k, g FROM tb) GROUP BY g")
+    props = _explain_props(spark, q, t)
+    assert props.get("statement_kind") != "approx_setop"
+    rows = approx_sql(spark, q, t).collect()
+    assert len(rows) > 0  # answered via Spark SQL's own coercion semantics
 
 
 def test_grouped_union_left_to_rewrite(spark, setop_tables):
@@ -1302,3 +1310,385 @@ def test_grouped_setop_states_require_matching_grouping(spark, tmp_path):
     for g in {k % 3 for k in sel}:
         exact = len({k for k in sel if k % 3 == g})
         assert abs(rows[g]["d"] - exact) <= 3 * rows[g]["d_err"] + 2
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review pass 3: set-op bound finiteness, type gates, alias collisions
+# ---------------------------------------------------------------------------
+
+
+def test_setop_disjoint_sides_finite_bounds(spark, tmp_path):
+    """INTERSECT/EXCEPT over DISJOINT sides: J = 0 makes the relative bound
+    form inf (and err = inf·0.0 = NaN) — the absolute composition must stay
+    finite on both the scan and the states route."""
+    import math
+
+    a = pd.DataFrame({"k": np.arange(0, 1000, dtype="int64")})
+    b = pd.DataFrame({"k": np.arange(50_000, 51_000, dtype="int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    t = {"ta": pa_, "tb": pb}
+    for op, exact in (("INTERSECT", 0), ("EXCEPT", 1000)):
+        q = (f"SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+             f"(SELECT k FROM ta {op} SELECT k FROM tb)")
+        r = approx_sql(spark, q, t).collect()[0]
+        assert math.isfinite(r["d_err"]), (op, r["d_err"])
+        assert abs(r["d"] - exact) <= 3 * r["d_err"] + 2, op
+
+
+def test_difference_estimate_finite_on_disjoint_states(spark):
+    """difference_estimate composes the intersection error absolutely —
+    finite at J = 0 (the old rel-form propagated inf·0 = NaN)."""
+    import math
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import difference_estimate, intersection_abs_estimate
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "k": list(range(1000)) + list(range(90_000, 91_000)),
+            "side": ["a"] * 1000 + ["b"] * 1000,
+        })
+    )
+    specs = [SketchSpec("h", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m", "minhash", "k", {"r": 512})]
+    states = build_sketches(df, specs, group_by="side")
+    inter, ierr = intersection_abs_estimate(states, "h", "m", "a", "b")
+    assert math.isfinite(ierr) and abs(inter) <= ierr + 2
+    est, err = difference_estimate(states, "h", "m", "a", "b")
+    assert math.isfinite(err) and abs(est - 1000) <= 3 * err + 2
+
+
+def test_setop_numeric_family_sides_widen_and_answer(spark, tmp_path):
+    """int vs bigint sides stay on the sketch-merge scan route (lossless
+    widening, hash-compatible after the union widens both) — previously an
+    over-eager type check raised on any simpleString difference."""
+    a = pd.DataFrame({"k": np.arange(0, 2000, dtype="int32")})
+    b = pd.DataFrame({"k": np.arange(1000, 3000, dtype="int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k FROM ta UNION SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + q, t).collect()}
+    assert props.get("statement_kind") == "approx_setop"
+    r = approx_sql(spark, q, t).collect()[0]
+    assert abs(r["d"] - 3000) <= 3 * r["d_err"] + 2
+
+
+def test_setop_mixed_nonnumeric_sides_decline_to_generic(spark, tmp_path):
+    """A string side against a bigint side declines the sketch-merge route
+    (the DataFrame union's coercion silently null-casts string→bigint) and
+    the generic derived-table path answers with Spark SQL's own semantics.
+    EXPLAIN reports the same decline — no route divergence."""
+    a = pd.DataFrame({"k": np.arange(0, 1500, dtype="int64")})
+    b = pd.DataFrame({"k": [str(i) for i in range(1000, 2500)]})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k FROM ta INTERSECT SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + q, t).collect()}
+    assert props.get("statement_kind") != "approx_setop"
+    exact = spark.sql(
+        f"SELECT count(DISTINCT k) AS n FROM (SELECT k FROM parquet.`{pa_}` "
+        f"INTERSECT SELECT k FROM parquet.`{pb}`)"
+    ).collect()[0]["n"]
+    r = approx_sql(spark, q, t).collect()[0]
+    assert abs(r["d"] - exact) <= 3 * r["d_err"] + 2
+
+
+def test_setop_states_refuse_cross_type_registrations(spark, tmp_path):
+    """Registered states record the sketched column's input dtype; a bigint
+    side against a string side must NOT answer from states (the kernel
+    hashes the two families differently — merged registers would union
+    unrelated hash spaces). The statement still answers via a scan."""
+    import shutil
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    a = pd.DataFrame({"k": np.arange(0, 1200, dtype="int64")})
+    b = pd.DataFrame({"k": [str(i) for i in range(600, 1800)]})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m_k", "minhash", "k", {"r": 512})]
+    cat.create("sa", pa_, specs, group_by=None)
+    cat.create("sb", pb, specs, group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k FROM ta UNION SELECT k FROM tb)")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=cat).collect()}
+    assert "PERSISTED STATES" not in str(props.get("route", ""))
+
+
+def test_grouped_setop_states_emit_real_null_group(spark, tmp_path):
+    """A NULL group key comes back as NULL from the grouped states route,
+    not as the kernel's '__null__' placeholder string."""
+    import shutil
+
+    from sketchlib.planner import hll_params
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    a = pd.DataFrame({"k": np.arange(0, 900, dtype="int64")})
+    a["g"] = ["x" if i % 2 else None for i in range(900)]
+    b = pd.DataFrame({"k": np.arange(450, 1350, dtype="int64")})
+    b["g"] = ["x" if i % 2 else None for i in range(900)]
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("h_k", "hll", "k", {"p": hll_params(0.01)["p"]}),
+             SketchSpec("m_k", "minhash", "k", {"r": 512})]
+    cat.create("ga", pa_, specs, group_by="g")
+    cat.create("gb", pb, specs, group_by="g")
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k, g FROM ta UNION SELECT k, g FROM tb) GROUP BY g")
+    props = {r["property"]: r["value"]
+             for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=cat).collect()}
+    assert "PERSISTED STATES" in props["route"]
+    rows = approx_sql(spark, q, t, catalog=cat).collect()
+    keys = {r["g"] for r in rows}
+    assert keys == {"x", None}, keys
+
+
+def test_setop_explain_validates_rse_like_execution(spark, setop_tables):
+    """EXPLAIN raises the SAME descriptive error execution raises for an
+    out-of-range rse argument — the shared _setop_route validates it, so
+    EXPLAIN can never report a route for a statement that cannot run."""
+    t, _, _ = setop_tables
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 5) FROM "
+         "(SELECT k FROM ta UNION SELECT j AS k FROM tb)")
+    with pytest.raises(ValueError, match="relative standard error"):
+        approx_sql(spark, "EXPLAIN " + q, t)
+    with pytest.raises(ValueError, match="relative standard error"):
+        approx_sql(spark, q, t)
+
+
+def test_alias_collision_with_other_default_raises(spark, sub_tables):
+    """An alias equal to ANOTHER aggregate's default output name would leave
+    two identically-named columns — refused with a descriptive error."""
+    t, fact, _ = sub_tables
+    q = ("SELECT APPROX_SUM(val, 0.5) AS approx_count_star, "
+         "APPROX_COUNT(0.5) FROM fact")
+    with pytest.raises(ValueError, match="more than once"):
+        approx_sql(spark, q, t)
+
+
+def test_alias_onto_same_slug_expressions_keeps_values_straight(spark, sub_tables):
+    """a+b and a-b slug identically; the alias renames must target the slots
+    _multi_agg actually produced (keyed on exact expression text), so each
+    named column carries ITS OWN expression's estimate."""
+    t, fact, _ = sub_tables
+    q = ("SELECT APPROX_SUM(val+k, 0.6) AS plus_sum, "
+         "APPROX_SUM(val-k, 0.6) AS minus_sum, "
+         "APPROX_SUM(val+k, 0.6) AS plus_again FROM fact")
+    r = approx_sql(spark, q, t).collect()[0]
+    exact_plus = float((fact.val + fact.k).sum())
+    exact_minus = float((fact.val - fact.k).sum())
+    assert abs(r["plus_sum"] - exact_plus) <= 3.3 * r["plus_sum_err"]
+    assert abs(r["minus_sum"] - exact_minus) <= 3.3 * r["minus_sum_err"]
+    assert abs(r["plus_again"] - exact_plus) <= 3.3 * r["plus_again_err"]
+    # the two +k columns answered from the SAME slot family; the -k column
+    # must not have been swapped into either name
+    assert abs(r["plus_sum"] - exact_minus) > 3.3 * r["plus_sum_err"]
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL bodies answered from MERGED persisted states (mergeable sketches)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def merge_states_setup(spark, tmp_path_factory):
+    """Two registered tables with kll+cm sketches on val, grouped and
+    ungrouped variants; returns (tables, catalog, pdf_a, pdf_b)."""
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(41)
+    a = pd.DataFrame({
+        "val": rng.integers(0, 5000, 40000).astype("int64"),
+        "g": (rng.integers(0, 3, 40000)).astype("int64"),
+    })
+    b = pd.DataFrame({
+        "val": rng.integers(2000, 9000, 25000).astype("int64"),
+        "g": (rng.integers(0, 3, 25000)).astype("int64"),
+    })
+    d = tmp_path_factory.mktemp("mergestates")
+    pa_, pb = str(d / "ta"), str(d / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(d / "cat"))
+    specs = [SketchSpec("k_val", "kll", "val", {"k": 200}),
+             SketchSpec("c_val", "cm", "val", {"eps": 1e-4, "delta": 0.01})]
+    cat.create("ma", pa_, specs, group_by="g")
+    cat.create("mb", pb, specs, group_by="g")
+    return {"ta": pa_, "tb": pb}, cat, a, b
+
+
+def _props(spark, q, t, catalog=None):
+    return {r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + q, t, catalog=catalog).collect()}
+
+
+def test_unionall_percentile_from_merged_states(spark, merge_states_setup, tmp_path):
+    """APPROX_PERCENTILE over (a UNION ALL b) answers by MERGING the two
+    registrations' KLL states — grouped registrations serve the GLOBAL
+    statement (merging per-group states is the whole-table sketch)."""
+    t, cat, a, b = merge_states_setup
+    both = pd.concat([a, b])
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5, 0.9) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_merge"
+    assert "PERSISTED STATES" in props["route"]
+    rows = approx_sql(spark, q, t, catalog=cat).collect()
+    n = len(both)
+    for r in rows:
+        exact = float(np.quantile(both.val, r["q"], method="inverted_cdf"))
+        rank_of = (both.val <= r["value"]).sum() / n
+        assert abs(rank_of - r["q"]) <= r["rank_err_bound"] + 2.0 / n, (r, exact)
+
+
+def test_unionall_percentile_grouped_from_states(spark, merge_states_setup):
+    """GROUP BY over the UNION ALL merges groupwise — per-group medians fall
+    within the rank bound of each group's concatenated bag."""
+    t, cat, a, b = merge_states_setup
+    both = pd.concat([a, b])
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val, g FROM ta UNION ALL SELECT val, g FROM tb) GROUP BY g")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_merge"
+    rows = approx_sql(spark, q, t, catalog=cat).collect()
+    assert {r["group"] for r in rows} == {"0", "1", "2"}
+    for r in rows:
+        grp = both[both.g == int(r["group"])].val
+        rank_of = (grp <= r["value"]).sum() / len(grp)
+        assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(grp), r
+
+
+def test_unionall_topk_from_merged_states(spark, merge_states_setup):
+    """APPROX_TOPK over the UNION ALL merges the CM states — bag counts sum,
+    and the top token's estimated count is within the CM bound of the true
+    concatenated count."""
+    t, cat, a, b = merge_states_setup
+    both = pd.concat([a, b])
+    q = ("SELECT APPROX_TOPK(val, 5) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_merge"
+    rows = approx_sql(spark, q, t, catalog=cat).collect()
+    assert len(rows) == 5
+    vc = both.val.value_counts()
+    for r in rows:
+        assert abs(r["est_count"] - int(vc.get(r["token"], 0))) <= r["err_bound"], r
+
+
+def test_unionall_distinct_union_not_claimed_by_merge(spark, merge_states_setup):
+    """A DISTINCT union under a percentile head is a DIFFERENT bag — the
+    merge route must not claim it; the generic derived path answers."""
+    t, cat, a, b = merge_states_setup
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val FROM ta UNION SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") != "approx_unionall_merge"
+    # and it still answers (materialized derived table, on-the-fly build)
+    vals = pd.concat([a, b]).val.drop_duplicates()
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    rank_of = (vals <= r["value"]).sum() / len(vals)
+    assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(vals)
+
+
+def test_unionall_merge_declines_without_registrations(spark, tmp_path):
+    """No catalog → the generic path still answers percentile-over-UNION-ALL
+    (materialize + one-pass build); the route is an optimization only."""
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"val": rng.normal(100, 10, 8000).round(3)})
+    b = pd.DataFrame({"val": rng.normal(120, 10, 8000).round(3)})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    both = pd.concat([a, b]).val
+    r = approx_sql(spark, q, t).collect()[0]
+    rank_of = (both <= r["value"]).sum() / len(both)
+    assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(both)
+
+
+def test_unionall_merge_requires_identical_params(spark, tmp_path):
+    """Sides registered with DIFFERENT kll parameters cannot merge — the
+    resolver declines and the scan path answers."""
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(13)
+    a = pd.DataFrame({"val": rng.integers(0, 1000, 5000).astype("int64")})
+    b = pd.DataFrame({"val": rng.integers(0, 1000, 5000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("pa", pa_, [SketchSpec("k_val", "kll", "val", {"k": 200})], group_by=None)
+    cat.create("pb", pb, [SketchSpec("k_val", "kll", "val", {"k": 400})], group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") != "approx_unionall_merge"
+
+
+def test_unionall_merge_alias_renames_estimate(spark, merge_states_setup):
+    """AS name on the merge route renames (value → name,
+    rank_err_bound → name_rank_err) like the single-table alias path."""
+    t, cat, a, b = merge_states_setup
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) AS med FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    rows = approx_sql(spark, q, t, catalog=cat).collect()
+    assert set(rows[0].asDict()) == {"q", "med", "med_rank_err"}
+
+
+def test_unionall_merge_answers_with_bases_deleted(spark, tmp_path):
+    """Zero-scan proof: delete both base tables after registration — the
+    merge route still answers the UNION ALL percentile from states alone."""
+    import shutil
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"val": rng.integers(0, 2000, 9000).astype("int64")})
+    b = pd.DataFrame({"val": rng.integers(1000, 3000, 9000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs = [SketchSpec("k_val", "kll", "val", {"k": 200})]
+    cat.create("za", pa_, specs, group_by=None)
+    cat.create("zb", pb, specs, group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    both = pd.concat([a, b]).val
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    rank_of = (both <= r["value"]).sum() / len(both)
+    assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(both)
