@@ -1248,6 +1248,79 @@ def q_b39_unionall_merge_states(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_b40_unionall_sample_route(spark, sf_dir):
+    """Round 5: UNION ALL bodies under COUNT/SUM/AVG heads answered from
+    persisted uniform SAMPLES — equal-ratio Bernoulli scrambles of the
+    sides concatenate into one Bernoulli sample of the bag, so the single
+    Horvitz-Thompson estimator runs over the p-fraction tables only (both
+    bases deleted before querying). Checks: global SUM and grouped COUNT
+    within their CIs (3.3σ), side-local WHERE applied to the sample rows,
+    EXPLAIN reporting the sample route with both artifact names."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    work = tempfile.mkdtemp(prefix="sketchlib_uasample_")
+    wide = 3.29 / 1.96
+    try:
+        ca = os.path.join(work, "orders_v")
+        cb = os.path.join(work, "lineitem_v")
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .selectExpr("o_totalprice AS v", "o_custkey % 4 AS g").write.parquet(ca))
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .selectExpr("l_extendedprice AS v", "l_suppkey % 4 AS g").write.parquet(cb))
+        pa = spark.read.parquet(ca).toPandas()
+        pb = spark.read.parquet(cb).toPandas()
+        both = pd.concat([pa, pb], ignore_index=True)
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        cat.create_sample("uas_orders", ca, kind="uniform", ratio=0.3)
+        cat.create_sample("uas_lineitem", cb, kind="uniform", ratio=0.3)
+        shutil.rmtree(ca)
+        shutil.rmtree(cb)
+        t = {"ta": ca, "tb": cb}
+
+        def props_of(stmt):
+            return {r["property"]: r["value"]
+                    for r in approx_sql(spark, "EXPLAIN " + stmt, t, catalog=cat).collect()}
+
+        out = []
+        q1 = ("SELECT APPROX_SUM(v, 0.2) FROM "
+              "(SELECT v FROM ta UNION ALL SELECT v FROM tb)")
+        p1 = props_of(q1)
+        routed1 = (p1.get("statement_kind") == "approx_unionall_sample"
+                   and p1.get("artifacts") == "uas_orders, uas_lineitem")
+        r1 = approx_sql(spark, q1, t, catalog=cat).collect()[0]
+        ok1 = abs(r1["est_sum"] - float(both.v.sum())) <= wide * r1["sum_err"]
+        out.append(("sum_global", bool(ok1), bool(routed1)))
+
+        q2 = ("SELECT APPROX_COUNT(0.2) FROM "
+              "(SELECT v, g FROM ta UNION ALL SELECT v, g FROM tb) GROUP BY g")
+        p2 = props_of(q2)
+        routed2 = p2.get("statement_kind") == "approx_unionall_sample"
+        rows = {int(r["g"]): r for r in approx_sql(spark, q2, t, catalog=cat).collect()}
+        ok2 = set(rows) == set(int(v) for v in both.g.unique())
+        for g, n in both.groupby("g").size().items():
+            ok2 = ok2 and abs(rows[int(g)]["est_count"] - n) <= wide * rows[int(g)]["count_err"]
+        out.append(("count_grouped", bool(ok2), bool(routed2)))
+
+        q3 = ("SELECT APPROX_SUM(v, 0.2) FROM "
+              "(SELECT v FROM ta WHERE v > 1000 UNION ALL "
+              "SELECT v FROM tb WHERE v > 1000)")
+        p3 = props_of(q3)
+        routed3 = p3.get("statement_kind") == "approx_unionall_sample"
+        exact3 = float(both.v[both.v > 1000].sum())
+        r3 = approx_sql(spark, q3, t, catalog=cat).collect()[0]
+        ok3 = abs(r3["est_sum"] - exact3) <= wide * r3["sum_err"]
+        out.append(("sum_where_sides", bool(ok3), bool(routed3)))
+        return spark.createDataFrame(
+            pd.DataFrame(out, columns=["chk", "within_bound", "sample_routed"])
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2369,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b37_grouped_setop": _dist_wrapped(q_b37_grouped_setop),
         "b38_setop_from_states": _dist_wrapped(q_b38_setop_from_states),
         "b39_unionall_merge_states": _dist_wrapped(q_b39_unionall_merge_states),
+        "b40_unionall_sample_route": _dist_wrapped(q_b40_unionall_sample_route),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2555,6 +2629,13 @@ def oracle_sql() -> dict[str, str]:
               ('percentile_grouped', TRUE, TRUE),
               ('topk_global', TRUE, TRUE)
             ) AS t(chk, within_bound, states_routed)
+        """,
+        "b40_unionall_sample_route": """
+            SELECT * FROM (VALUES
+              ('sum_global', TRUE, TRUE),
+              ('count_grouped', TRUE, TRUE),
+              ('sum_where_sides', TRUE, TRUE)
+            ) AS t(chk, within_bound, sample_routed)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

@@ -1202,6 +1202,25 @@ def explain_sql(
                      "registered sketches MERGE into the UNION ALL bag's "
                      "sketch; the base tables are never scanned")
                 return done()
+        sroute = _unionall_sample_route(head, inner, tail)
+        if sroute is not None:
+            sfn, sargs, ssides, _salias, sgrouped = sroute
+            spicks = _resolve_unionall_samples(sfn, ssides, sargs, tables, catalog)
+            if spicks is not None and _unionall_sample_frames(
+                spark, spicks, ssides, tables, sgrouped, catalog
+            ) is not None:
+                emit("statement_kind", "approx_unionall_sample")
+                emit("aggregate", sfn)
+                emit("n_sides", len(ssides))
+                if sgrouped is not None:
+                    emit("group_by", sgrouped[0])
+                emit("ratio", picks_ratio := spicks[0]["ratio"])
+                emit("artifacts", ", ".join(p["name"] for p in spicks))
+                emit("route", "ANSWERED FROM PERSISTED SAMPLES — equal-ratio "
+                     "uniform scrambles of the sides concatenate into one "
+                     f"Bernoulli({picks_ratio}) sample of the UNION ALL bag; "
+                     "only the p-fraction tables are scanned")
+                return done()
         inner_kind = "approx (inner error caveat/composition applies)" if _AGG.search(
             _mask_literals(inner)
         ) else "exact"
@@ -1881,6 +1900,43 @@ _MERGE_HEAD = re.compile(
 _MERGE_KINDS = {"APPROX_PERCENTILE": ("kll", "tdigest"), "APPROX_TOPK": ("cm",)}
 
 
+def _unionall_sides(inner: str, n_items: int):
+    """Depth-0 UNION ALL split of a derived-table body into _SETOP_SIDE
+    matches projecting exactly ``n_items`` items. None when any depth-0
+    operator is NOT ``UNION ALL`` (a distinct UNION / INTERSECT / EXCEPT is
+    a different bag), any side is SELECT DISTINCT (same reason), or a side
+    is not a bare projection."""
+    masked = _mask_literals(inner)
+    depth, cuts = 0, []
+    for m in _SETOP_TOKENS.finditer(masked):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if not re.match(r"UNION\s+ALL$", tok, re.IGNORECASE):
+                return None
+            cuts.append((m.start(), m.end()))
+    if not cuts:
+        return None
+    sides_txt, prev = [], 0
+    for s, e in cuts:
+        sides_txt.append(inner[prev:s])
+        prev = e
+    sides_txt.append(inner[prev:])
+    parsed = []
+    for s in sides_txt:
+        s = _strip_outer_parens(s)
+        if re.match(r"^\s*SELECT\s+DISTINCT\b", s, re.IGNORECASE):
+            return None
+        sm = _SETOP_SIDE.match(s)
+        if sm is None or len(_split_args(sm.group("col"))) != n_items:
+            return None
+        parsed.append(sm)
+    return parsed
+
+
 def _unionall_merge_route(head: str, inner: str, tail: str):
     """UNION ALL bodies under a PERCENTILE/TOPK head — the mergeable-sketch
     case Verdict's A5 substitution generalizes to: the bag concatenation's
@@ -1903,20 +1959,6 @@ def _unionall_merge_route(head: str, inner: str, tail: str):
         if gm is None:
             return None
         group = gm.group(1)
-    masked = _mask_literals(inner)
-    depth, cuts = 0, []
-    for m in _SETOP_TOKENS.finditer(masked):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            if not re.match(r"UNION\s+ALL$", tok, re.IGNORECASE):
-                return None  # dedup/set semantics: a different bag than the states
-            cuts.append((m.start(), m.end()))
-    if not cuts:
-        return None
     args = _split_args(hm.group("args"))
     if not args or not _IDENT.match(args[0]):
         return None
@@ -1927,21 +1969,9 @@ def _unionall_merge_route(head: str, inner: str, tail: str):
             [float(a) for a in args[1:]]
     except (ValueError, IndexError):
         return None
-    sides_txt, prev = [], 0
-    for s, e in cuts:
-        sides_txt.append(inner[prev:s])
-        prev = e
-    sides_txt.append(inner[prev:])
-    n_items = 2 if group else 1
-    parsed = []
-    for s in sides_txt:
-        s = _strip_outer_parens(s)
-        if re.match(r"^\s*SELECT\s+DISTINCT\b", s, re.IGNORECASE):
-            return None  # a deduped side is a different bag than its states
-        sm = _SETOP_SIDE.match(s)
-        if sm is None or len(_split_args(sm.group("col"))) != n_items:
-            return None
-        parsed.append(sm)
+    parsed = _unionall_sides(inner, 2 if group else 1)
+    if parsed is None:
+        return None
     first_items = _split_args(parsed[0].group("col"))
     first_names = [(_side_out_name(it)[1] or "").lower() for it in first_items]
     fn = hm.group("fn").upper()
@@ -2064,6 +2094,167 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
     if alias:
         out = (out.withColumnRenamed(est_col, alias)
                   .withColumnRenamed(err_col, f"{alias}{err_sfx}"))
+    return out
+
+
+_SAMPLE_UA_HEAD = re.compile(
+    r"^\s*SELECT\s+(?P<fn>APPROX_COUNT|APPROX_SUM|APPROX_AVG)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"(?:AS\s+(?P<alias>\w+)\s*)?$",
+    re.IGNORECASE,
+)
+
+
+def _unionall_sample_route(head: str, inner: str, tail: str):
+    """UNION ALL bodies under a COUNT/SUM/AVG head — the SAMPLE analog of
+    the merge route: a Bernoulli(p) sample of each side at the SAME p is a
+    Bernoulli(p) sample of the concatenated bag, so registered uniform
+    scrambles answer ``SELECT APPROX_SUM(x, p) FROM (a UNION ALL b)`` by
+    scanning p-fraction tables instead of the corpus. Sides MAY carry WHERE
+    (sampling commutes with row predicates — applied to the sample rows,
+    the estimate is unbiased for the filtered bag). Returns
+    (fn, args, parsed_sides, alias, grouped) or None; an optimization only
+    — failures fall through to the generic derived-table path."""
+    hm = _SAMPLE_UA_HEAD.match(head)
+    if hm is None:
+        return None
+    group = None
+    t = tail.strip().strip(";").strip()
+    if t:
+        gm = re.match(r"^GROUP\s+BY\s+(\w+)$", t, re.IGNORECASE)
+        if gm is None:
+            return None
+        group = gm.group(1)
+    fn = hm.group("fn").upper()
+    args = _split_args(hm.group("args"))
+    ratio = _num(args[0] if fn == "APPROX_COUNT" else (args[1] if len(args) > 1 else None))
+    if ratio is None or not (0 < ratio <= 1):
+        return None  # the generic path owns malformed-ratio errors
+    parsed = _unionall_sides(inner, 2 if group else 1)
+    if parsed is None:
+        return None
+    first_items = _split_args(parsed[0].group("col"))
+    first_names = [(_side_out_name(it)[1] or "").lower() for it in first_items]
+    if group is None:
+        if fn != "APPROX_COUNT" and first_names[0] != args[0].lower():
+            return None
+        return fn, args, parsed, hm.group("alias"), None
+    if fn == "APPROX_COUNT":
+        if group.lower() not in first_names:
+            return None
+        pos_g = first_names.index(group.lower())
+        return fn, args, parsed, hm.group("alias"), (group, 1 - pos_g, pos_g)
+    want = {args[0].lower(), group.lower()}
+    if set(first_names) != want or len(want) != 2:
+        return None
+    pos_v = first_names.index(args[0].lower())
+    return fn, args, parsed, hm.group("alias"), (group, pos_v, 1 - pos_v)
+
+
+def _resolve_unionall_samples(fn, sides, args, tables, catalog, sample_rows=None):
+    """Per-side registered UNIFORM samples sharing ONE ratio ≥ the
+    statement's requested ratio: equal p is what makes the union of the
+    side samples a Bernoulli(p) sample of the concatenated bag (mixed
+    ratios would need per-side weights and a different variance
+    composition). Picks the LARGEST common ratio, newest registration per
+    side. None → the generic scan path."""
+    import os as _os
+
+    if catalog is None:
+        return None
+    req = _num(args[0] if fn == "APPROX_COUNT" else args[1])
+    if sample_rows is None:
+        sample_rows = catalog.list_samples().collect()
+    per_side = []
+    for sm in sides:
+        base = _table_dir(sm.group("table"), tables)
+        if base is None:
+            return None
+        base_n = _os.path.normpath(base)
+        elig = [
+            r for r in sample_rows
+            if _os.path.normpath(r["input_dir"]) == base_n
+            and r["kind"] == "uniform"
+            and float(r["ratio"] or 0.0) >= req - 1e-12
+        ]
+        if not elig:
+            return None
+        per_side.append(elig)
+    common = set.intersection(*[{float(r["ratio"]) for r in e} for e in per_side])
+    if not common:
+        return None  # no shared p — per-side weights are a different estimator
+    p = max(common)
+    picks = []
+    for elig in per_side:
+        cand = [r for r in elig if float(r["ratio"]) == p]
+        best = max(cand, key=lambda r: (r["built_unix"], r["name"]))
+        picks.append({"name": best["name"], "ratio": p})
+    return picks
+
+
+def _unionall_sample_frames(spark, picks, sides, tables, grouped, catalog):
+    """Per-side (_v[, _g]) projections of the picked SAMPLE tables, with the
+    side-local WHERE applied to the sample rows and the same numeric-family
+    type gate as _setop_scan_frames. Schema-only (no job) — shared by
+    execution and EXPLAIN so the reported route cannot diverge."""
+    frames = []
+    for p, sm in zip(picks, sides):
+        s = catalog.sample(p["name"])
+        if sm.group("where"):
+            s = _apply_where(spark, s, sm.group("where"), tables, sm.group("table"))
+        items = _split_args(sm.group("col"))
+        if grouped is None:
+            sel = [f"({_side_out_name(items[0])[0]}) AS _v"]
+        else:
+            _, pos_v, pos_g = grouped
+            sel = [
+                f"({_side_out_name(items[pos_v])[0]}) AS _v",
+                f"({_side_out_name(items[pos_g])[0]}) AS _g",
+            ]
+        frames.append(s.selectExpr(*sel))
+    for c in ["_v"] + (["_g"] if grouped else []):
+        types = {f.schema[c].dataType.simpleString() for f in frames}
+        if len(types) > 1 and not types <= _SETOP_NUMERIC:
+            return None
+    return frames
+
+
+def _unionall_from_samples(
+    spark, fn, args, alias, picks, catalog, grouped, sides, tables
+) -> DataFrame | None:
+    """Answer a UNION ALL statement from the sides' persisted uniform
+    samples: project each sample to the side's (value[, key]) items, apply
+    side-local WHERE to the SAMPLE rows (commutes with Bernoulli sampling),
+    UNION ALL the projections (plan concatenation, no exchange) and run the
+    single Horvitz-Thompson aggregation at the shared ratio. Scans
+    p-fraction tables only — the bases are never read. None when the sides'
+    projected types fall outside one numeric family (the generic path owns
+    Spark SQL's coercion semantics there)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+    frames = _unionall_sample_frames(spark, picks, sides, tables, grouped, catalog)
+    if frames is None:
+        return None
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    col = "_v"
+    if fn == "APPROX_COUNT":
+        allf, col = allf.withColumn("_one", F.lit(1.0)), "_one"
+    out = approx_agg_from_uniform_sample(
+        allf, "_g" if grouped else None, col, picks[0]["ratio"]
+    )
+    keep = {
+        "APPROX_COUNT": ["est_count", "count_err"],
+        "APPROX_SUM": ["est_sum", "sum_err"],
+        "APPROX_AVG": ["est_avg", "avg_err"],
+    }[fn]
+    sel = ([F.col("_g").alias(grouped[0])] if grouped else []) + [F.col(k) for k in keep]
+    out = out.select(*sel)
+    if alias:
+        out = (out.withColumnRenamed(keep[0], alias)
+                  .withColumnRenamed(keep[1], f"{alias}_err"))
     return out
 
 
@@ -2733,6 +2924,17 @@ def approx_sql(
                 )
             # no compatible registrations → the generic derived-table path
             # materializes the UNION ALL (plan concatenation) and builds
+        sroute = _unionall_sample_route(head, inner, tail)
+        if sroute is not None:
+            sfn, sargs, ssides, salias, sgrouped = sroute
+            spicks = _resolve_unionall_samples(sfn, ssides, sargs, tables, catalog)
+            if spicks is not None:
+                res = _unionall_from_samples(
+                    spark, sfn, sargs, salias, spicks, catalog, sgrouped,
+                    ssides, tables,
+                )
+                if res is not None:
+                    return res  # None = non-numeric type mix → generic path
         rewritten = _union_all_rewrite(head, inner)
         if rewritten is not None:
             inner = rewritten  # distinct shuffle elided; answer identical

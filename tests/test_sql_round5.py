@@ -1692,3 +1692,119 @@ def test_unionall_merge_answers_with_bases_deleted(spark, tmp_path):
     r = approx_sql(spark, q, t, catalog=cat).collect()[0]
     rank_of = (both <= r["value"]).sum() / len(both)
     assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(both)
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL bodies answered from persisted SAMPLES (equal-ratio scrambles)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sample_ua_setup(spark, tmp_path_factory):
+    """Two tables with registered uniform samples at ratio 0.3; bases
+    DELETED after registration (the route scans the scrambles only)."""
+    import shutil
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(61)
+    a = pd.DataFrame({
+        "val": rng.uniform(0, 100, 60000).round(3),
+        "g": rng.integers(0, 4, 60000).astype("int64"),
+    })
+    b = pd.DataFrame({
+        "val": rng.uniform(50, 150, 40000).round(3),
+        "g": rng.integers(0, 4, 40000).astype("int64"),
+    })
+    d = tmp_path_factory.mktemp("sampleua")
+    pa_, pb = str(d / "ta"), str(d / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(d / "cat"))
+    cat.create_sample("usa", pa_, kind="uniform", ratio=0.3)
+    cat.create_sample("usb", pb, kind="uniform", ratio=0.3)
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    return {"ta": pa_, "tb": pb}, cat, a, b
+
+
+def test_unionall_sum_from_persisted_samples(spark, sample_ua_setup):
+    """APPROX_SUM over (a UNION ALL b) scans only the two 0.3-scrambles
+    (bases deleted): equal-ratio Bernoulli samples concatenate into one
+    Bernoulli sample of the bag, so the single HT estimator applies."""
+    t, cat, a, b = sample_ua_setup
+    q = ("SELECT APPROX_SUM(val, 0.2) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_sample"
+    assert props.get("artifacts") == "usa, usb"
+    exact = float(a.val.sum() + b.val.sum())
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    assert abs(r["est_sum"] - exact) <= WIDE * r["sum_err"]
+
+
+def test_unionall_count_avg_grouped_from_samples(spark, sample_ua_setup):
+    """Grouped COUNT and AVG over the UNION ALL answer per group from the
+    concatenated scrambles; group keys come back in the key's own column."""
+    t, cat, a, b = sample_ua_setup
+    both = pd.concat([a, b])
+    qc = ("SELECT APPROX_COUNT(0.2) FROM "
+          "(SELECT val, g FROM ta UNION ALL SELECT val, g FROM tb) GROUP BY g")
+    props = _props(spark, qc, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_sample"
+    rows = {int(r["g"]): r for r in approx_sql(spark, qc, t, catalog=cat).collect()}
+    for g, n in both.groupby("g").size().items():
+        assert abs(rows[int(g)]["est_count"] - n) <= WIDE * rows[int(g)]["count_err"]
+    qa = ("SELECT APPROX_AVG(val, 0.2) FROM "
+          "(SELECT val, g FROM ta UNION ALL SELECT val, g FROM tb) GROUP BY g")
+    rows = {int(r["g"]): r for r in approx_sql(spark, qa, t, catalog=cat).collect()}
+    for g, m in both.groupby("g").val.mean().items():
+        assert abs(rows[int(g)]["est_avg"] - m) <= WIDE * rows[int(g)]["avg_err"]
+
+
+def test_unionall_sample_side_where_commutes(spark, sample_ua_setup):
+    """A side-local WHERE is applied to that side's SAMPLE rows — the
+    estimate is unbiased for the FILTERED bag."""
+    t, cat, a, b = sample_ua_setup
+    q = ("SELECT APPROX_SUM(val, 0.2) FROM "
+         "(SELECT val FROM ta WHERE val > 50 UNION ALL "
+         "SELECT val FROM tb WHERE val > 50)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_sample"
+    exact = float(a.val[a.val > 50].sum() + b.val[b.val > 50].sum())
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    assert abs(r["est_sum"] - exact) <= WIDE * r["sum_err"]
+
+
+def test_unionall_sample_requires_common_ratio(spark, tmp_path):
+    """Sides whose registered samples share NO ratio decline — per-side
+    weights are a different estimator; the generic scan path answers."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(67)
+    a = pd.DataFrame({"val": rng.uniform(0, 10, 9000).round(3)})
+    b = pd.DataFrame({"val": rng.uniform(0, 10, 9000).round(3)})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("ra", pa_, kind="uniform", ratio=0.5)
+    cat.create_sample("rb", pb, kind="uniform", ratio=0.25)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_SUM(val, 0.2) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") != "approx_unionall_sample"
+    # and the statement still answers (generic derived path, on-the-fly)
+    exact = float(a.val.sum() + b.val.sum())
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    assert abs(r["est_sum"] - exact) <= WIDE * r["sum_err"]
+
+
+def test_unionall_sample_alias(spark, sample_ua_setup):
+    """AS name renames (est_sum → name, sum_err → name_err) on the route."""
+    t, cat, a, b = sample_ua_setup
+    q = ("SELECT APPROX_SUM(val, 0.2) AS total FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    assert set(r.asDict()) == {"total", "total_err"}
