@@ -1149,8 +1149,8 @@ def q_b38_setop_from_states(spark, sf_dir):
             grouted = "PERSISTED STATES" in str(gprops.get("route", ""))
             rows = {r["g"]: r for r in approx_sql(spark, gq, t, catalog=cat).collect()}
             exact_g = {}
-            for k in sel:
-                exact_g[str(k % 4)] = exact_g.get(str(k % 4), 0) + 1
+            for k in sel:  # g comes back bigint (the recorded native type)
+                exact_g[int(k % 4)] = exact_g.get(int(k % 4), 0) + 1
             gok = set(rows) == set(exact_g) and all(
                 abs(rows[g]["est"] - ex) <= 3 * rows[g]["est_err"] + 2
                 for g, ex in exact_g.items()

@@ -257,6 +257,21 @@ def main() -> None:
                         approx_sql(spark, stmt, catalog=cat, catalog_key=key).collect()
                         best = min(best, time.perf_counter() - t0)
                     lat[key][qn] = round(best, 3)
+            # set operations FROM STATES (round 5): the statement's latency
+            # must not grow with the corpus either — both sides resolve to
+            # the registered sketch sets, zero base-table scan
+            setop_stmt = ("SELECT APPROX_COUNT_DISTINCT(doc_id, 0.02) FROM "
+                          "(SELECT doc_id FROM ta UNION SELECT doc_id FROM tb)")
+            for key, d in (("seq_small", seq_dir), ("seq_big", seq2_dir)):
+                st_tables = {"ta": d, "tb": d}
+                approx_sql(spark, setop_stmt, st_tables, catalog=cat).collect()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    approx_sql(spark, setop_stmt, st_tables, catalog=cat).collect()
+                    best = min(best, time.perf_counter() - t0)
+                lat[key]["setop_union_states"] = round(best, 3)
+            stmts["setop_union_states"] = setop_stmt
             states_flat = {
                 "rows_ratio": round(seq2_rows / seq_rows, 1),
                 "small": lat["seq_small"],

@@ -170,8 +170,19 @@ class SketchCatalog:
                 raise ValueError(f"sketch set {name!r} already exists (use overwrite=True)")
             self.drop(name)
         # files_json None: no lineage for externally built states —
-        # refresh() refuses and points back at re-registration
-        return self._persist_set(name, states, specs, group_by, input_dir, None)
+        # refresh() refuses and points back at re-registration. When a real
+        # input_dir is given, record the sketched columns' types like
+        # create() does (cross-registration merges refuse unknown dtypes);
+        # stream registrations without one stay typeless and simply never
+        # serve cross-table merge routes.
+        dtypes = None
+        if input_dir:
+            try:
+                schema = self.spark.read.parquet(input_dir).schema
+                dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+            except Exception:
+                dtypes = None
+        return self._persist_set(name, states, specs, group_by, input_dir, None, dtypes)
 
     def refresh(self, name: str) -> dict:
         """Incremental maintenance on APPEND — Verdict keeps its scrambles

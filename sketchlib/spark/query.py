@@ -329,6 +329,19 @@ def intersection_estimate(
     return est, rel_bound
 
 
+def _intersection_abs_from_loaded(st, hll_sketch, minhash_sketch, group_a, group_b):
+    """(|A ∩ B| estimate, ABSOLUTE bound, |A| estimate, |A| rse) from an
+    already-loaded state dict — |A| is captured BEFORE the register merge
+    mutates A's sketch, so difference_estimate gets everything in one load
+    (one driver collect) instead of re-collecting the state table."""
+    a = st[(group_a, hll_sketch)]
+    a_est, a_rse = a.estimate()
+    j, se = st[(group_a, minhash_sketch)].jaccard(st[(group_b, minhash_sketch)])
+    union_est, rse = a.merge(st[(group_b, hll_sketch)]).estimate()
+    est = j * union_est
+    return est, est * rse + union_est * se, a_est, a_rse
+
+
 def intersection_abs_estimate(
     states: DataFrame, hll_sketch: str, minhash_sketch: str, group_a: str, group_b: str
 ) -> tuple[float, float]:
@@ -336,12 +349,10 @@ def intersection_abs_estimate(
     — algebraically identical to rel·est for J > 0, but finite as J → 0
     (the relative form is rse + se/J, which is inf at J = 0 and turns
     err = inf·0.0 into NaN for disjoint sides)."""
-    st = load_states(states)
-    j, se = st[(group_a, minhash_sketch)].jaccard(st[(group_b, minhash_sketch)])
-    u = st[(group_a, hll_sketch)].merge(st[(group_b, hll_sketch)])
-    union_est, rse = u.estimate()
-    est = j * union_est
-    return est, est * rse + union_est * se
+    est, err, _, _ = _intersection_abs_from_loaded(
+        load_states(states), hll_sketch, minhash_sketch, group_a, group_b
+    )
+    return est, err
 
 
 def difference_estimate(
@@ -350,10 +361,8 @@ def difference_estimate(
     """|A \\ B| from sketches alone: |A| − |A ∩ B| (intersection via
     J·|A ∪ B|, see intersection_abs_estimate); bound = sum of the parts'
     bounds in absolute terms — finite even for disjoint sides (J = 0)."""
-    st = load_states(states)
-    a_est, a_rse = st[(group_a, hll_sketch)].estimate()
-    inter, inter_err = intersection_abs_estimate(
-        states, hll_sketch, minhash_sketch, group_a, group_b
+    inter, inter_err, a_est, a_rse = _intersection_abs_from_loaded(
+        load_states(states), hll_sketch, minhash_sketch, group_a, group_b
     )
     est = max(0.0, a_est - inter)
     return est, a_rse * a_est + inter_err

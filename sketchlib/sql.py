@@ -1155,7 +1155,7 @@ def explain_sql(
             if picks is None and grouped is not None and op == "union":
                 setop = None  # execution declines too → the rewrite reports below
             elif picks is None and _setop_scan_frames(
-                spark, parsed, grouped, tables
+                spark, parsed, grouped, tables, apply_where=False
             ) is None:
                 # mixed non-numeric side types: execution declines the scan
                 # route to the generic derived-table path — report that
@@ -1207,7 +1207,8 @@ def explain_sql(
             sfn, sargs, ssides, _salias, sgrouped = sroute
             spicks = _resolve_unionall_samples(sfn, ssides, sargs, tables, catalog)
             if spicks is not None and _unionall_sample_frames(
-                spark, spicks, ssides, tables, sgrouped, catalog
+                spark, sfn, spicks, ssides, tables, sgrouped, catalog,
+                apply_where=False,
             ) is not None:
                 emit("statement_kind", "approx_unionall_sample")
                 emit("aggregate", sfn)
@@ -1646,7 +1647,21 @@ def _resolve_setop_states(
     minima and return noise, not J. Any miss or mismatch returns None →
     the one-pass scan route. Shared by execution and EXPLAIN (the same
     fidelity rule as every other route). Returns one
-    {reg, hll_spec, mh_spec} per side, newest registration first.
+    {reg, hll_spec, mh_spec} per side.
+
+    Cross-side compatibility is resolved by SEARCH, not newest-first-then-
+    check: every candidate registration per side is kept, then side 0's
+    candidates (newest first) anchor a signature — (p, MinHash (r, seed)
+    when needed, value hash family, key hash family when grouped) — that
+    the other sides must match; the first complete assignment wins. A
+    newest-only pick would decline statements an OLDER registration could
+    still answer from states — at the design scale that is a corpus scan
+    where a KB state merge sufficed. The kernel hashes by dtype FAMILY
+    (ints as uint64, floats as canonical float64, everything else via
+    siphash of its string/object form), so a merge across a bigint side
+    and a string side would union unrelated hash spaces and return a
+    confidently-bounded wrong answer; registrations without a recorded
+    dtype (pre-dtype rows, stream registrations) are unknowable → skipped.
 
     GROUPED statements pass ``cols`` (per-side value column) and
     ``group_cols`` (per-side group column): a side's registration must then
@@ -1662,7 +1677,7 @@ def _resolve_setop_states(
     if reg_rows is None:
         reg_rows = catalog.list().collect()
     regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
-    out = []
+    cand: list[list] = []  # per side: [(signature, pick)], newest first
     for i, sm in enumerate(sides):
         if sm.group("where"):
             return None  # states were built unfiltered
@@ -1677,7 +1692,7 @@ def _resolve_setop_states(
         if base is None:
             return None
         base_n = _os.path.normpath(base)
-        pick = None
+        side_cand = []
         for reg in regs:
             if _os.path.normpath(reg["input_dir"]) != base_n:
                 continue
@@ -1696,6 +1711,14 @@ def _resolve_setop_states(
                 > req_rse * (1 + 1e-9)
             ):
                 continue
+            vclass = _hash_class(hll.get("dtype"))
+            if vclass is None:
+                continue  # unknowable input type — never merge blind
+            gclass = None
+            if group_cols is not None:
+                gclass = _hash_class(hll.get("group_dtype"))
+                if gclass is None:
+                    continue
             mh = None
             if need_mh:
                 mh = next(
@@ -1704,35 +1727,27 @@ def _resolve_setop_states(
                 )
                 if mh is None:
                     continue
-            pick = {"reg": reg["name"], "hll": hll, "mh": mh}
-            break
-        if pick is None:
+            sig = (
+                float(hll["params"].get("p", 14)),
+                (int(mh["params"].get("r", 128)), int(mh["params"].get("seed", 17)))
+                if need_mh else None,
+                vclass,
+                gclass,
+            )
+            side_cand.append((sig, {"reg": reg["name"], "hll": hll, "mh": mh}))
+        if not side_cand:
             return None
-        out.append(pick)
-    if len({float(p["hll"]["params"].get("p", 14)) for p in out}) > 1:
-        return None  # mixed register widths cannot merge
-    if need_mh and len(
-        {(int(p["mh"]["params"].get("r", 128)), int(p["mh"]["params"].get("seed", 17)))
-         for p in out}
-    ) > 1:
-        return None  # mixed permutations cannot Jaccard
-    # the kernel hashes by dtype FAMILY (ints as uint64, floats as canonical
-    # float64, everything else via siphash of its string/object form), so a
-    # cross-registration merge is only meaningful when every side's column
-    # sits in ONE family — a bigint side against a string side would union
-    # unrelated hash spaces and return a confidently-bounded wrong answer.
-    # A registration without a recorded dtype (pre-dtype rows, stream
-    # registrations) is unknowable → decline; the scan route is always safe.
-    vclasses = {_hash_class(p["hll"].get("dtype")) for p in out}
-    if None in vclasses or len(vclasses) > 1:
-        return None
-    if group_cols is not None:
-        # grouped alignment compares the kernel's STRING canonicalization of
-        # the key across sides ('5' vs '5.0' would silently never align)
-        gclasses = {_hash_class(p["hll"].get("group_dtype")) for p in out}
-        if None in gclasses or len(gclasses) > 1:
-            return None
-    return out
+        cand.append(side_cand)
+    for sig0, pick0 in cand[0]:
+        out = [pick0]
+        for side_cand in cand[1:]:
+            match = next((p for s, p in side_cand if s == sig0), None)
+            if match is None:
+                break
+            out.append(match)
+        else:
+            return out
+    return None
 
 
 def _setop_from_states(spark, op, picks, catalog, out_name) -> DataFrame:
@@ -1783,16 +1798,33 @@ def _setop_from_states(spark, op, picks, catalog, out_name) -> DataFrame:
     )
 
 
+def _widen_dtypes(dtypes) -> str | None:
+    """The Spark type a mixed-family group of recorded dtypes widens to —
+    the SAME widening the scan route's union applies, so a states answer and
+    a scan answer for one statement share a schema. Equal dtypes pass
+    through; mixed ints → bigint; mixed numerics → double; None unknown."""
+    ds = set(dtypes)
+    if None in ds:
+        return None
+    if len(ds) == 1:
+        return ds.pop()
+    if ds <= _HASH_INT:
+        return "bigint"
+    if ds <= _SETOP_NUMERIC:
+        return "double"
+    return None
+
+
 def _grouped_setop_from_states(spark, op, picks, catalog, gname, out_name) -> DataFrame:
     """Grouped set operation from registered states (see
     _resolve_setop_states): each side's registration is grouped by its key
     column, so its state rows line up one-to-one with the statement's
     groups — per-group merges reuse _setop_group_row (same presence
     semantics and bounds as the scan route). Zero base-table scan. States
-    canonicalize group keys to strings, so the key column is returned as
-    STRING here (the scan route, which sees the side frames, restores the
-    native type); driver-side merge — source-level group counts, the
-    regime registered sketch sets serve."""
+    canonicalize group keys to strings; the key column is CAST back to the
+    registrations' recorded (widened) key type, so the result schema
+    matches the scan route's for the same statement; driver-side merge —
+    source-level group counts, the regime registered sketch sets serve."""
     from sketchlib.spark.query import _setop_group_row, load_states
 
     tags = [f"s{i}" for i in range(len(picks))]
@@ -1819,9 +1851,15 @@ def _grouped_setop_from_states(spark, op, picks, catalog, gname, out_name) -> Da
             # '__null__' is the build kernel's NULL placeholder — emit a real
             # NULL, as the scan route does (only the native TYPE is lost here)
             rows.append((None if g == "__null__" else g, float(row[0]), float(row[1])))
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows or [], f"{gname} string, {out_name} double, {out_name}_err double"
     )
+    gtype = _widen_dtypes(p["hll"].get("group_dtype") for p in picks)
+    if gtype is not None and gtype != "string":
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(gname, F.col(gname).cast(gtype))
+    return out
 
 
 def _setop_side_idents(sides, grouped):
@@ -1861,19 +1899,22 @@ def _hash_class(dtype: str | None) -> str | None:
     return dtype
 
 
-def _setop_scan_frames(spark, sides, grouped, tables):
+def _setop_scan_frames(spark, sides, grouped, tables, apply_where=True):
     """Per-side (_v[, _g]) projections for the sketch-merge SCAN route, or
     None when the sides' projected types are neither identical nor all in
     the numeric family (where the union's widening is lossless and matches
     Spark SQL's set-operation coercion). Schema-only — no job runs — so
-    EXPLAIN shares this gate and cannot claim a route execution declines.
-    Mixed non-numeric sides decline rather than raise: the generic
-    derived-table path materializes the set operation through spark.sql,
-    whose own coercion rules then own the semantics."""
+    EXPLAIN shares this gate and cannot claim a route execution declines;
+    EXPLAIN passes apply_where=False (predicates don't change the inspected
+    schema, and subquery predicates would register temp views — a side
+    effect EXPLAIN's contract forbids). Mixed non-numeric sides decline
+    rather than raise: the generic derived-table path materializes the set
+    operation through spark.sql, whose own coercion rules then own the
+    semantics."""
     frames = []
     for sm in sides:
         df = _resolve_table(spark, sm.group("table"), tables)
-        if sm.group("where"):
+        if apply_where and sm.group("where"):
             df = _apply_where(spark, df, sm.group("where"), tables, sm.group("table"))
         items = _split_args(sm.group("col"))
         if grouped is None:
@@ -1900,12 +1941,29 @@ _MERGE_HEAD = re.compile(
 _MERGE_KINDS = {"APPROX_PERCENTILE": ("kll", "tdigest"), "APPROX_TOPK": ("cm",)}
 
 
+# SQL aggregate/window markers inside a side's projection: such a side is
+# NOT a per-row function of the base rows, so it does not commute with row
+# sampling (count(*) over a 20%-scramble is 20% of the truth, and HT would
+# scale it right back up to nonsense) and is not what persisted per-row
+# artifacts represent. Per-row expressions (x*2, upper(s), ...) are fine.
+_SIDE_AGG_FN = re.compile(
+    r"\b(count|sum|avg|mean|min|max|approx_count_distinct|count_if|any_value|"
+    r"first|first_value|last|last_value|collect_list|collect_set|percentile|"
+    r"percentile_approx|median|mode|stddev|stddev_pop|stddev_samp|variance|"
+    r"var_pop|var_samp|corr|covar_pop|covar_samp|skewness|kurtosis|"
+    r"bool_and|bool_or|bit_and|bit_or|bit_xor|grouping|array_agg|listagg|"
+    r"hll_sketch_agg|approx_percentile)\s*\(|\bover\s*\(",
+    re.IGNORECASE,
+)
+
+
 def _unionall_sides(inner: str, n_items: int):
     """Depth-0 UNION ALL split of a derived-table body into _SETOP_SIDE
     matches projecting exactly ``n_items`` items. None when any depth-0
     operator is NOT ``UNION ALL`` (a distinct UNION / INTERSECT / EXCEPT is
-    a different bag), any side is SELECT DISTINCT (same reason), or a side
-    is not a bare projection."""
+    a different bag), any side is SELECT DISTINCT (same reason), a side's
+    projection contains an aggregate/window function (not a per-row value —
+    see _SIDE_AGG_FN), or a side is not a bare projection."""
     masked = _mask_literals(inner)
     depth, cuts = 0, []
     for m in _SETOP_TOKENS.finditer(masked):
@@ -1933,6 +1991,9 @@ def _unionall_sides(inner: str, n_items: int):
         sm = _SETOP_SIDE.match(s)
         if sm is None or len(_split_args(sm.group("col"))) != n_items:
             return None
+        masked_col = _mask_literals(sm.group("col"))
+        if _SIDE_AGG_FN.search(masked_col) or _AGG.search(masked_col):
+            return None  # aggregate/window/APPROX projection — not per-row
         parsed.append(sm)
     return parsed
 
@@ -2008,7 +2069,7 @@ def _resolve_merge_states(
     if reg_rows is None:
         reg_rows = catalog.list().collect()
     regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
-    out = []
+    cand: list[list] = []  # per side: [(kind, params_json, vclass, gclass, pick)]
     for i, sm in enumerate(sides):
         if sm.group("where"):
             return None  # states were built unfiltered
@@ -2023,7 +2084,7 @@ def _resolve_merge_states(
         if base is None:
             return None
         base_n = _os.path.normpath(base)
-        pick = None
+        side_cand = []
         for reg in regs:
             if _os.path.normpath(reg["input_dir"]) != base_n:
                 continue
@@ -2032,32 +2093,52 @@ def _resolve_merge_states(
             ):
                 continue
             specs = _json.loads(reg["specs_json"])
-            sp = next(
-                (s for s in specs if s["kind"] in kinds and s["column"] == col), None
+            for sp in specs:
+                if sp["kind"] not in kinds or sp["column"] != col:
+                    continue
+                vclass = _hash_class(sp.get("dtype"))
+                if vclass is None:
+                    continue  # unknowable input type — never merge blind
+                gclass = None
+                if group_cols is not None:
+                    gclass = _hash_class(sp.get("group_dtype"))
+                    if gclass is None:
+                        continue
+                side_cand.append((
+                    sp["kind"],
+                    _json.dumps(sp["params"], sort_keys=True),
+                    vclass,
+                    gclass,
+                    {"reg": reg["name"], "spec": sp},
+                ))
+        if not side_cand:
+            return None
+        cand.append(side_cand)
+
+    def _vcompat(kind, a, b):
+        # CM hashes values — families must match exactly; KLL/t-digest store
+        # VALUES, and numerics are mutually comparable, so int/float mix
+        if a == b:
+            return True
+        return kind in ("kll", "tdigest") and {a, b} <= {"int", "float"}
+
+    # search: side 0's candidates (newest first) anchor the signature; a
+    # newest-only pick would miss an OLDER registration that still merges
+    for kind0, params0, vclass0, gclass0, pick0 in cand[0]:
+        out = [pick0]
+        for side_cand in cand[1:]:
+            match = next(
+                (p for k, pr, vc, gc, p in side_cand
+                 if k == kind0 and pr == params0 and _vcompat(kind0, vclass0, vc)
+                 and gc == gclass0),
+                None,
             )
-            if sp is None:
-                continue
-            pick = {"reg": reg["name"], "spec": sp}
-            break
-        if pick is None:
-            return None
-        out.append(pick)
-    if len({p["spec"]["kind"] for p in out}) > 1:
-        return None  # kll states cannot merge with tdigest states
-    if len({_json.dumps(p["spec"]["params"], sort_keys=True) for p in out}) > 1:
-        return None  # merge needs identical sketch parameters
-    classes = {_hash_class(p["spec"].get("dtype")) for p in out}
-    if None in classes:
-        return None
-    if len(classes) > 1 and not (
-        out[0]["spec"]["kind"] in ("kll", "tdigest") and classes <= {"int", "float"}
-    ):
-        return None
-    if group_cols is not None:
-        g = {_hash_class(p["spec"].get("group_dtype")) for p in out}
-        if None in g or len(g) > 1:
-            return None
-    return out
+            if match is None:
+                break
+            out.append(match)
+        else:
+            return out
+    return None
 
 
 def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> DataFrame:
@@ -2191,25 +2272,34 @@ def _resolve_unionall_samples(fn, sides, args, tables, catalog, sample_rows=None
     return picks
 
 
-def _unionall_sample_frames(spark, picks, sides, tables, grouped, catalog):
+def _unionall_sample_frames(
+    spark, fn, picks, sides, tables, grouped, catalog, apply_where=True
+):
     """Per-side (_v[, _g]) projections of the picked SAMPLE tables, with the
     side-local WHERE applied to the sample rows and the same numeric-family
-    type gate as _setop_scan_frames. Schema-only (no job) — shared by
-    execution and EXPLAIN so the reported route cannot diverge."""
+    type gate as _setop_scan_frames. APPROX_COUNT never reads the value, so
+    its _v is the literal 1.0 (row marker) and the sides' value types — even
+    mixed non-numeric ones — cannot decline the route. Schema-only (no job);
+    shared by execution and EXPLAIN so the reported route cannot diverge —
+    EXPLAIN passes apply_where=False: predicates don't change the schema the
+    gate inspects, and subquery predicates would otherwise register temp
+    views (a side effect EXPLAIN's contract forbids)."""
     frames = []
     for p, sm in zip(picks, sides):
         s = catalog.sample(p["name"])
-        if sm.group("where"):
+        if apply_where and sm.group("where"):
             s = _apply_where(spark, s, sm.group("where"), tables, sm.group("table"))
         items = _split_args(sm.group("col"))
         if grouped is None:
-            sel = [f"({_side_out_name(items[0])[0]}) AS _v"]
+            vexpr = _side_out_name(items[0])[0]
         else:
             _, pos_v, pos_g = grouped
-            sel = [
-                f"({_side_out_name(items[pos_v])[0]}) AS _v",
-                f"({_side_out_name(items[pos_g])[0]}) AS _g",
-            ]
+            vexpr = _side_out_name(items[pos_v])[0]
+        if fn == "APPROX_COUNT":
+            vexpr = "CAST(1.0 AS DOUBLE)"
+        sel = [f"({vexpr}) AS _v"]
+        if grouped is not None:
+            sel.append(f"({_side_out_name(items[grouped[2]])[0]}) AS _g")
         frames.append(s.selectExpr(*sel))
     for c in ["_v"] + (["_g"] if grouped else []):
         types = {f.schema[c].dataType.simpleString() for f in frames}
@@ -2233,17 +2323,14 @@ def _unionall_from_samples(
 
     from sketchlib.spark.sampling import approx_agg_from_uniform_sample
 
-    frames = _unionall_sample_frames(spark, picks, sides, tables, grouped, catalog)
+    frames = _unionall_sample_frames(spark, fn, picks, sides, tables, grouped, catalog)
     if frames is None:
         return None
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)
-    col = "_v"
-    if fn == "APPROX_COUNT":
-        allf, col = allf.withColumn("_one", F.lit(1.0)), "_one"
     out = approx_agg_from_uniform_sample(
-        allf, "_g" if grouped else None, col, picks[0]["ratio"]
+        allf, "_g" if grouped else None, "_v", picks[0]["ratio"]
     )
     keep = {
         "APPROX_COUNT": ["est_count", "count_err"],

@@ -1273,7 +1273,9 @@ def test_grouped_setop_from_persisted_states(spark, tmp_path):
         rows = {r["g"]: r for r in approx_sql(spark, q, t, catalog=cat).collect()}
         exact = {}
         for k in sel:
-            exact[str(k % 3)] = exact.get(str(k % 3), 0) + 1
+            exact[int(k % 3)] = exact.get(int(k % 3), 0) + 1
+        # the key column comes back in its recorded native type (bigint),
+        # matching the scan route's schema for the same statement
         assert set(rows) == set(exact), op
         for g, ex in exact.items():
             assert abs(rows[g]["d"] - ex) <= 3 * rows[g]["d_err"] + 2, (op, g)
@@ -1808,3 +1810,153 @@ def test_unionall_sample_alias(spark, sample_ua_setup):
          "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
     r = approx_sql(spark, q, t, catalog=cat).collect()[0]
     assert set(r.asDict()) == {"total", "total_err"}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review pass 4: route guards, backtracking resolution, EXPLAIN purity
+# ---------------------------------------------------------------------------
+
+
+def test_unionall_sample_route_rejects_aggregate_sides(spark, sample_ua_setup):
+    """A side projecting count(*) is NOT a per-row value — transplanting it
+    onto the sample would HT-scale a collapsed row to nonsense. The route
+    declines; the generic path answers the 2-row derived table."""
+    t, cat, a, b = sample_ua_setup
+    q = ("SELECT APPROX_COUNT(0.2) FROM "
+         "(SELECT count(*) AS c FROM ta UNION ALL SELECT count(*) AS c FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") != "approx_unionall_sample"
+    # bases were deleted by the fixture, so the generic path raising on the
+    # missing table is the CORRECT behavior here — what must never happen
+    # is a silent 1/p-scaled answer from the samples
+    with pytest.raises(Exception):
+        approx_sql(spark, q, t, catalog=cat).collect()
+
+
+def test_unionall_count_ignores_value_type_mix(spark, tmp_path):
+    """APPROX_COUNT never reads the value column — sides projecting a string
+    against a bigint must still answer from the samples."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(71)
+    a = pd.DataFrame({"v": [f"s{i}" for i in range(20000)],
+                      "g": rng.integers(0, 3, 20000).astype("int64")})
+    b = pd.DataFrame({"v": np.arange(15000, dtype="int64"),
+                      "g": rng.integers(0, 3, 15000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("ca", pa_, kind="uniform", ratio=0.4)
+    cat.create_sample("cb", pb, kind="uniform", ratio=0.4)
+    t = {"ta": pa_, "tb": pb}
+    q = ("SELECT APPROX_COUNT(0.3) FROM "
+         "(SELECT v, g FROM ta UNION ALL SELECT v, g FROM tb) GROUP BY g")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_sample"
+    both = pd.concat([a[["g"]], b[["g"]]])
+    rows = {int(r["g"]): r for r in approx_sql(spark, q, t, catalog=cat).collect()}
+    for g, n in both.groupby("g").size().items():
+        assert abs(rows[int(g)]["est_count"] - n) <= WIDE * rows[int(g)]["count_err"]
+
+
+def test_merge_states_backtracks_past_newest_registration(spark, tmp_path):
+    """Side A's NEWEST kll registration (k=400) cannot merge with side B's
+    only one (k=200) — the resolver must fall back to A's OLDER k=200
+    registration instead of declining the zero-scan route."""
+    import shutil
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(73)
+    a = pd.DataFrame({"val": rng.integers(0, 3000, 12000).astype("int64")})
+    b = pd.DataFrame({"val": rng.integers(1000, 4000, 12000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("a_old", pa_, [SketchSpec("k_val", "kll", "val", {"k": 200})], group_by=None)
+    cat.create("a_new", pa_, [SketchSpec("k_val", "kll", "val", {"k": 400})], group_by=None)
+    cat.create("b_only", pb, [SketchSpec("k_val", "kll", "val", {"k": 200})], group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    q = ("SELECT APPROX_PERCENTILE(val, 0.5) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_merge"
+    assert props.get("artifacts") == "a_old, b_only"
+    both = pd.concat([a, b]).val
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    rank_of = (both <= r["value"]).sum() / len(both)
+    assert abs(rank_of - 0.5) <= r["rank_err_bound"] + 2.0 / len(both)
+
+
+def test_setop_states_backtrack_past_incompatible_newest(spark, tmp_path):
+    """Same for set-ops: A's newest HLL (p mismatch vs B) must not kill the
+    states route when an older compatible registration exists."""
+    import shutil
+
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(79)
+    a = pd.DataFrame({"k": rng.integers(0, 2500, 15000).astype("int64")})
+    b = pd.DataFrame({"k": rng.integers(1000, 3500, 15000).astype("int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    specs14 = [SketchSpec("h_k", "hll", "k", {"p": 14})]
+    specs12 = [SketchSpec("h_k", "hll", "k", {"p": 12})]
+    cat.create("sa_old", pa_, specs14, group_by=None)
+    cat.create("sa_new", pa_, specs12, group_by=None)
+    cat.create("sb", pb, specs14, group_by=None)
+    t = {"ta": pa_, "tb": pb}
+    shutil.rmtree(pa_)
+    shutil.rmtree(pb)
+    exact = len(set(a.k) | set(b.k))
+    q = ("SELECT APPROX_COUNT_DISTINCT(k, 0.01) AS d FROM "
+         "(SELECT k FROM ta UNION SELECT k FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert "PERSISTED STATES" in props["route"]
+    assert props.get("artifacts") == "sa_old, sb"
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    assert abs(r["d"] - exact) <= 3 * r["d_err"] + 2
+
+
+def test_explain_does_not_rebind_user_temp_views(spark, tmp_path):
+    """EXPLAIN's route decision must not register/overwrite temp views: the
+    frame gates skip WHERE (predicates don't change schemas), so a user's
+    same-named session view survives an EXPLAIN whose tables dict binds the
+    name elsewhere."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(83)
+    a = pd.DataFrame({"val": rng.uniform(0, 10, 8000).round(3),
+                      "k": rng.integers(0, 100, 8000).astype("int64")})
+    b = pd.DataFrame({"val": rng.uniform(0, 10, 8000).round(3),
+                      "k": rng.integers(0, 100, 8000).astype("int64")})
+    dim = pd.DataFrame({"k": np.arange(50, dtype="int64")})
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    pdim = str(tmp_path / "dim")
+    spark.createDataFrame(a).write.parquet(pa_)
+    spark.createDataFrame(b).write.parquet(pb)
+    spark.createDataFrame(dim).write.parquet(pdim)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create_sample("ea", pa_, kind="uniform", ratio=0.5)
+    cat.create_sample("eb", pb, kind="uniform", ratio=0.5)
+    # the user's session view named 'dim' holds DIFFERENT data
+    spark.createDataFrame(pd.DataFrame({"k": [999]})).createOrReplaceTempView("dim")
+    try:
+        t = {"ta": pa_, "tb": pb, "dim": pdim}
+        q = ("SELECT APPROX_SUM(val, 0.4) FROM "
+             "(SELECT val FROM ta WHERE k IN (SELECT k FROM dim) UNION ALL "
+             "SELECT val FROM tb WHERE k IN (SELECT k FROM dim))")
+        props = _props(spark, q, t, catalog=cat)
+        assert props.get("statement_kind") == "approx_unionall_sample"
+        # the session view is untouched by the EXPLAIN
+        assert [r["k"] for r in spark.table("dim").collect()] == [999]
+    finally:
+        spark.catalog.dropTempView("dim")
