@@ -1321,6 +1321,89 @@ def q_b40_unionall_sample_route(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_b41_moments_aggregates(spark, sf_dir):
+    """Round 5: APPROX_VARIANCE / APPROX_STDDEV — second-moment aggregates
+    from uniform samples (Verdict's A10 family extended to dispersion).
+    The sample variance s² from a Bernoulli(p) scramble is a consistent
+    estimator of the table's variance (ratio-type statistic, no 1/p
+    scale-up); its CI uses the CLT variance of a sample variance,
+    Var(s²) ≈ (μ₄ − σ⁴)/n (fourth central moment estimated from the same
+    single scan), with the (1−p) finite-population factor; stddev goes
+    through the first-order delta method. Checks (all ~3.3σ): global
+    on-the-fly variance, grouped stddev SERVED FROM a persisted scramble
+    (EXPLAIN confirming the sample route), and a multi-aggregate statement
+    where SUM and VARIANCE share one sample aggregation."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    tabs = {"lineitem": f"{sf_dir}/lineitem.parquet"}
+    li = _t(spark, sf_dir, "lineitem")
+    wide = 3.29 / 1.96
+    out = []
+
+    exact_var = li.agg(F.var_samp("l_extendedprice")).collect()[0][0]
+    r1 = approx_sql(
+        spark, "SELECT APPROX_VARIANCE(l_extendedprice, 0.5) FROM lineitem", tabs
+    ).collect()[0]
+    out.append(
+        ("variance_global", bool(abs(r1["est_variance"] - exact_var) <= wide * r1["variance_err"]))
+    )
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b41_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE li_mom FROM {tabs['lineitem']} KIND uniform RATIO 0.5 SEED 11",
+            catalog=cat,
+        ).collect()
+        stmt = (
+            "SELECT APPROX_STDDEV(l_extendedprice, 0.5) FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + stmt, tabs, catalog=cat).collect()
+        }
+        routed = props.get("route", "").startswith("persisted_sample") and (
+            props.get("artifact") == "li_mom"
+        )
+        exact_sd = {
+            r["l_returnflag"]: r["sd"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.stddev_samp("l_extendedprice").alias("sd"))
+            .collect()
+        }
+        rows = {r["l_returnflag"]: r for r in approx_sql(spark, stmt, tabs, catalog=cat).collect()}
+        ok = set(rows) == set(exact_sd) and all(
+            abs(rows[g]["est_stddev"] - exact_sd[g]) <= wide * rows[g]["stddev_err"]
+            for g in rows
+        )
+        out.append(("stddev_grouped_from_sample", bool(ok and routed)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    exact_sum = li.agg(F.sum("l_extendedprice")).collect()[0][0]
+    r3 = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(l_extendedprice, 0.5), "
+        "APPROX_VARIANCE(l_extendedprice, 0.5) FROM lineitem",
+        tabs,
+    ).collect()[0]
+    ok3 = (
+        abs(r3["approx_sum_l_extendedprice"] - exact_sum)
+        <= wide * r3["approx_sum_l_extendedprice_err"]
+    ) and (
+        abs(r3["approx_variance_l_extendedprice"] - exact_var)
+        <= wide * r3["approx_variance_l_extendedprice_err"]
+    )
+    out.append(("sum_variance_multi_agg", bool(ok3)))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2443,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b38_setop_from_states": _dist_wrapped(q_b38_setop_from_states),
         "b39_unionall_merge_states": _dist_wrapped(q_b39_unionall_merge_states),
         "b40_unionall_sample_route": _dist_wrapped(q_b40_unionall_sample_route),
+        "b41_moments_aggregates": _dist_wrapped(q_b41_moments_aggregates),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2636,6 +2720,13 @@ def oracle_sql() -> dict[str, str]:
               ('count_grouped', TRUE, TRUE),
               ('sum_where_sides', TRUE, TRUE)
             ) AS t(chk, within_bound, sample_routed)
+        """,
+        "b41_moments_aggregates": """
+            SELECT * FROM (VALUES
+              ('variance_global', TRUE),
+              ('stddev_grouped_from_sample', TRUE),
+              ('sum_variance_multi_agg', TRUE)
+            ) AS t(chk, within_bound)
         """,
         "b27_auto_routed_sql": """
             SELECT 'route_states' AS check, TRUE AS ok

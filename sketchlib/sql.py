@@ -29,6 +29,8 @@ Supported aggregates:
     APPROX_TOPK(col, k [, eps=1e-4])             → Count-Min  (Q3)
     APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
     APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
+    APPROX_VARIANCE(col, ratio) / APPROX_STDDEV(col, ratio)
+                                                 → uniform sample + delta-method CI
 
 FROM accepts a registered temp view name, a parquet path, or a name found in
 the optional ``tables`` dict. If a ``SketchCatalog`` is passed and holds
@@ -999,7 +1001,7 @@ def _resolve_key(
     req_rse = _num(args[1]) if fn == "APPROX_COUNT_DISTINCT" and len(args) > 1 else None
     if fn == "APPROX_COUNT" and args:
         req_ratio = _num(args[0])
-    elif fn in ("APPROX_SUM", "APPROX_AVG") and len(args) > 1:
+    elif fn in ("APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV") and len(args) > 1:
         req_ratio = _num(args[1])
     else:
         req_ratio = None
@@ -1043,6 +1045,13 @@ def _resolve_key(
             if k == "uniform":
                 return req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12
             return k == "stratified" and (group is None or group == r["on_col"])
+        if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+            # uniform only: the moment estimators assume ONE shared inclusion
+            # probability; a stratified scramble's mixed fractions would bias
+            # the pooled second/fourth moments
+            return k == "uniform" and (
+                req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12
+            )
         if fn == "APPROX_COUNT_DISTINCT":
             return k == "universe" and r["on_col"] == col and req_rse is None
         if fn == "APPROX_PERCENTILE":
@@ -2515,7 +2524,10 @@ def _multi_agg_routed(
     Output columns match ``_multi_agg`` (``<fn>_<col>`` + ``_err``); group
     key columns come back STRING-typed (the states-schema convention — the
     base table is never read, so native types are unknown here)."""
-    scalar = {"APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"}
+    scalar = {
+        "APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+        "APPROX_VARIANCE", "APPROX_STDDEV",
+    }
     if any(fn not in scalar for fn, _ in aggs):
         return None
     reg_rows = catalog.list().collect()  # registries collected ONCE per statement
@@ -2577,6 +2589,10 @@ def _multi_agg_routed(
             est, err = F.col("est_count"), F.col("count_err")
         elif fn == "APPROX_SUM":
             est, err = F.col("est_sum"), F.col("sum_err")
+        elif fn == "APPROX_VARIANCE":
+            est, err = F.col("est_variance"), F.col("variance_err")
+        elif fn == "APPROX_STDDEV":
+            est, err = F.col("est_stddev"), F.col("stddev_err")
         else:
             est, err = F.col("est_avg"), F.col("avg_err")
         sel = [est.alias(out_name), err.alias(f"{out_name}_err")]
@@ -2615,7 +2631,10 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     """
     from pyspark.sql import functions as F
 
-    scalar = {"APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"}
+    scalar = {
+        "APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+        "APPROX_VARIANCE", "APPROX_STDDEV",
+    }
     bad = [f for f, _ in aggs if f not in scalar]
     if bad:
         raise ValueError(
@@ -2685,13 +2704,18 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
         from sketchlib.spark.sampling import approx_agg_uniform
 
         base = df.withColumn("_one", F.lit(1.0)) if value_col == "_one" else df
-        est = approx_agg_uniform(base, gkey, value_col, ratio)
+        # one kernel frame per (ratio, column) slot; the higher power sums
+        # are added to the shared scan only when a moment aggregate needs them
+        moments = any(fn in ("APPROX_VARIANCE", "APPROX_STDDEV") for fn, _ in slots)
+        est = approx_agg_uniform(base, gkey, value_col, ratio, moments=moments)
         cols = [F.col(gkey).alias("group")] if gkey else []
         for fn, out_name in slots:
             nm = _final_name(out_name)
             src = {"APPROX_COUNT": ("est_count", "count_err"),
                    "APPROX_SUM": ("est_sum", "sum_err"),
-                   "APPROX_AVG": ("est_avg", "avg_err")}[fn]
+                   "APPROX_AVG": ("est_avg", "avg_err"),
+                   "APPROX_VARIANCE": ("est_variance", "variance_err"),
+                   "APPROX_STDDEV": ("est_stddev", "stddev_err")}[fn]
             cols += [F.col(src[0]).alias(nm), F.col(src[1]).alias(f"{nm}_err")]
         outs.append(est.select(*cols))
 
@@ -2850,6 +2874,8 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
             "APPROX_COUNT": ("est_count", "count_err"),
             "APPROX_SUM": ("est_sum", "sum_err"),
             "APPROX_AVG": ("est_avg", "avg_err"),
+            "APPROX_VARIANCE": ("est_variance", "variance_err"),
+            "APPROX_STDDEV": ("est_stddev", "stddev_err"),
             "APPROX_TOPK": ("est_count", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
         }.get(fn)
@@ -3264,6 +3290,29 @@ def approx_sql(
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
                 return out.select(*([group] if group else []), *keep)
+            if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+                if meta["kind"] != "uniform":
+                    raise ValueError(
+                        f"{fn} needs a UNIFORM sample (one shared inclusion "
+                        f"probability — mixed stratified fractions would bias the "
+                        f"pooled moments); {catalog_key!r} is {meta['kind']}"
+                    )
+                from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+                s, col = _materialize_expr(s, args[0])
+                keep = {
+                    "APPROX_VARIANCE": ["est_variance", "variance_err"],
+                    "APPROX_STDDEV": ["est_stddev", "stddev_err"],
+                }[fn]
+                if isinstance(group, (list, tuple)):
+                    s, gcol = _with_gkey(s, group)
+                    out = approx_agg_from_uniform_sample(
+                        s, gcol, col, meta["ratio"], moments=True
+                    )
+                    out = out.withColumnRenamed(gcol, "group").select("group", *keep)
+                    return _finish_grouped(out, s, group)
+                out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"], moments=True)
+                return out.select(*([group] if group else []), *keep)
             if fn == "APPROX_COUNT_DISTINCT":
                 col = args[0]
                 if meta["kind"] != "universe" or meta["on_col"] != col:
@@ -3392,9 +3441,10 @@ def approx_sql(
         out = quantiles_df(spark, states, "_q", qs)
         return _finish_grouped(out, df, group)
 
-    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
+    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV"):
         from sketchlib.spark.sampling import approx_agg_uniform
 
+        moments = fn in ("APPROX_VARIANCE", "APPROX_STDDEV")
         if fn == "APPROX_COUNT":
             col, ratio = None, float(args[0])
         else:
@@ -3409,6 +3459,8 @@ def approx_sql(
             "APPROX_COUNT": ["est_count", "count_err"],
             "APPROX_SUM": ["est_sum", "sum_err"],
             "APPROX_AVG": ["est_avg", "avg_err"],
+            "APPROX_VARIANCE": ["est_variance", "variance_err"],
+            "APPROX_STDDEV": ["est_stddev", "stddev_err"],
         }[fn]
         if isinstance(group, (list, tuple)):
             # composite key: aggregate on the kernel's joined string, then
@@ -3416,10 +3468,10 @@ def approx_sql(
             from sketchlib.spark.build import group_key_expr
 
             df = df.withColumn("_gkey", group_key_expr(list(group)))
-            out = approx_agg_uniform(df, "_gkey", col, ratio)
+            out = approx_agg_uniform(df, "_gkey", col, ratio, moments=moments)
             out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
             return _finish_grouped(out, df, group)
-        out = approx_agg_uniform(df, group, col, ratio)
+        out = approx_agg_uniform(df, group, col, ratio, moments=moments)
         return out.select(*([group] if group else []), *keep)
 
     raise ValueError(f"unknown approximate aggregate {fn!r}")

@@ -190,3 +190,56 @@ def test_mixture_sample(spark, seq_tiny_dir):
     # a 'books'-heavy ask beyond inventory gets capped and flagged
     _, rep2 = mixture_sample(df, {"books": 0.9, "web": 0.1}, int(total * 0.9), seed=11)
     assert {r["source"]: r["capped"] for r in rep2.collect()}["books"] is True
+
+
+def test_approx_moments_within_ci(spark, li):
+    """APPROX_VARIANCE/STDDEV kernel (moments=True): per-group estimates of
+    the table's variance/stddev fall within the delta-method CI, and the
+    relative error is small at p=0.5 over ~20k-row groups."""
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.var_samp("l_extendedprice").alias("v"), F.stddev_samp("l_extendedprice").alias("sd"))
+        .collect()
+    }
+    approx = approx_agg_uniform(
+        li, "l_returnflag", "l_extendedprice", 0.5, seed=7, z=Z_TEST, moments=True
+    ).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r["l_returnflag"]]
+        assert abs(r["est_variance"] - e["v"]) <= r["variance_err"], (r, e["v"])
+        assert abs(r["est_stddev"] - e["sd"]) <= r["stddev_err"], (r, e["sd"])
+        assert r["variance_err"] / e["v"] < 0.1
+        assert r["stddev_err"] / e["sd"] < 0.05
+
+
+def test_approx_moments_full_ratio_is_exact(spark, li):
+    """At p=1.0 the sample IS the table: est_variance equals var_samp and
+    the (1-p) finite-population factor zeroes both error bounds."""
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+    exact = li.agg(F.var_samp("l_extendedprice")).collect()[0][0]
+    r = approx_agg_from_uniform_sample(li, None, "l_extendedprice", 1.0, moments=True).collect()[0]
+    assert r["est_variance"] == pytest.approx(exact, rel=1e-9)
+    assert r["variance_err"] == pytest.approx(0.0, abs=1e-6)
+    assert r["est_stddev"] == pytest.approx(exact ** 0.5, rel=1e-9)
+
+
+def test_approx_moments_degenerate_groups(spark):
+    """n=1 groups carry no dispersion information (NULL variance/bounds);
+    a constant column has variance 0 and a NULL stddev_err (the delta
+    linearization through sqrt is undefined at 0)."""
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+
+    df = spark.createDataFrame(
+        [("solo", 3.0)] + [("const", 5.0)] * 50, "g string, v double"
+    )
+    rows = {
+        r["g"]: r
+        for r in approx_agg_from_uniform_sample(df, "g", "v", 1.0, moments=True).collect()
+    }
+    assert rows["solo"]["est_variance"] is None
+    assert rows["solo"]["variance_err"] is None
+    assert rows["const"]["est_variance"] == pytest.approx(0.0, abs=1e-12)
+    assert rows["const"]["stddev_err"] is None

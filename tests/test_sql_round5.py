@@ -1960,3 +1960,115 @@ def test_explain_does_not_rebind_user_temp_views(spark, tmp_path):
         assert [r["k"] for r in spark.table("dim").collect()] == [999]
     finally:
         spark.catalog.dropTempView("dim")
+
+
+# ---------------------------------------------------------------------------
+# APPROX_VARIANCE / APPROX_STDDEV — sample-served moment aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_variance_statement_on_the_fly(spark, sub_tables):
+    """SELECT APPROX_VARIANCE/STDDEV(col, ratio): delta-method CI covers the
+    exact population variance/stddev; aliases rename est + bound."""
+    t, fact, _ = sub_tables
+    v = approx_sql(spark, "SELECT APPROX_VARIANCE(val, 0.5) FROM fact", t).collect()[0]
+    exact_var = float(fact["val"].var(ddof=1))
+    assert abs(v["est_variance"] - exact_var) <= v["variance_err"] * WIDE
+    sd = approx_sql(spark, "SELECT APPROX_STDDEV(val, 0.5) AS sd FROM fact", t).collect()[0]
+    assert set(sd.asDict()) == {"sd", "sd_err"}
+    assert abs(sd["sd"] - exact_var ** 0.5) <= sd["sd_err"] * WIDE
+
+
+def test_variance_served_from_persisted_sample(spark, sub_tables, tmp_path):
+    """The A5 move for moments: a registered uniform scramble serves
+    APPROX_VARIANCE (EXPLAIN names it; WHERE commutes with the sampling)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE f_u FROM fact KIND uniform RATIO 0.5 SEED 3", t, cat).collect()
+
+    props = dict(
+        approx_sql(
+            spark, "EXPLAIN SELECT APPROX_VARIANCE(val, 0.5) FROM fact", t, cat
+        ).collect()
+    )
+    assert props["route"].startswith("persisted_sample (uniform")
+    assert props["artifact"] == "f_u"
+
+    v = approx_sql(spark, "SELECT APPROX_VARIANCE(val, 0.5) FROM fact", t, cat).collect()[0]
+    assert abs(v["est_variance"] - float(fact["val"].var(ddof=1))) <= v["variance_err"] * WIDE
+
+    w = approx_sql(
+        spark, "SELECT APPROX_STDDEV(val, 0.5) FROM fact WHERE seg = 's1'", t, cat
+    ).collect()[0]
+    exact_sd = float(fact[fact["seg"] == "s1"]["val"].std(ddof=1))
+    assert abs(w["est_stddev"] - exact_sd) <= w["stddev_err"] * WIDE
+
+
+def test_variance_ratio_argument_honored(spark, sub_tables, tmp_path):
+    """A registered sample below the requested ratio is skipped (accuracy
+    arguments are honored, not silently dropped — same policy as SUM/AVG)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, _, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE f_lo FROM fact KIND uniform RATIO 0.2 SEED 3", t, cat).collect()
+    props = dict(
+        approx_sql(
+            spark, "EXPLAIN SELECT APPROX_VARIANCE(val, 0.5) FROM fact", t, cat
+        ).collect()
+    )
+    assert props["route"].startswith("on_the_fly")
+    props2 = dict(
+        approx_sql(
+            spark, "EXPLAIN SELECT APPROX_VARIANCE(val, 0.1) FROM fact", t, cat
+        ).collect()
+    )
+    assert props2["route"].startswith("persisted_sample")
+
+
+def test_variance_refuses_non_uniform_samples(spark, sub_tables, tmp_path):
+    """Stratified scrambles mix inclusion probabilities — the pooled moment
+    estimator would be biased, so the route refuses with a descriptive
+    error instead of answering wrong."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, _, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        'CREATE SAMPLE f_s FROM fact KIND stratified RATIO 0.5 ON seg '
+        'FRACTIONS \'{"s0":0.5,"s1":0.5,"s2":0.5,"s3":0.5}\'',
+        t,
+        cat,
+    ).collect()
+    with pytest.raises(ValueError, match="UNIFORM"):
+        approx_sql(
+            spark, "SELECT APPROX_VARIANCE(val, 0.5) FROM fact", t, cat, "f_s"
+        ).collect()
+
+
+def test_variance_grouped_and_multi_agg(spark, sub_tables):
+    """Grouped moments + one statement mixing SUM/VARIANCE/STDDEV at one
+    ratio: the slot shares a single sample aggregation (moments ride the
+    same scan) and every estimate covers its exact counterpart."""
+    t, fact, _ = sub_tables
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val, 0.5), APPROX_VARIANCE(val, 0.5), "
+        "APPROX_STDDEV(val, 0.5) FROM fact GROUP BY seg",
+        t,
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        sub = fact[fact["seg"] == r["seg"]]["val"]
+        assert abs(r["approx_sum_val"] - float(sub.sum())) <= r["approx_sum_val_err"] * WIDE
+        assert (
+            abs(r["approx_variance_val"] - float(sub.var(ddof=1)))
+            <= r["approx_variance_val_err"] * WIDE
+        )
+        assert (
+            abs(r["approx_stddev_val"] - float(sub.std(ddof=1)))
+            <= r["approx_stddev_val_err"] * WIDE
+        )
