@@ -2188,7 +2188,8 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
 
 
 _SAMPLE_UA_HEAD = re.compile(
-    r"^\s*SELECT\s+(?P<fn>APPROX_COUNT|APPROX_SUM|APPROX_AVG)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"^\s*SELECT\s+(?P<fn>APPROX_COUNT|APPROX_SUM|APPROX_AVG|APPROX_VARIANCE|APPROX_STDDEV)"
+    r"\s*\((?P<args>" + _ARGS + r")\)\s*"
     r"(?:AS\s+(?P<alias>\w+)\s*)?$",
     re.IGNORECASE,
 )
@@ -2339,12 +2340,15 @@ def _unionall_from_samples(
     for f in frames[1:]:
         allf = allf.unionByName(f)
     out = approx_agg_from_uniform_sample(
-        allf, "_g" if grouped else None, "_v", picks[0]["ratio"]
+        allf, "_g" if grouped else None, "_v", picks[0]["ratio"],
+        moments=fn in ("APPROX_VARIANCE", "APPROX_STDDEV"),
     )
     keep = {
         "APPROX_COUNT": ["est_count", "count_err"],
         "APPROX_SUM": ["est_sum", "sum_err"],
         "APPROX_AVG": ["est_avg", "avg_err"],
+        "APPROX_VARIANCE": ["est_variance", "variance_err"],
+        "APPROX_STDDEV": ["est_stddev", "stddev_err"],
     }[fn]
     sel = ([F.col("_g").alias(grouped[0])] if grouped else []) + [F.col(k) for k in keep]
     out = out.select(*sel)

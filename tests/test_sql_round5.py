@@ -2072,3 +2072,28 @@ def test_variance_grouped_and_multi_agg(spark, sub_tables):
             abs(r["approx_stddev_val"] - float(sub.std(ddof=1)))
             <= r["approx_stddev_val_err"] * WIDE
         )
+
+
+def test_unionall_variance_from_persisted_samples(spark, sample_ua_setup):
+    """UNION ALL bodies under a VARIANCE/STDDEV head take the sample route
+    too: the concatenated equal-ratio scrambles are one Bernoulli(p) sample
+    of the bag, so the moments kernel runs over p-fraction tables only
+    (bases deleted by the fixture)."""
+    t, cat, a, b = sample_ua_setup
+    both = pd.concat([a, b], ignore_index=True)
+    q = ("SELECT APPROX_VARIANCE(val, 0.2) FROM "
+         "(SELECT val FROM ta UNION ALL SELECT val FROM tb)")
+    props = _props(spark, q, t, catalog=cat)
+    assert props.get("statement_kind") == "approx_unionall_sample"
+    r = approx_sql(spark, q, t, catalog=cat).collect()[0]
+    exact = float(both["val"].var(ddof=1))
+    assert abs(r["est_variance"] - exact) <= r["variance_err"] * WIDE
+
+    sd = approx_sql(
+        spark,
+        "SELECT APPROX_STDDEV(val, 0.2) AS s FROM "
+        "(SELECT val FROM ta UNION ALL SELECT val FROM tb)",
+        t, catalog=cat,
+    ).collect()[0]
+    assert set(sd.asDict()) == {"s", "s_err"}
+    assert abs(sd["s"] - exact ** 0.5) <= sd["s_err"] * WIDE
