@@ -1404,6 +1404,83 @@ def q_b41_moments_aggregates(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
 
 
+def q_b42_bivariate_aggregates(spark, sf_dir):
+    """Round 5: APPROX_COVAR / APPROX_CORR — bivariate moment aggregates
+    from uniform samples. Covariance and Pearson correlation are ratio-type
+    statistics (no 1/p scale-up): the sample covariance gets the CLT bound
+    Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n from the same nine-power-sum pass, and the
+    correlation CI comes from the FISHER z transform (se 1/√(n−3), the
+    classical bound that stays honest as |r|→1), both with the (1−p)
+    finite-population factor. Checks (~3.3σ): global covariance on the fly,
+    grouped correlation SERVED FROM a persisted scramble (EXPLAIN confirming
+    the route), and a strongly-correlated EXPRESSION pair (the near-1 regime
+    where the naive delta bound would be useless)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    tabs = {"lineitem": f"{sf_dir}/lineitem.parquet"}
+    li = _t(spark, sf_dir, "lineitem")
+    wide = 3.29 / 1.96
+    out = []
+
+    exact_cv = li.agg(F.covar_samp("l_quantity", "l_extendedprice")).collect()[0][0]
+    r1 = approx_sql(
+        spark, "SELECT APPROX_COVAR(l_quantity, l_extendedprice, 0.5) FROM lineitem", tabs
+    ).collect()[0]
+    out.append(("covar_global", bool(abs(r1["est_covar"] - exact_cv) <= wide * r1["covar_err"])))
+
+    root = tempfile.mkdtemp(prefix="sketchcat_b42_")
+    try:
+        cat = SketchCatalog(spark, root)
+        approx_sql(
+            spark,
+            f"CREATE SAMPLE li_biv FROM {tabs['lineitem']} KIND uniform RATIO 0.5 SEED 13",
+            catalog=cat,
+        ).collect()
+        stmt = (
+            "SELECT APPROX_CORR(l_quantity, l_extendedprice, 0.5) FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + stmt, tabs, catalog=cat).collect()
+        }
+        routed = props.get("route", "").startswith("persisted_sample") and (
+            props.get("artifact") == "li_biv"
+        )
+        exact_cr = {
+            r["l_returnflag"]: r["cr"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.corr("l_quantity", "l_extendedprice").alias("cr"))
+            .collect()
+        }
+        rows = {r["l_returnflag"]: r for r in approx_sql(spark, stmt, tabs, catalog=cat).collect()}
+        ok = set(rows) == set(exact_cr) and all(
+            abs(rows[g]["est_corr"] - exact_cr[g]) <= wide * rows[g]["corr_err"] for g in rows
+        )
+        out.append(("corr_grouped_from_sample", bool(ok and routed)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    strong = li.agg(
+        F.corr(F.col("l_extendedprice"), F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).collect()[0][0]
+    r3 = approx_sql(
+        spark,
+        "SELECT APPROX_CORR(l_extendedprice, l_extendedprice * (1 - l_discount), 0.5) "
+        "AS r FROM lineitem",
+        tabs,
+    ).collect()[0]
+    out.append(
+        ("corr_strong_expression",
+         bool(r3["r"] > 0.99 and abs(r3["r"] - strong) <= wide * r3["r_err"]))
+    )
+    return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2527,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b39_unionall_merge_states": _dist_wrapped(q_b39_unionall_merge_states),
         "b40_unionall_sample_route": _dist_wrapped(q_b40_unionall_sample_route),
         "b41_moments_aggregates": _dist_wrapped(q_b41_moments_aggregates),
+        "b42_bivariate_aggregates": _dist_wrapped(q_b42_bivariate_aggregates),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2726,6 +2804,13 @@ def oracle_sql() -> dict[str, str]:
               ('variance_global', TRUE),
               ('stddev_grouped_from_sample', TRUE),
               ('sum_variance_multi_agg', TRUE)
+            ) AS t(chk, within_bound)
+        """,
+        "b42_bivariate_aggregates": """
+            SELECT * FROM (VALUES
+              ('covar_global', TRUE),
+              ('corr_grouped_from_sample', TRUE),
+              ('corr_strong_expression', TRUE)
             ) AS t(chk, within_bound)
         """,
         "b27_auto_routed_sql": """

@@ -148,6 +148,96 @@ def approx_agg_from_uniform_sample(
     return agg.select(*([F.col(group_by)] if group_by else []), *out)
 
 
+def approx_bivariate_uniform(
+    df: DataFrame, group_by: str | None, x_col: str, y_col: str, ratio: float,
+    seed: int = 42, z: float = 1.96,
+) -> DataFrame:
+    """Approx COVARIANCE and CORRELATION per group from one uniform sample —
+    see approx_bivariate_from_uniform_sample."""
+    return approx_bivariate_from_uniform_sample(
+        uniform_sample(df, float(ratio), seed), group_by, x_col, y_col, float(ratio), z=z
+    )
+
+
+def approx_bivariate_from_uniform_sample(
+    sample: DataFrame, group_by: str | None, x_col: str, y_col: str, ratio: float,
+    z: float = 1.96,
+) -> DataFrame:
+    """Population COVARIANCE and PEARSON CORRELATION of (x, y) from an
+    already-drawn Bernoulli(p) sample, one aggregation pass (nine power
+    sums). Both are ratio-type statistics — a uniform subset estimates them
+    without any 1/p scale-up:
+
+    - est_covar: s_xy = (Σxy/n − x̄ȳ)·n/(n−1), consistent for the table's
+      covar_samp. covar_err uses the CLT variance of a sample covariance,
+      Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n with μ₂₂ = E[(x−μx)²(y−μy)²] estimated by
+      the sample's central cross-moment m₂₂ (expanded into the same pass's
+      power sums), times the (1−p) finite-population factor.
+    - est_corr: r = s_xy/(s_x·s_y). corr_err comes from the FISHER z
+      transform — atanh(r) is asymptotically normal with se 1/√(n−3)
+      (Fisher 1921), far better behaved near |r|→1 than the naive delta
+      bound (1−r²)/√n, and exact-zero at p=1 via the same (1−p) factor.
+      The half-width reported is the wider side of the back-transformed
+      interval tanh(atanh(r) ± z·√(1−p)/√(n−3)) — honest asymmetry made
+      conservative. NULL when either marginal variance is 0 (correlation
+      undefined) or n ≤ 3.
+
+    Groups with n ≤ 1 report NULL for both estimates.
+    """
+    p = float(ratio)
+    x, y = F.col(x_col), F.col(y_col)
+    agg = sample.groupBy(*([group_by] if group_by else [])).agg(
+        F.count("*").alias("n_s"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * x * y).alias("sxxy"),
+        F.sum(x * y * y).alias("sxyy"),
+        F.sum(x * x * y * y).alias("sxxyy"),
+    )
+    n = F.col("n_s")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    # central second moments (biased, /n) and the central cross moment m22
+    cxy = F.col("sxy") / n - mx * my
+    cxx = F.greatest(F.col("sxx") / n - mx * mx, F.lit(0.0))
+    cyy = F.greatest(F.col("syy") / n - my * my, F.lit(0.0))
+    # m22 = E[(x−mx)²(y−my)²] expanded into raw power sums:
+    m22 = (
+        F.col("sxxyy") / n
+        - 2 * my * F.col("sxxy") / n
+        + my * my * F.col("sxx") / n
+        - 2 * mx * F.col("sxyy") / n
+        + 4 * mx * my * F.col("sxy") / n
+        - 2 * mx * my * my * F.col("sx") / n
+        + mx * mx * F.col("syy") / n
+        - 2 * mx * mx * my * F.col("sy") / n
+        + mx * mx * my * my
+    )
+    s_xy = F.when(n > 1, cxy * n / (n - 1))
+    covar_err = F.when(
+        n > 1, F.lit(z) * F.sqrt(F.greatest(m22 - cxy * cxy, F.lit(0.0)) * (1 - p) / n)
+    )
+    denom = F.sqrt(cxx * cyy)
+    r = F.when((n > 1) & (denom > 0), cxy / denom)
+    # clamp into the open interval so atanh stays finite under float rounding
+    r_c = F.least(F.greatest(r, F.lit(-0.999999999999)), F.lit(0.999999999999))
+    zf = F.atanh(r_c)
+    d = F.lit(z) * F.sqrt(F.lit(1.0 - p)) / F.sqrt(n - 3)
+    corr_err = F.when(
+        (n > 3) & denom.isNotNull() & (denom > 0),
+        F.greatest(F.tanh(zf + d) - r_c, r_c - F.tanh(zf - d)),
+    )
+    return agg.select(
+        *([F.col(group_by)] if group_by else []),
+        s_xy.alias("est_covar"),
+        covar_err.alias("covar_err"),
+        r.alias("est_corr"),
+        corr_err.alias("corr_err"),
+    )
+
+
 def approx_count_distinct_universe(
     df: DataFrame, col: str, ratio: float, group_by: str | None = None, seed: int = 42, z: float = 1.96
 ) -> DataFrame:

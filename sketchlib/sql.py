@@ -31,6 +31,8 @@ Supported aggregates:
     APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
     APPROX_VARIANCE(col, ratio) / APPROX_STDDEV(col, ratio)
                                                  → uniform sample + delta-method CI
+    APPROX_COVAR(x, y, ratio) / APPROX_CORR(x, y, ratio)
+                                                 → uniform sample; CLT / Fisher-z CI
 
 FROM accepts a registered temp view name, a parquet path, or a name found in
 the optional ``tables`` dict. If a ``SketchCatalog`` is passed and holds
@@ -1003,6 +1005,8 @@ def _resolve_key(
         req_ratio = _num(args[0])
     elif fn in ("APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV") and len(args) > 1:
         req_ratio = _num(args[1])
+    elif fn in ("APPROX_COVAR", "APPROX_CORR") and len(args) > 2:
+        req_ratio = _num(args[2])
     else:
         req_ratio = None
 
@@ -1045,10 +1049,10 @@ def _resolve_key(
             if k == "uniform":
                 return req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12
             return k == "stratified" and (group is None or group == r["on_col"])
-        if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+        if fn in ("APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
             # uniform only: the moment estimators assume ONE shared inclusion
             # probability; a stratified scramble's mixed fractions would bias
-            # the pooled second/fourth moments
+            # the pooled second/fourth (or cross) moments
             return k == "uniform" and (
                 req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12
             )
@@ -2530,7 +2534,7 @@ def _multi_agg_routed(
     base table is never read, so native types are unknown here)."""
     scalar = {
         "APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-        "APPROX_VARIANCE", "APPROX_STDDEV",
+        "APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR",
     }
     if any(fn not in scalar for fn, _ in aggs):
         return None
@@ -2577,6 +2581,10 @@ def _multi_agg_routed(
         out = approx_sql(spark, stmt, tables, catalog, key)
         if fn == "APPROX_COUNT":
             out_name = "approx_count_star"
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            dx = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            dy = args[1] if _IDENT.match(args[1]) else _expr_slug(args[1])
+            out_name = f"{fn.lower()}_{dx}_{dy}"
         else:
             disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
             out_name = f"{fn.lower()}_{disp}"
@@ -2597,6 +2605,10 @@ def _multi_agg_routed(
             est, err = F.col("est_variance"), F.col("variance_err")
         elif fn == "APPROX_STDDEV":
             est, err = F.col("est_stddev"), F.col("stddev_err")
+        elif fn == "APPROX_COVAR":
+            est, err = F.col("est_covar"), F.col("covar_err")
+        elif fn == "APPROX_CORR":
+            est, err = F.col("est_corr"), F.col("corr_err")
         else:
             est, err = F.col("est_avg"), F.col("avg_err")
         sel = [est.alias(out_name), err.alias(f"{out_name}_err")]
@@ -2637,7 +2649,7 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
 
     scalar = {
         "APPROX_COUNT_DISTINCT", "APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-        "APPROX_VARIANCE", "APPROX_STDDEV",
+        "APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR",
     }
     bad = [f for f, _ in aggs if f not in scalar]
     if bad:
@@ -2660,6 +2672,7 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
 
     specs, spec_slots = [], []  # spec_slots: (out_name, spec_name)
     sample_slots: dict[tuple, list] = {}  # (ratio, value_col) -> [(fn, out_name)]
+    biv_slots: dict[tuple, list] = {}  # (ratio, x_col, y_col) -> [(fn, out_name)]
     for i, (fn, args) in enumerate(aggs):
         if fn == "APPROX_COUNT_DISTINCT":
             df, col = _materialize_expr(df, args[0])
@@ -2668,6 +2681,14 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
             name = f"_q{i}"
             specs.append(SketchSpec(name, "hll", col, {"p": hll_params(rse)["p"]}))
             spec_slots.append((f"approx_count_distinct_{disp}", name))
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            df, xcol = _materialize_expr(df, args[0])
+            df, ycol = _materialize_expr(df, args[1])
+            dx = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            dy = args[1] if _IDENT.match(args[1]) else _expr_slug(args[1])
+            biv_slots.setdefault((float(args[2]), xcol, ycol), []).append(
+                (fn, f"{fn.lower()}_{dx}_{dy}")
+            )
         else:
             if fn == "APPROX_COUNT":
                 col, ratio = "_one", float(args[0])
@@ -2720,6 +2741,17 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
                    "APPROX_AVG": ("est_avg", "avg_err"),
                    "APPROX_VARIANCE": ("est_variance", "variance_err"),
                    "APPROX_STDDEV": ("est_stddev", "stddev_err")}[fn]
+            cols += [F.col(src[0]).alias(nm), F.col(src[1]).alias(f"{nm}_err")]
+        outs.append(est.select(*cols))
+    for (ratio, xcol, ycol), slots in biv_slots.items():
+        from sketchlib.spark.sampling import approx_bivariate_uniform
+
+        est = approx_bivariate_uniform(df, gkey, xcol, ycol, ratio)
+        cols = [F.col(gkey).alias("group")] if gkey else []
+        for fn, out_name in slots:
+            nm = _final_name(out_name)
+            src = {"APPROX_COVAR": ("est_covar", "covar_err"),
+                   "APPROX_CORR": ("est_corr", "corr_err")}[fn]
             cols += [F.col(src[0]).alias(nm), F.col(src[1]).alias(f"{nm}_err")]
         outs.append(est.select(*cols))
 
@@ -2812,7 +2844,7 @@ def _default_out_names(aggs: list) -> list[str]:
     suffix pass, which runs in OUTPUT-frame order: sketch aggregates first,
     then sampling aggregates grouped by (ratio, column)) so alias renames
     always target the column that actually exists in the joined frame."""
-    sketch, samples = [], {}
+    sketch, samples, biv = [], {}, {}
     for i, (fn, args) in enumerate(aggs):
         if fn == "APPROX_COUNT_DISTINCT":
             disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
@@ -2820,6 +2852,11 @@ def _default_out_names(aggs: list) -> list[str]:
         elif fn == "APPROX_COUNT":
             samples.setdefault((float(args[0]), "_one"), []).append(
                 (i, "approx_count_star"))
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            dx = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
+            dy = args[1] if _IDENT.match(args[1]) else _expr_slug(args[1])
+            biv.setdefault((float(args[2]), args[0].strip(), args[1].strip()), []).append(
+                (i, f"{fn.lower()}_{dx}_{dy}"))
         else:
             disp = args[0] if _IDENT.match(args[0]) else _expr_slug(args[0])
             # slot key = (ratio, EXACT expression text) — the same identity
@@ -2829,7 +2866,9 @@ def _default_out_names(aggs: list) -> list[str]:
             # aliases onto the wrong columns.
             samples.setdefault((float(args[1]), args[0].strip()), []).append(
                 (i, f"{fn.lower()}_{disp}"))
-    order = sketch + [slot for slots in samples.values() for slot in slots]
+    order = (sketch
+             + [slot for slots in samples.values() for slot in slots]
+             + [slot for slots in biv.values() for slot in slots])
     seen: dict[str, int] = {}
     final = [""] * len(aggs)
     for i, base in order:
@@ -2880,6 +2919,8 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
             "APPROX_AVG": ("est_avg", "avg_err"),
             "APPROX_VARIANCE": ("est_variance", "variance_err"),
             "APPROX_STDDEV": ("est_stddev", "stddev_err"),
+            "APPROX_COVAR": ("est_covar", "covar_err"),
+            "APPROX_CORR": ("est_corr", "corr_err"),
             "APPROX_TOPK": ("est_count", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
         }.get(fn)
@@ -3294,28 +3335,44 @@ def approx_sql(
                 else:
                     out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
                 return out.select(*([group] if group else []), *keep)
-            if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+            if fn in ("APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
                 if meta["kind"] != "uniform":
                     raise ValueError(
                         f"{fn} needs a UNIFORM sample (one shared inclusion "
                         f"probability — mixed stratified fractions would bias the "
                         f"pooled moments); {catalog_key!r} is {meta['kind']}"
                     )
-                from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+                from sketchlib.spark.sampling import (
+                    approx_agg_from_uniform_sample,
+                    approx_bivariate_from_uniform_sample,
+                )
 
+                bivar = fn in ("APPROX_COVAR", "APPROX_CORR")
                 s, col = _materialize_expr(s, args[0])
+                if bivar:
+                    s, ycol = _materialize_expr(s, args[1])
                 keep = {
                     "APPROX_VARIANCE": ["est_variance", "variance_err"],
                     "APPROX_STDDEV": ["est_stddev", "stddev_err"],
+                    "APPROX_COVAR": ["est_covar", "covar_err"],
+                    "APPROX_CORR": ["est_corr", "corr_err"],
                 }[fn]
+
+                def _run(frame, gname):
+                    if bivar:
+                        return approx_bivariate_from_uniform_sample(
+                            frame, gname, col, ycol, meta["ratio"]
+                        )
+                    return approx_agg_from_uniform_sample(
+                        frame, gname, col, meta["ratio"], moments=True
+                    )
+
                 if isinstance(group, (list, tuple)):
                     s, gcol = _with_gkey(s, group)
-                    out = approx_agg_from_uniform_sample(
-                        s, gcol, col, meta["ratio"], moments=True
-                    )
+                    out = _run(s, gcol)
                     out = out.withColumnRenamed(gcol, "group").select("group", *keep)
                     return _finish_grouped(out, s, group)
-                out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"], moments=True)
+                out = _run(s, group)
                 return out.select(*([group] if group else []), *keep)
             if fn == "APPROX_COUNT_DISTINCT":
                 col = args[0]
@@ -3444,6 +3501,26 @@ def approx_sql(
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
         return _finish_grouped(out, df, group)
+
+    if fn in ("APPROX_COVAR", "APPROX_CORR"):
+        from sketchlib.spark.sampling import approx_bivariate_uniform
+
+        df, xcol = _materialize_expr(df, args[0])
+        df, ycol = _materialize_expr(df, args[1])
+        ratio = float(args[2])
+        keep = {
+            "APPROX_COVAR": ["est_covar", "covar_err"],
+            "APPROX_CORR": ["est_corr", "corr_err"],
+        }[fn]
+        if isinstance(group, (list, tuple)):
+            from sketchlib.spark.build import group_key_expr
+
+            df = df.withColumn("_gkey", group_key_expr(list(group)))
+            out = approx_bivariate_uniform(df, "_gkey", xcol, ycol, ratio)
+            out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
+            return _finish_grouped(out, df, group)
+        out = approx_bivariate_uniform(df, group, xcol, ycol, ratio)
+        return out.select(*([group] if group else []), *keep)
 
     if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV"):
         from sketchlib.spark.sampling import approx_agg_uniform

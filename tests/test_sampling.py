@@ -243,3 +243,61 @@ def test_approx_moments_degenerate_groups(spark):
     assert rows["solo"]["variance_err"] is None
     assert rows["const"]["est_variance"] == pytest.approx(0.0, abs=1e-12)
     assert rows["const"]["stddev_err"] is None
+
+
+def test_approx_bivariate_within_ci(spark):
+    """APPROX_COVAR/CORR kernel: strongly- and weakly-correlated synthetic
+    pairs both land inside the CLT / Fisher-z CIs, grouped."""
+    from sketchlib.spark.sampling import approx_bivariate_uniform
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    x = rng.uniform(0, 10, n)
+    strong = 2 * x + rng.normal(0, 2, n)   # corr ≈ 0.94
+    weak = rng.normal(0, 5, n)             # corr ≈ 0
+    import pandas as pd
+    pdf = pd.concat([
+        pd.DataFrame({"g": "strong", "x": x, "y": strong}),
+        pd.DataFrame({"g": "weak", "x": x, "y": weak}),
+    ], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    exact = {
+        r["g"]: r
+        for r in df.groupBy("g").agg(
+            F.covar_samp("x", "y").alias("cv"), F.corr("x", "y").alias("cr")
+        ).collect()
+    }
+    rows = approx_bivariate_uniform(df, "g", "x", "y", 0.4, seed=7, z=Z_TEST).collect()
+    assert len(rows) == 2
+    for r in rows:
+        e = exact[r["g"]]
+        assert abs(r["est_covar"] - e["cv"]) <= r["covar_err"], (r, e["cv"])
+        assert abs(r["est_corr"] - e["cr"]) <= r["corr_err"], (r, e["cr"])
+    strong_r = next(r for r in rows if r["g"] == "strong")
+    assert strong_r["est_corr"] > 0.9 and strong_r["corr_err"] < 0.01
+
+
+def test_approx_bivariate_full_ratio_and_degenerate(spark):
+    """p=1 → exact covar/corr with zero error; a constant marginal has no
+    defined correlation (NULL), n=1 group reports NULL everywhere."""
+    from sketchlib.spark.sampling import approx_bivariate_from_uniform_sample
+
+    df = spark.createDataFrame(
+        [("a", float(i), float(3 * i + 1)) for i in range(100)]
+        + [("const", float(i), 7.0) for i in range(50)]
+        + [("solo", 1.0, 2.0)],
+        "g string, x double, y double",
+    )
+    rows = {
+        r["g"]: r
+        for r in approx_bivariate_from_uniform_sample(df, "g", "x", "y", 1.0).collect()
+    }
+    exact_cv = df.filter("g='a'").agg(F.covar_samp("x", "y")).collect()[0][0]
+    assert rows["a"]["est_covar"] == pytest.approx(exact_cv, rel=1e-9)
+    assert rows["a"]["covar_err"] == pytest.approx(0.0, abs=1e-9)
+    assert rows["a"]["est_corr"] == pytest.approx(1.0, abs=1e-9)
+    assert rows["a"]["corr_err"] == pytest.approx(0.0, abs=1e-9)
+    assert rows["const"]["est_corr"] is None
+    assert rows["const"]["corr_err"] is None
+    assert rows["solo"]["est_covar"] is None
+    assert rows["solo"]["est_corr"] is None

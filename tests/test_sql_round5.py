@@ -2097,3 +2097,72 @@ def test_unionall_variance_from_persisted_samples(spark, sample_ua_setup):
     ).collect()[0]
     assert set(sd.asDict()) == {"s", "s_err"}
     assert abs(sd["s"] - exact ** 0.5) <= sd["s_err"] * WIDE
+
+
+# ---------------------------------------------------------------------------
+# APPROX_COVAR / APPROX_CORR — bivariate sample aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_covar_corr_statements(spark, sub_tables):
+    """SELECT APPROX_COVAR/CORR(x, y, ratio): CIs cover the exact
+    covar_samp / Pearson correlation, aliases rename est + bound, and a
+    multi-aggregate statement mixes them with AVG."""
+    t, fact, _ = sub_tables
+    exact_cv = float(fact["k"].astype(float).cov(fact["val"]))
+    exact_cr = float(fact["k"].astype(float).corr(fact["val"]))
+    cv = approx_sql(spark, "SELECT APPROX_COVAR(k, val, 0.5) FROM fact", t).collect()[0]
+    assert abs(cv["est_covar"] - exact_cv) <= cv["covar_err"] * WIDE
+    cr = approx_sql(spark, "SELECT APPROX_CORR(k, val, 0.5) AS c FROM fact", t).collect()[0]
+    assert set(cr.asDict()) == {"c", "c_err"}
+    assert abs(cr["c"] - exact_cr) <= cr["c_err"] * WIDE
+
+    m = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(val, 0.5), APPROX_CORR(k, val, 0.5), "
+        "APPROX_COVAR(k, val, 0.5) FROM fact GROUP BY seg",
+        t,
+    ).collect()
+    assert len(m) == 4
+    for r in m:
+        sub = fact[fact["seg"] == r["seg"]]
+        assert abs(r["approx_avg_val"] - float(sub["val"].mean())) <= r["approx_avg_val_err"] * WIDE
+        e_cr = float(sub["k"].astype(float).corr(sub["val"]))
+        assert abs(r["approx_corr_k_val"] - e_cr) <= r["approx_corr_k_val_err"] * WIDE
+        e_cv = float(sub["k"].astype(float).cov(sub["val"]))
+        assert abs(r["approx_covar_k_val"] - e_cv) <= r["approx_covar_k_val_err"] * WIDE
+
+
+def test_covar_corr_served_from_persisted_sample(spark, sub_tables, tmp_path):
+    """The A5 route for bivariate moments: a registered uniform scramble
+    serves APPROX_CORR (EXPLAIN names it), WHERE commutes, the ratio
+    argument is honored, and non-uniform samples are refused."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE f_bu FROM fact KIND uniform RATIO 0.5 SEED 3", t, cat).collect()
+    props = dict(
+        approx_sql(spark, "EXPLAIN SELECT APPROX_CORR(k, val, 0.5) FROM fact", t, cat).collect()
+    )
+    assert props["route"].startswith("persisted_sample (uniform")
+    assert props["artifact"] == "f_bu"
+    sub = fact[fact["seg"] != "s0"]
+    e = float(sub["k"].astype(float).corr(sub["val"]))
+    r = approx_sql(
+        spark, "SELECT APPROX_CORR(k, val, 0.5) FROM fact WHERE seg <> 's0'", t, cat
+    ).collect()[0]
+    assert abs(r["est_corr"] - e) <= r["corr_err"] * WIDE
+    # a higher requested ratio than any registered sample → on-the-fly
+    props2 = dict(
+        approx_sql(spark, "EXPLAIN SELECT APPROX_COVAR(k, val, 0.9) FROM fact", t, cat).collect()
+    )
+    assert props2["route"].startswith("on_the_fly")
+    approx_sql(
+        spark,
+        'CREATE SAMPLE f_bs FROM fact KIND stratified RATIO 0.5 ON seg '
+        'FRACTIONS \'{"s0":0.5,"s1":0.5,"s2":0.5,"s3":0.5}\'',
+        t, cat,
+    ).collect()
+    with pytest.raises(ValueError, match="UNIFORM"):
+        approx_sql(spark, "SELECT APPROX_CORR(k, val, 0.5) FROM fact", t, cat, "f_bs").collect()
