@@ -1481,6 +1481,81 @@ def q_b42_bivariate_aggregates(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
 
 
+def q_b43_accuracy_contracts(spark, sf_dir):
+    """Round 5: accuracy-contract statements — ``SELECT APPROX_X(...) FROM t
+    [...] WITHIN <t>% ERROR [AT CONFIDENCE <c>%]`` (the BlinkDB/Verdict
+    accuracy-first UX). The library plans the cheapest parameters meeting
+    the target: COUNT_DISTINCT rewrites to rse=t/z (auto-routing honors
+    it), PERCENTILE becomes rank_err=t with the planner's KLL k inversion,
+    and the sampling aggregates invert their closed-form CLT bounds with
+    the data terms (N, Σx², moments) estimated from a 2% pilot scan —
+    GROUP BY plans for the worst group. Checks: the SUM contract's reported
+    half-width lands at/under the target (1.5× pilot-noise slack) with the
+    exact answer inside the CI; the grouped AVG contract at 99% confidence
+    holds per group; the COUNT_DISTINCT rewrite achieves rse ≤ t/z; the
+    PERCENTILE contract's rank bound ≤ t and the value inside the exact
+    rank band."""
+    from sketchlib.sql import approx_sql
+
+    tabs = {
+        "lineitem": f"{sf_dir}/lineitem.parquet",
+        "orders": f"{sf_dir}/orders.parquet",
+    }
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    wide = 3.29 / 1.96
+    out = []
+
+    exact_sum = li.agg(F.sum("l_extendedprice")).collect()[0][0]
+    r1 = approx_sql(
+        spark, "SELECT APPROX_SUM(l_extendedprice) FROM lineitem WITHIN 2% ERROR", tabs
+    ).collect()[0]
+    ok1 = (
+        abs(r1["est_sum"] - exact_sum) <= wide * r1["sum_err"]
+        and r1["sum_err"] / abs(r1["est_sum"]) <= 0.02 * 1.5
+    )
+    out.append(("sum_contract", bool(ok1)))
+
+    exact_avg = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("a")).collect()
+    }
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(l_extendedprice) FROM lineitem GROUP BY l_returnflag "
+        "WITHIN 1% ERROR AT CONFIDENCE 99%",
+        tabs,
+    ).collect()
+    ok2 = set(r["l_returnflag"] for r in rows) == set(exact_avg) and all(
+        abs(r["est_avg"] - exact_avg[r["l_returnflag"]]) <= wide * r["avg_err"]
+        and r["avg_err"] / abs(r["est_avg"]) <= 0.01 * 1.5
+        for r in rows
+    )
+    out.append(("avg_grouped_contract_99", bool(ok2)))
+
+    exact_cd = o.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    r3 = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM orders WITHIN 3% ERROR", tabs
+    ).collect()[0]
+    ok3 = (
+        r3["rse_bound"] <= 0.03 / 1.959963984540054 * (1 + 1e-9)
+        and abs(r3["estimate"] - exact_cd) <= _hll_tol(exact_cd, r3["rse_bound"])
+    )
+    out.append(("count_distinct_contract", bool(ok3)))
+
+    pct = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(l_extendedprice, 0.9) FROM lineitem WITHIN 0.2% ERROR",
+        tabs,
+    ).collect()[0]
+    band = li.selectExpr(
+        "percentile(l_extendedprice, 0.894) AS lo", "percentile(l_extendedprice, 0.906) AS hi"
+    ).collect()[0]
+    ok4 = pct["rank_err_bound"] <= 0.002 * (1 + 1e-9) and band["lo"] <= pct["value"] <= band["hi"]
+    out.append(("percentile_rank_contract", bool(ok4)))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2605,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b40_unionall_sample_route": _dist_wrapped(q_b40_unionall_sample_route),
         "b41_moments_aggregates": _dist_wrapped(q_b41_moments_aggregates),
         "b42_bivariate_aggregates": _dist_wrapped(q_b42_bivariate_aggregates),
+        "b43_accuracy_contracts": _dist_wrapped(q_b43_accuracy_contracts),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2811,6 +2887,14 @@ def oracle_sql() -> dict[str, str]:
               ('covar_global', TRUE),
               ('corr_grouped_from_sample', TRUE),
               ('corr_strong_expression', TRUE)
+            ) AS t(chk, within_bound)
+        """,
+        "b43_accuracy_contracts": """
+            SELECT * FROM (VALUES
+              ('sum_contract', TRUE),
+              ('avg_grouped_contract_99', TRUE),
+              ('count_distinct_contract', TRUE),
+              ('percentile_rank_contract', TRUE)
             ) AS t(chk, within_bound)
         """,
         "b27_auto_routed_sql": """

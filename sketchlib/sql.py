@@ -104,6 +104,35 @@ def _ratio_or_default(fn: str, ratio_arg, default: float = 0.1) -> float:
         return default
     return r
 
+# Accuracy-contract tail (the BlinkDB/Verdict UX: the user states a TARGET,
+# the system plans the cheapest parameters meeting it): ``<statement>
+# WITHIN <pct>% ERROR [AT CONFIDENCE <conf>%]``. Peeled before the other
+# tails, so it may sit after GROUP BY or after ORDER BY/LIMIT alike.
+_WITHIN_TAIL = re.compile(
+    r"^(?P<body>.*?\S)\s+WITHIN\s+(?P<pct>\d+(?:\.\d+)?)\s*%\s+ERROR"
+    r"(?:\s+AT\s+CONFIDENCE\s+(?P<conf>\d+(?:\.\d+)?)\s*%)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# optional named accuracy argument of APPROX_PERCENTILE — quantiles are
+# numbers in (0,1) too, so a positional accuracy argument would be ambiguous
+_RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
+
+
+def _percentile_args(args: list) -> tuple[list[float], float | None]:
+    """(quantiles, requested rank error) from APPROX_PERCENTILE's argument
+    list — ``APPROX_PERCENTILE(col, 0.5, 0.99, rank_err=0.005)``."""
+    qs: list[float] = []
+    req = None
+    for a in args[1:]:
+        mm = _RANK_ERR_ARG.match(a.strip())
+        if mm:
+            req = float(mm.group(1))
+        else:
+            qs.append(float(a))
+    return (qs or [0.5]), req
+
+
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
 # (Verdict A14) — stripped off the tail, the inner statement recurses.
 # Multi-key: ORDER BY est DESC, group [ASC] over result columns.
@@ -1001,6 +1030,7 @@ def _resolve_key(
     col = args[0] if args else None
 
     req_rse = _num(args[1]) if fn == "APPROX_COUNT_DISTINCT" and len(args) > 1 else None
+    req_rank = _percentile_args(args)[1] if fn == "APPROX_PERCENTILE" else None
     if fn == "APPROX_COUNT" and args:
         req_ratio = _num(args[0])
     elif fn in ("APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV") and len(args) > 1:
@@ -1011,6 +1041,11 @@ def _resolve_key(
         req_ratio = None
 
     def _achieves_rse(s: dict) -> bool:
+        if req_rank is not None:
+            # rank-error contract: only a KLL with ε(k) ≈ 3.31/k ≤ target
+            # can promise it statically (t-digest has no closed bound)
+            k = float(s.get("params", {}).get("k", 0))
+            return s["kind"] == "kll" and k > 0 and 3.31 / k <= req_rank * (1 + 1e-9)
         if req_rse is None:
             return True
         params = s.get("params", {})
@@ -1059,6 +1094,11 @@ def _resolve_key(
         if fn == "APPROX_COUNT_DISTINCT":
             return k == "universe" and r["on_col"] == col and req_rse is None
         if fn == "APPROX_PERCENTILE":
+            # a rank_err contract needs a static guarantee — only KLL states
+            # give one; scrambles' empirical-quantile rank error depends on
+            # the (unknown-ahead) sample row count
+            if req_rank is not None:
+                return False
             return k == "uniform" or (k == "stratified" and group == r["on_col"])
         return False
 
@@ -1150,6 +1190,68 @@ def explain_sql(
         emit("final_statement", "see nested properties below")
         for k, v in explain_sql(spark, final, tables, catalog, catalog_key).collect():
             emit(f"final.{k}", v)
+        return done()
+    wmx = _WITHIN_TAIL.match(_mask_literals(stmt)) and _WITHIN_TAIL.match(stmt)
+    if wmx:
+        # accuracy contract: report the translation WITHOUT data work — the
+        # sketch-family rewrites are pure arithmetic (nested EXPLAIN shows
+        # the route they'd take); the sampling families need the pilot scan,
+        # which EXPLAIN describes instead of running
+        from statistics import NormalDist
+
+        t = float(wmx.group("pct")) / 100.0
+        conf = float(wmx.group("conf") or 95.0) / 100.0
+        emit("statement_kind", "accuracy_contract")
+        emit("target_rel_error", t)
+        emit("confidence", conf)
+        cbody = wmx.group("body")
+        while True:
+            tmx = (_ORDER_TAIL.match(cbody) or _LIMIT_TAIL.match(cbody)
+                   or _HAVING_TAIL.match(cbody))
+            if not tmx:
+                break
+            cbody = tmx.group("body")
+        cm = _SKELETON.match(cbody)
+        caggs = [] if not cm else _AGG.findall(cm.group("select"))
+        if cm is None or len(caggs) != 1:
+            emit("error", "WITHIN ... ERROR needs the single-aggregate, "
+                 "single-table skeleton — approx_sql would raise")
+            return done()
+        cfn, cargstr = caggs[0][0].upper(), caggs[0][1]
+        cargs = _split_args(cargstr)
+        z = NormalDist().inv_cdf(0.5 + conf / 2.0)
+        if cfn == "APPROX_COUNT_DISTINCT":
+            emit("plan", f"rewrite to explicit rse = target/z = {t / z:.6g} "
+                 "(1σ figure; routing honors it)")
+            rewritten = re.sub(re.escape(cargstr), f"{cargs[0]}, {t / z!r}", cbody, count=1)
+        elif cfn == "APPROX_TOPK":
+            emit("plan", f"rewrite to explicit eps = {t!r} (CM overcount ≤ ε·N "
+                 "w.p. 1−δ, δ=0.01)")
+            rewritten = re.sub(
+                re.escape(cargstr), f"{', '.join(cargs[:2])}, {t!r}", cbody, count=1
+            )
+        elif cfn == "APPROX_PERCENTILE":
+            from sketchlib.planner import kll_params
+
+            emit("plan", f"rank_err={t!r} → KLL k={max(200, kll_params(t)['k'])} "
+                 "on the fly; only achieving KLL states claim the route")
+            rewritten = re.sub(
+                re.escape(cargstr), f"{cargstr}, rank_err={t!r}", cbody, count=1
+            )
+        elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                     "APPROX_VARIANCE", "APPROX_STDDEV"):
+            emit("plan", "pilot Bernoulli scan (ratio 0.02) estimates the "
+                 "data terms, the closed-form CLT inversion plans the ratio "
+                 "(worst group under GROUP BY), then the statement re-enters "
+                 "with that explicit ratio — EXPLAIN does not run the pilot")
+            return done()
+        else:
+            emit("error", f"{cfn} does not take a WITHIN contract — "
+                 "approx_sql would raise")
+            return done()
+        emit("rewritten_statement", "see nested properties below")
+        for k, v in explain_sql(spark, rewritten, tables, catalog, catalog_key).collect():
+            emit(f"rewritten.{k}", v)
         return done()
     sub = _extract_subquery(stmt)
     if sub is not None:
@@ -2959,6 +3061,209 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
     return out.select(*[F.col(c).alias(mapping.get(c, c)) for c in out.columns])
 
 
+def _pilot_ratio(
+    spark, m, fn, args, group, tables, z: float, t: float,
+    p0: float = 0.02, seed: int = 777,
+) -> float:
+    """Plan the sampling ratio meeting a relative-error contract for one
+    sampling aggregate by inverting its closed-form CLT bound — with the
+    data-dependent terms (N, Σx², moments) estimated from a small PILOT
+    sample (Verdict planned sample choice from stored statistics; with no
+    stored profile, a p₀ Bernoulli pass is the honest stand-in, and it
+    scans only a p₀ fraction of the table).
+
+    Inversions (rel. target t at the contract's z):
+      COUNT      t² = z²(1−p)/(pN)            → p = z²/(t²N + z²)
+      SUM        t²S² = z²Q(1−p)/p, Q = Σx²   → p = z²Q/(t²S² + z²Q)
+      AVG        t²μ² = z²σ²(1−p)/(pN)        → p = z²σ²/(t²μ²N + z²σ²)
+      VARIANCE   t²m₂² = z²K(1−p)/(pN), K=μ₄−σ⁴ → p = z²K/(t²m₂²N + z²K)
+      STDDEV     rel err of s ≈ ½ that of s²  → VARIANCE inversion at 2t
+
+    GROUPED statements plan for the WORST group (max required p across the
+    pilot's groups) — a group too rare to appear in the pilot cannot be
+    planned for and gets the worst-group ratio (documented best effort,
+    the reported per-group error columns stay honest either way).
+    Degenerate pilots (empty, zero mean/variance where the relative target
+    divides by it) plan p = 1.0 — the exact scan, never an unfounded claim.
+    """
+    from pyspark.sql import functions as F
+
+    df = _resolve_table(spark, m.group("table"), tables)
+    if m.group("where"):
+        df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
+    col = None
+    if fn != "APPROX_COUNT":
+        df, col = _materialize_expr(df, args[0])
+    pilot = df.sample(fraction=p0, seed=seed)
+    gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
+    aggs = [F.count("*").alias("n0")]
+    if col is not None:
+        v = F.col(col)
+        aggs += [F.sum(v).alias("s1"), F.sum(v * v).alias("s2")]
+        if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+            aggs += [F.sum(v * v * v).alias("s3"), F.sum(v * v * v * v).alias("s4")]
+    rows = pilot.groupBy(*gcols).agg(*aggs).collect()
+    z2, t2 = z * z, t * t
+    p_req = 0.0
+    for r in rows:
+        n0 = r["n0"]
+        if not n0:
+            continue
+        N = n0 / p0
+        if fn == "APPROX_COUNT":
+            p = z2 / (t2 * N + z2)
+        elif fn == "APPROX_SUM":
+            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
+            S, Q = s1 / p0, s2 / p0
+            p = 1.0 if S == 0 else z2 * Q / (t2 * S * S + z2 * Q)
+        elif fn == "APPROX_AVG":
+            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
+            mu = s1 / n0
+            var = max(s2 / n0 - mu * mu, 0.0)
+            p = 1.0 if mu == 0 else z2 * var / (t2 * mu * mu * N + z2 * var)
+        else:  # APPROX_VARIANCE / APPROX_STDDEV
+            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
+            s3, s4 = float(r["s3"] or 0.0), float(r["s4"] or 0.0)
+            mu = s1 / n0
+            m2 = max(s2 / n0 - mu * mu, 0.0)
+            m4 = s4 / n0 - 4 * mu * s3 / n0 + 6 * mu * mu * s2 / n0 - 3 * mu ** 4
+            K = max(m4 - m2 * m2, 0.0)
+            tv = t if fn == "APPROX_VARIANCE" else 2.0 * t
+            p = 1.0 if m2 == 0 else z2 * K / (tv * tv * m2 * m2 * N + z2 * K)
+        p_req = max(p_req, p)
+    if p_req <= 0:
+        return 1.0  # empty/degenerate pilot: only the exact scan is honest
+    return min(1.0, max(p_req, 1e-6))
+
+
+def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
+    """Accuracy-contract statements — ``SELECT APPROX_X(...) FROM t [...]
+    WITHIN <t>% ERROR [AT CONFIDENCE <c>%]`` (default 95%): the user states
+    the target, the library plans the cheapest parameters meeting it
+    (Verdict/BlinkDB's accuracy-first UX; our planner.py bound inversions
+    made statement-level). Translation per aggregate family:
+
+    - COUNT_DISTINCT → explicit rse argument t/z (the HLL/KMV rse is a 1σ
+      figure; z·rse ≤ t makes the contract hold at the stated confidence);
+      routing already honors explicit rse (states must achieve it).
+    - TOPK → explicit eps argument t (CM overcount ≤ ε·N w.p. 1−δ, δ=0.01
+      fixed — the confidence clause does not tighten δ).
+    - PERCENTILE → ``rank_err=t`` named argument: on-the-fly builds use the
+      planner's k inversion; routing only claims KLL states achieving it.
+      The contract is in RANK units (WITHIN 1% ERROR = ±0.01 rank).
+    - COUNT/SUM/AVG/VARIANCE/STDDEV → pilot-planned sampling ratio
+      (_pilot_ratio), injected as the explicit ratio argument — so
+      auto-selection serves the statement from any registered uniform
+      scramble of ratio ≥ the plan, and the on-the-fly build samples at
+      exactly the planned ratio. A plan of 1.0 degenerates to the exact
+      scan (error 0 ≤ any target).
+
+    The rewritten statement re-enters approx_sql whole, so tails, aliases,
+    GROUP BY shapes, and catalog routing all behave exactly as if the user
+    had typed the accuracy arguments by hand."""
+    from statistics import NormalDist
+
+    t = float(wm.group("pct")) / 100.0
+    if not (0.0 < t < 1.0):
+        raise ValueError(
+            f"WITHIN {wm.group('pct')}% ERROR is outside (0, 100) — state a "
+            "relative error target strictly between 0% and 100%"
+        )
+    conf = float(wm.group("conf") or 95.0) / 100.0
+    if not (0.5 <= conf < 1.0):
+        raise ValueError(
+            f"AT CONFIDENCE {wm.group('conf')}% must be in [50, 100) — e.g. "
+            "AT CONFIDENCE 99%"
+        )
+    z = NormalDist().inv_cdf(0.5 + conf / 2.0)
+
+    body, tails = wm.group("body"), ""
+    while True:
+        tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body) or _HAVING_TAIL.match(body)
+        if not tm:
+            break
+        tails = body[len(tm.group("body")):].rstrip(";").rstrip() + tails
+        body = tm.group("body")
+    m = _SKELETON.match(body)
+    if not m:
+        raise ValueError(
+            "WITHIN ... ERROR needs the single-table approx skeleton — "
+            "'SELECT APPROX_X(...) FROM t [WHERE] [GROUP BY] [tails] "
+            "WITHIN 1% ERROR'; joins and set operations take explicit "
+            "accuracy arguments instead"
+        )
+    aliased = _AGG_ALIASED.findall(m.group("select"))
+    if len(aliased) != 1:
+        raise ValueError(
+            "WITHIN ... ERROR contracts exactly ONE aggregate — issue one "
+            "statement per contracted aggregate"
+        )
+    fn_raw, argstr, alias = aliased[0]
+    fn = fn_raw.upper()
+    args = _split_args(argstr)
+
+    def _reassemble(new_args: list[str]) -> str:
+        sel = f"{fn}({', '.join(new_args)})" + (f" AS {alias}" if alias else "")
+        stmt = f"SELECT {sel} FROM {m.group('table')}"
+        if m.group("where"):
+            stmt += f" WHERE {m.group('where')}"
+        if m.group("group"):
+            stmt += f" GROUP BY {m.group('group')}"
+        return stmt + tails
+
+    if fn == "APPROX_COUNT_DISTINCT":
+        if len(args) > 1:
+            raise ValueError(
+                "give ONE accuracy spec — the statement has both an explicit "
+                "rse argument and a WITHIN contract"
+            )
+        return approx_sql(spark, _reassemble([args[0], repr(t / z)]), tables, catalog, catalog_key)
+
+    if fn == "APPROX_TOPK":
+        if len(args) > 2:
+            raise ValueError(
+                "give ONE accuracy spec — the statement has both an explicit "
+                "eps argument and a WITHIN contract"
+            )
+        return approx_sql(
+            spark, _reassemble([args[0], args[1], repr(t)]), tables, catalog, catalog_key
+        )
+
+    if fn == "APPROX_PERCENTILE":
+        if _percentile_args(args)[1] is not None:
+            raise ValueError(
+                "give ONE accuracy spec — the statement has both a rank_err "
+                "argument and a WITHIN contract"
+            )
+        return approx_sql(
+            spark, _reassemble(args + [f"rank_err={t!r}"]), tables, catalog, catalog_key
+        )
+
+    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV"):
+        if fn == "APPROX_COUNT":
+            # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
+            has_ratio = bool([a for a in args if a.strip() != "*"])
+        else:
+            has_ratio = len(args) > 1
+        if has_ratio:
+            raise ValueError(
+                "give ONE accuracy spec — the statement has both an explicit "
+                "sampling ratio and a WITHIN contract"
+            )
+        group = _parse_group(m.group("group"))
+        p = _pilot_ratio(spark, m, fn, args, group, tables, z, t)
+        ratio_txt = f"{p:.10g}"
+        new_args = [ratio_txt] if fn == "APPROX_COUNT" else [args[0], ratio_txt]
+        return approx_sql(spark, _reassemble(new_args), tables, catalog, catalog_key)
+
+    raise ValueError(
+        f"{fn} does not take a WITHIN ... ERROR contract — closed-form "
+        "ratio inversion is provided for COUNT/SUM/AVG/VARIANCE/STDDEV, "
+        "rse for COUNT_DISTINCT, eps for TOPK, and rank_err for PERCENTILE; "
+        "give COVAR/CORR an explicit sampling ratio instead"
+    )
+
+
 def approx_sql(
     spark: SparkSession,
     sql: str,
@@ -3202,6 +3507,9 @@ def approx_sql(
             return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
         finally:
             spark.catalog.dropTempView(view)
+    wm = _WITHIN_TAIL.match(_mask_literals(sql)) and _WITHIN_TAIL.match(sql)
+    if wm:
+        return _within_error(spark, wm, tables, catalog, catalog_key)
     tm = _ORDER_TAIL.match(sql)
     if tm:
         inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key)
@@ -3410,7 +3718,15 @@ def approx_sql(
                         "quantiles across mixed-fraction strata would be biased)"
                     )
                 s, col = _materialize_expr(s, args[0])
-                qs = [float(a) for a in args[1:]] or [0.5]
+                qs, req_rank = _percentile_args(args)
+                if req_rank is not None:
+                    raise ValueError(
+                        "a rank_err contract cannot be served from a scramble — "
+                        "the empirical quantile's rank error depends on the "
+                        "sample's row count, so no static guarantee exists; "
+                        "route to KLL states (drop catalog_key for auto-"
+                        "selection) or drop the contract"
+                    )
                 s, gcol = _with_gkey(s, group)
                 gsel = [gcol] if gcol else []
                 qs_sql = ", ".join(repr(float(q)) for q in qs)
@@ -3469,7 +3785,16 @@ def approx_sql(
         elif fn == "APPROX_TOPK":
             out = topk_df(spark, states, spec["name"], int(args[1]))
         else:  # APPROX_PERCENTILE
-            qs = [float(a) for a in args[1:]] or [0.5]
+            qs, req_rank = _percentile_args(args)
+            if req_rank is not None:
+                k = float(spec.get("params", {}).get("k", 0))
+                if spec["kind"] != "kll" or not k or 3.31 / k > req_rank * (1 + 1e-9):
+                    raise ValueError(
+                        f"sketch set {catalog_key!r} cannot achieve rank_err="
+                        f"{req_rank} — its {spec['kind']} sketch on {col!r} "
+                        + (f"has k={int(k)} (ε≈{3.31 / k:.4f})" if k else "carries no k")
+                        + "; rebuild with a larger k or drop catalog_key"
+                    )
             out = quantiles_df(spark, states, spec["name"], qs)
         return _finish_grouped(out, None, group)
 
@@ -3497,8 +3822,14 @@ def approx_sql(
 
     if fn == "APPROX_PERCENTILE":
         df, col = _materialize_expr(df, args[0])
-        qs = [float(a) for a in args[1:]] or [0.5]
-        states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group)
+        qs, req_rank = _percentile_args(args)
+        k = 200
+        if req_rank is not None:
+            # rank-error contract: invert the calibrated KLL bound ε(k)≈3.31/k
+            from sketchlib.planner import kll_params
+
+            k = max(200, kll_params(req_rank)["k"])
+        states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": k})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
         return _finish_grouped(out, df, group)
 

@@ -2166,3 +2166,128 @@ def test_covar_corr_served_from_persisted_sample(spark, sub_tables, tmp_path):
     ).collect()
     with pytest.raises(ValueError, match="UNIFORM"):
         approx_sql(spark, "SELECT APPROX_CORR(k, val, 0.5) FROM fact", t, cat, "f_bs").collect()
+
+
+# ---------------------------------------------------------------------------
+# WITHIN n% ERROR [AT CONFIDENCE c%] — accuracy-contract statements
+# ---------------------------------------------------------------------------
+
+
+def test_within_contract_sampling_aggregates(spark, sub_tables):
+    """The pilot-planned ratio meets the stated relative target (small
+    slack for pilot noise) and the estimate covers the exact answer."""
+    t, fact, _ = sub_tables
+    exact = float(fact["val"].sum())
+    r = approx_sql(
+        spark, "SELECT APPROX_SUM(val) FROM fact WITHIN 2% ERROR", t
+    ).collect()[0]
+    assert abs(r["est_sum"] - exact) <= r["sum_err"] * WIDE
+    assert r["sum_err"] / abs(r["est_sum"]) <= 0.02 * 1.5  # planned, pilot-noise slack
+
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(val) FROM fact GROUP BY seg WITHIN 2% ERROR AT CONFIDENCE 99%",
+        t,
+    ).collect()
+    assert len(rows) == 4
+    for row in rows:
+        sub = fact[fact["seg"] == row["seg"]]["val"]
+        assert abs(row["est_avg"] - float(sub.mean())) <= row["avg_err"] * WIDE
+        # the 99% plan makes the reported 95% half-width comfortably under target
+        assert row["avg_err"] / abs(row["est_avg"]) <= 0.02 * 1.5
+
+
+def test_within_contract_tiny_target_goes_exact(spark, sub_tables):
+    """An unachievable-without-scanning target degenerates to ratio ~1.0:
+    the answer is (near-)exact and the error (near-)zero — never an
+    unfounded claim."""
+    t, fact, _ = sub_tables
+    r = approx_sql(
+        spark, "SELECT APPROX_COUNT(*) FROM fact WITHIN 0.0001% ERROR", t
+    ).collect()[0]
+    assert abs(r["est_count"] - len(fact)) <= max(r["count_err"], 1.0)
+    assert r["count_err"] <= len(fact) * 1e-4
+
+
+def test_within_contract_sketch_rewrites(spark, sub_tables, tmp_path):
+    """COUNT_DISTINCT contracts rewrite to rse=target/z (routing honors it:
+    a low-p registered sketch set is skipped; a high-p one serves), and
+    PERCENTILE contracts become rank_err=t with the planner's k."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    r = approx_sql(
+        spark, "SELECT APPROX_COUNT_DISTINCT(k) FROM fact WITHIN 2% ERROR", t
+    ).collect()[0]
+    exact = int(fact["k"].nunique())
+    assert r["rse_bound"] <= 0.02 / 1.959963984540054 * (1 + 1e-9)
+    assert abs(r["estimate"] - exact) <= 3 * r["rse_bound"] * exact + 1
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SKETCHES f_lo FROM fact KINDS hll(k, p=8)", t, cat
+    ).collect()
+    props = dict(
+        approx_sql(
+            spark,
+            "EXPLAIN SELECT APPROX_COUNT_DISTINCT(k) FROM fact WITHIN 2% ERROR",
+            t, cat,
+        ).collect()
+    )
+    assert props["statement_kind"] == "accuracy_contract"
+    # p=8 → rse 6.5% > 1.02% target → the registered set must NOT claim it
+    assert props["rewritten.route"].startswith("on_the_fly")
+
+    pct = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(val, 0.9) FROM fact WITHIN 0.2% ERROR", t
+    ).collect()[0]
+    assert pct["rank_err_bound"] <= 0.002 * (1 + 1e-9)
+    lo, hi = fact["val"].quantile(0.9 - 0.006), fact["val"].quantile(0.9 + 0.006)
+    assert lo <= pct["value"] <= hi
+
+
+def test_rank_err_argument_routes_only_achieving_states(spark, sub_tables, tmp_path):
+    """rank_err= as a plain named argument: KLL states below the needed k
+    are skipped (on-the-fly at the planner's k instead), achieving states
+    serve; scrambles never claim a rank contract."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE f_u9 FROM fact KIND uniform RATIO 0.9 SEED 2", t, cat).collect()
+    approx_sql(spark, "CREATE SKETCHES f_k FROM fact KINDS kll(val, k=400)", t, cat).collect()
+    stmt = "SELECT APPROX_PERCENTILE(val, 0.5, rank_err={r}) FROM fact"
+    # 3.31/400 ≈ 0.0083: achieves 1% → states route; not 0.5% → on-the-fly
+    props_ok = dict(approx_sql(spark, "EXPLAIN " + stmt.format(r=0.01), t, cat).collect())
+    assert props_ok["route"].startswith("persisted_sketch_states")
+    assert props_ok["artifact"] == "f_k"
+    props_no = dict(approx_sql(spark, "EXPLAIN " + stmt.format(r=0.005), t, cat).collect())
+    assert props_no["route"].startswith("on_the_fly")
+    r = approx_sql(spark, stmt.format(r=0.01), t, cat).collect()[0]
+    med = float(fact["val"].quantile(0.5))
+    lo, hi = fact["val"].quantile(0.5 - 0.03), fact["val"].quantile(0.5 + 0.03)
+    assert lo <= r["value"] <= hi, (r, med)
+    with pytest.raises(ValueError, match="scramble"):
+        approx_sql(spark, stmt.format(r=0.01), t, cat, "f_u9").collect()
+
+
+def test_within_contract_refusals(spark, sub_tables):
+    """Double accuracy specs, unsupported aggregates, and out-of-range
+    targets get descriptive errors."""
+    t, _, _ = sub_tables
+    with pytest.raises(ValueError, match="ONE accuracy spec"):
+        approx_sql(spark, "SELECT APPROX_SUM(val, 0.5) FROM fact WITHIN 1% ERROR", t)
+    with pytest.raises(ValueError, match="does not take"):
+        approx_sql(spark, "SELECT APPROX_CORR(k, val, 0.3) FROM fact WITHIN 1% ERROR", t)
+    with pytest.raises(ValueError, match="strictly between"):
+        approx_sql(spark, "SELECT APPROX_SUM(val) FROM fact WITHIN 0% ERROR", t)
+    with pytest.raises(ValueError, match="CONFIDENCE"):
+        approx_sql(
+            spark, "SELECT APPROX_SUM(val) FROM fact WITHIN 1% ERROR AT CONFIDENCE 30%", t
+        )
+    with pytest.raises(ValueError, match="ONE aggregate"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_SUM(val), APPROX_COUNT(0.5) FROM fact WITHIN 1% ERROR", t
+        )
