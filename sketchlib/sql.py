@@ -1239,11 +1239,15 @@ def explain_sql(
                 re.escape(cargstr), f"{cargstr}, rank_err={t!r}", cbody, count=1
             )
         elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-                     "APPROX_VARIANCE", "APPROX_STDDEV"):
+                     "APPROX_VARIANCE", "APPROX_STDDEV",
+                     "APPROX_COVAR", "APPROX_CORR"):
             emit("plan", "pilot Bernoulli scan (ratio 0.02) estimates the "
-                 "data terms, the closed-form CLT inversion plans the ratio "
-                 "(worst group under GROUP BY), then the statement re-enters "
-                 "with that explicit ratio — EXPLAIN does not run the pilot")
+                 "data terms, the closed-form CLT"
+                 + ("/Fisher" if cfn == "APPROX_CORR" else "")
+                 + " inversion plans the ratio (worst group under GROUP BY), "
+                 "then the statement re-enters with that explicit ratio — "
+                 "EXPLAIN does not run the pilot"
+                 + ("; the CORR target is ABSOLUTE (±t on r)" if cfn == "APPROX_CORR" else ""))
             return done()
         else:
             emit("error", f"{cfn} does not take a WITHIN contract — "
@@ -3078,6 +3082,10 @@ def _pilot_ratio(
       AVG        t²μ² = z²σ²(1−p)/(pN)        → p = z²σ²/(t²μ²N + z²σ²)
       VARIANCE   t²m₂² = z²K(1−p)/(pN), K=μ₄−σ⁴ → p = z²K/(t²m₂²N + z²K)
       STDDEV     rel err of s ≈ ½ that of s²  → VARIANCE inversion at 2t
+      COVAR      t²s_xy² = z²K(1−p)/(pN), K=μ₂₂−σ_xy² → p = z²K/(t²s_xy²N + z²K)
+      CORR       Fisher half-width ≈ (1−r²)·z√((1−p)/(pN))  (ABSOLUTE target —
+                 a relative target on a near-zero r would demand the full
+                 scan for no insight) → p = z²(1−r²)²/(t²N + z²(1−r²)²)
 
     GROUPED statements plan for the WORST group (max required p across the
     pilot's groups) — a group too rare to appear in the pilot cannot be
@@ -3091,13 +3099,24 @@ def _pilot_ratio(
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
         df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
-    col = None
-    if fn != "APPROX_COUNT":
+    col = ycol = None
+    if fn in ("APPROX_COVAR", "APPROX_CORR"):
+        df, col = _materialize_expr(df, args[0])
+        df, ycol = _materialize_expr(df, args[1])
+    elif fn != "APPROX_COUNT":
         df, col = _materialize_expr(df, args[0])
     pilot = df.sample(fraction=p0, seed=seed)
     gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
     aggs = [F.count("*").alias("n0")]
-    if col is not None:
+    if ycol is not None:
+        x, y = F.col(col), F.col(ycol)
+        aggs += [
+            F.sum(x).alias("s1"), F.sum(x * x).alias("s2"),
+            F.sum(y).alias("sy1"), F.sum(y * y).alias("sy2"),
+            F.sum(x * y).alias("sxy"), F.sum(x * x * y).alias("sxxy"),
+            F.sum(x * y * y).alias("sxyy"), F.sum(x * x * y * y).alias("sxxyy"),
+        ]
+    elif col is not None:
         v = F.col(col)
         aggs += [F.sum(v).alias("s1"), F.sum(v * v).alias("s2")]
         if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
@@ -3112,6 +3131,32 @@ def _pilot_ratio(
         N = n0 / p0
         if fn == "APPROX_COUNT":
             p = z2 / (t2 * N + z2)
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            mx, my = float(r["s1"]) / n0, float(r["sy1"]) / n0
+            cxy = float(r["sxy"]) / n0 - mx * my
+            cxx = max(float(r["s2"]) / n0 - mx * mx, 0.0)
+            cyy = max(float(r["sy2"]) / n0 - my * my, 0.0)
+            if fn == "APPROX_CORR":
+                if cxx == 0 or cyy == 0:
+                    p = 1.0  # degenerate marginal — only the exact scan is honest
+                else:
+                    r_hat = max(-1.0, min(1.0, cxy / (cxx * cyy) ** 0.5))
+                    g = (1.0 - r_hat * r_hat) ** 2
+                    p = z2 * g / (t2 * N + z2 * g)
+            else:
+                m22 = (
+                    float(r["sxxyy"]) / n0
+                    - 2 * my * float(r["sxxy"]) / n0
+                    + my * my * float(r["s2"]) / n0
+                    - 2 * mx * float(r["sxyy"]) / n0
+                    + 4 * mx * my * float(r["sxy"]) / n0
+                    - 2 * mx * my * my * float(r["s1"]) / n0
+                    + mx * mx * float(r["sy2"]) / n0
+                    - 2 * mx * mx * my * float(r["sy1"]) / n0
+                    + mx * mx * my * my
+                )
+                K = max(m22 - cxy * cxy, 0.0)
+                p = 1.0 if cxy == 0 else z2 * K / (t2 * cxy * cxy * N + z2 * K)
         elif fn == "APPROX_SUM":
             s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
             S, Q = s1 / p0, s2 / p0
@@ -3151,12 +3196,14 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
     - PERCENTILE → ``rank_err=t`` named argument: on-the-fly builds use the
       planner's k inversion; routing only claims KLL states achieving it.
       The contract is in RANK units (WITHIN 1% ERROR = ±0.01 rank).
-    - COUNT/SUM/AVG/VARIANCE/STDDEV → pilot-planned sampling ratio
-      (_pilot_ratio), injected as the explicit ratio argument — so
+    - COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR → pilot-planned sampling
+      ratio (_pilot_ratio), injected as the explicit ratio argument — so
       auto-selection serves the statement from any registered uniform
       scramble of ratio ≥ the plan, and the on-the-fly build samples at
       exactly the planned ratio. A plan of 1.0 degenerates to the exact
-      scan (error 0 ≤ any target).
+      scan (error 0 ≤ any target). CORR's target is ABSOLUTE (±t on the
+      correlation itself — a relative target on a near-zero r would demand
+      a full scan for no insight); every other family's is relative.
 
     The rewritten statement re-enters approx_sql whole, so tails, aliases,
     GROUP BY shapes, and catalog routing all behave exactly as if the user
@@ -3239,10 +3286,13 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
             spark, _reassemble(args + [f"rank_err={t!r}"]), tables, catalog, catalog_key
         )
 
-    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV"):
+    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE",
+              "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
         if fn == "APPROX_COUNT":
             # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
             has_ratio = bool([a for a in args if a.strip() != "*"])
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            has_ratio = len(args) > 2
         else:
             has_ratio = len(args) > 1
         if has_ratio:
@@ -3253,14 +3303,19 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
         group = _parse_group(m.group("group"))
         p = _pilot_ratio(spark, m, fn, args, group, tables, z, t)
         ratio_txt = f"{p:.10g}"
-        new_args = [ratio_txt] if fn == "APPROX_COUNT" else [args[0], ratio_txt]
+        if fn == "APPROX_COUNT":
+            new_args = [ratio_txt]
+        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+            new_args = [args[0], args[1], ratio_txt]
+        else:
+            new_args = [args[0], ratio_txt]
         return approx_sql(spark, _reassemble(new_args), tables, catalog, catalog_key)
 
     raise ValueError(
         f"{fn} does not take a WITHIN ... ERROR contract — closed-form "
-        "ratio inversion is provided for COUNT/SUM/AVG/VARIANCE/STDDEV, "
-        "rse for COUNT_DISTINCT, eps for TOPK, and rank_err for PERCENTILE; "
-        "give COVAR/CORR an explicit sampling ratio instead"
+        "inversions cover COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR "
+        "(sampling ratio), COUNT_DISTINCT (rse), TOPK (eps), and "
+        "PERCENTILE (rank_err)"
     )
 
 

@@ -2278,8 +2278,10 @@ def test_within_contract_refusals(spark, sub_tables):
     t, _, _ = sub_tables
     with pytest.raises(ValueError, match="ONE accuracy spec"):
         approx_sql(spark, "SELECT APPROX_SUM(val, 0.5) FROM fact WITHIN 1% ERROR", t)
-    with pytest.raises(ValueError, match="does not take"):
+    with pytest.raises(ValueError, match="ONE accuracy spec"):
         approx_sql(spark, "SELECT APPROX_CORR(k, val, 0.3) FROM fact WITHIN 1% ERROR", t)
+    with pytest.raises(ValueError, match="does not take"):
+        approx_sql(spark, "SELECT APPROX_MYSTERY(val) FROM fact WITHIN 1% ERROR", t)
     with pytest.raises(ValueError, match="strictly between"):
         approx_sql(spark, "SELECT APPROX_SUM(val) FROM fact WITHIN 0% ERROR", t)
     with pytest.raises(ValueError, match="CONFIDENCE"):
@@ -2291,3 +2293,26 @@ def test_within_contract_refusals(spark, sub_tables):
             spark,
             "SELECT APPROX_SUM(val), APPROX_COUNT(0.5) FROM fact WITHIN 1% ERROR", t
         )
+
+
+def test_within_contract_bivariate(spark, sub_tables):
+    """COVAR takes a relative contract (CLT inversion on m22); CORR takes
+    an ABSOLUTE one (Fisher inversion — a relative target on near-zero r
+    would demand a full scan for no insight)."""
+    t, fact, _ = sub_tables
+    exact_cr = float(fact["k"].astype(float).corr(fact["val"]))
+    r = approx_sql(
+        spark, "SELECT APPROX_CORR(k, val) FROM fact WITHIN 2% ERROR", t
+    ).collect()[0]
+    assert abs(r["est_corr"] - exact_cr) <= r["corr_err"] * WIDE
+    assert r["corr_err"] <= 0.02 * 1.5  # absolute target, pilot-noise slack
+
+    # the relative COVAR contract needs a covariance bounded away from 0
+    # (relative targets on near-zero parameters are ill-posed — CORR's
+    # absolute form exists for exactly that reason): cov(k, k+val) ≈ var(k)
+    exact_cv = float(fact["k"].astype(float).cov(fact["k"].astype(float) + fact["val"]))
+    rc = approx_sql(
+        spark, "SELECT APPROX_COVAR(k, k + val) FROM fact WITHIN 5% ERROR", t
+    ).collect()[0]
+    assert abs(rc["est_covar"] - exact_cv) <= rc["covar_err"] * WIDE
+    assert rc["covar_err"] / abs(rc["est_covar"]) <= 0.05 * 1.5
