@@ -1408,9 +1408,12 @@ def q_b42_bivariate_aggregates(spark, sf_dir):
     """Round 5: APPROX_COVAR / APPROX_CORR — bivariate moment aggregates
     from uniform samples. Covariance and Pearson correlation are ratio-type
     statistics (no 1/p scale-up): the sample covariance gets the CLT bound
-    Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n from the same nine-power-sum pass, and the
-    correlation CI comes from the FISHER z transform (se 1/√(n−3), the
-    classical bound that stays honest as |r|→1), both with the (1−p)
+    Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n with μ₂₂ bounded by Cauchy–Schwarz as
+    √(μ₄₀·μ₀₄) from Spark's STABLE one-pass central-moment aggregates
+    (conservative, never smaller than the true CI — and immune to the
+    catastrophic cancellation a raw power-sum m₂₂ suffers at mean≫stddev),
+    and the correlation CI comes from the FISHER z transform (se 1/√(n−3),
+    the classical bound that stays honest as |r|→1), both with the (1−p)
     finite-population factor. Checks (~3.3σ): global covariance on the fly,
     grouped correlation SERVED FROM a persisted scramble (EXPLAIN confirming
     the route), and a strongly-correlated EXPRESSION pair (the near-1 regime

@@ -71,19 +71,21 @@ def approx_agg_from_uniform_sample(
     queries scan the p-fraction table instead of the corpus.
 
     ``moments=True`` additionally estimates the population VARIANCE and
-    STDDEV of ``value_col`` from the same single aggregation (third/fourth
-    power sums added to the scan):
+    STDDEV of ``value_col`` from the same single aggregation:
 
-    - est_variance: the sample variance s² = m₂·n/(n−1) (m₂ = the sample's
-      central second moment). Under Bernoulli(p) the sampled rows are a
-      simple random subset, so s² is a consistent (and to O(1/N) unbiased)
-      estimator of the table's variance — a ratio-type statistic, no 1/p
-      scale-up.
+    - est_variance: the sample variance s² (Spark's ``var_samp`` — a
+      numerically STABLE shifted one-pass central-moment aggregate; a raw
+      Σx²-power-sum expansion would both overflow 64-bit integers at
+      x ≳ 3·10⁹ and cancel catastrophically at mean ≫ stddev). Under
+      Bernoulli(p) the sampled rows are a simple random subset, so s² is a
+      consistent (and to O(1/N) unbiased) estimator of the table's
+      variance — a ratio-type statistic, no 1/p scale-up.
     - variance_err: z·se(s²) with the CLT/delta-method variance of a sample
-      variance, Var(s²) ≈ (μ₄ − σ⁴)/n (μ₄ = fourth central moment, estimated
-      by the sample's m₄), with the same (1−p) finite-population factor the
-      other estimators carry — at p=1 the sample IS the table and the error
-      is 0.
+      variance, Var(s²) ≈ (μ₄ − σ⁴)/n = σ⁴(g₂ + 2)/n, computed from the
+      stable ``var_pop``/``kurtosis`` aggregates (g₂ = excess kurtosis, so
+      g₂ + 2 ≥ 0 by the kurtosis lower bound), with the same (1−p)
+      finite-population factor the other estimators carry — at p=1 the
+      sample IS the table and the error is 0.
     - est_stddev = √s², stddev_err = variance_err/(2·√s²) (first-order delta
       method through √; NULL when s² = 0, where the linearization is
       undefined).
@@ -100,7 +102,11 @@ def approx_agg_from_uniform_sample(
         F.sum(v * v).alias("sum_sq"),
     ]
     if moments:
-        aggs += [F.sum(v * v * v).alias("sum_3"), F.sum(v * v * v * v).alias("sum_4")]
+        aggs += [
+            F.var_samp(v).alias("s2v"),
+            F.var_pop(v).alias("m2v"),
+            F.kurtosis(v).alias("g2v"),
+        ]
     agg = s.groupBy(*([group_by] if group_by else [])).agg(*aggs)
     n_s, sum_s, sum_sq = F.col("n_s"), F.col("sum_s"), F.col("sum_sq")
     est_count = n_s / p
@@ -122,20 +128,15 @@ def approx_agg_from_uniform_sample(
         avg_err.alias("avg_err"),
     ]
     if moments:
-        m = sum_s / n_s
-        m2 = F.greatest(var_v, F.lit(0.0))
-        # central fourth moment from power sums:
-        # m₄ = S₄/n − 4m·S₃/n + 6m²·S₂/n − 3m⁴
-        m4 = (
-            F.col("sum_4") / n_s
-            - 4 * m * F.col("sum_3") / n_s
-            + 6 * m * m * sum_sq / n_s
-            - 3 * m * m * m * m
-        )
-        s2 = F.when(n_s > 1, m2 * n_s / (n_s - 1))
+        # μ₄ − σ⁴ = σ⁴·(g₂ + 2) — entirely from stable aggregates; a zero
+        # variance carries zero dispersion uncertainty (and kurtosis is
+        # NaN there, so the guard is load-bearing, not cosmetic)
+        m2, g2 = F.col("m2v"), F.col("g2v")
+        s2 = F.col("s2v")  # var_samp: NULL at n ≤ 1
+        K = F.when(m2 > 0, m2 * m2 * (g2 + F.lit(2.0))).otherwise(F.lit(0.0))
         var_err = F.when(
             n_s > 1,
-            F.lit(z) * F.sqrt(F.greatest(m4 - m2 * m2, F.lit(0.0)) * (1 - p) / n_s),
+            F.lit(z) * F.sqrt(F.greatest(K, F.lit(0.0)) * (1 - p) / n_s),
         )
         sd = F.sqrt(s2)
         sd_err = F.when(sd > 0, var_err / (2 * sd))
@@ -164,23 +165,34 @@ def approx_bivariate_from_uniform_sample(
     z: float = 1.96,
 ) -> DataFrame:
     """Population COVARIANCE and PEARSON CORRELATION of (x, y) from an
-    already-drawn Bernoulli(p) sample, one aggregation pass (nine power
-    sums). Both are ratio-type statistics — a uniform subset estimates them
-    without any 1/p scale-up:
+    already-drawn Bernoulli(p) sample, one aggregation pass over Spark's
+    numerically STABLE central-moment aggregates (``covar_samp``/
+    ``var_pop``/``kurtosis`` use shifted one-pass updating; a raw power-sum
+    expansion of the cross moments would both overflow 64-bit integers and
+    cancel catastrophically at mean ≫ stddev). Both statistics are
+    ratio-type — a uniform subset estimates them without any 1/p scale-up:
 
-    - est_covar: s_xy = (Σxy/n − x̄ȳ)·n/(n−1), consistent for the table's
-      covar_samp. covar_err uses the CLT variance of a sample covariance,
-      Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n with μ₂₂ = E[(x−μx)²(y−μy)²] estimated by
-      the sample's central cross-moment m₂₂ (expanded into the same pass's
-      power sums), times the (1−p) finite-population factor.
-    - est_corr: r = s_xy/(s_x·s_y). corr_err comes from the FISHER z
-      transform — atanh(r) is asymptotically normal with se 1/√(n−3)
-      (Fisher 1921), far better behaved near |r|→1 than the naive delta
-      bound (1−r²)/√n, and exact-zero at p=1 via the same (1−p) factor.
-      The half-width reported is the wider side of the back-transformed
-      interval tanh(atanh(r) ± z·√(1−p)/√(n−3)) — honest asymmetry made
+    - est_covar: ``covar_samp`` of the sample rows, consistent for the
+      table's covar_samp. covar_err uses the CLT variance of a sample
+      covariance, Var(s_xy) ≈ (μ₂₂ − σ_xy²)/n, with μ₂₂ = E[(x−μx)²(y−μy)²]
+      bounded by CAUCHY–SCHWARZ as μ₂₂ ≤ √(μ₄₀·μ₀₄) — each fourth moment
+      from the stable per-column variance/kurtosis (μ₄ = σ⁴(g₂+3)). The
+      bound is conservative (≤ √3× wider for bivariate-normal data), never
+      smaller than the true CI, and immune to the cancellation that makes
+      the exact m₂₂ expansion meaningless at large means. The (1−p)
+      finite-population factor zeroes it at p=1.
+    - est_corr: Pearson r = cov_pop/√(vx·vy) from the same stable
+      aggregates (identical to ``corr``, which under ANSI mode throws on a
+      zero-variance column where this guarded form returns NULL), clamped
+      into [−1, 1] against float rounding. corr_err comes from the FISHER
+      z transform — atanh(r) is
+      asymptotically normal with se 1/√(n−3) (Fisher 1921), far better
+      behaved near |r|→1 than the naive delta bound (1−r²)/√n, and
+      exact-zero at p=1 via the same (1−p) factor. The half-width reported
+      is the wider side of the back-transformed interval
+      tanh(atanh(r) ± z·√(1−p)/√(n−3)) — honest asymmetry made
       conservative. NULL when either marginal variance is 0 (correlation
-      undefined) or n ≤ 3.
+      undefined, ``corr`` returns NaN) or n ≤ 3.
 
     Groups with n ≤ 1 report NULL for both estimates.
     """
@@ -188,45 +200,40 @@ def approx_bivariate_from_uniform_sample(
     x, y = F.col(x_col), F.col(y_col)
     agg = sample.groupBy(*([group_by] if group_by else [])).agg(
         F.count("*").alias("n_s"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * x * y).alias("sxxy"),
-        F.sum(x * y * y).alias("sxyy"),
-        F.sum(x * x * y * y).alias("sxxyy"),
+        F.covar_samp(x, y).alias("cov_s"),
+        F.covar_pop(x, y).alias("cov_p"),
+        F.var_pop(x).alias("vx"),
+        F.var_pop(y).alias("vy"),
+        F.kurtosis(x).alias("gx"),
+        F.kurtosis(y).alias("gy"),
     )
     n = F.col("n_s")
-    mx, my = F.col("sx") / n, F.col("sy") / n
-    # central second moments (biased, /n) and the central cross moment m22
-    cxy = F.col("sxy") / n - mx * my
-    cxx = F.greatest(F.col("sxx") / n - mx * mx, F.lit(0.0))
-    cyy = F.greatest(F.col("syy") / n - my * my, F.lit(0.0))
-    # m22 = E[(x−mx)²(y−my)²] expanded into raw power sums:
-    m22 = (
-        F.col("sxxyy") / n
-        - 2 * my * F.col("sxxy") / n
-        + my * my * F.col("sxx") / n
-        - 2 * mx * F.col("sxyy") / n
-        + 4 * mx * my * F.col("sxy") / n
-        - 2 * mx * my * my * F.col("sx") / n
-        + mx * mx * F.col("syy") / n
-        - 2 * mx * mx * my * F.col("sy") / n
-        + mx * mx * my * my
-    )
-    s_xy = F.when(n > 1, cxy * n / (n - 1))
+    vx, vy, gx, gy = F.col("vx"), F.col("vy"), F.col("gx"), F.col("gy")
+    s_xy = F.when(n > 1, F.col("cov_s"))
+    # μ₄₀ = vx²(gx+3), μ₀₄ = vy²(gy+3); K = √(μ₄₀μ₀₄) − σ_xy² ≥ μ₂₂ − σ_xy²
+    mu40 = vx * vx * (gx + F.lit(3.0))
+    mu04 = vy * vy * (gy + F.lit(3.0))
+    K = F.when(
+        (vx > 0) & (vy > 0),
+        F.sqrt(F.greatest(mu40 * mu04, F.lit(0.0))) - F.col("cov_p") * F.col("cov_p"),
+    ).otherwise(F.lit(0.0))  # a zero marginal variance forces σ_xy = 0 exactly
     covar_err = F.when(
-        n > 1, F.lit(z) * F.sqrt(F.greatest(m22 - cxy * cxy, F.lit(0.0)) * (1 - p) / n)
+        n > 1, F.lit(z) * F.sqrt(F.greatest(K, F.lit(0.0)) * (1 - p) / n)
     )
-    denom = F.sqrt(cxx * cyy)
-    r = F.when((n > 1) & (denom > 0), cxy / denom)
+    # r from the same stable aggregates (cov_pop/√(vx·vy) IS Pearson's r);
+    # built-in F.corr would be equivalent but throws DIVIDE_BY_ZERO on a
+    # zero-variance column under ANSI mode — the when-guard division cannot
+    raw = F.col("cov_p") / F.sqrt(vx * vy)
+    r = F.when(
+        (n > 1) & (vx > 0) & (vy > 0),
+        F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0)),
+    )
     # clamp into the open interval so atanh stays finite under float rounding
     r_c = F.least(F.greatest(r, F.lit(-0.999999999999)), F.lit(0.999999999999))
     zf = F.atanh(r_c)
     d = F.lit(z) * F.sqrt(F.lit(1.0 - p)) / F.sqrt(n - 3)
     corr_err = F.when(
-        (n > 3) & denom.isNotNull() & (denom > 0),
+        (n > 3) & r.isNotNull(),
         F.greatest(F.tanh(zf + d) - r_c, r_c - F.tanh(zf - d)),
     )
     return agg.select(

@@ -1191,72 +1191,6 @@ def explain_sql(
         for k, v in explain_sql(spark, final, tables, catalog, catalog_key).collect():
             emit(f"final.{k}", v)
         return done()
-    wmx = _WITHIN_TAIL.match(_mask_literals(stmt)) and _WITHIN_TAIL.match(stmt)
-    if wmx:
-        # accuracy contract: report the translation WITHOUT data work — the
-        # sketch-family rewrites are pure arithmetic (nested EXPLAIN shows
-        # the route they'd take); the sampling families need the pilot scan,
-        # which EXPLAIN describes instead of running
-        from statistics import NormalDist
-
-        t = float(wmx.group("pct")) / 100.0
-        conf = float(wmx.group("conf") or 95.0) / 100.0
-        emit("statement_kind", "accuracy_contract")
-        emit("target_rel_error", t)
-        emit("confidence", conf)
-        cbody = wmx.group("body")
-        while True:
-            tmx = (_ORDER_TAIL.match(cbody) or _LIMIT_TAIL.match(cbody)
-                   or _HAVING_TAIL.match(cbody))
-            if not tmx:
-                break
-            cbody = tmx.group("body")
-        cm = _SKELETON.match(cbody)
-        caggs = [] if not cm else _AGG.findall(cm.group("select"))
-        if cm is None or len(caggs) != 1:
-            emit("error", "WITHIN ... ERROR needs the single-aggregate, "
-                 "single-table skeleton — approx_sql would raise")
-            return done()
-        cfn, cargstr = caggs[0][0].upper(), caggs[0][1]
-        cargs = _split_args(cargstr)
-        z = NormalDist().inv_cdf(0.5 + conf / 2.0)
-        if cfn == "APPROX_COUNT_DISTINCT":
-            emit("plan", f"rewrite to explicit rse = target/z = {t / z:.6g} "
-                 "(1σ figure; routing honors it)")
-            rewritten = re.sub(re.escape(cargstr), f"{cargs[0]}, {t / z!r}", cbody, count=1)
-        elif cfn == "APPROX_TOPK":
-            emit("plan", f"rewrite to explicit eps = {t!r} (CM overcount ≤ ε·N "
-                 "w.p. 1−δ, δ=0.01)")
-            rewritten = re.sub(
-                re.escape(cargstr), f"{', '.join(cargs[:2])}, {t!r}", cbody, count=1
-            )
-        elif cfn == "APPROX_PERCENTILE":
-            from sketchlib.planner import kll_params
-
-            emit("plan", f"rank_err={t!r} → KLL k={max(200, kll_params(t)['k'])} "
-                 "on the fly; only achieving KLL states claim the route")
-            rewritten = re.sub(
-                re.escape(cargstr), f"{cargstr}, rank_err={t!r}", cbody, count=1
-            )
-        elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-                     "APPROX_VARIANCE", "APPROX_STDDEV",
-                     "APPROX_COVAR", "APPROX_CORR"):
-            emit("plan", "pilot Bernoulli scan (ratio 0.02) estimates the "
-                 "data terms, the closed-form CLT"
-                 + ("/Fisher" if cfn == "APPROX_CORR" else "")
-                 + " inversion plans the ratio (worst group under GROUP BY), "
-                 "then the statement re-enters with that explicit ratio — "
-                 "EXPLAIN does not run the pilot"
-                 + ("; the CORR target is ABSOLUTE (±t on r)" if cfn == "APPROX_CORR" else ""))
-            return done()
-        else:
-            emit("error", f"{cfn} does not take a WITHIN contract — "
-                 "approx_sql would raise")
-            return done()
-        emit("rewritten_statement", "see nested properties below")
-        for k, v in explain_sql(spark, rewritten, tables, catalog, catalog_key).collect():
-            emit(f"rewritten.{k}", v)
-        return done()
     sub = _extract_subquery(stmt)
     if sub is not None:
         head, inner, tail = sub
@@ -1352,6 +1286,108 @@ def explain_sql(
         for k, v in explain_sql(spark, f"{head} FROM _derived_{tail}", tables, catalog, None).collect():
             if k != "statement_kind":
                 emit(f"outer.{k}", v)
+        return done()
+    wmx = _WITHIN_TAIL.match(_mask_literals(stmt)) and _WITHIN_TAIL.match(stmt)
+    if wmx:
+        # accuracy contract — checked AFTER the subquery branch, mirroring
+        # execution order (a derived-table WITHIN statement extracts the
+        # subquery first and applies the contract over the view). Every
+        # validation _within_error enforces is replicated here as an error
+        # row, so EXPLAIN and execution cannot disagree on what raises.
+        # Sketch-family rewrites are pure arithmetic (nested EXPLAIN shows
+        # the route they'd take, the statement REBUILT structurally — a
+        # textual substitution could splice into unrelated text); the
+        # sampling families need the pilot scan, which EXPLAIN describes
+        # instead of running (zero data work).
+        from statistics import NormalDist
+
+        t = float(wmx.group("pct")) / 100.0
+        conf = float(wmx.group("conf") or 95.0) / 100.0
+        emit("statement_kind", "accuracy_contract")
+        emit("target_rel_error", t)
+        emit("confidence", conf)
+        if not (0.0 < t < 1.0):
+            emit("error", "target outside (0, 100)% — approx_sql would raise")
+            return done()
+        if not (0.5 <= conf < 1.0):
+            emit("error", "confidence outside [50, 100)% — approx_sql would raise")
+            return done()
+        cbody = wmx.group("body")
+        while True:
+            tmx = (_ORDER_TAIL.match(cbody) or _LIMIT_TAIL.match(cbody)
+                   or _HAVING_TAIL.match(cbody))
+            if not tmx:
+                break
+            cbody = tmx.group("body")
+        cm = _SKELETON.match(cbody)
+        caggs = [] if not cm else _AGG.findall(cm.group("select"))
+        if cm is None or len(caggs) != 1:
+            emit("error", "WITHIN ... ERROR needs the single-aggregate, "
+                 "single-table skeleton — approx_sql would raise")
+            return done()
+        cfn, cargstr = caggs[0][0].upper(), caggs[0][1]
+        cargs = _split_args(cargstr)
+        z = NormalDist().inv_cdf(0.5 + conf / 2.0)
+
+        def _c_stmt(new_args: list[str]) -> str:
+            s2 = f"SELECT {cfn}({', '.join(new_args)}) FROM {cm.group('table')}"
+            if cm.group("where"):
+                s2 += f" WHERE {cm.group('where')}"
+            if cm.group("group"):
+                s2 += f" GROUP BY {cm.group('group')}"
+            return s2
+
+        double_spec = "error — approx_sql would raise: give ONE accuracy spec"
+        if cfn == "APPROX_COUNT_DISTINCT":
+            if len(cargs) > 1:
+                emit("error", double_spec + " (explicit rse + WITHIN)")
+                return done()
+            emit("plan", f"rewrite to explicit rse = target/z = {t / z:.6g} "
+                 "(1σ figure; routing honors it)")
+            rewritten = _c_stmt([cargs[0], repr(t / z)])
+        elif cfn == "APPROX_TOPK":
+            if len(cargs) > 2:
+                emit("error", double_spec + " (explicit eps + WITHIN)")
+                return done()
+            emit("plan", f"rewrite to explicit eps = {t!r} (CM overcount ≤ ε·N "
+                 "w.p. 1−δ, δ=0.01)")
+            rewritten = _c_stmt(cargs[:2] + [repr(t)])
+        elif cfn == "APPROX_PERCENTILE":
+            if _percentile_args(cargs)[1] is not None:
+                emit("error", double_spec + " (rank_err + WITHIN)")
+                return done()
+            from sketchlib.planner import kll_params
+
+            emit("plan", f"rank_err={t!r} → KLL k={max(200, kll_params(t)['k'])} "
+                 "on the fly; only achieving KLL states claim the route")
+            rewritten = _c_stmt(cargs + [f"rank_err={t!r}"])
+        elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                     "APPROX_VARIANCE", "APPROX_STDDEV",
+                     "APPROX_COVAR", "APPROX_CORR"):
+            if cfn == "APPROX_COUNT":
+                has_ratio = bool([a for a in cargs if a.strip() != "*"])
+            elif cfn in ("APPROX_COVAR", "APPROX_CORR"):
+                has_ratio = len(cargs) > 2
+            else:
+                has_ratio = len(cargs) > 1
+            if has_ratio:
+                emit("error", double_spec + " (explicit ratio + WITHIN)")
+                return done()
+            emit("plan", "pilot Bernoulli scan (ratio 0.02) estimates the "
+                 "data terms, the closed-form CLT"
+                 + ("/Fisher" if cfn == "APPROX_CORR" else "")
+                 + " inversion plans the ratio (worst group under GROUP BY), "
+                 "then the statement re-enters with that explicit ratio — "
+                 "EXPLAIN does not run the pilot"
+                 + ("; the CORR target is ABSOLUTE (±t on r)" if cfn == "APPROX_CORR" else ""))
+            return done()
+        else:
+            emit("error", f"{cfn} does not take a WITHIN contract — "
+                 "approx_sql would raise")
+            return done()
+        emit("rewritten_statement", "see nested properties below")
+        for k, v in explain_sql(spark, rewritten, tables, catalog, catalog_key).collect():
+            emit(f"rewritten.{k}", v)
         return done()
     body, tails = stmt, []
     while True:
@@ -3108,21 +3144,34 @@ def _pilot_ratio(
     pilot = df.sample(fraction=p0, seed=seed)
     gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
     aggs = [F.count("*").alias("n0")]
+    # the same STABLE central-moment aggregates the estimator kernels use
+    # (sampling.py) — raw power sums would overflow integer columns and
+    # cancel catastrophically at mean ≫ stddev, exactly where the planned
+    # ratio matters most
     if ycol is not None:
         x, y = F.col(col), F.col(ycol)
+        # no F.corr: it throws DIVIDE_BY_ZERO on a constant column under
+        # ANSI mode; r̂ is recomputed from these guarded driver-side
         aggs += [
-            F.sum(x).alias("s1"), F.sum(x * x).alias("s2"),
-            F.sum(y).alias("sy1"), F.sum(y * y).alias("sy2"),
-            F.sum(x * y).alias("sxy"), F.sum(x * x * y).alias("sxxy"),
-            F.sum(x * y * y).alias("sxyy"), F.sum(x * x * y * y).alias("sxxyy"),
+            F.covar_pop(x, y).alias("cxy"),
+            F.var_pop(x).alias("vx"), F.var_pop(y).alias("vy"),
+            F.kurtosis(x).alias("gx"), F.kurtosis(y).alias("gy"),
         ]
     elif col is not None:
-        v = F.col(col)
+        v = F.col(col).cast("double")
         aggs += [F.sum(v).alias("s1"), F.sum(v * v).alias("s2")]
         if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
-            aggs += [F.sum(v * v * v).alias("s3"), F.sum(v * v * v * v).alias("s4")]
+            aggs += [F.var_pop(v).alias("m2"), F.kurtosis(v).alias("g2")]
     rows = pilot.groupBy(*gcols).agg(*aggs).collect()
     z2, t2 = z * z, t * t
+
+    def _f(val) -> float:
+        """Collected aggregate → finite float (NULL/NaN → 0: an all-NULL or
+        constant pilot column carries no signal; the formulas then plan the
+        degenerate p = 1.0 through their own zero-denominator guards)."""
+        fv = float(val if val is not None else 0.0)
+        return fv if fv == fv else 0.0
+
     p_req = 0.0
     for r in rows:
         n0 = r["n0"]
@@ -3132,47 +3181,30 @@ def _pilot_ratio(
         if fn == "APPROX_COUNT":
             p = z2 / (t2 * N + z2)
         elif fn in ("APPROX_COVAR", "APPROX_CORR"):
-            mx, my = float(r["s1"]) / n0, float(r["sy1"]) / n0
-            cxy = float(r["sxy"]) / n0 - mx * my
-            cxx = max(float(r["s2"]) / n0 - mx * mx, 0.0)
-            cyy = max(float(r["sy2"]) / n0 - my * my, 0.0)
+            vx, vy = _f(r["vx"]), _f(r["vy"])
             if fn == "APPROX_CORR":
-                if cxx == 0 or cyy == 0:
+                if vx == 0 or vy == 0:
                     p = 1.0  # degenerate marginal — only the exact scan is honest
                 else:
-                    r_hat = max(-1.0, min(1.0, cxy / (cxx * cyy) ** 0.5))
+                    r_hat = max(-1.0, min(1.0, _f(r["cxy"]) / (vx * vy) ** 0.5))
                     g = (1.0 - r_hat * r_hat) ** 2
                     p = z2 * g / (t2 * N + z2 * g)
             else:
-                m22 = (
-                    float(r["sxxyy"]) / n0
-                    - 2 * my * float(r["sxxy"]) / n0
-                    + my * my * float(r["s2"]) / n0
-                    - 2 * mx * float(r["sxyy"]) / n0
-                    + 4 * mx * my * float(r["sxy"]) / n0
-                    - 2 * mx * my * my * float(r["s1"]) / n0
-                    + mx * mx * float(r["sy2"]) / n0
-                    - 2 * mx * mx * my * float(r["sy1"]) / n0
-                    + mx * mx * my * my
-                )
-                K = max(m22 - cxy * cxy, 0.0)
+                cxy = _f(r["cxy"])
+                # the kernel's Cauchy–Schwarz K: √(μ₄₀μ₀₄) − σ_xy²
+                gx, gy = _f(r["gx"]), _f(r["gy"])
+                K = max((vx * vx * (gx + 3.0) * vy * vy * (gy + 3.0)) ** 0.5 - cxy * cxy, 0.0)
                 p = 1.0 if cxy == 0 else z2 * K / (t2 * cxy * cxy * N + z2 * K)
         elif fn == "APPROX_SUM":
-            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
-            S, Q = s1 / p0, s2 / p0
+            S, Q = _f(r["s1"]) / p0, _f(r["s2"]) / p0
             p = 1.0 if S == 0 else z2 * Q / (t2 * S * S + z2 * Q)
         elif fn == "APPROX_AVG":
-            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
-            mu = s1 / n0
-            var = max(s2 / n0 - mu * mu, 0.0)
+            mu = _f(r["s1"]) / n0
+            var = max(_f(r["s2"]) / n0 - mu * mu, 0.0)
             p = 1.0 if mu == 0 else z2 * var / (t2 * mu * mu * N + z2 * var)
         else:  # APPROX_VARIANCE / APPROX_STDDEV
-            s1, s2 = float(r["s1"] or 0.0), float(r["s2"] or 0.0)
-            s3, s4 = float(r["s3"] or 0.0), float(r["s4"] or 0.0)
-            mu = s1 / n0
-            m2 = max(s2 / n0 - mu * mu, 0.0)
-            m4 = s4 / n0 - 4 * mu * s3 / n0 + 6 * mu * mu * s2 / n0 - 3 * mu ** 4
-            K = max(m4 - m2 * m2, 0.0)
+            m2, g2 = _f(r["m2"]), _f(r["g2"])
+            K = max(m2 * m2 * (g2 + 2.0), 0.0)  # μ₄ − σ⁴ = σ⁴(g₂+2)
             tv = t if fn == "APPROX_VARIANCE" else 2.0 * t
             p = 1.0 if m2 == 0 else z2 * K / (tv * tv * m2 * m2 * N + z2 * K)
         p_req = max(p_req, p)

@@ -301,3 +301,44 @@ def test_approx_bivariate_full_ratio_and_degenerate(spark):
     assert rows["const"]["corr_err"] is None
     assert rows["solo"]["est_covar"] is None
     assert rows["solo"]["est_corr"] is None
+
+
+def test_approx_moments_numerically_stable(spark):
+    """Review findings r5: (a) integer columns whose 4th power overflows
+    int64 and (b) double columns with mean >> stddev (catastrophic
+    cancellation in a raw power-sum m4) — the stable central-moment
+    aggregates must keep estimates AND bounds sane in both regimes."""
+    from sketchlib.spark.sampling import (
+        approx_agg_from_uniform_sample,
+        approx_bivariate_from_uniform_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    big_ints = rng.integers(90_000, 110_000, 30_000)  # x^4 ~ 1e20 > 2^63
+    shifted = 1e9 + rng.normal(0.0, 1000.0, 30_000)   # mean/stddev = 1e6
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "iv": big_ints.astype("int64"), "sv": shifted,
+    }))
+    r = approx_agg_from_uniform_sample(df, None, "iv", 1.0, moments=True).collect()[0]
+    exact_iv = float(np.var(big_ints, ddof=1))
+    assert r["est_variance"] == pytest.approx(exact_iv, rel=1e-6)
+    assert r["variance_err"] == pytest.approx(0.0, abs=1e-3)  # p=1 → FPC zero
+
+    r2 = approx_agg_from_uniform_sample(df, None, "sv", 0.5, moments=True, z=Z_TEST).collect()[0]
+    exact_sv = float(np.var(shifted, ddof=1))
+    assert abs(r2["est_variance"] - exact_sv) <= r2["variance_err"]
+    # a cancellation-corrupted bound is either ~0 or wildly inflated;
+    # the real relative se at n=15k is a few percent
+    assert 0 < r2["variance_err"] / exact_sv < 0.2
+
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "x": shifted, "y": shifted * 2.0 + rng.normal(0, 500.0, 30_000),
+    }))
+    b = approx_bivariate_from_uniform_sample(df2, None, "x", "y", 0.5, z=Z_TEST).collect()[0]
+    pdf2 = pd.DataFrame({"x": shifted})
+    exact_cv = float(np.cov(shifted, shifted * 2.0, ddof=1)[0, 1])  # cov(x, 2x) part dominates
+    assert b["est_corr"] > 0.9
+    assert 0 < b["corr_err"] < 0.05
+    assert b["covar_err"] > 0  # stable conservative bound, not cancelled to 0
+    assert abs(b["est_covar"] - exact_cv) <= max(b["covar_err"], 0.05 * exact_cv)

@@ -2316,3 +2316,49 @@ def test_within_contract_bivariate(spark, sub_tables):
     ).collect()[0]
     assert abs(rc["est_covar"] - exact_cv) <= rc["covar_err"] * WIDE
     assert rc["covar_err"] / abs(rc["est_covar"]) <= 0.05 * 1.5
+
+
+def test_within_explain_shares_execution_gates(spark, sub_tables):
+    """Review findings r5: EXPLAIN validates everything _within_error
+    enforces (double spec, ranges), handles derived tables in execution
+    order, and rebuilds the rewritten statement structurally (no textual
+    splicing into unrelated text)."""
+    t, _, _ = sub_tables
+
+    def props(stmt):
+        return dict(approx_sql(spark, "EXPLAIN " + stmt, t).collect())
+
+    p = props("SELECT APPROX_COUNT_DISTINCT(k, 0.05) FROM fact WITHIN 2% ERROR")
+    assert "ONE accuracy spec" in p["error"]
+    p = props("SELECT APPROX_SUM(val, 0.5) FROM fact WITHIN 2% ERROR")
+    assert "ONE accuracy spec" in p["error"]
+    p = props("SELECT APPROX_SUM(val) FROM fact WITHIN 0% ERROR")
+    assert "would raise" in p["error"]
+    p = props("SELECT APPROX_SUM(val) FROM fact WITHIN 1% ERROR AT CONFIDENCE 30%")
+    assert "would raise" in p["error"]
+
+    # derived table: EXPLAIN follows execution order (subquery extracted
+    # FIRST, the contract applies over the view) — no false would-raise
+    p = props(
+        "SELECT APPROX_SUM(val) FROM (SELECT val FROM fact WHERE seg <> 's0') "
+        "WITHIN 5% ERROR"
+    )
+    assert p["statement_kind"] == "derived_table"
+    # the nested statement_kind is dropped by the derived-table prefix loop;
+    # the contract's own properties prove the branch was taken
+    assert p["outer.target_rel_error"] == "0.05"
+    assert "pilot" in p["outer.plan"]
+    # ...and execution agrees (it answers rather than raising)
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(val) FROM (SELECT val FROM fact WHERE seg <> 's0') "
+        "WITHIN 5% ERROR",
+        t,
+    ).collect()[0]
+    assert out["est_sum"] > 0
+
+    # structural rebuild: a single-letter column whose letter appears
+    # earlier in the statement must not be spliced into 'SELECT'
+    p = props("SELECT APPROX_COUNT_DISTINCT(C) FROM fact WITHIN 3% ERROR")
+    assert p["rewritten.statement_kind"] == "approx_single"
+    assert p["rewritten.aggregate"].startswith("APPROX_COUNT_DISTINCT(C,")
