@@ -3103,7 +3103,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
 
 def _pilot_ratio(
     spark, m, fn, args, group, tables, z: float, t: float,
-    p0: float = 0.02, seed: int = 777,
+    p0: float = 0.02, seed: int = 777, catalog=None,
 ) -> float:
     """Plan the sampling ratio meeting a relative-error contract for one
     sampling aggregate by inverting its closed-form CLT bound — with the
@@ -3129,10 +3129,34 @@ def _pilot_ratio(
     the reported per-group error columns stay honest either way).
     Degenerate pilots (empty, zero mean/variance where the relative target
     divides by it) plan p = 1.0 — the exact scan, never an unfounded claim.
+
+    When the catalog holds a UNIFORM scramble of the table, the pilot scans
+    the LARGEST one instead of the base table — at 100 TB that turns the
+    2% pilot from a 2 TB read into p_s×2% of the corpus, and a contract
+    whose planned ratio fits the scramble then never touches the base
+    table at all. Every planned statistic is ratio-type except N, which
+    rescales by the scramble's own inclusion probability
+    (N̂ = n₀/(p₀·p_s)); a second Bernoulli thinning of a Bernoulli sample
+    is still an unbiased pilot of the table.
     """
+    import os as _os
+
     from pyspark.sql import functions as F
 
-    df = _resolve_table(spark, m.group("table"), tables)
+    df, p_s = None, 1.0
+    if catalog is not None:
+        base = _table_dir(m.group("table"), tables)
+        if base is not None:
+            base_n = _os.path.normpath(base)
+            cand = [
+                r for r in catalog.list_samples().collect()
+                if _os.path.normpath(r["input_dir"]) == base_n and r["kind"] == "uniform"
+            ]
+            if cand:
+                best = max(cand, key=lambda r: (float(r["ratio"] or 0.0), r["name"]))
+                df, p_s = catalog.sample(best["name"]), float(best["ratio"])
+    if df is None:
+        df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
         df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
     col = ycol = None
@@ -3177,7 +3201,7 @@ def _pilot_ratio(
         n0 = r["n0"]
         if not n0:
             continue
-        N = n0 / p0
+        N = n0 / (p0 * p_s)
         if fn == "APPROX_COUNT":
             p = z2 / (t2 * N + z2)
         elif fn in ("APPROX_COVAR", "APPROX_CORR"):
@@ -3196,7 +3220,7 @@ def _pilot_ratio(
                 K = max((vx * vx * (gx + 3.0) * vy * vy * (gy + 3.0)) ** 0.5 - cxy * cxy, 0.0)
                 p = 1.0 if cxy == 0 else z2 * K / (t2 * cxy * cxy * N + z2 * K)
         elif fn == "APPROX_SUM":
-            S, Q = _f(r["s1"]) / p0, _f(r["s2"]) / p0
+            S, Q = _f(r["s1"]) / (p0 * p_s), _f(r["s2"]) / (p0 * p_s)
             p = 1.0 if S == 0 else z2 * Q / (t2 * S * S + z2 * Q)
         elif fn == "APPROX_AVG":
             mu = _f(r["s1"]) / n0
@@ -3333,7 +3357,7 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
                 "sampling ratio and a WITHIN contract"
             )
         group = _parse_group(m.group("group"))
-        p = _pilot_ratio(spark, m, fn, args, group, tables, z, t)
+        p = _pilot_ratio(spark, m, fn, args, group, tables, z, t, catalog=catalog)
         ratio_txt = f"{p:.10g}"
         if fn == "APPROX_COUNT":
             new_args = [ratio_txt]

@@ -2362,3 +2362,41 @@ def test_within_explain_shares_execution_gates(spark, sub_tables):
     p = props("SELECT APPROX_COUNT_DISTINCT(C) FROM fact WITHIN 3% ERROR")
     assert p["rewritten.statement_kind"] == "approx_single"
     assert p["rewritten.aggregate"].startswith("APPROX_COUNT_DISTINCT(C,")
+
+
+def test_within_contract_base_free_via_scramble_pilot(spark, sub_tables, tmp_path):
+    """With a registered uniform scramble, the contract pilot scans the
+    SCRAMBLE (N rescaled by its ratio) and the planned statement serves
+    from it too — proven by deleting the base table first: the whole
+    contract runs base-free when the planned ratio fits the registration."""
+    import shutil
+
+    from sketchlib.spark.catalog import SketchCatalog
+
+    t, fact, _ = sub_tables
+    base = str(tmp_path / "fact2")
+    spark.createDataFrame(fact).write.parquet(base)
+    t2 = {"fact2": base}
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark, "CREATE SAMPLE f2_u FROM fact2 KIND uniform RATIO 0.6 SEED 4", t2, cat
+    ).collect()
+    shutil.rmtree(base)
+
+    r = approx_sql(
+        spark, "SELECT APPROX_SUM(val) FROM fact2 WITHIN 3% ERROR", t2, cat
+    ).collect()[0]
+    exact = float(fact["val"].sum())
+    assert abs(r["est_sum"] - exact) <= r["sum_err"] * WIDE
+    assert r["sum_err"] / abs(r["est_sum"]) <= 0.03 * 1.5
+
+    # grouped AVG through the same base-free path
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(val) FROM fact2 GROUP BY seg WITHIN 3% ERROR",
+        t2, cat,
+    ).collect()
+    assert len(rows) == 4
+    for row in rows:
+        sub = fact[fact["seg"] == row["seg"]]["val"]
+        assert abs(row["est_avg"] - float(sub.mean())) <= row["avg_err"] * WIDE
