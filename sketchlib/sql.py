@@ -1321,70 +1321,74 @@ def explain_sql(
             cbody = tmx.group("body")
         cm = _SKELETON.match(cbody)
         caggs = [] if not cm else _AGG.findall(cm.group("select"))
-        if cm is None or len(caggs) != 1:
-            emit("error", "WITHIN ... ERROR needs the single-aggregate, "
-                 "single-table skeleton — approx_sql would raise")
+        if cm is None or not caggs:
+            emit("error", "WITHIN ... ERROR needs the single-table approx "
+                 "skeleton — approx_sql would raise")
             return done()
-        cfn, cargstr = caggs[0][0].upper(), caggs[0][1]
-        cargs = _split_args(cargstr)
         z = NormalDist().inv_cdf(0.5 + conf / 2.0)
-
-        def _c_stmt(new_args: list[str]) -> str:
-            s2 = f"SELECT {cfn}({', '.join(new_args)}) FROM {cm.group('table')}"
-            if cm.group("where"):
-                s2 += f" WHERE {cm.group('where')}"
-            if cm.group("group"):
-                s2 += f" GROUP BY {cm.group('group')}"
-            return s2
-
         double_spec = "error — approx_sql would raise: give ONE accuracy spec"
-        if cfn == "APPROX_COUNT_DISTINCT":
-            if len(cargs) > 1:
-                emit("error", double_spec + " (explicit rse + WITHIN)")
-                return done()
-            emit("plan", f"rewrite to explicit rse = target/z = {t / z:.6g} "
-                 "(1σ figure; routing honors it)")
-            rewritten = _c_stmt([cargs[0], repr(t / z)])
-        elif cfn == "APPROX_TOPK":
-            if len(cargs) > 2:
-                emit("error", double_spec + " (explicit eps + WITHIN)")
-                return done()
-            emit("plan", f"rewrite to explicit eps = {t!r} (CM overcount ≤ ε·N "
-                 "w.p. 1−δ, δ=0.01)")
-            rewritten = _c_stmt(cargs[:2] + [repr(t)])
-        elif cfn == "APPROX_PERCENTILE":
-            if _percentile_args(cargs)[1] is not None:
-                emit("error", double_spec + " (rank_err + WITHIN)")
-                return done()
-            from sketchlib.planner import kll_params
+        sel_items: list[str] = []
+        needs_pilot = False
+        for i, (cfn_raw, cargstr) in enumerate(caggs):
+            cfn = cfn_raw.upper()
+            cargs = _split_args(cargstr)
+            prefix = f"agg{i}." if len(caggs) > 1 else ""
+            if cfn == "APPROX_COUNT_DISTINCT":
+                if len(cargs) > 1:
+                    emit("error", double_spec + f" (explicit rse + WITHIN, {cfn})")
+                    return done()
+                emit(f"{prefix}plan", f"rewrite to explicit rse = target/z = {t / z:.6g} "
+                     "(1σ figure; routing honors it)")
+                sel_items.append(f"{cfn}({cargs[0]}, {t / z!r})")
+            elif cfn == "APPROX_TOPK":
+                if len(cargs) > 2:
+                    emit("error", double_spec + f" (explicit eps + WITHIN, {cfn})")
+                    return done()
+                emit(f"{prefix}plan", f"rewrite to explicit eps = {t!r} (CM overcount "
+                     "≤ ε·N w.p. 1−δ, δ=0.01)")
+                sel_items.append(f"{cfn}({', '.join(cargs[:2])}, {t!r})")
+            elif cfn == "APPROX_PERCENTILE":
+                if _percentile_args(cargs)[1] is not None:
+                    emit("error", double_spec + f" (rank_err + WITHIN, {cfn})")
+                    return done()
+                from sketchlib.planner import kll_params
 
-            emit("plan", f"rank_err={t!r} → KLL k={max(200, kll_params(t)['k'])} "
-                 "on the fly; only achieving KLL states claim the route")
-            rewritten = _c_stmt(cargs + [f"rank_err={t!r}"])
-        elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-                     "APPROX_VARIANCE", "APPROX_STDDEV",
-                     "APPROX_COVAR", "APPROX_CORR"):
-            if cfn == "APPROX_COUNT":
-                has_ratio = bool([a for a in cargs if a.strip() != "*"])
-            elif cfn in ("APPROX_COVAR", "APPROX_CORR"):
-                has_ratio = len(cargs) > 2
+                emit(f"{prefix}plan", f"rank_err={t!r} → KLL "
+                     f"k={max(200, kll_params(t)['k'])} on the fly; only "
+                     "achieving KLL states claim the route")
+                sel_items.append(f"{cfn}({', '.join(cargs + [f'rank_err={t!r}'])})")
+            elif cfn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                         "APPROX_VARIANCE", "APPROX_STDDEV",
+                         "APPROX_COVAR", "APPROX_CORR"):
+                if cfn == "APPROX_COUNT":
+                    has_ratio = bool([a for a in cargs if a.strip() != "*"])
+                elif cfn in ("APPROX_COVAR", "APPROX_CORR"):
+                    has_ratio = len(cargs) > 2
+                else:
+                    has_ratio = len(cargs) > 1
+                if has_ratio:
+                    emit("error", double_spec + f" (explicit ratio + WITHIN, {cfn})")
+                    return done()
+                needs_pilot = True
+                emit(f"{prefix}plan", "pilot Bernoulli scan (ratio 0.02, over the "
+                     "largest registered uniform scramble when one exists) "
+                     "estimates the data terms, the closed-form CLT"
+                     + ("/Fisher" if cfn == "APPROX_CORR" else "")
+                     + " inversion plans the ratio (worst group under GROUP BY); "
+                     "a multi-aggregate contract pays the pilot once — "
+                     "EXPLAIN does not run it"
+                     + ("; the CORR target is ABSOLUTE (±t on r)" if cfn == "APPROX_CORR" else ""))
             else:
-                has_ratio = len(cargs) > 1
-            if has_ratio:
-                emit("error", double_spec + " (explicit ratio + WITHIN)")
+                emit("error", f"{cfn} does not take a WITHIN contract — "
+                     "approx_sql would raise")
                 return done()
-            emit("plan", "pilot Bernoulli scan (ratio 0.02) estimates the "
-                 "data terms, the closed-form CLT"
-                 + ("/Fisher" if cfn == "APPROX_CORR" else "")
-                 + " inversion plans the ratio (worst group under GROUP BY), "
-                 "then the statement re-enters with that explicit ratio — "
-                 "EXPLAIN does not run the pilot"
-                 + ("; the CORR target is ABSOLUTE (±t on r)" if cfn == "APPROX_CORR" else ""))
-            return done()
-        else:
-            emit("error", f"{cfn} does not take a WITHIN contract — "
-                 "approx_sql would raise")
-            return done()
+        if needs_pilot:
+            return done()  # the planned ratios need data — no nested route
+        rewritten = f"SELECT {', '.join(sel_items)} FROM {cm.group('table')}"
+        if cm.group("where"):
+            rewritten += f" WHERE {cm.group('where')}"
+        if cm.group("group"):
+            rewritten += f" GROUP BY {cm.group('group')}"
         emit("rewritten_statement", "see nested properties below")
         for k, v in explain_sql(spark, rewritten, tables, catalog, catalog_key).collect():
             emit(f"rewritten.{k}", v)
@@ -3101,16 +3105,17 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
     return out.select(*[F.col(c).alias(mapping.get(c, c)) for c in out.columns])
 
 
-def _pilot_ratio(
-    spark, m, fn, args, group, tables, z: float, t: float,
+def _pilot_ratios(
+    spark, m, sampling, group, tables, z: float, t: float,
     p0: float = 0.02, seed: int = 777, catalog=None,
-) -> float:
-    """Plan the sampling ratio meeting a relative-error contract for one
-    sampling aggregate by inverting its closed-form CLT bound — with the
-    data-dependent terms (N, Σx², moments) estimated from a small PILOT
-    sample (Verdict planned sample choice from stored statistics; with no
-    stored profile, a p₀ Bernoulli pass is the honest stand-in, and it
-    scans only a p₀ fraction of the table).
+) -> list[float]:
+    """Plan the sampling ratio meeting a relative-error contract for EACH
+    sampling aggregate in ``sampling`` (a list of (fn, args)) by inverting
+    its closed-form CLT bound — with the data-dependent terms (N, Σx²,
+    central moments) estimated from ONE shared PILOT scan (Verdict planned
+    sample choice from stored statistics; with no stored profile, a p₀
+    Bernoulli pass is the honest stand-in, and a multi-aggregate contract
+    pays it once, not per aggregate).
 
     Inversions (rel. target t at the contract's z):
       COUNT      t² = z²(1−p)/(pN)            → p = z²/(t²N + z²)
@@ -3159,33 +3164,33 @@ def _pilot_ratio(
         df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
         df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
-    col = ycol = None
-    if fn in ("APPROX_COVAR", "APPROX_CORR"):
-        df, col = _materialize_expr(df, args[0])
-        df, ycol = _materialize_expr(df, args[1])
-    elif fn != "APPROX_COUNT":
-        df, col = _materialize_expr(df, args[0])
+
+    # one shared pilot scan: every aggregate's statistics ride the same
+    # aggregation, aliased per slot. The same STABLE central-moment
+    # aggregates the estimator kernels use (sampling.py) — raw power sums
+    # would overflow integer columns and cancel catastrophically at
+    # mean ≫ stddev, exactly where the planned ratio matters most.
+    aggs = [F.count("*").alias("n0")]
+    for i, (fn, args) in enumerate(sampling):
+        if fn in ("APPROX_COVAR", "APPROX_CORR"):
+            df, xc = _materialize_expr(df, args[0])
+            df, yc = _materialize_expr(df, args[1])
+            x, y = F.col(xc), F.col(yc)
+            # no F.corr: it throws DIVIDE_BY_ZERO on a constant column under
+            # ANSI mode; r̂ is recomputed from these guarded driver-side
+            aggs += [
+                F.covar_pop(x, y).alias(f"cxy_{i}"),
+                F.var_pop(x).alias(f"vx_{i}"), F.var_pop(y).alias(f"vy_{i}"),
+                F.kurtosis(x).alias(f"gx_{i}"), F.kurtosis(y).alias(f"gy_{i}"),
+            ]
+        elif fn != "APPROX_COUNT":
+            df, c = _materialize_expr(df, args[0])
+            v = F.col(c).cast("double")
+            aggs += [F.sum(v).alias(f"s1_{i}"), F.sum(v * v).alias(f"s2_{i}")]
+            if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
+                aggs += [F.var_pop(v).alias(f"m2_{i}"), F.kurtosis(v).alias(f"g2_{i}")]
     pilot = df.sample(fraction=p0, seed=seed)
     gcols = [] if not group else (list(group) if isinstance(group, (list, tuple)) else [group])
-    aggs = [F.count("*").alias("n0")]
-    # the same STABLE central-moment aggregates the estimator kernels use
-    # (sampling.py) — raw power sums would overflow integer columns and
-    # cancel catastrophically at mean ≫ stddev, exactly where the planned
-    # ratio matters most
-    if ycol is not None:
-        x, y = F.col(col), F.col(ycol)
-        # no F.corr: it throws DIVIDE_BY_ZERO on a constant column under
-        # ANSI mode; r̂ is recomputed from these guarded driver-side
-        aggs += [
-            F.covar_pop(x, y).alias("cxy"),
-            F.var_pop(x).alias("vx"), F.var_pop(y).alias("vy"),
-            F.kurtosis(x).alias("gx"), F.kurtosis(y).alias("gy"),
-        ]
-    elif col is not None:
-        v = F.col(col).cast("double")
-        aggs += [F.sum(v).alias("s1"), F.sum(v * v).alias("s2")]
-        if fn in ("APPROX_VARIANCE", "APPROX_STDDEV"):
-            aggs += [F.var_pop(v).alias("m2"), F.kurtosis(v).alias("g2")]
     rows = pilot.groupBy(*gcols).agg(*aggs).collect()
     z2, t2 = z * z, t * t
 
@@ -3196,45 +3201,52 @@ def _pilot_ratio(
         fv = float(val if val is not None else 0.0)
         return fv if fv == fv else 0.0
 
-    p_req = 0.0
-    for r in rows:
-        n0 = r["n0"]
-        if not n0:
-            continue
-        N = n0 / (p0 * p_s)
-        if fn == "APPROX_COUNT":
-            p = z2 / (t2 * N + z2)
-        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
-            vx, vy = _f(r["vx"]), _f(r["vy"])
-            if fn == "APPROX_CORR":
-                if vx == 0 or vy == 0:
-                    p = 1.0  # degenerate marginal — only the exact scan is honest
+    out: list[float] = []
+    for i, (fn, args) in enumerate(sampling):
+        p_req = 0.0
+        for r in rows:
+            n0 = r["n0"]
+            if not n0:
+                continue
+            N = n0 / (p0 * p_s)
+            if fn == "APPROX_COUNT":
+                p = z2 / (t2 * N + z2)
+            elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+                vx, vy = _f(r[f"vx_{i}"]), _f(r[f"vy_{i}"])
+                if fn == "APPROX_CORR":
+                    if vx == 0 or vy == 0:
+                        p = 1.0  # degenerate marginal — only the exact scan is honest
+                    else:
+                        r_hat = max(-1.0, min(1.0, _f(r[f"cxy_{i}"]) / (vx * vy) ** 0.5))
+                        g = (1.0 - r_hat * r_hat) ** 2
+                        p = z2 * g / (t2 * N + z2 * g)
                 else:
-                    r_hat = max(-1.0, min(1.0, _f(r["cxy"]) / (vx * vy) ** 0.5))
-                    g = (1.0 - r_hat * r_hat) ** 2
-                    p = z2 * g / (t2 * N + z2 * g)
-            else:
-                cxy = _f(r["cxy"])
-                # the kernel's Cauchy–Schwarz K: √(μ₄₀μ₀₄) − σ_xy²
-                gx, gy = _f(r["gx"]), _f(r["gy"])
-                K = max((vx * vx * (gx + 3.0) * vy * vy * (gy + 3.0)) ** 0.5 - cxy * cxy, 0.0)
-                p = 1.0 if cxy == 0 else z2 * K / (t2 * cxy * cxy * N + z2 * K)
-        elif fn == "APPROX_SUM":
-            S, Q = _f(r["s1"]) / (p0 * p_s), _f(r["s2"]) / (p0 * p_s)
-            p = 1.0 if S == 0 else z2 * Q / (t2 * S * S + z2 * Q)
-        elif fn == "APPROX_AVG":
-            mu = _f(r["s1"]) / n0
-            var = max(_f(r["s2"]) / n0 - mu * mu, 0.0)
-            p = 1.0 if mu == 0 else z2 * var / (t2 * mu * mu * N + z2 * var)
-        else:  # APPROX_VARIANCE / APPROX_STDDEV
-            m2, g2 = _f(r["m2"]), _f(r["g2"])
-            K = max(m2 * m2 * (g2 + 2.0), 0.0)  # μ₄ − σ⁴ = σ⁴(g₂+2)
-            tv = t if fn == "APPROX_VARIANCE" else 2.0 * t
-            p = 1.0 if m2 == 0 else z2 * K / (tv * tv * m2 * m2 * N + z2 * K)
-        p_req = max(p_req, p)
-    if p_req <= 0:
-        return 1.0  # empty/degenerate pilot: only the exact scan is honest
-    return min(1.0, max(p_req, 1e-6))
+                    cxy = _f(r[f"cxy_{i}"])
+                    # the kernel's Cauchy–Schwarz K: √(μ₄₀μ₀₄) − σ_xy²
+                    gx, gy = _f(r[f"gx_{i}"]), _f(r[f"gy_{i}"])
+                    K = max(
+                        (vx * vx * (gx + 3.0) * vy * vy * (gy + 3.0)) ** 0.5 - cxy * cxy,
+                        0.0,
+                    )
+                    p = 1.0 if cxy == 0 else z2 * K / (t2 * cxy * cxy * N + z2 * K)
+            elif fn == "APPROX_SUM":
+                S, Q = _f(r[f"s1_{i}"]) / (p0 * p_s), _f(r[f"s2_{i}"]) / (p0 * p_s)
+                p = 1.0 if S == 0 else z2 * Q / (t2 * S * S + z2 * Q)
+            elif fn == "APPROX_AVG":
+                mu = _f(r[f"s1_{i}"]) / n0
+                var = max(_f(r[f"s2_{i}"]) / n0 - mu * mu, 0.0)
+                p = 1.0 if mu == 0 else z2 * var / (t2 * mu * mu * N + z2 * var)
+            else:  # APPROX_VARIANCE / APPROX_STDDEV
+                m2, g2 = _f(r[f"m2_{i}"]), _f(r[f"g2_{i}"])
+                K = max(m2 * m2 * (g2 + 2.0), 0.0)  # μ₄ − σ⁴ = σ⁴(g₂+2)
+                tv = t if fn == "APPROX_VARIANCE" else 2.0 * t
+                p = 1.0 if m2 == 0 else z2 * K / (tv * tv * m2 * m2 * N + z2 * K)
+            p_req = max(p_req, p)
+        if p_req <= 0:
+            out.append(1.0)  # empty/degenerate pilot: only the exact scan is honest
+        else:
+            out.append(min(1.0, max(p_req, 1e-6)))
+    return out
 
 
 def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
@@ -3261,9 +3273,13 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
       correlation itself — a relative target on a near-zero r would demand
       a full scan for no insight); every other family's is relative.
 
+    MULTI-AGGREGATE statements contract every member: sketch aggregates
+    translate arithmetically, and ALL sampling aggregates are planned from
+    ONE shared pilot scan (per-aggregate ratios — they need not agree).
     The rewritten statement re-enters approx_sql whole, so tails, aliases,
-    GROUP BY shapes, and catalog routing all behave exactly as if the user
-    had typed the accuracy arguments by hand."""
+    GROUP BY shapes, multi-aggregate composition, and catalog routing all
+    behave exactly as if the user had typed the accuracy arguments by
+    hand."""
     from statistics import NormalDist
 
     t = float(wm.group("pct")) / 100.0
@@ -3296,83 +3312,79 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
             "accuracy arguments instead"
         )
     aliased = _AGG_ALIASED.findall(m.group("select"))
-    if len(aliased) != 1:
-        raise ValueError(
-            "WITHIN ... ERROR contracts exactly ONE aggregate — issue one "
-            "statement per contracted aggregate"
-        )
-    fn_raw, argstr, alias = aliased[0]
-    fn = fn_raw.upper()
-    args = _split_args(argstr)
+    parsed = [(fn.upper(), _split_args(argstr), alias) for fn, argstr, alias in aliased]
+    group = _parse_group(m.group("group"))
+    sampling_fns = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE",
+                    "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR")
 
-    def _reassemble(new_args: list[str]) -> str:
-        sel = f"{fn}({', '.join(new_args)})" + (f" AS {alias}" if alias else "")
-        stmt = f"SELECT {sel} FROM {m.group('table')}"
-        if m.group("where"):
-            stmt += f" WHERE {m.group('where')}"
-        if m.group("group"):
-            stmt += f" GROUP BY {m.group('group')}"
-        return stmt + tails
-
-    if fn == "APPROX_COUNT_DISTINCT":
-        if len(args) > 1:
-            raise ValueError(
-                "give ONE accuracy spec — the statement has both an explicit "
-                "rse argument and a WITHIN contract"
-            )
-        return approx_sql(spark, _reassemble([args[0], repr(t / z)]), tables, catalog, catalog_key)
-
-    if fn == "APPROX_TOPK":
-        if len(args) > 2:
-            raise ValueError(
-                "give ONE accuracy spec — the statement has both an explicit "
-                "eps argument and a WITHIN contract"
-            )
-        return approx_sql(
-            spark, _reassemble([args[0], args[1], repr(t)]), tables, catalog, catalog_key
-        )
-
-    if fn == "APPROX_PERCENTILE":
-        if _percentile_args(args)[1] is not None:
-            raise ValueError(
-                "give ONE accuracy spec — the statement has both a rank_err "
-                "argument and a WITHIN contract"
-            )
-        return approx_sql(
-            spark, _reassemble(args + [f"rank_err={t!r}"]), tables, catalog, catalog_key
-        )
-
-    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE",
-              "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
-        if fn == "APPROX_COUNT":
-            # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
-            has_ratio = bool([a for a in args if a.strip() != "*"])
-        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
-            has_ratio = len(args) > 2
+    # first pass: validate every aggregate (one accuracy spec each) and
+    # collect the sampling aggregates that need the pilot — a
+    # multi-aggregate contract pays ONE pilot scan for all of them
+    sampling: list[tuple[str, list]] = []
+    for fn, args, _alias in parsed:
+        if fn == "APPROX_COUNT_DISTINCT":
+            spec_given = len(args) > 1
+            spec_name = "rse"
+        elif fn == "APPROX_TOPK":
+            spec_given = len(args) > 2
+            spec_name = "eps"
+        elif fn == "APPROX_PERCENTILE":
+            spec_given = _percentile_args(args)[1] is not None
+            spec_name = "rank_err"
+        elif fn in sampling_fns:
+            if fn == "APPROX_COUNT":
+                # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
+                spec_given = bool([a for a in args if a.strip() != "*"])
+            elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+                spec_given = len(args) > 2
+            else:
+                spec_given = len(args) > 1
+            spec_name = "sampling ratio"
+            if not spec_given:
+                sampling.append((fn, args))
         else:
-            has_ratio = len(args) > 1
-        if has_ratio:
             raise ValueError(
-                "give ONE accuracy spec — the statement has both an explicit "
-                "sampling ratio and a WITHIN contract"
+                f"{fn} does not take a WITHIN ... ERROR contract — closed-form "
+                "inversions cover COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR "
+                "(sampling ratio), COUNT_DISTINCT (rse), TOPK (eps), and "
+                "PERCENTILE (rank_err)"
             )
-        group = _parse_group(m.group("group"))
-        p = _pilot_ratio(spark, m, fn, args, group, tables, z, t, catalog=catalog)
-        ratio_txt = f"{p:.10g}"
-        if fn == "APPROX_COUNT":
-            new_args = [ratio_txt]
-        elif fn in ("APPROX_COVAR", "APPROX_CORR"):
-            new_args = [args[0], args[1], ratio_txt]
-        else:
-            new_args = [args[0], ratio_txt]
-        return approx_sql(spark, _reassemble(new_args), tables, catalog, catalog_key)
+        if spec_given:
+            raise ValueError(
+                f"give ONE accuracy spec — the statement has both an explicit "
+                f"{spec_name} argument and a WITHIN contract ({fn})"
+            )
 
-    raise ValueError(
-        f"{fn} does not take a WITHIN ... ERROR contract — closed-form "
-        "inversions cover COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR "
-        "(sampling ratio), COUNT_DISTINCT (rse), TOPK (eps), and "
-        "PERCENTILE (rank_err)"
+    ratios = iter(
+        _pilot_ratios(spark, m, sampling, group, tables, z, t, catalog=catalog)
+        if sampling else []
     )
+    sel_items = []
+    for fn, args, alias in parsed:
+        if fn == "APPROX_COUNT_DISTINCT":
+            new_args = [args[0], repr(t / z)]
+        elif fn == "APPROX_TOPK":
+            new_args = [args[0], args[1], repr(t)]
+        elif fn == "APPROX_PERCENTILE":
+            new_args = args + [f"rank_err={t!r}"]
+        else:
+            ratio_txt = f"{next(ratios):.10g}"
+            if fn == "APPROX_COUNT":
+                new_args = [ratio_txt]
+            elif fn in ("APPROX_COVAR", "APPROX_CORR"):
+                new_args = [args[0], args[1], ratio_txt]
+            else:
+                new_args = [args[0], ratio_txt]
+        sel_items.append(
+            f"{fn}({', '.join(new_args)})" + (f" AS {alias}" if alias else "")
+        )
+
+    stmt = f"SELECT {', '.join(sel_items)} FROM {m.group('table')}"
+    if m.group("where"):
+        stmt += f" WHERE {m.group('where')}"
+    if m.group("group"):
+        stmt += f" GROUP BY {m.group('group')}"
+    return approx_sql(spark, stmt + tails, tables, catalog, catalog_key)
 
 
 def approx_sql(

@@ -2288,7 +2288,9 @@ def test_within_contract_refusals(spark, sub_tables):
         approx_sql(
             spark, "SELECT APPROX_SUM(val) FROM fact WITHIN 1% ERROR AT CONFIDENCE 30%", t
         )
-    with pytest.raises(ValueError, match="ONE aggregate"):
+    with pytest.raises(ValueError, match="ONE accuracy spec"):
+        # multi-aggregate contracts are supported, but any member carrying
+        # its own explicit accuracy argument still collides with WITHIN
         approx_sql(
             spark,
             "SELECT APPROX_SUM(val), APPROX_COUNT(0.5) FROM fact WITHIN 1% ERROR", t
@@ -2400,3 +2402,39 @@ def test_within_contract_base_free_via_scramble_pilot(spark, sub_tables, tmp_pat
     for row in rows:
         sub = fact[fact["seg"] == row["seg"]]["val"]
         assert abs(row["est_avg"] - float(sub.mean())) <= row["avg_err"] * WIDE
+
+
+def test_within_contract_multi_aggregate(spark, sub_tables):
+    """A multi-aggregate contract plans every sampling aggregate from ONE
+    pilot scan (per-aggregate ratios) and rewrites sketch aggregates
+    arithmetically — all estimates land inside their CIs and at/under the
+    shared target; EXPLAIN emits a per-aggregate plan."""
+    t, fact, _ = sub_tables
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(*), APPROX_SUM(val), APPROX_COUNT_DISTINCT(k) "
+        "FROM fact WITHIN 3% ERROR",
+        t,
+    ).collect()[0]
+    assert abs(r["approx_count_star"] - len(fact)) <= r["approx_count_star_err"] * WIDE
+    assert r["approx_count_star_err"] / len(fact) <= 0.03 * 1.5
+    exact_sum = float(fact["val"].sum())
+    assert abs(r["approx_sum_val"] - exact_sum) <= r["approx_sum_val_err"] * WIDE
+    assert r["approx_sum_val_err"] / exact_sum <= 0.03 * 1.5
+    exact_cd = int(fact["k"].nunique())
+    # the CD rewrite converts rse to an absolute err column in multi-agg
+    assert abs(r["approx_count_distinct_k"] - exact_cd) <= max(
+        3 * r["approx_count_distinct_k_err"], 3
+    )
+
+    props = dict(
+        approx_sql(
+            spark,
+            "EXPLAIN SELECT APPROX_COUNT(*), APPROX_SUM(val), "
+            "APPROX_COUNT_DISTINCT(k) FROM fact WITHIN 3% ERROR",
+            t,
+        ).collect()
+    )
+    assert props["statement_kind"] == "accuracy_contract"
+    assert "pilot" in props["agg0.plan"] and "pilot" in props["agg1.plan"]
+    assert props["agg2.plan"].startswith("rewrite to explicit rse")
