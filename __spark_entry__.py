@@ -1559,6 +1559,85 @@ def q_b43_accuracy_contracts(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
 
 
+def q_b44_contract_registry_pilot(spark, sf_dir):
+    """Round 5: the accuracy-contract × registry composition — (1) a
+    MULTI-AGGREGATE contract (`APPROX_COUNT(*), APPROX_SUM(x),
+    APPROX_COUNT_DISTINCT(k) ... WITHIN 3% ERROR`) plans every sampling
+    member from ONE shared pilot scan and rewrites the sketch member
+    arithmetically; (2) with a registered uniform scramble the pilot scans
+    the SCRAMBLE (N̂ rescaled by 1/(p₀·p_s)) and the planned statement
+    serves from it too — verified by DELETING the base table first: the
+    whole contract answers base-free. Checks are within-CI booleans plus
+    the at/under-target bound check (1.5× pilot-noise slack)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    tabs = {"orders": f"{sf_dir}/orders.parquet"}
+    o = _t(spark, sf_dir, "orders")
+    wide = 3.29 / 1.96
+    out = []
+
+    exact_n = o.count()
+    exact_sum = o.agg(F.sum("o_totalprice")).collect()[0][0]
+    exact_cd = o.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT(*), APPROX_SUM(o_totalprice), "
+        "APPROX_COUNT_DISTINCT(o_custkey) FROM orders WITHIN 3% ERROR",
+        tabs,
+    ).collect()[0]
+    ok1 = (
+        abs(r["approx_count_star"] - exact_n) <= wide * r["approx_count_star_err"]
+        and r["approx_count_star_err"] / exact_n <= 0.03 * 1.5
+        and abs(r["approx_sum_o_totalprice"] - exact_sum)
+        <= wide * r["approx_sum_o_totalprice_err"]
+        and r["approx_sum_o_totalprice_err"] / exact_sum <= 0.03 * 1.5
+        and abs(r["approx_count_distinct_o_custkey"] - exact_cd)
+        <= 3 * r["approx_count_distinct_o_custkey_err"] + 1
+    )
+    out.append(("multi_agg_contract", bool(ok1)))
+
+    work = tempfile.mkdtemp(prefix="sketchlib_b44_")
+    try:
+        base = os.path.join(work, "orders_copy")
+        o.write.parquet(base)
+        t2 = {"ocopy": base}
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        approx_sql(
+            spark, "CREATE SAMPLE oc_u FROM ocopy KIND uniform RATIO 0.5 SEED 9", t2, cat
+        ).collect()
+        shutil.rmtree(base)
+        r2 = approx_sql(
+            spark, "SELECT APPROX_SUM(o_totalprice) FROM ocopy WITHIN 3% ERROR", t2, cat
+        ).collect()[0]
+        ok2 = (
+            abs(r2["est_sum"] - exact_sum) <= wide * r2["sum_err"]
+            and r2["sum_err"] / exact_sum <= 0.03 * 1.5
+        )
+        out.append(("base_free_contract_via_scramble", bool(ok2)))
+        rows = approx_sql(
+            spark,
+            "SELECT APPROX_AVG(o_totalprice) FROM ocopy GROUP BY o_orderstatus "
+            "WITHIN 3% ERROR",
+            t2, cat,
+        ).collect()
+        exact_avg = {
+            x["o_orderstatus"]: x["a"]
+            for x in o.groupBy("o_orderstatus").agg(F.avg("o_totalprice").alias("a")).collect()
+        }
+        ok3 = set(x["o_orderstatus"] for x in rows) == set(exact_avg) and all(
+            abs(x["est_avg"] - exact_avg[x["o_orderstatus"]]) <= wide * x["avg_err"]
+            for x in rows
+        )
+        out.append(("base_free_grouped_contract", bool(ok3)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2684,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b41_moments_aggregates": _dist_wrapped(q_b41_moments_aggregates),
         "b42_bivariate_aggregates": _dist_wrapped(q_b42_bivariate_aggregates),
         "b43_accuracy_contracts": _dist_wrapped(q_b43_accuracy_contracts),
+        "b44_contract_registry_pilot": _dist_wrapped(q_b44_contract_registry_pilot),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2898,6 +2978,13 @@ def oracle_sql() -> dict[str, str]:
               ('avg_grouped_contract_99', TRUE),
               ('count_distinct_contract', TRUE),
               ('percentile_rank_contract', TRUE)
+            ) AS t(chk, within_bound)
+        """,
+        "b44_contract_registry_pilot": """
+            SELECT * FROM (VALUES
+              ('multi_agg_contract', TRUE),
+              ('base_free_contract_via_scramble', TRUE),
+              ('base_free_grouped_contract', TRUE)
             ) AS t(chk, within_bound)
         """,
         "b27_auto_routed_sql": """
