@@ -213,7 +213,7 @@ def _resolve_join3_key(toks, tables, catalog, req_ratio) -> str | None:
 
     dirs = [_table_dir(t, tables) for t, _ in toks]
     cands = [
-        r for r in catalog.list_samples().collect()
+        r for r in catalog.list_sample_rows()
         if r["kind"] == "uniform"
         and (req_ratio is None or float(r["ratio"] or 0.0) >= req_ratio - 1e-12)
         and any(
@@ -612,7 +612,7 @@ def _resolve_join_key(
     if da is None or db is None:
         return None
     da, db = os.path.normpath(da), os.path.normpath(db)
-    all_rows = catalog.list_samples().collect()
+    all_rows = catalog.list_sample_rows()
     if req_ratio is not None:
         all_rows = [r for r in all_rows if float(r["ratio"] or 0.0) >= req_ratio - 1e-12]
     rows = [r for r in all_rows if r["kind"] == "universe"]
@@ -1065,7 +1065,7 @@ def _resolve_key(
         # newest registration first, name as tie-break — deterministic when
         # several sets hold the same sketch
         if reg_rows is None:
-            reg_rows = catalog.list().collect()
+            reg_rows = catalog.list_rows()
         regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
         for reg in regs:
             if os.path.normpath(reg["input_dir"]) != base_n or reg["group_by"] != want_group:
@@ -1103,7 +1103,7 @@ def _resolve_key(
         return False
 
     if sample_rows is None:
-        sample_rows = catalog.list_samples().collect()
+        sample_rows = catalog.list_sample_rows()
     ok = [r for r in sample_rows if os.path.normpath(r["input_dir"]) == base_n and eligible(r)]
     if not ok:
         return None
@@ -1463,8 +1463,8 @@ def explain_sql(
     # caching — k aggregates must not pay 2k registry collects)
     reg_rows = sample_rows = None
     if catalog is not None:
-        reg_rows = catalog.list().collect()
-        sample_rows = catalog.list_samples().collect()
+        reg_rows = catalog.list_rows()
+        sample_rows = catalog.list_sample_rows()
     for i, (fn, args) in enumerate(aggs):
         prefix = f"agg{i}." if len(aggs) > 1 else ""
         emit(f"{prefix}aggregate", f"{fn}({', '.join(args)})")
@@ -1834,7 +1834,7 @@ def _resolve_setop_states(
     need_mh = op in ("intersect", "except")
     req_rse = _num(args[1]) if len(args) > 1 else None
     if reg_rows is None:
-        reg_rows = catalog.list().collect()
+        reg_rows = catalog.list_rows()
     regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
     cand: list[list] = []  # per side: [(signature, pick)], newest first
     for i, sm in enumerate(sides):
@@ -2226,7 +2226,7 @@ def _resolve_merge_states(
         return None
     kinds = _MERGE_KINDS[fn]
     if reg_rows is None:
-        reg_rows = catalog.list().collect()
+        reg_rows = catalog.list_rows()
     regs = sorted(reg_rows, key=lambda r: (-r["built_unix"], r["name"]))
     cand: list[list] = []  # per side: [(kind, params_json, vclass, gclass, pick)]
     for i, sm in enumerate(sides):
@@ -2404,7 +2404,7 @@ def _resolve_unionall_samples(fn, sides, args, tables, catalog, sample_rows=None
         return None
     req = _num(args[0] if fn == "APPROX_COUNT" else args[1])
     if sample_rows is None:
-        sample_rows = catalog.list_samples().collect()
+        sample_rows = catalog.list_sample_rows()
     per_side = []
     for sm in sides:
         base = _table_dir(sm.group("table"), tables)
@@ -2684,8 +2684,8 @@ def _multi_agg_routed(
     }
     if any(fn not in scalar for fn, _ in aggs):
         return None
-    reg_rows = catalog.list().collect()  # registries collected ONCE per statement
-    sample_rows = catalog.list_samples().collect()
+    reg_rows = catalog.list_rows()  # registries collected ONCE per statement
+    sample_rows = catalog.list_sample_rows()
     keys = []
     for fn, args in aggs:
         k = _resolve_key(
@@ -3154,7 +3154,7 @@ def _pilot_ratios(
         if base is not None:
             base_n = _os.path.normpath(base)
             cand = [
-                r for r in catalog.list_samples().collect()
+                r for r in catalog.list_sample_rows()
                 if _os.path.normpath(r["input_dir"]) == base_n and r["kind"] == "uniform"
             ]
             if cand:
@@ -3880,8 +3880,7 @@ def approx_sql(
                 "persisted SAMPLE (create_sample) for filterable approx scans, "
                 "rebuild states with the filter, or drop catalog_key"
             )
-        cat_df = catalog.list()
-        reg = cat_df.where(cat_df["name"] == catalog_key).collect()
+        reg = [r for r in catalog.list_rows() if r["name"] == catalog_key]
         if not reg:
             raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
         reg = reg[0]

@@ -496,3 +496,52 @@ def test_dedup_delta_catalog_column_conflicts_refused(spark, tmp_path, seq_tiny_
         delta, catalog=cat, catalog_key="s", tokens_col="tokens", id_col="doc_id"
     )
     assert kept.count() >= 0
+
+
+def test_registry_row_cache_equivalence_and_invalidation(spark, tmp_path):
+    """The cache-served row APIs (list_rows/list_sample_rows/_registry_meta)
+    must equal the DataFrame registry views at every lifecycle step —
+    create, overwrite, drop — including mutations made through a SECOND
+    catalog instance on the same root (the listing fingerprint, not
+    in-process state, is the invalidation key)."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    root = str(tmp_path / "cat")
+    cat = SketchCatalog(spark, root)
+    other = SketchCatalog(spark, root)
+    df = spark.range(2000).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    base = str(tmp_path / "t")
+    df.write.parquet(base)
+
+    def assert_synced():
+        via_df = sorted(
+            [r.asDict() for r in cat.list_samples().collect()], key=lambda r: r["name"]
+        )
+        via_rows = sorted(
+            [r.asDict() for r in cat.list_sample_rows()], key=lambda r: r["name"]
+        )
+        assert via_rows == via_df
+
+    assert cat.list_sample_rows() == []
+    cat.create_sample("s1", base, kind="uniform", ratio=0.5)
+    assert_synced()
+    assert {r["name"] for r in cat.list_sample_rows()} == {"s1"}
+    # warm the cache, then mutate through the OTHER instance
+    other.create_sample("s2", base, kind="uniform", ratio=0.3)
+    assert {r["name"] for r in cat.list_sample_rows()} == {"s1", "s2"}
+    assert_synced()
+    # overwrite: newest registration must win in both views
+    cat.create_sample("s1", base, kind="uniform", ratio=0.7, overwrite=True)
+    assert float(cat.sample_meta("s1")["ratio"]) == 0.7
+    assert_synced()
+    other.drop_sample("s2")
+    assert {r["name"] for r in cat.list_sample_rows()} == {"s1"}
+    assert_synced()
+    # sketch-set registry shares the same machinery
+    from sketchlib.spark.build import SketchSpec
+
+    cat.create("st1", base, [SketchSpec("h", "hll", "k", {"p": 10})], group_by=None)
+    assert {r["name"] for r in cat.list_rows()} == {"st1"}
+    assert [r.asDict() for r in cat.list_rows()] == [
+        r.asDict() for r in cat.list().collect()
+    ]
