@@ -1638,6 +1638,129 @@ def q_b44_contract_registry_pilot(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
 
 
+def q_b45_subsample_error(spark, sf_dir):
+    """Round 5: VARIATIONAL SUBSAMPLING — VerdictDB's own error estimator
+    (`[paper:VerdictDB §3.2]`, subsample.py) behind the ``ERROR BY
+    SUBSAMPLING`` statement tail. The sample rows are partitioned into
+    b≈n^0.3 random blocks; the spread of the per-block estimates prices the
+    full-sample estimate's error with NO closed-form variance formula —
+    one extra KB-sized aggregation over the same single scramble scan.
+    Checks: (1) the estimates are IDENTICAL to the closed-form path (same
+    totals, same stable pooled moments — only the error columns change
+    estimator); (2) exact answers fall inside the subsample CIs, grouped
+    and global, including CORR where the closed form leans on the Fisher
+    approximation; (3) the statement answers BASE-FREE from a registered
+    uniform scramble (base table deleted first) with EXPLAIN naming both
+    the estimator and the artifact; (4) sketch-served aggregates refuse
+    the modifier and EXPLAIN reports the same refusal (no silent
+    closed-form fallback)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    wide = 3.29 / 1.96
+    out = []
+    work = tempfile.mkdtemp(prefix="sketchlib_b45_")
+    try:
+        base = os.path.join(work, "li_copy")
+        li.write.parquet(base)
+        t = {"licopy": base}
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        approx_sql(
+            spark, "CREATE SAMPLE li_u FROM licopy KIND uniform RATIO 0.2 SEED 11", t, cat
+        ).collect()
+
+        stmt = "SELECT APPROX_SUM(l_extendedprice) FROM licopy GROUP BY l_returnflag"
+        cf = {r["l_returnflag"]: r for r in approx_sql(spark, stmt, t, cat).collect()}
+        ss = {r["l_returnflag"]: r
+              for r in approx_sql(spark, stmt + " ERROR BY SUBSAMPLING", t, cat).collect()}
+        ok1 = set(cf) == set(ss) and all(
+            abs(ss[g]["est_sum"] - cf[g]["est_sum"]) <= 1e-6 * abs(cf[g]["est_sum"])
+            and ss[g]["sum_err"] != cf[g]["sum_err"]  # different estimator, same estimate
+            for g in cf
+        )
+        out.append(("estimates_match_closed_form", bool(ok1)))
+
+        exact = {
+            r["l_returnflag"]: r
+            for r in li.groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"), F.avg("l_quantity").alias("a"))
+            .collect()
+        }
+        ok2 = all(
+            abs(ss[g]["est_sum"] - exact[g]["s"]) <= wide * ss[g]["sum_err"] for g in exact
+        )
+        avg_rows = approx_sql(
+            spark,
+            "SELECT APPROX_AVG(l_quantity) FROM licopy GROUP BY l_returnflag "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()
+        ok2 = ok2 and all(
+            abs(r["est_avg"] - exact[r["l_returnflag"]]["a"]) <= wide * r["avg_err"]
+            for r in avg_rows
+        )
+        out.append(("within_ci_grouped", bool(ok2)))
+
+        exact_corr = li.agg(F.corr("l_quantity", "l_extendedprice")).collect()[0][0]
+        rc = approx_sql(
+            spark,
+            "SELECT APPROX_CORR(l_quantity, l_extendedprice) FROM licopy "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()[0]
+        out.append(
+            ("corr_within_ci",
+             bool(abs(rc["est_corr"] - exact_corr) <= wide * rc["corr_err"])),
+        )
+
+        shutil.rmtree(base)  # base-free from here: the scramble answers alone
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(
+                spark,
+                "EXPLAIN SELECT APPROX_AVG(l_quantity) FROM licopy "
+                "GROUP BY l_returnflag ERROR BY SUBSAMPLING",
+                t, cat,
+            ).collect()
+        }
+        bf = approx_sql(
+            spark,
+            "SELECT APPROX_AVG(l_quantity) FROM licopy GROUP BY l_returnflag "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()
+        ok4 = (
+            "variational subsampling" in props.get("error_estimator", "")
+            and props.get("route", "").startswith("persisted_sample (uniform")
+            and props.get("artifact") == "li_u"
+            and all(abs(r["est_avg"] - exact[r["l_returnflag"]]["a"])
+                    <= wide * r["avg_err"] for r in bf)
+        )
+        out.append(("base_free_route_explained", bool(ok4)))
+
+        bad = "SELECT APPROX_COUNT_DISTINCT(l_suppkey) FROM licopy ERROR BY SUBSAMPLING"
+        try:
+            approx_sql(spark, bad, t, cat)
+            refused = False
+        except ValueError:
+            refused = True
+        eprops = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + bad, t, cat).collect()
+        }
+        out.append(
+            ("refusal_explain_parity",
+             bool(refused and any(k.endswith("error") for k in eprops))),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(out, columns=["chk", "within_bound"]))
+
+
 # --------------------------------------------------------------------------
 # c* — training-data pipeline ops (exact, oracle-checked)
 # --------------------------------------------------------------------------
@@ -2764,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b42_bivariate_aggregates": _dist_wrapped(q_b42_bivariate_aggregates),
         "b43_accuracy_contracts": _dist_wrapped(q_b43_accuracy_contracts),
         "b44_contract_registry_pilot": _dist_wrapped(q_b44_contract_registry_pilot),
+        "b45_subsample_error": _dist_wrapped(q_b45_subsample_error),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -2985,6 +3109,15 @@ def oracle_sql() -> dict[str, str]:
               ('multi_agg_contract', TRUE),
               ('base_free_contract_via_scramble', TRUE),
               ('base_free_grouped_contract', TRUE)
+            ) AS t(chk, within_bound)
+        """,
+        "b45_subsample_error": """
+            SELECT * FROM (VALUES
+              ('estimates_match_closed_form', TRUE),
+              ('within_ci_grouped', TRUE),
+              ('corr_within_ci', TRUE),
+              ('base_free_route_explained', TRUE),
+              ('refusal_explain_parity', TRUE)
             ) AS t(chk, within_bound)
         """,
         "b27_auto_routed_sql": """

@@ -21,3 +21,7 @@ from sketchlib.spark.query import (  # noqa: F401
 )
 from sketchlib.spark.scan import build_sketches_from_parquet  # noqa: F401
 from sketchlib.spark.session import get_spark  # noqa: F401
+from sketchlib.spark.subsample import (  # noqa: F401
+    subsample_agg_from_uniform_sample,
+    subsample_bivariate_from_uniform_sample,
+)

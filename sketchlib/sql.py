@@ -114,6 +114,17 @@ _WITHIN_TAIL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Error-estimator modifier: ``<statement> ERROR BY SUBSAMPLING`` swaps the
+# sampling aggregates' closed-form CLT error columns for VerdictDB's
+# variational-subsampling spread (`[paper:VerdictDB §3.2]`, subsample.py).
+# The ESTIMATES are identical either way — only the error columns change
+# estimator — so the modifier is a statement tail, not a different
+# statement. Peeled first (like WITHIN), so it may follow any other tail.
+_SUBSAMPLE_TAIL = re.compile(
+    r"^(?P<body>.*?\S)\s+ERROR\s+BY\s+SUBSAMPLING\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # optional named accuracy argument of APPROX_PERCENTILE — quantiles are
 # numbers in (0,1) too, so a positional accuracy argument would be ambiguous
 _RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
@@ -989,12 +1000,17 @@ def _table_dir(table_token: str, tables: dict | None) -> str | None:
 
 def _resolve_key(
     fn, args, group, has_where, table_token, tables, catalog,
-    reg_rows=None, sample_rows=None,
+    reg_rows=None, sample_rows=None, uniform_samples_only=False,
 ) -> str | None:
     """Verdict's sample-selection step (SampleManager choosing the best
     registered sample for a query — the user never names one): pick the
     best catalog artifact that can answer (fn, col, group, where) over the
     FROM table, or None to fall back to an on-the-fly build.
+
+    ``uniform_samples_only`` is the ERROR BY SUBSAMPLING mode: the
+    variational-subsampling estimator needs Bernoulli(p) ROWS at one shared
+    inclusion probability, so sketch states (pre-reduced, no rows) and
+    stratified scrambles (mixed fractions) are both ineligible.
 
     Ranking:
     1. persisted SKETCH STATES — pre-reduced KBs, corpus-independent query
@@ -1060,7 +1076,7 @@ def _resolve_key(
         return False
 
     kinds = _CATALOG_KINDS.get(fn)
-    if kinds and not has_where:
+    if kinds and not has_where and not uniform_samples_only:
         want_group = _canon_group(group)
         # newest registration first, name as tie-break — deterministic when
         # several sets hold the same sketch
@@ -1078,6 +1094,8 @@ def _resolve_key(
 
     def eligible(r) -> bool:
         k = r["kind"]
+        if uniform_samples_only and k != "uniform":
+            return False
         if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
             # stratified serves global statements (cross-strata ratio
             # estimator) and statements grouped exactly on its key column
@@ -1125,6 +1143,10 @@ def resolve_catalog_key(
     if catalog is None:
         return None
     body = sql
+    ssm = _SUBSAMPLE_TAIL.match(_mask_literals(body)) and _SUBSAMPLE_TAIL.match(body)
+    subsample = bool(ssm)
+    if ssm:
+        body = ssm.group("body")
     while True:  # peel ORDER BY / LIMIT / HAVING tails, innermost last
         tm = _ORDER_TAIL.match(body) or _LIMIT_TAIL.match(body) or _HAVING_TAIL.match(body)
         if not tm:
@@ -1138,7 +1160,8 @@ def resolve_catalog_key(
         return None
     fn, args = aggs[0]
     group = _parse_group(m.group("group"))
-    return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog)
+    return _resolve_key(fn, args, group, bool(m.group("where")), m.group("table"),
+                        tables, catalog, uniform_samples_only=subsample)
 
 
 _EXPLAIN_SCHEMA = "property string, value string"
@@ -1150,6 +1173,7 @@ def explain_sql(
     tables: dict | None = None,
     catalog=None,
     catalog_key: str | None = None,
+    estimator: str = "clt",
 ) -> DataFrame:
     """Routing EXPLAIN for the approx front door — ``approx_sql(spark,
     "EXPLAIN <statement>")`` lands here. Verdict's users could ask WHICH
@@ -1172,6 +1196,20 @@ def explain_sql(
         emit("statement_kind", "ddl")
         emit("backend", "SketchCatalog registry")
         return done()
+    # ERROR BY SUBSAMPLING tail — peeled exactly where execution peels it,
+    # so every route/raise below mirrors approx_sql's estimator-aware path
+    ssm = _SUBSAMPLE_TAIL.match(_mask_literals(stmt)) and _SUBSAMPLE_TAIL.match(stmt)
+    if ssm:
+        stmt, estimator = ssm.group("body"), "subsample"
+    if estimator == "subsample":
+        emit("error_estimator",
+             "variational subsampling (VerdictDB §3.2): b≈n^0.3 blocks, "
+             "half-width = q_conf(|√n_i·(ĝ_i−ĝ)|)/√n · √(1−p)")
+        if not _AGG.search(_mask_literals(stmt)):
+            emit("statement_kind", "exact_passthrough")
+            emit("error", "ERROR BY SUBSAMPLING on a statement with no "
+                 "APPROX_ aggregate — approx_sql would raise")
+            return done()
     if not _AGG.search(_mask_literals(stmt)):
         emit("statement_kind", "exact_passthrough")
         emit("backend", "spark.sql verbatim (A4)")
@@ -1188,13 +1226,20 @@ def explain_sql(
             ),
         )
         emit("final_statement", "see nested properties below")
-        for k, v in explain_sql(spark, final, tables, catalog, catalog_key).collect():
+        for k, v in explain_sql(spark, final, tables, catalog, catalog_key,
+                                estimator=estimator).collect():
             emit(f"final.{k}", v)
         return done()
     sub = _extract_subquery(stmt)
     if sub is not None:
         head, inner, tail = sub
         setop = _setop_route(head, inner, tail)  # the SAME decision execution makes
+        if setop is not None and estimator == "subsample":
+            emit("statement_kind", "approx_setop")
+            emit("route", "error — approx_sql would raise")
+            emit("error", "set operations are sketch-served — ERROR BY "
+                 "SUBSAMPLING does not apply")
+            return done()
         if setop is not None:
             op, parsed, _args, _alias, grouped = setop
             if grouped is None:
@@ -1232,7 +1277,7 @@ def explain_sql(
                                    else "per-side sketch build in one pass") +
                          " — the sides are never distinct-shuffled or materialized")
                 return done()
-        merged = _unionall_merge_route(head, inner, tail)
+        merged = None if estimator == "subsample" else _unionall_merge_route(head, inner, tail)
         if merged is not None:
             mfn, margs, msides, _malias, mgrouped = merged
             if mgrouped is None:
@@ -1283,11 +1328,17 @@ def explain_sql(
         if _union_all_rewrite(head, inner) is not None:
             emit("union_rewrite", "UNION → UNION ALL (duplicate-insensitive "
                  "aggregates; the distinct shuffle is elided)")
-        for k, v in explain_sql(spark, f"{head} FROM _derived_{tail}", tables, catalog, None).collect():
+        for k, v in explain_sql(spark, f"{head} FROM _derived_{tail}", tables,
+                                catalog, None, estimator=estimator).collect():
             if k != "statement_kind":
                 emit(f"outer.{k}", v)
         return done()
     wmx = _WITHIN_TAIL.match(_mask_literals(stmt)) and _WITHIN_TAIL.match(stmt)
+    if wmx and estimator == "subsample":
+        emit("statement_kind", "accuracy_contract")
+        emit("error", "WITHIN contracts invert the closed-form bounds — "
+             "ERROR BY SUBSAMPLING cannot combine; approx_sql would raise")
+        return done()
     if wmx:
         # accuracy contract — checked AFTER the subquery branch, mirroring
         # execution order (a derived-table WITHIN statement extracts the
@@ -1407,6 +1458,11 @@ def explain_sql(
     if jm:
         n_tables = 3 if "t3" in jm.groupdict() else 2
         emit("statement_kind", f"approx_join{'' if n_tables == 2 else '3'}")
+        if estimator == "subsample":
+            emit("route", "error — approx_sql would raise")
+            emit("error", "approx joins report closed-form CIs — ERROR BY "
+                 "SUBSAMPLING does not apply")
+            return done()
         # the SAME parse execution uses — so an unsupported aggregate or an
         # explicit ratio argument changes EXPLAIN's answer exactly as it
         # changes execution's (the first EXPLAIN cut re-implemented both
@@ -1453,6 +1509,18 @@ def explain_sql(
     aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))]
     group = _parse_group(m.group("group"))
     emit("statement_kind", "approx_single" if len(aggs) == 1 else "approx_multi")
+    if estimator == "subsample":
+        _ss_fns = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                   "APPROX_VARIANCE", "APPROX_STDDEV",
+                   "APPROX_COVAR", "APPROX_CORR")
+        if len(aggs) > 1:
+            emit("error", "ERROR BY SUBSAMPLING takes one aggregate per "
+                 "statement — approx_sql would raise")
+            return done()
+        if aggs[0][0] not in _ss_fns:
+            emit("error", f"{aggs[0][0]} is sketch-served — ERROR BY "
+                 "SUBSAMPLING does not apply; approx_sql would raise")
+            return done()
     emit("table", m.group("table"))
     if m.group("where"):
         has_sub = bool(re.search(r"\(\s*SELECT\b", _mask_literals(m.group("where")), re.IGNORECASE))
@@ -1473,6 +1541,7 @@ def explain_sql(
             key = _resolve_key(
                 fn, args, group, bool(m.group("where")), m.group("table"), tables,
                 catalog, reg_rows=reg_rows, sample_rows=sample_rows,
+                uniform_samples_only=(estimator == "subsample"),
             )
         if key is None:
             emit(f"{prefix}route", "on_the_fly (scan the base table, build per statement)")
@@ -1486,8 +1555,13 @@ def explain_sql(
             # sample may share a name across the two registries; the serving
             # path checks sample_exists first, so EXPLAIN must too)
             meta = catalog.sample_meta(key)
-            emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
-            emit(f"{prefix}artifact", key)
+            if estimator == "subsample" and meta["kind"] != "uniform":
+                emit(f"{prefix}route", "error — approx_sql would raise")
+                emit(f"{prefix}error", "ERROR BY SUBSAMPLING needs a UNIFORM "
+                     f"scramble; {key!r} is {meta['kind']}")
+            else:
+                emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
+                emit(f"{prefix}artifact", key)
         elif any(r["name"] == key for r in reg_rows):
             emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
             emit(f"{prefix}artifact", key)
@@ -2469,7 +2543,8 @@ def _unionall_sample_frames(
 
 
 def _unionall_from_samples(
-    spark, fn, args, alias, picks, catalog, grouped, sides, tables
+    spark, fn, args, alias, picks, catalog, grouped, sides, tables,
+    estimator: str = "clt",
 ) -> DataFrame | None:
     """Answer a UNION ALL statement from the sides' persisted uniform
     samples: project each sample to the side's (value[, key]) items, apply
@@ -2489,10 +2564,23 @@ def _unionall_from_samples(
     allf = frames[0]
     for f in frames[1:]:
         allf = allf.unionByName(f)
-    out = approx_agg_from_uniform_sample(
-        allf, "_g" if grouped else None, "_v", picks[0]["ratio"],
-        moments=fn in ("APPROX_VARIANCE", "APPROX_STDDEV"),
-    )
+    if estimator == "subsample":
+        # the equal-ratio union IS a Bernoulli(p) sample of the
+        # concatenated bag, so the subsample estimator applies verbatim;
+        # n_total = the sides' registered row counts summed (order of
+        # magnitude only — it sizes b)
+        from sketchlib.spark.subsample import subsample_agg_from_uniform_sample
+
+        out = subsample_agg_from_uniform_sample(
+            allf, "_g" if grouped else None, "_v", picks[0]["ratio"],
+            n_total=sum(int(catalog.sample_meta(p["name"])["rows_sampled"]) for p in picks),
+            moments=fn in ("APPROX_VARIANCE", "APPROX_STDDEV"),
+        )
+    else:
+        out = approx_agg_from_uniform_sample(
+            allf, "_g" if grouped else None, "_v", picks[0]["ratio"],
+            moments=fn in ("APPROX_VARIANCE", "APPROX_STDDEV"),
+        )
     keep = {
         "APPROX_COUNT": ["est_count", "count_err"],
         "APPROX_SUM": ["est_sum", "sum_err"],
@@ -3024,7 +3112,8 @@ def _default_out_names(aggs: list) -> list[str]:
     return final
 
 
-def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
+def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
+                 estimator: str = "clt") -> DataFrame:
     """Named estimate columns — ``SELECT APPROX_X(args) AS name`` (Verdict
     lets users name their estimate columns; the driver's oracle compare
     requires both sides to agree on names). The statement re-runs alias-free
@@ -3046,7 +3135,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key) -> DataFrame:
         stmt += f" WHERE {m.group('where')}"
     if m.group("group"):
         stmt += f" GROUP BY {m.group('group')}"
-    out = approx_sql(spark, stmt, tables, catalog, catalog_key)
+    out = approx_sql(spark, stmt, tables, catalog, catalog_key, estimator=estimator)
     aggs = [(fn.upper(), _split_args(args)) for fn, args, _ in aliased]
     if len(aggs) == 1:
         fn, alias = aggs[0][0], names[0]
@@ -3393,6 +3482,7 @@ def approx_sql(
     tables: dict | None = None,
     catalog=None,
     catalog_key: str | None = None,
+    estimator: str = "clt",
 ) -> DataFrame:
     """Run one Verdict-style approximate SQL statement; returns a DataFrame
     whose columns include the estimate and its error bound (A15).
@@ -3416,7 +3506,18 @@ def approx_sql(
     the same catalog: ``CREATE [OR REPLACE] SAMPLE s FROM t KIND uniform
     RATIO 0.1 [ON col] [FRACTIONS '<json>'] [SEED n]``, ``SHOW SAMPLES``,
     ``DROP SAMPLE s``. CREATE returns the registration row, SHOW the
-    registry, DROP a (name, dropped) row."""
+    registry, DROP a (name, dropped) row.
+
+    ``estimator`` selects the error mechanism for the SAMPLING aggregates
+    (APPROX_COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR): ``"clt"`` (default)
+    = the closed-form bounds of sampling.py; ``"subsample"`` = VerdictDB's
+    variational subsampling (subsample.py — `[paper:VerdictDB §3.2]`).
+    A statement tail ``ERROR BY SUBSAMPLING`` sets it from SQL. Estimates
+    are identical either way; only the error columns change estimator.
+    Sketch-served aggregates (COUNT_DISTINCT/TOPK/PERCENTILE), joins,
+    set operations over states, stratified scrambles, multi-aggregate
+    lists and WITHIN contracts refuse the modifier loudly — their bounds
+    are not sampling CIs a subsample spread could replace."""
     if catalog is None and catalog_key is not None:
         raise ValueError(
             "catalog_key without catalog does nothing — pass catalog=SketchCatalog(...)"
@@ -3425,11 +3526,30 @@ def approx_sql(
     # answers from the router without executing; an exact EXPLAIN is
     # Spark's own statement and passes through verbatim (A4)
     em = re.match(r"^\s*EXPLAIN\s+(?P<stmt>.*)$", sql, re.IGNORECASE | re.DOTALL)
-    if em and (_AGG.search(_mask_literals(em.group("stmt"))) or _DDL_HEAD.match(em.group("stmt"))):
-        return explain_sql(spark, em.group("stmt"), tables, catalog, catalog_key)
+    if em and (_AGG.search(_mask_literals(em.group("stmt")))
+               or _DDL_HEAD.match(em.group("stmt"))
+               # an ERROR BY SUBSAMPLING tail is OUR grammar even when the
+               # statement has no APPROX_ aggregate — EXPLAIN must report
+               # the refusal, not hand Spark a statement it cannot parse
+               or _SUBSAMPLE_TAIL.match(_mask_literals(em.group("stmt")))):
+        return explain_sql(spark, em.group("stmt"), tables, catalog, catalog_key,
+                           estimator=estimator)
     ddl = _ddl(spark, sql, tables, catalog)
     if ddl is not None:
         return ddl
+    if estimator not in ("clt", "subsample"):
+        raise ValueError(
+            f"estimator must be 'clt' or 'subsample', got {estimator!r}"
+        )
+    ssm = _SUBSAMPLE_TAIL.match(_mask_literals(sql)) and _SUBSAMPLE_TAIL.match(sql)
+    if ssm:
+        sql, estimator = ssm.group("body"), "subsample"
+    if estimator == "subsample" and not _AGG.search(_mask_literals(sql)):
+        raise ValueError(
+            "ERROR BY SUBSAMPLING selects the error estimator of an approx "
+            "statement — this statement has no APPROX_ aggregate (exact "
+            "pass-through carries no error columns)"
+        )
     # classification ignores string literals: 'APPROX_X(1)' inside quotes
     # must not drag an exact statement into the approx skeleton
     if not _AGG.search(_mask_literals(sql)):
@@ -3467,7 +3587,8 @@ def approx_sql(
                     df = _exact_passthrough(spark, body, tables)
                 df.createOrReplaceTempView(name)
                 views.append(name)
-            return approx_sql(spark, final, tables, catalog, catalog_key)
+            return approx_sql(spark, final, tables, catalog, catalog_key,
+                              estimator=estimator)
         finally:
             for v in views:
                 spark.catalog.dropTempView(v)
@@ -3489,11 +3610,18 @@ def approx_sql(
             )
         head, inner, tail = sub
         setop = _setop_route(head, inner, tail)
+        if setop is not None and estimator == "subsample":
+            raise ValueError(
+                "set operations are answered from sketch states, whose "
+                "bounds are not sampling CIs — ERROR BY SUBSAMPLING applies "
+                "to the sampling aggregates (single table or UNION ALL over "
+                "persisted uniform samples)"
+            )
         if setop is not None:
             res = _approx_setop(spark, setop, tables, catalog)
             if res is not None:
                 return res  # None = grouped UNION without states → rewrite
-        merged = _unionall_merge_route(head, inner, tail)
+        merged = None if estimator == "subsample" else _unionall_merge_route(head, inner, tail)
         if merged is not None:
             mfn, margs, msides, malias, mgrouped = merged
             if mgrouped is None:
@@ -3517,7 +3645,7 @@ def approx_sql(
             if spicks is not None:
                 res = _unionall_from_samples(
                     spark, sfn, sargs, salias, spicks, catalog, sgrouped,
-                    ssides, tables,
+                    ssides, tables, estimator=estimator,
                 )
                 if res is not None:
                     return res  # None = non-numeric type mix → generic path
@@ -3555,7 +3683,8 @@ def approx_sql(
             caveat = _inner_rel_err_max(inner_pdf)
             inner_df.createOrReplaceTempView(view)
             try:
-                out = approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
+                out = approx_sql(spark, f"{head} FROM {view}{tail}", tables,
+                                 catalog, None, estimator=estimator)
             finally:
                 spark.catalog.dropTempView(view)
             from pyspark.sql import functions as F
@@ -3627,15 +3756,23 @@ def approx_sql(
             return out
         _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
         try:
-            return approx_sql(spark, f"{head} FROM {view}{tail}", tables, catalog, None)
+            return approx_sql(spark, f"{head} FROM {view}{tail}", tables,
+                              catalog, None, estimator=estimator)
         finally:
             spark.catalog.dropTempView(view)
     wm = _WITHIN_TAIL.match(_mask_literals(sql)) and _WITHIN_TAIL.match(sql)
     if wm:
+        if estimator == "subsample":
+            raise ValueError(
+                "a WITHIN ... ERROR contract is planned by INVERTING the "
+                "closed-form CLT bounds — it cannot be combined with ERROR "
+                "BY SUBSAMPLING; state one error mechanism"
+            )
         return _within_error(spark, wm, tables, catalog, catalog_key)
     tm = _ORDER_TAIL.match(sql)
     if tm:
-        inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key)
+        inner = approx_sql(spark, tm.group("body"), tables, catalog, catalog_key,
+                           estimator=estimator)
         # single-column sketch paths emit the generic 'group' column; let
         # ORDER BY name the user's GROUP BY column anyway
         rename = {}
@@ -3649,13 +3786,22 @@ def approx_sql(
         return inner.limit(int(tm.group("n"))) if tm.group("n") else inner
     tm = _LIMIT_TAIL.match(sql)
     if tm:
-        return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).limit(
-            int(tm.group("n"))
-        )
+        return approx_sql(
+            spark, tm.group("body"), tables, catalog, catalog_key,
+            estimator=estimator,
+        ).limit(int(tm.group("n")))
     tm = _HAVING_TAIL.match(sql)
     if tm:
-        return approx_sql(spark, tm.group("body"), tables, catalog, catalog_key).filter(
-            tm.group("pred")
+        return approx_sql(
+            spark, tm.group("body"), tables, catalog, catalog_key,
+            estimator=estimator,
+        ).filter(tm.group("pred"))
+    jm = _JOIN3_SKELETON.match(sql) or _JOIN_SKELETON.match(sql)
+    if jm and estimator == "subsample":
+        raise ValueError(
+            "approx joins report closed-form CIs over the fact-side sample "
+            "— ERROR BY SUBSAMPLING supports single-table sampling "
+            "aggregates (and UNION ALL over persisted uniform samples)"
         )
     jm = _JOIN3_SKELETON.match(sql)
     if jm:
@@ -3672,9 +3818,26 @@ def approx_sql(
         )
     aliased = _AGG_ALIASED.findall(m.group("select"))
     if any(al for *_, al in aliased):
-        return _run_aliased(spark, m, aliased, tables, catalog, catalog_key)
+        return _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
+                            estimator=estimator)
     aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
     group = _parse_group(m.group("group"))
+
+    _SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                      "APPROX_VARIANCE", "APPROX_STDDEV",
+                      "APPROX_COVAR", "APPROX_CORR")
+    if estimator == "subsample":
+        if len(aggs) > 1:
+            raise ValueError(
+                "ERROR BY SUBSAMPLING takes one aggregate per statement — "
+                "issue one statement per aggregate"
+            )
+        if aggs[0][0] not in _SUBSAMPLE_FNS:
+            raise ValueError(
+                f"{aggs[0][0]} is sketch-served — its bound is not a "
+                "sampling CI a subsample spread could replace; ERROR BY "
+                f"SUBSAMPLING applies to {'/'.join(_SUBSAMPLE_FNS)}"
+            )
 
     if len(aggs) > 1:
         if catalog is not None and catalog_key is not None:
@@ -3701,7 +3864,8 @@ def approx_sql(
         # artifact — pick the best registered states/sample for this
         # statement (None → fall through to the on-the-fly build below)
         catalog_key = _resolve_key(
-            fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog
+            fn, args, group, bool(m.group("where")), m.group("table"), tables, catalog,
+            uniform_samples_only=(estimator == "subsample"),
         )
 
     if catalog is not None and catalog_key is not None:
@@ -3741,6 +3905,30 @@ def approx_sql(
                     "APPROX_SUM": ["est_sum", "sum_err"],
                     "APPROX_AVG": ["est_avg", "avg_err"],
                 }[fn]
+                if estimator == "subsample":
+                    if meta["kind"] != "uniform":
+                        raise ValueError(
+                            "ERROR BY SUBSAMPLING needs a UNIFORM scramble "
+                            "(one shared Bernoulli inclusion probability — "
+                            "a stratified sample's mixed fractions break the "
+                            f"subsample geometry); {catalog_key!r} is "
+                            f"{meta['kind']}"
+                        )
+                    from sketchlib.spark.subsample import (
+                        subsample_agg_from_uniform_sample,
+                    )
+
+                    def _uagg(frame, gname):
+                        return subsample_agg_from_uniform_sample(
+                            frame, gname, col, meta["ratio"],
+                            n_total=int(meta["rows_sampled"]),
+                            seed=int(meta["seed"]),
+                        )
+                else:
+                    def _uagg(frame, gname):
+                        return approx_agg_from_uniform_sample(
+                            frame, gname, col, meta["ratio"]
+                        )
                 if meta["kind"] == "stratified":
                     fractions = json.loads(meta["fractions_json"])
                     if group is None:
@@ -3760,11 +3948,11 @@ def approx_sql(
                     # composite key over a persisted scramble: aggregate on
                     # the derived key string, split back into native columns
                     s, gcol = _with_gkey(s, group)
-                    out = approx_agg_from_uniform_sample(s, gcol, col, meta["ratio"])
+                    out = _uagg(s, gcol)
                     out = out.withColumnRenamed(gcol, "group").select("group", *keep)
                     return _finish_grouped(out, s, group)
                 else:
-                    out = approx_agg_from_uniform_sample(s, group, col, meta["ratio"])
+                    out = _uagg(s, group)
                 return out.select(*([group] if group else []), *keep)
             if fn in ("APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
                 if meta["kind"] != "uniform":
@@ -3789,14 +3977,33 @@ def approx_sql(
                     "APPROX_CORR": ["est_corr", "corr_err"],
                 }[fn]
 
-                def _run(frame, gname):
-                    if bivar:
-                        return approx_bivariate_from_uniform_sample(
-                            frame, gname, col, ycol, meta["ratio"]
-                        )
-                    return approx_agg_from_uniform_sample(
-                        frame, gname, col, meta["ratio"], moments=True
+                if estimator == "subsample":
+                    from sketchlib.spark.subsample import (
+                        subsample_agg_from_uniform_sample,
+                        subsample_bivariate_from_uniform_sample,
                     )
+
+                    def _run(frame, gname):
+                        if bivar:
+                            return subsample_bivariate_from_uniform_sample(
+                                frame, gname, col, ycol, meta["ratio"],
+                                n_total=int(meta["rows_sampled"]),
+                                seed=int(meta["seed"]),
+                            )
+                        return subsample_agg_from_uniform_sample(
+                            frame, gname, col, meta["ratio"], moments=True,
+                            n_total=int(meta["rows_sampled"]),
+                            seed=int(meta["seed"]),
+                        )
+                else:
+                    def _run(frame, gname):
+                        if bivar:
+                            return approx_bivariate_from_uniform_sample(
+                                frame, gname, col, ycol, meta["ratio"]
+                            )
+                        return approx_agg_from_uniform_sample(
+                            frame, gname, col, meta["ratio"], moments=True
+                        )
 
                 if isinstance(group, (list, tuple)):
                     s, gcol = _with_gkey(s, group)
@@ -3956,7 +4163,7 @@ def approx_sql(
         return _finish_grouped(out, df, group)
 
     if fn in ("APPROX_COVAR", "APPROX_CORR"):
-        from sketchlib.spark.sampling import approx_bivariate_uniform
+        from sketchlib.spark.sampling import approx_bivariate_uniform, uniform_sample
 
         df, xcol = _materialize_expr(df, args[0])
         df, ycol = _materialize_expr(df, args[1])
@@ -3965,18 +4172,30 @@ def approx_sql(
             "APPROX_COVAR": ["est_covar", "covar_err"],
             "APPROX_CORR": ["est_corr", "corr_err"],
         }[fn]
+        if estimator == "subsample":
+            from sketchlib.spark.subsample import (
+                subsample_bivariate_from_uniform_sample,
+            )
+
+            def _biv(frame, gname):
+                return subsample_bivariate_from_uniform_sample(
+                    uniform_sample(frame, ratio, 42), gname, xcol, ycol, ratio
+                )
+        else:
+            def _biv(frame, gname):
+                return approx_bivariate_uniform(frame, gname, xcol, ycol, ratio)
         if isinstance(group, (list, tuple)):
             from sketchlib.spark.build import group_key_expr
 
             df = df.withColumn("_gkey", group_key_expr(list(group)))
-            out = approx_bivariate_uniform(df, "_gkey", xcol, ycol, ratio)
+            out = _biv(df, "_gkey")
             out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
             return _finish_grouped(out, df, group)
-        out = approx_bivariate_uniform(df, group, xcol, ycol, ratio)
+        out = _biv(df, group)
         return out.select(*([group] if group else []), *keep)
 
     if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV"):
-        from sketchlib.spark.sampling import approx_agg_uniform
+        from sketchlib.spark.sampling import approx_agg_uniform, uniform_sample
 
         moments = fn in ("APPROX_VARIANCE", "APPROX_STDDEV")
         if fn == "APPROX_COUNT":
@@ -3996,16 +4215,27 @@ def approx_sql(
             "APPROX_VARIANCE": ["est_variance", "variance_err"],
             "APPROX_STDDEV": ["est_stddev", "stddev_err"],
         }[fn]
+        if estimator == "subsample":
+            from sketchlib.spark.subsample import subsample_agg_from_uniform_sample
+
+            def _uagg(frame, gname):
+                return subsample_agg_from_uniform_sample(
+                    uniform_sample(frame, ratio, 42), gname, col, ratio,
+                    moments=moments,
+                )
+        else:
+            def _uagg(frame, gname):
+                return approx_agg_uniform(frame, gname, col, ratio, moments=moments)
         if isinstance(group, (list, tuple)):
             # composite key: aggregate on the kernel's joined string, then
             # split back into the user's columns
             from sketchlib.spark.build import group_key_expr
 
             df = df.withColumn("_gkey", group_key_expr(list(group)))
-            out = approx_agg_uniform(df, "_gkey", col, ratio, moments=moments)
+            out = _uagg(df, "_gkey")
             out = out.withColumnRenamed("_gkey", "group").select("group", *keep)
             return _finish_grouped(out, df, group)
-        out = approx_agg_uniform(df, group, col, ratio, moments=moments)
+        out = _uagg(df, group)
         return out.select(*([group] if group else []), *keep)
 
     raise ValueError(f"unknown approximate aggregate {fn!r}")

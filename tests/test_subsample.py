@@ -1,0 +1,271 @@
+"""Variational subsampling (`[paper:VerdictDB §3.2]`, subsample.py):
+estimate identity with the closed-form path, CI coverage against exact
+answers, degenerate-group behavior, and the ERROR BY SUBSAMPLING SQL tail
+(routing, EXPLAIN parity, refusals)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.spark.sampling import (
+    approx_agg_from_uniform_sample,
+    uniform_sample,
+)
+from sketchlib.spark.subsample import (
+    subsample_agg_from_uniform_sample,
+    subsample_bivariate_from_uniform_sample,
+    subsample_blocks,
+)
+
+Z_TEST = 3.29  # 99.9% two-sided — keeps seeded-sample tests deterministic-robust
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def li_sample(spark, li):
+    return uniform_sample(li, 0.1, seed=7).cache()
+
+
+def test_subsample_blocks_rule():
+    # the paper's b ≈ n^0.3, clamped
+    assert subsample_blocks(10) == 16  # clamp low
+    assert subsample_blocks(100_000) == round(100_000 ** 0.3)
+    assert subsample_blocks(10 ** 20) == 4096  # clamp high
+
+
+def test_estimates_match_closed_form(spark, li_sample):
+    """The two estimators differ ONLY in the error columns: est_count/
+    est_sum/est_avg/est_variance/est_stddev are the same totals and the
+    same stable pooled moments, so they agree to float noise."""
+    cf = approx_agg_from_uniform_sample(
+        li_sample, "l_returnflag", "l_extendedprice", 0.1, moments=True
+    ).toPandas().set_index("l_returnflag").sort_index()
+    ss = subsample_agg_from_uniform_sample(
+        li_sample, "l_returnflag", "l_extendedprice", 0.1, moments=True
+    ).toPandas().set_index("l_returnflag").sort_index()
+    for c in ("est_count", "est_sum", "est_avg", "est_variance", "est_stddev"):
+        np.testing.assert_allclose(ss[c], cf[c], rtol=1e-9, err_msg=c)
+
+
+def test_subsample_agg_within_ci(spark, li, li_sample):
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"),
+             F.avg("l_extendedprice").alias("a"),
+             F.var_samp("l_extendedprice").alias("v"))
+        .collect()
+    }
+    rows = subsample_agg_from_uniform_sample(
+        li_sample, "l_returnflag", "l_extendedprice", 0.1, z=Z_TEST, moments=True
+    ).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[r["l_returnflag"]]
+        assert r["count_err"] is not None and r["count_err"] > 0
+        assert abs(r["est_count"] - e["n"]) <= r["count_err"], (r, e["n"])
+        assert abs(r["est_sum"] - e["s"]) <= r["sum_err"], (r, e["s"])
+        assert abs(r["est_avg"] - e["a"]) <= r["avg_err"] + 1e-9, (r, e["a"])
+        assert abs(r["est_variance"] - e["v"]) <= r["variance_err"], (r, e["v"])
+        # and the spread-based bound is a bound, not a blowup: ≤ 25% rel
+        assert r["count_err"] / e["n"] < 0.25
+
+
+def test_subsample_bivariate_within_ci(spark):
+    rng = np.random.default_rng(11)
+    n = 150_000
+    g = rng.integers(0, 3, n)
+    x = rng.normal(10, 2, n)
+    y = 0.6 * x + rng.normal(0, 1.5, n)
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    full = spark.createDataFrame(pdf)
+    samp = uniform_sample(full, 0.2, seed=5)
+    rows = subsample_bivariate_from_uniform_sample(
+        samp, "g", "x", "y", 0.2, z=Z_TEST
+    ).collect()
+    for r in rows:
+        sub = pdf[pdf.g == r["g"]]
+        cov, corr = sub.x.cov(sub.y), sub.x.corr(sub.y)
+        assert abs(r["est_covar"] - cov) <= r["covar_err"], (r, cov)
+        assert abs(r["est_corr"] - corr) <= r["corr_err"], (r, corr)
+        assert abs(r["est_corr"]) <= 1.0
+
+
+def test_few_blocks_null_error_estimate_served(spark):
+    """< 4 nonempty blocks → the error column is NULL (a quantile over 1–3
+    spread points is noise) but the estimate itself is still served."""
+    pdf = pd.DataFrame({"g": ["a"] * 2000 + ["b"] * 2, "x": 1.0})
+    samp = spark.createDataFrame(pdf)  # treat as an already-drawn p=0.5 sample
+    rows = {
+        r["g"]: r
+        for r in subsample_agg_from_uniform_sample(samp, "g", "x", 0.5, b=64).collect()
+    }
+    assert rows["a"]["sum_err"] is not None
+    assert rows["b"]["sum_err"] is None  # 2 rows in 64 blocks: ≤ 2 nonempty
+    assert rows["b"]["est_sum"] == pytest.approx(2 / 0.5)
+
+
+def test_full_ratio_zero_error(spark):
+    """p=1: the sample IS the table; the (1−p) finite-population factor
+    zeroes every error column, matching the closed-form bounds."""
+    pdf = pd.DataFrame({"x": np.arange(5000, dtype=float)})
+    samp = spark.createDataFrame(pdf)
+    r = subsample_agg_from_uniform_sample(samp, None, "x", 1.0).collect()[0]
+    assert r["est_count"] == 5000
+    assert r["count_err"] == 0.0 and r["sum_err"] == 0.0 and r["avg_err"] == 0.0
+
+
+def test_sql_tail_on_the_fly_and_catalog(spark, li, tmp_path):
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    exact = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("a")).collect()
+    }
+    # on-the-fly (explicit ratio): 1.96σ CI — allow 3.29/1.96 headroom
+    wide = 3.29 / 1.96
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(l_quantity, 0.2) FROM li GROUP BY l_returnflag "
+        "ERROR BY SUBSAMPLING",
+        t,
+    ).collect()
+    for r in rows:
+        assert abs(r["est_avg"] - exact[r["l_returnflag"]]) <= wide * r["avg_err"]
+
+    # catalog route: auto-selected uniform scramble, no ratio in the statement
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE ss_li FROM li KIND uniform RATIO 0.2 SEED 3", t, cat)
+    props = {
+        r["property"]: r["value"]
+        for r in approx_sql(
+            spark,
+            "EXPLAIN SELECT APPROX_AVG(l_quantity) FROM li GROUP BY l_returnflag "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()
+    }
+    assert "variational subsampling" in props["error_estimator"]
+    assert props["route"].startswith("persisted_sample (uniform")
+    assert props["artifact"] == "ss_li"
+    rows = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(l_quantity) FROM li GROUP BY l_returnflag "
+        "ERROR BY SUBSAMPLING",
+        t, cat,
+    ).collect()
+    for r in rows:
+        assert abs(r["est_avg"] - exact[r["l_returnflag"]]) <= wide * r["avg_err"]
+
+    # alias + ORDER BY tail compose around the modifier
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(l_quantity) AS q FROM li GROUP BY l_returnflag "
+        "ORDER BY q DESC LIMIT 2 ERROR BY SUBSAMPLING",
+        t, cat,
+    )
+    assert out.columns == ["l_returnflag", "q", "q_err"]
+    got = out.collect()
+    assert len(got) == 2 and got[0]["q"] >= got[1]["q"]
+
+
+def test_sql_tail_skips_stratified_and_states(spark, tmp_path):
+    """Resolution under ERROR BY SUBSAMPLING is uniform-scrambles-only:
+    a stratified sample and a sketch set registered for the same table are
+    both passed over for the uniform one."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, resolve_catalog_key
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "cat2"))
+    approx_sql(
+        spark,
+        "CREATE SAMPLE strat_li FROM li KIND stratified ON l_returnflag "
+        "FRACTIONS '{\"A\": 0.5, \"N\": 0.5, \"R\": 0.5}'",
+        t, cat,
+    )
+    approx_sql(spark, "CREATE SAMPLE uni_li FROM li KIND uniform RATIO 0.1", t, cat)
+    stmt = "SELECT APPROX_COUNT(*) FROM li GROUP BY l_returnflag"
+    # closed-form routing prefers the group-keyed stratified scramble...
+    assert resolve_catalog_key(spark, stmt, t, cat) == "strat_li"
+    # ...the subsample estimator must take the uniform one
+    assert resolve_catalog_key(spark, stmt + " ERROR BY SUBSAMPLING", t, cat) == "uni_li"
+    r = approx_sql(spark, stmt + " ERROR BY SUBSAMPLING", t, cat).collect()
+    assert all(row["count_err"] is not None for row in r)
+
+
+def test_sql_tail_refusals_and_explain_parity(spark, tmp_path):
+    """Every unsupported combination raises a descriptive ValueError AND
+    EXPLAIN reports the same refusal as an error row (never a traceback,
+    never a silent fallback to the closed-form bounds)."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {
+        "li": "/root/testdata/sf0.01/lineitem.parquet",
+        "ord": "/root/testdata/sf0.01/orders.parquet",
+    }
+    cat = SketchCatalog(spark, str(tmp_path / "cat3"))
+    bad = [
+        "SELECT APPROX_COUNT_DISTINCT(l_suppkey) FROM li ERROR BY SUBSAMPLING",
+        "SELECT APPROX_PERCENTILE(l_quantity, 0.5) FROM li ERROR BY SUBSAMPLING",
+        "SELECT APPROX_SUM(l_quantity) FROM li WITHIN 1% ERROR ERROR BY SUBSAMPLING",
+        "SELECT APPROX_SUM(l_quantity, 0.1), APPROX_AVG(l_quantity, 0.1) FROM li "
+        "ERROR BY SUBSAMPLING",
+        "SELECT l_returnflag, COUNT(*) FROM li GROUP BY l_returnflag "
+        "ERROR BY SUBSAMPLING",
+        "SELECT APPROX_SUM(l_extendedprice, 0.1) FROM li JOIN ord "
+        "ON li.l_orderkey = ord.o_orderkey ERROR BY SUBSAMPLING",
+        "SELECT APPROX_COUNT_DISTINCT(v) FROM "
+        "(SELECT l_suppkey AS v FROM li UNION SELECT o_custkey AS v FROM ord) "
+        "ERROR BY SUBSAMPLING",
+    ]
+    for stmt in bad:
+        with pytest.raises(ValueError):
+            approx_sql(spark, stmt, t, cat)
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + stmt, t, cat).collect()
+        }
+        errs = [v for k, v in props.items() if k.endswith("error")]
+        assert errs, f"EXPLAIN shows no error for: {stmt}\n{props}"
+
+
+def test_sql_tail_unionall_sample_route(spark, tmp_path):
+    """UNION ALL over equal-ratio persisted uniform scrambles honors the
+    modifier: the concatenated Bernoulli(p) sample feeds the subsample
+    estimator, bases never read (deleted before querying)."""
+    import shutil
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    ca, cb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    (spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+     .selectExpr("o_totalprice AS v").write.parquet(ca))
+    (spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+     .selectExpr("l_extendedprice AS v").write.parquet(cb))
+    exact = (spark.read.parquet(ca).unionAll(spark.read.parquet(cb))
+             .agg(F.sum("v")).collect()[0][0])
+    cat = SketchCatalog(spark, str(tmp_path / "cat4"))
+    cat.create_sample("ssua_a", ca, kind="uniform", ratio=0.3)
+    cat.create_sample("ssua_b", cb, kind="uniform", ratio=0.3)
+    shutil.rmtree(ca)
+    shutil.rmtree(cb)
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(v, 0.2) FROM "
+        "(SELECT v FROM ta UNION ALL SELECT v FROM tb) ERROR BY SUBSAMPLING",
+        {"ta": ca, "tb": cb}, cat,
+    ).collect()[0]
+    assert r["sum_err"] is not None and r["sum_err"] > 0
+    assert abs(r["est_sum"] - exact) <= (3.29 / 1.96) * r["sum_err"]
