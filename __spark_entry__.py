@@ -1717,6 +1717,25 @@ def q_b45_subsample_error(spark, sf_dir):
              bool(abs(rc["est_corr"] - exact_corr) <= wide * rc["corr_err"])),
         )
 
+        # VALUE-unit quantile CIs — the closed-form path only bounds RANK
+        # error; the subsample spread folds in the (formula-less) density
+        exact_pct = {
+            q: li.agg(F.expr(f"percentile(l_extendedprice, {q})")).collect()[0][0]
+            for q in (0.5, 0.9)
+        }
+        pr = approx_sql(
+            spark,
+            "SELECT APPROX_PERCENTILE(l_extendedprice, 0.5, 0.9) FROM licopy "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()
+        ok_pct = len(pr) == 2 and all(
+            r["value_err"] is not None
+            and abs(r["value"] - exact_pct[r["q"]]) <= wide * r["value_err"]
+            for r in pr
+        )
+        out.append(("percentile_value_ci", bool(ok_pct)))
+
         shutil.rmtree(base)  # base-free from here: the scramble answers alone
         props = {
             r["property"]: r["value"]
@@ -3116,6 +3135,7 @@ def oracle_sql() -> dict[str, str]:
               ('estimates_match_closed_form', TRUE),
               ('within_ci_grouped', TRUE),
               ('corr_within_ci', TRUE),
+              ('percentile_value_ci', TRUE),
               ('base_free_route_explained', TRUE),
               ('refusal_explain_parity', TRUE)
             ) AS t(chk, within_bound)

@@ -24,4 +24,5 @@ from sketchlib.spark.session import get_spark  # noqa: F401
 from sketchlib.spark.subsample import (  # noqa: F401
     subsample_agg_from_uniform_sample,
     subsample_bivariate_from_uniform_sample,
+    subsample_percentile_from_uniform_sample,
 )

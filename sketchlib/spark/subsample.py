@@ -215,6 +215,86 @@ def subsample_agg_from_uniform_sample(
     return _finalize(blk, gcols, p, z, pairs)
 
 
+def subsample_percentile_from_uniform_sample(
+    sample: DataFrame,
+    group_by: str | None,
+    value_col: str,
+    qs: list[float],
+    ratio: float,
+    n_total: int | None = None,
+    b: int | None = None,
+    z: float = 1.96,
+    seed: int = 0,
+) -> DataFrame:
+    """Quantiles with VALUE-UNIT confidence half-widths — the capability
+    the closed-form path cannot offer. The scramble-percentile estimator
+    (sql.py A12-over-sample) bounds the RANK error (√(q(1−q)/n), CLT for
+    the empirical process); translating rank error into value units needs
+    the density at the quantile, which has no closed form. The subsample
+    spread prices it directly: per-block empirical quantiles q̂_i, the
+    full-sample quantile q̂, u_i = √n_i·(q̂_i − q̂), half-width =
+    max(q_conf(|u_i|), z·sd(u_i))/√n · √(1−p) — the Politis–Romano
+    subsampling CI for quantiles (asymptotically normal, density folded
+    into the spread, never estimated).
+
+    Output: ([group,] q, value, value_err). ``value`` is the EXACT
+    percentile of the full sample — identical to the closed-form path's
+    estimate by construction. Costs ONE extra aggregation pass over the
+    p-fraction scramble (quantiles don't pool across blocks the way
+    moments do, so the full-sample estimate is its own groupBy); both
+    passes stay on the sample, never the corpus."""
+    p = float(ratio)
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"ratio must be in (0, 1], got {ratio!r}")
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 < q < 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1), got {qs!r}")
+    if b is None:
+        n = int(n_total) if n_total is not None else sample.count()
+        b = subsample_blocks(n)
+    conf = _coverage(z)
+    fpc = math.sqrt(max(0.0, 1.0 - p))
+    v = F.col(value_col)
+    gcols = [group_by] if group_by else []
+    s = _with_sid(sample, b, seed)
+    qarr = F.array(*[F.lit(q) for q in qs])
+    # pass 1: per-block quantile vector + block size
+    blk = s.groupBy(*gcols, "_sid").agg(
+        F.percentile(v, qarr).alias("_qv"), F.count("*").alias("n_i")
+    )
+    # pass 2: full-sample quantile vector + total rows (the estimate)
+    full = s.groupBy(*gcols).agg(
+        F.percentile(v, qarr).alias("_qfull"), F.count("*").alias("_n")
+    )
+    j = blk.join(full, gcols) if gcols else blk.crossJoin(full)
+    # one row per (group, block, quantile): u_i per quantile index
+    j = j.select(
+        *gcols, "n_i", "_n", "_sid",
+        F.posexplode(F.zip_with(
+            F.col("_qv"), F.col("_qfull"), lambda bq, fq: F.sqrt(F.col("n_i")) * (bq - fq)
+        )).alias("_qi", "_u"),
+        F.element_at(F.col("_qfull"), F.col("_qi") + 1).alias("value"),
+    )
+    out = (
+        j.groupBy(*gcols, "_qi")
+        .agg(
+            F.first("value").alias("value"),
+            F.when(
+                F.count_distinct(F.col("_sid")) >= _MIN_BLOCKS,
+                F.lit(fpc)
+                * F.greatest(
+                    F.percentile(F.abs(F.col("_u")), F.lit(conf)),
+                    F.lit(z) * F.stddev_samp(F.col("_u")),
+                )
+                / F.sqrt(F.first(F.col("_n"))),
+            ).alias("value_err"),
+        )
+        .withColumn("q", F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("_qi") + 1))
+        .select(*gcols, "q", "value", "value_err")
+    )
+    return out
+
+
 def subsample_bivariate_from_uniform_sample(
     sample: DataFrame,
     group_by: str | None,

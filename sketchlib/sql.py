@@ -1512,7 +1512,7 @@ def explain_sql(
     if estimator == "subsample":
         _ss_fns = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
                    "APPROX_VARIANCE", "APPROX_STDDEV",
-                   "APPROX_COVAR", "APPROX_CORR")
+                   "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
         if len(aggs) > 1:
             emit("error", "ERROR BY SUBSAMPLING takes one aggregate per "
                  "statement — approx_sql would raise")
@@ -1520,6 +1520,11 @@ def explain_sql(
         if aggs[0][0] not in _ss_fns:
             emit("error", f"{aggs[0][0]} is sketch-served — ERROR BY "
                  "SUBSAMPLING does not apply; approx_sql would raise")
+            return done()
+        if (aggs[0][0] == "APPROX_PERCENTILE"
+                and _percentile_args(aggs[0][1])[1] is not None):
+            emit("error", "rank_err + ERROR BY SUBSAMPLING is a double "
+                 "accuracy spec — approx_sql would raise")
             return done()
     emit("table", m.group("table"))
     if m.group("where"):
@@ -1543,7 +1548,12 @@ def explain_sql(
                 catalog, reg_rows=reg_rows, sample_rows=sample_rows,
                 uniform_samples_only=(estimator == "subsample"),
             )
-        if key is None:
+        if key is None and estimator == "subsample" and fn == "APPROX_PERCENTILE":
+            emit(f"{prefix}route", "error — approx_sql would raise")
+            emit(f"{prefix}error", "APPROX_PERCENTILE ERROR BY SUBSAMPLING "
+                 "needs a registered uniform scramble; the on-the-fly route "
+                 "is KLL states")
+        elif key is None:
             emit(f"{prefix}route", "on_the_fly (scan the base table, build per statement)")
         elif catalog is None:
             # catalog_key without a catalog: approx_sql refuses the pair —
@@ -3509,15 +3519,18 @@ def approx_sql(
     registry, DROP a (name, dropped) row.
 
     ``estimator`` selects the error mechanism for the SAMPLING aggregates
-    (APPROX_COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR): ``"clt"`` (default)
-    = the closed-form bounds of sampling.py; ``"subsample"`` = VerdictDB's
-    variational subsampling (subsample.py — `[paper:VerdictDB §3.2]`).
-    A statement tail ``ERROR BY SUBSAMPLING`` sets it from SQL. Estimates
-    are identical either way; only the error columns change estimator.
-    Sketch-served aggregates (COUNT_DISTINCT/TOPK/PERCENTILE), joins,
-    set operations over states, stratified scrambles, multi-aggregate
-    lists and WITHIN contracts refuse the modifier loudly — their bounds
-    are not sampling CIs a subsample spread could replace."""
+    (APPROX_COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR, plus
+    APPROX_PERCENTILE from a registered uniform scramble — there the
+    subsample spread gives VALUE-unit quantile CIs the closed-form rank
+    bound cannot): ``"clt"`` (default) = the closed-form bounds of
+    sampling.py; ``"subsample"`` = VerdictDB's variational subsampling
+    (subsample.py — `[paper:VerdictDB §3.2]`). A statement tail ``ERROR
+    BY SUBSAMPLING`` sets it from SQL. Estimates are identical either
+    way; only the error columns change estimator. Sketch-served
+    aggregates (COUNT_DISTINCT/TOPK), joins, set operations over states,
+    stratified scrambles, multi-aggregate lists and WITHIN contracts
+    refuse the modifier loudly — their bounds are not sampling CIs a
+    subsample spread could replace."""
     if catalog is None and catalog_key is not None:
         raise ValueError(
             "catalog_key without catalog does nothing — pass catalog=SketchCatalog(...)"
@@ -3825,7 +3838,7 @@ def approx_sql(
 
     _SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
                       "APPROX_VARIANCE", "APPROX_STDDEV",
-                      "APPROX_COVAR", "APPROX_CORR")
+                      "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
     if estimator == "subsample":
         if len(aggs) > 1:
             raise ValueError(
@@ -3837,6 +3850,12 @@ def approx_sql(
                 f"{aggs[0][0]} is sketch-served — its bound is not a "
                 "sampling CI a subsample spread could replace; ERROR BY "
                 f"SUBSAMPLING applies to {'/'.join(_SUBSAMPLE_FNS)}"
+            )
+        if aggs[0][0] == "APPROX_PERCENTILE" and _percentile_args(aggs[0][1])[1] is not None:
+            raise ValueError(
+                "give ONE accuracy spec — rank_err is a static KLL-route "
+                "contract and ERROR BY SUBSAMPLING is a data-driven "
+                "estimator; they cannot combine"
             )
 
     if len(aggs) > 1:
@@ -4059,6 +4078,30 @@ def approx_sql(
                     )
                 s, gcol = _with_gkey(s, group)
                 gsel = [gcol] if gcol else []
+                if estimator == "subsample":
+                    # value-unit quantile CIs — the subsample spread folds
+                    # the (closed-form-less) density at the quantile into
+                    # the per-block estimates; rank bounds stay the CLT
+                    # path's output shape
+                    if meta["kind"] != "uniform":
+                        raise ValueError(
+                            "ERROR BY SUBSAMPLING needs a UNIFORM scramble "
+                            f"for APPROX_PERCENTILE; {catalog_key!r} is "
+                            f"{meta['kind']}"
+                        )
+                    from sketchlib.spark.subsample import (
+                        subsample_percentile_from_uniform_sample,
+                    )
+
+                    out = subsample_percentile_from_uniform_sample(
+                        s, gcol, col, qs, meta["ratio"],
+                        n_total=int(meta["rows_sampled"]),
+                        seed=int(meta["seed"]),
+                    )
+                    if isinstance(group, (list, tuple)):
+                        out = out.withColumnRenamed("_gkey_sql", "group")
+                        return _finish_grouped(out, s, group)
+                    return out
                 qs_sql = ", ".join(repr(float(q)) for q in qs)
                 agg = s.groupBy(*gsel).agg(
                     F.expr(f"percentile({col}, array({qs_sql}))").alias("_vals"),
@@ -4150,6 +4193,13 @@ def approx_sql(
         return _finish_grouped(out, df, group)
 
     if fn == "APPROX_PERCENTILE":
+        if estimator == "subsample":
+            raise ValueError(
+                "APPROX_PERCENTILE ERROR BY SUBSAMPLING answers from a "
+                "registered UNIFORM scramble (pass catalog=... with one "
+                "created) — the on-the-fly route builds KLL states, whose "
+                "rank bound is deterministic, not a subsample CI"
+            )
         df, col = _materialize_expr(df, args[0])
         qs, req_rank = _percentile_args(args)
         k = 200

@@ -240,6 +240,79 @@ def test_sql_tail_refusals_and_explain_parity(spark, tmp_path):
         assert errs, f"EXPLAIN shows no error for: {stmt}\n{props}"
 
 
+def test_subsample_percentile_within_ci(spark):
+    """Value-unit quantile CIs — the closed-form path only bounds RANK
+    error; the subsample spread folds the density in without estimating
+    it. Lognormal data (skewed, heavy-tailed) per group + global."""
+    from sketchlib.spark.subsample import subsample_percentile_from_uniform_sample
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    pdf = pd.DataFrame({"g": rng.integers(0, 3, n), "x": rng.lognormal(3.0, 0.8, n)})
+    samp = uniform_sample(spark.createDataFrame(pdf), 0.1, seed=9)
+    rows = subsample_percentile_from_uniform_sample(
+        samp, "g", "x", [0.5, 0.9], 0.1, z=Z_TEST
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        truth = float(np.quantile(pdf[pdf.g == r["g"]].x, r["q"]))
+        assert r["value_err"] is not None and r["value_err"] > 0
+        assert abs(r["value"] - truth) <= r["value_err"], (r, truth)
+    g = subsample_percentile_from_uniform_sample(
+        samp, None, "x", [0.5], 0.1, z=Z_TEST
+    ).collect()[0]
+    assert abs(g["value"] - float(np.quantile(pdf.x, 0.5))) <= g["value_err"]
+
+
+def test_sql_percentile_subsample_catalog(spark, li, tmp_path):
+    """SQL door: APPROX_PERCENTILE + ERROR BY SUBSAMPLING answers from the
+    registered uniform scramble with value-unit CIs; the VALUE estimate is
+    identical to the closed-form path's (same exact sample percentile);
+    on-the-fly and rank_err combinations refuse with EXPLAIN parity."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "catp"))
+    approx_sql(spark, "CREATE SAMPLE pct_li FROM li KIND uniform RATIO 0.3 SEED 2", t, cat)
+    stmt = ("SELECT APPROX_PERCENTILE(l_extendedprice, 0.5, 0.9) FROM li "
+            "GROUP BY l_returnflag")
+    cf = {(r["l_returnflag"], r["q"]): r["value"]
+          for r in approx_sql(spark, stmt, t, cat).collect()}
+    ss = approx_sql(spark, stmt + " ERROR BY SUBSAMPLING", t, cat).collect()
+    exact = {
+        (r["l_returnflag"], q): r[f"p{int(q * 100)}"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        ).collect()
+        for q in (0.5, 0.9)
+    }
+    assert len(ss) == len(cf)
+    wide = 3.29 / 1.96
+    for r in ss:
+        k = (r["l_returnflag"], r["q"])
+        assert r["value"] == pytest.approx(cf[k], rel=1e-12)  # same estimate
+        assert abs(r["value"] - exact[k]) <= wide * r["value_err"], (r, exact[k])
+
+    for bad in [
+        # on-the-fly (no registered scramble for this fresh catalog dir)
+        ("SELECT APPROX_PERCENTILE(l_extendedprice, 0.5) FROM li "
+         "ERROR BY SUBSAMPLING", None),
+        # rank_err + subsampling is a double accuracy spec
+        ("SELECT APPROX_PERCENTILE(l_extendedprice, 0.5, rank_err=0.01) "
+         "FROM li ERROR BY SUBSAMPLING", cat),
+    ]:
+        stmt_bad, c = bad
+        with pytest.raises(ValueError):
+            approx_sql(spark, stmt_bad, t, c)
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + stmt_bad, t, c).collect()
+        }
+        assert any(k.endswith("error") for k in props), (stmt_bad, props)
+
+
 def test_sql_tail_unionall_sample_route(spark, tmp_path):
     """UNION ALL over equal-ratio persisted uniform scrambles honors the
     modifier: the concatenated Bernoulli(p) sample feeds the subsample
