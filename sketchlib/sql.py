@@ -3169,13 +3169,18 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             "APPROX_TOPK": ("est_count", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
         }.get(fn)
+        if fn == "APPROX_PERCENTILE" and estimator == "subsample":
+            # the subsample percentile's bound is in VALUE units, not rank
+            pairs = ("value", "value_err")
         if pairs is None or pairs[0] not in cols:
             raise ValueError(
                 f"cannot alias {fn} here — the result frame has no "
                 f"{pairs[0] if pairs else 'estimate'!r} column "
                 f"(columns: {out.columns})"
             )
-        err_name = f"{alias}_rank_err" if fn == "APPROX_PERCENTILE" else f"{alias}_err"
+        err_name = (f"{alias}_rank_err"
+                    if fn == "APPROX_PERCENTILE" and estimator != "subsample"
+                    else f"{alias}_err")
         return (out.withColumnRenamed(pairs[0], alias)
                    .withColumnRenamed(pairs[1], err_name))
     defaults = _default_out_names(aggs)

@@ -191,3 +191,40 @@ def test_contamination_spans_single_corpus_scan(spark):
     w1 = plan.index("Window")
     w2 = plan.index("Window", w1 + 1)
     assert "Exchange" not in plan[w1:w2], plan[w1:w2]
+
+
+def test_subsample_agg_single_scan_no_python(spark):
+    """Round-5 subsampling contract: the block partials ride ONE scan of
+    the scramble (the _sid column is a projection over rand(), not a second
+    pass), the window/final-quantile stages run over the KB-sized block
+    frame, and no Python evaluator appears anywhere — the whole estimator
+    is JVM built-ins."""
+    from sketchlib.spark.subsample import subsample_agg_from_uniform_sample
+
+    samp = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(
+        subsample_agg_from_uniform_sample(
+            samp, "l_returnflag", "l_extendedprice", 0.1, n_total=60_000
+        )
+    )
+    assert plan.count("lineitem.parquet") == 1, "sample must be scanned exactly once"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning still reaches the scan through the rand() projection
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_subsample_percentile_two_sample_scans_only(spark):
+    """The percentile estimator's documented cost: exactly TWO scans of the
+    p-fraction scramble (per-block quantiles + full-sample quantiles — the
+    statistic doesn't pool across blocks), still zero Python."""
+    from sketchlib.spark.subsample import subsample_percentile_from_uniform_sample
+
+    samp = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(
+        subsample_percentile_from_uniform_sample(
+            samp, "l_returnflag", "l_extendedprice", [0.5], 0.1, n_total=60_000
+        )
+    )
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -295,6 +295,16 @@ def test_sql_percentile_subsample_catalog(spark, li, tmp_path):
         assert r["value"] == pytest.approx(cf[k], rel=1e-12)  # same estimate
         assert abs(r["value"] - exact[k]) <= wide * r["value_err"], (r, exact[k])
 
+    # aliased: the bound is VALUE-unit, so the companion is <alias>_err
+    # (the closed-form alias would be <alias>_rank_err)
+    al = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(l_extendedprice, 0.5) AS med FROM li "
+        "ERROR BY SUBSAMPLING",
+        t, cat,
+    )
+    assert al.columns == ["q", "med", "med_err"]
+
     for bad in [
         # on-the-fly (no registered scramble for this fresh catalog dir)
         ("SELECT APPROX_PERCENTILE(l_extendedprice, 0.5) FROM li "
