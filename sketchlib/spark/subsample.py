@@ -35,7 +35,11 @@ Design notes, all load-bearing:
 - b defaults to clamp(n^0.3, 16, 4096) — the paper's n_s = n^0.7 rule.
   ``n_total`` may be the REGISTERED row count (rows_sampled): b only
   needs the right order of magnitude, the error normalization below uses
-  the actual scanned totals.
+  the actual scanned totals. That shortcut is only valid when the WHOLE
+  sample is read — under a selective WHERE the registered count oversizes
+  b until blocks hold ~1 row and the spread no longer measures the
+  estimator's sampling error (sql.py counts the filtered sample instead;
+  n_total=None does the same here at the cost of one count job).
 - Per-block estimates mirror the full-sample estimators: count b·n_i/p,
   sum b·Σv/p (each block is a Bernoulli(p/b) sample of the table), avg /
   variance / covariance / correlation are ratio-type (no scale-up).
@@ -266,7 +270,17 @@ def subsample_percentile_from_uniform_sample(
     full = s.groupBy(*gcols).agg(
         F.percentile(v, qarr).alias("_qfull"), F.count("*").alias("_n")
     )
-    j = blk.join(full, gcols) if gcols else blk.crossJoin(full)
+    if gcols:
+        # eqNullSafe, not an equi-join: a NULL group key is a real group
+        # (groupBy produced a row for it on both sides) and a standard
+        # join would silently drop it from the output
+        g = gcols[0]
+        j = blk.join(
+            full.withColumnRenamed(g, "_g_full"),
+            blk[g].eqNullSafe(F.col("_g_full")),
+        ).drop("_g_full")
+    else:
+        j = blk.crossJoin(full)
     # one row per (group, block, quantile): u_i per quantile index
     j = j.select(
         *gcols, "n_i", "_n", "_sid",

@@ -125,6 +125,24 @@ _SUBSAMPLE_TAIL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# the aggregates the subsample estimator serves — ONE constant shared by
+# execution and EXPLAIN so the two can never drift on what refuses
+_SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
+                  "APPROX_VARIANCE", "APPROX_STDDEV",
+                  "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
+
+# the natural spelling of the illegal combination — ``WITHIN 1% ERROR BY
+# SUBSAMPLING`` — loses its ERROR keyword to the subsample tail, leaving a
+# body that matches neither _WITHIN_TAIL nor the skeleton; detect it so the
+# refusal names the real conflict instead of "unsupported statement"
+_WITHIN_STUB = re.compile(r"\bWITHIN\s+\d+(?:\.\d+)?\s*%$", re.IGNORECASE)
+
+_WITHIN_SUBSAMPLE_MSG = (
+    "a WITHIN ... ERROR contract is planned by INVERTING the closed-form "
+    "CLT bounds — it cannot be combined with ERROR BY SUBSAMPLING; state "
+    "one error mechanism"
+)
+
 # optional named accuracy argument of APPROX_PERCENTILE — quantiles are
 # numbers in (0,1) too, so a positional accuracy argument would be ambiguous
 _RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
@@ -1201,10 +1219,14 @@ def explain_sql(
     ssm = _SUBSAMPLE_TAIL.match(_mask_literals(stmt)) and _SUBSAMPLE_TAIL.match(stmt)
     if ssm:
         stmt, estimator = ssm.group("body"), "subsample"
+        if _WITHIN_STUB.search(_mask_literals(stmt)):
+            emit("statement_kind", "accuracy_contract")
+            emit("error", _WITHIN_SUBSAMPLE_MSG + " — approx_sql would raise")
+            return done()
     if estimator == "subsample":
         emit("error_estimator",
              "variational subsampling (VerdictDB §3.2): b≈n^0.3 blocks, "
-             "half-width = q_conf(|√n_i·(ĝ_i−ĝ)|)/√n · √(1−p)")
+             "half-width = max(q_conf, z·sd)(|√n_i·(ĝ_i−ĝ)|)/√n · √(1−p)")
         if not _AGG.search(_mask_literals(stmt)):
             emit("statement_kind", "exact_passthrough")
             emit("error", "ERROR BY SUBSAMPLING on a statement with no "
@@ -1510,14 +1532,11 @@ def explain_sql(
     group = _parse_group(m.group("group"))
     emit("statement_kind", "approx_single" if len(aggs) == 1 else "approx_multi")
     if estimator == "subsample":
-        _ss_fns = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-                   "APPROX_VARIANCE", "APPROX_STDDEV",
-                   "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
         if len(aggs) > 1:
             emit("error", "ERROR BY SUBSAMPLING takes one aggregate per "
                  "statement — approx_sql would raise")
             return done()
-        if aggs[0][0] not in _ss_fns:
+        if aggs[0][0] not in _SUBSAMPLE_FNS:
             emit("error", f"{aggs[0][0]} is sketch-served — ERROR BY "
                  "SUBSAMPLING does not apply; approx_sql would raise")
             return done()
@@ -1573,8 +1592,13 @@ def explain_sql(
                 emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
                 emit(f"{prefix}artifact", key)
         elif any(r["name"] == key for r in reg_rows):
-            emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
-            emit(f"{prefix}artifact", key)
+            if estimator == "subsample":
+                emit(f"{prefix}route", "error — approx_sql would raise")
+                emit(f"{prefix}error", f"{key!r} is a sketch-states set — "
+                     "ERROR BY SUBSAMPLING needs a uniform scramble")
+            else:
+                emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
+                emit(f"{prefix}artifact", key)
         else:
             emit(f"{prefix}route", "error — approx_sql would raise")
             emit(f"{prefix}error", f"catalog has no sketch set or sample {key!r}")
@@ -3562,6 +3586,10 @@ def approx_sql(
     ssm = _SUBSAMPLE_TAIL.match(_mask_literals(sql)) and _SUBSAMPLE_TAIL.match(sql)
     if ssm:
         sql, estimator = ssm.group("body"), "subsample"
+        if _WITHIN_STUB.search(_mask_literals(sql)):
+            # 'WITHIN 1% ERROR BY SUBSAMPLING' — the tail ate the
+            # contract's ERROR keyword; refuse by name
+            raise ValueError(_WITHIN_SUBSAMPLE_MSG)
     if estimator == "subsample" and not _AGG.search(_mask_literals(sql)):
         raise ValueError(
             "ERROR BY SUBSAMPLING selects the error estimator of an approx "
@@ -3781,11 +3809,7 @@ def approx_sql(
     wm = _WITHIN_TAIL.match(_mask_literals(sql)) and _WITHIN_TAIL.match(sql)
     if wm:
         if estimator == "subsample":
-            raise ValueError(
-                "a WITHIN ... ERROR contract is planned by INVERTING the "
-                "closed-form CLT bounds — it cannot be combined with ERROR "
-                "BY SUBSAMPLING; state one error mechanism"
-            )
+            raise ValueError(_WITHIN_SUBSAMPLE_MSG)
         return _within_error(spark, wm, tables, catalog, catalog_key)
     tm = _ORDER_TAIL.match(sql)
     if tm:
@@ -3814,19 +3838,19 @@ def approx_sql(
             spark, tm.group("body"), tables, catalog, catalog_key,
             estimator=estimator,
         ).filter(tm.group("pred"))
-    jm = _JOIN3_SKELETON.match(sql) or _JOIN_SKELETON.match(sql)
-    if jm and estimator == "subsample":
+    jm3, jm2 = _JOIN3_SKELETON.match(sql), None
+    if jm3 is None:
+        jm2 = _JOIN_SKELETON.match(sql)
+    if (jm3 or jm2) and estimator == "subsample":
         raise ValueError(
             "approx joins report closed-form CIs over the fact-side sample "
             "— ERROR BY SUBSAMPLING supports single-table sampling "
             "aggregates (and UNION ALL over persisted uniform samples)"
         )
-    jm = _JOIN3_SKELETON.match(sql)
-    if jm:
-        return _alias_join_out(_approx_join3(spark, jm, tables, catalog, catalog_key), jm)
-    jm = _JOIN_SKELETON.match(sql)
-    if jm:
-        return _alias_join_out(_approx_join(spark, jm, tables, catalog, catalog_key), jm)
+    if jm3:
+        return _alias_join_out(_approx_join3(spark, jm3, tables, catalog, catalog_key), jm3)
+    if jm2:
+        return _alias_join_out(_approx_join(spark, jm2, tables, catalog, catalog_key), jm2)
     m = _SKELETON.match(sql)
     if not m:
         raise ValueError(
@@ -3841,9 +3865,6 @@ def approx_sql(
     aggs = [(f.upper(), _split_args(argstr)) for f, argstr in _AGG.findall(m.group("select"))]
     group = _parse_group(m.group("group"))
 
-    _SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
-                      "APPROX_VARIANCE", "APPROX_STDDEV",
-                      "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
     if estimator == "subsample":
         if len(aggs) > 1:
             raise ValueError(
@@ -3942,11 +3963,18 @@ def approx_sql(
                         subsample_agg_from_uniform_sample,
                     )
 
+                    # the registered row count sizes b ONLY when the whole
+                    # scramble is read: under WHERE a selective predicate
+                    # can leave ~1 row per block (b sized for the unfiltered
+                    # table), collapsing the subsample geometry — count the
+                    # FILTERED sample instead (one extra pass over the
+                    # p-fraction scramble, never the corpus)
+                    ss_n = None if m.group("where") else int(meta["rows_sampled"])
+
                     def _uagg(frame, gname):
                         return subsample_agg_from_uniform_sample(
                             frame, gname, col, meta["ratio"],
-                            n_total=int(meta["rows_sampled"]),
-                            seed=int(meta["seed"]),
+                            n_total=ss_n, seed=int(meta["seed"]),
                         )
                 else:
                     def _uagg(frame, gname):
@@ -4007,17 +4035,19 @@ def approx_sql(
                         subsample_bivariate_from_uniform_sample,
                     )
 
+                    # registered count sizes b only without WHERE (see the
+                    # COUNT/SUM/AVG branch for why)
+                    ss_n = None if m.group("where") else int(meta["rows_sampled"])
+
                     def _run(frame, gname):
                         if bivar:
                             return subsample_bivariate_from_uniform_sample(
                                 frame, gname, col, ycol, meta["ratio"],
-                                n_total=int(meta["rows_sampled"]),
-                                seed=int(meta["seed"]),
+                                n_total=ss_n, seed=int(meta["seed"]),
                             )
                         return subsample_agg_from_uniform_sample(
                             frame, gname, col, meta["ratio"], moments=True,
-                            n_total=int(meta["rows_sampled"]),
-                            seed=int(meta["seed"]),
+                            n_total=ss_n, seed=int(meta["seed"]),
                         )
                 else:
                     def _run(frame, gname):
@@ -4100,7 +4130,10 @@ def approx_sql(
 
                     out = subsample_percentile_from_uniform_sample(
                         s, gcol, col, qs, meta["ratio"],
-                        n_total=int(meta["rows_sampled"]),
+                        # registered count sizes b only without WHERE (see
+                        # the COUNT/SUM/AVG branch for why)
+                        n_total=(None if m.group("where")
+                                 else int(meta["rows_sampled"])),
                         seed=int(meta["seed"]),
                     )
                     if isinstance(group, (list, tuple)):
@@ -4128,6 +4161,17 @@ def approx_sql(
                 return out
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 
+        if estimator == "subsample":
+            # reachable only via an EXPLICIT catalog_key naming a sketch
+            # set (auto-resolution is uniform-scrambles-only): states hold
+            # no rows to subsample, and answering with the sketch's own
+            # bound would be exactly the silent closed-form fallback the
+            # modifier forbids
+            raise ValueError(
+                f"{catalog_key!r} is a sketch-states set — ERROR BY "
+                "SUBSAMPLING needs Bernoulli(p) ROWS (a uniform scramble); "
+                "name a sample or drop catalog_key for auto-selection"
+            )
         if m.group("where"):
             raise ValueError(
                 "sketch states were built over the unfiltered table — WHERE "

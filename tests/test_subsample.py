@@ -323,6 +323,106 @@ def test_sql_percentile_subsample_catalog(spark, li, tmp_path):
         assert any(k.endswith("error") for k in props), (stmt_bad, props)
 
 
+def test_percentile_null_group_survives(spark):
+    """A NULL GROUP BY key is a real group: the block↔full join is
+    null-safe, so the NULL group appears in the output exactly like the
+    closed-form paths (which use groupBy/Window and keep it)."""
+    from sketchlib.spark.subsample import subsample_percentile_from_uniform_sample
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"g": ["a"] * 4000 + [None] * 4000,
+                        "x": rng.normal(10, 2, 8000)})
+    samp = spark.createDataFrame(pdf)  # treat as an already-drawn p=0.5 sample
+    rows = subsample_percentile_from_uniform_sample(
+        samp, "g", "x", [0.5], 0.5
+    ).collect()
+    keys = {r["g"] for r in rows}
+    assert keys == {"a", None}, keys
+    for r in rows:
+        assert r["value_err"] is not None and r["value_err"] > 0
+
+
+def test_where_resizes_blocks_from_filtered_sample(spark, tmp_path):
+    """Under a selective WHERE, b must come from the FILTERED sample's row
+    count — the registered (unfiltered) count would oversize b until blocks
+    hold ~1 row and the quantile spread measures the data, not the
+    estimator. Locked by coverage: the filtered-percentile CI must cover
+    the exact filtered answer."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    rng = np.random.default_rng(13)
+    n = 400_000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 100, n),  # k = 7 keeps ~1% of rows
+        "x": rng.normal(50, 10, n),
+    })
+    base = str(tmp_path / "t")
+    spark.createDataFrame(pdf).write.parquet(base)
+    t = {"t": base}
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(spark, "CREATE SAMPLE w_t FROM t KIND uniform RATIO 0.5 SEED 1", t, cat)
+    sub = pdf[pdf.k == 7]
+    wide = 3.29 / 1.96
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(x, 0.5) FROM t WHERE k = 7 ERROR BY SUBSAMPLING",
+        t, cat,
+    ).collect()[0]
+    truth = float(np.quantile(sub.x, 0.5))
+    assert abs(r["value"] - truth) <= wide * r["value_err"], (r, truth)
+    # the filtered sample has ~2000 rows → b ≈ 16-ish; an unfiltered-count
+    # b (≈ 40+) with ~50-row blocks would also pass coverage, so lock the
+    # geometry too: the AVG statement's CI under WHERE stays calibrated
+    # (not degenerate) as well
+    ra = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(x) FROM t WHERE k = 7 ERROR BY SUBSAMPLING",
+        t, cat,
+    ).collect()[0]
+    assert abs(ra["est_avg"] - sub.x.mean()) <= wide * ra["avg_err"]
+
+
+def test_states_catalog_key_refuses_subsample(spark, tmp_path):
+    """An EXPLICIT catalog_key naming a sketch-states set must refuse the
+    modifier (states hold no rows) — serving the KLL rank bound would be
+    the silent closed-form fallback the modifier forbids. EXPLAIN mirrors."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "cats"))
+    approx_sql(spark, "CREATE SKETCHES st_li FROM li KINDS kll(l_quantity)", t, cat)
+    stmt = "SELECT APPROX_PERCENTILE(l_quantity, 0.5) FROM li ERROR BY SUBSAMPLING"
+    with pytest.raises(ValueError, match="sketch-states"):
+        approx_sql(spark, stmt, t, cat, catalog_key="st_li")
+    props = {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + stmt, t, cat,
+                            catalog_key="st_li").collect()
+    }
+    assert any(k.endswith("error") for k in props), props
+
+
+def test_within_natural_spelling_names_the_conflict(spark):
+    """'WITHIN 1% ERROR BY SUBSAMPLING' (the natural spelling — one ERROR
+    keyword) must raise the dedicated cannot-combine message, not a generic
+    'unsupported statement' after the tail eats the contract's keyword."""
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    stmt = "SELECT APPROX_SUM(l_quantity) FROM li WITHIN 1% ERROR BY SUBSAMPLING"
+    with pytest.raises(ValueError, match="cannot be combined"):
+        approx_sql(spark, stmt, t)
+    props = {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + stmt, t).collect()
+    }
+    assert "cannot be combined" in " ".join(
+        v for k, v in props.items() if k.endswith("error")
+    ), props
+
+
 def test_sql_tail_unionall_sample_route(spark, tmp_path):
     """UNION ALL over equal-ratio persisted uniform scrambles honors the
     modifier: the concatenated Bernoulli(p) sample feeds the subsample
