@@ -135,7 +135,11 @@ _SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
 # SUBSAMPLING`` — loses its ERROR keyword to the subsample tail, leaving a
 # body that matches neither _WITHIN_TAIL nor the skeleton; detect it so the
 # refusal names the real conflict instead of "unsupported statement"
-_WITHIN_STUB = re.compile(r"\bWITHIN\s+\d+(?:\.\d+)?\s*%$", re.IGNORECASE)
+_WITHIN_STUB = re.compile(
+    r"\bWITHIN\s+\d+(?:\.\d+)?\s*%"
+    r"(?:\s+AT\s+CONFIDENCE\s+\d+(?:\.\d+)?\s*%)?$",
+    re.IGNORECASE,
+)
 
 _WITHIN_SUBSAMPLE_MSG = (
     "a WITHIN ... ERROR contract is planned by INVERTING the closed-form "
@@ -2600,14 +2604,21 @@ def _unionall_from_samples(
         allf = allf.unionByName(f)
     if estimator == "subsample":
         # the equal-ratio union IS a Bernoulli(p) sample of the
-        # concatenated bag, so the subsample estimator applies verbatim;
-        # n_total = the sides' registered row counts summed (order of
-        # magnitude only — it sizes b)
+        # concatenated bag, so the subsample estimator applies verbatim.
+        # n_total sizes b from the sides' registered row counts — valid
+        # only when the whole scrambles are read: a side-local WHERE can
+        # filter the union down to ~1 row per block (the same geometry
+        # collapse the single-table path guards), so filtered unions count
+        # the filtered frame instead (one pass over the p-fraction
+        # samples, never the bases)
         from sketchlib.spark.subsample import subsample_agg_from_uniform_sample
 
+        any_where = any(sm.group("where") for sm in sides)
         out = subsample_agg_from_uniform_sample(
             allf, "_g" if grouped else None, "_v", picks[0]["ratio"],
-            n_total=sum(int(catalog.sample_meta(p["name"])["rows_sampled"]) for p in picks),
+            n_total=(None if any_where else
+                     sum(int(catalog.sample_meta(p["name"])["rows_sampled"])
+                         for p in picks)),
             moments=fn in ("APPROX_VARIANCE", "APPROX_STDDEV"),
         )
     else:
@@ -3927,6 +3938,14 @@ def approx_sql(
         if catalog.sample_exists(catalog_key):
             meta = catalog.sample_meta(catalog_key)
             s = catalog.sample(catalog_key)
+            # subsample b-sizing policy, ONE place for every aggregate
+            # below: the registered row count sizes b only when the whole
+            # scramble is read — under WHERE a selective predicate can
+            # leave ~1 row per block (b sized for the unfiltered table),
+            # collapsing the subsample geometry, so the FILTERED sample is
+            # counted instead (one extra pass over the p-fraction
+            # scramble, never the corpus)
+            ss_n = None if m.group("where") else int(meta["rows_sampled"])
             if m.group("where"):
                 s = _apply_where(spark, s, m.group("where"), tables, m.group("table"))
             if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
@@ -3962,14 +3981,6 @@ def approx_sql(
                     from sketchlib.spark.subsample import (
                         subsample_agg_from_uniform_sample,
                     )
-
-                    # the registered row count sizes b ONLY when the whole
-                    # scramble is read: under WHERE a selective predicate
-                    # can leave ~1 row per block (b sized for the unfiltered
-                    # table), collapsing the subsample geometry — count the
-                    # FILTERED sample instead (one extra pass over the
-                    # p-fraction scramble, never the corpus)
-                    ss_n = None if m.group("where") else int(meta["rows_sampled"])
 
                     def _uagg(frame, gname):
                         return subsample_agg_from_uniform_sample(
@@ -4034,10 +4045,6 @@ def approx_sql(
                         subsample_agg_from_uniform_sample,
                         subsample_bivariate_from_uniform_sample,
                     )
-
-                    # registered count sizes b only without WHERE (see the
-                    # COUNT/SUM/AVG branch for why)
-                    ss_n = None if m.group("where") else int(meta["rows_sampled"])
 
                     def _run(frame, gname):
                         if bivar:
@@ -4130,11 +4137,7 @@ def approx_sql(
 
                     out = subsample_percentile_from_uniform_sample(
                         s, gcol, col, qs, meta["ratio"],
-                        # registered count sizes b only without WHERE (see
-                        # the COUNT/SUM/AVG branch for why)
-                        n_total=(None if m.group("where")
-                                 else int(meta["rows_sampled"])),
-                        seed=int(meta["seed"]),
+                        n_total=ss_n, seed=int(meta["seed"]),
                     )
                     if isinstance(group, (list, tuple)):
                         out = out.withColumnRenamed("_gkey_sql", "group")
@@ -4161,6 +4164,11 @@ def approx_sql(
                 return out
             raise ValueError(f"{fn} cannot be answered from a persisted sample table")
 
+        reg = [r for r in catalog.list_rows() if r["name"] == catalog_key]
+        if not reg:
+            # checked BEFORE the estimator gate: a typo'd key must get the
+            # no-such-artifact message, not "is a sketch-states set"
+            raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
         if estimator == "subsample":
             # reachable only via an EXPLICIT catalog_key naming a sketch
             # set (auto-resolution is uniform-scrambles-only): states hold
@@ -4179,9 +4187,6 @@ def approx_sql(
                 "persisted SAMPLE (create_sample) for filterable approx scans, "
                 "rebuild states with the filter, or drop catalog_key"
             )
-        reg = [r for r in catalog.list_rows() if r["name"] == catalog_key]
-        if not reg:
-            raise ValueError(f"catalog has no sketch set or sample {catalog_key!r}")
         reg = reg[0]
         if _canon_group(group) != reg["group_by"]:
             raise ValueError(

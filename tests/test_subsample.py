@@ -404,6 +404,62 @@ def test_states_catalog_key_refuses_subsample(spark, tmp_path):
     assert any(k.endswith("error") for k in props), props
 
 
+def test_nonexistent_key_message_and_confidence_stub(spark, tmp_path):
+    """Pass-2 review regressions: (a) a typo'd explicit catalog_key under
+    the modifier gets the no-such-artifact message, not 'is a sketch-states
+    set'; (b) the natural spelling WITH a confidence clause ('WITHIN 1% AT
+    CONFIDENCE 99% ERROR BY SUBSAMPLING') also names the real conflict."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "catnk"))
+    with pytest.raises(ValueError, match="no sketch set or sample"):
+        approx_sql(spark, "SELECT APPROX_SUM(l_quantity) FROM li ERROR BY SUBSAMPLING",
+                   t, cat, catalog_key="no_such_key")
+    with pytest.raises(ValueError, match="cannot be combined"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_SUM(l_quantity) FROM li WITHIN 1% AT CONFIDENCE 99% "
+            "ERROR BY SUBSAMPLING",
+            t,
+        )
+
+
+def test_unionall_subsample_where_sized_from_filtered_union(spark, tmp_path):
+    """Side-local WHEREs filter the union — b must come from the filtered
+    frame, not the sides' registered counts (the single-table WHERE fix,
+    applied to the UNION ALL route). Locked by CI coverage of the exact
+    filtered answer."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    rng = np.random.default_rng(21)
+    n = 150_000
+    frames = {}
+    for name in ("ua", "ub"):
+        pdf = pd.DataFrame({"k": rng.integers(0, 100, n),
+                            "v": rng.normal(40, 8, n)})
+        d = str(tmp_path / name)
+        spark.createDataFrame(pdf).write.parquet(d)
+        frames[name] = (d, pdf)
+    t = {k: v[0] for k, v in frames.items()}
+    cat = SketchCatalog(spark, str(tmp_path / "catu"))
+    cat.create_sample("uw_a", t["ua"], kind="uniform", ratio=0.5)
+    cat.create_sample("uw_b", t["ub"], kind="uniform", ratio=0.5)
+    r = approx_sql(
+        spark,
+        "SELECT APPROX_AVG(v, 0.4) FROM "
+        "(SELECT v FROM ua WHERE k = 7 UNION ALL SELECT v FROM ub WHERE k = 7) "
+        "ERROR BY SUBSAMPLING",
+        t, cat,
+    ).collect()[0]
+    both = pd.concat([frames["ua"][1], frames["ub"][1]])
+    truth = both[both.k == 7].v.mean()
+    assert r["avg_err"] is not None
+    assert abs(r["est_avg"] - truth) <= (3.29 / 1.96) * r["avg_err"], (r, truth)
+
+
 def test_within_natural_spelling_names_the_conflict(spark):
     """'WITHIN 1% ERROR BY SUBSAMPLING' (the natural spelling — one ERROR
     keyword) must raise the dedicated cannot-combine message, not a generic
