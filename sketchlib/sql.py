@@ -1600,6 +1600,14 @@ def explain_sql(
                 emit(f"{prefix}route", "error — approx_sql would raise")
                 emit(f"{prefix}error", f"{key!r} is a sketch-states set — "
                      "ERROR BY SUBSAMPLING needs a uniform scramble")
+            elif m.group("where"):
+                # execution refuses WHERE on pre-reduced states (explicit
+                # key only — auto-resolution never picks states under
+                # WHERE); EXPLAIN must report the same raise
+                emit(f"{prefix}route", "error — approx_sql would raise")
+                emit(f"{prefix}error", "sketch states were built over the "
+                     "unfiltered table — WHERE cannot be applied post-hoc "
+                     "to pre-reduced states")
             else:
                 emit(f"{prefix}route", "persisted_sketch_states (base table never read, A5)")
                 emit(f"{prefix}artifact", key)

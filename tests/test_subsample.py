@@ -460,6 +460,29 @@ def test_unionall_subsample_where_sized_from_filtered_union(spark, tmp_path):
     assert abs(r["est_avg"] - truth) <= (3.29 / 1.96) * r["avg_err"], (r, truth)
 
 
+def test_explain_mirrors_where_on_states_key(spark, tmp_path):
+    """Pass-3 review regression (pre-existing, independent of the
+    subsample modifier): an explicit catalog_key naming a sketch-states
+    set combined with WHERE raises in execution — EXPLAIN must report the
+    same refusal, not a confident persisted_sketch_states route."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "catw"))
+    approx_sql(spark, "CREATE SKETCHES stw_li FROM li KINDS kll(l_quantity)", t, cat)
+    stmt = "SELECT APPROX_PERCENTILE(l_quantity, 0.5) FROM li WHERE l_suppkey = 7"
+    with pytest.raises(ValueError, match="post-hoc"):
+        approx_sql(spark, stmt, t, cat, catalog_key="stw_li")
+    props = {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + stmt, t, cat,
+                            catalog_key="stw_li").collect()
+    }
+    errs = [v for k, v in props.items() if k.endswith("error")]
+    assert errs and "post-hoc" in " ".join(errs), props
+
+
 def test_within_natural_spelling_names_the_conflict(spark):
     """'WITHIN 1% ERROR BY SUBSAMPLING' (the natural spelling — one ERROR
     keyword) must raise the dedicated cannot-combine message, not a generic
