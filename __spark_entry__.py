@@ -1717,6 +1717,27 @@ def q_b45_subsample_error(spark, sf_dir):
              bool(abs(rc["est_corr"] - exact_corr) <= wide * rc["corr_err"])),
         )
 
+        # COUNT(DISTINCT) from a universe scramble: the sample's distinct
+        # values are a Bernoulli(p) sample of the VALUE DOMAIN, so the
+        # row-count subsample estimator applies to them verbatim
+        approx_sql(
+            spark,
+            "CREATE SAMPLE li_cd FROM licopy KIND universe RATIO 0.25 "
+            "ON l_partkey SEED 11",
+            t, cat,
+        ).collect()
+        exact_cd = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+        rcd = approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(l_partkey) FROM licopy "
+            "ERROR BY SUBSAMPLING",
+            t, cat,
+        ).collect()[0]
+        out.append(
+            ("count_distinct_universe_ci",
+             bool(abs(rcd["est_distinct"] - exact_cd) <= wide * rcd["distinct_err"])),
+        )
+
         # VALUE-unit quantile CIs — the closed-form path only bounds RANK
         # error; the subsample spread folds in the (formula-less) density
         exact_pct = {
@@ -3135,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
               ('estimates_match_closed_form', TRUE),
               ('within_ci_grouped', TRUE),
               ('corr_within_ci', TRUE),
+              ('count_distinct_universe_ci', TRUE),
               ('percentile_value_ci', TRUE),
               ('base_free_route_explained', TRUE),
               ('refusal_explain_parity', TRUE)

@@ -24,5 +24,6 @@ from sketchlib.spark.session import get_spark  # noqa: F401
 from sketchlib.spark.subsample import (  # noqa: F401
     subsample_agg_from_uniform_sample,
     subsample_bivariate_from_uniform_sample,
+    subsample_count_distinct_from_universe_sample,
     subsample_percentile_from_uniform_sample,
 )

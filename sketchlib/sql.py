@@ -126,10 +126,14 @@ _SUBSAMPLE_TAIL = re.compile(
 )
 
 # the aggregates the subsample estimator serves — ONE constant shared by
-# execution and EXPLAIN so the two can never drift on what refuses
+# execution and EXPLAIN so the two can never drift on what refuses.
+# COUNT_DISTINCT serves from UNIVERSE scrambles (the sample's distinct
+# values are a Bernoulli(p) sample of the value domain); the rest from
+# uniform scrambles.
 _SUBSAMPLE_FNS = ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG",
                   "APPROX_VARIANCE", "APPROX_STDDEV",
-                  "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE")
+                  "APPROX_COVAR", "APPROX_CORR", "APPROX_PERCENTILE",
+                  "APPROX_COUNT_DISTINCT")
 
 # the natural spelling of the illegal combination — ``WITHIN 1% ERROR BY
 # SUBSAMPLING`` — loses its ERROR keyword to the subsample tail, leaving a
@@ -1116,7 +1120,9 @@ def _resolve_key(
 
     def eligible(r) -> bool:
         k = r["kind"]
-        if uniform_samples_only and k != "uniform":
+        if uniform_samples_only and k != (
+            "universe" if fn == "APPROX_COUNT_DISTINCT" else "uniform"
+        ):
             return False
         if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG"):
             # stratified serves global statements (cross-strata ratio
@@ -1549,6 +1555,10 @@ def explain_sql(
             emit("error", "rank_err + ERROR BY SUBSAMPLING is a double "
                  "accuracy spec — approx_sql would raise")
             return done()
+        if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
+            emit("error", "explicit rse + ERROR BY SUBSAMPLING is a double "
+                 "accuracy spec — approx_sql would raise")
+            return done()
     emit("table", m.group("table"))
     if m.group("where"):
         has_sub = bool(re.search(r"\(\s*SELECT\b", _mask_literals(m.group("where")), re.IGNORECASE))
@@ -1571,11 +1581,15 @@ def explain_sql(
                 catalog, reg_rows=reg_rows, sample_rows=sample_rows,
                 uniform_samples_only=(estimator == "subsample"),
             )
-        if key is None and estimator == "subsample" and fn == "APPROX_PERCENTILE":
+        if key is None and estimator == "subsample" and fn in (
+            "APPROX_PERCENTILE", "APPROX_COUNT_DISTINCT"
+        ):
             emit(f"{prefix}route", "error — approx_sql would raise")
-            emit(f"{prefix}error", "APPROX_PERCENTILE ERROR BY SUBSAMPLING "
-                 "needs a registered uniform scramble; the on-the-fly route "
-                 "is KLL states")
+            emit(f"{prefix}error", f"{fn} ERROR BY SUBSAMPLING needs a "
+                 "registered "
+                 + ("universe scramble on the column; the on-the-fly route "
+                    "is an HLL sketch" if fn == "APPROX_COUNT_DISTINCT" else
+                    "uniform scramble; the on-the-fly route is KLL states"))
         elif key is None:
             emit(f"{prefix}route", "on_the_fly (scan the base table, build per statement)")
         elif catalog is None:
@@ -1588,10 +1602,12 @@ def explain_sql(
             # sample may share a name across the two registries; the serving
             # path checks sample_exists first, so EXPLAIN must too)
             meta = catalog.sample_meta(key)
-            if estimator == "subsample" and meta["kind"] != "uniform":
+            want_kind = "universe" if fn == "APPROX_COUNT_DISTINCT" else "uniform"
+            if estimator == "subsample" and meta["kind"] != want_kind:
                 emit(f"{prefix}route", "error — approx_sql would raise")
-                emit(f"{prefix}error", "ERROR BY SUBSAMPLING needs a UNIFORM "
-                     f"scramble; {key!r} is {meta['kind']}")
+                emit(f"{prefix}error", f"ERROR BY SUBSAMPLING needs a "
+                     f"{want_kind.upper()} scramble here; {key!r} is "
+                     f"{meta['kind']}")
             else:
                 emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
                 emit(f"{prefix}artifact", key)
@@ -3567,18 +3583,20 @@ def approx_sql(
     registry, DROP a (name, dropped) row.
 
     ``estimator`` selects the error mechanism for the SAMPLING aggregates
-    (APPROX_COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR, plus
+    (APPROX_COUNT/SUM/AVG/VARIANCE/STDDEV/COVAR/CORR;
     APPROX_PERCENTILE from a registered uniform scramble — there the
     subsample spread gives VALUE-unit quantile CIs the closed-form rank
-    bound cannot): ``"clt"`` (default) = the closed-form bounds of
+    bound cannot; APPROX_COUNT_DISTINCT from a registered UNIVERSE
+    scramble — the sample's distinct values are a Bernoulli(p) sample of
+    the value domain): ``"clt"`` (default) = the closed-form bounds of
     sampling.py; ``"subsample"`` = VerdictDB's variational subsampling
     (subsample.py — `[paper:VerdictDB §3.2]`). A statement tail ``ERROR
     BY SUBSAMPLING`` sets it from SQL. Estimates are identical either
-    way; only the error columns change estimator. Sketch-served
-    aggregates (COUNT_DISTINCT/TOPK), joins, set operations over states,
-    stratified scrambles, multi-aggregate lists and WITHIN contracts
-    refuse the modifier loudly — their bounds are not sampling CIs a
-    subsample spread could replace."""
+    way; only the error columns change estimator. Sketch-only
+    aggregates (TOPK), sketch-states routes, joins, set operations over
+    states, stratified scrambles, multi-aggregate lists and WITHIN
+    contracts refuse the modifier loudly — their bounds are not sampling
+    CIs a subsample spread could replace."""
     if catalog is None and catalog_key is not None:
         raise ValueError(
             "catalog_key without catalog does nothing — pass catalog=SketchCatalog(...)"
@@ -3902,6 +3920,13 @@ def approx_sql(
                 "contract and ERROR BY SUBSAMPLING is a data-driven "
                 "estimator; they cannot combine"
             )
+        if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
+            raise ValueError(
+                "give ONE accuracy spec — an explicit rse is a static "
+                "sketch-route guarantee a universe scramble cannot promise "
+                "(its achieved rse depends on the unknown distinct count); "
+                "drop the rse or drop ERROR BY SUBSAMPLING"
+            )
 
     if len(aggs) > 1:
         if catalog is not None and catalog_key is not None:
@@ -4090,13 +4115,25 @@ def approx_sql(
                     )
                 from sketchlib.spark.sampling import count_distinct_from_universe_sample
 
+                if estimator == "subsample":
+                    from sketchlib.spark.subsample import (
+                        subsample_count_distinct_from_universe_sample,
+                    )
+
+                    def _cd(frame, gname):
+                        return subsample_count_distinct_from_universe_sample(
+                            frame, gname, col, meta["ratio"], seed=int(meta["seed"])
+                        )
+                else:
+                    def _cd(frame, gname):
+                        return count_distinct_from_universe_sample(
+                            frame, col, meta["ratio"], group_by=gname
+                        )
                 if isinstance(group, (list, tuple)):
                     s, gcol = _with_gkey(s, group)
-                    out = count_distinct_from_universe_sample(
-                        s, col, meta["ratio"], group_by=gcol
-                    ).withColumnRenamed(gcol, "group")
+                    out = _cd(s, gcol).withColumnRenamed(gcol, "group")
                     return _finish_grouped(out, s, group)
-                return count_distinct_from_universe_sample(s, col, meta["ratio"], group_by=group)
+                return _cd(s, group)
             if fn == "APPROX_PERCENTILE":
                 # Verdict's A12 over the scramble: EXACT percentile of the
                 # persisted sample rows (the sampling is the approximation).
@@ -4232,6 +4269,22 @@ def approx_sql(
             out = quantiles_df(spark, states, spec["name"], qs)
         return _finish_grouped(out, None, group)
 
+    if estimator == "subsample" and fn in ("APPROX_PERCENTILE", "APPROX_COUNT_DISTINCT"):
+        # raised BEFORE the table is resolved: these routes answer ONLY
+        # from registered scrambles, so the refusal must not depend on the
+        # base path still existing (a base-free catalog with a missing
+        # registration would otherwise surface as an AnalysisException)
+        raise ValueError(
+            f"{fn} ERROR BY SUBSAMPLING answers from a registered "
+            + ("UNIVERSE scramble on the column" if fn == "APPROX_COUNT_DISTINCT"
+               else "UNIFORM scramble")
+            + " (pass catalog=... with one created) — the on-the-fly route "
+            + ("builds an HLL sketch, whose bound is deterministic,"
+               if fn == "APPROX_COUNT_DISTINCT" else
+               "builds KLL states, whose rank bound is deterministic,")
+            + " not a subsample CI"
+        )
+
     df = _resolve_table(spark, m.group("table"), tables)
     if m.group("where"):
         df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
@@ -4255,13 +4308,6 @@ def approx_sql(
         return _finish_grouped(out, df, group)
 
     if fn == "APPROX_PERCENTILE":
-        if estimator == "subsample":
-            raise ValueError(
-                "APPROX_PERCENTILE ERROR BY SUBSAMPLING answers from a "
-                "registered UNIFORM scramble (pass catalog=... with one "
-                "created) — the on-the-fly route builds KLL states, whose "
-                "rank bound is deterministic, not a subsample CI"
-            )
         df, col = _materialize_expr(df, args[0])
         qs, req_rank = _percentile_args(args)
         k = 200

@@ -323,6 +323,58 @@ def test_sql_percentile_subsample_catalog(spark, li, tmp_path):
         assert any(k.endswith("error") for k in props), (stmt_bad, props)
 
 
+def test_count_distinct_universe_subsample(spark, li, tmp_path):
+    """COUNT(DISTINCT) from a universe scramble under the modifier: the
+    sample's distinct values are a Bernoulli(p) sample of the value
+    domain, so the row-count subsample estimator applies to them.
+    Estimate identical to the closed-form route; exact within CI; grouped
+    too; on-the-fly and explicit-rse combinations refuse with EXPLAIN
+    parity."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "catcd"))
+    approx_sql(
+        spark,
+        "CREATE SAMPLE cd_li FROM li KIND universe RATIO 0.25 ON l_partkey SEED 5",
+        t, cat,
+    )
+    stmt = "SELECT APPROX_COUNT_DISTINCT(l_partkey) FROM li"
+    cf = approx_sql(spark, stmt, t, cat, catalog_key="cd_li").collect()[0]
+    ss = approx_sql(spark, stmt + " ERROR BY SUBSAMPLING", t, cat).collect()[0]
+    assert ss["est_distinct"] == pytest.approx(cf["est_distinct"], rel=1e-12)
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    wide = 3.29 / 1.96
+    assert abs(ss["est_distinct"] - exact) <= wide * ss["distinct_err"], (ss, exact)
+
+    grouped = approx_sql(
+        spark, stmt + " GROUP BY l_returnflag ERROR BY SUBSAMPLING", t, cat
+    ).collect()
+    exact_g = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d")).collect()
+    }
+    assert {r["l_returnflag"] for r in grouped} == set(exact_g)
+    for r in grouped:
+        assert (abs(r["est_distinct"] - exact_g[r["l_returnflag"]])
+                <= wide * r["distinct_err"]), (r, exact_g[r["l_returnflag"]])
+
+    for bad, c in [
+        (stmt + " ERROR BY SUBSAMPLING", None),  # no registered scramble
+        ("SELECT APPROX_COUNT_DISTINCT(l_partkey, 0.005) FROM li "
+         "ERROR BY SUBSAMPLING", cat),  # explicit rse = double spec
+    ]:
+        with pytest.raises(ValueError):
+            approx_sql(spark, bad, t, c)
+        props = {
+            r["property"]: r["value"]
+            for r in approx_sql(spark, "EXPLAIN " + bad, t, c).collect()
+        }
+        assert any(k.endswith("error") for k in props), (bad, props)
+
+
 def test_percentile_null_group_survives(spark):
     """A NULL GROUP BY key is a real group: the block↔full join is
     null-safe, so the NULL group appears in the output exactly like the
