@@ -253,18 +253,48 @@ def subsample_count_distinct_from_universe_sample(
         .where(F.col(col).isNotNull())
         .distinct()
         .withColumn("_one", F.lit(1.0))
-        .localCheckpoint(eager=True)
     )
     if b is None:
+        # checkpointed ONLY here — two jobs then read dv (the D_s count
+        # that sizes b, and the block aggregation); with an explicit b a
+        # single lazy reader needs no materialization
+        dv = dv.localCheckpoint(eager=True)
         b = subsample_blocks(dv.count())
     out = subsample_agg_from_uniform_sample(
         dv, group_by, "_one", p, b=b, z=z, seed=seed
     )
-    return out.select(
+    out = out.select(
         *gcols,
         F.col("est_count").alias("est_distinct"),
         F.col("count_err").alias("distinct_err"),
     )
+    # groups whose sampled values are ALL NULL vanished with the isNotNull
+    # filter, but they are real groups with zero distinct values — the
+    # closed-form route (count_distinct ignores NULLs, groupBy keeps the
+    # group) reports them as (0, 0); reattach them so the two estimators
+    # stay drop-in interchangeable. NULL-safe join: a NULL group key is
+    # itself a real group.
+    est, err = F.col("est_distinct"), F.col("distinct_err")
+    zeroed = [
+        F.coalesce(est, F.lit(0.0)).alias("est_distinct"),
+        F.when(est.isNull(), F.lit(0.0)).otherwise(err).alias("distinct_err"),
+    ]
+    if group_by:
+        allg = sample.select(group_by).distinct()
+        out = (
+            allg.join(
+                out.withColumnRenamed(group_by, "_g_out"),
+                F.col(group_by).eqNullSafe(F.col("_g_out")),
+                "left",
+            )
+            .drop("_g_out")
+            .select(group_by, *zeroed)
+        )
+    else:
+        # an empty/all-NULL sample: the global aggregate emits one row of
+        # NULLs — normalize to the closed-form route's (0.0, 0.0)
+        out = out.select(*zeroed)
+    return out
 
 
 def subsample_percentile_from_uniform_sample(

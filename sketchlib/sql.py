@@ -1195,6 +1195,33 @@ def resolve_catalog_key(
 _EXPLAIN_SCHEMA = "property string, value string"
 
 
+def _sample_serving_mismatch(fn, args, meta, estimator, key) -> str | None:
+    """The serving branch's kind/column compatibility gates, replicated for
+    EXPLAIN (an EXPLICIT catalog_key can name an incompatible sample —
+    auto-resolution never does): None = the sample serves; a message = the
+    same raise execution makes. Kept NEXT to the schema both share so a new
+    serving gate is added here in the same diff."""
+    k = meta["kind"]
+    if fn == "APPROX_COUNT_DISTINCT":
+        col = args[0] if args else None
+        if k != "universe" or meta["on_col"] != col:
+            return (f"APPROX_COUNT_DISTINCT({col}) needs a universe sample "
+                    f"on {col!r}; {key!r} is {k} on {meta['on_col']!r}")
+        return None
+    if fn in ("APPROX_VARIANCE", "APPROX_STDDEV", "APPROX_COVAR", "APPROX_CORR"):
+        if k != "uniform":
+            return f"{fn} needs a UNIFORM sample; {key!r} is {k}"
+        return None
+    if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_PERCENTILE"):
+        if estimator == "subsample" and k != "uniform":
+            return ("ERROR BY SUBSAMPLING needs a UNIFORM scramble here; "
+                    f"{key!r} is {k}")
+        if k not in ("uniform", "stratified"):
+            return f"{fn} needs a uniform or stratified sample; {key!r} is {k}"
+        return None
+    return f"{fn} cannot be answered from a persisted sample table"
+
+
 def explain_sql(
     spark: SparkSession,
     sql: str,
@@ -1602,12 +1629,10 @@ def explain_sql(
             # sample may share a name across the two registries; the serving
             # path checks sample_exists first, so EXPLAIN must too)
             meta = catalog.sample_meta(key)
-            want_kind = "universe" if fn == "APPROX_COUNT_DISTINCT" else "uniform"
-            if estimator == "subsample" and meta["kind"] != want_kind:
+            mismatch = _sample_serving_mismatch(fn, args, meta, estimator, key)
+            if mismatch:
                 emit(f"{prefix}route", "error — approx_sql would raise")
-                emit(f"{prefix}error", f"ERROR BY SUBSAMPLING needs a "
-                     f"{want_kind.upper()} scramble here; {key!r} is "
-                     f"{meta['kind']}")
+                emit(f"{prefix}error", mismatch)
             else:
                 emit(f"{prefix}route", f"persisted_sample ({meta['kind']}, ratio={meta['ratio']})")
                 emit(f"{prefix}artifact", key)

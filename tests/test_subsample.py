@@ -375,6 +375,47 @@ def test_count_distinct_universe_subsample(spark, li, tmp_path):
         assert any(k.endswith("error") for k in props), (bad, props)
 
 
+def test_count_distinct_null_groups_and_explain_column_parity(spark, tmp_path):
+    """Pass-4 review regressions: (a) a group whose sampled values are all
+    NULL reports (0, 0) like the closed-form route instead of vanishing;
+    (b) EXPLAIN with an explicit catalog_key naming a universe sample on a
+    DIFFERENT column reports the same refusal execution raises."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.subsample import (
+        subsample_count_distinct_from_universe_sample,
+    )
+    from sketchlib.sql import approx_sql
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 3000 + ["x"] * 50,
+        "v": [float(i % 500) for i in range(3000)] + [None] * 50,
+    })
+    samp = spark.createDataFrame(pdf)  # treat as an already-drawn p=0.5 sample
+    rows = {r["g"]: r for r in
+            subsample_count_distinct_from_universe_sample(samp, "g", "v", 0.5).collect()}
+    assert set(rows) == {"a", "x"}
+    assert rows["x"]["est_distinct"] == 0.0 and rows["x"]["distinct_err"] == 0.0
+    assert rows["a"]["est_distinct"] == pytest.approx(500 / 0.5)
+
+    t = {"li": "/root/testdata/sf0.01/lineitem.parquet"}
+    cat = SketchCatalog(spark, str(tmp_path / "catcol"))
+    approx_sql(
+        spark,
+        "CREATE SAMPLE cdc_li FROM li KIND universe RATIO 0.25 ON l_partkey SEED 5",
+        t, cat,
+    )
+    stmt = "SELECT APPROX_COUNT_DISTINCT(l_suppkey) FROM li ERROR BY SUBSAMPLING"
+    with pytest.raises(ValueError, match="universe sample on"):
+        approx_sql(spark, stmt, t, cat, catalog_key="cdc_li")
+    props = {
+        r["property"]: r["value"]
+        for r in approx_sql(spark, "EXPLAIN " + stmt, t, cat,
+                            catalog_key="cdc_li").collect()
+    }
+    errs = [v for k, v in props.items() if k.endswith("error")]
+    assert errs and "universe sample on" in " ".join(errs), props
+
+
 def test_percentile_null_group_survives(spark):
     """A NULL GROUP BY key is a real group: the block↔full join is
     null-safe, so the NULL group appears in the output exactly like the
