@@ -47,6 +47,8 @@ def main():
     cat = SketchCatalog(spark, os.path.join(work, "cat"))
     approx_sql(spark, "CREATE SAMPLE xval_li FROM li KIND uniform RATIO 0.1 SEED 7",
                t, cat).collect()
+    approx_sql(spark, "CREATE SAMPLE xval_cd FROM li KIND universe RATIO 0.25 "
+               "ON l_partkey SEED 7", t, cat).collect()
 
     wide = 3.29 / 1.96
     stmts = {
@@ -58,6 +60,8 @@ def main():
                           "est_stddev", "stddev_err"),
         "corr_global": ("SELECT APPROX_CORR(l_quantity, l_extendedprice) FROM li",
                         "est_corr", "corr_err"),
+        "count_distinct_global": ("SELECT APPROX_COUNT_DISTINCT(l_partkey) FROM li",
+                                  "est_distinct", "distinct_err"),
     }
     exact = {
         "sum_grouped": {r["l_returnflag"]: r["v"] for r in
@@ -66,6 +70,7 @@ def main():
                         li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("v")).collect()},
         "stddev_global": {None: li.agg(F.stddev("l_extendedprice")).collect()[0][0]},
         "corr_global": {None: li.agg(F.corr("l_quantity", "l_extendedprice")).collect()[0][0]},
+        "count_distinct_global": {None: li.agg(F.countDistinct("l_partkey")).collect()[0][0]},
     }
 
     def run(stmt):
