@@ -2873,6 +2873,39 @@ def q_c15_mixture_sample(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(checks, columns=["check", "ok"]))
 
 
+def q_c23_pii_redaction(spark, sf_dir):
+    """Round 5: PII redaction (`text.redact_pii` / `pii_report`) — the
+    scrubbing stage a public training corpus runs before release. The
+    synthetic documents carry no PII, so the query injects deterministic
+    emails/IPs/SSNs/phones keyed off doc_id (identically in the oracle)
+    and value-matches the per-pattern match/doc counts PLUS the total
+    character count of the fully redacted corpus — locking the actual
+    replacement output, not just tallies. Rules apply sequentially in the
+    Java-regex ∩ RE2 dialect subset so the same patterns run verbatim in
+    both engines; all redaction is regexp built-ins in whole-stage
+    codegen (no Python, no shuffle)."""
+    from sketchlib.spark.text import pii_report
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" ssn 123-45-6789 call 415-555-0142"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_report(aug).orderBy("pattern")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -2952,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c21_quality_gates": _dist_wrapped(q_c21_quality_gates),
         "c22_streaming_signatures": _dist_wrapped(q_c22_streaming_signatures),
         "c20_chunking": _dist_wrapped(q_c20_chunking),
+        "c23_pii_redaction": _dist_wrapped(q_c23_pii_redaction),
     }
 
 
@@ -3250,6 +3284,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        "c23_pii_redaction": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or 10.'
+                            || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' ssn 123-45-6789 call 415-555-0142'
+                                    ELSE '' END AS text
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM aug
+            ), s2 AS (
+                SELECT doc_id, pii_email,
+                  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ipv4,
+                  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, pii_email, pii_ipv4,
+                  len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_ssn,
+                  regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id, pii_email, pii_ipv4, pii_ssn,
+                  len(regexp_extract_all(t3, '\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b')) AS pii_phone,
+                  regexp_replace(t3, '\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS t4
+                FROM s3
+            )
+            SELECT pattern, n_matches, n_docs FROM (
+                SELECT 'email' AS pattern,
+                       CAST(sum(pii_email) AS BIGINT) AS n_matches,
+                       CAST(sum(CASE WHEN pii_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+                FROM s4
+                UNION ALL
+                SELECT 'ipv4', CAST(sum(pii_ipv4) AS BIGINT),
+                       CAST(sum(CASE WHEN pii_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM s4
+                UNION ALL
+                SELECT 'ssn', CAST(sum(pii_ssn) AS BIGINT),
+                       CAST(sum(CASE WHEN pii_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM s4
+                UNION ALL
+                SELECT 'phone', CAST(sum(pii_phone) AS BIGINT),
+                       CAST(sum(CASE WHEN pii_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM s4
+                UNION ALL
+                SELECT '__redacted__', CAST(sum(len(t4)) AS BIGINT), 0 FROM s4
+            ) ORDER BY pattern
         """,
         "c22_streaming_signatures": """
             SELECT 'streamed_equals_batch_signing' AS check, TRUE AS ok

@@ -184,6 +184,81 @@ def with_repetition_stats(
     )
 
 
+# PII patterns deliberately restricted to the Java-regex ∩ RE2 dialect
+# subset (\b, \d, bounded repetition — no lookaround, no backrefs) so the
+# same pattern runs verbatim in Spark and in engines like DuckDB/RE2.
+# Order is load-bearing: earlier rules consume their text before later
+# rules see it (an email's digits must not surface as a phone number).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out: str | None = None,
+    counts: bool = True,
+) -> DataFrame:
+    """Redact PII-like spans in place — the scrubbing stage every public
+    training corpus runs before release (emails, IPs, SSNs, phones by
+    default; pass ``patterns`` = {name: (regex, replacement)} to extend).
+
+    Rules apply SEQUENTIALLY in dict order, each seeing the previous
+    rule's output, so overlapping matches are attributed to the first
+    rule deterministically. With ``counts=True`` each rule also emits a
+    ``pii_<name>`` column counting its matches (on the text as that rule
+    saw it — the attribution the redaction actually performed, not
+    independent per-rule counts that double-book overlaps).
+
+    Scale shape: pure `regexp_replace`/`regexp_count` column expressions —
+    whole-stage codegen, no Python, no shuffle; the pass pipelines into
+    whatever scan/filter surrounds it.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    if not pats:
+        raise ValueError("patterns must name at least one (regex, replacement) rule")
+    col = F.col(text_col)
+    count_cols: list[Column] = []
+    for name, (regex, repl) in pats.items():
+        if counts:
+            count_cols.append(F.regexp_count(col, F.lit(regex)).alias(f"pii_{name}"))
+        col = F.regexp_replace(col, regex, repl)
+    out_name = out or text_col
+    keep = [c for c in df.columns if c != out_name]
+    return df.select(*keep, *count_cols, col.alias(out_name))
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Corpus-level PII accounting: one row per rule with the total match
+    count and the number of documents touched, plus a ``__redacted__``
+    row whose n_matches is the total character count of the fully
+    redacted corpus — a value that locks the actual replacement output,
+    not just the match tallies. One aggregation, KB-sized result."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    red = redact_pii(df, text_col=text_col, patterns=pats, out="_redacted")
+    aggs = []
+    for name in pats:
+        c = F.col(f"pii_{name}")
+        aggs.append(F.sum(c).cast("long").alias(f"_m_{name}"))
+        aggs.append(F.sum(F.when(c > 0, 1).otherwise(0)).cast("long").alias(f"_d_{name}"))
+    aggs.append(F.sum(F.length("_redacted")).cast("long").alias("_chars"))
+    row = red.agg(*aggs).collect()[0]
+    rows = [(name, int(row[f"_m_{name}"] or 0), int(row[f"_d_{name}"] or 0)) for name in pats]
+    rows.append(("__redacted__", int(row["_chars"] or 0), 0))
+    return df.sparkSession.createDataFrame(
+        rows, "pattern string, n_matches long, n_docs long"
+    )
+
+
 def filter_documents(
     df: DataFrame, gates: dict[str, Column | str]
 ) -> tuple[DataFrame, DataFrame]:

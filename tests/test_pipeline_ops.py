@@ -680,3 +680,60 @@ def test_filter_documents_gates_and_report(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         filter_documents(df, {})
+
+
+def test_redact_pii_sequential_attribution(spark):
+    from sketchlib.spark.text import pii_report, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org or 10.1.2.3"),
+            (2, "ssn 123-45-6789 call 415-555-0142 twice 415-555-0142"),
+            (3, "clean text"),
+            (4, "a@b.io a@b.io 999.999.999.999"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text"] == "mail <EMAIL> or <IP>"
+    assert got[2]["text"] == "ssn <SSN> call <PHONE> twice <PHONE>"
+    assert got[3]["text"] == "clean text"
+    # the email rule consumes its digits BEFORE ip/phone see them, and
+    # 999.999.999.999 still reads as an IPv4 shape (redaction, not
+    # validation — same as DuckDB's RE2 on the identical pattern)
+    assert got[4]["text"] == "<EMAIL> <EMAIL> <IP>"
+    assert (got[4]["pii_email"], got[4]["pii_ipv4"]) == (2, 1)
+    assert got[2]["pii_phone"] == 2
+
+    rep = {r["pattern"]: (r["n_matches"], r["n_docs"]) for r in pii_report(df).collect()}
+    assert rep["email"] == (3, 2)
+    assert rep["ipv4"] == (2, 2)
+    assert rep["ssn"] == (1, 1)
+    assert rep["phone"] == (2, 1)
+    total_chars = sum(len(r["text"]) for r in redact_pii(df).collect())
+    assert rep["__redacted__"] == (total_chars, 0)
+
+    with pytest.raises(ValueError, match="at least one"):
+        redact_pii(df, patterns={})
+
+
+def test_redact_pii_plan_stays_jvm_side(spark):
+    from sketchlib.spark.text import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii_custom_patterns_and_out_col(spark):
+    from sketchlib.spark.text import redact_pii
+
+    df = spark.createDataFrame([(1, "token sk-abc123 end")], "doc_id long, text string")
+    out = redact_pii(
+        df,
+        patterns={"apikey": (r"sk-[A-Za-z0-9]+", "<KEY>")},
+        out="scrubbed",
+    ).collect()[0]
+    assert out["scrubbed"] == "token <KEY> end"
+    assert out["text"] == "token sk-abc123 end"  # original kept when out differs
+    assert out["pii_apikey"] == 1
