@@ -2906,6 +2906,36 @@ def q_c23_pii_redaction(spark, sf_dir):
     return pii_report(aug).orderBy("pattern")
 
 
+def q_c24_line_dedup(spark, sf_dir):
+    """Round 5: C4-style line-level corpus dedup (`dedup.dedup_lines`) —
+    remove every line occurring >= 3 times across the corpus, reassemble
+    docs with kept lines in order (the boilerplate-removal stage of web
+    corpora, Raffel et al. 2020 §2.2). The synthetic docs are single-line,
+    so the query appends newline-delimited boilerplate deterministically
+    (identically in the oracle): a corpus-wide banner (always heavy), a
+    doc_id%7 footer (heavy), a doc_id-keyed pair line whose heaviness
+    depends on the sf's doc count (exercises the min_count boundary), and
+    a unique marker (never heavy). The reassembled text_clean strings are
+    VALUE-matched whole — order, separator, and per-doc kept/removed
+    counts all locked."""
+    from sketchlib.spark.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter"),
+            F.concat(F.lit("All rights reserved "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("pair "), (F.col("doc_id") % 250).cast("string")),
+            F.concat(F.lit("doc marker "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    cleaned, _report = dedup_lines(aug, min_count=3)
+    return cleaned.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -2986,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c22_streaming_signatures": _dist_wrapped(q_c22_streaming_signatures),
         "c20_chunking": _dist_wrapped(q_c20_chunking),
         "c23_pii_redaction": _dist_wrapped(q_c23_pii_redaction),
+        "c24_line_dedup": _dist_wrapped(q_c24_line_dedup),
     }
 
 
@@ -3284,6 +3315,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        "c24_line_dedup": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || chr(10) || 'Subscribe to our newsletter'
+                            || chr(10) || 'All rights reserved ' || CAST(doc_id % 7 AS VARCHAR)
+                            || chr(10) || 'pair ' || CAST(doc_id % 250 AS VARCHAR)
+                            || chr(10) || 'doc marker ' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+            ), e AS (
+                SELECT doc_id, unnest(lines) AS line,
+                       unnest(range(1, len(lines)+1)) AS pos
+                FROM l
+            ), h AS (
+                SELECT line FROM e GROUP BY line HAVING count(*) >= 3
+            )
+            SELECT e.doc_id,
+                   coalesce(string_agg(CASE WHEN h.line IS NULL THEN e.line END,
+                                       chr(10) ORDER BY e.pos), '') AS text_clean,
+                   CAST(sum(CASE WHEN h.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN h.line IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+            FROM e LEFT JOIN h ON e.line = h.line
+            GROUP BY e.doc_id
+            ORDER BY e.doc_id
         """,
         "c23_pii_redaction": r"""
             WITH aug AS (

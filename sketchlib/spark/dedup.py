@@ -24,6 +24,7 @@ P(pair in ≥1 band) = 1 − (1 − J^rows_per_band)^n_bands.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -54,6 +55,97 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         .select(id_col)
     )
     return df.join(winners, id_col, "leftsemi")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> tuple[DataFrame, DataFrame]:
+    """C4-style line-level corpus dedup (boilerplate removal): delete every
+    line whose exact text occurs >= ``min_count`` times ACROSS the corpus
+    (within-doc repeats count), reassembling each document with its kept
+    lines in original order. This is the stage that strips "Subscribe to
+    our newsletter" / nav bars / license footers from web corpora (C4,
+    Raffel et al. 2020 §2.2 used three-sentence spans; the unit here is the
+    ``sep``-delimited line).
+
+    Returns (cleaned, report):
+
+    - cleaned = (id_col, <text_col>_clean, n_kept, n_removed) — a doc whose
+      every line is boilerplate survives with '' (dropping is the caller's
+      policy);
+    - report  = one row: (n_docs, n_lines, n_removed, n_heavy_lines).
+
+    Scale shape: line counting shuffles (line, 1) pairs WITH map-side
+    partial aggregation — boilerplate by definition repeats, so the
+    post-combine volume is ~distinct lines, not corpus lines. The heavy set
+    (distinct lines at/over min_count) is small by construction and AQE
+    broadcasts the membership join; reassembly then shuffles each KEPT line
+    once, keyed by doc — the one unavoidable payload shuffle, since the
+    output interleaves corpus-global knowledge back into per-doc order.
+    NULL texts pass through as NULL with zero counts.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # split() takes a regex but sep is a literal delimiter (it is also
+    # reused verbatim by concat_ws on reassembly) — escape it
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)), -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    heavy = (
+        lines.groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_line", F.lit(True).alias("_heavy"))
+    )
+    marked = lines.join(heavy, "_line", "left").select(
+        id_col, "_pos", "_line", F.coalesce("_heavy", F.lit(False)).alias("_heavy")
+    )
+    clean_name = f"{text_col}_clean"
+    cleaned = (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_heavy"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(clean_name),
+            F.sum(F.when(F.col("_heavy"), 0).otherwise(1)).alias("n_kept"),
+            F.sum(F.when(F.col("_heavy"), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+    # NULL text explodes to nothing — restore those ids untouched
+    cleaned = (
+        df.select(id_col, F.col(text_col).alias("_orig"))
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_orig").isNull(), F.lit(None))
+            .otherwise(F.coalesce(clean_name, F.lit("")))
+            .alias(clean_name),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+    report = lines.join(heavy, "_line", "left").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_heavy"), 1).otherwise(0)).alias("n_removed"),
+    )
+    report = report.crossJoin(heavy.agg(F.count(F.lit(1)).alias("n_heavy_lines")))
+    return cleaned, report
 
 
 # --------------------------------------------------------------------------

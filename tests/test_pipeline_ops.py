@@ -737,3 +737,65 @@ def test_redact_pii_custom_patterns_and_out_col(spark):
     assert out["scrubbed"] == "token <KEY> end"
     assert out["text"] == "token sk-abc123 end"  # original kept when out differs
     assert out["pii_apikey"] == 1
+
+
+def test_dedup_lines_c4_boilerplate(spark):
+    from sketchlib.spark.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique story one\nSubscribe now\ntail one"),
+            (2, "unique story two\nSubscribe now"),
+            (3, "Subscribe now\nunique three\nSubscribe now"),
+            (4, "all heavy\nall heavy\nall heavy"),  # within-doc repeats count
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned, report = dedup_lines(df)
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    assert got[1]["text_clean"] == "unique story one\ntail one"
+    assert got[2]["text_clean"] == "unique story two"
+    assert got[3]["text_clean"] == "unique three"
+    assert (got[3]["n_kept"], got[3]["n_removed"]) == (1, 2)
+    # fully-boilerplate doc survives as '' — dropping is the caller's policy
+    assert (got[4]["text_clean"], got[4]["n_kept"]) == ("", 0)
+    # NULL text passes through as NULL with zero counts
+    assert got[5]["text_clean"] is None and got[5]["n_removed"] == 0
+    rep = report.collect()[0]
+    assert (rep["n_docs"], rep["n_lines"], rep["n_removed"], rep["n_heavy_lines"]) == (
+        4, 11, 7, 2,
+    )
+
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_lines(df, min_count=1)
+
+
+def test_dedup_lines_sep_is_literal_not_regex(spark):
+    from sketchlib.spark.dedup import dedup_lines
+
+    # '|' would split every character if passed to split() unescaped
+    df = spark.createDataFrame(
+        [(1, "keep me|dup|x"), (2, "dup|y"), (3, "dup|z")],
+        "doc_id long, text string",
+    )
+    cleaned, _ = dedup_lines(df, min_count=3, sep="|")
+    got = {r["doc_id"]: r["text_clean"] for r in cleaned.collect()}
+    assert got == {1: "keep me|x", 2: "y", 3: "z"}
+
+
+def test_dedup_lines_min_count_boundary(spark):
+    from sketchlib.spark.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "twice\na1"), (2, "twice\na2"), (3, "a3")],
+        "doc_id long, text string",
+    )
+    # exactly min_count-1 occurrences -> kept
+    cleaned, report = dedup_lines(df, min_count=3)
+    assert all(r["n_removed"] == 0 for r in cleaned.collect())
+    assert report.collect()[0]["n_heavy_lines"] == 0
+    # at min_count -> removed
+    cleaned2, _ = dedup_lines(df, min_count=2)
+    got = {r["doc_id"]: r["text_clean"] for r in cleaned2.collect()}
+    assert got == {1: "a1", 2: "a2", 3: "a3"}
