@@ -2936,6 +2936,25 @@ def q_c24_line_dedup(spark, sf_dir):
     return cleaned.orderBy("doc_id")
 
 
+def q_c25_shuffle_shard(spark, sf_dir):
+    """Round 5: deterministic global shuffle + sharding
+    (`packing.shuffle_shard`) — the curation→training handoff: a
+    REPRODUCIBLE pseudorandom permutation (60-bit md5-prefix key, shard =
+    key % n) that is a pure function of (id, seed), independent of
+    partitioning, cluster size, or file layout. Every row's key and shard
+    are VALUE-matched against DuckDB computing the identical md5
+    expression — cross-engine reproducibility is the operator's whole
+    contract, so the oracle checks it directly."""
+    from sketchlib.spark.packing import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shuffle_shard(docs.select("doc_id"), n_shards=16, seed=7)
+        .select("doc_id", "shuffle_key", "shard")
+        .orderBy("shard", "shuffle_key", "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3017,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c20_chunking": _dist_wrapped(q_c20_chunking),
         "c23_pii_redaction": _dist_wrapped(q_c23_pii_redaction),
         "c24_line_dedup": _dist_wrapped(q_c24_line_dedup),
+        "c25_shuffle_shard": _dist_wrapped(q_c25_shuffle_shard),
     }
 
 
@@ -3315,6 +3335,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        "c25_shuffle_shard": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                            AS BIGINT) AS shuffle_key
+                FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(shuffle_key % 16 AS INTEGER) AS shard
+            FROM k
+            ORDER BY shard, shuffle_key, doc_id
         """,
         "c24_line_dedup": r"""
             WITH aug AS (

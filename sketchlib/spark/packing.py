@@ -266,3 +266,54 @@ def chunk_documents(
         .withColumn("n_chunk_tokens", F.size(tokens_col))
         .select(*keep, "chunk_idx", "chunk_id", tokens_col, "n_chunk_tokens")
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    seed: int = 0,
+    key_col: str = "shuffle_key",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the step between corpus
+    curation and training: decorrelate source/crawl ordering with a
+    REPRODUCIBLE pseudorandom permutation, so re-runs, retries, and audits
+    see the identical example order, and epoch order is a pure function of
+    (id, seed), never of partitioning, cluster size, or input file layout.
+
+    Each row gets ``key_col`` = the first 60 bits of md5(id ':' seed) as a
+    non-negative bigint and ``shard_col`` = key % n_shards; the global
+    order is (shard, key, id) lexicographically. md5-prefix bits are
+    uniform, so shard sizes are multinomial-balanced (no planted skew) —
+    and the same expression evaluates identically in any engine with md5
+    (used verbatim by the DuckDB oracle).
+
+    Scale shape: pure codegen column expressions — zero shuffle HERE; the
+    one payload shuffle happens where the caller materializes, e.g.::
+
+        shuffle_shard(df, n_shards=1024, seed=1)
+          .repartitionByRange(1024, "shard", "shuffle_key")
+          .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+          .write.partitionBy("shard").parquet(out)
+
+    (range-partitioned: shard directories don't interleave, each file is
+    key-ordered, a trainer streaming shard dirs in order replays the exact
+    global permutation). A NULL id yields NULL key/shard — ids are the
+    caller's contract; rows without one have no stable place in a
+    reproducible permutation.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn(key_col, key).withColumn(
+        shard_col, (F.col(key_col) % n_shards).cast("int")
+    )

@@ -191,3 +191,54 @@ def test_chunk_documents_property_reconstruction(spark):
         assert recon == toks
 
     prop()
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    from sketchlib.spark.packing import shuffle_shard
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s = shuffle_shard(df, n_shards=16, seed=1)
+    # pure function of (id, seed): physical partitioning must not matter
+    a = s.orderBy("shard", "shuffle_key", "doc_id").collect()
+    b = (
+        shuffle_shard(df.repartition(13), n_shards=16, seed=1)
+        .orderBy("shard", "shuffle_key", "doc_id")
+        .collect()
+    )
+    assert a == b
+    # different seed -> different permutation
+    c = shuffle_shard(df, n_shards=16, seed=2).orderBy(
+        "shard", "shuffle_key", "doc_id"
+    ).collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+    # multinomial balance: no shard more than 2x the mean at n=2000, m=16
+    sizes = [r["count"] for r in s.groupBy("shard").count().collect()]
+    assert len(sizes) == 16 and max(sizes) < 2 * (2000 / 16)
+    # keys are non-negative 60-bit ints; shard = key % n
+    assert all(0 <= r["shuffle_key"] < 2**60 for r in a)
+    assert all(r["shard"] == r["shuffle_key"] % 16 for r in a)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_shard(df, n_shards=0)
+
+
+def test_shuffle_shard_null_id_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.packing import shuffle_shard
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in shuffle_shard(df, n_shards=4).collect()}
+    assert rows[None]["shuffle_key"] is None and rows[None]["shard"] is None
+    assert rows[1]["shuffle_key"] is not None
+    plan = (
+        shuffle_shard(df, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # zero shuffle, zero Python: pure codegen column expressions
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
