@@ -2955,6 +2955,26 @@ def q_c25_shuffle_shard(spark, sf_dir):
     )
 
 
+def q_c26_split_dataset(spark, sf_dir):
+    """Round 5: deterministic train/val/test split (`packing.split_dataset`)
+    — bucket membership is a pure function of (id, seed) via the 60-bit
+    md5 key, so appending documents NEVER reassigns existing ones (Spark's
+    randomSplit is partition-order sensitive: membership churns across
+    corpus versions and silently leaks eval docs into training). Every
+    row's assignment is VALUE-matched vs DuckDB evaluating the identical
+    key expression against the identical integer boundaries."""
+    from sketchlib.spark.packing import split_dataset
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_dataset(
+            docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3037,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c23_pii_redaction": _dist_wrapped(q_c23_pii_redaction),
         "c24_line_dedup": _dist_wrapped(q_c24_line_dedup),
         "c25_shuffle_shard": _dist_wrapped(q_c25_shuffle_shard),
+        "c26_split_dataset": _dist_wrapped(q_c26_split_dataset),
     }
 
 
@@ -3335,6 +3356,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        # boundaries below are int(round(cum_weight * 2^60)) — the exact
+        # integers split_dataset compiles into its CASE chain
+        "c26_split_dataset": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))
+                            AS BIGINT) AS key
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN key < {int(round(0.8 * (1 << 60)))} THEN 'train'
+                        WHEN key < {int(round(0.9 * (1 << 60)))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM k
+            ORDER BY doc_id
         """,
         "c25_shuffle_shard": """
             WITH k AS (

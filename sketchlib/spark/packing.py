@@ -268,6 +268,22 @@ def chunk_documents(
     )
 
 
+def _md5_key60(id_col: str, seed: int):
+    """First 60 bits of md5(id ':' seed) as a non-negative bigint — the
+    engine-portable pseudorandom key under shuffle_shard / split_dataset
+    (any engine with md5 evaluates the identical expression; 15 hex chars
+    keep it inside int64 with no sign bit)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def shuffle_shard(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -307,13 +323,45 @@ def shuffle_shard(
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    key = _md5_key60(id_col, seed)
     return df.withColumn(key_col, key).withColumn(
         shard_col, (F.col(key_col) % n_shards).cast("int")
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the row's 60-bit md5 key
+    (same construction as shuffle_shard, independent salt via ``seed``)
+    lands in [0, 2^60), and cumulative weight boundaries carve it into
+    named buckets. Membership is a pure function of (id, seed) — appending
+    documents NEVER reassigns existing ones (Spark's ``randomSplit`` is
+    partition-order sensitive and reshuffles membership on any upstream
+    change, which silently leaks eval docs into training across corpus
+    versions). Weights are normalized; boundaries are exact integers so
+    any engine evaluating the same expression agrees. NULL ids get a NULL
+    split. Zero shuffle, pure codegen expressions.
+    """
+    from pyspark.sql import functions as F
+
+    weights = weights if weights is not None else {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = float(sum(weights.values()))
+    key = _md5_key60(id_col, seed)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * (1 << 60)))
+        cond = key < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = (expr.otherwise(last) if expr is not None else last).alias(out)
+    return df.withColumn(out, F.when(key.isNotNull(), split))

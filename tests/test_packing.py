@@ -242,3 +242,43 @@ def test_shuffle_shard_null_id_and_plan(spark):
     # zero shuffle, zero Python: pure codegen column expressions
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_dataset_stable_membership(spark):
+    from sketchlib.spark.packing import split_dataset
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    full = {r["doc_id"]: r["split"] for r in split_dataset(df, w, seed=11).collect()}
+    # appending docs never reassigns existing ones (the randomSplit failure)
+    small = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(df.limit(500), w, seed=11).collect()
+    }
+    assert all(full[k] == v for k, v in small.items())
+    # proportions land near the weights (md5 keys are uniform)
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+    # weights normalize: 8/1/1 == 0.8/0.1/0.1
+    norm = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(df, {"train": 8, "val": 1, "test": 1}, seed=11).collect()
+    }
+    assert norm == full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        split_dataset(df, {"train": 0.8, "val": -0.1})
+
+
+def test_split_dataset_single_bucket_and_null(spark):
+    from sketchlib.spark.packing import split_dataset
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {r["doc_id"]: r["split"] for r in split_dataset(df, {"all": 1.0}).collect()}
+    assert rows[1] == "all" and rows[None] is None
