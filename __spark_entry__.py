@@ -2975,6 +2975,47 @@ def q_c26_split_dataset(spark, sf_dir):
     )
 
 
+_C27_PHRASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+)  # 23 words; with the zdup<k> variant word prepended each injected block is 24 tokens
+
+
+def q_c27_duplicate_spans(spark, sf_dir):
+    """Round 5: corpus-INTERNAL verbatim duplicate spans
+    (`dedup.duplicate_spans`) — the train×train complement of c17 and the
+    ExactSubstr policy signal (Lee et al. 2022: verbatim runs ≥ ~50 tokens
+    repeated across a corpus hurt the model). Docs with doc_id%40==1 get a
+    24-token block appended whose first word varies by doc_id%3, so docs
+    sharing a variant share exactly that block: every (pair, longest-run,
+    span, position) row is VALUE-matched against DuckDB running the same
+    singleton-pruned self-join + diagonal gaps-and-islands on n-gram
+    STRINGS (hash-free, so the oracle also witnesses that xxhash64
+    introduced no spurious or lost matches at this scale)."""
+    from sketchlib.spark.dedup import duplicate_spans
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 40 == 1,
+                F.concat(
+                    F.lit(" zdup"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(" " + _C27_PHRASE),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    toks = aug.select("doc_id", pre_tokens("text").alias("tokens"))
+    return duplicate_spans(
+        toks, id_col="doc_id", n=8, min_span_tokens=24, element_cast=None
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3058,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c24_line_dedup": _dist_wrapped(q_c24_line_dedup),
         "c25_shuffle_shard": _dist_wrapped(q_c25_shuffle_shard),
         "c26_split_dataset": _dist_wrapped(q_c26_split_dataset),
+        "c27_duplicate_spans": _dist_wrapped(q_c27_duplicate_spans),
     }
 
 
@@ -3356,6 +3398,62 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        # n-gram STRINGS stand in for Spark's xxhash64 shingles — equality of
+        # 8-token tuples is identical, so a value match also witnesses that
+        # hashing introduced no spurious/lost matches at this scale
+        "c27_duplicate_spans": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 40 = 1
+                                    THEN ' zdup' || CAST(doc_id % 3 AS VARCHAR)
+                                         || ' """ + _C27_PHRASE + r"""'
+                                    ELSE '' END AS text
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM aug
+            ), p AS (
+                SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS pos1
+                FROM tok WHERE len(l) >= 8
+            ), sh AS (
+                SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+                       array_to_string(l[pos1:pos1+7], chr(31)) AS g
+                FROM p
+            ), f AS (
+                SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 5000
+            ), sd AS (
+                SELECT sh.doc_id, sh.pos, sh.g FROM sh JOIN f ON sh.g = f.g
+            ), m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS apos, b.pos AS bpos, a.g
+                FROM sd a JOIN sd b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), i AS (
+                SELECT *, apos - bpos AS diag,
+                       apos - CAST(row_number() OVER (
+                           PARTITION BY id_a, id_b, apos - bpos ORDER BY apos
+                       ) AS INTEGER) AS isl
+                FROM m
+            ), r AS (
+                SELECT id_a, id_b, g, diag,
+                       CAST(count(*) OVER w AS BIGINT) AS run,
+                       min(apos) OVER w AS a0
+                FROM i WINDOW w AS (PARTITION BY id_a, id_b, diag, isl)
+            ), agg AS (
+                SELECT id_a, id_b,
+                       CAST(count(DISTINCT g) AS BIGINT) AS n_shared,
+                       max(struct_pack(run := run, na := -a0, nb := -(a0 - diag))) AS best
+                FROM r GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b, n_shared,
+                   best.run AS max_run_ngrams,
+                   CAST(best.run + 7 AS BIGINT) AS max_span_tokens,
+                   CAST(-best.na AS INTEGER) AS a_start,
+                   CAST(-best.nb AS INTEGER) AS b_start
+            FROM agg
+            WHERE best.run + 7 >= 24
+            ORDER BY id_a, id_b
         """,
         # boundaries below are int(round(cum_weight * 2^60)) — the exact
         # integers split_dataset compiles into its CASE chain

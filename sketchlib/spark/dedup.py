@@ -649,6 +649,96 @@ def contamination_spans(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_span_tokens: int = 50,
+    max_bucket: int = 5000,
+    element_cast: str | None = "BIGINT",
+) -> DataFrame:
+    """Corpus-INTERNAL verbatim duplicate spans — the train×train
+    complement of ``contamination_spans`` and the policy signal of
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": verbatim runs ≥ ~50 tokens repeated across a
+    corpus measurably hurt the model): every unordered doc pair sharing a
+    consecutive verbatim token run of ≥ ``min_span_tokens``, with the
+    longest span's length and start positions in both docs (what a cutter
+    needs). Returns (id_a, id_b, n_shared, max_run_ngrams,
+    max_span_tokens, a_start, b_start); ties on run length break to the
+    smallest (a_start, b_start) deterministically.
+
+    Spark-relational shape (the suffix array is a single-machine
+    construction; this is the distributed equivalent for the ≥ n-token
+    policy regime): positioned shingles → per-hash frequency → SINGLETON
+    PRUNING (only hashes seen ≥ 2×, overwhelmingly the minority, enter the
+    join — the self-join input collapses from corpus shingles to
+    duplicated shingles) → hash-equality self-join with ``id_a < id_b`` →
+    diagonal gaps-and-islands (consecutive matches share tpos_a − tpos_b)
+    exactly as contamination_spans. Hot shingles (boilerplate phrases)
+    are capped at ``max_bucket`` occurrences and skipped — a phrase in
+    10⁶ docs is a boilerplate problem for `dedup_lines`, not a pair
+    problem (10¹² pairs); the cap is reported by the companion
+    ``oversized_buckets``-style count in the caller's hands via
+    frequency inspection. Both windows hash-partition on (pair, diag) —
+    matched-pairs-sized, never corpus-sized.
+    """
+    if n < 1 or min_span_tokens < n:
+        raise ValueError(f"need min_span_tokens >= n >= 1, got n={n}, "
+                         f"min_span_tokens={min_span_tokens}")
+    from pyspark.sql import Window
+
+    s = with_token_ngrams(df, tokens_col, n=n, out="_sh", element_cast=element_cast).select(
+        F.col(id_col).alias("_id"), F.posexplode("_sh").alias("_pos", "h")
+    )
+    dup_h = (
+        s.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter((F.col("_cnt") >= 2) & (F.col("_cnt") <= max_bucket))
+        .select("h")
+    )
+    sd = s.join(dup_h, "h", "leftsemi")
+    a = sd.select(F.col("_id").alias("id_a"), F.col("_pos").alias("apos"), "h")
+    b = sd.select(F.col("_id").alias("id_b"), F.col("_pos").alias("bpos"), "h")
+    m = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    m = m.withColumn("_diag", F.col("apos") - F.col("bpos"))
+    # island assignment + one unordered window over a superset of its keys:
+    # second window adds a sort, not a second exchange (same plan shape as
+    # contamination_spans, locked there in tests/test_plans.py)
+    w_isl = Window.partitionBy("id_a", "id_b", "_diag").orderBy("apos")
+    w_run = Window.partitionBy("id_a", "id_b", "_diag", "_isl")
+    m = (
+        m.withColumn("_isl", F.col("apos") - F.row_number().over(w_isl))
+        .withColumn("_run", F.count("*").over(w_run))
+        .withColumn("_a0", F.min("apos").over(w_run))
+    )
+    best = F.max(
+        F.struct(
+            F.col("_run"),
+            (-F.col("_a0")).alias("_na"),
+            (-(F.col("_a0") - F.col("_diag"))).alias("_nb"),
+        )
+    )
+    out = (
+        m.groupBy("id_a", "id_b")
+        .agg(
+            F.count_distinct("h").alias("n_shared"),
+            best.alias("_best"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("_best._run").alias("max_run_ngrams"),
+            (F.col("_best._run") + F.lit(n - 1)).alias("max_span_tokens"),
+            (-F.col("_best._na")).alias("a_start"),
+            (-F.col("_best._nb")).alias("b_start"),
+        )
+    )
+    return out.filter(F.col("max_span_tokens") >= min_span_tokens)
+
+
 def dedup_delta(
     new_df: DataFrame,
     existing_sigs: DataFrame | None = None,

@@ -799,3 +799,49 @@ def test_dedup_lines_min_count_boundary(spark):
     cleaned2, _ = dedup_lines(df, min_count=2)
     got = {r["doc_id"]: r["text_clean"] for r in cleaned2.collect()}
     assert got == {1: "a1", 2: "a2", 3: "a3"}
+
+
+def test_duplicate_spans_exactsubstr(spark):
+    from sketchlib.spark.dedup import duplicate_spans
+
+    common = list(range(1000, 1030))  # 30-token verbatim block
+    df = spark.createDataFrame(
+        [
+            (1, list(range(0, 80)) + common),
+            (2, list(range(200, 260)) + common + list(range(300, 310))),
+            (3, list(range(400, 480))),
+            (4, common[:20] + list(range(500, 560))),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in duplicate_spans(df, n=8, min_span_tokens=25).collect()}
+    # only the 30-token block clears min_span_tokens=25; positions recovered
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["max_span_tokens"] == 30 and r["max_run_ngrams"] == 23
+    assert (r["a_start"], r["b_start"]) == (80, 60)
+    # lowering the bar surfaces the 20-token prefix overlaps with doc 4
+    lower = {(r["id_a"], r["id_b"]): r["max_span_tokens"]
+             for r in duplicate_spans(df, n=8, min_span_tokens=15).collect()}
+    assert lower == {(1, 2): 30, (1, 4): 20, (2, 4): 20}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_span_tokens"):
+        duplicate_spans(df, n=8, min_span_tokens=4)
+
+
+def test_duplicate_spans_singleton_pruning_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import duplicate_spans
+
+    # a shingle repeated in max_bucket+1 positions is capped out of the join
+    hot = list(range(50, 58))
+    docs = [(i, hot + [10_000 + i] * 8) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    got = duplicate_spans(df, n=8, min_span_tokens=8, max_bucket=5).collect()
+    assert got == []  # the hot 8-gram (6 occurrences > cap 5) never joins
+    got2 = duplicate_spans(df, n=8, min_span_tokens=8, max_bucket=100).collect()
+    assert len(got2) == 15  # all C(6,2) pairs share it under a higher cap
