@@ -228,3 +228,21 @@ def test_subsample_percentile_two_sample_scans_only(spark):
     )
     assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_spans_windows_share_exchange_no_python(spark):
+    """D27 contract: the island and run windows share one exchange
+    (superset clustering keys — same shape as contamination_spans), and
+    nothing in the pair path runs Python."""
+    from sketchlib.spark.dedup import duplicate_spans
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id",
+        "transform(sequence(1, 30), i -> CAST((doc_id % 5) * 100 + i AS INT)) AS tokens",
+    )
+    plan = _plan(duplicate_spans(df, n=8, min_span_tokens=10))
+    assert plan.count("Window") == 2
+    w1 = plan.index("Window")
+    w2 = plan.index("Window", w1 + 1)
+    assert "Exchange" not in plan[w1:w2], plan[w1:w2]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
