@@ -3016,6 +3016,100 @@ def q_c27_duplicate_spans(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_c28_cut_spans(spark, sf_dir):
+    """Round 5: ExactSubstr remediation (`dedup.cut_duplicate_spans`) —
+    the cut half of Lee et al. 2022: each c27 pair keeps its span in the
+    smaller id and cuts it from the larger, overlapping intervals applied
+    in one pass over original positions. Properties checked on the same
+    injected corpus as c27: pairs were found, a re-run of duplicate_spans
+    on the CUT corpus finds nothing (the closure that defines the
+    operation), every variant's minimum id retains its block verbatim,
+    non-flagged docs are byte-untouched, and total cut tokens equals the
+    token-count drop. Hash-based span positions are not DuckDB-computable,
+    so the oracle is the property contract (c17/c22 precedent)."""
+    from sketchlib.spark.dedup import cut_duplicate_spans, duplicate_spans
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 40 == 1,
+                F.concat(
+                    F.lit(" zdup"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(" " + _C27_PHRASE),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    toks = aug.select("doc_id", pre_tokens("text").alias("tokens")).cache()
+    spans = duplicate_spans(
+        toks, id_col="doc_id", n=8, min_span_tokens=24, element_cast=None
+    ).cache()
+    n_pairs = spans.count()
+    cut = cut_duplicate_spans(toks, spans).cache()
+    remaining = duplicate_spans(
+        cut, id_col="doc_id", n=8, min_span_tokens=24, element_cast=None
+    ).count()
+    cut_ids = [r["id_b"] for r in spans.select("id_b").distinct().collect()]
+    joined = (
+        toks.select("doc_id", F.col("tokens").alias("_before"))
+        .join(cut, "doc_id")
+        .cache()
+    )
+    not_cut = ~F.col("doc_id").isin(cut_ids) if cut_ids else F.lit(True)
+    untouched_ok = (
+        joined.filter(not_cut)
+        .filter(
+            (F.col("_before") != F.col("tokens")) | (F.col("n_cut_tokens") != 0)
+        )
+        .count()
+        == 0
+    )
+    accounting_ok = (
+        joined.filter(
+            F.size("_before") - F.size("tokens") != F.col("n_cut_tokens")
+        ).count()
+        == 0
+    )
+    # the synthetic corpus contains genuinely duplicated docs (accidental
+    # pairs, also present in c27's value-matched oracle) — the block-
+    # retention check applies only to keepers that got the INJECTED phrase
+    keeper_ids = sorted(
+        {
+            r["id_a"]
+            for r in spans.select("id_a").distinct().collect()
+            if r["id_a"] % 40 == 1
+        }
+        - set(cut_ids)
+    )
+    phrase_sql = "array(" + ",".join(f"'{w}'" for w in _C27_PHRASE.split()) + ")"
+    keepers_ok = (
+        cut.filter(F.col("doc_id").isin(keeper_ids) if keeper_ids else F.lit(False))
+        .filter(
+            F.expr(
+                "NOT exists(sequence(0, size(tokens) - 23), "
+                f"i -> slice(tokens, i + 1, 23) = {phrase_sql})"
+            )
+        )
+        .count()
+        == 0
+    )
+    rows = [
+        ("flagged_pairs_nonzero", bool(n_pairs > 0)),
+        ("post_cut_no_spans", bool(remaining == 0)),
+        ("keepers_retain_block", bool(keepers_ok)),
+        ("non_flagged_docs_untouched", bool(untouched_ok)),
+        ("cut_accounting_consistent", bool(accounting_ok)),
+    ]
+    for df_ in (toks, spans, cut, joined):
+        df_.unpersist()
+    return spark.createDataFrame(rows, "check string, ok boolean").orderBy("check")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3100,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c25_shuffle_shard": _dist_wrapped(q_c25_shuffle_shard),
         "c26_split_dataset": _dist_wrapped(q_c26_split_dataset),
         "c27_duplicate_spans": _dist_wrapped(q_c27_duplicate_spans),
+        "c28_cut_spans": _dist_wrapped(q_c28_cut_spans),
     }
 
 
@@ -3398,6 +3493,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        "c28_cut_spans": """
+            SELECT 'cut_accounting_consistent' AS check, TRUE AS ok
+            UNION ALL SELECT 'flagged_pairs_nonzero', TRUE
+            UNION ALL SELECT 'keepers_retain_block', TRUE
+            UNION ALL SELECT 'non_flagged_docs_untouched', TRUE
+            UNION ALL SELECT 'post_cut_no_spans', TRUE
         """,
         # n-gram STRINGS stand in for Spark's xxhash64 shingles — equality of
         # 8-token tuples is identical, so a value match also witnesses that

@@ -739,6 +739,60 @@ def duplicate_spans(
     return out.filter(F.col("max_span_tokens") >= min_span_tokens)
 
 
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remediate ``duplicate_spans`` findings (the cut half of ExactSubstr
+    dedup, Lee et al. 2022): each reported pair keeps its span in ``id_a``
+    (the smaller id) and cuts ``[b_start, b_start + max_span_tokens)`` from
+    ``id_b``; tokens outside cut intervals survive in original order.
+    Returns ``docs`` with ``tokens_col`` rewritten plus ``n_cut_tokens``.
+
+    A doc cut by several pairs gets all its intervals; overlaps need no
+    merging — a token inside ANY interval is dropped (`exists` over the
+    interval list). Positions refer to the ORIGINAL arrays, so all cuts
+    for a doc apply in one pass. A span repeated at several positions in
+    the same doc is only reported (and cut) at the longest-run position —
+    iterate detect→cut to fixpoint for full ExactSubstr semantics; one
+    pass already restores the invariant for spans occurring once per doc
+    (closure: re-running duplicate_spans on the output finds nothing,
+    driver-checked).
+
+    Scale shape: the interval table is findings-sized (pairs, not corpus);
+    its per-doc aggregation and the join onto ``docs`` broadcast under AQE.
+    The cut itself is higher-order functions over each token array —
+    whole-stage codegen, no Python, no corpus shuffle; O(tokens ×
+    intervals-per-doc) with interval lists that are pair-findings small.
+    """
+    cuts = spans.select(
+        F.col("id_b").alias(id_col),
+        F.struct(
+            F.col("b_start").alias("s"),
+            (F.col("b_start") + F.col("max_span_tokens")).alias("e"),
+        ).alias("_iv"),
+    )
+    per_doc = cuts.groupBy(id_col).agg(F.collect_list("_iv").alias("_ivs"))
+    keep = [c for c in docs.columns if c != tokens_col]
+    joined = docs.join(per_doc, id_col, "left")
+    # _ivs IS NULL (un-cut doc) short-circuits the predicate to true via
+    # three-valued OR, so no typed-empty-array placeholder is needed
+    kept = F.filter(
+        F.transform(
+            F.col(tokens_col), lambda x, i: F.struct(x.alias("x"), i.alias("i"))
+        ),
+        lambda s: F.col("_ivs").isNull()
+        | ~F.exists(F.col("_ivs"), lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"])),
+    )
+    return joined.withColumn("_kept", kept).select(
+        *keep,
+        F.transform(F.col("_kept"), lambda s: s["x"]).alias(tokens_col),
+        (F.size(tokens_col) - F.size("_kept")).alias("n_cut_tokens"),
+    )
+
+
 def dedup_delta(
     new_df: DataFrame,
     existing_sigs: DataFrame | None = None,

@@ -845,3 +845,49 @@ def test_duplicate_spans_singleton_pruning_and_cap(spark):
     assert got == []  # the hot 8-gram (6 occurrences > cap 5) never joins
     got2 = duplicate_spans(df, n=8, min_span_tokens=8, max_bucket=100).collect()
     assert len(got2) == 15  # all C(6,2) pairs share it under a higher cap
+
+
+def test_cut_duplicate_spans_closure(spark):
+    from sketchlib.spark.dedup import cut_duplicate_spans, duplicate_spans
+
+    common = list(range(1000, 1030))
+    df = spark.createDataFrame(
+        [
+            (1, list(range(0, 80)) + common),
+            (2, list(range(200, 260)) + common + list(range(300, 310))),
+            (3, list(range(400, 480))),
+            (4, common[:20] + list(range(500, 560))),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    spans = duplicate_spans(df, n=8, min_span_tokens=15)
+    cut = cut_duplicate_spans(df, spans)
+    got = {r["doc_id"]: r for r in cut.collect()}
+    # keep-in-min-id policy: doc 1 intact, 2 loses the 30-block, 4 the 20-prefix
+    assert got[1]["n_cut_tokens"] == 0 and len(got[1]["tokens"]) == 110
+    assert got[2]["n_cut_tokens"] == 30 and common[0] not in got[2]["tokens"]
+    # overlapping intervals from pairs (1,4) and (2,4) cut once, not twice
+    assert got[4]["n_cut_tokens"] == 20
+    assert got[3]["tokens"] == list(range(400, 480))  # untouched, order kept
+    # post-cut surviving tokens preserve original relative order
+    assert got[2]["tokens"] == list(range(200, 260)) + list(range(300, 310))
+    # closure: the invariant duplicate_spans enforces now holds
+    assert duplicate_spans(cut, n=8, min_span_tokens=15).count() == 0
+
+
+def test_cut_duplicate_spans_no_python_no_corpus_shuffle(spark):
+    from sketchlib.spark.dedup import cut_duplicate_spans, duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, list(range(100)) if i < 2 else list(range(i * 100, i * 100 + 50)))
+         for i in range(10)],
+        "doc_id long, tokens array<int>",
+    )
+    spans = duplicate_spans(df, n=8, min_span_tokens=10)
+    plan = (
+        cut_duplicate_spans(df, spans)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
