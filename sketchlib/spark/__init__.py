@@ -9,7 +9,12 @@ that makes the design hold at 10^12 sequences: the shuffle volume is
 O(partitions × groups × state_size), independent of corpus size.
 """
 
-from sketchlib.spark.build import SketchSpec, build_sketches, merge_states  # noqa: F401
+from sketchlib.spark.build import (  # noqa: F401
+    SketchSpec,
+    build_sketches,
+    merge_states,
+    register_sketch_kind,
+)
 from sketchlib.spark.query import (  # noqa: F401
     estimates_df,
     exact_rescore_topk,

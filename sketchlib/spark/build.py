@@ -52,6 +52,102 @@ _KINDS = {
     "kmv": KMV,
 }
 
+_BUILTIN_KINDS = frozenset(_KINDS)
+_PLUGIN_STYLE: dict[str, str] = {}  # kind -> 'hashes' | 'keys' | 'values'
+
+
+def register_sketch_kind(cls, update_style: str = "values", pickle_by_value: bool = False):
+    """Register a user-defined mergeable sketch as a first-class kind —
+    the extension point of the UDAF surface (SURVEY.md A19): after
+    registration, ``SketchSpec(name, kind, col)`` builds it through the
+    same zero-shuffle kernel, ``merge_states`` merges it through the same
+    KB-state semilattice, and any answerer that only needs the protocol
+    (e.g. ``estimates_df`` calling ``estimate()``) serves it.
+
+    ``cls`` must follow the SketchBase protocol (sketches/base.py): a
+    unique ``kind`` ClassVar, in-place commutative+associative ``merge``,
+    and the ``_params``/``_body_bytes``/``_from_parts`` serde hooks
+    (registration wires ``deserialize`` automatically). ``update_style``
+    decides what the build kernel feeds it:
+
+    - ``'values'``: every value as float64 via ``update_values(arr)``
+      (quantile-style; input_mode 'full');
+    - ``'keys'``: per-group UNIQUE int64 keys + multiplicities via
+      ``update_values(keys, counts=...)`` (CM-style; non-int columns
+      arrive pre-hashed; input_mode 'uniq');
+    - ``'hashes'``: per-group unique xxhash64 values via
+      ``update_hashes(hashes, n_seen=...)`` (HLL-style; input_mode
+      'uniq').
+
+    Re-registering the same class under the same kind is idempotent;
+    colliding with a built-in or a DIFFERENT registered class refuses.
+
+    ``pickle_by_value=True`` serializes the DEFINING MODULE into kernel
+    closures instead of referencing it by import path — required when the
+    module is not importable on executors (a notebook cell, a test file, a
+    driver-only script). Plugins shipped via ``--py-files`` or an installed
+    package don't need it.
+    """
+    from sketchlib.sketches.base import SketchBase, register as _serde_register
+
+    if update_style not in ("hashes", "keys", "values"):
+        raise ValueError(
+            f"update_style must be 'hashes', 'keys' or 'values', got {update_style!r}"
+        )
+    if not (isinstance(cls, type) and issubclass(cls, SketchBase)):
+        raise TypeError(f"{cls!r} must subclass SketchBase (sketch serde protocol)")
+    kind = getattr(cls, "kind", "?")
+    if not kind or kind == "?":
+        raise ValueError(f"{cls.__name__} must define a 'kind' ClassVar")
+    if kind in _BUILTIN_KINDS:
+        raise ValueError(f"kind {kind!r} is a built-in and cannot be overridden")
+    existing = _KINDS.get(kind)
+    if existing is not None and (
+        existing is not cls or _PLUGIN_STYLE.get(kind) != update_style
+    ):
+        raise ValueError(
+            f"kind {kind!r} already registered to {existing.__name__} "
+            f"(style {_PLUGIN_STYLE.get(kind)!r})"
+        )
+    if pickle_by_value:
+        import sys
+
+        from pyspark import cloudpickle
+
+        mod = sys.modules.get(cls.__module__)
+        if mod is not None:
+            cloudpickle.register_pickle_by_value(mod)
+    _serde_register(cls)
+    _KINDS[kind] = cls
+    _PLUGIN_STYLE[kind] = update_style
+    return cls
+
+
+def _plugin_snapshot(kinds=None) -> dict[str, tuple[type, str]]:
+    """Driver-side snapshot of registered plugin kinds, captured into every
+    executor kernel closure: executor Python workers import modules fresh,
+    so a driver-side register_sketch_kind call is invisible there unless
+    the kernel carries it (classes from importable modules pickle by
+    reference — unpickling re-imports the defining module, which re-runs
+    its registration — and __main__/pickle_by_value classes travel whole).
+    ``kinds``: restrict to the kinds a kernel actually builds, so one
+    plugin's picklability never affects an unrelated build."""
+    sel = _PLUGIN_STYLE if kinds is None else (set(kinds) & set(_PLUGIN_STYLE))
+    return {k: (_KINDS[k], _PLUGIN_STYLE[k]) for k in sel}
+
+
+def _install_plugins(snap: dict[str, tuple[type, str]]) -> None:
+    """Idempotently install a plugin snapshot in THIS process (executor or
+    driver) — build dispatch tables and the serde registry."""
+    if not snap:
+        return
+    from sketchlib.sketches.base import _REGISTRY
+
+    for k, (cls, style) in snap.items():
+        _KINDS.setdefault(k, cls)
+        _PLUGIN_STYLE.setdefault(k, style)
+        _REGISTRY.setdefault(k, cls)
+
 STATE_FIELDS = (
     "group string, sketch string, kind string, state binary, "
     "n_items long, part_id int, rows long, tokens long, wall_ms double"
@@ -105,29 +201,40 @@ class SketchSpec:
     params: dict = field(default_factory=dict)
 
     def make(self):
-        return _KINDS[self.kind](**self.params)
+        try:
+            return _KINDS[self.kind](**self.params)
+        except KeyError:
+            raise ValueError(
+                f"unknown sketch kind {self.kind!r} — built-ins are "
+                f"{sorted(_BUILTIN_KINDS)}; user kinds register via "
+                f"register_sketch_kind"
+            ) from None
 
     @property
     def wants_hashes(self) -> bool:
-        return self.kind in ("hll", "minhash", "kmv")
+        return self.kind in ("hll", "minhash", "kmv") or (
+            _PLUGIN_STYLE.get(self.kind) == "hashes"
+        )
 
     def update(self, sk, values: np.ndarray):
         """Vectorized dispatch: hashes for HLL/MinHash, raw keys/values otherwise."""
         if self.wants_hashes:
             sk.update_hashes(hash_any(values))
-        elif self.kind in ("cm", "bloom"):
+        elif self.kind in ("cm", "bloom") or _PLUGIN_STYLE.get(self.kind) == "keys":
             v = np.asarray(values)
             if v.dtype.kind not in ("i", "u"):
                 v = hash_any(v).astype(np.int64)  # non-int keys: sketch their hashes
             sk.add(v) if self.kind == "bloom" else sk.update_values(v)
-        else:  # kll / tdigest
+        else:  # kll / tdigest / 'values'-style plugins
             sk.update_values(np.asarray(values, dtype=np.float64))
 
     @property
     def input_mode(self) -> str:
         """'uniq' = consumes per-group (unique values, counts) — HLL/MinHash/
         Bloom are set-semantics, CM pre-aggregates; 'full' = needs every
-        value (quantile sketches)."""
+        value (quantile sketches and 'values'-style plugins)."""
+        if _PLUGIN_STYLE.get(self.kind) == "values":
+            return "full"
         return "full" if self.kind in ("kll", "tdigest") else "uniq"
 
 
@@ -375,8 +482,10 @@ class SketchAccumulator:
 
 def _make_update_fn(specs: list[SketchSpec], group_by: str | None):
     """mapInArrow function: stream partition batches -> one state row per group×spec."""
+    snap = _plugin_snapshot({s.kind for s in specs})
 
     def update(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _install_plugins(snap)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         acc = SketchAccumulator(specs, group_by)
@@ -423,16 +532,22 @@ def merge_states(states: DataFrame, fanout: int | None = None) -> DataFrame:
     part_id % fanout) caps any merge task at ~fanout inputs; level 2 merges
     the ≤fanout survivors. Use when n_partitions is large (cluster scale).
     """
+    snap = _plugin_snapshot()
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        _install_plugins(snap)
+        if "bucket" in pdf.columns:
+            pdf = pdf.drop(columns=["bucket"])
+        return _merge_pdf(pdf)
+
     if fanout and fanout > 1:
         lvl1 = (
             states.withColumn("bucket", F.pmod(F.col("part_id"), F.lit(fanout)))
             .groupBy("group", "sketch", "bucket")
-            .applyInPandas(
-                lambda pdf: _merge_pdf(pdf.drop(columns=["bucket"])), STATE_FIELDS
-            )
+            .applyInPandas(merge_fn, STATE_FIELDS)
         )
-        return lvl1.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
-    return states.groupBy("group", "sketch").applyInPandas(_merge_pdf, STATE_FIELDS)
+        return lvl1.groupBy("group", "sketch").applyInPandas(merge_fn, STATE_FIELDS)
+    return states.groupBy("group", "sketch").applyInPandas(merge_fn, STATE_FIELDS)
 
 
 def group_cols(group_by) -> set[str]:
@@ -483,7 +598,10 @@ def build_sketches(
         [group_by] if group_by else []
     )
 
+    snap = _plugin_snapshot({s.kind for s in specs})
+
     def update_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        _install_plugins(snap)
         out_rows = []
         g = GROUP_SEP.join(
             "__null__" if pd.isna(pdf[c].iloc[0]) else str(pdf[c].iloc[0]) for c in glist

@@ -54,7 +54,12 @@ def _map_states(sub: DataFrame, per_state_rows, out_schema: str, out_cols: list[
     tuples. Adds no shuffle — upstream merge already produced one row per
     (group × sketch)."""
 
+    from sketchlib.spark.build import _install_plugins, _plugin_snapshot
+
+    snap = _plugin_snapshot()
+
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_plugins(snap)
         for pdf in pdf_iter:
             rows = []
             for g, st in zip(pdf["group"], pdf["state"]):
