@@ -811,18 +811,27 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         name = m.group("name")
         input_dir = _ddl_input_dir(m.group("table"), tables, "CREATE SKETCHES")
         specs = []
+        from sketchlib.spark.build import _PLUGIN_STYLE
+
         for sm in re.finditer(r"(\w+)\s*\(([^()]*)\)", m.group("specs")):
             kind = sm.group(1).lower()
-            if kind not in _SKETCH_DDL_DEFAULTS:
+            # user kinds registered via register_sketch_kind are first-class
+            # in the DDL too (no parameter defaults — pass key=value args)
+            if kind not in _SKETCH_DDL_DEFAULTS and kind not in _PLUGIN_STYLE:
                 raise ValueError(
-                    f"unknown sketch kind {kind!r} — one of "
+                    f"unknown sketch kind {kind!r} — built-ins "
                     f"{sorted(_SKETCH_DDL_DEFAULTS)}"
+                    + (
+                        f", registered plugins {sorted(_PLUGIN_STYLE)}"
+                        if _PLUGIN_STYLE
+                        else ""
+                    )
                 )
             args = [a.strip() for a in sm.group(2).split(",") if a.strip()]
             if not args or not _IDENT.match(args[0]):
                 raise ValueError(f"{kind}(...) needs a column name as its first argument")
             col = args[0]
-            params = dict(_SKETCH_DDL_DEFAULTS[kind])
+            params = dict(_SKETCH_DDL_DEFAULTS.get(kind, {}))
             for kv in args[1:]:
                 k, eq, v = kv.partition("=")
                 if not eq:

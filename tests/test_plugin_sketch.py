@@ -152,3 +152,36 @@ def test_plugin_serde_roundtrip():
     assert isinstance(rt, MinMaxSketch)
     assert (rt.lo, rt.hi, rt.n_items) == (-1.5, 7.25, 3)
     assert rt.estimate() == (8.75, 0.0)
+
+
+def test_plugin_kind_through_ddl_lifecycle(spark, tmp_path):
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t = {"docs": "/root/testdata/sf0.001/documents.parquet"}
+    approx_sql(
+        spark, "CREATE SKETCHES plugset FROM docs KINDS minmax(n_chars) GROUP BY source",
+        t, cat,
+    ).collect()
+    reg = cat.list().where("name = 'plugset'").collect()
+    assert len(reg) == 1
+    states = cat.states("plugset")
+    from sketchlib.spark import estimates_df
+
+    docs = spark.read.parquet(t["docs"])
+    exact = {
+        r["source"]: float(r["mx"] - r["mn"])
+        for r in docs.groupBy("source")
+        .agg(F.max("n_chars").alias("mx"), F.min("n_chars").alias("mn"))
+        .collect()
+    }
+    got = {
+        r["group"]: r["estimate"]
+        for r in estimates_df(spark, states, "minmax_n_chars").collect()
+    }
+    assert got == exact
+    # unknown kinds keep a descriptive refusal that now names plugins
+    with pytest.raises(ValueError, match="registered plugins"):
+        approx_sql(spark, "CREATE SKETCHES bad FROM docs KINDS nope(n_chars)", t, cat)
+    approx_sql(spark, "DROP SKETCHES plugset", t, cat).collect()
