@@ -185,3 +185,79 @@ def test_plugin_kind_through_ddl_lifecycle(spark, tmp_path):
     with pytest.raises(ValueError, match="registered plugins"):
         approx_sql(spark, "CREATE SKETCHES bad FROM docs KINDS nope(n_chars)", t, cat)
     approx_sql(spark, "DROP SKETCHES plugset", t, cat).collect()
+
+
+class TotalCountSketch(SketchBase):
+    """Exact total multiplicity via the 'keys' feed (counts ride along)."""
+
+    kind = "totalcount_test"
+
+    def __init__(self):
+        self.total = 0
+        self._n_items = 0
+
+    def update_values(self, keys, counts=None):
+        import numpy as _np
+
+        n = int(_np.sum(counts)) if counts is not None else len(keys)
+        self.total += n
+        self._n_items += n
+
+    def merge(self, other):
+        self.total += other.total
+        self._n_items += other._n_items
+        return self
+
+    def estimate(self):
+        return (float(self.total), 0.0)
+
+    def _params(self):
+        return {}
+
+    def _body_bytes(self):
+        return struct.pack("<qq", self.total, self._n_items)
+
+    @classmethod
+    def _from_parts(cls, params, body):
+        sk = cls()
+        sk.total, sk._n_items = struct.unpack_from("<qq", body)
+        return sk
+
+
+register_sketch_kind(TotalCountSketch, update_style="keys", pickle_by_value=True)
+
+
+def test_plugin_keys_style_counts_ride_along(spark):
+    docs = spark.read.parquet(f"{TD}/documents.parquet")
+    specs = [SketchSpec("rows_total", "totalcount_test", "doc_id")]
+    states = build_sketches(docs, specs, group_by="source")
+    exact = {
+        r["source"]: float(r["n"])
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {
+        r["group"]: r["estimate"]
+        for r in estimates_df(spark, states, "rows_total").collect()
+    }
+    assert got == exact
+
+
+def test_plugin_kind_incremental_refresh(spark, tmp_path):
+    from sketchlib.spark.catalog import SketchCatalog
+
+    base = str(tmp_path / "tbl")
+    docs = spark.read.parquet(f"{TD}/documents.parquet")
+    docs.limit(30).write.parquet(base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    cat.create("plug_rng", base, [SketchSpec("rng", "minmax", "n_chars")], group_by=None)
+    before = estimates_df(spark, cat.states("plug_rng"), "rng").collect()[0]["estimate"]
+    # append rows widening the range, refresh incrementally
+    docs.orderBy(F.desc("n_chars")).limit(5).write.mode("append").parquet(base)
+    res = cat.refresh("plug_rng")
+    assert res["new_files"] >= 1 and res["rows_added"] == 5
+    after = estimates_df(spark, cat.states("plug_rng"), "rng").collect()[0]["estimate"]
+    full = spark.read.parquet(base)
+    exact = float(full.agg(
+        (F.max("n_chars") - F.min("n_chars")).cast("double").alias("r")
+    ).collect()[0]["r"])
+    assert after == exact and after >= before
