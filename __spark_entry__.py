@@ -3110,6 +3110,49 @@ def q_c28_cut_spans(spark, sf_dir):
     return spark.createDataFrame(rows, "check string, ok boolean").orderBy("check")
 
 
+def q_b46_plugin_sketch(spark, sf_dir):
+    """Round 5: USER-DEFINED sketch kinds (`register_sketch_kind`, the A19
+    extension point) end-to-end through the DDL door: the contrib
+    MinMaxSketch plugin registers at import, `CREATE SKETCHES ... KINDS
+    minmax(n_chars) GROUP BY source` builds it through the zero-shuffle
+    kernel + semilattice merge, and `estimates_df` serves per-group
+    ranges from the persisted states with the answer VALUE-matched vs
+    DuckDB's exact max-min (the plugin is an exact sketch, so the oracle
+    needs no bound slack). The base table is NOT deleted here — the point
+    is kind extensibility, not A5 routing (b38 covers that)."""
+    import shutil
+    import tempfile
+
+    import sketchlib.sketches.contrib  # noqa: F401 — registers 'minmax'
+    from sketchlib.spark import estimates_df
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    work = tempfile.mkdtemp(prefix="sketchlib_b46_")
+    try:
+        cat = SketchCatalog(spark, f"{work}/cat")
+        t = {"docs": f"{sf_dir}/documents.parquet"}
+        approx_sql(
+            spark,
+            "CREATE SKETCHES b46set FROM docs KINDS minmax(n_chars) GROUP BY source",
+            t,
+            cat,
+        ).collect()
+        out = (
+            estimates_df(spark, cat.states("b46set"), "minmax_n_chars")
+            .select(
+                F.col("group").alias("source"),
+                F.col("estimate").alias("char_range"),
+                F.col("rse_bound").alias("range_err"),
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3165,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b43_accuracy_contracts": _dist_wrapped(q_b43_accuracy_contracts),
         "b44_contract_registry_pilot": _dist_wrapped(q_b44_contract_registry_pilot),
         "b45_subsample_error": _dist_wrapped(q_b45_subsample_error),
+        "b46_plugin_sketch": _dist_wrapped(q_b46_plugin_sketch),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3393,6 +3437,14 @@ def oracle_sql() -> dict[str, str]:
               ('base_free_contract_via_scramble', TRUE),
               ('base_free_grouped_contract', TRUE)
             ) AS t(chk, within_bound)
+        """,
+        "b46_plugin_sketch": """
+            SELECT source,
+                   CAST(max(n_chars) - min(n_chars) AS DOUBLE) AS char_range,
+                   0.0 AS range_err
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         "b45_subsample_error": """
             SELECT * FROM (VALUES
