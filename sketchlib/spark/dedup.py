@@ -86,7 +86,10 @@ def dedup_lines(
     broadcasts the membership join; reassembly then shuffles each KEPT line
     once, keyed by doc — the one unavoidable payload shuffle, since the
     output interleaves corpus-global knowledge back into per-doc order.
-    NULL texts pass through as NULL with zero counts.
+    NULL texts pass through as NULL with zero counts. As with
+    filter_documents, ``cleaned`` and ``report`` are independent plans —
+    evaluating both scans the input twice (cache/checkpoint the input when
+    the scan dominates).
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
