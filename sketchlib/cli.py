@@ -96,6 +96,32 @@ def main(argv=None) -> int:
     dd.add_argument("--no-append", action="store_true",
                     help="skip appending the kept signatures to the corpus table")
 
+    cu = sub.add_parser(
+        "curate",
+        help="corpus-release pass over a documents parquet dir: PII "
+        "redaction + C4 line-level boilerplate dedup, with the per-rule "
+        "and per-corpus accounting printed as JSON",
+    )
+    cu.add_argument("--input", required=True, help="parquet dir with a text column")
+    cu.add_argument("--out", required=True, help="output dir for the cleaned docs")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--no-redact", action="store_true", help="skip PII redaction")
+    cu.add_argument("--no-line-dedup", action="store_true", help="skip line dedup")
+    cu.add_argument("--min-line-count", type=int, default=3,
+                    help="corpus occurrences at/over which a line is boilerplate")
+
+    sh = sub.add_parser(
+        "shard",
+        help="deterministic global shuffle + shard: write shard=N/ "
+        "partitioned parquet whose order is a pure function of (id, seed)",
+    )
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--n-shards", type=int, default=1024)
+    sh.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     from sketchlib.spark import get_spark
@@ -161,6 +187,61 @@ def main(argv=None) -> int:
         print(json.dumps({
             "delta_rows": n_delta, "kept_rows": n_kept,
             "signatures_appended": appended, "out": args.out,
+        }))
+
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.dedup import dedup_lines
+        from sketchlib.spark.text import pii_report, redact_pii
+
+        docs = spark.read.parquet(args.input)
+        summary = {"input_rows": docs.count()}
+        if not args.no_redact:
+            summary["pii"] = {
+                r["pattern"]: {"n_matches": r["n_matches"], "n_docs": r["n_docs"]}
+                for r in pii_report(docs, text_col=args.text_col).collect()
+            }
+            docs = redact_pii(docs, text_col=args.text_col, counts=False)
+        if not args.no_line_dedup:
+            # cache: cleaned + report are independent plans over the same
+            # (possibly redacted) input — don't pay the scan twice
+            docs = docs.cache()
+            cleaned, report = dedup_lines(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                min_count=args.min_line_count,
+            )
+            rep = report.collect()[0]
+            summary["line_dedup"] = {
+                "n_lines": rep["n_lines"], "n_removed": rep["n_removed"],
+                "n_heavy_lines": rep["n_heavy_lines"],
+            }
+            keep = [c for c in docs.columns if c != args.text_col]
+            docs = cleaned.join(docs.select(*keep), args.id_col).withColumnRenamed(
+                f"{args.text_col}_clean", args.text_col
+            )
+        docs.write.mode("overwrite").parquet(args.out)
+        summary["output_rows"] = spark.read.parquet(args.out).count()
+        summary["out"] = args.out
+        print(json.dumps(summary))
+
+    elif args.cmd == "shard":
+        from sketchlib.spark.packing import shuffle_shard
+
+        docs = spark.read.parquet(args.input)
+        sharded = shuffle_shard(
+            docs, id_col=args.id_col, n_shards=args.n_shards, seed=args.seed
+        )
+        (
+            sharded.repartitionByRange(args.n_shards, "shard", "shuffle_key")
+            .sortWithinPartitions("shard", "shuffle_key", args.id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.out)
+        )
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "rows": n, "n_shards": args.n_shards, "seed": args.seed, "out": args.out,
         }))
 
     elif args.cmd == "sql":

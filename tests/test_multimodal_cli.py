@@ -215,3 +215,50 @@ def test_cli_dedup_delta(spark, seq_tiny_dir, tmp_path):
                "--signatures", "s", "--out", str(tmp_path / "kept2"),
                "--threshold", "0.9", "--no-append")[0]
     assert out2["kept_rows"] == 0
+
+
+def test_cli_curate_and_shard(spark, tmp_path):
+    """The corpus-release subcommands end-to-end in a subprocess."""
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [
+            (1, "real content one\nSubscribe now\nmail a@b.io"),
+            (2, "real content two\nSubscribe now"),
+            (3, "real content three\nSubscribe now"),
+        ],
+        "doc_id long, text string",
+    )
+    df.write.parquet(src)
+
+    out = str(tmp_path / "clean")
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "curate",
+         "--input", src, "--out", out, "--min-line-count", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["pii"]["email"]["n_matches"] == 1
+    assert summary["line_dedup"]["n_heavy_lines"] == 1  # 'Subscribe now'
+    got = {r_["doc_id"]: r_["text"] for r_ in spark.read.parquet(out).collect()}
+    assert got[1] == "real content one\nmail <EMAIL>"
+    assert got[2] == "real content two"
+
+    shards = str(tmp_path / "shards")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "shard",
+         "--input", out, "--out", shards, "--n-shards", "2", "--seed", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    info = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert info["rows"] == 3
+    sharded = spark.read.parquet(shards)
+    assert set(sharded.columns) >= {"doc_id", "text", "shuffle_key", "shard"}
+    # placement is the pure function of (id, seed) the operator computes
+    from sketchlib.spark.packing import shuffle_shard
+
+    expect = {r_["doc_id"]: r_["shard"] for r_ in
+              shuffle_shard(df, n_shards=2, seed=5).collect()}
+    got_shards = {r_["doc_id"]: r_["shard"] for r_ in sharded.collect()}
+    assert got_shards == expect
