@@ -3153,6 +3153,46 @@ def q_b46_plugin_sketch(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_c29_cut_accounting(spark, sf_dir):
+    """Round 5: VALUE-matched cut accounting for the ExactSubstr
+    remediation — c28 checks the closure property; this locks the actual
+    token arithmetic: for every doc that loses text, the number of tokens
+    cut must equal the size of the UNION of its pairs' [b_start,
+    b_start+span) intervals (a doc hit by several overlapping pairs is
+    cut once). The oracle reruns c27's span algebra on n-gram strings and
+    merges the intervals relationally (sort + running-max gaps-and-
+    islands), so Spark's exists-over-intervals filter is checked against
+    an independent formulation of the same set arithmetic."""
+    from sketchlib.spark.dedup import cut_duplicate_spans, duplicate_spans
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 40 == 1,
+                F.concat(
+                    F.lit(" zdup"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(" " + _C27_PHRASE),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    toks = aug.select("doc_id", pre_tokens("text").alias("tokens"))
+    spans = duplicate_spans(
+        toks, id_col="doc_id", n=8, min_span_tokens=24, element_cast=None
+    )
+    cut = cut_duplicate_spans(toks, spans)
+    return (
+        cut.filter(F.col("n_cut_tokens") > 0)
+        .select("doc_id", F.col("n_cut_tokens").cast("long").alias("n_cut_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3239,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c26_split_dataset": _dist_wrapped(q_c26_split_dataset),
         "c27_duplicate_spans": _dist_wrapped(q_c27_duplicate_spans),
         "c28_cut_spans": _dist_wrapped(q_c28_cut_spans),
+        "c29_cut_accounting": _dist_wrapped(q_c29_cut_accounting),
     }
 
 
@@ -3545,6 +3586,74 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        # same span algebra as c27, then relational interval-union per cut
+        # doc (sort + running-max gaps-and-islands) — an independent
+        # formulation of the exists-over-intervals arithmetic Spark runs
+        "c29_cut_accounting": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 40 = 1
+                                    THEN ' zdup' || CAST(doc_id % 3 AS VARCHAR)
+                                         || ' """ + _C27_PHRASE + r"""'
+                                    ELSE '' END AS text
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM aug
+            ), p AS (
+                SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS pos1
+                FROM tok WHERE len(l) >= 8
+            ), sh AS (
+                SELECT doc_id, CAST(pos1 - 1 AS INTEGER) AS pos,
+                       array_to_string(l[pos1:pos1+7], chr(31)) AS g
+                FROM p
+            ), f AS (
+                SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 5000
+            ), sd AS (
+                SELECT sh.doc_id, sh.pos, sh.g FROM sh JOIN f ON sh.g = f.g
+            ), m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.pos AS apos, b.pos AS bpos, a.g
+                FROM sd a JOIN sd b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), i AS (
+                SELECT *, apos - bpos AS diag,
+                       apos - CAST(row_number() OVER (
+                           PARTITION BY id_a, id_b, apos - bpos ORDER BY apos
+                       ) AS INTEGER) AS isl
+                FROM m
+            ), r AS (
+                SELECT id_a, id_b, diag,
+                       CAST(count(*) OVER w AS BIGINT) AS run,
+                       min(apos) OVER w AS a0
+                FROM i WINDOW w AS (PARTITION BY id_a, id_b, diag, isl)
+            ), agg AS (
+                SELECT id_a, id_b,
+                       max(struct_pack(run := run, na := -a0, nb := -(a0 - diag))) AS best
+                FROM r GROUP BY id_a, id_b
+            ), iv AS (
+                SELECT id_b AS doc_id,
+                       CAST(-best.nb AS INTEGER) AS s,
+                       CAST(-best.nb + best.run + 7 AS INTEGER) AS e
+                FROM agg WHERE best.run + 7 >= 24
+            ), m1 AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM iv
+            ), m2 AS (
+                SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+                FROM m1
+            ), m3 AS (
+                SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+                FROM m2
+            ), per_island AS (
+                SELECT doc_id, grp, max(e) - min(s) AS cut
+                FROM m3 GROUP BY doc_id, grp
+            )
+            SELECT doc_id, CAST(sum(cut) AS BIGINT) AS n_cut_tokens
+            FROM per_island GROUP BY doc_id ORDER BY doc_id
         """,
         "c28_cut_spans": """
             SELECT 'cut_accounting_consistent' AS check, TRUE AS ok
