@@ -796,6 +796,66 @@ def cut_duplicate_spans(
     )
 
 
+def dedup_spans_fixpoint(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_span_tokens: int = 50,
+    max_iter: int = 5,
+    max_bucket: int = 5000,
+    element_cast: str | None = "BIGINT",
+) -> tuple[DataFrame, dict]:
+    """Iterate detect → cut to the ExactSubstr fixpoint: a span repeated
+    at several positions inside one doc is reported (and cut) only at its
+    longest-run position per pass, so full semantics — NO cross-doc
+    verbatim run ≥ min_span_tokens survives anywhere — need the loop.
+    Once-per-doc duplication converges in one pass (the common case); each
+    extra pass handles one more in-doc repetition of the worst offender.
+
+    Returns (cleaned docs with a cumulative ``n_cut_tokens``, stats):
+    stats = {"iterations", "converged", "pairs_per_iter", "cut_tokens"}.
+    Each pass eagerly checkpoints the cut result — the loop would
+    otherwise stack the full detect+cut plan per iteration and replay
+    every prior pass lazily. Raises nothing on non-convergence; check
+    ``stats['converged']`` (a corpus needing > max_iter passes has
+    pathological in-doc repetition worth inspecting, not silently
+    grinding)."""
+    cur = docs
+    pairs_per_iter: list[int] = []
+    total_cut = 0
+    converged = False
+    for _ in range(max_iter):
+        spans = duplicate_spans(
+            cur, tokens_col, id_col, n=n, min_span_tokens=min_span_tokens,
+            max_bucket=max_bucket, element_cast=element_cast,
+        )
+        n_pairs = spans.count()
+        if n_pairs == 0:
+            converged = True
+            break
+        pairs_per_iter.append(n_pairs)
+        cut = cut_duplicate_spans(cur, spans, tokens_col, id_col)
+        total_cut += cut.agg(F.sum("n_cut_tokens")).collect()[0][0] or 0
+        cur = cut.drop("n_cut_tokens").localCheckpoint(eager=True)
+    out = cur.withColumn("n_cut_tokens", F.lit(0)) if converged and not pairs_per_iter else cur
+    if pairs_per_iter:
+        # recompute the cumulative per-doc cut from original vs final sizes
+        orig = docs.select(id_col, F.size(tokens_col).alias("_n0"))
+        out = (
+            cur.join(orig, id_col)
+            .withColumn("n_cut_tokens", F.col("_n0") - F.size(tokens_col))
+            .drop("_n0")
+        )
+    stats = {
+        "iterations": len(pairs_per_iter),
+        "converged": converged,
+        "pairs_per_iter": pairs_per_iter,
+        "cut_tokens": int(total_cut),
+    }
+    return out, stats
+
+
 def dedup_delta(
     new_df: DataFrame,
     existing_sigs: DataFrame | None = None,

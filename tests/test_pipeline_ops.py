@@ -891,3 +891,43 @@ def test_cut_duplicate_spans_no_python_no_corpus_shuffle(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_spans_fixpoint_in_doc_repeats(spark):
+    from sketchlib.spark.dedup import dedup_spans_fixpoint, duplicate_spans
+
+    block = list(range(1000, 1030))
+    # doc 2 contains the block TWICE: one detect->cut pass removes only the
+    # longest-run position; the fixpoint loop must take a second pass
+    df = spark.createDataFrame(
+        [
+            (1, list(range(0, 60)) + block),
+            (2, block + list(range(200, 240)) + block),
+            (3, list(range(400, 460))),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    cleaned, stats = dedup_spans_fixpoint(df, n=8, min_span_tokens=20, max_iter=5)
+    assert stats["converged"] and stats["iterations"] == 2
+    assert duplicate_spans(cleaned, n=8, min_span_tokens=20).count() == 0
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    # keeper retains one copy, doc 2 loses both, untouched doc intact
+    assert got[1]["n_cut_tokens"] == 0 and len(got[1]["tokens"]) == 90
+    assert got[2]["n_cut_tokens"] == 60 and got[2]["tokens"] == list(range(200, 240))
+    assert got[3]["tokens"] == list(range(400, 460))
+    assert stats["cut_tokens"] == 60
+
+
+def test_dedup_spans_fixpoint_clean_corpus_zero_iterations(spark):
+    from sketchlib.spark.dedup import dedup_spans_fixpoint
+
+    df = spark.createDataFrame(
+        [(i, list(range(i * 100, i * 100 + 40))) for i in range(4)],
+        "doc_id long, tokens array<int>",
+    )
+    cleaned, stats = dedup_spans_fixpoint(df, n=8, min_span_tokens=10)
+    assert stats == {
+        "iterations": 0, "converged": True, "pairs_per_iter": [], "cut_tokens": 0,
+    }
+    assert all(r["n_cut_tokens"] == 0 for r in cleaned.collect())
+    assert cleaned.count() == 4
