@@ -520,13 +520,80 @@ def with_token_ngrams(
 
 
 
-def _gated_eval_join(t: DataFrame, e: DataFrame, broadcast_threshold: int, op: str) -> DataFrame:
+def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float):
+    """One merged Bloom over ``e``'s ``h`` column, built distributed through
+    the standard sketch pipeline (Arrow partials → fanout merge → one state)
+    and returned as a driver-side object.
+
+    The eval side is coalesced to ≤64 partitions first: every partial is a
+    FULL m-bit array regardless of how many keys the task saw, so the state
+    shuffle is (#tasks × m/8) bytes — at n=10⁸ keys / fpr=10⁻³ that is
+    64 × 180 MB ≈ 11 GB once, versus the ~16 TB corpus-side shuffle the
+    filter then avoids. Corpus-side parallelism is unaffected (this pass
+    runs over the SMALL side only)."""
+    from sketchlib.sketches.bloom import Bloom
+    from sketchlib.spark.build import SketchSpec, merge_states, partial_states
+    from sketchlib.spark.query import load_states
+
+    proto = Bloom.for_capacity(n_keys, fpr)
+    spec = SketchSpec("_prefilter", "bloom", "h", {"m_bits": proto.m_bits, "h": proto.h})
+    merged = merge_states(partial_states(e.select("h").coalesce(64), [spec], group_by=None))
+    states = load_states(merged)
+    if not states:  # empty eval side — nothing can match
+        return proto
+    (bl,) = states.values()
+    return bl
+
+
+def _bloom_prefilter(t: DataFrame, bloom) -> DataFrame:
+    """Schema-preserving map-side filter of ``t`` to rows whose ``h`` MAY be
+    in ``bloom`` (false positives pass — the exact join downstream removes
+    them; false negatives are impossible, so the final result is identical).
+    One Arrow pass, no shuffle; the broadcast is the bloom's bit array
+    (m/8 bytes), ~13× smaller than the distinct (h, id) pairs hashmap a
+    broadcast join of the same eval side would pin per executor."""
+    bc = t.sparkSession.sparkContext.broadcast(bloom)
+
+    def flt(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bl = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = batch.schema.get_field_index("h")
+            h = batch.column(idx).to_numpy(zero_copy_only=False)
+            mask = bl.contains(h)
+            if mask.any():
+                yield batch.filter(pa.array(mask))
+
+    return t.mapInArrow(flt, t.schema)
+
+
+def _gated_eval_join(
+    t: DataFrame,
+    e: DataFrame,
+    broadcast_threshold: int,
+    op: str,
+    prefilter_fpr: float | None = 1e-3,
+) -> DataFrame:
     """Size-gated join of an exploded train side against an exploded eval
     side: count the eval rows first (one job over the SMALL side only;
     deliberately not persisted — a cached eval set would accumulate across
     calls and perturb the captured plans), broadcast under the threshold
-    (map-side join, ONE corpus scan, zero corpus shuffle), plain shuffle
-    join above it (still only (hash, id[, pos]) rows, never payloads)."""
+    (map-side join, ONE corpus scan, zero corpus shuffle), shuffle join
+    above it (still only (hash, id[, pos]) rows, never payloads).
+
+    Above the threshold the train side is first BLOOM-PREFILTERED map-side
+    (``prefilter_fpr``; None disables): a Bloom over the eval hashes is
+    built distributed and broadcast (~m/8 bytes — 180 MB at 10⁸ keys /
+    fpr 10⁻³ vs ~1.6 GB for the pairs hashmap that broke the broadcast
+    gate), and only corpus rows whose hash may match survive to the
+    shuffle — expected shuffle input drops from ALL corpus shingles
+    (~16 TB at 10¹² shingles) to true hits + fpr × corpus (~16 GB at
+    10⁻³). Results are identical either way: Bloom has no false negatives
+    and the join itself stays exact (test-locked)."""
     import logging
 
     n_eval = e.count()
@@ -534,8 +601,15 @@ def _gated_eval_join(t: DataFrame, e: DataFrame, broadcast_threshold: int, op: s
     if n_eval <= broadcast_threshold:
         log.info("%s: eval side %d rows <= %d — broadcast join", op, n_eval, broadcast_threshold)
         return t.join(F.broadcast(e), "h")
-    log.info("%s: eval side %d rows > %d — shuffle join (pairs only, no payloads)",
-             op, n_eval, broadcast_threshold)
+    if prefilter_fpr:
+        log.info(
+            "%s: eval side %d rows > %d — bloom prefilter (fpr=%g) + shuffle join",
+            op, n_eval, broadcast_threshold, prefilter_fpr,
+        )
+        t = _bloom_prefilter(t, _eval_hash_bloom(e, n_eval, prefilter_fpr))
+    else:
+        log.info("%s: eval side %d rows > %d — shuffle join (pairs only, no payloads)",
+                 op, n_eval, broadcast_threshold)
     return t.join(e, "h")
 
 
@@ -547,6 +621,7 @@ def contamination_pairs(
     n: int = 8,
     min_shared: int = 1,
     broadcast_threshold: int = 100_000_000,
+    prefilter_fpr: float | None = 1e-3,
 ) -> DataFrame:
     """Benchmark decontamination: (train_id, eval_id, n_shared) for every
     train document sharing ≥ ``min_shared`` distinct token n-grams with an
@@ -585,7 +660,7 @@ def contamination_pairs(
         .distinct()
     )
     return (
-        _gated_eval_join(t, e, broadcast_threshold, "contamination_pairs")
+        _gated_eval_join(t, e, broadcast_threshold, "contamination_pairs", prefilter_fpr)
         .groupBy("train_id", "eval_id")
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -599,6 +674,7 @@ def contamination_spans(
     id_col: str = "doc_id",
     n: int = 8,
     broadcast_threshold: int = 100_000_000,
+    prefilter_fpr: float | None = 1e-3,
 ) -> DataFrame:
     """Per contaminated (train, eval) pair, the LONGEST CONSECUTIVE run of
     shared token n-grams: (train_id, eval_id, n_shared, max_run_ngrams,
@@ -629,7 +705,7 @@ def contamination_spans(
     # NOTE the gate counts POSITIONED rows (~24 B each, no distinct), so the
     # same default threshold sits ~1.5× lower in bytes-of-broadcast than
     # contamination_pairs' distinct (hash, id) rows — still inside the cap
-    m = _gated_eval_join(t, e, broadcast_threshold, "contamination_spans")
+    m = _gated_eval_join(t, e, broadcast_threshold, "contamination_spans", prefilter_fpr)
     m = m.withColumn("_diag", F.col("tpos") - F.col("epos"))
     # one corpus pass: run lengths come from TWO stacked windows — island
     # assignment ordered by tpos, then an unordered count over (…, island).

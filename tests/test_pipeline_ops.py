@@ -931,3 +931,64 @@ def test_dedup_spans_fixpoint_clean_corpus_zero_iterations(spark):
     }
     assert all(r["n_cut_tokens"] == 0 for r in cleaned.collect())
     assert cleaned.count() == 4
+
+
+def test_contamination_bloom_prefilter_paths_identical(spark):
+    """Above the broadcast gate the train side is bloom-prefiltered before
+    the shuffle join. Results must be IDENTICAL across all three routes
+    (broadcast / prefilter+shuffle / plain shuffle): Bloom has no false
+    negatives and the join stays exact. Also asserts the prefilter is
+    actually selective — non-candidate corpus shingles are dropped
+    map-side, which is the whole 100 TB point."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import (
+        _bloom_prefilter,
+        _eval_hash_bloom,
+        contamination_pairs,
+        contamination_spans,
+        with_token_ngrams,
+    )
+
+    rng = random.Random(5)
+    train = spark.createDataFrame(
+        [(i, [rng.randrange(10**6) for _ in range(40)]) for i in range(200)],
+        "doc_id long, tokens array<long>",
+    )
+    tr = {r["doc_id"]: r["tokens"] for r in train.collect()}
+    ev = spark.createDataFrame(
+        [(1000, tr[7][5:25]), (1001, [rng.randrange(10**6) for _ in range(30)])],
+        "doc_id long, tokens array<long>",
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    broadcast = canon(contamination_pairs(train, ev, n=8))
+    prefiltered = canon(contamination_pairs(train, ev, n=8, broadcast_threshold=0))
+    plain = canon(
+        contamination_pairs(train, ev, n=8, broadcast_threshold=0, prefilter_fpr=None)
+    )
+    assert broadcast == prefiltered == plain
+    assert broadcast == [(7, 1000, 13)]  # 20-token copy -> 13 shared 8-grams
+
+    assert canon(contamination_spans(train, ev, n=8)) == canon(
+        contamination_spans(train, ev, n=8, broadcast_threshold=0)
+    )
+
+    # selectivity: the corpus explodes to ~200*33 shingle rows; only the one
+    # contaminated doc's 13 matching shingles (+ fpr stragglers) survive
+    t = with_token_ngrams(train, "tokens", n=8, out="_sh", element_cast="BIGINT").select(
+        F.col("doc_id").alias("train_id"), F.explode("_sh").alias("h")
+    )
+    e = (
+        with_token_ngrams(ev, "tokens", n=8, out="_sh", element_cast="BIGINT")
+        .select(F.col("doc_id").alias("eval_id"), F.explode("_sh").alias("h"))
+        .distinct()
+    )
+    total = t.count()
+    survivors = _bloom_prefilter(t, _eval_hash_bloom(e, e.count(), 1e-3)).count()
+    assert total > 6000
+    assert 13 <= survivors < total * 0.05
