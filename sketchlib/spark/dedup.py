@@ -520,7 +520,7 @@ def with_token_ngrams(
 
 
 
-def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float):
+def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float, col: str = "h"):
     """One merged Bloom over ``e``'s ``h`` column, built distributed through
     the standard sketch pipeline (Arrow partials → fanout merge → one state)
     and returned as a driver-side object.
@@ -536,8 +536,8 @@ def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float):
     from sketchlib.spark.query import load_states
 
     proto = Bloom.for_capacity(n_keys, fpr)
-    spec = SketchSpec("_prefilter", "bloom", "h", {"m_bits": proto.m_bits, "h": proto.h})
-    merged = merge_states(partial_states(e.select("h").coalesce(64), [spec], group_by=None))
+    spec = SketchSpec("_prefilter", "bloom", col, {"m_bits": proto.m_bits, "h": proto.h})
+    merged = merge_states(partial_states(e.select(col).coalesce(64), [spec], group_by=None))
     states = load_states(merged)
     if not states:  # empty eval side — nothing can match
         return proto
@@ -545,7 +545,7 @@ def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float):
     return bl
 
 
-def _bloom_prefilter(t: DataFrame, bloom) -> DataFrame:
+def _bloom_prefilter(t: DataFrame, bloom, col: str = "h") -> DataFrame:
     """Schema-preserving map-side filter of ``t`` to rows whose ``h`` MAY be
     in ``bloom`` (false positives pass — the exact join downstream removes
     them; false negatives are impossible, so the final result is identical).
@@ -562,7 +562,7 @@ def _bloom_prefilter(t: DataFrame, bloom) -> DataFrame:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            idx = batch.schema.get_field_index("h")
+            idx = batch.schema.get_field_index(col)
             h = batch.column(idx).to_numpy(zero_copy_only=False)
             mask = bl.contains(h)
             if mask.any():
@@ -1064,6 +1064,15 @@ def dedup_delta(
     # the corpus signature table twice.
     nb = new_sigs.select(F.col(id_col).alias("_nid"), F.explode("bands").alias("bh"))
     eb = existing_sigs.select(F.col(id_col).alias("_eid"), F.explode("bands").alias("bh"))
+    if not small_delta:
+        # backfill-sized delta: the shuffle-join fallback would exchange the
+        # FULL corpus band table (~21 TB at 4.2e10 docs) against the delta.
+        # Bloom-prefilter the corpus side map-side first (same shape as the
+        # decontamination fallback above): only corpus bands that MAY match
+        # a delta band survive to the shuffle — hits + fpr x corpus. Exact:
+        # no false negatives, and the band join is a candidate generator
+        # anyway (the signature-agreement verify is the arbiter).
+        eb = _bloom_prefilter(eb, _eval_hash_bloom(nb, delta_band_rows, 1e-3, col="bh"), col="bh")
     cross = (
         eb.join(_gated(nb), "bh")
         .groupBy("_nid", "_eid")
