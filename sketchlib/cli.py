@@ -18,6 +18,11 @@ package with --py-files sketchlib.zip):
         --input /data/crawl_drop --catalog /data/cat --signatures corpus \
         --out /data/crawl_drop_deduped --threshold 0.9
 
+    spark-submit sketchlib/cli.py decontaminate \
+        --train /data/corpus --eval /data/benchmarks \
+        --out /data/corpus_clean --min-span-tokens 50 \
+        --report-out /data/contamination_report
+
 ``build`` with --checkpoint is resumable: re-running the same command after
 a failure skips committed chunks and produces byte-identical states.
 ``dedup-delta`` is the daily incremental-dedup operation as one command:
@@ -110,6 +115,25 @@ def main(argv=None) -> int:
     cu.add_argument("--no-line-dedup", action="store_true", help="skip line dedup")
     cu.add_argument("--min-line-count", type=int, default=3,
                     help="corpus occurrences at/over which a line is boilerplate")
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="benchmark decontamination as one command: flag train docs "
+        "sharing a verbatim token span >= the policy length with any eval "
+        "doc (exact 8-gram spans, not sketched), write the cleaned corpus "
+        "and optionally the span report",
+    )
+    dc.add_argument("--train", required=True, help="train corpus parquet dir (token arrays)")
+    dc.add_argument("--eval", required=True, help="eval/benchmark parquet dir (token arrays)")
+    dc.add_argument("--out", required=True, help="output dir for the decontaminated corpus")
+    dc.add_argument("--tokens-col", default="tokens")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--n", type=int, default=8, help="n-gram order of the span detector")
+    dc.add_argument("--min-span-tokens", type=int, default=50,
+                    help="drop a train doc when its longest verbatim run with "
+                    "any eval doc reaches this many tokens")
+    dc.add_argument("--report-out", default=None,
+                    help="also write the per-pair span report parquet here")
 
     sh = sub.add_parser(
         "shard",
@@ -224,6 +248,32 @@ def main(argv=None) -> int:
         summary["output_rows"] = spark.read.parquet(args.out).count()
         summary["out"] = args.out
         print(json.dumps(summary))
+
+    elif args.cmd == "decontaminate":
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.dedup import contamination_spans
+
+        train = spark.read.parquet(args.train)
+        eval_df = spark.read.parquet(args.eval)
+        n_train = train.count()
+        spans = contamination_spans(
+            train, eval_df, tokens_col=args.tokens_col, id_col=args.id_col, n=args.n
+        ).localCheckpoint()  # contamination-sized; two consumers (report + flag set)
+        if args.report_out:
+            spans.write.mode("overwrite").parquet(args.report_out)
+        flagged = (
+            spans.filter(F.col("max_span_tokens") >= args.min_span_tokens)
+            .select(F.col("train_id").alias(args.id_col))
+            .distinct()
+        )
+        train.join(flagged, args.id_col, "left_anti").write.mode("overwrite").parquet(args.out)
+        n_kept = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "train_rows": n_train, "contaminated_pairs": spans.count(),
+            "flagged_docs": n_train - n_kept, "kept_rows": n_kept,
+            "min_span_tokens": args.min_span_tokens, "out": args.out,
+        }))
 
     elif args.cmd == "shard":
         from sketchlib.spark.packing import shuffle_shard

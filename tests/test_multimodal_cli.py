@@ -262,3 +262,50 @@ def test_cli_curate_and_shard(spark, tmp_path):
               shuffle_shard(df, n_shards=2, seed=5).collect()}
     got_shards = {r_["doc_id"]: r_["shard"] for r_ in sharded.collect()}
     assert got_shards == expect
+
+
+def test_cli_decontaminate(spark, seq_tiny_dir, tmp_path):
+    """Decontamination as ONE CLI command: a 60-token verbatim inclusion is
+    flagged and dropped at the 50-token policy, a 20-token one survives,
+    and the span report parquet carries the evidence."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    train_dir = str(tmp_path / "train")
+    eval_dir = str(tmp_path / "eval")
+    src = spark.read.parquet(seq_tiny_dir)
+    src.coalesce(1).write.parquet(train_dir)
+    rows = src.orderBy("doc_id").limit(2).collect()
+    leak_id, leak_toks = rows[0]["doc_id"], rows[0]["tokens"]
+    short_id, short_toks = rows[1]["doc_id"], rows[1]["tokens"]
+    eval_df = spark.createDataFrame(
+        [
+            ("bench0", [int(t) for t in leak_toks[:60]]),   # 60-token leak
+            ("bench1", [int(t) for t in short_toks[:20]]),  # 20-token phrase
+            ("bench2", [9_000_001 + i for i in range(40)]), # no overlap
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    eval_df.coalesce(1).write.parquet(eval_dir)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "decontaminate",
+         "--train", train_dir, "--eval", eval_dir,
+         "--out", str(tmp_path / "clean"), "--min-span-tokens", "50",
+         "--report-out", str(tmp_path / "report")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [_json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][0]
+    assert out["train_rows"] == src.count()
+    assert out["flagged_docs"] == 1 and out["kept_rows"] == src.count() - 1
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    kept_ids = {x["doc_id"] for x in clean.select("doc_id").collect()}
+    assert leak_id not in kept_ids and short_id in kept_ids
+
+    rep = {x["train_id"]: x for x in spark.read.parquet(str(tmp_path / "report")).collect()}
+    assert rep[leak_id]["max_span_tokens"] == 60
+    assert rep[short_id]["max_span_tokens"] == 20
+    assert "bench2" not in {x["eval_id"] for x in rep.values()}
