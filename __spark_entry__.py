@@ -3761,7 +3761,10 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(1, len(lines)+1)) AS pos
                 FROM l
             ), h AS (
-                SELECT line FROM e GROUP BY line HAVING count(*) >= 3
+                -- '' exempt: blank lines are paragraph separators, not
+                -- boilerplate (mirrors dedup_lines)
+                SELECT line FROM e WHERE line <> ''
+                GROUP BY line HAVING count(*) >= 3
             )
             SELECT e.doc_id,
                    coalesce(string_agg(CASE WHEN h.line IS NULL THEN e.line END,
@@ -3800,8 +3803,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM s2
             ), s4 AS (
                 SELECT doc_id, pii_email, pii_ipv4, pii_ssn,
-                  len(regexp_extract_all(t3, '\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b')) AS pii_phone,
-                  regexp_replace(t3, '\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS t4
+                  len(regexp_extract_all(t3, '\+?\b\d{2,3}[ -]\d{3}[ -]\d{4}\b')) AS pii_phone,
+                  regexp_replace(t3, '\+?\b\d{2,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS t4
                 FROM s3
             )
             SELECT pattern, n_matches, n_docs FROM (

@@ -217,16 +217,36 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F
 
         from sketchlib.spark.dedup import dedup_lines
-        from sketchlib.spark.text import pii_report, redact_pii
+        from sketchlib.spark.text import PII_PATTERNS, redact_pii
 
         docs = spark.read.parquet(args.input)
-        summary = {"input_rows": docs.count()}
+        summary = {}
         if not args.no_redact:
+            # ONE redaction pass: pii_report would redact the whole corpus a
+            # second time just for its counts — aggregate the per-doc count
+            # columns (the attribution the redaction actually performed)
+            # and the redacted char total from the same cached frame instead
+            docs = redact_pii(docs, text_col=args.text_col).cache()
+            agg = docs.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.length(args.text_col)).alias("_chars"),
+                *[F.sum(f"pii_{p}").alias(f"_m_{p}") for p in PII_PATTERNS],
+                *[
+                    F.sum((F.col(f"pii_{p}") > 0).cast("long")).alias(f"_d_{p}")
+                    for p in PII_PATTERNS
+                ],
+            ).first()
+            summary["input_rows"] = int(agg["_n"])
             summary["pii"] = {
-                r["pattern"]: {"n_matches": r["n_matches"], "n_docs": r["n_docs"]}
-                for r in pii_report(docs, text_col=args.text_col).collect()
+                p: {"n_matches": int(agg[f"_m_{p}"] or 0), "n_docs": int(agg[f"_d_{p}"] or 0)}
+                for p in PII_PATTERNS
             }
-            docs = redact_pii(docs, text_col=args.text_col, counts=False)
+            summary["pii"]["__redacted__"] = {
+                "n_matches": int(agg["_chars"] or 0), "n_docs": 0,
+            }
+            docs = docs.drop(*[f"pii_{p}" for p in PII_PATTERNS])
+        else:
+            summary["input_rows"] = docs.count()
         if not args.no_line_dedup:
             # cache: cleaned + report are independent plans over the same
             # (possibly redacted) input — don't pay the scan twice

@@ -131,9 +131,34 @@ def _plugin_snapshot(kinds=None) -> dict[str, tuple[type, str]]:
     reference — unpickling re-imports the defining module, which re-runs
     its registration — and __main__/pickle_by_value classes travel whole).
     ``kinds``: restrict to the kinds a kernel actually builds, so one
-    plugin's picklability never affects an unrelated build."""
-    sel = _PLUGIN_STYLE if kinds is None else (set(kinds) & set(_PLUGIN_STYLE))
-    return {k: (_KINDS[k], _PLUGIN_STYLE[k]) for k in sel}
+    plugin's picklability never affects an unrelated build.
+
+    With ``kinds=None`` (merge/query kernels, whose kinds are only known
+    from the state rows AT EXECUTION) each entry is test-pickled and
+    unpicklable ones are dropped with a warning: a broken plugin must not
+    take down merges of unrelated kinds at closure-pickling time. A merge
+    that does contain the broken kind's states then fails executor-side
+    with the serde unknown-kind error naming it."""
+    if kinds is not None:
+        sel = set(kinds) & set(_PLUGIN_STYLE)
+        return {k: (_KINDS[k], _PLUGIN_STYLE[k]) for k in sel}
+    import logging
+
+    from pyspark import cloudpickle
+
+    snap: dict[str, tuple[type, str]] = {}
+    for k in _PLUGIN_STYLE:
+        entry = (_KINDS[k], _PLUGIN_STYLE[k])
+        try:
+            cloudpickle.dumps(entry)
+        except Exception as exc:
+            logging.getLogger(__name__).warning(
+                "plugin sketch kind %r is not picklable and was dropped from "
+                "this kernel's plugin snapshot: %s", k, exc,
+            )
+            continue
+        snap[k] = entry
+    return snap
 
 
 def _install_plugins(snap: dict[str, tuple[type, str]]) -> None:

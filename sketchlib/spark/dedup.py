@@ -24,6 +24,7 @@ P(pair in ≥1 band) = 1 − (1 − J^rows_per_band)^n_bands.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Iterator
 
@@ -70,7 +71,8 @@ def dedup_lines(
     lines in original order. This is the stage that strips "Subscribe to
     our newsletter" / nav bars / license footers from web corpora (C4,
     Raffel et al. 2020 §2.2 used three-sentence spans; the unit here is the
-    ``sep``-delimited line).
+    ``sep``-delimited line). The EMPTY line is exempt — blank lines are
+    paragraph separators and would otherwise be stripped corpus-wide.
 
     Returns (cleaned, report):
 
@@ -101,8 +103,13 @@ def dedup_lines(
             "_pos", "_line"
         ),
     )
+    # the empty line is exempt: blank lines are PARAGRAPH SEPARATORS, and
+    # '' is trivially >= min_count corpus-wide — without the exemption every
+    # document's paragraph structure would be silently collapsed (C4 removed
+    # repeated content spans, not structural whitespace)
     heavy = (
-        lines.groupBy("_line")
+        lines.filter(F.col("_line") != "")
+        .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_count)
         .select("_line", F.lit(True).alias("_heavy"))
@@ -520,10 +527,35 @@ def with_token_ngrams(
 
 
 
-def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float, col: str = "h"):
-    """One merged Bloom over ``e``'s ``h`` column, built distributed through
-    the standard sketch pipeline (Arrow partials → fanout merge → one state)
-    and returned as a driver-side object.
+# 1 GiB bit array: safely under the 2^31−1-byte JVM/Arrow binary cell cap
+# (the serialized state must fit one binary cell) and a sane broadcast size.
+_BLOOM_MAX_BITS = 1 << 33
+
+
+def _bloom_params(n_keys: int, fpr: float) -> tuple[int, int] | None:
+    """(m_bits, h) for a capacity-``n_keys`` Bloom at the requested fpr,
+    computed WITHOUT allocating the array (the optimal m at 10⁹+ keys is
+    gigabytes — deriving params must stay O(1) driver-side), and CAPPED at
+    ``_BLOOM_MAX_BITS``: beyond the cap the achieved fpr degrades
+    gracefully instead of the state crossing the JVM/Arrow 2 GiB binary
+    limit (which would crash a job the plain shuffle join handles fine).
+    Returns None when even the capped filter would pass >50% of random
+    keys — prefiltering then buys nothing over the plain shuffle join."""
+    n = max(int(n_keys), 1)
+    m = int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2)))
+    m = min(m, _BLOOM_MAX_BITS)
+    h = max(1, round((m / n) * math.log(2)))
+    projected_fpr = (1.0 - math.exp(-h * n / m)) ** h
+    if projected_fpr > 0.5:
+        return None
+    return m, h
+
+
+def _eval_hash_bloom(e: DataFrame, params: tuple[int, int], col: str = "h"):
+    """One merged Bloom (geometry from ``_bloom_params``) over ``e``'s
+    ``col`` column, built distributed through the standard sketch pipeline
+    (Arrow partials → fanout merge → one state) and returned as a
+    driver-side object.
 
     The eval side is coalesced to ≤64 partitions first: every partial is a
     FULL m-bit array regardless of how many keys the task saw, so the state
@@ -535,12 +567,12 @@ def _eval_hash_bloom(e: DataFrame, n_keys: int, fpr: float, col: str = "h"):
     from sketchlib.spark.build import SketchSpec, merge_states, partial_states
     from sketchlib.spark.query import load_states
 
-    proto = Bloom.for_capacity(n_keys, fpr)
-    spec = SketchSpec("_prefilter", "bloom", col, {"m_bits": proto.m_bits, "h": proto.h})
+    m_bits, h = params
+    spec = SketchSpec("_prefilter", "bloom", col, {"m_bits": m_bits, "h": h})
     merged = merge_states(partial_states(e.select(col).coalesce(64), [spec], group_by=None))
     states = load_states(merged)
     if not states:  # empty eval side — nothing can match
-        return proto
+        return Bloom(m_bits=m_bits, h=h)
     (bl,) = states.values()
     return bl
 
@@ -601,12 +633,17 @@ def _gated_eval_join(
     if n_eval <= broadcast_threshold:
         log.info("%s: eval side %d rows <= %d — broadcast join", op, n_eval, broadcast_threshold)
         return t.join(F.broadcast(e), "h")
-    if prefilter_fpr:
+    params = _bloom_params(n_eval, prefilter_fpr) if prefilter_fpr else None
+    if params is not None:
         log.info(
-            "%s: eval side %d rows > %d — bloom prefilter (fpr=%g) + shuffle join",
-            op, n_eval, broadcast_threshold, prefilter_fpr,
+            "%s: eval side %d rows > %d — bloom prefilter (m=%d h=%d) + shuffle join",
+            op, n_eval, broadcast_threshold, *params,
         )
-        t = _bloom_prefilter(t, _eval_hash_bloom(e, n_eval, prefilter_fpr))
+        # the eval plan is consumed twice below (bloom build + final join) on
+        # top of the count above — materialize it once; only this branch pays
+        # the checkpoint, so the cheap paths' captured plans stay stable
+        e = e.localCheckpoint()
+        t = _bloom_prefilter(t, _eval_hash_bloom(e, params))
     else:
         log.info("%s: eval side %d rows > %d — shuffle join (pairs only, no payloads)",
                  op, n_eval, broadcast_threshold)
@@ -833,12 +870,14 @@ def cut_duplicate_spans(
     A doc cut by several pairs gets all its intervals; overlaps need no
     merging — a token inside ANY interval is dropped (`exists` over the
     interval list). Positions refer to the ORIGINAL arrays, so all cuts
-    for a doc apply in one pass. A span repeated at several positions in
-    the same doc is only reported (and cut) at the longest-run position —
-    iterate detect→cut to fixpoint for full ExactSubstr semantics; one
-    pass already restores the invariant for spans occurring once per doc
-    (closure: re-running duplicate_spans on the output finds nothing,
-    driver-checked).
+    for a doc apply in one pass. One pass removes each pair's LONGEST
+    shared run only: ``duplicate_spans`` reports one span per pair, so a
+    pair sharing several disjoint qualifying runs keeps the shorter ones,
+    and a span repeated at several positions within one doc is cut at one
+    position — iterate detect→cut (``dedup_spans_fixpoint``) for the full
+    no-surviving-run ExactSubstr invariant. The driver's closure check
+    (re-running duplicate_spans finds nothing) holds for its
+    one-span-per-pair corpus; the fixpoint loop's tests cover the rest.
 
     Scale shape: the interval table is findings-sized (pairs, not corpus);
     its per-doc aggregation and the join onto ``docs`` broadcast under AQE.
@@ -882,12 +921,13 @@ def dedup_spans_fixpoint(
     max_bucket: int = 5000,
     element_cast: str | None = "BIGINT",
 ) -> tuple[DataFrame, dict]:
-    """Iterate detect → cut to the ExactSubstr fixpoint: a span repeated
-    at several positions inside one doc is reported (and cut) only at its
-    longest-run position per pass, so full semantics — NO cross-doc
-    verbatim run ≥ min_span_tokens survives anywhere — need the loop.
-    Once-per-doc duplication converges in one pass (the common case); each
-    extra pass handles one more in-doc repetition of the worst offender.
+    """Iterate detect → cut to the ExactSubstr fixpoint: each pass cuts
+    ONE span per pair (the longest), so a pair sharing several disjoint
+    qualifying runs — and a span repeated at several positions inside one
+    doc — is only partially remediated per pass; full semantics (NO
+    cross-doc verbatim run ≥ min_span_tokens survives anywhere) need the
+    loop. Single-span pairs converge in one pass (the common case); each
+    extra pass handles the next-longest surviving run per pair.
 
     Returns (cleaned docs with a cumulative ``n_cut_tokens``, stats):
     stats = {"iterations", "converged", "pairs_per_iter", "cut_tokens"}.
@@ -899,30 +939,38 @@ def dedup_spans_fixpoint(
     grinding)."""
     cur = docs
     pairs_per_iter: list[int] = []
-    total_cut = 0
     converged = False
     for _ in range(max_iter):
+        # findings-sized; checkpointed so the count AND the cut read ONE
+        # detect run — unmaterialized, the count, the cut, and the next
+        # pass's checkpoint would each replay the shingle self-join (the
+        # dominant cost per pass) from scratch
         spans = duplicate_spans(
             cur, tokens_col, id_col, n=n, min_span_tokens=min_span_tokens,
             max_bucket=max_bucket, element_cast=element_cast,
-        )
-        n_pairs = spans.count()
-        if n_pairs == 0:
+        ).localCheckpoint(eager=True)
+        if spans.count() == 0:
             converged = True
             break
-        pairs_per_iter.append(n_pairs)
-        cut = cut_duplicate_spans(cur, spans, tokens_col, id_col)
-        total_cut += cut.agg(F.sum("n_cut_tokens")).collect()[0][0] or 0
-        cur = cut.drop("n_cut_tokens").localCheckpoint(eager=True)
-    out = cur.withColumn("n_cut_tokens", F.lit(0)) if converged and not pairs_per_iter else cur
+        pairs_per_iter.append(spans.count())
+        cur = (
+            cut_duplicate_spans(cur, spans, tokens_col, id_col)
+            .drop("n_cut_tokens")
+            .localCheckpoint(eager=True)
+        )
+    total_cut = 0
+    out = cur.withColumn("n_cut_tokens", F.lit(0))
     if pairs_per_iter:
-        # recompute the cumulative per-doc cut from original vs final sizes
+        # cumulative per-doc cut from original vs final sizes — per-pass
+        # sums would cost one cut replay each and still need this join for
+        # the per-doc column
         orig = docs.select(id_col, F.size(tokens_col).alias("_n0"))
         out = (
             cur.join(orig, id_col)
             .withColumn("n_cut_tokens", F.col("_n0") - F.size(tokens_col))
             .drop("_n0")
         )
+        total_cut = out.agg(F.sum("n_cut_tokens")).collect()[0][0] or 0
     stats = {
         "iterations": len(pairs_per_iter),
         "converged": converged,
@@ -942,6 +990,7 @@ def dedup_delta(
     max_candidates_per_doc: int = 200,
     seed: int | None = None,
     broadcast_threshold: int = 100_000_000,
+    prefilter_fpr: float | None = 1e-3,
     catalog=None,
     catalog_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -980,7 +1029,14 @@ def dedup_delta(
     join — which still moves only (id, band_hash) / (id, sig) rows, never
     token payloads. An unconditional broadcast at a 100 GB delta (~4×10⁷
     docs × 16+ bands ≈ 10⁹ band rows) would blow past the cap and the
-    driver heap. A new doc colliding with a boilerplate bucket caps at
+    driver heap. On that fallback the corpus band stream is additionally
+    BLOOM-PREFILTERED map-side (``prefilter_fpr``; None disables): a Bloom
+    over the delta's band hashes — size-capped with gracefully-degraded
+    fpr, skipped entirely when even the capped filter would pass most keys
+    — keeps only corpus bands that may match, so the corpus-side shuffle
+    is hits + fpr × corpus instead of the full band table. Exact either
+    way: the band join only generates candidates; signature agreement is
+    the arbiter. A new doc colliding with a boilerplate bucket caps at
     ``max_candidates_per_doc`` verification partners (one verified match
     already decides "duplicate"; the cap bounds a 10⁶-member template
     bucket's fan-out), and within-delta dedup reuses the standard capped
@@ -1064,15 +1120,21 @@ def dedup_delta(
     # the corpus signature table twice.
     nb = new_sigs.select(F.col(id_col).alias("_nid"), F.explode("bands").alias("bh"))
     eb = existing_sigs.select(F.col(id_col).alias("_eid"), F.explode("bands").alias("bh"))
-    if not small_delta:
+    pf_params = (
+        _bloom_params(delta_band_rows, prefilter_fpr)
+        if (not small_delta and prefilter_fpr)
+        else None
+    )
+    if pf_params is not None:
         # backfill-sized delta: the shuffle-join fallback would exchange the
         # FULL corpus band table (~21 TB at 4.2e10 docs) against the delta.
         # Bloom-prefilter the corpus side map-side first (same shape as the
         # decontamination fallback above): only corpus bands that MAY match
         # a delta band survive to the shuffle — hits + fpr x corpus. Exact:
         # no false negatives, and the band join is a candidate generator
-        # anyway (the signature-agreement verify is the arbiter).
-        eb = _bloom_prefilter(eb, _eval_hash_bloom(nb, delta_band_rows, 1e-3, col="bh"), col="bh")
+        # anyway (the signature-agreement verify is the arbiter). nb reads
+        # the new_sigs checkpoint, so the extra bloom-build pass is cheap.
+        eb = _bloom_prefilter(eb, _eval_hash_bloom(nb, pf_params, col="bh"), col="bh")
     cross = (
         eb.join(_gated(nb), "bh")
         .groupBy("_nid", "_eid")

@@ -193,7 +193,10 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    "phone": (r"\b\+?\d{2,3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    # NB the optional '+' must precede \b: after \b it could never match
+    # ("+44 ..." has no word boundary before '+'), leaving the prefix
+    # unredacted next to <PHONE>
+    "phone": (r"\+?\b\d{2,3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
 }
 
 
@@ -229,8 +232,12 @@ def redact_pii(
             count_cols.append(F.regexp_count(col, F.lit(regex)).alias(f"pii_{name}"))
         col = F.regexp_replace(col, regex, repl)
     out_name = out or text_col
-    keep = [c for c in df.columns if c != out_name]
-    return df.select(*keep, *count_cols, col.alias(out_name))
+    if out_name in df.columns:
+        # in-place: replace at the ORIGINAL position (moving the text column
+        # last would silently break positional consumers), counts appended
+        replaced = [col.alias(out_name) if c == out_name else F.col(c) for c in df.columns]
+        return df.select(*replaced, *count_cols)
+    return df.select(*df.columns, *count_cols, col.alias(out_name))
 
 
 def pii_report(

@@ -691,13 +691,21 @@ def test_redact_pii_sequential_attribution(spark):
             (2, "ssn 123-45-6789 call 415-555-0142 twice 415-555-0142"),
             (3, "clean text"),
             (4, "a@b.io a@b.io 999.999.999.999"),
+            (5, "intl +44 123 4567 ok"),
         ],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    redacted = redact_pii(df)
+    # in-place redaction must keep the original column ORDER (text stays at
+    # index 1; positional consumers would otherwise read a count column)
+    assert redacted.columns[:2] == ["doc_id", "text"]
+    got = {r["doc_id"]: r for r in redacted.collect()}
     assert got[1]["text"] == "mail <EMAIL> or <IP>"
     assert got[2]["text"] == "ssn <SSN> call <PHONE> twice <PHONE>"
     assert got[3]["text"] == "clean text"
+    # the international '+' is consumed by the redaction ('\+?' BEFORE \b —
+    # after it, '+44' has no boundary and the prefix would survive)
+    assert got[5]["text"] == "intl <PHONE> ok"
     # the email rule consumes its digits BEFORE ip/phone see them, and
     # 999.999.999.999 still reads as an IPv4 shape (redaction, not
     # validation — same as DuckDB's RE2 on the identical pattern)
@@ -709,7 +717,7 @@ def test_redact_pii_sequential_attribution(spark):
     assert rep["email"] == (3, 2)
     assert rep["ipv4"] == (2, 2)
     assert rep["ssn"] == (1, 1)
-    assert rep["phone"] == (2, 1)
+    assert rep["phone"] == (3, 2)
     total_chars = sum(len(r["text"]) for r in redact_pii(df).collect())
     assert rep["__redacted__"] == (total_chars, 0)
 
@@ -749,11 +757,19 @@ def test_dedup_lines_c4_boilerplate(spark):
             (3, "Subscribe now\nunique three\nSubscribe now"),
             (4, "all heavy\nall heavy\nall heavy"),  # within-doc repeats count
             (5, None),
+            # blank-line PARAGRAPH SEPARATORS: '' occurs 3x corpus-wide but is
+            # exempt — stripping it would collapse every doc's paragraph
+            # structure (the separator is whitespace, not boilerplate)
+            (6, "para six a\n\npara six b"),
+            (7, "para seven a\n\npara seven b"),
+            (8, "para eight a\n\npara eight b"),
         ],
         "doc_id long, text string",
     )
     cleaned, report = dedup_lines(df)
     got = {r["doc_id"]: r for r in cleaned.collect()}
+    assert got[6]["text_clean"] == "para six a\n\npara six b"
+    assert (got[6]["n_kept"], got[6]["n_removed"]) == (3, 0)
     assert got[1]["text_clean"] == "unique story one\ntail one"
     assert got[2]["text_clean"] == "unique story two"
     assert got[3]["text_clean"] == "unique three"
@@ -764,7 +780,7 @@ def test_dedup_lines_c4_boilerplate(spark):
     assert got[5]["text_clean"] is None and got[5]["n_removed"] == 0
     rep = report.collect()[0]
     assert (rep["n_docs"], rep["n_lines"], rep["n_removed"], rep["n_heavy_lines"]) == (
-        4, 11, 7, 2,
+        7, 20, 7, 2,
     )
 
     with pytest.raises(ValueError, match="min_count"):
@@ -945,6 +961,7 @@ def test_contamination_bloom_prefilter_paths_identical(spark):
     from pyspark.sql import functions as F
 
     from sketchlib.spark.dedup import (
+        _bloom_params,
         _bloom_prefilter,
         _eval_hash_bloom,
         contamination_pairs,
@@ -989,6 +1006,54 @@ def test_contamination_bloom_prefilter_paths_identical(spark):
         .distinct()
     )
     total = t.count()
-    survivors = _bloom_prefilter(t, _eval_hash_bloom(e, e.count(), 1e-3)).count()
+    survivors = _bloom_prefilter(t, _eval_hash_bloom(e, _bloom_params(e.count(), 1e-3))).count()
     assert total > 6000
     assert 13 <= survivors < total * 0.05
+
+
+def test_bloom_params_capped_and_degenerate():
+    """Bloom geometry is derived O(1) (no array allocation), CAPPED at the
+    JVM/Arrow binary limit with gracefully-degraded fpr, and reports None
+    when the capped filter would be useless — the caller then keeps the
+    plain shuffle join instead of crashing where it used to work."""
+    import math
+
+    from sketchlib.spark.dedup import _BLOOM_MAX_BITS, _bloom_params
+
+    m, h = _bloom_params(10**8, 1e-3)
+    assert abs(m - (-10**8 * math.log(1e-3) / math.log(2) ** 2)) < 8  # optimal
+    assert h == round((m / 10**8) * math.log(2))
+
+    m, h = _bloom_params(2 * 10**9, 1e-3)  # optimal m would be 28.7e9 > cap
+    assert m == _BLOOM_MAX_BITS and h >= 1
+    proj = (1.0 - math.exp(-h * 2 * 10**9 / m)) ** h
+    assert proj <= 0.5  # still selective enough to be worth the pass
+
+    assert _bloom_params(10**11, 1e-3) is None  # capped filter ~always-true
+
+
+def test_dedup_spans_fixpoint_disjoint_spans_same_pair(spark):
+    """A pair sharing TWO disjoint qualifying runs: duplicate_spans reports
+    only the longest per pair, so one cut pass leaves the shorter run —
+    the fixpoint loop must take a second pass and remove it too."""
+    from sketchlib.spark.dedup import dedup_spans_fixpoint, duplicate_spans
+
+    blk_a = list(range(1000, 1060))  # 60-token shared block
+    blk_b = list(range(2000, 2040))  # 40-token shared block, disjoint
+    rows = [
+        (1, blk_a + list(range(100, 130)) + blk_b),
+        (2, blk_a + list(range(300, 340)) + blk_b),
+        (3, list(range(500, 560))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    cleaned, stats = dedup_spans_fixpoint(df, n=8, min_span_tokens=20, max_iter=5)
+    assert stats["converged"] and stats["iterations"] == 2
+    assert stats["pairs_per_iter"] == [1, 1]
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    # keeper (min id) retains both blocks; doc 2 loses both, keeps its middle
+    assert got[1]["tokens"] == rows[0][1] and got[1]["n_cut_tokens"] == 0
+    assert got[2]["tokens"] == list(range(300, 340)) and got[2]["n_cut_tokens"] == 100
+    assert got[3]["n_cut_tokens"] == 0
+    assert stats["cut_tokens"] == 100
+    # the defining closure, at the fixpoint
+    assert duplicate_spans(cleaned, n=8, min_span_tokens=20).count() == 0

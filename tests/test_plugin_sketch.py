@@ -261,3 +261,46 @@ def test_plugin_kind_incremental_refresh(spark, tmp_path):
         (F.max("n_chars") - F.min("n_chars")).cast("double").alias("r")
     ).collect()[0]["r"])
     assert after == exact and after >= before
+
+
+def test_unpicklable_plugin_does_not_break_unrelated_merges(spark, seq_tiny_dir):
+    """merge/query kernels snapshot ALL plugins (their kinds are only known
+    from the state rows at execution) — a plugin cloudpickle cannot
+    serialize must be dropped from that snapshot with a warning, not crash
+    every unrelated pipeline at closure-pickling time."""
+    import threading
+
+    from sketchlib.spark.build import (
+        _KINDS,
+        _PLUGIN_STYLE,
+        SketchSpec,
+        _plugin_snapshot,
+        build_sketches,
+    )
+    from sketchlib.spark.query import estimates_df
+
+    # dynamic class (not resolvable by reference) holding an unpicklable
+    # attribute -> cloudpickle by-value serialization raises
+    broken = type("BrokenPlugin", (), {"kind": "_broken_plugin", "_lock": threading.Lock()})
+    _KINDS["_broken_plugin"] = broken
+    _PLUGIN_STYLE["_broken_plugin"] = "values"
+    try:
+        import pyspark.cloudpickle as cp
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            cp.dumps((broken, "values"))  # precondition: it really is broken
+
+        snap = _plugin_snapshot()
+        assert "_broken_plugin" not in snap  # dropped, not fatal
+
+        # an unrelated built-in pipeline still runs end-to-end through the
+        # full-snapshot merge and estimate kernels
+        df = spark.read.parquet(seq_tiny_dir).limit(200)
+        states = build_sketches(df, [SketchSpec("h", "hll", "doc_id", {"p": 12})],
+                                group_by="source")
+        est = estimates_df(spark, states, "h")
+        assert est.count() > 0
+    finally:
+        _KINDS.pop("_broken_plugin", None)
+        _PLUGIN_STYLE.pop("_broken_plugin", None)
