@@ -3193,6 +3193,33 @@ def q_c29_cut_accounting(spark, sf_dir):
     )
 
 
+def q_c30_budget_selection(spark, sf_dir):
+    """Round 5 continuation: quality-ranked selection under a TOKEN BUDGET
+    (`sampling.select_within_budget`) — per source, keep the maximal prefix
+    of docs in (score DESC, id ASC) order whose cumulative token count fits
+    the budget (the "take the best N tokens of each source" step between
+    quality scoring and mixture composition). The distributed shape is a
+    per-(source, score-bucket) token histogram + map-side threshold keep +
+    a window over ONLY the boundary bucket — never the naive one-task-per-
+    source window — and the kept SET is value-matched here against DuckDB
+    running exactly that naive window (`sum(n_tok) OVER (PARTITION BY
+    source ORDER BY score DESC, doc_id) <= budget`), ties and boundary
+    included. Score/n_tok are deterministic arithmetic on (n_chars,
+    doc_id), identically in the oracle; n_buckets=64 keeps several sources'
+    boundaries INSIDE a bucket so the exact-prefix window path is
+    exercised, not just whole-bucket keeps."""
+    from sketchlib.spark.sampling import select_within_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("n_chars") % 37) + (F.col("doc_id") % 7) / 10.0).alias("score"),
+        (F.col("n_chars") % 97 + 5).cast("long").alias("n_tok"),
+    )
+    kept = select_within_budget(docs, 800, "score", n_buckets=64)
+    return kept.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3280,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c27_duplicate_spans": _dist_wrapped(q_c27_duplicate_spans),
         "c28_cut_spans": _dist_wrapped(q_c28_cut_spans),
         "c29_cut_accounting": _dist_wrapped(q_c29_cut_accounting),
+        "c30_budget_selection": _dist_wrapped(q_c30_budget_selection),
     }
 
 
@@ -3586,6 +3614,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        # the naive one-task-per-source window the distributed operator
+        # must equal exactly: maximal per-source prefix in (score DESC, id)
+        # order with cumulative n_tok within budget
+        "c30_budget_selection": """
+            WITH scored AS (
+                SELECT doc_id, source,
+                       (n_chars % 37) + (doc_id % 7) / 10.0 AS score,
+                       CAST(n_chars % 97 + 5 AS BIGINT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT *, sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY score DESC, doc_id
+                ) AS cum
+                FROM scored
+            )
+            SELECT doc_id, source, score, n_tok FROM c
+            WHERE cum <= 800 ORDER BY doc_id
         """,
         # same span algebra as c27, then relational interval-union per cut
         # doc (sort + running-max gaps-and-islands) — an independent

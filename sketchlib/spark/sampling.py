@@ -603,3 +603,123 @@ def mixture_sample(
         "fraction double, capped boolean",
     )
     return df.sampleBy(source_col, fracs, seed), report
+
+
+def select_within_budget(
+    df: DataFrame,
+    budget: int | dict,
+    score_col: str,
+    len_col: str = "n_tok",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Quality-ranked selection under a TOKEN BUDGET — the deterministic
+    counterpart of ``mixture_sample``: per source, keep the maximal prefix
+    of documents in (``score_col`` DESC, ``id_col`` ASC) order whose
+    cumulative ``len_col`` stays within the source's budget ("take the
+    best N tokens of web", the step between quality scoring and mixture
+    composition). ``budget``: one int for every source, or {source: int}
+    (sources absent from the dict are excluded, like ``mixture_sample``'s
+    weights).
+
+    Scale shape — the naive window (`sum(len) OVER (PARTITION BY source
+    ORDER BY score DESC, id)`) puts each source on ONE task: a 10¹²-doc
+    corpus with 10 sources would sort 10¹¹ docs per task. Instead: (1) one
+    groupBy pass builds a per-(source, score-bucket) token histogram
+    (G × n_buckets rows, driver-side cumulated); (2) every doc in a bucket
+    strictly better than the threshold bucket is kept MAP-SIDE (broadcast
+    threshold join, no shuffle, no sort); (3) only the BOUNDARY bucket's
+    docs (~1/n_buckets of the source) enter a window for the exact
+    within-bucket prefix. The kept set is EXACTLY the naive window's
+    (test-locked) because bucketing is monotone in score. Degenerate case:
+    a source whose every doc has one identical score has a single bucket —
+    the boundary window then covers that whole source (the order (score,
+    id) gives the histogram nothing to split; raise ``n_buckets`` only
+    helps distinct scores).
+    """
+    from pyspark.sql import Window
+
+    if isinstance(budget, dict):
+        bad = {s: b for s, b in budget.items() if int(b) < 0}
+        if bad:
+            raise ValueError(f"budgets must be non-negative, got {bad}")
+        budgets = {s: int(b) for s, b in budget.items()}
+        default_budget = None
+    else:
+        if int(budget) < 0:
+            raise ValueError(f"budget must be non-negative, got {budget}")
+        budgets, default_budget = {}, int(budget)
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    sfield = df.schema[source_col]
+    # per-source score range, joined back (broadcast) rather than compiled
+    # into a per-source WHEN chain: a 10⁴-source corpus would otherwise pay
+    # the Catalyst giant-literal-expression planning cost measured for the
+    # registry In() listing (DESIGN_100TB §2). A source whose scores are all
+    # NULL has no range — its docs are unrankable and drop via the inner join.
+    stats = [
+        (r[source_col], float(r["_mn"]), float(r["_mx"]) - float(r["_mn"]))
+        for r in df.groupBy(source_col)
+        .agg(F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx"))
+        .collect()
+        if r["_mn"] is not None
+    ]
+    if not stats:
+        return df.limit(0)
+    stats_df = spark.createDataFrame(
+        stats,
+        StructType([sfield, StructField("_mn", DoubleType()), StructField("_span", DoubleType())]),
+    )
+    # monotone per-source affine map of score onto [0, n_buckets): bucket
+    # order == score order, so the budget boundary is bucket-exact
+    work = (
+        df.join(F.broadcast(stats_df), source_col)
+        .withColumn(
+            "_b",
+            F.when(F.col("_span") <= 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col(score_col) - F.col("_mn")) / F.col("_span") * n_buckets),
+                )
+            )
+            .cast("int"),
+        )
+        .drop("_mn", "_span")
+    )
+    hist = {
+        (r[source_col], int(r["_b"])): int(r["_tok"])
+        for r in work.groupBy(source_col, "_b").agg(F.sum(len_col).alias("_tok")).collect()
+    }
+    rows = []  # (source, boundary bucket, boundary-bucket remaining budget)
+    for s, _mn, _span in stats:
+        bud = budgets.get(s, default_budget)
+        if bud is None:  # dict budgets: unlisted source excluded
+            rows.append((s, n_buckets, 0))
+            continue
+        cum = 0
+        bstar, remaining = -1, 0  # -1: whole source fits
+        for b in range(n_buckets - 1, -1, -1):
+            tok = hist.get((s, b), 0)
+            if cum + tok > bud:
+                bstar, remaining = b, bud - cum
+                break
+            cum += tok
+        rows.append((s, bstar, remaining))
+    thr = spark.createDataFrame(
+        rows,
+        StructType([sfield, StructField("_bstar", IntegerType()), StructField("_rem", LongType())]),
+    )
+    work = work.join(F.broadcast(thr), source_col)
+    full = work.filter((F.col("_bstar") == -1) | (F.col("_b") > F.col("_bstar")))
+    w = Window.partitionBy(source_col).orderBy(F.desc(score_col), F.asc(id_col))
+    boundary = (
+        work.filter(F.col("_b") == F.col("_bstar"))
+        .withColumn("_cum", F.sum(len_col).over(w))
+        .filter(F.col("_cum") <= F.col("_rem"))
+        .drop("_cum")
+    )
+    return full.unionByName(boundary).select(*df.columns)

@@ -342,3 +342,72 @@ def test_approx_moments_numerically_stable(spark):
     assert 0 < b["corr_err"] < 0.05
     assert b["covar_err"] > 0  # stable conservative bound, not cancelled to 0
     assert abs(b["est_covar"] - exact_cv) <= max(b["covar_err"], 0.05 * exact_cv)
+
+
+def _naive_budget_prefix(rows, budget_of):
+    """Reference: maximal prefix per source in (score DESC, id ASC) order
+    with cumulative n_tok <= budget — what the naive window computes."""
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    kept = set()
+    for s, rs in by_src.items():
+        bud = budget_of(s)
+        cum = 0
+        for r in sorted(rs, key=lambda r: (-r["score"], r["doc_id"])):
+            cum += r["n_tok"]
+            if cum > bud:
+                break
+            kept.add(r["doc_id"])
+    return kept
+
+
+def test_select_within_budget_matches_naive_window(spark):
+    """The histogram + boundary-bucket plan must return EXACTLY the naive
+    per-source window's prefix — including duplicate scores, ties broken by
+    id, a source that fully fits, and a dict budget excluding a source."""
+    import random
+
+    from sketchlib.spark.sampling import select_within_budget
+
+    rng = random.Random(7)
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}",
+         "score": float(rng.randrange(50)),  # few distinct scores -> many ties
+         "n_tok": rng.randrange(5, 40)}
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["score"], r["n_tok"]) for r in rows],
+        "doc_id long, source string, score double, n_tok int",
+    )
+
+    got = {r["doc_id"] for r in select_within_budget(df, 900, "score", n_buckets=16).collect()}
+    assert got == _naive_budget_prefix(rows, lambda s: 900)
+
+    # dict budgets: s2 absent -> excluded entirely; s0 huge -> fully kept
+    buds = {"s0": 10**9, "s1": 500}
+    got2 = select_within_budget(df, buds, "score", n_buckets=16).collect()
+    ids2 = {r["doc_id"] for r in got2}
+    assert ids2 == _naive_budget_prefix(rows, lambda s: buds.get(s, 0))
+    assert {r["source"] for r in got2} == {"s0", "s1"}
+    assert sum(1 for r in rows if r["source"] == "s0") == sum(
+        1 for r in got2 if r["source"] == "s0"
+    )
+
+    # degenerate: one identical score everywhere -> single bucket, order by id
+    same = spark.createDataFrame(
+        [(i, "x", 1.0, 10) for i in range(20)],
+        "doc_id long, source string, score double, n_tok int",
+    )
+    kept = sorted(r["doc_id"] for r in select_within_budget(same, 55, "score").collect())
+    assert kept == [0, 1, 2, 3, 4]  # 5 docs x 10 tokens <= 55, 6th overflows
+
+    # zero budget keeps nothing; schema is the input's
+    assert select_within_budget(df, 0, "score").count() == 0
+    assert select_within_budget(df, 0, "score").columns == df.columns
+
+    with pytest.raises(ValueError, match="non-negative"):
+        select_within_budget(df, -1, "score")
