@@ -3220,6 +3220,30 @@ def q_c30_budget_selection(spark, sf_dir):
     return kept.orderBy("doc_id")
 
 
+def q_c31_upsample_mixture(spark, sf_dir):
+    """Round 5 continuation: deterministic mixture UPSAMPLING
+    (`sampling.upsample_mixture`) — the replication half mixture_sample
+    flags but refuses to do silently: each source gets floor(f) copies per
+    doc plus one more for the md5-keyed fraction of ids covering the
+    remainder, so epochs-per-source is explicit AND reproducible (a pure
+    function of (id, seed, f), never of partitioning or cluster size).
+    Fractions here follow source-number % 3 → {2.25, 1.0, 0.5}: an
+    over-unity source (copy fan-out), an identity source, and a sub-unity
+    source (keyed drop). Every (doc, copy) row is VALUE-matched against
+    DuckDB computing the identical md5 coin and per-copy unnest — the
+    binary-exact remainder bounds (2^58, 2^59) make the two engines'
+    integer comparisons literally identical."""
+    from sketchlib.spark.sampling import upsample_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    fr = {s: {0: 2.25, 1: 1.0, 2: 0.5}[int(s[3:]) % 3] for s in srcs}
+    out = upsample_mixture(docs, fr, seed=3)
+    return out.select(
+        "doc_id", "source", F.col("copy").cast("int").alias("copy")
+    ).orderBy("doc_id", "copy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3308,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c28_cut_spans": _dist_wrapped(q_c28_cut_spans),
         "c29_cut_accounting": _dist_wrapped(q_c29_cut_accounting),
         "c30_budget_selection": _dist_wrapped(q_c30_budget_selection),
+        "c31_upsample_mixture": _dist_wrapped(q_c31_upsample_mixture),
     }
 
 
@@ -3614,6 +3639,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'min_tokens',
                        CAST(sum(CASE WHEN n >= 5 THEN 0 ELSE 1 END) AS BIGINT) FROM m
             ) ORDER BY gate
+        """,
+        # identical md5 coin + per-copy unnest; remainder bounds 2^58/2^59
+        # are binary-exact so both engines compare the same integers
+        "c31_upsample_mixture": """
+            WITH k AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 15))
+                            AS BIGINT) AS key,
+                       CAST(substr(source, 4) AS INTEGER) % 3 AS grp
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source,
+                       CASE grp
+                         WHEN 0 THEN 2 + CASE WHEN key < 288230376151711744 THEN 1 ELSE 0 END
+                         WHEN 1 THEN 1
+                         ELSE CASE WHEN key < 576460752303423488 THEN 1 ELSE 0 END
+                       END AS n_copies
+                FROM k
+            )
+            SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INTEGER) AS copy
+            FROM n WHERE n_copies > 0 ORDER BY doc_id, copy
         """,
         # the naive one-task-per-source window the distributed operator
         # must equal exactly: maximal per-source prefix in (score DESC, id)

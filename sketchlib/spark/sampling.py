@@ -723,3 +723,65 @@ def select_within_budget(
         .drop("_cum")
     )
     return full.unionByName(boundary).select(*df.columns)
+
+
+def upsample_mixture(
+    df: DataFrame,
+    fractions: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Materialize an OVER-unity mixture by deterministic replication — the
+    half ``mixture_sample`` refuses to do silently (it caps fractions at
+    1.0 and flags ``capped``; actually up-weighting a source means
+    replicating it, a decision that must be explicit and reproducible).
+    Each source's rows get ``floor(f)`` copies plus one more for the
+    deterministic md5 fraction of ids covering the remainder: a doc's copy
+    count is a pure function of (id, seed, f) — independent of
+    partitioning, cluster size, or file layout, so re-runs and audits see
+    the identical corpus. Fractions may be < 1 too (0.5 → half the docs,
+    chosen by the same keyed coin — NOT a new sample on every run like
+    ``sample()``); sources absent from ``fractions`` are excluded, like
+    ``mixture_sample``'s weights. Output rows carry ``copy_col``
+    (0..n_copies-1), so (id, copy) is unique and downstream shuffle/shard
+    can decorrelate the replicas.
+
+    Scale shape: broadcast plan join + codegen key/explode — zero shuffle,
+    one corpus scan. NULL ids have no stable coin: they get floor(f)
+    copies only (the fractional extra needs an id).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from sketchlib.spark.packing import _md5_key60
+
+    bad = {s: f for s, f in fractions.items() if float(f) < 0}
+    if bad:
+        raise ValueError(f"fractions must be non-negative, got {bad}")
+    rows = []
+    for s, f in fractions.items():
+        base = int(float(f))
+        # remainder coin boundary in [0, 2^60) — integer-exact, so any
+        # engine computing the same md5 key agrees on every copy count
+        bound = int(round((float(f) - base) * (1 << 60)))
+        rows.append((s, base, bound))
+    spark = df.sparkSession
+    plan = spark.createDataFrame(
+        rows,
+        StructType(
+            [df.schema[source_col], StructField("_base", IntegerType()), StructField("_bound", LongType())]
+        ),
+    )
+    key = _md5_key60(id_col, seed)
+    out = (
+        df.join(F.broadcast(plan), source_col)
+        .withColumn(
+            "_n",
+            F.col("_base")
+            + F.when(key < F.col("_bound"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+    )
+    return out.select(*df.columns, copy_col)

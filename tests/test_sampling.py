@@ -411,3 +411,52 @@ def test_select_within_budget_matches_naive_window(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         select_within_budget(df, -1, "score")
+
+
+def test_upsample_mixture_deterministic_replication(spark):
+    """Copy counts are a pure function of (id, seed, fraction): floor(f)
+    copies + one more iff the 60-bit md5 key is under the remainder
+    boundary — verified against an independent hashlib reference. Unlisted
+    sources are excluded; sub-unity fractions drop by the same keyed coin;
+    NULL ids get floor(f) copies only."""
+    import hashlib
+
+    from sketchlib.spark.sampling import upsample_mixture
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(200)] + [(None, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"a": 2.25, "b": 0.5, "c": 1.0}
+    out = upsample_mixture(df, fr, seed=3).collect()
+    assert [c for c in out[0].asDict()] == ["doc_id", "source", "copy"]
+
+    def key(i):
+        return int(hashlib.md5(f"{i}:3".encode()).hexdigest()[:15], 16)
+
+    def want_copies(i, s):
+        f = fr.get(s)
+        if f is None:
+            return 0
+        base = int(f)
+        if i is None:
+            return base
+        return base + (1 if key(i) < round((f - base) * (1 << 60)) else 0)
+
+    from collections import Counter
+
+    got = Counter((r["doc_id"], r["source"]) for r in out)
+    for i, s in rows:
+        assert got.get((i, s), 0) == want_copies(i, s), (i, s)
+    # copy indexes are 0..n-1 per doc
+    for (i, s), n in got.items():
+        copies = sorted(r["copy"] for r in out if r["doc_id"] == i and r["source"] == s)
+        assert copies == list(range(n))
+    # the coin actually splits: some a-docs got 3 copies, some 2; some
+    # b-docs survived, some dropped
+    a_counts = {got[(i, "a")] for i, s in rows if s == "a" and i is not None}
+    assert a_counts == {2, 3}
+    b_counts = {got.get((i, "b"), 0) for i, s in rows if s == "b"}
+    assert b_counts == {0, 1}
+    assert all(s != "d" for _, s in got)  # unlisted source excluded
+
+    with pytest.raises(ValueError, match="non-negative"):
+        upsample_mixture(df, {"a": -0.1})
