@@ -135,6 +135,26 @@ def main(argv=None) -> int:
     dc.add_argument("--report-out", default=None,
                     help="also write the per-pair span report parquet here")
 
+    mx = sub.add_parser(
+        "mix",
+        help="mixture materialization: EITHER quality-ranked selection "
+        "under a per-source token budget (--budget + --score-col) OR "
+        "deterministic replication/downsampling by per-source fractions "
+        "(--fractions src=f ...); both reproducible pure functions of the "
+        "input, never of partitioning",
+    )
+    mx.add_argument("--input", required=True, help="parquet dir")
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--source-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--budget", type=int, default=None,
+                    help="per-source token budget (needs --score-col)")
+    mx.add_argument("--score-col", default=None)
+    mx.add_argument("--len-col", default="n_tok")
+    mx.add_argument("--fractions", nargs="*", default=None, metavar="SRC=F",
+                    help="per-source copy fractions for upsample_mixture")
+    mx.add_argument("--seed", type=int, default=0)
+
     sh = sub.add_parser(
         "shard",
         help="deterministic global shuffle + shard: write shard=N/ "
@@ -293,6 +313,41 @@ def main(argv=None) -> int:
             "train_rows": n_train, "contaminated_pairs": spans.count(),
             "flagged_docs": n_train - n_kept, "kept_rows": n_kept,
             "min_span_tokens": args.min_span_tokens, "out": args.out,
+        }))
+
+    elif args.cmd == "mix":
+        from pyspark.sql import functions as F
+
+        if (args.budget is None) == (args.fractions is None):
+            raise SystemExit("mix: pass exactly one of --budget or --fractions")
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        if args.budget is not None:
+            if not args.score_col:
+                raise SystemExit("mix: --budget needs --score-col")
+            from sketchlib.spark.sampling import select_within_budget
+
+            out_df = select_within_budget(
+                docs, args.budget, args.score_col, len_col=args.len_col,
+                source_col=args.source_col, id_col=args.id_col,
+            )
+            mode = "budget"
+        else:
+            from sketchlib.spark.sampling import upsample_mixture
+
+            fr = {}
+            for kv in args.fractions:
+                s, _, f = kv.partition("=")
+                fr[s] = float(f)
+            out_df = upsample_mixture(
+                docs, fr, source_col=args.source_col, id_col=args.id_col,
+                seed=args.seed,
+            )
+            mode = "fractions"
+        out_df.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "mode": mode, "input_rows": n_in, "output_rows": n_out, "out": args.out,
         }))
 
     elif args.cmd == "shard":

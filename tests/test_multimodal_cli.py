@@ -309,3 +309,54 @@ def test_cli_decontaminate(spark, seq_tiny_dir, tmp_path):
     assert rep[leak_id]["max_span_tokens"] == 60
     assert rep[short_id]["max_span_tokens"] == 20
     assert "bench2" not in {x["eval_id"] for x in rep.values()}
+
+
+def test_cli_mix(spark, tmp_path):
+    """Both mix modes end-to-end in a subprocess: budget selection keeps the
+    per-source best-score prefix; fraction mode replicates/downsamples by
+    the deterministic coin (matching the operator called directly)."""
+    import json as _json
+
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i % 10), 10) for i in range(100)],
+        "doc_id long, source string, score double, n_tok int",
+    )
+    df.write.parquet(src)
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "sketchlib.cli", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][-1]
+
+    out1 = run("mix", "--input", src, "--out", str(tmp_path / "sel"),
+               "--budget", "200", "--score-col", "score")
+    assert out1 == {"mode": "budget", "input_rows": 100, "output_rows": 40,
+                    "out": str(tmp_path / "sel")}
+    sel = spark.read.parquet(str(tmp_path / "sel"))
+    # 200-token budget = 20 docs/source = top 2 score classes (10 docs each);
+    # source a (even ids) scores {0,2,4,6,8} -> keeps {6,8}; b keeps {7,9}
+    by_src = {(r["source"], r["score"]) for r in sel.collect()}
+    assert by_src == {("a", 6.0), ("a", 8.0), ("b", 7.0), ("b", 9.0)}
+
+    out2 = run("mix", "--input", src, "--out", str(tmp_path / "up"),
+               "--fractions", "a=2.5", "b=0.5", "--seed", "11")
+    up = spark.read.parquet(str(tmp_path / "up"))
+    from sketchlib.spark.sampling import upsample_mixture
+
+    want = sorted(
+        (r["doc_id"], r["copy"])
+        for r in upsample_mixture(df, {"a": 2.5, "b": 0.5}, seed=11).collect()
+    )
+    assert sorted((r["doc_id"], r["copy"]) for r in up.collect()) == want
+    assert out2["output_rows"] == len(want)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "mix", "--input", src,
+         "--out", str(tmp_path / "x")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode != 0 and "exactly one of" in (r.stderr + r.stdout)
