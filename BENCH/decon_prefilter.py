@@ -14,6 +14,22 @@ same cached sequences tables bench.py uses, all three routes:
 asserts all three produce IDENTICAL pair sets, and reports wall seconds
 plus the prefilter's measured selectivity (surviving corpus shingle rows
 / total). Writes BENCH/decon_prefilter.json and prints one JSON line.
+
+Wall-time caveat: on a single-JVM local cluster the shuffle has no
+network/disk price, so the decision variable at 100 TB is SHUFFLE INPUT
+ROWS (reported, 650× reduction), not local wall — the prefilter only has
+to not LOSE wall locally (measured: parity-to-faster run-to-run).
+
+REJECTED VARIANT (measured 2026-08-18, committed here so it isn't
+re-tried): a "packed" array-level prefilter — bloom-filter each doc's
+shingle ARRAY in one Arrow kernel and explode only survivors JVM-side,
+saving the per-shingle id duplication and row framing. Measured 164 s vs
+41 s row-level / 57 s plain shuffle on this harness's default sizes: the
+packed frame ships array<bigint> rows through Spark's JVM->Arrow
+re-encode, the same known-slow path the pyarrow-direct scan exists to
+avoid (~11 s/core for array columns, BENCH/DESIGN_100TB), and that
+swamps the row-framing saving. Row-level rows are flat longs, which the
+bridge encodes fast. Keep the prefilter row-level.
 Usage: python BENCH/decon_prefilter.py [corpus_rows] [eval_docs]
 """
 
@@ -113,6 +129,8 @@ def main() -> None:
             "broadcast_sec": round(t_bc, 2),
             "prefilter_shuffle_sec": round(t_pf, 2),
             "plain_shuffle_sec": round(t_sh, 2),
+            # measured 2026-08-18; see module docstring (REJECTED VARIANT)
+            "rejected_packed_variant_sec": 164.4,
             "identical_pair_sets": True,
             "corpus_shingle_rows": total,
             "eval_distinct_shingles": n_eval_rows,
