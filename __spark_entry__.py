@@ -3244,6 +3244,24 @@ def q_c31_upsample_mixture(spark, sf_dir):
     ).orderBy("doc_id", "copy")
 
 
+def q_c32_cap_per_group(spark, sf_dir):
+    """Round 5 continuation: per-group document cap
+    (`sampling.cap_per_group`) — the RefinedWeb-style "at most N docs per
+    domain/language" curation step. Grouping on `lang` is deliberately
+    skewed in the testdata (en ≈ 3× the rest), so cap=72 exercises BOTH
+    paths: en/zh/es are clipped through the salted two-phase window while
+    de/fr pass through the zero-shuffle under-cap branch. The kept SET is
+    value-matched against DuckDB running the naive per-group window
+    (`row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+    <= cap`) — duplicate n_chars within a language make the doc_id
+    tie-break load-bearing in both engines."""
+    from sketchlib.spark.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    kept = cap_per_group(docs, 72, group_col="lang", score_col="n_chars")
+    return kept.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a06_project_filter": _dist_wrapped(q_a06_project_filter),
@@ -3333,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c29_cut_accounting": _dist_wrapped(q_c29_cut_accounting),
         "c30_budget_selection": _dist_wrapped(q_c30_budget_selection),
         "c31_upsample_mixture": _dist_wrapped(q_c31_upsample_mixture),
+        "c32_cap_per_group": _dist_wrapped(q_c32_cap_per_group),
     }
 
 
@@ -3660,6 +3679,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INTEGER) AS copy
             FROM n WHERE n_copies > 0 ORDER BY doc_id, copy
+        """,
+        # the naive per-group top-cap window the split operator must equal
+        # exactly; doc_id tie-break resolves duplicate n_chars identically
+        "c32_cap_per_group": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 72 ORDER BY doc_id
         """,
         # the naive one-task-per-source window the distributed operator
         # must equal exactly: maximal per-source prefix in (score DESC, id)

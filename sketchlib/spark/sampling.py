@@ -785,3 +785,88 @@ def upsample_mixture(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
     )
     return out.select(*df.columns, copy_col)
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_salts: int | None = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per ``group_col`` value — the
+    RefinedWeb-style per-domain/per-source cap that stops a handful of hot
+    hosts from dominating a corpus. With ``score_col`` the kept set is the
+    group's top ``cap`` by (score DESC, ``id_col`` ASC); without, a
+    deterministic md5 coin on (id, seed) picks the survivors — a pure
+    function of the row, independent of partitioning and cluster size, so
+    re-runs keep the identical set (``sample()`` would not).
+
+    Scale shape: the corpus is NEVER globally windowed. (1) one counts
+    pass finds the over-cap groups (map-side partial agg, G tiny rows
+    shuffle); (2) a broadcast null-safe join splits the corpus map-side —
+    under-cap rows pass through with ZERO shuffle (at web scale that is
+    almost all rows: domains are Zipfian but the cap targets the head);
+    (3) only over-cap rows are ranked, two-phase: a salted window over
+    (group, salt) takes each salt's top ``cap`` first (a 10⁹-doc host
+    spreads over ``n_salts`` tasks instead of one), then the global window
+    ranks the ≤ cap × n_salts survivors per group. ``n_salts=None``
+    disables the pre-phase (one window, one exchange — fine when no group
+    is huge). Both windows order identically, so the result equals the
+    naive single window's (test-locked).
+
+    NULL groups form a group of their own (null-safe throughout). NULL
+    scores rank last. NULL ids have no stable coin/tie-break — with a
+    score they tie after (score, NULL); on the coin path they sort as one
+    leading block (document ids should be non-null).
+    """
+    from pyspark.sql import Window
+
+    from sketchlib.spark.packing import _md5_key60
+
+    cap = int(cap)
+    if cap < 0:
+        raise ValueError(f"cap must be non-negative, got {cap}")
+    if cap == 0:
+        return df.limit(0)
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > cap)
+        .select(F.col(group_col).alias("_g"), F.lit(True).alias("_over"))
+    )
+    # null-safe equi-join: a NULL group must match its own counts row, and
+    # the _over marker (never NULL on a match) is what distinguishes
+    # "matched an over-cap NULL group" from "no match" (memory trap: plain
+    # equi-joins silently drop NULL keys)
+    flagged = df.join(F.broadcast(over), F.col(group_col).eqNullSafe(F.col("_g")), "left")
+    under = flagged.filter(F.col("_over").isNull()).select(*df.columns)
+    hot = flagged.filter(F.col("_over").isNotNull()).select(*df.columns)
+
+    if score_col is not None:
+        order = [F.desc_nulls_last(score_col), F.asc(id_col)]
+        key_cols: list = []
+    else:
+        # materialized once so both window phases order by the same bytes
+        hot = hot.withColumn("_okey", _md5_key60(id_col, seed))
+        order = [F.asc("_okey"), F.asc(id_col)]
+        key_cols = ["_okey"]
+
+    if n_salts is not None and int(n_salts) > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(int(n_salts)))
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+        hot = (
+            hot.withColumn("_salt", salt)
+            .withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= cap)
+            .drop("_r", "_salt")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    kept_hot = (
+        hot.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r", *key_cols)
+    )
+    return under.unionByName(kept_hot).select(*df.columns)

@@ -460,3 +460,80 @@ def test_upsample_mixture_deterministic_replication(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         upsample_mixture(df, {"a": -0.1})
+
+
+def test_cap_per_group_matches_naive_window(spark):
+    """The split (under-cap pass-through / salted two-phase window) must
+    keep EXACTLY the naive single window's top-cap per group — including a
+    NULL group, NULL scores (rank last), duplicate scores (id tie-break),
+    and groups exactly AT the cap (untouched, zero shuffle path)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from sketchlib.spark.sampling import cap_per_group
+
+    rng = random.Random(11)
+    rows = []
+    sizes = {"big": 400, "mid": 60, "small": 7, None: 30, "atcap": 50}
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            # coarse scores force duplicates; some NULLs in 'big'
+            score = None if (g == "big" and i % 37 == 0) else float(rng.randrange(20))
+            rows.append((i, g, score))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double").repartition(8)
+    cap = 50
+
+    def canon(out):
+        return sorted((r["doc_id"], r["grp"], r["score"]) for r in out.collect())
+
+    w = Window.partitionBy("grp").orderBy(F.desc_nulls_last("score"), F.asc("doc_id"))
+    naive = canon(
+        df.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= cap).drop("_r")
+    )
+    got = canon(cap_per_group(df, cap, group_col="grp", score_col="score"))
+    assert got == naive
+    # single-window mode identical
+    assert canon(cap_per_group(df, cap, group_col="grp", score_col="score", n_salts=None)) == naive
+    # per-group sizes: big/mid clipped to cap, the rest (≤ cap) untouched
+    from collections import Counter
+
+    by_g = Counter(g for _, g, _ in got)
+    assert by_g == {"big": 50, "mid": 50, "small": 7, None: 30, "atcap": 50}
+
+    with pytest.raises(ValueError, match="non-negative"):
+        cap_per_group(df, -1, group_col="grp")
+    assert cap_per_group(df, 0, group_col="grp").count() == 0
+
+
+def test_cap_per_group_coin_path_deterministic(spark):
+    """Without a score the survivors are the cap smallest md5(id:seed) keys
+    per group — verified against a hashlib reference, and invariant under
+    repartitioning (the kept SET is a pure function of the rows)."""
+    import hashlib
+
+    from sketchlib.spark.sampling import cap_per_group
+
+    rows = [(i, "g" if i % 3 else "h") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def key(i, seed=5):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for g in ("g", "h"):
+        ids = sorted((i for i, gg in rows if gg == g), key=lambda i: (key(i), i))
+        want |= set(ids[:40])
+
+    got = {r["doc_id"] for r in cap_per_group(df, 40, group_col="grp", seed=5).collect()}
+    assert got == want
+    got2 = {
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(13), 40, group_col="grp", seed=5).collect()
+    }
+    assert got2 == want
+    # a different seed keeps a different set of the same size
+    got3 = {r["doc_id"] for r in cap_per_group(df, 40, group_col="grp", seed=6).collect()}
+    assert len(got3) == len(want) and got3 != want
