@@ -3249,8 +3249,10 @@ def q_c32_cap_per_group(spark, sf_dir):
     (`sampling.cap_per_group`) — the RefinedWeb-style "at most N docs per
     domain/language" curation step. Grouping on `lang` is deliberately
     skewed in the testdata (en ≈ 3× the rest), so cap=72 exercises BOTH
-    paths: en/zh/es are clipped through the salted two-phase window while
-    de/fr pass through the zero-shuffle under-cap branch. The kept SET is
+    paths: en/zh/es are clipped through the over-cap-only window (whose
+    row_number()<=cap Catalyst rewrites into a map-side partial
+    WindowGroupLimit, plan-locked) while de/fr pass through the
+    zero-shuffle under-cap branch. The kept SET is
     value-matched against DuckDB running the naive per-group window
     (`row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
     <= cap`) — duplicate n_chars within a language make the doc_id

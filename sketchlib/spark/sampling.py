@@ -794,7 +794,6 @@ def cap_per_group(
     score_col: str | None = None,
     id_col: str = "doc_id",
     seed: int = 0,
-    n_salts: int | None = 32,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per ``group_col`` value — the
     RefinedWeb-style per-domain/per-source cap that stops a handful of hot
@@ -806,16 +805,18 @@ def cap_per_group(
 
     Scale shape: the corpus is NEVER globally windowed. (1) one counts
     pass finds the over-cap groups (map-side partial agg, G tiny rows
-    shuffle); (2) a broadcast null-safe join splits the corpus map-side —
+    shuffle; eagerly checkpointed, so calling this runs that one job);
+    (2) a broadcast null-safe join splits the corpus map-side —
     under-cap rows pass through with ZERO shuffle (at web scale that is
     almost all rows: domains are Zipfian but the cap targets the head);
-    (3) only over-cap rows are ranked, two-phase: a salted window over
-    (group, salt) takes each salt's top ``cap`` first (a 10⁹-doc host
-    spreads over ``n_salts`` tasks instead of one), then the global window
-    ranks the ≤ cap × n_salts survivors per group. ``n_salts=None``
-    disables the pre-phase (one window, one exchange — fine when no group
-    is huge). Both windows order identically, so the result equals the
-    naive single window's (test-locked).
+    (3) only over-cap rows enter the top-``cap`` window, and Catalyst
+    rewrites its ``row_number() <= cap`` filter into a PARTIAL
+    WindowGroupLimit BELOW the exchange (plan-locked) — every map task
+    forwards at most ``cap`` rows per group, so a 10⁹-doc host ships
+    ≤ cap × n_tasks rows into its reducer, never 10⁹. (A hand-rolled
+    salted pre-window was measured against this and REMOVED: it spends an
+    extra full exchange to do what the native rank-limit pushdown does
+    map-side for free.)
 
     NULL groups form a group of their own (null-safe throughout). NULL
     scores rank last. NULL ids have no stable coin/tie-break — with a
@@ -831,11 +832,15 @@ def cap_per_group(
         raise ValueError(f"cap must be non-negative, got {cap}")
     if cap == 0:
         return df.limit(0)
+    # eager checkpoint: the tiny over-cap frame (G_over rows) is consumed by
+    # BOTH union branches below — without it each branch re-runs the counts
+    # pass (one extra corpus scan per branch, plan-verified)
     over = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") > cap)
         .select(F.col(group_col).alias("_g"), F.lit(True).alias("_over"))
+        .localCheckpoint()
     )
     # null-safe equi-join: a NULL group must match its own counts row, and
     # the _over marker (never NULL on a match) is what distinguishes
@@ -849,20 +854,10 @@ def cap_per_group(
         order = [F.desc_nulls_last(score_col), F.asc(id_col)]
         key_cols: list = []
     else:
-        # materialized once so both window phases order by the same bytes
         hot = hot.withColumn("_okey", _md5_key60(id_col, seed))
         order = [F.asc("_okey"), F.asc(id_col)]
         key_cols = ["_okey"]
 
-    if n_salts is not None and int(n_salts) > 1:
-        salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(int(n_salts)))
-        w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
-        hot = (
-            hot.withColumn("_salt", salt)
-            .withColumn("_r", F.row_number().over(w1))
-            .filter(F.col("_r") <= cap)
-            .drop("_r", "_salt")
-        )
     w = Window.partitionBy(group_col).orderBy(*order)
     kept_hot = (
         hot.withColumn("_r", F.row_number().over(w))

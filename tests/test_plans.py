@@ -246,3 +246,41 @@ def test_duplicate_spans_windows_share_exchange_no_python(spark):
     w2 = plan.index("Window", w1 + 1)
     assert "Exchange" not in plan[w1:w2], plan[w1:w2]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_group_under_cap_rows_never_shuffle(spark, tmp_path):
+    """cap_per_group's scale contract: the corpus is split by a BROADCAST
+    join against the tiny over-cap-groups frame, so under-cap rows flow
+    scan → filter → union with NO exchange on their branch; only the top-k
+    window and the counts aggregation exchange anything — and Catalyst
+    rewrites the window's row_number()<=cap into a PARTIAL WindowGroupLimit
+    BELOW the exchange, so each map task forwards at most cap rows per
+    group (the native rank-limit pushdown that made a hand-rolled salted
+    pre-window pointless). The counts pass runs ONCE (eager checkpoint of
+    the tiny over-cap frame — without it each union branch re-ran it), so
+    the full-width input is scanned exactly twice (one per branch), which
+    at 100 TB is the right trade against shuffling every row into
+    per-group windows."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.sampling import cap_per_group
+
+    p = str(tmp_path / "docs")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 19).cast("double").alias("score"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(cap_per_group(df, 100, group_col="grp", score_col="score"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # the map-side partial top-cap sits BELOW the window's exchange (tree
+    # text prints top-down, so deeper = later; the hot branch's exchange is
+    # the last one printed)
+    partial = plan.index("row_number(), 100, Partial")
+    assert partial > plan.rindex("Exchange hashpartitioning"), plan
+    assert "row_number(), 100, Final" in plan, plan
+    # exchanges: ONLY the window's (the counts pass already ran via the
+    # eager checkpoint; the under-cap branch must not sit under one)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan") == 2, plan

@@ -463,7 +463,7 @@ def test_upsample_mixture_deterministic_replication(spark):
 
 
 def test_cap_per_group_matches_naive_window(spark):
-    """The split (under-cap pass-through / salted two-phase window) must
+    """The split (under-cap pass-through / over-cap-only window) must
     keep EXACTLY the naive single window's top-cap per group — including a
     NULL group, NULL scores (rank last), duplicate scores (id tie-break),
     and groups exactly AT the cap (untouched, zero shuffle path)."""
@@ -495,8 +495,6 @@ def test_cap_per_group_matches_naive_window(spark):
     )
     got = canon(cap_per_group(df, cap, group_col="grp", score_col="score"))
     assert got == naive
-    # single-window mode identical
-    assert canon(cap_per_group(df, cap, group_col="grp", score_col="score", n_salts=None)) == naive
     # per-group sizes: big/mid clipped to cap, the rest (≤ cap) untouched
     from collections import Counter
 
