@@ -137,15 +137,18 @@ def main(argv=None) -> int:
 
     mx = sub.add_parser(
         "mix",
-        help="mixture materialization: EITHER quality-ranked selection "
-        "under a per-source token budget (--budget + --score-col) OR "
-        "deterministic replication/downsampling by per-source fractions "
-        "(--fractions src=f ...); both reproducible pure functions of the "
-        "input, never of partitioning",
+        help="mixture materialization: quality-ranked selection under a "
+        "per-source token budget (--budget + --score-col), OR deterministic "
+        "replication/downsampling by per-source fractions (--fractions "
+        "src=f ...), OR a per-group document cap (--cap [+ --score-col], "
+        "RefinedWeb-style); all reproducible pure functions of the input, "
+        "never of partitioning",
     )
     mx.add_argument("--input", required=True, help="parquet dir")
     mx.add_argument("--out", required=True)
-    mx.add_argument("--source-col", default="source")
+    mx.add_argument("--source-col", default="source",
+                    help="grouping column (budget sources / fraction "
+                    "sources / cap groups)")
     mx.add_argument("--id-col", default="doc_id")
     mx.add_argument("--budget", type=int, default=None,
                     help="per-source token budget (needs --score-col)")
@@ -153,6 +156,9 @@ def main(argv=None) -> int:
     mx.add_argument("--len-col", default="n_tok")
     mx.add_argument("--fractions", nargs="*", default=None, metavar="SRC=F",
                     help="per-source copy fractions for upsample_mixture")
+    mx.add_argument("--cap", type=int, default=None,
+                    help="max docs kept per group: top --score-col, or a "
+                    "deterministic md5(id:seed) coin without one")
     mx.add_argument("--seed", type=int, default=0)
 
     sh = sub.add_parser(
@@ -318,11 +324,20 @@ def main(argv=None) -> int:
     elif args.cmd == "mix":
         from pyspark.sql import functions as F
 
-        if (args.budget is None) == (args.fractions is None):
-            raise SystemExit("mix: pass exactly one of --budget or --fractions")
+        n_modes = sum(x is not None for x in (args.budget, args.fractions, args.cap))
+        if n_modes != 1:
+            raise SystemExit("mix: pass exactly one of --budget, --fractions, --cap")
         docs = spark.read.parquet(args.input)
         n_in = docs.count()
-        if args.budget is not None:
+        if args.cap is not None:
+            from sketchlib.spark.sampling import cap_per_group
+
+            out_df = cap_per_group(
+                docs, args.cap, group_col=args.source_col,
+                score_col=args.score_col, id_col=args.id_col, seed=args.seed,
+            )
+            mode = "cap"
+        elif args.budget is not None:
             if not args.score_col:
                 raise SystemExit("mix: --budget needs --score-col")
             from sketchlib.spark.sampling import select_within_budget

@@ -354,9 +354,29 @@ def test_cli_mix(spark, tmp_path):
     assert sorted((r["doc_id"], r["copy"]) for r in up.collect()) == want
     assert out2["output_rows"] == len(want)
 
+    # cap mode: at most 30 docs per source by top score (ties id-broken),
+    # matching the operator called directly
+    out3 = run("mix", "--input", src, "--out", str(tmp_path / "cap"),
+               "--cap", "30", "--score-col", "score")
+    assert out3["mode"] == "cap" and out3["output_rows"] == 60
+    capd = spark.read.parquet(str(tmp_path / "cap"))
+    from sketchlib.spark.sampling import cap_per_group
+
+    want_cap = sorted(
+        r["doc_id"] for r in cap_per_group(df, 30, group_col="source",
+                                           score_col="score").collect()
+    )
+    assert sorted(r["doc_id"] for r in capd.collect()) == want_cap
+
     r = subprocess.run(
         [sys.executable, "-m", "sketchlib.cli", "mix", "--input", src,
          "--out", str(tmp_path / "x")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode != 0 and "exactly one of" in (r.stderr + r.stdout)
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "mix", "--input", src,
+         "--out", str(tmp_path / "x"), "--cap", "5", "--budget", "10"],
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r.returncode != 0 and "exactly one of" in (r.stderr + r.stdout)
