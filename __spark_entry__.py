@@ -3110,6 +3110,48 @@ def q_c28_cut_spans(spark, sf_dir):
     return spark.createDataFrame(rows, "check string, ok boolean").orderBy("check")
 
 
+def q_b47_join_size(spark, sf_dir):
+    """Round 5: JOIN-CARDINALITY estimation from CM states alone
+    (query.join_size_estimate — Cormode & Muthukrishnan 2005 §4.2 inner
+    product): |A ⋈ B on k| priced from two KB-sized sketch rows without
+    touching either table, the planner's what-would-this-join-cost
+    primitive. Guarantees checked vs the exact Spark join count on three
+    shapes — fact⋈dim (orders⋈customer on custkey), fact⋈fact
+    (lineitem⋈orders on orderkey), and DISJOINT key domains: the estimate
+    never undercounts and overshoots ≤ ε·|A|·|B| (the published w.p. 1−δ
+    bound; δ=0.01 so all three hold deterministically here in practice)."""
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cm(df, col):
+        spec = [SketchSpec("cm_k", "cm", col, {"eps": 1e-4, "delta": 0.01})]
+        return build_sketches(df.select(col), spec, group_by=None)
+
+    rows = []
+    for name, (da, ca), (db, cb) in [
+        ("orders_x_customer", (orders, "o_custkey"), (cust, "c_custkey")),
+        ("lineitem_x_orders", (li, "l_orderkey"), (orders, "o_orderkey")),
+    ]:
+        # CM keys on the raw integer value, so both sides hash identically
+        # regardless of column name; rename to a shared key for the build.
+        sa = cm(da.select(F.col(ca).alias("k")), "k")
+        sb = cm(db.select(F.col(cb).alias("k")), "k")
+        est, bound = join_size_estimate(sa, sb, "cm_k")
+        exact = da.join(db, da[ca] == db[cb]).count()
+        rows.append((f"{name}_never_undercounts", bool(est >= exact)))
+        rows.append((f"{name}_within_bound", bool(est - exact <= bound)))
+    # disjoint domains: true join 0, estimate must stay under the bound
+    sa = cm(orders.select(F.col("o_custkey").alias("k")), "k")
+    sb = cm(orders.select((F.col("o_custkey") + F.lit(10**9)).alias("k")), "k")
+    est, bound = join_size_estimate(sa, sb, "cm_k")
+    rows.append(("disjoint_within_bound", bool(est <= bound)))
+    return spark.createDataFrame(rows, "chk string, within_bound boolean").orderBy("chk")
+
+
 def q_b46_plugin_sketch(spark, sf_dir):
     """Round 5: USER-DEFINED sketch kinds (`register_sketch_kind`, the A19
     extension point) end-to-end through the DDL door: the contrib
@@ -3244,6 +3286,46 @@ def q_c31_upsample_mixture(spark, sf_dir):
     ).orderBy("doc_id", "copy")
 
 
+def q_c34_source_overlap(spark, sf_dir):
+    """Round 5 continuation: cross-source OVERLAP MATRIX
+    (`sampling.source_overlap`) — the mixture-design report "how much does
+    source A already contain of source B", exact per unordered pair on the
+    sources' distinct word vocabularies: (n_a, n_b, n_common, jaccard),
+    disjoint pairs included at zero. One groupBy(fp) builds each word's
+    sorted group set (map-side partial agg; never a corpus self-join) and
+    pairs expand map-side from the ≤G arrays. VALUE-matched vs DuckDB
+    computing the same matrix relationally (DISTINCT + self-join) — two
+    independent formulations of the same set arithmetic. The sketch route
+    for 100 TB (per-source MinHash jaccard_df) is cross-validated against
+    this exact matrix in tests."""
+    from sketchlib.spark.sampling import source_overlap
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select("source", F.explode(pre_tokens("text")).alias("w"))
+    return source_overlap(flat, "w")
+
+
+def q_c33_top_ngrams(spark, sf_dir):
+    """Round 5 continuation: corpus-wide TOP n-gram report
+    (`text.top_ngrams`) — the boilerplate-detection stage feeding
+    dedup_lines policy (a 3-gram in half the corpus is a template, not
+    content). Runs on word STRINGS (pre_tokens, whitespace mode) so the
+    DuckDB oracle computes the identical grams hash-free; output is the
+    top-20 3-grams with exact counts, deterministic under count ties
+    (cnt DESC, ngram ASC — both engines break ties on the joined string).
+    Plan shape: one groupBy with map-side partial agg + TakeOrderedAndProject
+    (per-partition top-k, no global sort) — test-locked."""
+    from sketchlib.spark.text import top_ngrams
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("words", pre_tokens("text"))
+    top = top_ngrams(docs, "words", n=3, k=20)
+    return top.select(
+        F.array_join("ngram", " ").alias("ngram"), F.col("cnt")
+    ).orderBy(F.desc("cnt"), F.asc("ngram"))
+
+
 def q_c32_cap_per_group(spark, sf_dir):
     """Round 5 continuation: per-group document cap
     (`sampling.cap_per_group`) — the RefinedWeb-style "at most N docs per
@@ -3320,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b44_contract_registry_pilot": _dist_wrapped(q_b44_contract_registry_pilot),
         "b45_subsample_error": _dist_wrapped(q_b45_subsample_error),
         "b46_plugin_sketch": _dist_wrapped(q_b46_plugin_sketch),
+        "b47_join_size": _dist_wrapped(q_b47_join_size),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3354,6 +3437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c30_budget_selection": _dist_wrapped(q_c30_budget_selection),
         "c31_upsample_mixture": _dist_wrapped(q_c31_upsample_mixture),
         "c32_cap_per_group": _dist_wrapped(q_c32_cap_per_group),
+        "c33_top_ngrams": _dist_wrapped(q_c33_top_ngrams),
+        "c34_source_overlap": _dist_wrapped(q_c34_source_overlap),
     }
 
 
@@ -3553,6 +3638,15 @@ def oracle_sql() -> dict[str, str]:
               ('base_free_grouped_contract', TRUE)
             ) AS t(chk, within_bound)
         """,
+        "b47_join_size": """
+            SELECT * FROM (VALUES
+              ('disjoint_within_bound', TRUE),
+              ('lineitem_x_orders_never_undercounts', TRUE),
+              ('lineitem_x_orders_within_bound', TRUE),
+              ('orders_x_customer_never_undercounts', TRUE),
+              ('orders_x_customer_within_bound', TRUE)
+            ) AS t(chk, within_bound)
+        """,
         "b46_plugin_sketch": """
             SELECT source,
                    CAST(max(n_chars) - min(n_chars) AS DOUBLE) AS char_range,
@@ -3684,6 +3778,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the naive per-group top-cap window the split operator must equal
         # exactly; doc_id tie-break resolves duplicate n_chars identically
+        "c34_source_overlap": r"""
+            WITH d AS (
+              SELECT DISTINCT source AS g, w FROM (
+                SELECT source,
+                       unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+                FROM documents
+              )
+            ),
+            s AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+            com AS (
+              SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+              FROM d a JOIN d b ON a.w = b.w AND a.g < b.g
+              GROUP BY a.g, b.g
+            )
+            SELECT sa.g AS group_a, sb.g AS group_b,
+                   sa.n AS n_a, sb.n AS n_b,
+                   COALESCE(com.n_common, 0) AS n_common,
+                   CAST(COALESCE(com.n_common, 0) AS DOUBLE)
+                     / CAST(sa.n + sb.n - COALESCE(com.n_common, 0) AS DOUBLE) AS jaccard
+            FROM s sa JOIN s sb ON sa.g < sb.g
+            LEFT JOIN com ON com.ga = sa.g AND com.gb = sb.g
+            ORDER BY group_a, group_b
+        """,
+        "c33_top_ngrams": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM w WHERE len(toks) >= 3
+            ),
+            occ AS (
+              SELECT array_to_string(toks[i:i+2], ' ') AS ngram FROM p
+            )
+            SELECT ngram, COUNT(*) AS cnt
+            FROM occ GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC
+            LIMIT 20
+        """,
         "c32_cap_per_group": """
             SELECT doc_id, lang, source, n_chars FROM (
                 SELECT doc_id, lang, source, n_chars,

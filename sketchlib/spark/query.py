@@ -509,3 +509,54 @@ def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame
     return spark.createDataFrame(
         pd.DataFrame(out, columns=["group_a", "group_b", "jaccard_est", "se_bound"])
     )
+
+
+def join_size_estimate(
+    states_a: DataFrame,
+    states_b: DataFrame,
+    sketch_a: str,
+    sketch_b: str | None = None,
+    group_a: str = "",
+    group_b: str = "",
+) -> tuple[float, float]:
+    """Equi-join cardinality |A ⋈ B on k| from two CM states alone
+    (SURVEY.md B3 extended; Cormode & Muthukrishnan 2005 §4.2).
+
+    ``states_a``/``states_b`` are merged-states DataFrames (build_sketches
+    output or SketchCatalog.states) holding a ``cm`` sketch built over each
+    side's JOIN KEY column; the two builds must share (eps, delta, seed) so
+    the hash family maps keys to the same columns — a mismatch raises, it
+    cannot silently mis-estimate. Returns ``(estimate, abs_bound)``:
+    never undercounts the true join size, overshoots ≤ abs_bound
+    (= ε·|A|·|B|) with probability ≥ 1 − δ.
+
+    This is the planner's what-would-this-join-cost primitive: the answer
+    comes from two KB-sized state rows, so it stays corpus-size-independent
+    (Verdict's headline property) — price a 10¹²-row join before running it.
+    ``group_a``/``group_b`` select grouped registrations ("" = ungrouped
+    build); pass the same DataFrame twice for a self-join estimate.
+    """
+    sketch_b = sketch_b or sketch_a
+    sa = load_states(states_a)
+    try:
+        cm_a = sa[(group_a, sketch_a)]
+    except KeyError:
+        raise ValueError(
+            f"no state for sketch {sketch_a!r} group {group_a!r} on side A "
+            f"(have {sorted(sa)})"
+        )
+    sb = load_states(states_b)
+    try:
+        cm_b = sb[(group_b, sketch_b)]
+    except KeyError:
+        raise ValueError(
+            f"no state for sketch {sketch_b!r} group {group_b!r} on side B "
+            f"(have {sorted(sb)})"
+        )
+    for name, sk in ((sketch_a, cm_a), (sketch_b, cm_b)):
+        if getattr(sk, "kind", None) != "cm":
+            raise ValueError(
+                f"join_size_estimate needs Count-Min states; {name!r} is kind "
+                f"{getattr(sk, 'kind', type(sk).__name__)!r}"
+            )
+    return cm_a.inner_product(cm_b)

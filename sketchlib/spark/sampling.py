@@ -865,3 +865,77 @@ def cap_per_group(
         .drop("_r", *key_cols)
     )
     return under.unionByName(kept_hot).select(*df.columns)
+
+
+def source_overlap(
+    df: DataFrame, fp_col: str, group_col: str = "source"
+) -> DataFrame:
+    """EXACT pairwise overlap matrix between groups on a distinct
+    fingerprint column — the mixture-design question "how much does source
+    A already contain of source B?" (shared vocabulary, shared doc
+    fingerprints, shared url domains…), answered for every unordered group
+    pair as (group_a, group_b, n_a, n_b, n_common, jaccard).
+
+    Scale shape: ONE groupBy(fp) with map-side partial aggregation builds
+    each fingerprint's sorted set of groups (the shuffle carries distinct
+    fingerprints once — never a self-join of the corpus on fp, which would
+    shuffle the distinct table twice and fan out G× on hot fps); group
+    pairs then expand map-side from the ≤G-element array (G = #groups, so
+    the pair stream is bounded by distinct_fps·G²/2 with G small by
+    construction — this is a SOURCE-level report, not near-dup detection:
+    for high-cardinality pairing use the LSH paths in spark/dedup.py), and
+    per-group distinct sizes fall out of the same arrays. The final joins
+    glue G-row and G²-row frames (AQE broadcasts them).
+
+    For the 100 TB variant that never shuffles distinct fingerprints at
+    all, register per-group HLL + MinHash sketches and use
+    query.jaccard_df / intersection_estimate — this operator is their
+    exact oracle at test scale and the exact answer when the distinct
+    stream fits a shuffle. NULL groups and NULL fingerprints are excluded.
+    """
+    base = (
+        df.select(F.col(group_col).cast("string").alias("g"), F.col(fp_col).alias("fp"))
+        .filter(F.col("g").isNotNull() & F.col("fp").isNotNull())
+    )
+    sets = base.groupBy("fp").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    sizes = (
+        sets.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        sets.filter(F.size("gs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(gs, (a, i) -> "
+                    "transform(slice(gs, i + 2, size(gs) - i - 1), "
+                    "b -> struct(a AS ga, b AS gb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ga", "p.gb")
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("n").alias("n_b"))
+    # every unordered pair appears, including DISJOINT ones (n_common = 0) —
+    # "these sources share nothing" is a mixture-design answer too
+    all_pairs = sa.crossJoin(sb).filter(F.col("ga") < F.col("gb"))
+    return (
+        all_pairs.join(F.broadcast(pairs), ["ga", "gb"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("group_a", "group_b")
+    )

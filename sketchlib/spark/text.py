@@ -325,3 +325,88 @@ def filter_documents(
     for c in flags.values():
         conj = conj & F.coalesce(c, F.lit(False))
     return df.filter(conj), report
+
+
+def ngram_counts(df: DataFrame, tokens_col: str = "tokens", n: int = 3) -> DataFrame:
+    """(ngram: array<element>, cnt) — exact corpus-wide token n-gram counts.
+
+    The n-gram windows are built with SQL higher-order functions
+    (transform+slice over a sequence — whole-stage codegen, no Python) and
+    counted by ONE groupBy with map-side partial aggregation: the shuffle
+    carries (ngram, partial_count) pairs, i.e. per-partition-DISTINCT gram
+    volume, never raw occurrences. Rows shorter than n contribute nothing;
+    NULL token arrays are skipped.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tokens_col}) >= {n} THEN "
+                f"transform(sequence(0, size({tokens_col}) - {n}), "
+                f"i -> slice({tokens_col}, i + 1, {n})) "
+                f"ELSE array() END"
+            )
+        ).alias("ngram")
+    )
+    return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def top_ngrams(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 3,
+    k: int = 20,
+    by_hash: bool = False,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """Top-k most frequent token n-grams, deterministic order
+    (cnt DESC, ngram ASC) — the boilerplate-detection report feeding
+    dedup_lines / dedup policy decisions (a 3-gram in 10⁷ documents is a
+    template, not content).
+
+    Two plans, identical output (tested):
+
+    - default: groupBy the gram itself, then a global
+      ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject
+      (per-partition top-k + driver merge of k·P rows, NO full sort).
+      The shuffle key is the gram array (n×8 bytes + offsets per distinct
+      gram).
+    - ``by_hash=True`` (the 100 TB shuffle-width path): occurrences are
+      counted by their 8-byte ``xxhash64(ngram)`` first (fixed-width
+      shuffle keys, ~n× narrower), the top ``k·candidate_factor`` hashes
+      are taken, and ONLY occurrences matching those hashes (broadcast
+      semi-join, map-side) are re-counted exactly by gram for the final
+      top-k. Per-gram counts are exact (the recount ignores hash
+      classes); candidate MEMBERSHIP is exact unless a 64-bit collision
+      lands a non-top gram class above a top gram's class at the
+      boundary — at 10¹² distinct grams the chance any collision exists
+      is ~5%, the chance one perturbs the top-k boundary is negligible.
+    """
+    counts = ngram_counts(df, tokens_col, n)
+    if not by_hash:
+        return counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+    grams = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tokens_col}) >= {n} THEN "
+                f"transform(sequence(0, size({tokens_col}) - {n}), "
+                f"i -> slice({tokens_col}, i + 1, {n})) "
+                f"ELSE array() END"
+            )
+        ).alias("ngram")
+    ).withColumn("h", F.xxhash64("ngram"))
+    top_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt_h"))
+        .orderBy(F.desc("cnt_h"), F.asc("h"))
+        .limit(k * candidate_factor)
+        .select("h")
+    )
+    cand = grams.join(F.broadcast(top_h), "h", "leftsemi")
+    return (
+        cand.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1057,3 +1057,130 @@ def test_dedup_spans_fixpoint_disjoint_spans_same_pair(spark):
     assert stats["cut_tokens"] == 100
     # the defining closure, at the fixpoint
     assert duplicate_spans(cleaned, n=8, min_span_tokens=20).count() == 0
+
+
+# --- top_ngrams (corpus boilerplate report) --------------------------------
+
+
+def _ngram_ref(docs, n):
+    import collections
+
+    c = collections.Counter()
+    for toks in docs:
+        if toks is None or len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            c[tuple(toks[i : i + n])] += 1
+    return c
+
+
+def test_top_ngrams_matches_python_reference(spark):
+    from sketchlib.spark.text import top_ngrams
+
+    docs = [
+        [1, 2, 3, 1, 2, 3, 1, 2],   # "1 2 3" twice, "2 3 1" twice
+        [1, 2, 3, 9],
+        [7, 7, 7, 7, 7],
+        [5, 6],                      # shorter than n -> no grams
+        None,                        # NULL tokens -> skipped
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "tokens array<int>")
+    got = [(tuple(r["ngram"]), r["cnt"]) for r in top_ngrams(df, "tokens", n=3, k=4).collect()]
+    ref = _ngram_ref(docs, 3)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == expect
+
+
+def test_top_ngrams_by_hash_identical(spark):
+    import random
+
+    from sketchlib.spark.text import top_ngrams
+
+    rng = random.Random(11)
+    docs = [[rng.randrange(8) for _ in range(rng.randrange(3, 30))] for _ in range(300)]
+    df = spark.createDataFrame([(d,) for d in docs], "tokens array<int>")
+    a = [(tuple(r["ngram"]), r["cnt"]) for r in top_ngrams(df, n=2, k=10).collect()]
+    b = [(tuple(r["ngram"]), r["cnt"]) for r in top_ngrams(df, n=2, k=10, by_hash=True).collect()]
+    assert a == b
+
+
+def test_top_ngrams_tie_break_deterministic(spark):
+    from sketchlib.spark.text import top_ngrams
+
+    # four distinct unigrams all with count 1: k=2 must take the 2 smallest
+    df = spark.createDataFrame([([9],), ([3],), ([7],), ([1],)], "tokens array<int>")
+    got = [tuple(r["ngram"]) for r in top_ngrams(df, n=1, k=2).collect()]
+    assert got == [(1,), (3,)]
+
+
+def test_ngram_counts_takeordered_plan(spark):
+    """The default top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full global Sort."""
+    from sketchlib.spark.text import top_ngrams
+
+    df = spark.createDataFrame([([1, 2, 3, 4],)], "tokens array<int>")
+    plan = top_ngrams(df, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- source_overlap (mixture-design overlap matrix) -------------------------
+
+
+def test_source_overlap_matches_python_reference(spark):
+    from sketchlib.spark.sampling import source_overlap
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 3),       # dup fp within group
+        ("b", 2), ("b", 3), ("b", 4),
+        ("c", 99),                                     # disjoint from a and b
+        (None, 1), ("a", None),                        # excluded
+    ]
+    df = spark.createDataFrame(rows, "source string, fp int")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in source_overlap(df, "fp").collect()
+    }
+    sets = {"a": {1, 2, 3}, "b": {2, 3, 4}, "c": {99}}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                expect[(a, b)] = (
+                    len(sets[a]),
+                    len(sets[b]),
+                    inter,
+                    inter / len(sets[a] | sets[b]),
+                )
+    assert got == expect
+    assert got[("a", "c")][2] == 0  # disjoint pairs present with zero overlap
+
+
+def test_source_overlap_single_group_empty(spark):
+    from sketchlib.spark.sampling import source_overlap
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "source string, fp int")
+    assert source_overlap(df, "fp").count() == 0
+
+
+def test_source_overlap_vs_sketch_jaccard(spark, seq_tiny_dir):
+    """The exact matrix is the oracle for the sketch route (jaccard_df over
+    per-source MinHash states): estimates within 4·se of exact Jaccard."""
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import jaccard_df
+    from sketchlib.spark.sampling import source_overlap
+
+    df = spark.read.parquet(seq_tiny_dir)
+    flat = df.select("source", F.explode("tokens").alias("tok"))
+    exact = {
+        (r["group_a"], r["group_b"]): r["jaccard"]
+        for r in source_overlap(flat, "tok").collect()
+    }
+    states = build_sketches(
+        df, [SketchSpec("mh", "minhash", "tokens", {"r": 256})], group_by="source"
+    )
+    est = jaccard_df(spark, states, "mh").collect()
+    assert len(est) == len(exact) > 0
+    for r in est:
+        key = (r["group_a"], r["group_b"])
+        assert abs(r["jaccard_est"] - exact[key]) <= 4 * r["se_bound"] + 0.02
