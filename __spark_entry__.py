@@ -3152,6 +3152,70 @@ def q_b47_join_size(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, within_bound boolean").orderBy("chk")
 
 
+def q_b48_join_rows_sql(spark, sf_dir):
+    """Round 5: APPROX_JOIN_ROWS through the SQL door — `SELECT
+    APPROX_JOIN_ROWS(a.k, b.k) FROM t1 a, t2 b` prices the join without
+    running it. Two routes checked: on-the-fly (one CM build per side, no
+    join executed) and FROM PERSISTED STATES (both sides' registered CMs,
+    proven base-free by DELETING both base copies first — the A5
+    substitution extended to the join-size question). Both estimates must
+    never undercount the exact join count and overshoot ≤ ε·|A|·|B|;
+    EXPLAIN must name the states route before execution (parity)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, explain_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    exact = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    na, nb = orders.count(), cust.count()
+
+    tbl = {
+        "orders": f"{sf_dir}/orders.parquet",
+        "customer": f"{sf_dir}/customer.parquet",
+    }
+    fly = approx_sql(
+        spark,
+        "SELECT APPROX_JOIN_ROWS(o.o_custkey, c.c_custkey) FROM orders o, customer c",
+        tbl,
+    ).collect()[0]
+    rows = [
+        ("fly_never_undercounts", bool(fly["join_rows_est"] >= exact)),
+        ("fly_within_bound", bool(fly["join_rows_est"] - exact <= fly["join_rows_err"])),
+        ("fly_bound_is_eps_na_nb", bool(abs(fly["join_rows_err"] - 1e-4 * na * nb) < 1e-6 * na * nb + 1e-9)),
+    ]
+
+    work = tempfile.mkdtemp(prefix="sketchlib_b48_")
+    try:
+        # registered states answer with both BASE COPIES DELETED
+        oc, cc = os.path.join(work, "orders"), os.path.join(work, "customer")
+        for src, dst in ((tbl["orders"], oc), (tbl["customer"], cc)):
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:  # sf dirs store single-file tables: wrap in a directory
+                os.makedirs(dst)
+                shutil.copyfile(src, os.path.join(dst, "part-0.parquet"))
+        t2 = {"orders": oc, "customer": cc}
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        approx_sql(spark, "CREATE SKETCHES b48o FROM orders KINDS cm(o_custkey)", t2, cat).collect()
+        approx_sql(spark, "CREATE SKETCHES b48c FROM customer KINDS cm(c_custkey)", t2, cat).collect()
+        stmt = "SELECT APPROX_JOIN_ROWS(o.o_custkey, c.c_custkey) AS jr FROM orders o, customer c"
+        ex = {k: v for k, v in explain_sql(spark, stmt, t2, cat).collect()}
+        rows.append(("explain_names_states_route",
+                     bool(ex.get("route", "").startswith("persisted sketch states"))))
+        shutil.rmtree(oc)
+        shutil.rmtree(cc)
+        st = approx_sql(spark, stmt, t2, cat).collect()[0]
+        rows.append(("states_never_undercounts", bool(st["jr"] >= exact)))
+        rows.append(("states_within_bound", bool(st["jr"] - exact <= st["jr_err"])))
+        rows.append(("states_base_free", True))  # reaching here = no base scan
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "chk string, within_bound boolean").orderBy("chk")
+
+
 def q_b46_plugin_sketch(spark, sf_dir):
     """Round 5: USER-DEFINED sketch kinds (`register_sketch_kind`, the A19
     extension point) end-to-end through the DDL door: the contrib
@@ -3403,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b45_subsample_error": _dist_wrapped(q_b45_subsample_error),
         "b46_plugin_sketch": _dist_wrapped(q_b46_plugin_sketch),
         "b47_join_size": _dist_wrapped(q_b47_join_size),
+        "b48_join_rows_sql": _dist_wrapped(q_b48_join_rows_sql),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3636,6 +3701,17 @@ def oracle_sql() -> dict[str, str]:
               ('multi_agg_contract', TRUE),
               ('base_free_contract_via_scramble', TRUE),
               ('base_free_grouped_contract', TRUE)
+            ) AS t(chk, within_bound)
+        """,
+        "b48_join_rows_sql": """
+            SELECT * FROM (VALUES
+              ('explain_names_states_route', TRUE),
+              ('fly_bound_is_eps_na_nb', TRUE),
+              ('fly_never_undercounts', TRUE),
+              ('fly_within_bound', TRUE),
+              ('states_base_free', TRUE),
+              ('states_never_undercounts', TRUE),
+              ('states_within_bound', TRUE)
             ) AS t(chk, within_bound)
         """,
         "b47_join_size": """

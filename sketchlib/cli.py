@@ -161,6 +161,23 @@ def main(argv=None) -> int:
                     "deterministic md5(id:seed) coin without one")
     mx.add_argument("--seed", type=int, default=0)
 
+    pr = sub.add_parser(
+        "profile",
+        help="one-command corpus data card: exact per-source rows/tokens + "
+        "sketch-served distinct-doc estimates and token-length quantiles "
+        "(HLL + KLL built in one pass), printed as JSON",
+    )
+    pr.add_argument("--input", required=True, help="parquet dir (sequences-shaped)")
+    pr.add_argument("--group-by", default="source")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--tokens-col", default="tokens")
+    pr.add_argument("--len-col", default="n_tok",
+                    help="token-count column; computed as size(tokens-col) if absent")
+    pr.add_argument("--quantiles", type=float, nargs="+", default=[0.5, 0.9, 0.99])
+    pr.add_argument("--topk", type=int, default=0,
+                    help="also report the top-K heavy-hitter tokens per source "
+                    "(adds a CM sketch to the same build pass)")
+
     sh = sub.add_parser(
         "shard",
         help="deterministic global shuffle + shard: write shard=N/ "
@@ -363,6 +380,69 @@ def main(argv=None) -> int:
         n_out = spark.read.parquet(args.out).count()
         print(json.dumps({
             "mode": mode, "input_rows": n_in, "output_rows": n_out, "out": args.out,
+        }))
+
+    elif args.cmd == "profile":
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.build import SketchSpec, build_sketches
+        from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+
+        docs = spark.read.parquet(args.input)
+        lcol = args.len_col
+        if lcol not in docs.columns:
+            if args.tokens_col not in docs.columns:
+                raise SystemExit(
+                    f"profile: neither --len-col {lcol!r} nor --tokens-col "
+                    f"{args.tokens_col!r} exists in {args.input}"
+                )
+            docs = docs.withColumn(lcol, F.size(args.tokens_col).cast("int"))
+        # exact cheap aggregates: one groupBy scan (rows + token totals)
+        exact = {
+            str(r["g"]): r
+            for r in docs.groupBy(F.col(args.group_by).alias("g"))
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum(lcol).alias("tokens"))
+            .collect()
+        }
+        # sketch pass: ONE corpus scan builds every sketch (zero-shuffle kernel)
+        specs = [
+            SketchSpec("hll_id", "hll", args.id_col, {"p": 14}),
+            SketchSpec("kll_len", "kll", lcol, {"k": 200}),
+        ]
+        if args.topk > 0:
+            specs.append(SketchSpec("cm_tok", "cm", args.tokens_col, {"eps": 1e-4, "delta": 0.01}))
+        states = build_sketches(docs, specs, group_by=args.group_by).localCheckpoint()
+        dd = {r["group"]: r for r in estimates_df(spark, states, "hll_id").collect()}
+        qrows = quantiles_df(spark, states, "kll_len", args.quantiles).collect()
+        qmap: dict = {}
+        for r in qrows:
+            qmap.setdefault(r["group"], {})[f"p{int(round(r['q'] * 100))}"] = r["value"]
+        rank_err = qrows[0]["rank_err_bound"] if qrows else None
+        hh: dict = {}
+        if args.topk > 0:
+            for r in topk_df(spark, states, "cm_tok", args.topk).collect():
+                hh.setdefault(r["group"], []).append(
+                    {"token": r["token"], "est_count": r["est_count"]}
+                )
+        per_group = {
+            g: {
+                "rows": int(exact[g]["rows"]),
+                "total_tokens": int(exact[g]["tokens"] or 0),
+                "distinct_docs_est": dd[g]["estimate"],
+                "distinct_docs_rse": dd[g]["rse_bound"],
+                "token_len_quantiles": qmap.get(g, {}),
+                **({"top_tokens": hh.get(g, [])} if args.topk > 0 else {}),
+            }
+            for g in sorted(exact)
+        }
+        print(json.dumps({
+            "corpus": {
+                "rows": sum(v["rows"] for v in per_group.values()),
+                "total_tokens": sum(v["total_tokens"] for v in per_group.values()),
+                "groups": len(per_group),
+                "quantile_rank_err_bound": rank_err,
+            },
+            "per_group": per_group,
         }))
 
     elif args.cmd == "shard":

@@ -240,6 +240,136 @@ _JOIN3_SKELETON = re.compile(
 )
 
 
+# Join-cardinality estimation (the planner's what-would-this-join-cost
+# question, answered WITHOUT running the join): ``SELECT
+# APPROX_JOIN_ROWS(a.k1, b.k2 [, eps]) FROM t1 a, t2 b`` prices |t1 ⋈ t2|
+# from two Count-Min sketches over the key columns (Cormode & Muthukrishnan
+# 2005 §4.2 inner product — never undercounts, overshoot ≤ eps·|A|·|B|).
+# Comma-FROM, no ON clause: the keys ARE the aggregate's arguments.
+_JOIN_ROWS_SKELETON = re.compile(
+    r"^\s*SELECT\s+APPROX_JOIN_ROWS\s*\(\s*"
+    r"(?P<qa>\w+)\.(?P<ka>\w+)\s*,\s*(?P<qb>\w+)\.(?P<kb>\w+)"
+    r"(?:\s*,\s*(?P<eps>[^,()\s]+))?\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s*"
+    r"FROM\s+(?P<ta>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<aa>\w+))?\s*,\s*"
+    r"(?P<tb>[\w./:\-]+)(?:\s+(?:AS\s+)?(?P<ab>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _join_rows_sides(m) -> tuple[tuple[str, str], tuple[str, str]]:
+    """((table_token, key), (table_token, key)) for the aggregate's two
+    qualified arguments, resolved against the FROM entries (alias if given,
+    else the table token). Unknown qualifiers raise by name."""
+    ents = {
+        (m.group("aa") or m.group("ta")): m.group("ta"),
+        (m.group("ab") or m.group("tb")): m.group("tb"),
+    }
+    out = []
+    for q, k in ((m.group("qa"), m.group("ka")), (m.group("qb"), m.group("kb"))):
+        if q not in ents:
+            raise ValueError(
+                f"APPROX_JOIN_ROWS qualifier {q!r} matches no FROM entry "
+                f"(have {sorted(ents)}); a self-join needs two distinct aliases"
+            )
+        out.append((ents[q], k))
+    return out[0], out[1]
+
+
+def _resolve_join_rows_regs(sides, tables, catalog, req_eps):
+    """Newest registration pair able to answer APPROX_JOIN_ROWS from states
+    alone: each side needs an UNGROUPED sketch set over its table whose
+    specs include a Count-Min on the key column, and the two CM geometries
+    (w, d, seed) must be IDENTICAL — different hash families map keys to
+    different columns, so a mismatched pair is not an estimate at all.
+    An explicit eps argument is a precision request: only CMs achieving it
+    serve. Returns ((reg_name, spec_name), (reg_name, spec_name)) or None
+    (→ on-the-fly build). Shared by execution and EXPLAIN."""
+    import json as _json
+    import math as _math
+    import os as _os
+
+    if catalog is None:
+        return None
+    rows = sorted(catalog.list_rows(), key=lambda r: (-r["built_unix"], r["name"]))
+
+    def cands(token, col):
+        base = _table_dir(token, tables)
+        if base is None:
+            return []
+        bn = _os.path.normpath(base)
+        out = []
+        for reg in rows:
+            if _os.path.normpath(reg["input_dir"]) != bn or reg["group_by"] != "":
+                continue
+            for s in _json.loads(reg["specs_json"]):
+                if s["kind"] != "cm" or s["column"] != col:
+                    continue
+                p = s.get("params", {})
+                eps = float(p.get("eps", 1e-4))
+                if req_eps is not None and eps > req_eps * (1 + 1e-9):
+                    continue
+                geom = (
+                    int(_math.ceil(_math.e / eps)),
+                    int(_math.ceil(_math.log(1.0 / float(p.get("delta", 0.01))))),
+                    int(p.get("seed", 7)),
+                )
+                out.append((reg["name"], s["name"], geom))
+        return out
+
+    ca, cb = cands(*sides[0]), cands(*sides[1])
+    for na, sa, ga in ca:
+        for nb, sb, gb in cb:
+            if ga == gb:
+                return (na, sa), (nb, sb)
+    return None
+
+
+def _approx_join_rows(spark, m, tables, catalog, catalog_key) -> DataFrame:
+    """Execute APPROX_JOIN_ROWS: states-served when both sides have
+    geometry-compatible registered CMs (ZERO base-table scans — A5 extended
+    to the join-size question), else an on-the-fly build (one scan per
+    side, the join itself never runs). Output row: (estimate, abs error
+    bound); AS alias renames to (alias, alias_err)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.query import join_size_estimate
+
+    if catalog_key is not None:
+        raise ValueError(
+            "APPROX_JOIN_ROWS resolves ONE registration PER SIDE — "
+            "catalog_key names a single artifact; drop it and let "
+            "auto-selection pick a geometry-compatible CM pair"
+        )
+    eps_arg = m.group("eps")
+    req_eps = _num(eps_arg)
+    if eps_arg is not None and req_eps is None:
+        raise ValueError(
+            f"APPROX_JOIN_ROWS third argument {eps_arg!r} must be a numeric "
+            "eps (the CM overcount fraction, e.g. 1e-4)"
+        )
+    sides = _join_rows_sides(m)
+    picks = _resolve_join_rows_regs(sides, tables, catalog, req_eps)
+    if picks is not None:
+        (na, sa), (nb, sb) = picks
+        est, err = join_size_estimate(
+            catalog.states(na), catalog.states(nb), sa, sketch_b=sb
+        )
+    else:
+        eps = req_eps if req_eps is not None else 1e-4
+        params = {"eps": eps, "delta": 0.01, "seed": 7}
+        states = []
+        for token, key in sides:
+            df = _resolve_table(spark, token, tables).select(F.col(key).alias("_jk"))
+            states.append(
+                build_sketches(df, [SketchSpec("cm_jk", "cm", "_jk", params)], group_by=None)
+            )
+        est, err = join_size_estimate(states[0], states[1], "cm_jk")
+    name = m.group("alias") or "join_rows_est"
+    err_name = f"{m.group('alias')}_err" if m.group("alias") else "join_rows_err"
+    return spark.createDataFrame([(float(est), float(err))], f"{name} double, {err_name} double")
+
+
 def _resolve_join3_key(toks, tables, catalog, req_ratio) -> str | None:
     """Auto-selected UNIFORM fact scramble for a three-table chain (None →
     on-the-fly Bernoulli draw of the first FROM table) — shared by
@@ -1522,6 +1652,42 @@ def explain_sql(
         body = tm.group("body")
     if tails:
         emit("result_tails", ",".join(reversed(tails)))
+    jr = _JOIN_ROWS_SKELETON.match(body)
+    if jr:
+        # mirrors _approx_join_rows' gates exactly (EXPLAIN↔execution parity)
+        emit("statement_kind", "approx_join_rows")
+        if estimator == "subsample":
+            emit("route", "error — approx_sql would raise")
+            emit("error", "APPROX_JOIN_ROWS is sketch-served (CM inner "
+                 "product); ERROR BY SUBSAMPLING applies to the sampling "
+                 "aggregates")
+            return done()
+        if catalog_key is not None:
+            emit("route", "error — approx_sql would raise")
+            emit("error", "APPROX_JOIN_ROWS resolves ONE registration PER "
+                 "SIDE — drop catalog_key")
+            return done()
+        jr_eps = _num(jr.group("eps"))
+        if jr.group("eps") is not None and jr_eps is None:
+            emit("route", "error — approx_sql would raise")
+            emit("error", f"non-numeric eps argument {jr.group('eps')!r}")
+            return done()
+        try:
+            jr_sides = _join_rows_sides(jr)
+        except ValueError as e:
+            emit("route", "error — approx_sql would raise")
+            emit("error", str(e))
+            return done()
+        jr_picks = _resolve_join_rows_regs(jr_sides, tables, catalog, jr_eps)
+        if jr_picks is not None:
+            emit("route", "persisted sketch states (both sides; zero base scans)")
+            emit("states_a", f"{jr_picks[0][0]}.{jr_picks[0][1]}")
+            emit("states_b", f"{jr_picks[1][0]}.{jr_picks[1][1]}")
+        else:
+            emit("route", "on-the-fly CM build (one scan per side; the join "
+                 "itself never runs)")
+            emit("eps", str(jr_eps if jr_eps is not None else 1e-4))
+        return done()
     jm = _JOIN3_SKELETON.match(body) or _JOIN_SKELETON.match(body)
     if jm:
         n_tables = 3 if "t3" in jm.groupdict() else 2
@@ -3909,6 +4075,15 @@ def approx_sql(
             spark, tm.group("body"), tables, catalog, catalog_key,
             estimator=estimator,
         ).filter(tm.group("pred"))
+    jr = _JOIN_ROWS_SKELETON.match(sql)
+    if jr:
+        if estimator == "subsample":
+            raise ValueError(
+                "APPROX_JOIN_ROWS is sketch-served (CM inner product) — its "
+                "bound is not a sampling CI; ERROR BY SUBSAMPLING applies "
+                "to the sampling aggregates"
+            )
+        return _approx_join_rows(spark, jr, tables, catalog, catalog_key)
     jm3, jm2 = _JOIN3_SKELETON.match(sql), None
     if jm3 is None:
         jm2 = _JOIN_SKELETON.match(sql)

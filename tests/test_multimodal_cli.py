@@ -380,3 +380,27 @@ def test_cli_mix(spark, tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r.returncode != 0 and "exactly one of" in (r.stderr + r.stdout)
+
+
+def test_cli_profile(seq_tiny_dir, tmp_path):
+    """`profile` prints the corpus data card: exact rows/tokens per source,
+    HLL distinct-doc estimates within bound, KLL length quantiles ordered."""
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "profile",
+         "--input", seq_tiny_dir, "--topk", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert card["corpus"]["groups"] == 5
+    assert card["corpus"]["rows"] == 2000
+    total = 0
+    for g, row in card["per_group"].items():
+        total += row["rows"]
+        # doc_ids are unique -> distinct estimate within the HLL rse of rows
+        assert abs(row["distinct_docs_est"] - row["rows"]) <= 3 * row["distinct_docs_rse"] * row["rows"] + 2
+        q = row["token_len_quantiles"]
+        assert set(q) == {"p50", "p90", "p99"} and q["p50"] <= q["p90"] <= q["p99"]
+        assert row["total_tokens"] > 0
+        assert len(row["top_tokens"]) == 3
+    assert total == card["corpus"]["rows"]
