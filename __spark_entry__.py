@@ -3350,6 +3350,23 @@ def q_c31_upsample_mixture(spark, sf_dir):
     ).orderBy("doc_id", "copy")
 
 
+def q_c35_weighted_sample(spark, sf_dir):
+    """Round 5 continuation: DETERMINISTIC weighted sampling
+    (`sampling.weighted_sample`, Efraimidis–Spirakis A-Res) — 40 docs per
+    source drawn with probability ∝ n_chars, priorities ln(u)/w from the
+    shared 60-bit md5(id:seed) coin. Cross-engine reproducibility IS the
+    contract: DuckDB evaluates the identical md5 key, priority, and
+    per-source row_number ≤ k window, and every kept (doc_id, source) row
+    must VALUE-match. (Priorities are continuous random values — nearest
+    gaps at this scale are ~1e-8 relative, so libm ulp differences cannot
+    flip the order.)"""
+    from sketchlib.spark.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = weighted_sample(docs, 40, "n_chars", group_col="source", seed=7)
+    return kept.select("doc_id", "source").orderBy("source", "doc_id")
+
+
 def q_c34_source_overlap(spark, sf_dir):
     """Round 5 continuation: cross-source OVERLAP MATRIX
     (`sampling.source_overlap`) — the mixture-design report "how much does
@@ -3504,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c32_cap_per_group": _dist_wrapped(q_c32_cap_per_group),
         "c33_top_ngrams": _dist_wrapped(q_c33_top_ngrams),
         "c34_source_overlap": _dist_wrapped(q_c34_source_overlap),
+        "c35_weighted_sample": _dist_wrapped(q_c35_weighted_sample),
     }
 
 
@@ -3854,6 +3872,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the naive per-group top-cap window the split operator must equal
         # exactly; doc_id tie-break resolves duplicate n_chars identically
+        "c35_weighted_sample": """
+            WITH p AS (
+                SELECT doc_id, source,
+                       ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                                AS BIGINT) + 0.5) / 1152921504606846976.0)
+                         / n_chars AS pri
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+            )
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY pri DESC, doc_id) AS rn
+                FROM p
+            ) WHERE rn <= 40
+            ORDER BY source, doc_id
+        """,
         "c34_source_overlap": r"""
             WITH d AS (
               SELECT DISTINCT source AS g, w FROM (

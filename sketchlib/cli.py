@@ -159,6 +159,11 @@ def main(argv=None) -> int:
     mx.add_argument("--cap", type=int, default=None,
                     help="max docs kept per group: top --score-col, or a "
                     "deterministic md5(id:seed) coin without one")
+    mx.add_argument("--weighted-k", type=int, default=None,
+                    help="per-group Efraimidis-Spirakis weighted draw of K "
+                    "docs with probability proportional to --score-col "
+                    "(stochastic but reproducible: a pure function of "
+                    "(id, seed))")
     mx.add_argument("--seed", type=int, default=0)
 
     pr = sub.add_parser(
@@ -341,9 +346,13 @@ def main(argv=None) -> int:
     elif args.cmd == "mix":
         from pyspark.sql import functions as F
 
-        n_modes = sum(x is not None for x in (args.budget, args.fractions, args.cap))
+        n_modes = sum(
+            x is not None for x in (args.budget, args.fractions, args.cap, args.weighted_k)
+        )
         if n_modes != 1:
-            raise SystemExit("mix: pass exactly one of --budget, --fractions, --cap")
+            raise SystemExit(
+                "mix: pass exactly one of --budget, --fractions, --cap, --weighted-k"
+            )
         docs = spark.read.parquet(args.input)
         n_in = docs.count()
         if args.cap is not None:
@@ -354,6 +363,16 @@ def main(argv=None) -> int:
                 score_col=args.score_col, id_col=args.id_col, seed=args.seed,
             )
             mode = "cap"
+        elif args.weighted_k is not None:
+            if not args.score_col:
+                raise SystemExit("mix: --weighted-k needs --score-col (the weight)")
+            from sketchlib.spark.sampling import weighted_sample
+
+            out_df = weighted_sample(
+                docs, args.weighted_k, args.score_col,
+                group_col=args.source_col, id_col=args.id_col, seed=args.seed,
+            )
+            mode = "weighted"
         elif args.budget is not None:
             if not args.score_col:
                 raise SystemExit("mix: --budget needs --score-col")

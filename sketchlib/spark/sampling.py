@@ -939,3 +939,65 @@ def source_overlap(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """DETERMINISTIC weighted sampling without replacement — k rows
+    (per ``group_col`` value, or globally when None) drawn with probability
+    proportional to ``weight_col`` via Efraimidis–Spirakis A-Res (IPL 2006):
+    each row gets priority ln(u)/w with u the (0,1) fraction of the shared
+    60-bit md5(id:seed) key, and the k LARGEST priorities win — equivalent
+    to ordering by u^(1/w), the paper's exact weighted-without-replacement
+    scheme. The coin is a pure function of (id, seed): independent of
+    partitioning, cluster size, and file layout (re-runs/audits draw the
+    identical sample; `rand()` would not), and any engine with md5 replays
+    it — the driver query value-matches every kept row against DuckDB
+    evaluating the same expression.
+
+    The fourth classic sample kind beside D13's uniform/universe/stratified:
+    "keep the best-weighted k per source, but stochastically" — quality-
+    WEIGHTED selection keeps tail documents with nonzero probability where
+    a deterministic top-k by score (cap_per_group) would never pick them.
+
+    Scale shape: priorities are pure codegen columns (no Python, no extra
+    scan). Grouped: one per-group window whose row_number ≤ k filter
+    Catalyst rewrites into a partial WindowGroupLimit BELOW the exchange
+    (plan-locked) — every map task forwards at most k rows per group, so
+    a 10⁹-doc group ships ≤ k·n_tasks rows, never 10⁹. Global: orderBy +
+    limit plans as TakeOrderedAndProject (per-partition top-k, driver
+    merge of k·P rows — keep global k modest; per-group is the scale
+    path). Rows with NULL/non-positive weight or NULL id are EXCLUDED
+    (no mass / no stable coin — a silent default would bias the draw).
+    """
+    from pyspark.sql import Window
+
+    from sketchlib.spark.packing import _md5_key60
+
+    k = int(k)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    eligible = df.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+        & F.col(id_col).isNotNull()
+    )
+    u = (_md5_key60(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    keyed = eligible.withColumn("_pri", pri)
+    if group_col is None:
+        return (
+            keyed.orderBy(F.desc("_pri"), F.asc(id_col)).limit(k).drop("_pri")
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_pri"), F.asc(id_col))
+    return (
+        keyed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_pri")
+    )

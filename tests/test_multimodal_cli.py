@@ -381,6 +381,20 @@ def test_cli_mix(spark, tmp_path):
     )
     assert r.returncode != 0 and "exactly one of" in (r.stderr + r.stdout)
 
+    # weighted mode: per-source ES draw of 15 docs weighted by score,
+    # matching the operator called directly (scores 0 are excluded rows)
+    out4 = run("mix", "--input", src, "--out", str(tmp_path / "wk"),
+               "--weighted-k", "15", "--score-col", "score", "--seed", "3")
+    assert out4["mode"] == "weighted" and out4["output_rows"] == 30
+    wk = spark.read.parquet(str(tmp_path / "wk"))
+    from sketchlib.spark.sampling import weighted_sample
+
+    want_w = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, 15, "score", group_col="source", seed=3).collect()
+    )
+    assert sorted(r["doc_id"] for r in wk.collect()) == want_w
+
 
 def test_cli_profile(seq_tiny_dir, tmp_path):
     """`profile` prints the corpus data card: exact rows/tokens per source,

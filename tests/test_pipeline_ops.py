@@ -1184,3 +1184,95 @@ def test_source_overlap_vs_sketch_jaccard(spark, seq_tiny_dir):
     for r in est:
         key = (r["group_a"], r["group_b"])
         assert abs(r["jaccard_est"] - exact[key]) <= 4 * r["se_bound"] + 0.02
+
+
+# --- weighted_sample (Efraimidis-Spirakis deterministic draw) ----------------
+
+
+def _es_ref(rows, k, seed, grouped=True):
+    """hashlib reference of the identical priority + top-k selection."""
+    import hashlib
+    import math
+
+    pri = {}
+    for rid, grp, w in rows:
+        if rid is None or w is None or w <= 0:
+            continue
+        key = int(hashlib.md5(f"{rid}:{seed}".encode()).hexdigest()[:15], 16)
+        u = (key + 0.5) / float(1 << 60)
+        pri.setdefault(grp if grouped else None, []).append((math.log(u) / w, -rid))
+    kept = set()
+    for grp, lst in pri.items():
+        for p, nid in sorted(lst, reverse=True)[:k]:
+            kept.add((-nid, grp))
+    return kept
+
+
+def test_weighted_sample_matches_reference_grouped(spark):
+    from sketchlib.spark.sampling import weighted_sample
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), ["a", "b", "c"][i % 3], float(w))
+        for i, w in enumerate(rng.uniform(0.1, 9.0, 200))
+    ]
+    rows += [(None, "a", 5.0), (900, "a", None), (901, "a", 0.0), (902, "a", -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in weighted_sample(df, 10, "w", group_col="source", seed=7).collect()
+    }
+    assert got == _es_ref(rows, 10, 7)
+
+
+def test_weighted_sample_global_matches_reference(spark):
+    from sketchlib.spark.sampling import weighted_sample
+
+    rng = np.random.default_rng(4)
+    rows = [(int(i), "g", float(w)) for i, w in enumerate(rng.uniform(0.5, 4.0, 150))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = {
+        (r["doc_id"], None)
+        for r in weighted_sample(df, 12, "w", seed=1).collect()
+    }
+    assert got == {(i, None) for i, g in _es_ref(rows, 12, 1, grouped=False)}
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Across many seeds, a 10x-weighted item is drawn far more often than a
+    1x item (the ES inclusion-probability property, sanity-checked)."""
+    from sketchlib.spark.sampling import weighted_sample
+
+    rows = [(i, "g", 10.0 if i == 0 else 1.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double").cache()
+    heavy = light = 0
+    for seed in range(40):
+        kept = {r["doc_id"] for r in weighted_sample(df, 5, "w", seed=seed).collect()}
+        heavy += 0 in kept
+        light += 1 in kept
+    assert heavy > light + 10  # w=10 item included ~3-5x as often as a w=1 item
+
+
+def test_weighted_sample_plan_group_limit(spark):
+    """Grouped path must push a partial WindowGroupLimit below the exchange
+    (map tasks forward <= k rows per group)."""
+    from sketchlib.spark.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 1.0 + i) for i in range(50)],
+        "doc_id long, source string, w double",
+    )
+    plan = (
+        weighted_sample(df, 3, "w", group_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_weighted_sample_k_validation(spark):
+    from sketchlib.spark.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, source string, w double")
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, 0, "w")
