@@ -372,16 +372,24 @@ def top_ngrams(
       (per-partition top-k + driver merge of k·P rows, NO full sort).
       The shuffle key is the gram array (n×8 bytes + offsets per distinct
       gram).
-    - ``by_hash=True`` (the 100 TB shuffle-width path): occurrences are
+    - ``by_hash=True`` (the WIDE-gram shuffle path): occurrences are
       counted by their 8-byte ``xxhash64(ngram)`` first (fixed-width
-      shuffle keys, ~n× narrower), the top ``k·candidate_factor`` hashes
-      are taken, and ONLY occurrences matching those hashes (broadcast
-      semi-join, map-side) are re-counted exactly by gram for the final
-      top-k. Per-gram counts are exact (the recount ignores hash
-      classes); candidate MEMBERSHIP is exact unless a 64-bit collision
-      lands a non-top gram class above a top gram's class at the
-      boundary — at 10¹² distinct grams the chance any collision exists
-      is ~5%, the chance one perturbs the top-k boundary is negligible.
+      shuffle keys), the top ``k·candidate_factor`` hashes are taken,
+      and ONLY occurrences matching those hashes (broadcast semi-join,
+      map-side) are re-counted exactly by gram for the final top-k.
+      Per-gram counts are exact (the recount ignores hash classes);
+      candidate MEMBERSHIP is exact unless a 64-bit collision lands a
+      non-top gram class above a top gram's class at the boundary — at
+      10¹² distinct grams the chance any collision exists is ~5%, the
+      chance one perturbs the top-k boundary is negligible.
+
+    MEASURED guidance (BENCH/topngrams_scale.json, 200k docs, both arms
+    result-identical): at n=3 over int32 token ids by_hash is a LOSS —
+    shuffle compression flattens the key-width advantage to 1.09× (token
+    ids compress; random hashes don't) while the second gram scan costs
+    1.4× wall. At n=8 the wider arrays beat compression: 2.22× fewer
+    shuffle bytes AND 1.3× faster. Default for short integer grams;
+    ``by_hash`` for wide grams (n ≳ 6) or string-element grams.
     """
     counts = ngram_counts(df, tokens_col, n)
     if not by_hash:

@@ -33,6 +33,11 @@ Supported aggregates:
                                                  → uniform sample + delta-method CI
     APPROX_COVAR(x, y, ratio) / APPROX_CORR(x, y, ratio)
                                                  → uniform sample; CLT / Fisher-z CI
+    APPROX_JOIN_ROWS(a.k1, b.k2 [, eps]) FROM t1 a, t2 b
+                                                 → CM inner product (join priced
+                                                   without running it; states-served
+                                                   when both sides have geometry-
+                                                   compatible registered CMs)
 
 FROM accepts a registered temp view name, a parquet path, or a name found in
 the optional ``tables`` dict. If a ``SketchCatalog`` is passed and holds
