@@ -3152,6 +3152,41 @@ def q_b47_join_size(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, within_bound boolean").orderBy("chk")
 
 
+def q_b49_grouped_join_size(spark, sf_dir):
+    """Round 5: PER-GROUP join pricing / key-skew report
+    (`query.join_size_df`) — grouped CM states priced pairwise per group;
+    the SELF-pair is the per-group second frequency moment F₂ = Σc²
+    (the self-join size), the standard skew diagnostic: the group whose
+    F₂ explodes is the group whose join/dedup stage will too. Checked
+    per l_returnflag group on lineitem's l_partkey keys: the estimate
+    never undercounts the exact Σc² and overshoots ≤ ε·N²_g."""
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_df
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    spec = [SketchSpec("cm_pk", "cm", "l_partkey", {"eps": 1e-4, "delta": 0.01})]
+    states = build_sketches(li, spec, group_by="l_returnflag")
+    est = {
+        r["group"]: (r["join_rows_est"], r["join_rows_err"])
+        for r in join_size_df(spark, states, states, "cm_pk").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["f2"]
+        for r in li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()
+    }
+    rows = []
+    for g in sorted(exact):
+        e, err = est[g]
+        rows.append((g, bool(e >= exact[g] and e - exact[g] <= err)))
+    return spark.createDataFrame(rows, "l_returnflag string, within_bound boolean").orderBy(
+        "l_returnflag"
+    )
+
+
 def q_b48_join_rows_sql(spark, sf_dir):
     """Round 5: APPROX_JOIN_ROWS through the SQL door — `SELECT
     APPROX_JOIN_ROWS(a.k, b.k) FROM t1 a, t2 b` prices the join without
@@ -3485,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b46_plugin_sketch": _dist_wrapped(q_b46_plugin_sketch),
         "b47_join_size": _dist_wrapped(q_b47_join_size),
         "b48_join_rows_sql": _dist_wrapped(q_b48_join_rows_sql),
+        "b49_grouped_join_size": _dist_wrapped(q_b49_grouped_join_size),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3720,6 +3756,10 @@ def oracle_sql() -> dict[str, str]:
               ('base_free_contract_via_scramble', TRUE),
               ('base_free_grouped_contract', TRUE)
             ) AS t(chk, within_bound)
+        """,
+        "b49_grouped_join_size": """
+            SELECT l_returnflag, TRUE AS within_bound
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

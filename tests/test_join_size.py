@@ -120,3 +120,58 @@ def test_join_size_estimate_missing_group_raises(spark, seq_tiny_dir):
     )
     with pytest.raises(ValueError, match="no state"):
         join_size_estimate(st, st, "cm_k", group_a="nope")
+
+
+def test_join_size_df_grouped_and_f2(spark, seq_tiny_dir):
+    """Per-group pairing: grouped CM states price each group's join; the
+    self-pair gives the per-group second frequency moment F2 = sum(c^2)."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_df
+
+    df = spark.read.parquet(seq_tiny_dir)
+    spec = [SketchSpec("cm_k", "cm", "n_tok", {"eps": 1e-4, "delta": 0.01})]
+    states = build_sketches(df.select("source", "n_tok"), spec, group_by="source")
+
+    out = {r["group"]: (r["join_rows_est"], r["join_rows_err"])
+           for r in join_size_df(spark, states, states, "cm_k").collect()}
+    rows = df.select("source", "n_tok").collect()
+    per_group = collections.defaultdict(collections.Counter)
+    for r in rows:
+        per_group[r["source"]][r["n_tok"]] += 1
+    assert set(out) == set(per_group)
+    for g, cnt in per_group.items():
+        f2 = sum(c * c for c in cnt.values())
+        est, err = out[g]
+        assert est >= f2, f"F2 undercount in group {g}"
+        assert est - f2 <= err
+
+
+def test_join_size_df_two_sides_intersect_groups(spark, seq_tiny_dir):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_df
+
+    df = spark.read.parquet(seq_tiny_dir)
+    spec = [SketchSpec("cm_k", "cm", "n_tok", {"eps": 1e-3, "delta": 0.01})]
+    a = df.filter(F.col("source") != "web")
+    b = df.filter(F.col("source") != "code")
+    sa = build_sketches(a.select("source", "n_tok"), spec, group_by="source")
+    sb = build_sketches(b.select("source", "n_tok"), spec, group_by="source")
+    out = {r["group"] for r in join_size_df(spark, sa, sb, "cm_k").collect()}
+    # only groups present on BOTH sides are priced
+    assert "web" not in out and "code" not in out and len(out) >= 2
+
+
+def test_join_size_df_wrong_kind_raises(spark, seq_tiny_dir):
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_df
+
+    df = spark.read.parquet(seq_tiny_dir)
+    st = build_sketches(df, [SketchSpec("h", "hll", "n_tok", {"p": 12})], group_by="source")
+    with pytest.raises(ValueError, match="Count-Min"):
+        join_size_df(spark, st, st, "h")
