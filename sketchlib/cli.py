@@ -416,9 +416,16 @@ def main(argv=None) -> int:
                     f"{args.tokens_col!r} exists in {args.input}"
                 )
             docs = docs.withColumn(lcol, F.size(args.tokens_col).cast("int"))
-        # exact cheap aggregates: one groupBy scan (rows + token totals)
+        if args.topk > 0 and args.tokens_col not in docs.columns:
+            raise SystemExit(
+                f"profile: --topk needs --tokens-col {args.tokens_col!r}, "
+                f"which does not exist in {args.input}"
+            )
+        # exact cheap aggregates: one groupBy scan (rows + token totals).
+        # NULL groups are keyed '__null__' — the SAME label the sketch
+        # kernel uses — so the two sides of the card join up
         exact = {
-            str(r["g"]): r
+            ("__null__" if r["g"] is None else str(r["g"])): r
             for r in docs.groupBy(F.col(args.group_by).alias("g"))
             .agg(F.count(F.lit(1)).alias("rows"), F.sum(lcol).alias("tokens"))
             .collect()
@@ -435,7 +442,9 @@ def main(argv=None) -> int:
         qrows = quantiles_df(spark, states, "kll_len", args.quantiles).collect()
         qmap: dict = {}
         for r in qrows:
-            qmap.setdefault(r["group"], {})[f"p{int(round(r['q'] * 100))}"] = r["value"]
+            # %g keeps mille-level labels distinct (0.999 -> 'p99.9';
+            # int(round(q*100)) would collapse 0.995/0.999/1.0 to 'p100')
+            qmap.setdefault(r["group"], {})[f"p{r['q'] * 100:g}"] = r["value"]
         rank_err = qrows[0]["rank_err_bound"] if qrows else None
         hh: dict = {}
         if args.topk > 0:

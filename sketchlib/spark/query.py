@@ -506,8 +506,10 @@ def jaccard_df(spark: SparkSession, states: DataFrame, sketch: str) -> DataFrame
         for b in groups[i + 1 :]:
             j, se = sigs[a].jaccard(sigs[b])
             out.append((a, b, float(j), float(se)))
+    # explicit schema: a single-group state table must yield an EMPTY
+    # frame, not a CANNOT_INFER_EMPTY_SCHEMA crash
     return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group_a", "group_b", "jaccard_est", "se_bound"])
+        out, "group_a string, group_b string, jaccard_est double, se_bound double"
     )
 
 
@@ -602,6 +604,8 @@ def join_size_df(
     for g in sorted(set(sa) & set(sb)):
         est, err = sa[g].inner_product(sb[g])
         out.append((g, float(est), float(err)))
+    # explicit schema: disjoint group sets must yield an EMPTY frame, not a
+    # CANNOT_INFER_EMPTY_SCHEMA crash
     return spark.createDataFrame(
-        pd.DataFrame(out, columns=["group", "join_rows_est", "join_rows_err"])
+        out, "group string, join_rows_est double, join_rows_err double"
     )

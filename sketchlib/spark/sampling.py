@@ -983,10 +983,12 @@ def weighted_sample(
     k = int(k)
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    wd = F.col(weight_col).cast("double")
+    # NaN must be excluded EXPLICITLY: Spark evaluates NaN > 0 as TRUE and
+    # sorts NaN above every double, so a NaN weight (failed scorer) would
+    # pass the filter and its NaN priority would crowd out every valid row
     eligible = df.filter(
-        F.col(weight_col).isNotNull()
-        & (F.col(weight_col).cast("double") > 0)
-        & F.col(id_col).isNotNull()
+        wd.isNotNull() & ~F.isnan(wd) & (wd > 0) & F.col(id_col).isNotNull()
     )
     u = (_md5_key60(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     pri = F.log(u) / F.col(weight_col).cast("double")

@@ -327,28 +327,30 @@ def filter_documents(
     return df.filter(conj), report
 
 
+def _gram_expr(tokens_col: str, n: int) -> str:
+    """The shared n-gram-window SQL expression (transform+slice over a
+    sequence — whole-stage codegen, no Python). ONE definition so the two
+    top_ngrams plans can never silently diverge on windowing semantics."""
+    return (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> slice({tokens_col}, i + 1, {n})) "
+        f"ELSE array() END"
+    )
+
+
 def ngram_counts(df: DataFrame, tokens_col: str = "tokens", n: int = 3) -> DataFrame:
     """(ngram: array<element>, cnt) — exact corpus-wide token n-gram counts.
 
-    The n-gram windows are built with SQL higher-order functions
-    (transform+slice over a sequence — whole-stage codegen, no Python) and
-    counted by ONE groupBy with map-side partial aggregation: the shuffle
-    carries (ngram, partial_count) pairs, i.e. per-partition-DISTINCT gram
-    volume, never raw occurrences. Rows shorter than n contribute nothing;
-    NULL token arrays are skipped.
+    The n-gram windows are built with SQL higher-order functions (see
+    _gram_expr) and counted by ONE groupBy with map-side partial
+    aggregation: the shuffle carries (ngram, partial_count) pairs, i.e.
+    per-partition-DISTINCT gram volume, never raw occurrences. Rows shorter
+    than n contribute nothing; NULL token arrays are skipped.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    grams = df.select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size({tokens_col}) >= {n} THEN "
-                f"transform(sequence(0, size({tokens_col}) - {n}), "
-                f"i -> slice({tokens_col}, i + 1, {n})) "
-                f"ELSE array() END"
-            )
-        ).alias("ngram")
-    )
+    grams = df.select(F.explode(F.expr(_gram_expr(tokens_col, n))).alias("ngram"))
     return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -395,23 +397,30 @@ def top_ngrams(
     if not by_hash:
         return counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
     grams = df.select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size({tokens_col}) >= {n} THEN "
-                f"transform(sequence(0, size({tokens_col}) - {n}), "
-                f"i -> slice({tokens_col}, i + 1, {n})) "
-                f"ELSE array() END"
-            )
-        ).alias("ngram")
+        F.explode(F.expr(_gram_expr(tokens_col, n))).alias("ngram")
     ).withColumn("h", F.xxhash64("ngram"))
-    top_h = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt_h"))
-        .orderBy(F.desc("cnt_h"), F.asc("h"))
-        .limit(k * candidate_factor)
-        .select("h")
-    )
-    cand = grams.join(F.broadcast(top_h), "h", "leftsemi")
+    hc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt_h"))
+    hc = hc.localCheckpoint()  # consumed twice (threshold probe + filter)
+    # candidate threshold = the k-th LARGEST class count, then take ALL
+    # classes at-or-above it — a count-ranked cut (never a hash-ranked
+    # one): every gram tied at the boundary count is a candidate, so the
+    # final (cnt DESC, ngram ASC) tie-break sees the same tied set the
+    # default plan does and the two plans agree EXACTLY (under
+    # no-collision; a hash-ordered top-k·factor cut would pick an
+    # arbitrary subset of boundary ties and diverge with no collision
+    # at all — tested)
+    kth = [r["cnt_h"] for r in hc.select("cnt_h").orderBy(F.desc("cnt_h")).limit(k).collect()]
+    if len(kth) < k:
+        cand_h = hc.select("h")  # fewer than k classes: everything qualifies
+    else:
+        cand_h = hc.filter(F.col("cnt_h") >= int(kth[-1])).select("h")
+        # a massively-tied boundary (degenerate near-uniform counts) can
+        # inflate the candidate set past what a broadcast should carry —
+        # correctness first: fall back to the default exact plan
+        cap = max(k * candidate_factor, 4096)
+        if cand_h.limit(cap + 1).count() > cap:
+            return counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+    cand = grams.join(F.broadcast(cand_h), "h", "leftsemi")
     return (
         cand.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))

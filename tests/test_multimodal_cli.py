@@ -418,3 +418,30 @@ def test_cli_profile(seq_tiny_dir, tmp_path):
         assert row["total_tokens"] > 0
         assert len(row["top_tokens"]) == 3
     assert total == card["corpus"]["rows"]
+
+
+def test_cli_profile_null_group_and_quantile_labels(spark, tmp_path):
+    """NULL group values must land under the kernel's '__null__' label (a
+    plain str() would KeyError), mille-level quantiles must keep distinct
+    labels ('p99.9', not 'p100'), and --topk without a tokens column must
+    die with the command's own error."""
+    src = str(tmp_path / "docs")
+    rows = [(f"d{i}", None if i % 5 == 0 else "web", 10 + i % 7) for i in range(50)]
+    spark.createDataFrame(rows, "doc_id string, source string, n_tok int").write.parquet(src)
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "profile", "--input", src,
+         "--quantiles", "0.5", "0.995", "0.999"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert set(card["per_group"]) == {"web", "__null__"}
+    assert card["per_group"]["__null__"]["rows"] == 10
+    assert set(card["per_group"]["web"]["token_len_quantiles"]) == {"p50", "p99.5", "p99.9"}
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "profile", "--input", src, "--topk", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode != 0
+    assert "--topk needs --tokens-col" in (r2.stderr + r2.stdout)

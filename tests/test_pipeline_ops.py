@@ -1276,3 +1276,74 @@ def test_weighted_sample_k_validation(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, source string, w double")
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_nan_weight_excluded(spark):
+    """Spark evaluates NaN > 0 as TRUE and sorts NaN first — a NaN weight
+    must be excluded explicitly or it crowds out every valid row."""
+    from sketchlib.spark.sampling import weighted_sample
+
+    rows = [(i, "g", float("nan") if i < 5 else 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    kept = {r["doc_id"] for r in weighted_sample(df, 5, "w", seed=1).collect()}
+    assert kept.isdisjoint({0, 1, 2, 3, 4})
+    assert len(kept) == 5
+
+
+def test_top_ngrams_by_hash_boundary_ties(spark):
+    """Count ties spanning the old k*factor hash cut: 100 unigrams all at
+    count 1 — the count-ranked threshold (plus the exact-plan fallback when
+    the tied set is huge) must keep by_hash identical to the default."""
+    from sketchlib.spark.text import top_ngrams
+
+    df = spark.createDataFrame([([i],) for i in range(100)], "tokens array<int>")
+    a = [(tuple(r["ngram"]), r["cnt"]) for r in top_ngrams(df, n=1, k=10).collect()]
+    b = [
+        (tuple(r["ngram"]), r["cnt"])
+        for r in top_ngrams(df, n=1, k=10, by_hash=True, candidate_factor=2).collect()
+    ]
+    assert a == b == [((i,), 1) for i in range(10)]
+
+
+def test_top_ngrams_by_hash_partial_boundary_tie(spark):
+    """Mixed counts with a tie exactly AT the k-th rank: every tied gram
+    must compete in the final (cnt DESC, ngram ASC) tie-break."""
+    from sketchlib.spark.text import top_ngrams
+
+    docs = [[7]] * 5 + [[3]] * 5 + [[9], [1], [4], [2]]  # 9,1,4,2 tie at cnt=1
+    df = spark.createDataFrame([(d,) for d in docs], "tokens array<int>")
+    a = [tuple(r["ngram"]) for r in top_ngrams(df, n=1, k=3).collect()]
+    b = [tuple(r["ngram"]) for r in top_ngrams(df, n=1, k=3, by_hash=True).collect()]
+    assert a == b == [(3,), (7,), (1,)]
+
+
+def test_join_size_df_disjoint_groups_empty_frame(spark, seq_tiny_dir):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import join_size_df
+
+    df = spark.read.parquet(seq_tiny_dir)
+    spec = [SketchSpec("cm_k", "cm", "n_tok", {"eps": 1e-3, "delta": 0.01})]
+    sa = build_sketches(
+        df.filter(F.col("source") == "web").select("source", "n_tok"), spec, group_by="source"
+    )
+    sb = build_sketches(
+        df.filter(F.col("source") == "code").select("source", "n_tok"), spec, group_by="source"
+    )
+    out = join_size_df(spark, sa, sb, "cm_k")
+    assert out.count() == 0
+    assert out.columns == ["group", "join_rows_est", "join_rows_err"]
+
+
+def test_jaccard_df_single_group_empty_frame(spark, seq_tiny_dir):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import jaccard_df
+
+    df = spark.read.parquet(seq_tiny_dir).filter(F.col("source") == "web")
+    st = build_sketches(df, [SketchSpec("mh", "minhash", "tokens", {"r": 64})], group_by="source")
+    out = jaccard_df(spark, st, "mh")
+    assert out.count() == 0
+    assert out.columns == ["group_a", "group_b", "jaccard_est", "se_bound"]
