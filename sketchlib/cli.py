@@ -421,6 +421,12 @@ def main(argv=None) -> int:
                 f"profile: --topk needs --tokens-col {args.tokens_col!r}, "
                 f"which does not exist in {args.input}"
             )
+        for opt, col in (("--id-col", args.id_col), ("--group-by", args.group_by)):
+            if col not in docs.columns:
+                raise SystemExit(
+                    f"profile: {opt} {col!r} does not exist in {args.input} "
+                    f"(have {sorted(docs.columns)})"
+                )
         # exact cheap aggregates: one groupBy scan (rows + token totals).
         # NULL groups are keyed '__null__' — the SAME label the sketch
         # kernel uses — so the two sides of the card join up

@@ -376,14 +376,21 @@ def top_ngrams(
       gram).
     - ``by_hash=True`` (the WIDE-gram shuffle path): occurrences are
       counted by their 8-byte ``xxhash64(ngram)`` first (fixed-width
-      shuffle keys), the top ``k·candidate_factor`` hashes are taken,
-      and ONLY occurrences matching those hashes (broadcast semi-join,
-      map-side) are re-counted exactly by gram for the final top-k.
-      Per-gram counts are exact (the recount ignores hash classes);
-      candidate MEMBERSHIP is exact unless a 64-bit collision lands a
-      non-top gram class above a top gram's class at the boundary — at
-      10¹² distinct grams the chance any collision exists is ~5%, the
-      chance one perturbs the top-k boundary is negligible.
+      shuffle keys); every hash class whose count reaches the k-th
+      LARGEST class count becomes a candidate (a count-ranked threshold,
+      so ALL grams tied at the boundary compete in the final tie-break —
+      a hash-ordered top-N cut would pick an arbitrary tied subset and
+      silently diverge from the default plan), and ONLY occurrences
+      matching those hashes (broadcast semi-join, map-side) are
+      re-counted exactly by gram for the final top-k.
+      ``candidate_factor`` only sizes the degenerate-tie fallback cap
+      (``max(k·candidate_factor, 4096)``): past it the tied set is too
+      large to broadcast and the call falls back to the default exact
+      plan. Per-gram counts are exact (the recount ignores hash
+      classes); candidate MEMBERSHIP is exact unless a 64-bit collision
+      lands a non-top gram class above a top gram's class at the
+      boundary — at 10¹² distinct grams the chance any collision exists
+      is ~5%, the chance one perturbs the top-k boundary is negligible.
 
     MEASURED guidance (BENCH/topngrams_scale.json, 200k docs, both arms
     result-identical): at n=3 over int32 token ids by_hash is a LOSS —

@@ -266,10 +266,17 @@ def _join_rows_sides(m) -> tuple[tuple[str, str], tuple[str, str]]:
     """((table_token, key), (table_token, key)) for the aggregate's two
     qualified arguments, resolved against the FROM entries (alias if given,
     else the table token). Unknown qualifiers raise by name."""
-    ents = {
-        (m.group("aa") or m.group("ta")): m.group("ta"),
-        (m.group("ab") or m.group("tb")): m.group("tb"),
-    }
+    name_a = m.group("aa") or m.group("ta")
+    name_b = m.group("ab") or m.group("tb")
+    if name_a == name_b:
+        # dict construction would silently overwrite — both qualifiers
+        # would resolve to the SECOND table and the statement would price
+        # the wrong join with no error (the worst failure shape)
+        raise ValueError(
+            f"APPROX_JOIN_ROWS FROM entries share the name {name_a!r} — "
+            "give the two tables distinct aliases"
+        )
+    ents = {name_a: m.group("ta"), name_b: m.group("tb")}
     out = []
     for q, k in ((m.group("qa"), m.group("ka")), (m.group("qb"), m.group("kb"))):
         if q not in ents:

@@ -445,3 +445,20 @@ def test_cli_profile_null_group_and_quantile_labels(spark, tmp_path):
     )
     assert r2.returncode != 0
     assert "--topk needs --tokens-col" in (r2.stderr + r2.stdout)
+
+
+def test_cli_profile_bad_id_or_group_col(spark, tmp_path):
+    src = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [("d1", "web", 5)], "doc_id string, source string, n_tok int"
+    ).write.parquet(src)
+    for args_, msg in (
+        (["--id-col", "docid"], "--id-col 'docid'"),
+        (["--group-by", "src"], "--group-by 'src'"),
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "sketchlib.cli", "profile", "--input", src, *args_],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode != 0
+        assert msg in (r.stderr + r.stdout)

@@ -153,3 +153,11 @@ def test_join_rows_self_join_second_moment(spark, jr_tables):
     ).collect()[0]
     assert r["join_rows_est"] >= f2
     assert r["join_rows_est"] - f2 <= r["join_rows_err"]
+
+
+def test_join_rows_duplicate_alias_rejected(spark, jr_tables):
+    """A duplicate FROM-entry name must raise, not silently resolve both
+    qualifiers to the second table (a wrong-answer shape)."""
+    tables, _ = jr_tables
+    with pytest.raises(ValueError, match="distinct aliases"):
+        approx_sql(spark, "SELECT APPROX_JOIN_ROWS(x.k, x.j) FROM ta x, tb x", tables)
