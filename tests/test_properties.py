@@ -179,3 +179,26 @@ def test_incremental_refresh_equals_rebuild_under_any_split(spark, tmp_path_fact
             shutil.rmtree(work, ignore_errors=True)
 
     run()
+
+
+@given(_values, _values, st.lists(st.integers(0, 10**6), max_size=6), st.integers(0, 100))
+@settings(max_examples=60, deadline=None)
+def test_cm_inner_product_invariant_under_regrouping(a_vals, b_vals, boundaries, perm_seed):
+    """Join-size pricing is a pure function of the merged tables: however
+    side A's rows are split and re-merged, the inner-product estimate is
+    bit-identical — and it never undercounts the true join size."""
+    import collections
+
+    a = np.array(a_vals, dtype=np.int64)
+    b = np.array(b_vals, dtype=np.int64)
+    whole = CountMin(eps=1e-3, delta=0.05).update_values(a)
+    acc = CountMin(eps=1e-3, delta=0.05)
+    for chunk in _regroup(a, boundaries, perm_seed):
+        acc.merge(CountMin(eps=1e-3, delta=0.05).update_values(chunk))
+    cm_b = CountMin(eps=1e-3, delta=0.05).update_values(b)
+    assert whole.inner_product(cm_b) == acc.inner_product(cm_b)
+    est, bound = whole.inner_product(cm_b)
+    ca, cb = collections.Counter(a.tolist()), collections.Counter(b.tolist())
+    true = sum(n * cb.get(k, 0) for k, n in ca.items())
+    assert est >= true
+    assert est - true <= bound
