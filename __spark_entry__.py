@@ -3187,6 +3187,78 @@ def q_b49_grouped_join_size(spark, sf_dir):
     )
 
 
+def q_b50_top_sum_weighted(spark, sf_dir):
+    """Round 5: heavy hitters BY SUM — `APPROX_TOP_SUM(key, w, k)` served
+    from ONE weighted Count-Min (each row adds its weight to the key's
+    cell, so ε·N holds with N = ΣW; Cormode & Muthukrishnan 2005 — the
+    analysis never uses unit increments). Answers Verdict's "SELECT key,
+    SUM(w) ... ORDER BY 2 DESC LIMIT k" without a key-wide groupBy: the
+    build is the same zero-shuffle map kernel, the state is KBs. Checked
+    per l_returnflag group on lineitem (keys l_orderkey, weights
+    l_quantity — integral doubles, exercising the checked int64 cast):
+      within_bound       — every top-5 estimate e: true ≤ e ≤ true + ε·ΣW_g
+      hybrid_matches     — CM candidates exactly re-scored == the true
+                           top-5 by (SUM(w) DESC, key ASC) (sketch locates,
+                           exact answers — Verdict's hybrid move)
+      sql_matches        — the SQL door's grouped APPROX_TOP_SUM statement
+                           returns the identical frame to the API route."""
+    from sketchlib.spark.query import load_states, topk_df
+    from sketchlib.sql import approx_sql
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity"
+    )
+    spec = [
+        SketchSpec(
+            "cm_w", "cm", "l_orderkey", {"eps": 1e-4, "delta": 0.01},
+            weight="l_quantity",
+        )
+    ]
+    states = build_sketches(li, spec, group_by="l_returnflag")
+    top = topk_df(spark, states, "cm_w", 5).toPandas()
+
+    exact = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("s"))
+        .toPandas()
+    )
+    sks = {g: sk for (g, _), sk in load_states(states).items()}
+
+    rows = []
+    for g, sub in exact.groupby("l_returnflag"):
+        true = dict(zip(sub["l_orderkey"], sub["s"]))
+        mine = top[top["group"] == g]
+        bound = float(mine["err_bound"].iloc[0])
+        wb = all(
+            true.get(t, 0) <= e <= true.get(t, 0) + bound
+            for t, e in zip(mine["token"], mine["est_count"])
+        )
+        # hybrid: candidates from the merged state, re-scored EXACTLY
+        cands = set(sks[g].cands.tolist())
+        resc = sorted(
+            ((k, s) for k, s in true.items() if k in cands),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        truth = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        rows.append((g, bool(wb), bool(resc == truth)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "within_bound", "hybrid_matches"])
+
+    sql = approx_sql(
+        spark,
+        "SELECT APPROX_TOP_SUM(l_orderkey, l_quantity, 5) FROM lineitem "
+        "GROUP BY l_returnflag",
+        tables={"lineitem": f"{sf_dir}/lineitem.parquet"},
+    ).toPandas()
+    api = top.rename(columns={"est_count": "est_sum"})
+    sql_ok = bool(
+        sql.sort_values(["group", "token"]).reset_index(drop=True).equals(
+            api.sort_values(["group", "token"]).reset_index(drop=True)
+        )
+    )
+    out["sql_matches"] = sql_ok
+    return spark.createDataFrame(out).orderBy("l_returnflag")
+
+
 def q_b48_join_rows_sql(spark, sf_dir):
     """Round 5: APPROX_JOIN_ROWS through the SQL door — `SELECT
     APPROX_JOIN_ROWS(a.k, b.k) FROM t1 a, t2 b` prices the join without
@@ -3521,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b47_join_size": _dist_wrapped(q_b47_join_size),
         "b48_join_rows_sql": _dist_wrapped(q_b48_join_rows_sql),
         "b49_grouped_join_size": _dist_wrapped(q_b49_grouped_join_size),
+        "b50_top_sum_weighted": _dist_wrapped(q_b50_top_sum_weighted),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3759,6 +3832,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b49_grouped_join_size": """
             SELECT l_returnflag, TRUE AS within_bound
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "b50_top_sum_weighted": """
+            SELECT l_returnflag, TRUE AS within_bound, TRUE AS hybrid_matches,
+                   TRUE AS sql_matches
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "b48_join_rows_sql": """

@@ -218,12 +218,31 @@ _ARROW_STATE_SCHEMA = pa.schema(
 
 @dataclass(frozen=True)
 class SketchSpec:
-    """One sketch to build: e.g. SketchSpec('hll_doc', 'hll', 'doc_id', {'p': 14})."""
+    """One sketch to build: e.g. SketchSpec('hll_doc', 'hll', 'doc_id', {'p': 14}).
+
+    ``weight``: optional weight COLUMN for a Count-Min built over weighted
+    increments — each row adds ``weight`` to its key's cell instead of 1, so
+    ``topk()`` ranks heavy hitters BY SUM (SELECT key, SUM(w) ... ORDER BY
+    2 DESC LIMIT k served from KB states) and the ε·N overcount bound holds
+    with N = ΣW, the total weight. CM-only (the other kinds have no weighted
+    update semantics). Contract enforced by the kernel: weights must be
+    non-negative and integer-valued (the CM table is exact int64 counts —
+    a fractional weight would silently truncate); rows with a NULL key or
+    NULL weight are excluded. Non-integer key columns are hashed like the
+    unweighted CM path (top-k then returns key hashes)."""
 
     name: str
     kind: str
     column: str
     params: dict = field(default_factory=dict)
+    weight: str | None = None
+
+    def __post_init__(self):
+        if self.weight is not None and self.kind != "cm":
+            raise ValueError(
+                f"weight= is Count-Min-only (weighted heavy hitters); "
+                f"{self.kind!r} has no weighted-update semantics"
+            )
 
     def make(self):
         try:
@@ -348,6 +367,54 @@ def _group_unique(flat: np.ndarray, kcodes: np.ndarray, ng: int):
     return np.concatenate(uv), np.concatenate(uc).astype(np.int64), np.array(ust, dtype=np.int64)
 
 
+def _weighted_group_pairs(keys, weights, codes, ng: int, spec_name: str):
+    """Per-group (unique key, summed weight) pairs for a weighted CM feed.
+
+    One factorize + one weighted bincount per batch — no per-row Python.
+    Rows with a NULL key or NULL weight are excluded (no stable increment
+    exists for them); negative or fractional weights raise (the CM table
+    is exact int64 — truncation would be a silently-wrong SUM).
+
+    Returns (ukeys int64, wsums int64, ustarts): group g's pairs are
+    ukeys[ustarts[g]:ustarts[g+1]] with weights in wsums.
+    """
+    k = np.asarray(keys)
+    w = np.asarray(weights)
+    if w.dtype == object:
+        w = w.astype(np.float64)  # Decimal / mixed numeric objects
+    valid = ~(pd.isna(k) | pd.isna(w))
+    k, wf = k[valid], w[valid].astype(np.float64)
+    cv = np.asarray(codes)[valid]
+    if k.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(ng + 1, np.int64))
+    if (wf < 0).any():
+        raise ValueError(
+            f"weighted sketch {spec_name!r}: negative weight — Count-Min "
+            "absorbs only non-negative increments"
+        )
+    if not (wf == np.floor(wf)).all():
+        raise ValueError(
+            f"weighted sketch {spec_name!r}: fractional weight — the CM "
+            "table holds exact int64 counts; scale the weight column to "
+            "integers first (e.g. cents instead of dollars)"
+        )
+    if k.dtype.kind in ("i", "u"):
+        k64 = k.astype(np.int64)
+    else:  # non-int keys: sketch their hashes (same rule as the unweighted path)
+        k64 = hash_any(k).astype(np.int64)
+    kc_arr, uk = pd.factorize(k64)
+    nk = len(uk)
+    comp = cv.astype(np.int64) * nk + kc_arr
+    cids, cuniq = pd.factorize(comp)
+    wsum = np.bincount(cids, weights=wf)  # float64: exact below 2^53
+    order = np.argsort(cuniq, kind="stable")
+    cs, ws = cuniq[order], wsum[order]
+    ukeys = np.asarray(uk, dtype=np.int64)[cs % nk]
+    ustarts = np.searchsorted(cs // nk, np.arange(ng + 1)).astype(np.int64)
+    return ukeys, ws.astype(np.int64), ustarts
+
+
 class SketchAccumulator:
     """Per-task sketch state accumulator — the shared batch kernel.
 
@@ -367,9 +434,11 @@ class SketchAccumulator:
     def __init__(self, specs: list[SketchSpec], group_by: str | None):
         self.specs = specs
         self.group_by = group_by
+        self.weighted = [s for s in specs if s.weight is not None]
         self.by_col: dict[str, list[SketchSpec]] = {}
         for s in specs:
-            self.by_col.setdefault(s.column, []).append(s)
+            if s.weight is None:  # weighted CMs consume (key, weight) pairs below
+                self.by_col.setdefault(s.column, []).append(s)
         self.states: dict[tuple[str, str], object] = {}
         self.rows_per_group: dict[str, int] = {}
         self.toks_per_group: dict[str, int] = {}
@@ -478,6 +547,21 @@ class SketchAccumulator:
                             keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
                             sk.update_values(keys, counts=ucounts[s0:s1])
 
+        for spec in self.weighted:
+            kv, _kflat, _ = _column_values(batch, spec.column)
+            wv, _wflat, _ = _column_values(batch, spec.weight)
+            if kv is None or wv is None:
+                raise ValueError(
+                    f"weighted sketch {spec.name!r} needs SCALAR key and weight "
+                    "columns — array columns have no per-row weight alignment"
+                )
+            ukeys, wsums, ustarts = _weighted_group_pairs(kv, wv, codes, ng, spec.name)
+            for gi, g in enumerate(gnames):
+                s0, s1 = ustarts[gi], ustarts[gi + 1]
+                if s0 == s1:
+                    continue
+                self._state(g, spec).update_values(ukeys[s0:s1], counts=wsums[s0:s1])
+
     def _state(self, g: str, spec: SketchSpec):
         sk = self.states.get((g, spec.name))
         if sk is None:
@@ -582,12 +666,17 @@ def group_cols(group_by) -> set[str]:
     return set(group_by) if isinstance(group_by, (list, tuple)) else {group_by}
 
 
+def spec_cols(specs: list[SketchSpec]) -> set[str]:
+    """Every input column the specs read (keys + weighted-CM weight columns)."""
+    return {s.column for s in specs} | {s.weight for s in specs if s.weight}
+
+
 def partial_states(df: DataFrame, specs: list[SketchSpec], group_by="source") -> DataFrame:
     """Stage 1 only: per-partition partial states (used by checkpointing + Bloom pruning).
 
     ``group_by``: None, a column name, or a LIST of column names (composite
     key — states carry the GROUP_SEP-joined value; see split_group)."""
-    cols = sorted({s.column for s in specs} | group_cols(group_by))
+    cols = sorted(spec_cols(specs) | group_cols(group_by))
     narrow = df.select(*cols)  # explicit pruning: the Python UDF boundary blocks Catalyst above it
     return narrow.mapInArrow(_make_update_fn(specs, group_by), STATE_FIELDS)
 
@@ -612,7 +701,7 @@ def build_sketches(
 
     # Verdict-style shuffle path with explicit salting (SURVEY.md B9).
     gcols = sorted(group_cols(group_by))
-    cols = sorted({s.column for s in specs} | set(gcols))
+    cols = sorted(spec_cols(specs) | set(gcols))
     narrow = df.select(*cols)
     salt_src = salt_on or (gcols[0] if gcols else cols[0])
     salted = narrow.withColumn(
@@ -635,12 +724,21 @@ def build_sketches(
         for spec in specs:
             sk = spec.make()
             colvals = pdf[spec.column].to_numpy()
-            if len(colvals) and isinstance(colvals[0], (list, np.ndarray)):
+            if spec.weight is not None:
+                zero = np.zeros(len(colvals), dtype=np.int32)
+                uk, ws, _ = _weighted_group_pairs(
+                    colvals, pdf[spec.weight].to_numpy(), zero, 1, spec.name
+                )
+                if len(uk):
+                    sk.update_values(uk, counts=ws)
+                vals = None
+            elif len(colvals) and isinstance(colvals[0], (list, np.ndarray)):
                 vals = np.concatenate([np.asarray(a) for a in colvals]) if len(colvals) else np.empty(0)
                 n_tokens = int(sum(len(a) for a in colvals))
             else:
                 vals = colvals
-            spec.update(sk, vals)
+            if vals is not None:
+                spec.update(sk, vals)
             out_rows.append(
                 (g, spec.name, spec.kind, sk.to_bytes(), sk.n_items, int(pdf["_salt"].iloc[0]), len(pdf), n_tokens, 0.0)
             )

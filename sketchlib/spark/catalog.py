@@ -134,7 +134,7 @@ class SketchCatalog:
                     [
                         {
                             "name": s.name, "kind": s.kind, "column": s.column,
-                            "params": s.params,
+                            "params": s.params, "weight": s.weight,
                             # input types (None when unknowable, e.g. stream
                             # states): lets cross-registration merges refuse
                             # hash-incompatible columns instead of silently
@@ -223,7 +223,8 @@ class SketchCatalog:
             return {"new_files": 0, "rows_added": 0, "tokens_added": 0}
 
         specs = [
-            SketchSpec(s["name"], s["kind"], s["column"], s["params"])
+            SketchSpec(s["name"], s["kind"], s["column"], s["params"],
+                       weight=s.get("weight"))
             for s in json.loads(reg["specs_json"])
         ]
         gb = reg["group_by"] or None

@@ -149,9 +149,9 @@ def _make_chunk_reader(specs: list[SketchSpec], group_by: str | None, per_chunk:
     ``per_chunk=False``: one accumulator per task (state volume O(tasks)).
     ``per_chunk=True``: emit per chunk with part_id=chunk_id (stable lineage).
     """
-    from sketchlib.spark.build import _install_plugins, _plugin_snapshot, group_cols
+    from sketchlib.spark.build import _install_plugins, _plugin_snapshot, group_cols, spec_cols
 
-    need = sorted({s.column for s in specs} | group_cols(group_by))
+    need = sorted(spec_cols(specs) | group_cols(group_by))
     snap = _plugin_snapshot({s.kind for s in specs})
 
     def reader(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -27,6 +27,8 @@ Supported aggregates:
 
     APPROX_COUNT_DISTINCT(col [, rse=0.01])      → HLL        (Q1/Q2)
     APPROX_TOPK(col, k [, eps=1e-4])             → Count-Min  (Q3)
+    APPROX_TOP_SUM(key, w, k [, eps=1e-4])       → weighted Count-Min
+                                                   (top keys BY SUM(w))
     APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
     APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
     APPROX_VARIANCE(col, ratio) / APPROX_STDDEV(col, ratio)
@@ -974,10 +976,25 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                 raise ValueError(f"{kind}(...) needs a column name as its first argument")
             col = args[0]
             params = dict(_SKETCH_DDL_DEFAULTS.get(kind, {}))
+            weight = None
             for kv in args[1:]:
                 k, eq, v = kv.partition("=")
                 if not eq:
                     raise ValueError(f"sketch parameter {kv!r} must be key=value")
+                if k.strip().lower() == "weight":
+                    # weighted Count-Min (heavy hitters BY SUM): the value
+                    # is a COLUMN name, not a number
+                    if kind != "cm":
+                        raise ValueError(
+                            f"weight= is Count-Min-only; {kind}(...) has no "
+                            "weighted-update semantics"
+                        )
+                    if not _IDENT.match(v.strip()):
+                        raise ValueError(
+                            f"cm weight={v.strip()!r} must be a column name"
+                        )
+                    weight = v.strip()
+                    continue
                 try:
                     fv = float(v)
                 except ValueError:
@@ -985,7 +1002,8 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                         f"sketch parameter {k.strip()}={v.strip()!r} must be numeric"
                     ) from None
                 params[k.strip().lower()] = int(fv) if fv.is_integer() else fv
-            specs.append(SketchSpec(f"{kind}_{col}", kind, col, params))
+            spec_name = f"{kind}_{col}" if weight is None else f"cm_{col}_w_{weight}"
+            specs.append(SketchSpec(spec_name, kind, col, params, weight=weight))
         catalog.create(
             name, input_dir, specs,
             group_by=_parse_group(m.group("group")),
@@ -1032,7 +1050,8 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
         "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
-        "[, cm(col), kll(col), tdigest(col), bloom(col), kmv(col)] [GROUP BY col]; "
+        "[, cm(col[, weight=w]), kll(col), tdigest(col), bloom(col), kmv(col)] "
+        "[GROUP BY col]; "
         "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "
         "[BITS n] [LISTS n] [SEED n]; "
         "CREATE [OR REPLACE] SIGNATURES s FROM t ON tokens ID id "
@@ -1161,8 +1180,48 @@ def _resolve_table(spark: SparkSession, name: str, tables: dict | None) -> DataF
 _CATALOG_KINDS = {
     "APPROX_COUNT_DISTINCT": ("hll", "kmv"),
     "APPROX_TOPK": ("cm",),
+    "APPROX_TOP_SUM": ("cm",),
     "APPROX_PERCENTILE": ("kll", "tdigest"),
 }
+
+
+def _cm_spec_serves(fn, args, s: dict) -> bool:
+    """Whether a registered CM spec can serve this top-k statement.
+
+    APPROX_TOPK routes only to UNWEIGHTED CMs and APPROX_TOP_SUM only to a
+    CM whose weight column matches the statement's — cross-serving would
+    silently answer a SUM question with occurrence counts (or vice versa).
+    An explicit eps argument routes only to states achieving it (the same
+    explicit-accuracy rule as COUNT_DISTINCT's rse), so a WITHIN-derived
+    eps is honored, not silently loosened."""
+    if s["kind"] != "cm":
+        return True
+    if fn == "APPROX_TOP_SUM":
+        if s.get("weight") != (args[1].strip() if len(args) > 1 else None):
+            return False
+        req_eps = _num(args[3]) if len(args) > 3 else None
+    else:
+        if s.get("weight"):
+            return False
+        req_eps = _num(args[2]) if fn == "APPROX_TOPK" and len(args) > 2 else None
+    if req_eps is not None:
+        return float(s.get("params", {}).get("eps", 1e-4)) <= req_eps * (1 + 1e-9)
+    return True
+
+
+def _top_sum_k(args) -> int:
+    """Validated k for APPROX_TOP_SUM(key, weight, k [, eps])."""
+    if len(args) < 3:
+        raise ValueError(
+            "APPROX_TOP_SUM takes (key, weight, k [, eps]) — e.g. "
+            "APPROX_TOP_SUM(l_orderkey, l_quantity, 10)"
+        )
+    kv = _num(args[2])
+    if kv is None or kv <= 0 or kv != int(kv):
+        raise ValueError(
+            f"APPROX_TOP_SUM k argument {args[2]!r} must be a positive integer"
+        )
+    return int(kv)
 
 
 def _table_dir(table_token: str, tables: dict | None) -> str | None:
@@ -1265,7 +1324,9 @@ def _resolve_key(
                 continue
             specs = json.loads(reg["specs_json"])
             if any(
-                s["kind"] in kinds and s["column"] == col and _achieves_rse(s) for s in specs
+                s["kind"] in kinds and s["column"] == col and _achieves_rse(s)
+                and _cm_spec_serves(fn, args, s)
+                for s in specs
             ):
                 return reg["name"]
 
@@ -1608,6 +1669,13 @@ def explain_sql(
                 emit(f"{prefix}plan", f"rewrite to explicit eps = {t!r} (CM overcount "
                      "≤ ε·N w.p. 1−δ, δ=0.01)")
                 sel_items.append(f"{cfn}({', '.join(cargs[:2])}, {t!r})")
+            elif cfn == "APPROX_TOP_SUM":
+                if len(cargs) > 3:
+                    emit("error", double_spec + f" (explicit eps + WITHIN, {cfn})")
+                    return done()
+                emit(f"{prefix}plan", f"rewrite to explicit eps = {t!r} (weighted CM "
+                     "overcount ≤ ε·ΣW w.p. 1−δ, δ=0.01)")
+                sel_items.append(f"{cfn}({', '.join(cargs[:3])}, {t!r})")
             elif cfn == "APPROX_PERCENTILE":
                 if _percentile_args(cargs)[1] is not None:
                     emit("error", double_spec + f" (rank_err + WITHIN, {cfn})")
@@ -3438,6 +3506,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             "APPROX_COVAR": ("est_covar", "covar_err"),
             "APPROX_CORR": ("est_corr", "corr_err"),
             "APPROX_TOPK": ("est_count", "err_bound"),
+            "APPROX_TOP_SUM": ("est_sum", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
         }.get(fn)
         if fn == "APPROX_PERCENTILE" and estimator == "subsample":
@@ -3703,6 +3772,9 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
         elif fn == "APPROX_TOPK":
             spec_given = len(args) > 2
             spec_name = "eps"
+        elif fn == "APPROX_TOP_SUM":
+            spec_given = len(args) > 3
+            spec_name = "eps"
         elif fn == "APPROX_PERCENTILE":
             spec_given = _percentile_args(args)[1] is not None
             spec_name = "rank_err"
@@ -3740,6 +3812,8 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
             new_args = [args[0], repr(t / z)]
         elif fn == "APPROX_TOPK":
             new_args = [args[0], args[1], repr(t)]
+        elif fn == "APPROX_TOP_SUM":
+            new_args = [args[0], args[1], args[2], repr(t)]
         elif fn == "APPROX_PERCENTILE":
             new_args = args + [f"rank_err={t!r}"]
         else:
@@ -4464,18 +4538,28 @@ def approx_sql(
             raise ValueError(f"{fn} cannot be answered from persisted sketch states")
         col = args[0]
         spec = next(
-            (s for s in json.loads(reg["specs_json"]) if s["kind"] in kinds and s["column"] == col),
+            (s for s in json.loads(reg["specs_json"])
+             if s["kind"] in kinds and s["column"] == col and _cm_spec_serves(fn, args, s)),
             None,
         )
         if spec is None:
             raise ValueError(
-                f"sketch set {catalog_key!r} holds no {'/'.join(kinds)} sketch on {col!r}"
+                f"sketch set {catalog_key!r} holds no {'/'.join(kinds)} sketch on "
+                f"{col!r} serving {fn}"
+                + (" (weighted CMs serve APPROX_TOP_SUM with a matching weight "
+                   "column; unweighted CMs serve APPROX_TOPK; an explicit eps "
+                   "routes only to states achieving it)"
+                   if fn in ("APPROX_TOPK", "APPROX_TOP_SUM") else "")
             )
         states = catalog.states(catalog_key)
         if fn == "APPROX_COUNT_DISTINCT":
             out = estimates_df(spark, states, spec["name"])
         elif fn == "APPROX_TOPK":
             out = topk_df(spark, states, spec["name"], int(args[1]))
+        elif fn == "APPROX_TOP_SUM":
+            out = topk_df(spark, states, spec["name"], _top_sum_k(args)).withColumnRenamed(
+                "est_count", "est_sum"
+            )
         else:  # APPROX_PERCENTILE
             qs, req_rank = _percentile_args(args)
             if req_rank is not None:
@@ -4526,6 +4610,26 @@ def approx_sql(
             df, [SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01})], group_by=group
         )
         out = topk_df(spark, states, "_q", k)
+        return _finish_grouped(out, df, group)
+
+    if fn == "APPROX_TOP_SUM":
+        # heavy hitters BY SUM: one weighted-CM build (same zero-shuffle map
+        # kernel), top-k re-estimated from the merged state — the Verdict-
+        # style "top keys by SUM(w)" answered without a key-wide groupBy
+        k = _top_sum_k(args)
+        eps = _num(args[3]) if len(args) > 3 else 1e-4
+        if eps is None:
+            raise ValueError(
+                f"APPROX_TOP_SUM eps argument {args[3]!r} must be numeric"
+            )
+        df, col = _materialize_expr(df, args[0])
+        df, wcol = _materialize_expr(df, args[1])
+        states = build_sketches(
+            df,
+            [SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01}, weight=wcol)],
+            group_by=group,
+        )
+        out = topk_df(spark, states, "_q", k).withColumnRenamed("est_count", "est_sum")
         return _finish_grouped(out, df, group)
 
     if fn == "APPROX_PERCENTILE":
