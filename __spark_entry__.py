@@ -2159,6 +2159,52 @@ def q_b19_bloom_file_pruning(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame({"no_false_negatives": [bool(ok)]}))
 
 
+def q_b51_zonemap_pruning(spark, sf_dir):
+    """Round 5: zone-map FILE pruning (the range complement of b19's Bloom
+    membership index, D9/B8): per-file [min, max] envelopes read from
+    parquet FOOTERS — building the index scans ZERO data — prune the file
+    list for a range predicate driver-side. lineitem is split into 8 files
+    range-sorted on l_orderkey (the layout a range-partitioned corpus write
+    produces); `WHERE l_orderkey BETWEEN 2000 AND 2500` then touches only
+    the intersecting files. VALUE-matched: aggregates over the pruned read
+    equal DuckDB filtering the original single-file table — pruning is
+    exact because a file is dropped only when its stats envelope cannot
+    intersect the range. `pruned_some` asserts the index actually dropped
+    files (>50% here), not just passed everything through."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.prune import ZoneMapPruner
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="zonemap_")
+    try:
+        (
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite").parquet(d)
+        )
+        pr = ZoneMapPruner.from_dir(d, ["l_orderkey"])
+        lo, hi = 2_000, 2_500
+        st = pr.stats({"l_orderkey": (lo, hi)})
+        pruned_some = st["pruned_fraction"] > 0.5
+        out = (
+            pr.pruned_read(spark, {"l_orderkey": (lo, hi)})
+            .filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+            )
+            .withColumn("pruned_some", F.lit(bool(pruned_some)))
+            .orderBy("l_returnflag")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
 def q_b22_streamed_states_match_batch(spark, sf_dir):
     """A18/D14: sketch states maintained incrementally over micro-batches
     (foreachBatch merge) are byte-identical to one batch build — merge
@@ -3594,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b48_join_rows_sql": _dist_wrapped(q_b48_join_rows_sql),
         "b49_grouped_join_size": _dist_wrapped(q_b49_grouped_join_size),
         "b50_top_sum_weighted": _dist_wrapped(q_b50_top_sum_weighted),
+        "b51_zonemap_pruning": _dist_wrapped(q_b51_zonemap_pruning),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3838,6 +3885,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, TRUE AS within_bound, TRUE AS hybrid_matches,
                    TRUE AS sql_matches
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "b51_zonemap_pruning": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   TRUE AS pruned_some
+            FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 2500
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES
