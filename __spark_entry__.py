@@ -3233,6 +3233,56 @@ def q_b49_grouped_join_size(spark, sf_dir):
     )
 
 
+def q_c36_unigram_surprisal(spark, sf_dir):
+    """Round 5 (D34): per-document unigram LM surprisal — the CCNet-style
+    LM-perplexity quality proxy (Wenzek et al. 2020 rank corpora by LM
+    score; the unigram model is its cheapest honest stand-in):
+    −(1/n)·Σ log2(c(t)/N) bits/token. Two modes, both checked:
+
+    - EXACT: one vocabulary-sized count pass + one mapInArrow scoring pass
+      (no shuffle, plan-locked in tests). VALUE-matched per doc vs DuckDB
+      computing the identical quantity over raw WORDS — the Spark side
+      tokenizes by FULL-WIDTH xxhash64 (no vocab modulus), which is
+      injective on the observed vocabulary w.h.p., so hashed-id counts
+      equal word counts and the two engines compute the same real number
+      (rounded to 6 dp: summation order differs at ~1e-12).
+    - CM-SERVED (`states=`): the corpus model is ONE Count-Min state row
+      (KBs) — the 100 TB/daily-delta path, scoring docs with the corpus
+      never recounted. CM never undercounts ⇒ the served surprisal never
+      exceeds the exact one, and undershoots ≤ log2(1 + ε·N) per token;
+      per-doc boolean `cm_within_bound`."""
+    import math
+
+    from sketchlib.spark.text import with_unigram_surprisal
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.transform(pre_tokens("text"), lambda t: F.xxhash64(t))
+    ).localCheckpoint()
+
+    exact = (
+        with_unigram_surprisal(docs, "toks", round_to=6)
+        .select("doc_id", "surprisal").toPandas()
+    )
+    eps = 1e-4
+    states = build_sketches(
+        docs, [SketchSpec("cm_t", "cm", "toks", {"eps": eps, "delta": 0.01})],
+        group_by=None,
+    )
+    n_total = docs.select(F.sum(F.size("toks"))).collect()[0][0]
+    served = (
+        with_unigram_surprisal(docs, "toks", states=states, sketch="cm_t")
+        .select("doc_id", F.col("surprisal").alias("cm_s")).toPandas()
+    )
+    m = exact.merge(served, on="doc_id")
+    slack = math.log2(1 + eps * float(n_total))
+    m["cm_within_bound"] = (m["cm_s"] <= m["surprisal"] + 1e-6) & (
+        m["surprisal"] - m["cm_s"] <= slack + 1e-6
+    )
+    out = m[["doc_id", "surprisal", "cm_within_bound"]]
+    return spark.createDataFrame(out).orderBy("doc_id")
+
+
 def q_b50_top_sum_weighted(spark, sf_dir):
     """Round 5: heavy hitters BY SUM — `APPROX_TOP_SUM(key, w, k)` served
     from ONE weighted Count-Min (each row adds its weight to the key's
@@ -3641,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b49_grouped_join_size": _dist_wrapped(q_b49_grouped_join_size),
         "b50_top_sum_weighted": _dist_wrapped(q_b50_top_sum_weighted),
         "b51_zonemap_pruning": _dist_wrapped(q_b51_zonemap_pruning),
+        "c36_unigram_surprisal": _dist_wrapped(q_c36_unigram_surprisal),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3892,6 +3943,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS pruned_some
             FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 2500
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "c36_unigram_surprisal": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM w),
+            per AS (
+                SELECT w.doc_id, -avg(log2(cnt.c / tot.n)) AS s
+                FROM w JOIN cnt USING (tok) CROSS JOIN tot
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, ROUND(per.s, 6) AS surprisal,
+                   TRUE AS cm_within_bound
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

@@ -434,3 +434,151 @@ def top_ngrams(
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- unigram LM surprisal --
+
+
+def with_unigram_surprisal(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out: str = "surprisal",
+    counts: DataFrame | None = None,
+    states: DataFrame | None = None,
+    sketch: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the LM-proxy quality signal
+    (CCNet/Wenzek et al. 2020 rank corpora by LM perplexity; the unigram
+    model is its cheapest honest stand-in): for a doc with tokens t_1..t_n,
+
+        surprisal = −(1/n) · Σ_i log2(c(t_i) / N)    [bits/token]
+
+    where c(t) is the corpus-wide count of token t and N the corpus token
+    total. Low = templated/boilerplate-heavy, high = rare-token noise; both
+    tails are what quality gates cut.
+
+    Two sources for c(t), picked by argument:
+
+    - EXACT (default, or pass a precomputed ``counts`` (token, cnt) frame):
+      one explode→groupBy(token) count pass (map-side partial agg — the
+      shuffle is vocabulary-sized, Zipf-small relative to the corpus), the
+      vocabulary collected driver-side and closure-shipped as two numpy
+      arrays. Contract: the VOCABULARY must fit the driver (tens of
+      millions of entries ≈ hundreds of MB is fine; an unbounded id space
+      is what the states mode is for).
+    - CM-SERVED (pass ``states`` + ``sketch``): counts come from ONE
+      global Count-Min state row (KBs broadcast, corpus never recounted)
+      — the scale path, and the daily-delta path: score a fresh crawl
+      against the persisted corpus model without touching the corpus. CM
+      never undercounts, so the CM-served surprisal never EXCEEDS the
+      exact one by more than rounding, and undershoots by at most
+      log2(1 + ε·N/c) per token (tested).
+
+    The scoring pass itself is one ``mapInArrow`` over the docs — no
+    shuffle, schema preserved, ``out`` appended as double (NULL for
+    empty/NULL token arrays). Tokens unseen in the counts table floor at
+    count 1 (deterministic add-one backoff for delta scoring; cannot
+    happen in self-corpus exact mode). ``round_to`` rounds the result
+    (cross-engine float comparisons).
+
+    No NULL elements inside token arrays (the tokenize.py contract).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if (states is None) != (sketch is None):
+        raise ValueError("pass BOTH states and sketch for the CM-served mode")
+
+    if states is not None:
+        from sketchlib.spark.query import load_states
+
+        picked = [
+            sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch
+        ]
+        if not picked:
+            raise ValueError(f"no states for sketch {sketch!r}")
+        acc = picked[0]
+        for sk in picked[1:]:
+            acc = acc.merge(sk)
+        if not hasattr(acc, "query") or not hasattr(acc, "total"):
+            raise ValueError(f"sketch {sketch!r} is not a Count-Min (no point queries)")
+        state_bytes = acc.to_bytes()
+        lookup_vocab = lookup_logp = None
+        n_total = float(acc.total)
+    else:
+        if counts is None:
+            counts = (
+                df.select(F.explode(tokens_col).alias("_t"))
+                .groupBy("_t")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            cpdf = counts.toPandas()
+            vocab = cpdf["_t"].to_numpy()
+        else:
+            cpdf = counts.toPandas()
+            vocab = cpdf[counts.columns[0]].to_numpy()
+        cnt = cpdf[cpdf.columns[1]].to_numpy(dtype=np.float64)
+        n_total = float(cnt.sum())
+        order = np.argsort(vocab)
+        lookup_vocab = np.ascontiguousarray(vocab[order].astype(np.int64))
+        lookup_logp = np.log2(np.ascontiguousarray(cnt[order]) / n_total)
+        state_bytes = None
+
+    from pyspark.sql.types import StructType
+
+    # StructType.add mutates in place — build the widened schema on a COPY
+    # or the input frame itself grows a phantom column
+    result_schema = StructType(list(df.schema.fields)).add(out, "double")
+
+    def score(batches):
+        from sketchlib.sketches.base import deserialize as _des
+
+        if state_bytes is not None:
+            sk = _des(state_bytes)
+            floor_logp = np.log2(1.0 / n_total)
+
+            def logp_of(u):
+                est = sk.query(u).astype(np.float64)
+                est = np.maximum(est, 1.0)
+                return np.log2(est / n_total)
+        else:
+            floor_logp = np.log2(1.0 / n_total)
+
+            def logp_of(u):
+                pos = np.searchsorted(lookup_vocab, u)
+                pos_c = np.clip(pos, 0, len(lookup_vocab) - 1)
+                hit = lookup_vocab[pos_c] == u
+                lp = np.where(hit, lookup_logp[pos_c], floor_logp)
+                return lp
+
+        for batch in batches:
+            idx = batch.schema.get_field_index(tokens_col)
+            col = batch.column(idx)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            vals = np.zeros(batch.num_rows, dtype=np.float64)
+            if flat.size:
+                f64 = np.asarray(flat)
+                if f64.dtype.kind not in ("i", "u"):
+                    f64 = f64.astype(np.int64)
+                u, inv = np.unique(f64, return_inverse=True)
+                tok_lp = logp_of(u)[inv]
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                sums = np.add.reduceat(tok_lp, starts.clip(max=max(len(tok_lp) - 1, 0)))
+                sums = np.where(lens > 0, sums, 0.0)
+                vals = -sums / np.maximum(lens, 1)
+            if round_to is not None:
+                vals = np.round(vals, round_to)
+            valid = lens > 0
+            arr = pa.array(
+                np.where(valid, vals, np.nan), mask=~valid, type=pa.float64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [arr],
+                schema=pa.schema(list(batch.schema) + [pa.field(out, pa.float64())]),
+            )
+
+    return df.mapInArrow(score, result_schema)
