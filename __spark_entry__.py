@@ -3233,6 +3233,82 @@ def q_b49_grouped_join_size(spark, sf_dir):
     )
 
 
+def q_c37_hopping_window_stream(spark, sf_dir):
+    """Round 5 (D14 extension): HOPPING event-time windows in the streaming
+    sketch sink — `stream_build_windowed(..., slide=)` assigns each event
+    to window/slide overlapping windows (Spark's own sliding-window
+    semantics; one sequence-explode, then the per-(window × group) state
+    path is unchanged and watermark finalization keys on window END).
+    events streamed with window=2h, slide=1h: the sink's per-window `rows`
+    metadata (exact assignment counts — every event lands in exactly 2
+    windows) is VALUE-matched against DuckDB computing the identical hop
+    assignment relationally; per-window HLL distinct-user estimates must
+    sit within 3·rse of exact (`within_rse`). Per-window cardinalities
+    here are TINY (~25), so the HLL sits in its small-range
+    linear-counting regime where the error is register-collision noise
+    (Poisson λ = n²/2m ≈ 2%/window at p=14), not the 1.04/√m asymptote —
+    the bound adds a 2.5 absolute collision floor (covers ≤2 colliding
+    pairs; P(≥3) across all ~720 windows is ~1e-4)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.sketches import deserialize
+    from sketchlib.spark.streaming import stream_build_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="c37_src_")
+    state_dir = tempfile.mkdtemp(prefix="c37_states_")
+    ckpt = tempfile.mkdtemp(prefix="c37_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q, sink = stream_build_windowed(
+            stream,
+            [SketchSpec("hll_u", "hll", "user_id", {"p": 14})],
+            state_dir, group_by=None, ts_col="ts",
+            window="2 hours", delay="30 minutes", checkpoint_dir=ckpt,
+            slide="1 hour",
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("c37 stream did not drain within 180s")
+        st = sink.states(spark).toPandas()
+        H = 3_600_000_000
+        st["window_hour"] = (
+            st["window_start"].astype("int64") // 1_000 // H
+        )  # ns → µs → hours since epoch
+
+        # exact per-window distinct users via the same hop assignment
+        base = (F.unix_micros(F.col("ts").cast("timestamp")) / H).cast("long") * H
+        assigned = (
+            ev.withColumn("_k", F.explode(F.expr("sequence(0, 1)")))
+            .withColumn("_ws", base - F.col("_k") * H)
+        )
+        exact = (
+            assigned.groupBy("_ws")
+            .agg(F.countDistinct("user_id").alias("nd"))
+            .toPandas()
+        )
+        exact["window_hour"] = exact["_ws"] // H
+        nd = dict(zip(exact["window_hour"], exact["nd"]))
+        rse = 1.04 / (2.0 ** 14) ** 0.5
+        rows = []
+        for _, r in st.iterrows():
+            est = deserialize(bytes(r["state"])).estimate()[0]
+            ex = nd[r["window_hour"]]
+            rows.append(
+                (int(r["window_hour"]), int(r["rows"]),
+                 bool(abs(est - ex) <= 3 * rse * ex + 2.5))
+            )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["window_hour", "n_rows", "within_rse"])
+    ).orderBy("window_hour")
+
+
 def q_c36_unigram_surprisal(spark, sf_dir):
     """Round 5 (D34): per-document unigram LM surprisal — the CCNet-style
     LM-perplexity quality proxy (Wenzek et al. 2020 rank corpora by LM
@@ -3692,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b50_top_sum_weighted": _dist_wrapped(q_b50_top_sum_weighted),
         "b51_zonemap_pruning": _dist_wrapped(q_b51_zonemap_pruning),
         "c36_unigram_surprisal": _dist_wrapped(q_c36_unigram_surprisal),
+        "c37_hopping_window_stream": _dist_wrapped(q_c37_hopping_window_stream),
         "c11_sessionize": _dist_wrapped(q_c11_sessionize),
         "b10_partition_invariance": _dist_wrapped(q_b10_partition_invariance),
         "b11_hybrid_topk": _dist_wrapped(q_b11_hybrid_topk),
@@ -3962,6 +4039,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS cm_within_bound
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY doc_id
+        """,
+        "c37_hopping_window_stream": """
+            WITH k AS (SELECT unnest([0, 1]) AS k),
+            w AS (
+                SELECT (epoch_us(ts) // 3600000000) - k.k AS window_hour
+                FROM events CROSS JOIN k
+            )
+            SELECT CAST(window_hour AS BIGINT) AS window_hour,
+                   COUNT(*) AS n_rows, TRUE AS within_rse
+            FROM w GROUP BY window_hour ORDER BY window_hour
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

@@ -110,6 +110,7 @@ class WindowedStreamingSketchSink:
         ts_col: str = "ts",
         window: str = "1 day",
         delay: str = "1 hour",
+        slide: str | None = None,
     ):
         self.specs = specs
         self.group_by = group_by
@@ -117,8 +118,21 @@ class WindowedStreamingSketchSink:
         self.ts_col = ts_col
         self.window = window
         self.delay = delay
-        _interval_us(window)  # fail fast on unparseable intervals
+        self.slide = slide
+        win_us = _interval_us(window)  # fail fast on unparseable intervals
         _interval_us(delay)
+        if slide is not None:
+            # HOPPING windows: each event updates window/slide overlapping
+            # windows (Structured Streaming's own sliding-window semantics).
+            # The divisibility requirement keeps window starts on a single
+            # slide grid — same rule as Spark's window() with a slideDuration
+            s_us = _interval_us(slide)
+            if s_us <= 0 or win_us % s_us != 0:
+                raise ValueError(
+                    f"slide {slide!r} must evenly divide window {window!r}"
+                )
+            if s_us == win_us:
+                self.slide = None  # degenerate hop = tumbling
         os.makedirs(state_dir, exist_ok=True)
 
     def _ptr_path(self) -> str:
@@ -241,7 +255,12 @@ class WindowedStreamingSketchSink:
             return
         wm_us = None if meta["max_event_us"] is None else meta["max_event_us"] - self._delay_us()
 
-        ts_us = F.unix_micros(F.col(self.ts_col))
+        # TIMESTAMP_NTZ sources (e.g. parquet written without timezone)
+        # reject unix_micros directly — cast first. For NTZ inputs the cast
+        # interprets the naive value in the SESSION timezone, so window
+        # boundaries are session-tz-relative (deterministic within a job;
+        # pin spark.sql.session.timeZone=UTC for cross-engine parity)
+        ts_us = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
         batch_df = batch_df.withColumn("_ts_us", ts_us).persist()
         # ONE action covers both late accounting and the event-time high mark
         # (the un-persisted batch would otherwise be re-evaluated per action)
@@ -261,13 +280,34 @@ class WindowedStreamingSketchSink:
         new_max = max(seen) if seen else None
 
         win_us = _interval_us(self.window)
-        wstart = (F.col("_ts_us") / win_us).cast("long") * win_us
+        if self.slide is None:
+            assigned = batch_df.withColumn(
+                "_wstart", (F.col("_ts_us") / win_us).cast("long") * win_us
+            )
+        else:
+            # hopping assignment: the latest window start covering ts is
+            # floor(ts/slide)*slide; the event also belongs to the
+            # (win/slide − 1) earlier starts still covering it. One small
+            # sequence-explode per row — the same ×(win/slide) row fan-out
+            # Spark's native sliding window() pays, then the per-(window ×
+            # group) state path below is unchanged (watermark finalization
+            # keys on window END, which is hop-agnostic).
+            s_us = _interval_us(self.slide)
+            n = win_us // s_us
+            base = (F.col("_ts_us") / s_us).cast("long") * s_us
+            assigned = (
+                batch_df.withColumn("_k", F.explode(F.expr(f"sequence(0, {n - 1})")))
+                .withColumn("_wstart", base - F.col("_k") * s_us)
+                .filter(F.col("_wstart") + win_us > F.col("_ts_us"))
+                .drop("_k")
+            )
+        wstart = F.col("_wstart")
         gcol = (
             F.concat(wstart.cast("string"), F.lit("|"), F.col(self.group_by).cast("string"))
             if self.group_by
             else F.concat(wstart.cast("string"), F.lit("|"))
         )
-        keyed = batch_df.withColumn("_wg", gcol)
+        keyed = assigned.withColumn("_wg", gcol)
         new_partials = partial_states(keyed, self.specs, "_wg")
         prev = None
         if meta["version"] >= 0:
@@ -348,10 +388,15 @@ def stream_build_windowed(
     window: str = "1 day",
     delay: str = "1 hour",
     checkpoint_dir: str | None = None,
+    slide: str | None = None,
 ):
     """Windowed variant of stream_build: per-(event-time window × group)
-    states with sink-managed watermark eviction. Returns (query, sink)."""
-    sink = WindowedStreamingSketchSink(specs, group_by, state_dir, ts_col, window, delay)
+    states with sink-managed watermark eviction. ``slide`` turns the
+    tumbling windows into HOPPING ones (slide must divide window; each
+    event updates window/slide overlapping windows). Returns (query, sink)."""
+    sink = WindowedStreamingSketchSink(
+        specs, group_by, state_dir, ts_col, window, delay, slide=slide
+    )
     writer = stream_df.writeStream.foreachBatch(sink).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

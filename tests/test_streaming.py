@@ -356,3 +356,65 @@ def test_streaming_signature_sink(spark, tmp_path):
     )
     kept, _ = dedup_delta(delta, sink.signatures(spark), threshold=0.9, seed=9)
     assert {r["doc_id"] for r in kept.collect()} == {"brand_new"}
+
+
+def test_hopping_windows_assignment_and_finalization(spark, tmp_path):
+    """slide= turns the windowed sink's tumbling windows into HOPPING ones:
+    each event updates window/slide overlapping windows (Spark's own
+    sliding-window semantics), per-window membership is exactly the events
+    in [start, start+window), and watermark finalization keys on window END
+    exactly as in the tumbling case."""
+    import os
+
+    import pandas as pd
+
+    from sketchlib.sketches import deserialize
+    from sketchlib.spark.streaming import WindowedStreamingSketchSink, stream_build_windowed
+
+    specs = [SketchSpec("hll_u", "hll", "user_id", {"p": 12})]
+    src = str(tmp_path / "hsrc")
+    os.makedirs(src)
+    H = 3_600_000_000
+
+    rows = [(1, int(2.25 * H), "a"), (2, int(2.75 * H), "a"), (3, int(3.25 * H), "a")]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_us", "source"])
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    df.coalesce(1).write.parquet(f"{src}/b1")
+    schema = spark.read.parquet(f"{src}/b1").schema
+
+    state_dir, ckpt = str(tmp_path / "hstates"), str(tmp_path / "hckpt")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q, sink = stream_build_windowed(
+        stream, specs, state_dir, group_by="source", ts_col="ts",
+        window="2 hours", delay="15 minutes", checkpoint_dir=ckpt,
+        slide="1 hour",
+    )
+    assert q.awaitTermination(120)
+
+    st = sink.states(spark).toPandas()
+    by_start = {
+        int(r["window_start"].timestamp() // 3600): r for _, r in st.iterrows()
+    }
+    # membership per 2h window on the 1h hop grid
+    want = {1: {1, 2}, 2: {1, 2, 3}, 3: {3}}
+    for s, users in want.items():
+        est = deserialize(bytes(by_start[s]["state"])).estimate()[0]
+        assert round(est) == len(users), (s, est)
+    # watermark = 3.25h − 0.25h = 3h → the window ENDING at 3h (start 1h)
+    # is final; later windows are live
+    finals = {s for s, r in by_start.items() if r["is_final"]}
+    assert finals == {1}
+
+    # validation: slide must divide window; slide == window degenerates to
+    # tumbling (no fan-out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evenly divide"):
+        WindowedStreamingSketchSink(
+            specs, "source", str(tmp_path / "x"), window="2 hours", slide="45 min"
+        )
+    t = WindowedStreamingSketchSink(
+        specs, "source", str(tmp_path / "y"), window="1 hour", slide="1 hour"
+    )
+    assert t.slide is None
