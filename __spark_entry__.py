@@ -3369,12 +3369,13 @@ def q_b50_top_sum_weighted(spark, sf_dir):
     per l_returnflag group on lineitem (keys l_orderkey, weights
     l_quantity — integral doubles, exercising the checked int64 cast):
       within_bound       — every top-5 estimate e: true ≤ e ≤ true + ε·ΣW_g
-      hybrid_matches     — CM candidates exactly re-scored == the true
+      hybrid_matches     — `exact_rescore_topk(weight_col=...)` (weighted-CM
+                           candidates exactly re-scored by SUM) == the true
                            top-5 by (SUM(w) DESC, key ASC) (sketch locates,
                            exact answers — Verdict's hybrid move)
       sql_matches        — the SQL door's grouped APPROX_TOP_SUM statement
                            returns the identical frame to the API route."""
-    from sketchlib.spark.query import load_states, topk_df
+    from sketchlib.spark.query import exact_rescore_topk, topk_df
     from sketchlib.sql import approx_sql
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3394,7 +3395,10 @@ def q_b50_top_sum_weighted(spark, sf_dir):
         .agg(F.sum("l_quantity").cast("long").alias("s"))
         .toPandas()
     )
-    sks = {g: sk for (g, _), sk in load_states(states).items()}
+    hybrid = exact_rescore_topk(
+        li, states, "cm_w", 5, tokens_col="l_orderkey",
+        group_by="l_returnflag", weight_col="l_quantity",
+    ).toPandas()
 
     rows = []
     for g, sub in exact.groupby("l_returnflag"):
@@ -3405,12 +3409,9 @@ def q_b50_top_sum_weighted(spark, sf_dir):
             true.get(t, 0) <= e <= true.get(t, 0) + bound
             for t, e in zip(mine["token"], mine["est_count"])
         )
-        # hybrid: candidates from the merged state, re-scored EXACTLY
-        cands = set(sks[g].cands.tolist())
-        resc = sorted(
-            ((k, s) for k, s in true.items() if k in cands),
-            key=lambda kv: (-kv[1], kv[0]),
-        )[:5]
+        hsub = hybrid[hybrid["group"] == g]
+        resc = sorted(zip(hsub["token"], hsub["exact_sum"]),
+                      key=lambda kv: (-kv[1], kv[0]))
         truth = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
         rows.append((g, bool(wb), bool(resc == truth)))
     out = pd.DataFrame(rows, columns=["l_returnflag", "within_bound", "hybrid_matches"])

@@ -228,6 +228,7 @@ def exact_rescore_topk(
     group_by: str = "source",
     overfetch: int = 3,
     distributed: bool | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Hybrid sketch→exact top-k: CM candidates prune the token domain, one
     filtered exact pass rescores them (the Verdict move — approximate to find
@@ -239,6 +240,11 @@ def exact_rescore_topk(
     — the explode+filter scan aggregates a few hundred keys instead of the
     full vocab. Output: (group, token, exact_count), exact top-k per group.
 
+    ``weight_col``: the WEIGHTED variant (pair with a weighted-CM state set,
+    SketchSpec(weight=...)): ``tokens_col`` is then a SCALAR key column, the
+    exact pass re-scores candidates by SUM(weight_col) instead of COUNT, and
+    the output column is ``exact_sum`` — hybrid top-k BY SUM (b50's check).
+
     Routing (same threshold as estimates_df): the driver path collects the
     union of all groups' candidates into one pushed-down ``isin`` filter;
     above the group threshold candidates are extracted executor-side and
@@ -248,6 +254,24 @@ def exact_rescore_topk(
     """
     from pyspark.sql.window import Window
 
+    out_name = "exact_sum" if weight_col else "exact_count"
+    agg_expr = (
+        F.sum("_w").cast("long").alias(out_name)
+        if weight_col
+        else F.count("*").alias(out_name)
+    )
+
+    def _pairs(frame):
+        if weight_col:  # scalar key column — same contract as the weighted build
+            return frame.select(
+                F.col(group_by).alias("group"),
+                F.col(tokens_col).alias("token"),
+                F.col(weight_col).alias("_w"),
+            )
+        return frame.select(
+            F.col(group_by).alias("group"), F.explode(tokens_col).alias("token")
+        )
+
     probe, sub, persisted = _route(states, sketch, distributed)
     if probe is None:
         def rows(g, sk):
@@ -256,7 +280,7 @@ def exact_rescore_topk(
 
         cand = _map_states(sub, rows, "group string, token long", ["group", "token"])
         cand = _finish_dist(cand, sub, persisted)
-        exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
+        exploded = _pairs(df)
         # the per-group semi-join matches Catalyst's cast-to-string against
         # the kernel's Python str() — the two agree ONLY for string/integer
         # group columns ('true' vs 'True' for booleans, '1.0E20' vs '1e+20'
@@ -277,20 +301,20 @@ def exact_rescore_topk(
         else:
             cand_tokens = [r["token"] for r in cand.select("token").distinct().collect()]
             counts = exploded.filter(F.col("token").isin(cand_tokens))
-        counts = counts.groupBy("group", "token").agg(F.count("*").alias("exact_count"))
+        counts = counts.groupBy("group", "token").agg(agg_expr)
     else:
         cand: dict[str, list[int]] = {}
         for (g, name), sk in sorted(_rows_to_states(probe).items()):
             ids, _ = sk.topk(k * overfetch)
             cand[g] = [int(i) for i in ids.tolist()]
         all_cands = sorted({t for ts in cand.values() for t in ts})
-        exploded = df.select(F.col(group_by).alias("group"), F.explode(tokens_col).alias("token"))
+        exploded = _pairs(df)
         counts = (
             exploded.filter(F.col("token").isin(all_cands))
             .groupBy("group", "token")
-            .agg(F.count("*").alias("exact_count"))
+            .agg(agg_expr)
         )
-    w = Window.partitionBy("group").orderBy(F.desc("exact_count"), F.asc("token"))
+    w = Window.partitionBy("group").orderBy(F.desc(out_name), F.asc("token"))
     return (
         counts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

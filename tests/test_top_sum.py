@@ -343,3 +343,54 @@ def test_refresh_preserves_weight(spark, T, tmp_path):
     ).toPandas()
     pd.testing.assert_frame_equal(served, fresh)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_exact_rescore_topk_weighted(spark, li):
+    """The hybrid API variant: weighted-CM candidates re-scored by SUM —
+    must EQUAL the true top-k by (SUM(w) DESC, key ASC)."""
+    from pyspark.sql.window import Window
+
+    from sketchlib.spark.query import exact_rescore_topk
+
+    spec = SketchSpec("cm_w", "cm", "l_orderkey", {"eps": 1e-4, "delta": 0.01},
+                      weight="l_quantity")
+    states = build_sketches(li, [spec], group_by="l_returnflag")
+    hybrid = exact_rescore_topk(
+        li, states, "cm_w", 5, tokens_col="l_orderkey",
+        group_by="l_returnflag", weight_col="l_quantity",
+    ).toPandas()
+    assert set(hybrid.columns) == {"group", "token", "exact_sum"}
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("group").orderBy(F.desc("s"), F.asc("token"))
+    truth = (
+        li.select(F.col("l_returnflag").alias("group"),
+                  F.col("l_orderkey").alias("token"), "l_quantity")
+        .groupBy("group", "token")
+        .agg(F.sum("l_quantity").cast("long").alias("s"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .toPandas()
+    )
+    key = lambda d, c: {  # noqa: E731
+        g: sorted(zip(sub["token"], sub[c])) for g, sub in d.groupby("group")
+    }
+    assert key(hybrid, "exact_sum") == key(truth, "s")
+
+
+def test_exact_rescore_topk_unweighted_unchanged(spark, li):
+    """Regression guard: the unweighted hybrid still emits exact_count."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.query import exact_rescore_topk
+
+    docs_like = li.select(
+        "l_returnflag", F.array("l_suppkey").alias("toks")
+    )
+    spec = SketchSpec("cm_s", "cm", "toks", {"eps": 1e-3, "delta": 0.05})
+    states = build_sketches(docs_like, [spec], group_by="l_returnflag")
+    out = exact_rescore_topk(
+        docs_like, states, "cm_s", 3, tokens_col="toks", group_by="l_returnflag"
+    ).toPandas()
+    assert set(out.columns) == {"group", "token", "exact_count"}
+    assert out.groupby("group").size().max() <= 3
