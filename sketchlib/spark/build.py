@@ -720,10 +720,11 @@ def build_sketches(
         g = GROUP_SEP.join(
             "__null__" if pd.isna(pdf[c].iloc[0]) else str(pdf[c].iloc[0]) for c in glist
         )
-        n_tokens = 0
         for spec in specs:
             sk = spec.make()
             colvals = pdf[spec.column].to_numpy()
+            n_tokens = 0  # per SPEC — a stale carry-over from a previous
+            # array spec would mislabel scalar/weighted rows' metadata
             if spec.weight is not None:
                 zero = np.zeros(len(colvals), dtype=np.int32)
                 uk, ws, _ = _weighted_group_pairs(

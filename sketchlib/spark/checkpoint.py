@@ -63,9 +63,9 @@ def committed_parts(ckpt_dir: str) -> set[str]:
 
 
 def _ckpt_reader(specs: list[SketchSpec], group_by, ckpt_dir: str, fail: frozenset[int]):
-    from sketchlib.spark.build import group_cols
+    from sketchlib.spark.build import group_cols, spec_cols
 
-    need = sorted({s.column for s in specs} | group_cols(group_by))
+    need = sorted(spec_cols(specs) | group_cols(group_by))
 
     def reader(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -139,7 +139,9 @@ def build_with_checkpoint(
         "chunks": [[c.key, c.chunk_id] for c in chunks],
         "group_by": group_by,
         "specs": [
-            {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params} for s in specs
+            {"name": s.name, "kind": s.kind, "column": s.column, "params": s.params,
+             "weight": s.weight}
+            for s in specs
         ],
     }
     run_path = os.path.join(ckpt_dir, "_run.json")

@@ -280,9 +280,14 @@ class WindowedStreamingSketchSink:
         new_max = max(seen) if seen else None
 
         win_us = _interval_us(self.window)
+        # ts − pmod(ts, step) is FLOOR alignment in exact int64 arithmetic
+        # (pmod is non-negative): a cast-truncated ts/step would round
+        # pre-epoch (negative) timestamps toward zero and assign them to
+        # windows that do not contain them
         if self.slide is None:
             assigned = batch_df.withColumn(
-                "_wstart", (F.col("_ts_us") / win_us).cast("long") * win_us
+                "_wstart",
+                F.col("_ts_us") - F.pmod(F.col("_ts_us"), F.lit(win_us)),
             )
         else:
             # hopping assignment: the latest window start covering ts is
@@ -294,11 +299,10 @@ class WindowedStreamingSketchSink:
             # keys on window END, which is hop-agnostic).
             s_us = _interval_us(self.slide)
             n = win_us // s_us
-            base = (F.col("_ts_us") / s_us).cast("long") * s_us
+            base = F.col("_ts_us") - F.pmod(F.col("_ts_us"), F.lit(s_us))
             assigned = (
                 batch_df.withColumn("_k", F.explode(F.expr(f"sequence(0, {n - 1})")))
-                .withColumn("_wstart", base - F.col("_k") * s_us)
-                .filter(F.col("_wstart") + win_us > F.col("_ts_us"))
+                .withColumn("_wstart", base - F.col("_k") * F.lit(s_us))
                 .drop("_k")
             )
         wstart = F.col("_wstart")

@@ -565,10 +565,18 @@ def with_unigram_surprisal(
                     f64 = f64.astype(np.int64)
                 u, inv = np.unique(f64, return_inverse=True)
                 tok_lp = logp_of(u)[inv]
-                ends = np.cumsum(lens)
-                starts = ends - lens
-                sums = np.add.reduceat(tok_lp, starts.clip(max=max(len(tok_lp) - 1, 0)))
-                sums = np.where(lens > 0, sums, 0.0)
+                starts = np.cumsum(lens) - lens
+                # reduceat over NON-EMPTY rows only: an empty row's start
+                # equals the next row's (or len(tok_lp) at the tail), and
+                # reduceat treats every index as both a start and the
+                # previous segment's END — a clipped trailing start would
+                # silently truncate the last non-empty doc's sum (the same
+                # trailing-empty-row trap dedup.py's islands scan documents)
+                nonempty = lens > 0
+                sums = np.zeros(batch.num_rows, dtype=np.float64)
+                vstarts = starts[nonempty]
+                if vstarts.size:
+                    sums[nonempty] = np.add.reduceat(tok_lp, vstarts)
                 vals = -sums / np.maximum(lens, 1)
             if round_to is not None:
                 vals = np.round(vals, round_to)

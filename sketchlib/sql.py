@@ -319,6 +319,12 @@ def _resolve_join_rows_regs(sides, tables, catalog, req_eps):
             for s in _json.loads(reg["specs_json"]):
                 if s["kind"] != "cm" or s["column"] != col:
                     continue
+                if s.get("weight"):
+                    # a weighted CM's cells hold SUM(w), not multiplicities —
+                    # its inner product would price the join in weight
+                    # units (the cross-serving trap _cm_spec_serves guards
+                    # on the single-statement routes)
+                    continue
                 p = s.get("params", {})
                 eps = float(p.get("eps", 1e-4))
                 if req_eps is not None and eps > req_eps * (1 + 1e-9):
@@ -2670,6 +2676,10 @@ def _resolve_merge_states(
             specs = _json.loads(reg["specs_json"])
             for sp in specs:
                 if sp["kind"] not in kinds or sp["column"] != col:
+                    continue
+                if sp.get("weight"):
+                    # weighted CMs hold SUM(w) cells — merging one into an
+                    # APPROX_TOPK answer would report weights as counts
                     continue
                 vclass = _hash_class(sp.get("dtype"))
                 if vclass is None:

@@ -418,3 +418,47 @@ def test_hopping_windows_assignment_and_finalization(spark, tmp_path):
         specs, "source", str(tmp_path / "y"), window="1 hour", slide="1 hour"
     )
     assert t.slide is None
+
+
+def test_windows_floor_align_pre_epoch_timestamps(spark, tmp_path):
+    """Regression (review): window-start alignment must FLOOR, not truncate
+    toward zero — a pre-1970 (negative-epoch) event otherwise lands in
+    windows that do not contain it."""
+    import os
+
+    import pandas as pd
+
+    from sketchlib.spark.streaming import stream_build_windowed
+
+    specs = [SketchSpec("hll_u", "hll", "user_id", {"p": 12})]
+    src = str(tmp_path / "nsrc")
+    os.makedirs(src)
+    H = 3_600_000_000
+    # one event half an hour BEFORE the epoch
+    pdf = pd.DataFrame([(1, -H // 2, "a")], columns=["user_id", "ts_us", "source"])
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    df.coalesce(1).write.parquet(f"{src}/b1")
+    schema = spark.read.parquet(f"{src}/b1").schema
+
+    for slide in (None, "1 hour"):
+        sd = str(tmp_path / f"nstates_{slide}")
+        ck = str(tmp_path / f"nckpt_{slide}")
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q, sink = stream_build_windowed(
+            stream, specs, sd, group_by="source", ts_col="ts",
+            window="2 hours", delay="1 minute", checkpoint_dir=ck, slide=slide,
+        )
+        assert q.awaitTermination(120)
+        starts = {
+            int(r["window_start"].timestamp() * 1_000_000)
+            for r in sink.states(spark).collect()
+        }
+        # every assigned window must CONTAIN ts = -0.5h
+        assert starts, slide
+        for s in starts:
+            assert s <= -H // 2 < s + 2 * H, (slide, s)
+        if slide:  # 2h window on a 1h hop: exactly two covering windows
+            assert starts == {-2 * H, -H}
+        else:
+            assert starts == {-2 * H}

@@ -122,3 +122,20 @@ def test_round_to(spark, docs):
         .select("surprisal").limit(20).toPandas()["surprisal"]
     )
     assert (out == out.round(2)).all()
+
+
+def test_trailing_empty_doc_does_not_truncate_previous(spark, docs):
+    """Regression (review): a trailing empty-token doc in the same Arrow
+    batch must not clip the preceding doc's token sum — reduceat treats a
+    clipped trailing start as the previous segment's end."""
+    counts = spark.createDataFrame(
+        pd.DataFrame({"_t": [5, 7], "cnt": [1, 3]})
+    )
+    frame = spark.createDataFrame(
+        [(1, [5, 7]), (2, [])], "doc_id int, tokens array<bigint>"
+    ).coalesce(1)  # one batch, empty row LAST
+    out = {r["doc_id"]: r["surprisal"] for r in
+           with_unigram_surprisal(frame, "tokens", counts=counts).collect()}
+    want = -(math.log2(1 / 4) + math.log2(3 / 4)) / 2
+    assert abs(out[1] - want) < 1e-12
+    assert out[2] is None

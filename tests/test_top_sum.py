@@ -394,3 +394,63 @@ def test_exact_rescore_topk_unweighted_unchanged(spark, li):
     ).toPandas()
     assert set(out.columns) == {"group", "token", "exact_count"}
     assert out.groupby("group").size().max() <= 3
+
+
+def test_join_rows_never_served_by_weighted_cm(spark, T, tmp_path):
+    """Regression (review): APPROX_JOIN_ROWS must not resolve a weighted CM
+    — its cells hold SUM(w), so the inner product would price the join in
+    weight units (~25x inflated here)."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    cat = SketchCatalog(spark, str(tmp_path / "jr"))
+    approx_sql(
+        spark,
+        "CREATE SKETCHES wset FROM lineitem KINDS cm(l_orderkey, weight=l_quantity)",
+        tables=T, catalog=cat,
+    )
+    stmt = ("SELECT APPROX_JOIN_ROWS(a.l_orderkey, b.l_orderkey) "
+            "FROM lineitem a, lineitem b")
+    ex = dict(approx_sql(spark, "EXPLAIN " + stmt, tables=T, catalog=cat).collect())
+    assert "on-the-fly" in ex["route"]  # weighted set skipped
+    # an UNWEIGHTED registration then serves
+    approx_sql(
+        spark, "CREATE SKETCHES uset FROM lineitem KINDS cm(l_orderkey)",
+        tables=T, catalog=cat,
+    )
+    ex2 = dict(approx_sql(spark, "EXPLAIN " + stmt, tables=T, catalog=cat).collect())
+    assert "persisted" in ex2["route"]
+    assert "uset" in (ex2.get("states_a", "") + ex2.get("states_b", ""))
+
+
+def test_unionall_merge_never_served_by_weighted_cm(spark, T, tmp_path):
+    """Regression (review): the UNION ALL merged-states route for
+    APPROX_TOPK must skip weighted CM specs (SUM cells are not counts)."""
+    import shutil
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    li = spark.read.parquet(LI).limit(4_000)
+    li.write.parquet(d1)
+    li.write.parquet(d2)
+    t = {"t1": d1, "t2": d2}
+    cat = SketchCatalog(spark, str(tmp_path / "um"))
+    for name, tbl in (("w1", "t1"), ("w2", "t2")):
+        approx_sql(
+            spark,
+            f"CREATE SKETCHES {name} FROM {tbl} KINDS cm(l_orderkey, weight=l_quantity)",
+            tables=t, catalog=cat,
+        )
+    stmt = ("SELECT APPROX_TOPK(l_orderkey, 3) FROM "
+            "(SELECT l_orderkey FROM t1 UNION ALL SELECT l_orderkey FROM t2)")
+    ex = dict(approx_sql(spark, "EXPLAIN " + stmt, tables=t, catalog=cat).collect())
+    # weighted sets must NOT claim the merge route — the statement falls to
+    # the generic derived-table path (reported as derived_table)
+    assert ex["statement_kind"] == "derived_table"
+    out = approx_sql(spark, stmt, tables=t, catalog=cat).toPandas()
+    # and the answer is COUNTS: every count ≤ rows in the unioned bag
+    assert (out["est_count"] <= 8_000).all()
+    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
