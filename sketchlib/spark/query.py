@@ -601,6 +601,14 @@ def join_size_df(
     join_size_estimate for the bound). Answers "how much does each
     source / date-partition contribute to the join" from KB states.
 
+    Callers name the state sets explicitly, so mind the units: a CM built
+    with SketchSpec(weight=...) holds SUM(w) cells, making the inner
+    product a WEIGHT-weighted join size (Σ_k SUMw_a(k)·n_b(k) — e.g.
+    "total tokens flowing through the join" when w is a token count), not
+    a row count. Mixing a weighted side with an unweighted one is only
+    meaningful if that is the quantity you want; the SQL door's
+    APPROX_JOIN_ROWS never resolves weighted registrations.
+
     Pass the SAME states/sketch twice for the per-group SECOND FREQUENCY
     MOMENT F₂ = Σ_k c_k² (the self-join size): the standard key-skew /
     repetition report — F₂/N is the average key multiplicity, and a group
