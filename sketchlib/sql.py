@@ -1673,7 +1673,8 @@ def explain_sql(
                     emit("error", double_spec + f" (explicit eps + WITHIN, {cfn})")
                     return done()
                 emit(f"{prefix}plan", f"rewrite to explicit eps = {t!r} (CM overcount "
-                     "≤ ε·N w.p. 1−δ, δ=0.01)")
+                     "≤ ε·N w.p. 1−δ, δ=0.01; routing honors it — only "
+                     "achieving CM states claim the route)")
                 sel_items.append(f"{cfn}({', '.join(cargs[:2])}, {t!r})")
             elif cfn == "APPROX_TOP_SUM":
                 if len(cargs) > 3:
@@ -3713,8 +3714,10 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
     - COUNT_DISTINCT → explicit rse argument t/z (the HLL/KMV rse is a 1σ
       figure; z·rse ≤ t makes the contract hold at the stated confidence);
       routing already honors explicit rse (states must achieve it).
-    - TOPK → explicit eps argument t (CM overcount ≤ ε·N w.p. 1−δ, δ=0.01
-      fixed — the confidence clause does not tighten δ).
+    - TOPK / TOP_SUM → explicit eps argument t (CM overcount ≤ ε·N w.p.
+      1−δ, δ=0.01 fixed — the confidence clause does not tighten δ; N is
+      the total weight for TOP_SUM). Routing honors the eps: only CM
+      states achieving it claim the persisted route.
     - PERCENTILE → ``rank_err=t`` named argument: on-the-fly builds use the
       planner's k inversion; routing only claims KLL states achieving it.
       The contract is in RANK units (WITHIN 1% ERROR = ±0.01 rank).
