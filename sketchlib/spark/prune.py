@@ -203,3 +203,15 @@ class ZoneMapPruner:
             "surviving_files": len(keep),
             "pruned_fraction": 1.0 - len(keep) / max(1, len(self._files)),
         }
+
+    def save(self, path: str) -> None:
+        """Persist the index as one small parquet (pandas round-trip) — at
+        10⁶ files this is a few MB; rebuilders prefer from_dir (footer
+        reads), but a saved index makes query-time pruning storage-free."""
+        self._z.to_parquet(path, index=False)
+
+    @classmethod
+    def load(cls, path: str) -> "ZoneMapPruner":
+        import pandas as pd
+
+        return cls(pd.read_parquet(path))

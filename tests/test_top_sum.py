@@ -454,3 +454,37 @@ def test_unionall_merge_never_served_by_weighted_cm(spark, T, tmp_path):
     assert (out["est_count"] <= 8_000).all()
     shutil.rmtree(d1, ignore_errors=True)
     shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_grouped_states_auto_route(spark, T, tmp_path):
+    """Grouped registrations serve grouped APPROX_TOP_SUM statements —
+    the generic group-match rule applies to the weighted kind too."""
+    import pandas as pd
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    cat = SketchCatalog(spark, str(tmp_path / "gts"))
+    approx_sql(
+        spark,
+        "CREATE SKETCHES gset FROM lineitem KINDS cm(l_orderkey, weight=l_quantity) "
+        "GROUP BY l_returnflag",
+        tables=T, catalog=cat,
+    )
+    stmt = ("SELECT APPROX_TOP_SUM(l_orderkey, l_quantity, 3) FROM lineitem "
+            "GROUP BY l_returnflag")
+    ex = dict(approx_sql(spark, "EXPLAIN " + stmt, tables=T, catalog=cat).collect())
+    assert "persisted_sketch_states" in ex["route"] and ex["artifact"] == "gset"
+    a = approx_sql(spark, stmt, tables=T, catalog=cat).toPandas()
+    b = approx_sql(spark, stmt, tables=T).toPandas()
+    key = ["group", "token"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    # the UNGROUPED statement must not route to the grouped set
+    ex2 = dict(approx_sql(
+        spark, "EXPLAIN SELECT APPROX_TOP_SUM(l_orderkey, l_quantity, 3) FROM lineitem",
+        tables=T, catalog=cat,
+    ).collect())
+    assert "on_the_fly" in ex2["route"]

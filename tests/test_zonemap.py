@@ -130,3 +130,14 @@ def test_composes_with_bloom(spark, sorted_dir):
     assert truth  # probe exists
     assert base(truth) <= both
     assert len(both) < 8  # the composition actually pruned
+
+
+def test_save_load_round_trip(spark, sorted_dir, tmp_path):
+    pr = ZoneMapPruner.from_dir(sorted_dir, ["l_orderkey"])
+    p = str(tmp_path / "zm.parquet")
+    pr.save(p)
+    back = ZoneMapPruner.load(p)
+    assert back.files == pr.files
+    assert back.files_in_range("l_orderkey", 2_000, 2_500) == pr.files_in_range(
+        "l_orderkey", 2_000, 2_500
+    )
