@@ -3340,6 +3340,13 @@ def q_c36_unigram_surprisal(spark, sf_dir):
         with_unigram_surprisal(docs, "toks", round_to=6)
         .select("doc_id", "surprisal").toPandas()
     )
+    grouped = (
+        with_unigram_surprisal(
+            docs, "toks", round_to=6, out="surprisal_by_source", group_by="source"
+        )
+        .select("doc_id", "surprisal_by_source").toPandas()
+    )
+    exact = exact.merge(grouped, on="doc_id")
     eps = 1e-4
     states = build_sketches(
         docs, [SketchSpec("cm_t", "cm", "toks", {"eps": eps, "delta": 0.01})],
@@ -3355,7 +3362,7 @@ def q_c36_unigram_surprisal(spark, sf_dir):
     m["cm_within_bound"] = (m["cm_s"] <= m["surprisal"] + 1e-6) & (
         m["surprisal"] - m["cm_s"] <= slack + 1e-6
     )
-    out = m[["doc_id", "surprisal", "cm_within_bound"]]
+    out = m[["doc_id", "surprisal", "surprisal_by_source", "cm_within_bound"]]
     return spark.createDataFrame(out).orderBy("doc_id")
 
 
@@ -4024,7 +4031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c36_unigram_surprisal": r"""
             WITH w AS (
-                SELECT doc_id,
+                SELECT doc_id, source,
                        unnest(list_filter(string_split_regex(text, '\s+'),
                                           x -> x <> '')) AS tok
                 FROM documents
@@ -4035,10 +4042,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT w.doc_id, -avg(log2(cnt.c / tot.n)) AS s
                 FROM w JOIN cnt USING (tok) CROSS JOIN tot
                 GROUP BY w.doc_id
+            ),
+            gcnt AS (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok),
+            gtot AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+            gper AS (
+                SELECT w.doc_id, -avg(log2(gcnt.c / gtot.n)) AS s
+                FROM w
+                JOIN gcnt ON w.source = gcnt.source AND w.tok = gcnt.tok
+                JOIN gtot ON w.source = gtot.source
+                GROUP BY w.doc_id
             )
             SELECT d.doc_id, ROUND(per.s, 6) AS surprisal,
+                   ROUND(gper.s, 6) AS surprisal_by_source,
                    TRUE AS cm_within_bound
-            FROM documents d LEFT JOIN per USING (doc_id)
+            FROM documents d
+            LEFT JOIN per USING (doc_id)
+            LEFT JOIN gper USING (doc_id)
             ORDER BY doc_id
         """,
         "c37_hopping_window_stream": """

@@ -447,6 +447,7 @@ def with_unigram_surprisal(
     states: DataFrame | None = None,
     sketch: str | None = None,
     round_to: int | None = None,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Per-document mean unigram surprisal — the LM-proxy quality signal
     (CCNet/Wenzek et al. 2020 rank corpora by LM perplexity; the unigram
@@ -483,6 +484,16 @@ def with_unigram_surprisal(
     (cross-engine float comparisons).
 
     No NULL elements inside token arrays (the tokenize.py contract).
+
+    ``group_by``: PER-GROUP models (e.g. per-source — the per-domain
+    perplexity-normalization move: each doc scores against ITS source's
+    distribution, so one domain's common vocabulary doesn't read as
+    another's noise). Exact mode counts per (group, token); CM mode wants
+    GROUPED states (one CM per group; ``build_sketches(group_by=...)``);
+    a precomputed ``counts`` frame must then be (group, token, cnt). Docs
+    whose group has no model get NULL. Group values are matched by their
+    string form (the kernel's state key) — string/int group columns only,
+    the same safe set as exact_rescore_topk's semi-join.
     """
     import numpy as np
     import pyarrow as pa
@@ -490,40 +501,61 @@ def with_unigram_surprisal(
     if (states is None) != (sketch is None):
         raise ValueError("pass BOTH states and sketch for the CM-served mode")
 
+    # models: group key (str, or None for ungrouped) -> ("cm", bytes, N) |
+    # ("exact", sorted int64 vocab, logp array, N)
+    models: dict = {}
     if states is not None:
         from sketchlib.spark.query import load_states
 
-        picked = [
-            sk for (g, name), sk in sorted(load_states(states).items()) if name == sketch
-        ]
+        picked = sorted(
+            (g, sk) for (g, name), sk in load_states(states).items() if name == sketch
+        )
         if not picked:
             raise ValueError(f"no states for sketch {sketch!r}")
-        acc = picked[0]
-        for sk in picked[1:]:
-            acc = acc.merge(sk)
-        if not hasattr(acc, "query") or not hasattr(acc, "total"):
-            raise ValueError(f"sketch {sketch!r} is not a Count-Min (no point queries)")
-        state_bytes = acc.to_bytes()
-        lookup_vocab = lookup_logp = None
-        n_total = float(acc.total)
+        for g, sk in picked:
+            if not hasattr(sk, "query") or not hasattr(sk, "total"):
+                raise ValueError(
+                    f"sketch {sketch!r} is not a Count-Min (no point queries)"
+                )
+        if group_by is None:
+            acc = picked[0][1]
+            for _, sk in picked[1:]:
+                acc = acc.merge(sk)
+            models[None] = ("cm", acc.to_bytes(), float(acc.total))
+        else:
+            for g, sk in picked:
+                models[g] = ("cm", sk.to_bytes(), float(sk.total))
     else:
         if counts is None:
+            gsel = [F.col(group_by).alias("_g")] if group_by else []
             counts = (
-                df.select(F.explode(tokens_col).alias("_t"))
-                .groupBy("_t")
+                df.select(*gsel, F.explode(tokens_col).alias("_t"))
+                .groupBy(*(["_g"] if group_by else []), "_t")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            cpdf = counts.toPandas()
-            vocab = cpdf["_t"].to_numpy()
-        else:
-            cpdf = counts.toPandas()
-            vocab = cpdf[counts.columns[0]].to_numpy()
-        cnt = cpdf[cpdf.columns[1]].to_numpy(dtype=np.float64)
-        n_total = float(cnt.sum())
-        order = np.argsort(vocab)
-        lookup_vocab = np.ascontiguousarray(vocab[order].astype(np.int64))
-        lookup_logp = np.log2(np.ascontiguousarray(cnt[order]) / n_total)
-        state_bytes = None
+        cpdf = counts.toPandas()
+        cols = list(cpdf.columns)
+        if group_by and len(cols) < 3:
+            raise ValueError(
+                "grouped exact mode needs a (group, token, cnt) counts frame"
+            )
+        toki, cnti = (1, 2) if group_by else (0, 1)
+        groups = (
+            cpdf[cols[0]].astype(str).to_numpy() if group_by
+            else np.zeros(len(cpdf), dtype=np.int8)
+        )
+        for gval in (np.unique(groups) if group_by else [None]):
+            sub = cpdf if gval is None else cpdf[groups == gval]
+            vocab = sub[cols[toki]].to_numpy()
+            cnt = sub[cols[cnti]].to_numpy(dtype=np.float64)
+            n = float(cnt.sum())
+            order = np.argsort(vocab)
+            models[gval if gval is None else str(gval)] = (
+                "exact",
+                np.ascontiguousarray(vocab[order].astype(np.int64)),
+                np.log2(np.ascontiguousarray(cnt[order]) / n),
+                n,
+            )
 
     from pyspark.sql.types import StructType
 
@@ -532,25 +564,36 @@ def with_unigram_surprisal(
     result_schema = StructType(list(df.schema.fields)).add(out, "double")
 
     def score(batches):
+        import pandas as pd
+
         from sketchlib.sketches.base import deserialize as _des
 
-        if state_bytes is not None:
-            sk = _des(state_bytes)
-            floor_logp = np.log2(1.0 / n_total)
+        resolved: dict = {}
 
-            def logp_of(u):
-                est = sk.query(u).astype(np.float64)
-                est = np.maximum(est, 1.0)
-                return np.log2(est / n_total)
-        else:
-            floor_logp = np.log2(1.0 / n_total)
+        def lp_fn(key):
+            """group key -> vectorized logp(unique keys) fn, or None."""
+            if key in resolved:
+                return resolved[key]
+            m = models.get(key)
+            if m is None:
+                fn = None
+            elif m[0] == "cm":
+                sk, n = _des(m[1]), m[2]
 
-            def logp_of(u):
-                pos = np.searchsorted(lookup_vocab, u)
-                pos_c = np.clip(pos, 0, len(lookup_vocab) - 1)
-                hit = lookup_vocab[pos_c] == u
-                lp = np.where(hit, lookup_logp[pos_c], floor_logp)
-                return lp
+                def fn(u, sk=sk, n=n):
+                    est = np.maximum(sk.query(u).astype(np.float64), 1.0)
+                    return np.log2(est / n)
+            else:
+                _, voc, lgp, n = m
+                fl = np.log2(1.0 / n)
+
+                def fn(u, voc=voc, lgp=lgp, fl=fl):
+                    pos = np.clip(np.searchsorted(voc, u), 0, len(voc) - 1)
+                    hit = voc[pos] == u
+                    return np.where(hit, lgp[pos], fl)
+
+            resolved[key] = fn
+            return fn
 
         for batch in batches:
             idx = batch.schema.get_field_index(tokens_col)
@@ -559,12 +602,45 @@ def with_unigram_surprisal(
             lens = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
             lens = np.nan_to_num(lens, nan=0).astype(np.int64)
             vals = np.zeros(batch.num_rows, dtype=np.float64)
+            has_model = np.ones(batch.num_rows, dtype=bool)
             if flat.size:
                 f64 = np.asarray(flat)
                 if f64.dtype.kind not in ("i", "u"):
                     f64 = f64.astype(np.int64)
-                u, inv = np.unique(f64, return_inverse=True)
-                tok_lp = logp_of(u)[inv]
+                tok_lp = np.zeros(len(f64), dtype=np.float64)
+                if group_by is None:
+                    u, inv = np.unique(f64, return_inverse=True)
+                    tok_lp = lp_fn(None)(u)[inv]
+                else:
+                    gidx = batch.schema.get_field_index(group_by)
+                    if gidx < 0:  # column(-1) would silently read the LAST column
+                        raise KeyError(
+                            f"group column {group_by!r} not in batch schema "
+                            f"{batch.schema.names}"
+                        )
+                    gvals = batch.column(gidx).to_numpy(zero_copy_only=False)
+                    codes, uniq = pd.factorize(gvals)
+                    tcodes = np.repeat(codes, lens)
+                    has_model[:] = False
+                    for ci, gv in enumerate(uniq):
+                        # the kernel's state key is str(value); NULL groups
+                        # were keyed '__null__' at build time
+                        key = "__null__" if pd.isna(gv) else str(gv)
+                        fn = lp_fn(key)
+                        if fn is None:
+                            continue  # no model for this group → NULL rows
+                        has_model[codes == ci] = True
+                        sel = tcodes == ci
+                        if sel.any():
+                            u, inv = np.unique(f64[sel], return_inverse=True)
+                            tok_lp[sel] = fn(u)[inv]
+                    nullg = codes < 0  # factorize marks NULL -1
+                    if nullg.any() and lp_fn("__null__") is not None:
+                        has_model[nullg] = True
+                        sel = tcodes < 0
+                        if sel.any():
+                            u, inv = np.unique(f64[sel], return_inverse=True)
+                            tok_lp[sel] = lp_fn("__null__")(u)[inv]
                 starts = np.cumsum(lens) - lens
                 # reduceat over NON-EMPTY rows only: an empty row's start
                 # equals the next row's (or len(tok_lp) at the tail), and
@@ -580,7 +656,7 @@ def with_unigram_surprisal(
                 vals = -sums / np.maximum(lens, 1)
             if round_to is not None:
                 vals = np.round(vals, round_to)
-            valid = lens > 0
+            valid = (lens > 0) & has_model
             arr = pa.array(
                 np.where(valid, vals, np.nan), mask=~valid, type=pa.float64()
             )

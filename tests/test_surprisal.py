@@ -139,3 +139,85 @@ def test_trailing_empty_doc_does_not_truncate_previous(spark, docs):
     want = -(math.log2(1 / 4) + math.log2(3 / 4)) / 2
     assert abs(out[1] - want) < 1e-12
     assert out[2] is None
+
+
+@pytest.fixture(scope="module")
+def grouped_ref(docs):
+    """Per-source python reference."""
+    pdf = docs.select("doc_id", "source", "tokens").toPandas()
+    per = {}
+    for src, sub in pdf.groupby("source"):
+        cnt = Counter()
+        for t in sub["tokens"]:
+            cnt.update(t)
+        per[src] = (cnt, sum(cnt.values()))
+
+    def ref(row):
+        cnt, n = per[row["source"]]
+        toks = row["tokens"]
+        if not len(toks):
+            return None
+        return -sum(math.log2(cnt[t] / n) for t in toks) / len(toks)
+
+    pdf["ref"] = pdf.apply(ref, axis=1)
+    return pdf.set_index("doc_id")["ref"], per
+
+
+def test_grouped_exact_matches_python_reference(spark, docs, grouped_ref):
+    refs, _ = grouped_ref
+    out = (
+        with_unigram_surprisal(docs, "tokens", group_by="source")
+        .select("doc_id", "surprisal").toPandas().set_index("doc_id")["surprisal"]
+    )
+    assert float((out - refs).abs().max()) < 1e-12
+
+
+def test_grouped_cm_served_within_bound(spark, docs, grouped_ref):
+    refs, per = grouped_ref
+    eps = 1e-4
+    states = build_sketches(
+        docs, [SketchSpec("cm_tok", "cm", "tokens", {"eps": eps, "delta": 0.01})],
+        group_by="source",
+    )
+    out = (
+        with_unigram_surprisal(
+            docs, "tokens", states=states, sketch="cm_tok", group_by="source"
+        )
+        .select("doc_id", "surprisal").toPandas().set_index("doc_id")["surprisal"]
+    )
+    d = out - refs
+    assert float(d.max()) < 1e-9  # never exceeds exact (CM never undercounts)
+    n_max = max(n for _, n in per.values())
+    assert float(-d.min()) <= math.log2(1 + eps * n_max)
+
+
+def test_group_without_model_yields_null(spark, docs):
+    """A doc from a group the counts/states never saw gets NULL, loudly
+    distinguishable from a scored doc."""
+    counts = (
+        docs.filter(F.col("source") != "src0")
+        .select("source", F.explode("tokens").alias("_t"))
+        .groupBy("source", "_t").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = (
+        with_unigram_surprisal(docs, "tokens", counts=counts, group_by="source")
+        .groupBy("source")
+        .agg(F.sum(F.col("surprisal").isNull().cast("int")).alias("nulls"),
+             F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("source")
+    )
+    assert out.loc["src0", "nulls"] == out.loc["src0", "n"]
+    others = out.drop(index="src0")
+    assert (others["nulls"] == 0).all()
+
+
+def test_grouped_wrong_group_column_raises(spark, docs):
+    # exact self-count mode: Spark's analyzer catches the bad column at the
+    # count pass; the counts= path reaches the batch-level guard instead
+    with pytest.raises(Exception, match="cannot be resolved"):
+        with_unigram_surprisal(docs, "tokens", group_by="nope").collect()
+    counts = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"], "_t": [5], "cnt": [3]})
+    )
+    with pytest.raises(Exception, match="not in batch schema"):
+        with_unigram_surprisal(docs, "tokens", counts=counts, group_by="nope").collect()
