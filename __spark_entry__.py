@@ -3674,6 +3674,63 @@ def q_c34_source_overlap(spark, sf_dir):
     return source_overlap(flat, "w")
 
 
+def q_c38_source_divergence(spark, sf_dir):
+    """Round 5 close: pairwise JENSEN-SHANNON DIVERGENCE between per-source
+    token unigram distributions (`sampling.source_divergence`) — the
+    frequency-profile companion to c34's vocabulary overlap: two sources
+    can share most of their vocabulary yet USE it with different
+    frequencies, and it is the distribution, not the set, that mixture
+    design cares about. Exact, in bits (0 = identical, 1 = disjoint;
+    disjoint pairs come out at exactly 1.0 via the clamped decomposition).
+    Scale shape: the corpus shuffles once into the distinct (source, word)
+    profile, per-word ≤G-element probability arrays expand pairs MAP-SIDE
+    (the source_overlap shape); single-support words never enter the pair
+    stream — their mass folds in through the per-pair coverage terms.
+    VALUE-matched (6 dp) vs DuckDB computing the identical decomposition
+    relationally (self-join on the word); both engines mirror the exact
+    IEEE expression shape so only summation order differs (~1e-15)."""
+    from sketchlib.spark.sampling import source_divergence
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select("source", F.explode(pre_tokens("text")).alias("w"))
+    out = source_divergence(flat, "w")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_common",
+        F.round("js_divergence", 6).alias("js_divergence"),
+    )
+
+
+def q_c39_tfidf_terms(spark, sf_dir):
+    """Round 5 close: per-source CHARACTERISTIC TERMS by TF-IDF
+    (`text.tfidf_terms`) — the data-card "what is this source about"
+    report: top-8 terms per source by tf_{g,w}·ln(N/df_w), ranked on the
+    6-dp-ROUNDED score with a term-ASC tie-break so both engines resolve
+    mathematically-coincident scores (2·ln 2 = ln 4 across distinct
+    (tf, df) pairs) identically. A term in every document scores ln(1)=0
+    exactly — boilerplate self-cancels with no stopword list. Plan shape:
+    doc frequencies via explode(array_distinct(tokens)) (per-doc dedup
+    inside the row — no (doc, term) DISTINCT shuffle), per-group top-k as
+    a rank window Catalyst rewrites to a map-side WindowGroupLimit
+    (plan-locked in tests). VALUE-matched vs DuckDB running the identical
+    scoring + window relationally."""
+    from sketchlib.spark.text import tfidf_terms
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("words", pre_tokens("text"))
+    out = tfidf_terms(docs, "words", group_col="source", k=8, round_to=6)
+    return out.select(
+        F.col("group").alias("source"),
+        "term",
+        "tf",
+        "doc_freq",
+        "tfidf",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_c33_top_ngrams(spark, sf_dir):
     """Round 5 continuation: corpus-wide TOP n-gram report
     (`text.top_ngrams`) — the boilerplate-detection stage feeding
@@ -3814,6 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c33_top_ngrams": _dist_wrapped(q_c33_top_ngrams),
         "c34_source_overlap": _dist_wrapped(q_c34_source_overlap),
         "c35_weighted_sample": _dist_wrapped(q_c35_weighted_sample),
+        "c38_source_divergence": _dist_wrapped(q_c38_source_divergence),
+        "c39_tfidf_terms": _dist_wrapped(q_c39_tfidf_terms),
     }
 
 
@@ -4069,6 +4128,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(window_hour AS BIGINT) AS window_hour,
                    COUNT(*) AS n_rows, TRUE AS within_rse
             FROM w GROUP BY window_hour ORDER BY window_hour
+        """,
+        # mirrors source_divergence's exact decomposition (shared-support
+        # term sum + per-pair coverage remainders) with the same IEEE
+        # expression shape, so only summation order differs (~1e-15 << 6 dp)
+        "c38_source_divergence": r"""
+            WITH occ AS (
+              SELECT source AS g,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+              WHERE source IS NOT NULL
+            ),
+            cnt AS (SELECT g, w, count(*) AS c FROM occ GROUP BY g, w),
+            tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY g),
+            probs AS (
+              SELECT cnt.g, cnt.w, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+              FROM cnt JOIN tot ON cnt.g = tot.g
+            ),
+            pairs AS (
+              SELECT a.g AS ga, b.g AS gb, a.p AS pa, b.p AS pb
+              FROM probs a JOIN probs b ON a.w = b.w AND a.g < b.g
+            ),
+            com AS (
+              SELECT ga, gb, count(*) AS n_common,
+                     sum(pa) AS cov_a, sum(pb) AS cov_b,
+                     sum(0.5 * pa * log2(2.0 * pa / (pa + pb))
+                       + 0.5 * pb * log2(2.0 * pb / (pa + pb))) AS term_sum
+              FROM pairs GROUP BY ga, gb
+            )
+            SELECT sa.g AS group_a, sb.g AS group_b,
+                   COALESCE(com.n_common, 0) AS n_common,
+                   round(greatest(0.0, least(1.0,
+                       0.5 * (1.0 - COALESCE(com.cov_a, 0.0))
+                     + 0.5 * (1.0 - COALESCE(com.cov_b, 0.0))
+                     + COALESCE(com.term_sum, 0.0))), 6) AS js_divergence
+            FROM tot sa JOIN tot sb ON sa.g < sb.g
+            LEFT JOIN com ON com.ga = sa.g AND com.gb = sb.g
+            ORDER BY group_a, group_b
+        """,
+        # mirrors tfidf_terms: occurrence tf per (source, term), corpus doc
+        # frequency via per-doc list_distinct, score = tf * ln(N/df) ROUNDED
+        # to 6 dp BEFORE ranking (so coincident scores tie identically and
+        # the term-ASC tie-break decides in both engines)
+        "c39_tfidf_terms": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            occ AS (SELECT source AS g, unnest(toks) AS w FROM d),
+            tfc AS (SELECT g, w, count(*) AS tf FROM occ GROUP BY g, w),
+            dfw AS (
+              SELECT w, count(*) AS doc_freq FROM (
+                SELECT doc_id, unnest(list_distinct(toks)) AS w FROM d
+              ) GROUP BY w
+            ),
+            scored AS (
+              SELECT g, tfc.w AS w, tf, doc_freq,
+                     round(CAST(tf AS DOUBLE)
+                           * ln(CAST(n_docs AS DOUBLE)
+                                / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+              FROM tfc JOIN dfw ON tfc.w = dfw.w CROSS JOIN n
+            )
+            SELECT g AS source, w AS term, tf, doc_freq, tfidf, rank FROM (
+              SELECT *, row_number() OVER (
+                         PARTITION BY g ORDER BY tfidf DESC, w ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 8
+            ORDER BY source, rank
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

@@ -941,6 +941,99 @@ def source_overlap(
     )
 
 
+def source_divergence(
+    df: DataFrame, token_col: str, group_col: str = "source"
+) -> DataFrame:
+    """EXACT pairwise Jensen-Shannon divergence between per-group token
+    UNIGRAM DISTRIBUTIONS — the mixture-design question `source_overlap`
+    cannot answer: two sources can share 90% of their vocabulary (high
+    Jaccard) yet USE it with completely different frequencies (high JSD),
+    and it is the frequency profile, not the vocabulary set, that predicts
+    whether adding source B changes what a model trained on A sees.
+    Returns (group_a, group_b, n_common, js_divergence) for every unordered
+    pair; JSD is in bits, 0 = identical distributions, 1 = disjoint support
+    (base-2 JSD is bounded by 1, Lin 1991).
+
+    Input is FLAT occurrence rows (one row per token occurrence, as from
+    ``explode(pre_tokens(text))``) so the same flat frame feeds this and
+    ``source_overlap``. NULL groups/tokens are excluded.
+
+    Scale shape — the G² term never touches the corpus: one
+    groupBy(group, token) with map-side partial agg collapses occurrences
+    to the distinct (g, w) profile (the only corpus-sized shuffle, volume
+    ≈ G·vocab after combine), one groupBy(w) builds each word's ≤G-element
+    (group, p) array, and pairs expand MAP-SIDE from those arrays exactly
+    as in source_overlap. The decomposition keeps single-support words out
+    of the pair stream entirely:
+
+        JSD(P,Q) = ½(1−C_P) + ½(1−C_Q) + Σ_{w∈both} term(p_w, q_w)
+
+    where C_P = Σ_{w∈both} p_w (P's probability mass on the SHARED
+    vocabulary) and term(p,q) = ½p·log2(2p/(p+q)) + ½q·log2(2q/(p+q)) —
+    every word outside the shared support contributes exactly ½·its mass,
+    which the coverage terms fold in without enumerating those words per
+    pair. Disjoint pairs come out at exactly 1.0. The final joins glue
+    G-row and G²-row frames (broadcast).
+    """
+    base = (
+        df.select(F.col(group_col).cast("string").alias("g"), F.col(token_col).alias("w"))
+        .filter(F.col("g").isNotNull() & F.col("w").isNotNull())
+    )
+    cnt = base.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("n"))
+    probs = cnt.join(F.broadcast(tot), "g").select(
+        "g", "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    arrs = probs.groupBy("w").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("p")))).alias("gp")
+    )
+    pairs = (
+        arrs.filter(F.size("gp") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(gp, (x, i) -> "
+                    "transform(slice(gp, i + 2, size(gp) - i - 1), "
+                    "y -> struct(x.g AS ga, y.g AS gb, x.p AS pa, y.p AS pb))))"
+                )
+            ).alias("t")
+        )
+        .select("t.ga", "t.gb", "t.pa", "t.pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    # the oracle mirrors this exact expression shape (same IEEE ops in the
+    # same order) so the only cross-engine drift is summation order
+    term = F.lit(0.5) * pa * F.log2(F.lit(2.0) * pa / (pa + pb)) + F.lit(0.5) * pb * F.log2(
+        F.lit(2.0) * pb / (pa + pb)
+    )
+    com = pairs.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("pa").alias("cov_a"),
+        F.sum("pb").alias("cov_b"),
+        F.sum(term).alias("term_sum"),
+    )
+    ga = tot.select(F.col("g").alias("ga"))
+    gb = tot.select(F.col("g").alias("gb"))
+    all_pairs = ga.crossJoin(gb).filter(F.col("ga") < F.col("gb"))
+    out = all_pairs.join(F.broadcast(com), ["ga", "gb"], "left").fillna(
+        {"n_common": 0, "cov_a": 0.0, "cov_b": 0.0, "term_sum": 0.0}
+    )
+    jsd = (
+        F.lit(0.5) * (F.lit(1.0) - F.col("cov_a"))
+        + F.lit(0.5) * (F.lit(1.0) - F.col("cov_b"))
+        + F.col("term_sum")
+    )
+    # JSD ∈ [0, 1] mathematically; float residue (~1e-16 on identical or
+    # disjoint pairs) is clamped so the boundary cases come out exact
+    jsd = F.greatest(F.lit(0.0), F.least(F.lit(1.0), jsd))
+    return out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_common",
+        jsd.alias("js_divergence"),
+    ).orderBy("group_a", "group_b")
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

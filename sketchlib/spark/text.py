@@ -16,7 +16,7 @@ primitives a 100 TB corpus pipeline runs before tokenization.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -433,6 +433,73 @@ def top_ngrams(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(k)
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group CHARACTERISTIC TERMS by TF-IDF — the data-card question
+    "what is source X actually about", answered as each group's top-k terms
+    by ``tf_{g,w} · ln(N / df_w)`` (raw in-group occurrence count × corpus
+    inverse document frequency, Sparck Jones 1972), deterministic under
+    ties (score DESC, term ASC). Returns
+    (group, term, tf, doc_freq, tfidf, rank).
+
+    A term every document contains scores ln(1) = 0 exactly — boilerplate
+    self-cancels, no stopword list needed; a term concentrated in one
+    group's documents is pulled to the top of exactly that group.
+
+    Scale shape: two corpus-sized aggregations, both with map-side partial
+    agg — occurrence counts groupBy(g, w) (post-combine volume ≈ G·vocab)
+    and document frequencies via ``explode(array_distinct(tokens))`` then
+    groupBy(w) (per-doc dedup happens INSIDE the row, so the shuffle
+    carries (doc-distinct term, 1) pairs, never a (doc, term) DISTINCT
+    table). The scored join is vocab-keyed (AQE picks broadcast when the
+    vocabulary fits). The per-group top-k is a rank-≤-k window that
+    Catalyst rewrites to a map-side WindowGroupLimit (the cap_per_group
+    plan, locked there in tests/test_plans.py), so the window exchange
+    carries ~k rows per partition per group, not G·vocab.
+    """
+    g = F.col(group_col).cast("string").alias("g")
+    occ = df.select(g, F.explode(tokens_col).alias("w"))
+    tf = occ.groupBy("g", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfw = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = df.count()
+    scored = tf.join(dfw, "w").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+    )
+    # round_to ranks on the ROUNDED score: two terms whose scores are
+    # mathematically equal but float-computed differently (tf·ln(N/df) can
+    # coincide across distinct (tf, df) pairs — 2·ln(2) = ln(4)) then tie
+    # identically everywhere, and the term-ASC tie-break decides — the same
+    # cross-engine determinism move as with_unigram_surprisal(round_to=)
+    if round_to is not None:
+        scored = scored.withColumn("tfidf", F.round("tfidf", round_to))
+    w = Window.partitionBy("g").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("g").alias("group"),
+            F.col("w").alias("term"),
+            "tf",
+            "doc_freq",
+            "tfidf",
+            "rank",
+        )
+        .orderBy("group", "rank")
     )
 
 

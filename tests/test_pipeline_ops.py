@@ -1347,3 +1347,150 @@ def test_jaccard_df_single_group_empty_frame(spark, seq_tiny_dir):
     out = jaccard_df(spark, st, "mh")
     assert out.count() == 0
     assert out.columns == ["group_a", "group_b", "jaccard_est", "se_bound"]
+
+
+# --- source_divergence (unigram-distribution JSD matrix) ---------------------
+
+
+def _jsd_ref(ca: dict, cb: dict) -> float:
+    """numpy reference: base-2 Jensen-Shannon divergence over union support."""
+    import math
+
+    na, nb = sum(ca.values()), sum(cb.values())
+    out = 0.0
+    for w in set(ca) | set(cb):
+        p = ca.get(w, 0) / na
+        q = cb.get(w, 0) / nb
+        m = (p + q) / 2
+        if p:
+            out += 0.5 * p * math.log2(p / m)
+        if q:
+            out += 0.5 * q * math.log2(q / m)
+    return out
+
+
+def test_source_divergence_matches_reference(spark):
+    from collections import Counter
+
+    from sketchlib.spark.sampling import source_divergence
+
+    occ = {
+        "a": ["x"] * 6 + ["y"] * 3 + ["z"],
+        "b": ["x"] * 1 + ["y"] * 3 + ["w"] * 6,  # shared vocab, shifted mass
+        "c": ["q"] * 4 + ["r"],                   # disjoint from a and b
+        "d": ["x"] * 6 + ["y"] * 3 + ["z"],       # identical to a
+    }
+    rows = [(g, w) for g, ws in occ.items() for w in ws]
+    rows += [(None, "x"), ("a", None)]  # excluded
+    df = spark.createDataFrame(rows, "source string, w string")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["js_divergence"])
+        for r in source_divergence(df, "w").collect()
+    }
+    names = sorted(occ)
+    assert set(got) == {(a, b) for a in names for b in names if a < b}
+    for (a, b), (n_common, jsd) in got.items():
+        ca, cb = Counter(occ[a]), Counter(occ[b])
+        assert n_common == len(set(ca) & set(cb))
+        assert abs(jsd - _jsd_ref(ca, cb)) < 1e-12
+    # identical distributions: term_sum is exactly 0 (log2(1) per word) but
+    # coverage sums carry ~1 ulp of float residue; disjoint support is exact
+    # (cov = 0, term_sum = 0 => 0.5 + 0.5)
+    assert got[("a", "d")][1] < 1e-12
+    assert got[("a", "c")][1] == 1.0
+    assert 0.0 < got[("a", "b")][1] < 1.0
+
+
+def test_source_divergence_partition_invariant(spark):
+    """Same matrix whatever the input partitioning (order-dependent float
+    summation stays below the 1e-9 comparison tolerance by construction:
+    per-pair term counts are vocabulary-sized)."""
+    from sketchlib.spark.sampling import source_divergence
+
+    rows = [(f"s{i % 3}", f"w{(i * 7) % 23}") for i in range(500)]
+    df = spark.createDataFrame(rows, "source string, w string")
+    base = {
+        (r["group_a"], r["group_b"]): r["js_divergence"]
+        for r in source_divergence(df, "w").collect()
+    }
+    shuffled = {
+        (r["group_a"], r["group_b"]): r["js_divergence"]
+        for r in source_divergence(df.repartition(11), "w").collect()
+    }
+    assert set(base) == set(shuffled)
+    for k in base:
+        assert abs(base[k] - shuffled[k]) < 1e-9
+
+
+# --- tfidf_terms (per-group characteristic terms) ----------------------------
+
+
+def _tfidf_ref(docs: list[tuple[str, str, list[str]]], k: int):
+    """Python reference: top-k per group by (tf·ln(N/df) DESC, term ASC)."""
+    import math
+    from collections import Counter
+
+    n = len(docs)
+    dfreq = Counter(w for _, _, toks in docs for w in set(toks))
+    tf = Counter((g, w) for _, g, toks in docs for w in toks)
+    out = {}
+    for g in {g for _, g, _ in docs}:
+        scored = [
+            (w, c, dfreq[w], c * math.log(n / dfreq[w]))
+            for (gg, w), c in tf.items()
+            if gg == g
+        ]
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        out[g] = scored[:k]
+    return out
+
+
+def test_tfidf_terms_matches_python_reference(spark):
+    from sketchlib.spark.text import tfidf_terms
+
+    docs = [
+        (f"d{i}", f"s{i % 2}", ["the", f"topic{i % 2}"] + [f"rare{i}"] * (i % 3))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, source string, tokens array<string>")
+    ref = _tfidf_ref(docs, 4)
+    got = {}
+    for r in tfidf_terms(df, k=4).collect():
+        got.setdefault(r["group"], []).append(
+            (r["term"], r["tf"], r["doc_freq"], r["tfidf"], r["rank"])
+        )
+    assert set(got) == set(ref)
+    for g in ref:
+        rows = sorted(got[g], key=lambda t: t[4])
+        assert [t[0] for t in rows] == [t[0] for t in ref[g]]
+        for (term, tf, dfr, score, rank), (rterm, rtf, rdf, rscore) in zip(rows, ref[g]):
+            assert (tf, dfr) == (rtf, rdf)
+            assert abs(score - rscore) < 1e-12
+        assert [t[4] for t in rows] == list(range(1, len(rows) + 1))
+
+
+def test_tfidf_terms_ubiquitous_term_scores_zero(spark):
+    """A term in EVERY document has idf = ln(1) = 0 exactly — boilerplate
+    self-cancels without a stopword list."""
+    from sketchlib.spark.text import tfidf_terms
+
+    docs = [(f"d{i}", "s0", ["every", f"only{i}"]) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id string, source string, tokens array<string>")
+    rows = {r["term"]: r for r in tfidf_terms(df, k=100).collect()}
+    assert rows["every"]["tfidf"] == 0.0
+    assert all(r["tfidf"] > 0 for t, r in rows.items() if t != "every")
+    assert rows["every"]["rank"] == len(rows)  # zero score sinks to the bottom
+
+
+def test_tfidf_terms_plan_group_limit(spark):
+    """The per-group top-k must plan as a partial WindowGroupLimit below the
+    exchange (map tasks forward <= k scored rows per group, not G·vocab)."""
+    from sketchlib.spark.text import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 3}", [f"w{j}" for j in range(i % 7 + 1)]) for i in range(60)],
+        "doc_id string, source string, tokens array<string>",
+    )
+    plan = tfidf_terms(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
