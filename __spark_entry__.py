@@ -3731,6 +3731,51 @@ def q_c39_tfidf_terms(spark, sf_dir):
     )
 
 
+def q_c40_zipf_fit(spark, sf_dir):
+    """Round 5 close: per-source ZIPF rank-frequency fit
+    (`text.zipf_fit`) — the corpus-health diagnostic: OLS of ln(count) on
+    ln(rank) per source (natural text sits near slope -1; templated or
+    machine-generated sources bend the curve), rank assigned
+    deterministically (count DESC, word ASC). One map-side-combined
+    groupBy to the vocab-sized frequency table, a per-group window rank,
+    and a six-sums regression aggregation; the closed-form algebra runs
+    on a G-row frame. VALUE-matched (6 dp) vs DuckDB running the
+    identical ranking + closed-form sums relationally."""
+    from sketchlib.spark.text import zipf_fit
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .withColumn("words", pre_tokens("text"))
+    )
+    out = zipf_fit(docs, "words", group_col="source", round_to=6)
+    return out.select(
+        F.col("group").alias("source"),
+        "n_terms",
+        "n_tokens",
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
+def q_c41_centroid_similarity(spark, sf_dir):
+    """Round 5 close: pairwise COSINE between per-label embedding
+    CENTROIDS (`ann.centroid_similarity`) — the embedding-space companion
+    to c34/c38's token-level source matrices: how close two corpus slices
+    sit in representation space, the first-look duplicate-source signal
+    before any pairwise-document work. One corpus pass (posexplode
+    collapsed by map-side partial agg — shuffle volume tasks x G x dim,
+    corpus-independent); the G^2 algebra is a dimension-keyed self-join
+    over the tiny centroid frame. VALUE-matched (6 dp) vs DuckDB running
+    the identical relational dot/norm/cosine over unnested vectors."""
+    from sketchlib.spark.ann import centroid_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_similarity(emb, "embedding", "label", round_to=6)
+
+
 def q_c33_top_ngrams(spark, sf_dir):
     """Round 5 continuation: corpus-wide TOP n-gram report
     (`text.top_ngrams`) — the boilerplate-detection stage feeding
@@ -3873,6 +3918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c35_weighted_sample": _dist_wrapped(q_c35_weighted_sample),
         "c38_source_divergence": _dist_wrapped(q_c38_source_divergence),
         "c39_tfidf_terms": _dist_wrapped(q_c39_tfidf_terms),
+        "c40_zipf_fit": _dist_wrapped(q_c40_zipf_fit),
+        "c41_centroid_similarity": _dist_wrapped(q_c41_centroid_similarity),
     }
 
 
@@ -4199,6 +4246,76 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 8
             ORDER BY source, rank
+        """,
+        # mirrors zipf_fit: deterministic (count DESC, word ASC) ranking,
+        # natural-log axes, closed-form OLS sums with the same IEEE shape;
+        # single-term groups NULL out via the vx > 0 guard in both engines
+        "c40_zipf_fit": r"""
+            WITH occ AS (
+              SELECT source AS g,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+              WHERE source IS NOT NULL
+            ),
+            cnt AS (SELECT g, w, count(*) AS c FROM occ GROUP BY g, w),
+            xy AS (
+              SELECT g, c,
+                     ln(CAST(row_number() OVER (
+                         PARTITION BY g ORDER BY c DESC, w ASC) AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM cnt
+            ),
+            s AS (
+              SELECT g, count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM xy GROUP BY g
+            ),
+            v AS (
+              SELECT g, n_terms, n_tokens, sx, sy,
+                     CAST(n_terms AS DOUBLE) AS nd,
+                     CAST(n_terms AS DOUBLE) * sxx - sx * sx AS vx,
+                     CAST(n_terms AS DOUBLE) * syy - sy * sy AS vy,
+                     CAST(n_terms AS DOUBLE) * sxy - sx * sy AS cov
+              FROM s
+            )
+            SELECT g AS source, n_terms, n_tokens,
+                   round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+                   round(CASE WHEN vx > 0
+                              THEN (sy - (cov / vx) * sx) / nd END, 6) AS intercept,
+                   round(CASE WHEN vx > 0 AND vy > 0
+                              THEN (cov * cov) / (vx * vy) END, 6) AS r2
+            FROM v ORDER BY source
+        """,
+        # mirrors centroid_similarity: per-(label, dim) f64 means, pairwise
+        # dot via a dimension-keyed self-join, norms per label, identical
+        # IEEE cosine expression; labels compared as strings in both engines
+        "c41_centroid_similarity": """
+            WITH base AS (
+              SELECT CAST(label AS VARCHAR) AS g, embedding AS v
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ),
+            e AS (
+              SELECT g, generate_subscripts(v, 1) AS pos,
+                     CAST(unnest(v) AS DOUBLE) AS val
+              FROM base
+            ),
+            cent AS (SELECT g, pos, avg(val) AS m FROM e GROUP BY g, pos),
+            dots AS (
+              SELECT a.g AS ga, b.g AS gb, count(*) AS dim,
+                     sum(a.m * b.m) AS dot
+              FROM cent a JOIN cent b ON a.pos = b.pos AND a.g < b.g
+              GROUP BY a.g, b.g
+            ),
+            norms AS (SELECT g, sum(m * m) AS nn FROM cent GROUP BY g)
+            SELECT ga AS group_a, gb AS group_b, dim,
+                   round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.g = dots.ga
+            JOIN norms nb ON nb.g = dots.gb
+            ORDER BY group_a, group_b
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

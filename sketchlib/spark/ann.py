@@ -603,3 +603,72 @@ def ann_recall(
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
         .withColumn("recall", F.col("n_hit") / F.col("n_true"))
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Pairwise COSINE SIMILARITY between per-group embedding CENTROIDS —
+    the embedding-space companion to the token-level source matrices
+    (source_overlap / source_divergence): one number per group pair
+    saying how close two slices of the corpus sit in representation
+    space, the first-look duplicate-source / mislabeled-slice signal
+    before any pairwise-document work. Returns
+    (group_a, group_b, dim, cosine) for every unordered pair.
+
+    Scale shape — the corpus is touched once and the G² work never sees
+    it: ``posexplode`` unrolls (group, pos, value) rows that the
+    groupBy(group, pos)'s MAP-SIDE partial aggregation collapses inside
+    each task (shuffle volume ≈ tasks × G × dim, corpus-independent —
+    the explode itself is pipeline-local, nothing corpus×dim ever
+    materializes or shuffles); centroids are a G·dim-row frame, and the
+    pairwise dot/norm algebra is a self-join on the dimension index over
+    that tiny frame (broadcast). Values are cast to double BEFORE
+    averaging so both engines accumulate in f64; the dot/norm/cosine
+    expression mirrors the relational oracle's IEEE shape, leaving
+    summation order as the only drift (~1e-12, absorbed by
+    ``round_to``). NULL groups and NULL vectors are excluded; a
+    zero-norm centroid yields NULL cosine (division), loudly visible.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"), F.col(vec_col).alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    cent = (
+        base.select("g", F.posexplode("v").alias("pos", "val"))
+        .groupBy("g", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    a = cent.select(F.col("g").alias("ga"), "pos", F.col("m").alias("ma"))
+    b = cent.select(F.col("g").alias("gb"), "pos", F.col("m").alias("mb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        )
+    )
+    norms = cent.groupBy("g").agg(F.sum(F.col("m") * F.col("m")).alias("nn"))
+    # try_divide: a zero-norm centroid must yield NULL cosine, not an ANSI
+    # DIVIDE_BY_ZERO error
+    cos = F.try_divide(
+        F.col("dot"), F.sqrt(F.col("na.nn")) * F.sqrt(F.col("nb.nn"))
+    )
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(F.broadcast(na), F.col("ga") == F.col("na.g"))
+        .join(F.broadcast(nb), F.col("gb") == F.col("nb.g"))
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "dim",
+            cos.alias("cosine"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -503,6 +503,78 @@ def tfidf_terms(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group ZIPF rank–frequency fit — the corpus-health diagnostic
+    (natural language tracks slope ≈ −1, Zipf 1949): OLS regression of
+    ln(count) on ln(rank) over each group's word frequency table, with
+    rank assigned deterministically (count DESC, word ASC). Returns
+    (group, n_terms, n_tokens, slope, intercept, r2) per group. A
+    templated/machine-generated source bends the curve — slope far from
+    −1 or low r² flags it with one number per source, no sampling.
+
+    Scale shape: ONE groupBy(group, word) with map-side partial agg
+    collapses occurrences to the distinct frequency table (the only
+    corpus-sized shuffle, post-combine volume ≈ G·vocab); ranking is a
+    per-group window over that vocab-sized table; the regression is a
+    second map-side-combined aggregation emitting six sums per group —
+    the slope/intercept/r² algebra runs on a G-row frame. The closed-form
+    sums (n·Σxy − Σx·Σy, …) are written with the same IEEE expression
+    shape a relational oracle uses, so cross-engine drift is summation
+    order only (~1e-12, absorbed by ``round_to``).
+
+    Groups with a single distinct term have zero x-variance: slope,
+    intercept and r² are NULL (loudly visible, not 0.0-silent).
+    """
+    g = F.col(group_col).cast("string").alias("g")
+    cnt = (
+        df.select(g, F.explode(tokens_col).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("w"))
+    xy = cnt.withColumn("rank", F.row_number().over(win)).select(
+        "g",
+        "c",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    # vx = 0 (single-term group) -> NULL via division; r2 also needs vy > 0
+    # (all-equal counts give vy = 0: a perfectly flat line, r2 undefined)
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(vx > 0, (F.col("sy") - (cov / vx) * F.col("sx")) / n)
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    if round_to is not None:
+        slope = F.round(slope, round_to)
+        intercept = F.round(intercept, round_to)
+        r2 = F.round(r2, round_to)
+    return s.select(
+        F.col("g").alias("group"),
+        "n_terms",
+        "n_tokens",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    ).orderBy("group")
+
+
 # ------------------------------------------------- unigram LM surprisal --
 
 

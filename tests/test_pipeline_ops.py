@@ -1494,3 +1494,114 @@ def test_tfidf_terms_plan_group_limit(spark):
     plan = tfidf_terms(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+# --- zipf_fit (rank-frequency regression) ------------------------------------
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    import math
+
+    import numpy as np
+
+    from sketchlib.spark.text import zipf_fit
+
+    # group "z": counts 16/8/4/2/1 — a perfect slope -1 line in log2 space
+    # (checked in NATURAL log below, where it is -ln 2 per ln-rank... not
+    # linear in ln(rank), so the numpy OLS is the reference, not a formula)
+    docs = [
+        ("z", ["a"] * 16 + ["b"] * 8 + ["c"] * 4 + ["d"] * 2 + ["e"]),
+        ("one", ["solo"] * 7),                      # single term: NULL fit
+        ("flat", ["x", "y", "z"]),                  # equal counts: slope 0, r2 NULL
+    ]
+    df = spark.createDataFrame(docs, "source string, tokens array<string>")
+    rows = {r["group"]: r for r in zipf_fit(df, "tokens").collect()}
+
+    counts = np.array([16, 8, 4, 2, 1], dtype=float)
+    x = np.log(np.arange(1, 6, dtype=float))
+    y = np.log(counts)
+    slope_ref, intercept_ref = np.polyfit(x, y, 1)
+    r_ref = np.corrcoef(x, y)[0, 1]
+    z = rows["z"]
+    assert z["n_terms"] == 5 and z["n_tokens"] == 31
+    assert math.isclose(z["slope"], slope_ref, abs_tol=1e-9)
+    assert math.isclose(z["intercept"], intercept_ref, abs_tol=1e-9)
+    assert math.isclose(z["r2"], r_ref**2, abs_tol=1e-9)
+
+    one = rows["one"]
+    assert one["n_terms"] == 1 and one["n_tokens"] == 7
+    assert one["slope"] is None and one["intercept"] is None and one["r2"] is None
+
+    flat = rows["flat"]
+    assert flat["n_terms"] == 3 and flat["n_tokens"] == 3
+    assert abs(flat["slope"]) < 1e-12  # y constant => cov = 0 => slope 0
+    assert flat["r2"] is None          # vy = 0: r2 undefined, loud NULL
+
+
+def test_zipf_fit_round_to_and_order(spark):
+    from sketchlib.spark.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [("b", ["t", "t", "u"]), ("a", ["p", "p", "p", "q", "q", "r"])],
+        "source string, tokens array<string>",
+    )
+    out = zipf_fit(df, "tokens", round_to=6).collect()
+    assert [r["group"] for r in out] == ["a", "b"]
+    for r in out:
+        # 6-dp rounding applied
+        assert r["slope"] == round(r["slope"], 6)
+
+
+# --- centroid_similarity (per-group embedding centroid cosine) ---------------
+
+
+def test_centroid_similarity_matches_numpy(spark):
+    import numpy as np
+
+    from sketchlib.spark.ann import centroid_similarity
+
+    vecs = {
+        "a": [[1.0, 0.0, 0.0], [1.0, 0.2, 0.0]],
+        "b": [[0.0, 1.0, 0.0], [0.0, 1.0, 0.1]],   # ~orthogonal to a
+        "c": [[1.0, 0.0, 0.0], [1.0, 0.2, 0.0]],   # identical centroid to a
+        "z": [[0.0, 0.0, 0.0]],                     # zero centroid: NULL cosine
+    }
+    rows = [(g, v) for g, vs in vecs.items() for v in vs]
+    rows += [(None, [1.0, 1.0, 1.0]), ("a", None)]  # excluded
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        (r["group_a"], r["group_b"]): (r["dim"], r["cosine"])
+        for r in centroid_similarity(df, "embedding", "label").collect()
+    }
+    names = sorted(vecs)
+    assert set(got) == {(x, y) for x in names for y in names if x < y}
+    cents = {g: np.mean(np.array(vs), axis=0) for g, vs in vecs.items()}
+
+    def cos(u, v):
+        d = float(np.dot(u, v))
+        nu, nv = float(np.linalg.norm(u)), float(np.linalg.norm(v))
+        return d / (nu * nv) if nu and nv else None
+
+    for (x, y), (dim, c) in got.items():
+        assert dim == 3
+        ref = cos(cents[x], cents[y])
+        if ref is None:
+            assert c is None
+        else:
+            assert abs(c - ref) < 1e-12
+    assert abs(got[("a", "c")][1] - 1.0) < 1e-12
+    assert abs(got[("a", "b")][1]) < 0.25  # near-orthogonal
+
+
+def test_centroid_similarity_float32_input_and_rounding(spark):
+    from sketchlib.spark.ann import centroid_similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.25]), (0, [0.75, 0.125]), (1, [0.25, 0.5])],
+        "label int, embedding array<float>",
+    )
+    out = centroid_similarity(df, "embedding", "label", round_to=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"], r["dim"]) == ("0", "1", 2)
+    assert r["cosine"] == round(r["cosine"], 6)
