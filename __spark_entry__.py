@@ -3776,6 +3776,39 @@ def q_c41_centroid_similarity(spark, sf_dir):
     return centroid_similarity(emb, "embedding", "label", round_to=6)
 
 
+def q_c42_pmi_collocations(spark, sf_dir):
+    """Round 5 close: top-20 COLLOCATIONS by pointwise mutual information
+    (`text.pmi_collocations`, Church & Hanks 1990) — the data-card "which
+    word pairs travel together" report, min_count-floored (raw PMI is
+    maximized by hapax pairs). Bigram/unigram tables are each one
+    map-side-combined groupBy; scoring joins are vocab-keyed; top-k is
+    TakeOrderedAndProject. Ranked on the 6-dp-ROUNDED score with
+    (w1, w2) tie-breaks so both engines resolve ties identically;
+    VALUE-matched vs DuckDB computing the identical PMI expression."""
+    from sketchlib.spark.text import pmi_collocations
+    from sketchlib.spark.tokenize import pre_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("words", pre_tokens("text"))
+    return pmi_collocations(docs, "words", k=20, min_count=5, round_to=6)
+
+
+def q_c43_histogram(spark, sf_dir):
+    """Round 5 close: grouped equi-width HISTOGRAM
+    (`sampling.histogram_df`) of document lengths per source — the
+    profiling primitive every data card leads with, exact and
+    zero-filled (empty bins present), edges GLOBAL so per-source
+    histograms are directly comparable. Bin assignment is closed-form
+    IEEE f64 (`least(bins-1, floor((x-lo)/width))`), so the oracle
+    assigns IDENTICAL bins and the counts match exactly — no float
+    tolerance; only the edge-reporting columns are rounded."""
+    from sketchlib.spark.sampling import histogram_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_df(
+        docs, "n_chars", bins=16, group_col="source", round_to=6
+    )
+
+
 def q_c33_top_ngrams(spark, sf_dir):
     """Round 5 continuation: corpus-wide TOP n-gram report
     (`text.top_ngrams`) — the boilerplate-detection stage feeding
@@ -3920,6 +3953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c39_tfidf_terms": _dist_wrapped(q_c39_tfidf_terms),
         "c40_zipf_fit": _dist_wrapped(q_c40_zipf_fit),
         "c41_centroid_similarity": _dist_wrapped(q_c41_centroid_similarity),
+        "c42_pmi_collocations": _dist_wrapped(q_c42_pmi_collocations),
+        "c43_histogram": _dist_wrapped(q_c43_histogram),
     }
 
 
@@ -4316,6 +4351,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.g = dots.ga
             JOIN norms nb ON nb.g = dots.gb
             ORDER BY group_a, group_b
+        """,
+        # mirrors pmi_collocations: adjacent bigrams, min_count floor,
+        # identical PMI expression rounded to 6 dp BEFORE the top-k so
+        # boundary ties resolve by (w1, w2) identically in both engines
+        "c42_pmi_collocations": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM w WHERE len(toks) >= 2
+            ),
+            big AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS pair_count
+              FROM p GROUP BY 1, 2
+            ),
+            uc AS (
+              SELECT wd, count(*) AS c
+              FROM (SELECT unnest(toks) AS wd FROM w) GROUP BY wd
+            ),
+            nb AS (SELECT sum(pair_count) AS n_big FROM big),
+            nu AS (SELECT sum(c) AS n_uni FROM uc),
+            scored AS (
+              SELECT b.w1, b.w2, b.pair_count,
+                     ua.c AS count_a, ub.c AS count_b,
+                     round(log2(
+                       (CAST(b.pair_count AS DOUBLE) / CAST(n_big AS DOUBLE))
+                       / ((CAST(ua.c AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                          * (CAST(ub.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))
+                     ), 6) AS pmi
+              FROM big b
+              JOIN uc ua ON ua.wd = b.w1
+              JOIN uc ub ON ub.wd = b.w2
+              CROSS JOIN nb CROSS JOIN nu
+              WHERE b.pair_count >= 5
+            )
+            SELECT * FROM scored
+            ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+        """,
+        # mirrors histogram_df: GLOBAL min/max edges, identical closed-form
+        # f64 bin assignment (bins match exactly -> counts exact), zero-fill
+        # shell, rounded edge-reporting columns only
+        "c43_histogram": """
+            WITH mm AS (
+              SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                     CAST(max(n_chars) AS DOUBLE) AS hi
+              FROM documents
+            ),
+            prm AS (SELECT lo, hi, (hi - lo) / 16 AS w FROM mm),
+            base AS (
+              SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS DOUBLE) AS x
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            counted AS (
+              SELECT g, least(15, CAST(floor((x - lo) / w) AS BIGINT)) AS bin,
+                     count(*) AS cnt
+              FROM base CROSS JOIN prm
+              WHERE x >= lo AND x <= hi
+              GROUP BY 1, 2
+            ),
+            shell AS (
+              SELECT g, bin
+              FROM (SELECT DISTINCT g FROM base)
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS bin)
+            )
+            SELECT shell.g AS "group", CAST(shell.bin AS BIGINT) AS bin,
+                   round(lo + shell.bin * w, 6) AS lo_edge,
+                   round(lo + (shell.bin + 1) * w, 6) AS hi_edge,
+                   COALESCE(cnt, 0) AS cnt
+            FROM shell CROSS JOIN prm
+            LEFT JOIN counted ON counted.g = shell.g AND counted.bin = shell.bin
+            ORDER BY "group", bin
         """,
         "b48_join_rows_sql": """
             SELECT * FROM (VALUES

@@ -1096,3 +1096,88 @@ def weighted_sample(
         .filter(F.col("_r") <= k)
         .drop("_r", "_pri")
     )
+
+
+def histogram_df(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    group_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Equi-width HISTOGRAM of a numeric column — the profiling primitive
+    every data card leads with (length distributions, score distributions),
+    exact and zero-filled: (group?, bin, lo_edge, hi_edge, cnt) with EVERY
+    bin present even when empty (plots and cross-run diffs need the empty
+    bins; a missing row is indistinguishable from a dropped one).
+
+    Edges: ``bins`` equal widths over [lo, hi]; when lo/hi are omitted
+    they are the column's exact global min/max (one map-side-combined
+    pass) — GLOBAL even when ``group_col`` is given, so per-group
+    histograms share edges and are directly comparable (the point of a
+    grouped histogram). Bin assignment is the closed form
+    ``least(bins-1, floor((x-lo)/width))`` — values AT hi land in the last
+    bin; with caller-supplied bounds, rows OUTSIDE [lo, hi] are excluded
+    (never silently clipped into edge bins — clipping fabricates mass at
+    the boundary) and NULLs are excluded. The expression is plain IEEE
+    f64 arithmetic, so a relational oracle computing the identical shape
+    assigns identical bins — exact cnt match, no float tolerance needed;
+    ``round_to`` rounds only the edge REPORTING columns.
+
+    Scale shape: one optional min/max pass and ONE groupBy((g), bin) with
+    map-side partial agg — shuffle volume ≈ tasks × G × bins, corpus
+    independent; zero-fill is a bins-sized (× G) frame LEFT-joined against
+    the counts (broadcast glue, never touches the corpus).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        *([F.col(group_col).cast("string").alias("g")] if group_col else []),
+        x.alias("x"),
+    )
+    if group_col:
+        base = base.filter(F.col("g").isNotNull())
+    if lo is None or hi is None:
+        mm = df.select(
+            F.min(x).alias("lo"), F.max(x).alias("hi")
+        ).collect()[0]
+        lo = float(mm["lo"]) if lo is None else float(lo)
+        hi = float(mm["hi"]) if hi is None else float(hi)
+    else:
+        lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    width = (hi - lo) / bins
+    idx = F.least(
+        F.lit(bins - 1), F.floor((F.col("x") - F.lit(lo)) / F.lit(width))
+    ).cast("long")
+    counted = (
+        base.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+        .withColumn("bin", idx)
+        .groupBy(*(["g"] if group_col else []), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    shell = spark.range(bins).select(F.col("id").alias("bin"))
+    if group_col:
+        groups = base.select("g").distinct()
+        shell = groups.crossJoin(F.broadcast(shell))
+    keys = (["g"] if group_col else []) + ["bin"]
+    lo_edge = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)
+    hi_edge = F.lit(lo) + (F.col("bin") + F.lit(1)).cast("double") * F.lit(width)
+    if round_to is not None:
+        lo_edge, hi_edge = F.round(lo_edge, round_to), F.round(hi_edge, round_to)
+    out_cols = (
+        ([F.col("g").alias("group")] if group_col else [])
+        + [
+            "bin",
+            lo_edge.alias("lo_edge"),
+            hi_edge.alias("hi_edge"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        ]
+    )
+    order = (["group"] if group_col else []) + ["bin"]
+    return shell.join(counted, keys, "left").select(*out_cols).orderBy(*order)

@@ -503,6 +503,79 @@ def tfidf_terms(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 20,
+    min_count: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k COLLOCATIONS by pointwise mutual information (Church & Hanks
+    1990) — the data-card "which word pairs travel together" report and
+    the phrase-mining seed: adjacent pairs whose co-occurrence beats the
+    independence baseline,
+
+        pmi = log2( (c_ab / N_big) / ((c_a / N_uni) · (c_b / N_uni)) )
+
+    with c_ab the bigram count (N_big total bigrams) and c_a, c_b unigram
+    counts (N_uni total tokens). ``min_count`` floors c_ab first — raw
+    PMI is maximized by hapax pairs, so an unfloored top-k is pure noise
+    (the standard remedy). Deterministic order: (pmi DESC, w1 ASC,
+    w2 ASC); ``round_to`` ranks on the ROUNDED score so float-coincident
+    scores tie identically cross-engine. Returns
+    (w1, w2, pair_count, count_a, count_b, pmi).
+
+    Scale shape: bigram and unigram tables are each ONE groupBy with
+    map-side partial agg (shuffle volume ≈ distinct grams, never raw
+    occurrences; the windows are SQL higher-order functions — no Python);
+    the two totals are 1-row frames crossJoin-glued; the scoring joins
+    are vocab-keyed (AQE broadcasts the unigram side when it fits; the
+    bigram side is already ≥min_count-filtered); top-k is orderBy+limit —
+    TakeOrderedAndProject, per-partition top-k + a k·P driver merge, no
+    global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    big = (
+        df.select(F.explode(F.expr(_gram_expr(tokens_col, 2))).alias("bg"))
+        .select(F.col("bg")[0].alias("w1"), F.col("bg")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    uni = (
+        df.select(F.explode(tokens_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_big = big.agg(F.sum("pair_count").alias("n_big"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("count_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("count_b"))
+    scored = (
+        big.filter(F.col("pair_count") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.log2(
+        (F.col("pair_count").cast("double") / F.col("n_big").cast("double"))
+        / (
+            (F.col("count_a").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("count_b").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    if round_to is not None:
+        pmi = F.round(pmi, round_to)
+    return (
+        scored.select("w1", "w2", "pair_count", "count_a", "count_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -1605,3 +1605,128 @@ def test_centroid_similarity_float32_input_and_rounding(spark):
     r = out[0]
     assert (r["group_a"], r["group_b"], r["dim"]) == ("0", "1", 2)
     assert r["cosine"] == round(r["cosine"], 6)
+
+
+# --- pmi_collocations ---------------------------------------------------------
+
+
+def test_pmi_collocations_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from sketchlib.spark.text import pmi_collocations
+
+    docs = [
+        ["new", "york", "is", "big"],
+        ["new", "york", "is", "old"],
+        ["new", "york", "news"],
+        ["big", "old", "news"],
+        ["is", "new", "is", "old"],
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "tokens array<string>")
+    got = pmi_collocations(df, "tokens", k=50, min_count=2).collect()
+
+    bigs = Counter()
+    unis = Counter()
+    for d in docs:
+        unis.update(d)
+        bigs.update(zip(d, d[1:]))
+    n_big, n_uni = sum(bigs.values()), sum(unis.values())
+
+    def ref_pmi(a, b):
+        return math.log2(
+            (bigs[(a, b)] / n_big) / ((unis[a] / n_uni) * (unis[b] / n_uni))
+        )
+
+    expect = sorted(
+        [(a, b) for (a, b), c in bigs.items() if c >= 2],
+        key=lambda p: (-ref_pmi(*p), p[0], p[1]),
+    )
+    assert [(r["w1"], r["w2"]) for r in got] == expect
+    for r in got:
+        assert r["pair_count"] == bigs[(r["w1"], r["w2"])]
+        assert r["count_a"] == unis[r["w1"]] and r["count_b"] == unis[r["w2"]]
+        assert abs(r["pmi"] - ref_pmi(r["w1"], r["w2"])) < 1e-12
+    # "new york" appears 3x and is the corpus's collocation
+    assert (got[0]["w1"], got[0]["w2"]) == ("new", "york")
+
+
+def test_pmi_collocations_min_count_and_k(spark):
+    import pytest as _pytest
+
+    from sketchlib.spark.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b", "c", "d"],)], "tokens array<string>"
+    )
+    out = pmi_collocations(df, "tokens", k=10, min_count=2).collect()
+    assert len(out) == 1  # only ("b","a")? no: pairs ab ab ba bc cd -> ab x2
+    assert (out[0]["w1"], out[0]["w2"]) == ("a", "b") and out[0]["pair_count"] == 2
+    assert len(pmi_collocations(df, "tokens", k=1, min_count=1).collect()) == 1
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "tokens", k=0)
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "tokens", min_count=0)
+
+
+# --- histogram_df -------------------------------------------------------------
+
+
+def test_histogram_df_basic_and_zero_fill(spark):
+    from sketchlib.spark.sampling import histogram_df
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 1.0, 2.5, 4.9, 5.0, 10.0, None]], "x double"
+    )
+    out = histogram_df(df, "x", bins=4, lo=0.0, hi=10.0).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    # width 2.5: [0,2.5)->0,1; [2.5,5)->2.5,4.9; [5,7.5)->5.0; [7.5,10]->10.0
+    assert [r["cnt"] for r in out] == [2, 2, 1, 1]
+    assert out[0]["lo_edge"] == 0.0 and out[-1]["hi_edge"] == 10.0
+    total = sum(r["cnt"] for r in out)
+    assert total == 6  # NULL excluded
+
+
+def test_histogram_df_out_of_range_excluded_and_hi_in_last_bin(spark):
+    from sketchlib.spark.sampling import histogram_df
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-1.0, 0.0, 9.99, 10.0, 10.01]], "x double"
+    )
+    out = histogram_df(df, "x", bins=2, lo=0.0, hi=10.0).collect()
+    assert sum(r["cnt"] for r in out) == 3  # -1.0 and 10.01 excluded
+    assert out[-1]["cnt"] == 2  # 9.99 and exactly-hi 10.0
+
+
+def test_histogram_df_grouped_shares_global_edges(spark):
+    from sketchlib.spark.sampling import histogram_df
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("b", 9.0), ("b", 10.0), (None, 5.0)],
+        "g string, x double",
+    )
+    out = histogram_df(df, "x", bins=5, group_col="g").collect()
+    # auto lo/hi from GLOBAL min/max (0..10), NULL group excluded,
+    # both groups zero-filled to all 5 bins
+    assert len(out) == 10
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["group"], []).append(r)
+    assert set(by_g) == {"a", "b"}
+    for g, rows in by_g.items():
+        assert [r["bin"] for r in rows] == [0, 1, 2, 3, 4]
+        assert rows[0]["lo_edge"] == 0.0 and rows[-1]["hi_edge"] == 10.0
+    assert [r["cnt"] for r in by_g["a"]] == [2, 0, 0, 0, 0]
+    assert [r["cnt"] for r in by_g["b"]] == [0, 0, 0, 0, 2]
+
+
+def test_histogram_df_validation(spark):
+    import pytest as _pytest
+
+    from sketchlib.spark.sampling import histogram_df
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        histogram_df(df, "x", bins=0)
+    with _pytest.raises(ValueError):
+        histogram_df(df, "x", bins=4, lo=5.0, hi=5.0)
