@@ -275,6 +275,7 @@ _HLL_TOK = [SketchSpec("hll_tok", "hll", "tokens", {"p": 14})]
 _CM_TOK = [SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-4, "delta": 0.01})]
 _KLL_PRICE = [SketchSpec("kll_price", "kll", "l_extendedprice", {"k": 200})]
 _TD_PRICE = [SketchSpec("td_price", "tdigest", "l_extendedprice", {"compression": 200})]
+_DD_PRICE = [SketchSpec("dd_price", "dd", "l_extendedprice", {"alpha": 0.01})]
 _BLOOM_USER = [SketchSpec("bloom_user", "bloom", "user_id", {"m_bits": 1 << 17, "h": 7})]
 _MH_TOK = [SketchSpec("mh_tok", "minhash", "tokens", {"r": 256})]
 
@@ -403,6 +404,57 @@ def q_b04_kll_price_quantiles(spark, sf_dir):
 def q_b05_tdigest_price_quantiles(spark, sf_dir):
     """Q4b: t-digest quantiles within the KLL-proxy rank bound (BASELINE.md)."""
     return _quantile_within(spark, sf_dir, _TD_PRICE, "td_price")
+
+
+def q_b52_dd_price_quantiles(spark, sf_dir):
+    """Round 5 close: DDSketch p50/p90/p99 of l_extendedprice per
+    returnflag within the RELATIVE VALUE bound |v̂ − v_q| ≤ α·|v_q|
+    (Masson et al. VLDB 2019) — the quantile family's third member: KLL
+    and t-digest bound the RANK, DDSketch bounds the VALUE, which is
+    what a heavy-tailed p99.9 actually needs. The exact order statistic
+    (rank ⌊q·(n−1)⌋+1, the sketch's convention) is computed DISTRIBUTED
+    — a per-group row_number window probed at the target ranks — never
+    a driver-side sort. Merge order independence (byte-identical states
+    under any regrouping) is pytest-locked in tests/test_dd.py."""
+    import math
+
+    from pyspark.sql import Window
+    from sketchlib.spark.query import rel_quantiles_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketches(li, _DD_PRICE, group_by="l_returnflag")
+    qd = rel_quantiles_df(spark, states, "dd_price", [0.5, 0.9, 0.99]).toPandas()
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    targets = [
+        (
+            r["group"],
+            float(r["q"]),
+            int(math.floor(float(r["q"]) * (counts[r["group"]] - 1))) + 1,
+        )
+        for _, r in qd.iterrows()
+    ]
+    tdf = spark.createDataFrame(pd.DataFrame(targets, columns=["l_returnflag", "q", "rn"]))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(tdf), ["l_returnflag", "rn"])
+    )
+    exact = {
+        (r["l_returnflag"], round(r["q"], 6)): float(r["l_extendedprice"])
+        for r in ranked.collect()
+    }
+    out = []
+    for _, r in qd.iterrows():
+        v_q = exact[(r["group"], round(float(r["q"]), 6))]
+        ok = abs(float(r["value"]) - v_q) <= float(r["rel_err_bound"]) * abs(v_q) + 1e-9
+        out.append((r["group"], float(r["q"]), bool(ok)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["l_returnflag", "q", "within_bound"])
+    )
 
 
 def q_b06_bloom_membership(spark, sf_dir):
@@ -3867,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b03_cm_topk_tokens": _dist_wrapped(q_b03_cm_topk_tokens),
         "b04_kll_price_quantiles": _dist_wrapped(q_b04_kll_price_quantiles),
         "b05_tdigest_price_quantiles": _dist_wrapped(q_b05_tdigest_price_quantiles),
+        "b52_dd_price_quantiles": _dist_wrapped(q_b52_dd_price_quantiles),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
         "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
@@ -4045,6 +4098,11 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest([0.5, 0.9, 0.99]) AS q)
         """,
         "b05_tdigest_price_quantiles": """
+            SELECT l_returnflag, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                 (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        """,
+        "b52_dd_price_quantiles": """
             SELECT l_returnflag, q, TRUE AS within_bound
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),
                  (SELECT unnest([0.5, 0.9, 0.99]) AS q)

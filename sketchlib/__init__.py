@@ -23,6 +23,7 @@ from sketchlib.sketches import (  # noqa: F401
     HLL,
     Bloom,
     CountMin,
+    DDSketch,
     KLL,
     KMV,
     MinHash,

@@ -38,6 +38,16 @@ def tdigest_params(target_rank_err: float) -> dict:
     return {"compression": float(c), "state_bytes_approx": int(c * 8)}
 
 
+def dd_params(target_rel_err: float, max_bins: int = 2048) -> dict:
+    """α IS the bound — DDSketch answers within α·|x_q| by construction
+    (Masson et al. VLDB 2019); state is ≤ max_bins·16 B per store."""
+    return {
+        "alpha": float(target_rel_err),
+        "max_bins": int(max_bins),
+        "state_bytes_max": int(max_bins * 16 * 2),
+    }
+
+
 def bloom_params(n_keys: int, target_fpr: float) -> dict:
     """Optimal m = −n·ln(fpr)/ln²2, h = (m/n)·ln2 (Bloom 1970)."""
     n = max(1, n_keys)
@@ -63,6 +73,8 @@ def plan(budget: dict) -> dict:
     if "rank_err" in budget:
         out["kll"] = kll_params(budget["rank_err"])
         out["tdigest"] = tdigest_params(budget["rank_err"])
+    if "value_rel_err" in budget:
+        out["dd"] = dd_params(budget["value_rel_err"])
     if "bloom" in budget:
         out["bloom"] = bloom_params(*budget["bloom"])
     if "jaccard_se" in budget:

@@ -40,13 +40,24 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.taskcontext import TaskContext
 
 from sketchlib.hashing import hash_any
-from sketchlib.sketches import HLL, KLL, KMV, Bloom, CountMin, MinHash, TDigest, deserialize
+from sketchlib.sketches import (
+    HLL,
+    KLL,
+    KMV,
+    Bloom,
+    CountMin,
+    DDSketch,
+    MinHash,
+    TDigest,
+    deserialize,
+)
 
 _KINDS = {
     "hll": HLL,
     "cm": CountMin,
     "kll": KLL,
     "tdigest": TDigest,
+    "dd": DDSketch,
     "bloom": Bloom,
     "minhash": MinHash,
     "kmv": KMV,
@@ -279,7 +290,7 @@ class SketchSpec:
         value (quantile sketches and 'values'-style plugins)."""
         if _PLUGIN_STYLE.get(self.kind) == "values":
             return "full"
-        return "full" if self.kind in ("kll", "tdigest") else "uniq"
+        return "full" if self.kind in ("kll", "tdigest", "dd") else "uniq"
 
 
 def _column_values(batch: pa.RecordBatch, name: str):

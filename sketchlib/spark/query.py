@@ -187,6 +187,32 @@ def quantiles_df(
     )
 
 
+def rel_quantiles_df(
+    spark: SparkSession, states: DataFrame, sketch: str, qs, distributed: bool | None = None
+) -> DataFrame:
+    """(group, q, value, rel_err_bound) per group for DDSketch states.
+
+    Same serving shape as ``quantiles_df`` but the bound column is named
+    for what DDSketch actually guarantees: RELATIVE VALUE error α
+    (|v̂ − v_q| ≤ α·|v_q|, Masson et al. VLDB 2019) — not KLL/t-digest's
+    rank error. A caller comparing the two families must not read one
+    bound as the other, so the schemas refuse to blur them.
+    """
+    qs = list(qs)
+    qarr = np.array(qs)
+
+    def rows(g, sk):
+        vals = sk.quantiles(qarr)
+        bound = float(sk.error_bound())
+        return [(g, float(q), float(v), bound) for q, v in zip(qs, vals.tolist())]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, q double, value double, rel_err_bound double",
+        ["group", "q", "value", "rel_err_bound"],
+    )
+
+
 def membership_df(
     spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
 ) -> DataFrame:

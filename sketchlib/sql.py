@@ -742,6 +742,7 @@ _SKETCH_DDL_DEFAULTS = {
     "cm": {"eps": 1e-4, "delta": 0.01},
     "kll": {"k": 200},
     "tdigest": {"compression": 200},
+    "dd": {"alpha": 0.01},
     "bloom": {"m_bits": 1 << 20, "h": 7},
     "kmv": {"k": 1024},
 }
@@ -1056,7 +1057,8 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
         "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
-        "[, cm(col[, weight=w]), kll(col), tdigest(col), bloom(col), kmv(col)] "
+        "[, cm(col[, weight=w]), kll(col), tdigest(col), dd(col[, alpha=0.01]), "
+        "bloom(col), kmv(col)] "
         "[GROUP BY col]; "
         "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "
         "[BITS n] [LISTS n] [SEED n]; "
