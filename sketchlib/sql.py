@@ -66,7 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sketchlib.planner import hll_params
 from sketchlib.spark.build import SketchSpec, build_sketches
-from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+from sketchlib.spark.query import estimates_df, quantiles_df, rel_quantiles_df, topk_df
 
 _ARGS = r"(?:[^()]|\([^()]*\))*"  # one nesting level: APPROX_SUM(round(x, 2), 0.1)
 
@@ -158,23 +158,38 @@ _WITHIN_SUBSAMPLE_MSG = (
     "one error mechanism"
 )
 
-# optional named accuracy argument of APPROX_PERCENTILE — quantiles are
-# numbers in (0,1) too, so a positional accuracy argument would be ambiguous
+# optional named accuracy arguments of APPROX_PERCENTILE — quantiles are
+# numbers in (0,1) too, so a positional accuracy argument would be ambiguous.
+# Two contracts, two sketch families: rank_err= routes to KLL (bound in RANK
+# units, ε(k) ≈ 3.31/k) and rel_err= routes to DDSketch (bound in RELATIVE
+# VALUE units, |v̂ − v_q| ≤ α·|v_q|) — one statement takes at most one.
 _RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
+_REL_ERR_ARG = re.compile(r"^rel_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
 
 
-def _percentile_args(args: list) -> tuple[list[float], float | None]:
-    """(quantiles, requested rank error) from APPROX_PERCENTILE's argument
-    list — ``APPROX_PERCENTILE(col, 0.5, 0.99, rank_err=0.005)``."""
+def _percentile_args(args: list) -> tuple[list[float], float | None, float | None]:
+    """(quantiles, requested rank error, requested relative value error)
+    from APPROX_PERCENTILE's argument list —
+    ``APPROX_PERCENTILE(col, 0.5, 0.99, rank_err=0.005)`` or
+    ``APPROX_PERCENTILE(col, 0.5, 0.99, rel_err=0.01)``."""
     qs: list[float] = []
-    req = None
+    rank = rel = None
     for a in args[1:]:
         mm = _RANK_ERR_ARG.match(a.strip())
+        mr = _REL_ERR_ARG.match(a.strip())
         if mm:
-            req = float(mm.group(1))
+            rank = float(mm.group(1))
+        elif mr:
+            rel = float(mr.group(1))
         else:
             qs.append(float(a))
-    return (qs or [0.5]), req
+    if rank is not None and rel is not None:
+        raise ValueError(
+            "give ONE accuracy spec — rank_err= (KLL, bound in rank units) "
+            "and rel_err= (DDSketch, bound relative to the value) are "
+            "different contracts served by different sketches"
+        )
+    return (qs or [0.5]), rank, rel
 
 
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
@@ -1189,7 +1204,7 @@ _CATALOG_KINDS = {
     "APPROX_COUNT_DISTINCT": ("hll", "kmv"),
     "APPROX_TOPK": ("cm",),
     "APPROX_TOP_SUM": ("cm",),
-    "APPROX_PERCENTILE": ("kll", "tdigest"),
+    "APPROX_PERCENTILE": ("kll", "tdigest", "dd"),
 }
 
 
@@ -1215,6 +1230,23 @@ def _cm_spec_serves(fn, args, s: dict) -> bool:
     if req_eps is not None:
         return float(s.get("params", {}).get("eps", 1e-4)) <= req_eps * (1 + 1e-9)
     return True
+
+
+def _pct_spec_serves(fn, args, s: dict) -> bool:
+    """Whether a registered quantile spec can serve this percentile
+    statement — the bound-semantics analog of ``_cm_spec_serves``: a
+    ``rel_err=`` statement (relative VALUE contract) routes only to a
+    DDSketch whose alpha achieves it, and a dd state never serves a
+    plain/rank-bounded statement (its bound is in different units —
+    cross-serving would surface α as a rank error)."""
+    if fn != "APPROX_PERCENTILE":
+        return True
+    rel = _percentile_args(args)[2]
+    if rel is not None:
+        return s["kind"] == "dd" and float(
+            s.get("params", {}).get("alpha", 1.0)
+        ) <= rel * (1 + 1e-9)
+    return s["kind"] != "dd"
 
 
 def _top_sum_k(args) -> int:
@@ -1290,7 +1322,9 @@ def _resolve_key(
     col = args[0] if args else None
 
     req_rse = _num(args[1]) if fn == "APPROX_COUNT_DISTINCT" and len(args) > 1 else None
-    req_rank = _percentile_args(args)[1] if fn == "APPROX_PERCENTILE" else None
+    req_rank = req_rel = None
+    if fn == "APPROX_PERCENTILE":
+        _, req_rank, req_rel = _percentile_args(args)
     if fn == "APPROX_COUNT" and args:
         req_ratio = _num(args[0])
     elif fn in ("APPROX_SUM", "APPROX_AVG", "APPROX_VARIANCE", "APPROX_STDDEV") and len(args) > 1:
@@ -1301,6 +1335,17 @@ def _resolve_key(
         req_ratio = None
 
     def _achieves_rse(s: dict) -> bool:
+        if fn == "APPROX_PERCENTILE":
+            if req_rel is not None:
+                # relative-VALUE contract: only DDSketch bounds it, and only
+                # one whose alpha achieves the target
+                a = float(s.get("params", {}).get("alpha", 1.0))
+                return s["kind"] == "dd" and a <= req_rel * (1 + 1e-9)
+            if s["kind"] == "dd":
+                # a dd state's bound is relative VALUE error — it must never
+                # serve a plain/rank-bounded percentile implicitly (the same
+                # no-cross-serving rule the weighted/unweighted CMs follow)
+                return False
         if req_rank is not None:
             # rank-error contract: only a KLL with ε(k) ≈ 3.31/k ≤ target
             # can promise it statically (t-digest has no closed bound)
@@ -1360,10 +1405,11 @@ def _resolve_key(
         if fn == "APPROX_COUNT_DISTINCT":
             return k == "universe" and r["on_col"] == col and req_rse is None
         if fn == "APPROX_PERCENTILE":
-            # a rank_err contract needs a static guarantee — only KLL states
-            # give one; scrambles' empirical-quantile rank error depends on
-            # the (unknown-ahead) sample row count
-            if req_rank is not None:
+            # an accuracy contract needs a static guarantee — only KLL
+            # (rank_err) / DDSketch (rel_err) STATES give one; scrambles'
+            # empirical-quantile error depends on the (unknown-ahead)
+            # sample row count
+            if req_rank is not None or req_rel is not None:
                 return False
             return k == "uniform" or (k == "stratified" and group == r["on_col"])
         return False
@@ -1686,8 +1732,9 @@ def explain_sql(
                      "overcount ≤ ε·ΣW w.p. 1−δ, δ=0.01)")
                 sel_items.append(f"{cfn}({', '.join(cargs[:3])}, {t!r})")
             elif cfn == "APPROX_PERCENTILE":
-                if _percentile_args(cargs)[1] is not None:
-                    emit("error", double_spec + f" (rank_err + WITHIN, {cfn})")
+                _, _wrank, _wrel = _percentile_args(cargs)
+                if _wrank is not None or _wrel is not None:
+                    emit("error", double_spec + f" (rank_err/rel_err + WITHIN, {cfn})")
                     return done()
                 from sketchlib.planner import kll_params
 
@@ -1842,9 +1889,9 @@ def explain_sql(
                  "SUBSAMPLING does not apply; approx_sql would raise")
             return done()
         if (aggs[0][0] == "APPROX_PERCENTILE"
-                and _percentile_args(aggs[0][1])[1] is not None):
-            emit("error", "rank_err + ERROR BY SUBSAMPLING is a double "
-                 "accuracy spec — approx_sql would raise")
+                and _percentile_args(aggs[0][1])[1:] != (None, None)):
+            emit("error", "rank_err/rel_err + ERROR BY SUBSAMPLING is a "
+                 "double accuracy spec — approx_sql would raise")
             return done()
         if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
             emit("error", "explicit rse + ERROR BY SUBSAMPLING is a double "
@@ -2756,7 +2803,16 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
         out = topk_df(spark, states, "_q", int(args[1]))
         est_col, err_col, err_sfx = "est_count", "err_bound", "_err"
     else:
-        qs = [float(a) for a in args[1:]] or [0.5]
+        qs, _mrank, _mrel = _percentile_args(args)
+        if _mrank is not None or _mrel is not None:
+            # the merged bag's bound is the merged sketches' own, fixed at
+            # build time — a statement-level contract cannot re-bound it
+            raise ValueError(
+                "rank_err/rel_err contracts do not apply to the UNION ALL "
+                "state-merge route — the merged states' accuracy was fixed "
+                "when the sides were built; drop the contract or rebuild "
+                "the sides' sketch sets at the target accuracy"
+            )
         out = quantiles_df(spark, states, "_q", qs)
         est_col, err_col, err_sfx = "value", "rank_err_bound", "_rank_err"
     out = _finish_grouped(out, None, grouped[0] if grouped else None)
@@ -3390,6 +3446,8 @@ def _inner_rel_err_max(pdf) -> float:
         _push(pdf["rse_bound"].abs())
     if "rank_err_bound" in cols:
         _push(pdf["rank_err_bound"].abs())
+    if "rel_err_bound" in cols:  # DDSketch quantile frames: already relative
+        _push(pdf["rel_err_bound"].abs())
     if "err_bound" in cols and "est_count" in cols:  # top-k frames
         est = pdf["est_count"].abs()
         _push((pdf["err_bound"].abs() / est.where(est > 0)))
@@ -3525,15 +3583,22 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
         if fn == "APPROX_PERCENTILE" and estimator == "subsample":
             # the subsample percentile's bound is in VALUE units, not rank
             pairs = ("value", "value_err")
+        elif fn == "APPROX_PERCENTILE" and "rel_err_bound" in cols:
+            # the rel_err= (DDSketch) route: bound relative to the value
+            pairs = ("value", "rel_err_bound")
         if pairs is None or pairs[0] not in cols:
             raise ValueError(
                 f"cannot alias {fn} here — the result frame has no "
                 f"{pairs[0] if pairs else 'estimate'!r} column "
                 f"(columns: {out.columns})"
             )
-        err_name = (f"{alias}_rank_err"
-                    if fn == "APPROX_PERCENTILE" and estimator != "subsample"
-                    else f"{alias}_err")
+        if fn == "APPROX_PERCENTILE" and estimator != "subsample":
+            # suffix carries the bound's UNITS: rank for KLL/t-digest,
+            # value-relative for the rel_err= DDSketch route
+            err_name = (f"{alias}_rel_err" if pairs[1] == "rel_err_bound"
+                        else f"{alias}_rank_err")
+        else:
+            err_name = f"{alias}_err"
         return (out.withColumnRenamed(pairs[0], alias)
                    .withColumnRenamed(pairs[1], err_name))
     defaults = _default_out_names(aggs)
@@ -3791,8 +3856,8 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
             spec_given = len(args) > 3
             spec_name = "eps"
         elif fn == "APPROX_PERCENTILE":
-            spec_given = _percentile_args(args)[1] is not None
-            spec_name = "rank_err"
+            spec_given = _percentile_args(args)[1:] != (None, None)
+            spec_name = "rank_err/rel_err"
         elif fn in sampling_fns:
             if fn == "APPROX_COUNT":
                 # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
@@ -4224,11 +4289,11 @@ def approx_sql(
                 "sampling CI a subsample spread could replace; ERROR BY "
                 f"SUBSAMPLING applies to {'/'.join(_SUBSAMPLE_FNS)}"
             )
-        if aggs[0][0] == "APPROX_PERCENTILE" and _percentile_args(aggs[0][1])[1] is not None:
+        if aggs[0][0] == "APPROX_PERCENTILE" and _percentile_args(aggs[0][1])[1:] != (None, None):
             raise ValueError(
-                "give ONE accuracy spec — rank_err is a static KLL-route "
-                "contract and ERROR BY SUBSAMPLING is a data-driven "
-                "estimator; they cannot combine"
+                "give ONE accuracy spec — rank_err/rel_err are static "
+                "sketch-route contracts (KLL / DDSketch) and ERROR BY "
+                "SUBSAMPLING is a data-driven estimator; they cannot combine"
             )
         if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
             raise ValueError(
@@ -4464,14 +4529,14 @@ def approx_sql(
                         "quantiles across mixed-fraction strata would be biased)"
                     )
                 s, col = _materialize_expr(s, args[0])
-                qs, req_rank = _percentile_args(args)
-                if req_rank is not None:
+                qs, req_rank, req_rel = _percentile_args(args)
+                if req_rank is not None or req_rel is not None:
                     raise ValueError(
-                        "a rank_err contract cannot be served from a scramble — "
-                        "the empirical quantile's rank error depends on the "
-                        "sample's row count, so no static guarantee exists; "
-                        "route to KLL states (drop catalog_key for auto-"
-                        "selection) or drop the contract"
+                        "a rank_err/rel_err contract cannot be served from a "
+                        "scramble — the empirical quantile's error depends on "
+                        "the sample's row count, so no static guarantee "
+                        "exists; route to KLL/DDSketch states (drop "
+                        "catalog_key for auto-selection) or drop the contract"
                     )
                 s, gcol = _with_gkey(s, group)
                 gsel = [gcol] if gcol else []
@@ -4554,7 +4619,8 @@ def approx_sql(
         col = args[0]
         spec = next(
             (s for s in json.loads(reg["specs_json"])
-             if s["kind"] in kinds and s["column"] == col and _cm_spec_serves(fn, args, s)),
+             if s["kind"] in kinds and s["column"] == col
+             and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)),
             None,
         )
         if spec is None:
@@ -4576,7 +4642,7 @@ def approx_sql(
                 "est_count", "est_sum"
             )
         else:  # APPROX_PERCENTILE
-            qs, req_rank = _percentile_args(args)
+            qs, req_rank, req_rel = _percentile_args(args)
             if req_rank is not None:
                 k = float(spec.get("params", {}).get("k", 0))
                 if spec["kind"] != "kll" or not k or 3.31 / k > req_rank * (1 + 1e-9):
@@ -4586,7 +4652,12 @@ def approx_sql(
                         + (f"has k={int(k)} (ε≈{3.31 / k:.4f})" if k else "carries no k")
                         + "; rebuild with a larger k or drop catalog_key"
                     )
-            out = quantiles_df(spark, states, spec["name"], qs)
+            if req_rel is not None:
+                # _pct_spec_serves guaranteed a dd with achieving alpha;
+                # the answer frame carries the bound in its own units
+                out = rel_quantiles_df(spark, states, spec["name"], qs)
+            else:
+                out = quantiles_df(spark, states, spec["name"], qs)
         return _finish_grouped(out, None, group)
 
     if estimator == "subsample" and fn in ("APPROX_PERCENTILE", "APPROX_COUNT_DISTINCT"):
@@ -4649,7 +4720,15 @@ def approx_sql(
 
     if fn == "APPROX_PERCENTILE":
         df, col = _materialize_expr(df, args[0])
-        qs, req_rank = _percentile_args(args)
+        qs, req_rank, req_rel = _percentile_args(args)
+        if req_rel is not None:
+            # relative-VALUE contract: α IS the bound (Masson et al. 2019),
+            # so the on-the-fly DDSketch just builds at the requested alpha
+            states = build_sketches(
+                df, [SketchSpec("_q", "dd", col, {"alpha": req_rel})], group_by=group
+            )
+            out = rel_quantiles_df(spark, states, "_q", qs)
+            return _finish_grouped(out, df, group)
         k = 200
         if req_rank is not None:
             # rank-error contract: invert the calibrated KLL bound ε(k)≈3.31/k
