@@ -457,6 +457,55 @@ def q_b52_dd_price_quantiles(spark, sf_dir):
     )
 
 
+def q_b53_rollup_grouping_sets(spark, sf_dir):
+    """GROUP BY ROLLUP through the SQL door: every grouping set answered
+    from ONE finest-grain sketch build — the coarser sets are KB-sized
+    state MERGES (build.regroup_states), never rescans of the base table,
+    so a rollup over registered states stays corpus-size-independent (the
+    mergeable-sketch property made user-visible; Verdict's grammar had no
+    grouping sets — this exceeds parity). Emits the SQL GROUPING() bitmask
+    (``grouping_lvl``) row-compatible with DuckDB/Spark ROLLUP, checked
+    here per row against the DISTRIBUTED exact rollup (Spark SQL
+    grouping_id, no driver-side sort) within 3× the reported HLL rse.
+    Merge associativity (rollup total == ungrouped estimate, byte-equal)
+    is pytest-locked in tests/test_sql_rollup.py."""
+    from sketchlib.sql import approx_sql
+
+    T = {"t": os.path.join(sf_dir, "orders.parquet")}
+    est = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM t "
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+        tables=T,
+    ).toPandas()
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_b53_orders")
+    exact = spark.sql(
+        "SELECT coalesce(o_orderstatus, '(all)') AS s, "
+        "coalesce(o_orderpriority, '(all)') AS p, "
+        "CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS lvl, "
+        "COUNT(DISTINCT o_custkey) AS d FROM _b53_orders "
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+    ).toPandas()
+    truth = {
+        (r.s, r.p, int(r.lvl)): int(r.d) for r in exact.itertuples(index=False)
+    }
+    rows = []
+    for _, r in est.iterrows():
+        s = r["o_orderstatus"] if pd.notna(r["o_orderstatus"]) else "(all)"
+        p = r["o_orderpriority"] if pd.notna(r["o_orderpriority"]) else "(all)"
+        lvl = int(r["grouping_lvl"])
+        d = truth[(s, p, lvl)]
+        ok = abs(float(r["estimate"]) - d) <= 3.0 * float(r["rse_bound"]) * d + 2
+        rows.append((s, p, lvl, bool(ok)))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["o_orderstatus", "o_orderpriority", "grouping_lvl", "within_bound"],
+        )
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -3920,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b04_kll_price_quantiles": _dist_wrapped(q_b04_kll_price_quantiles),
         "b05_tdigest_price_quantiles": _dist_wrapped(q_b05_tdigest_price_quantiles),
         "b52_dd_price_quantiles": _dist_wrapped(q_b52_dd_price_quantiles),
+        "b53_rollup_grouping_sets": _dist_wrapped(q_b53_rollup_grouping_sets),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
         "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
@@ -4106,6 +4156,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, q, TRUE AS within_bound
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),
                  (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        """,
+        "b53_rollup_grouping_sets": """
+            SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+                   COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
+                     AS grouping_lvl,
+                   TRUE AS within_bound
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "b08_hll_union_groups": "SELECT TRUE AS within_bound",
         "b09_sampled_agg_uniform": "SELECT DISTINCT l_returnflag, TRUE AS within_ci FROM lineitem",

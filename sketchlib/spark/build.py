@@ -670,6 +670,29 @@ def merge_states(states: DataFrame, fanout: int | None = None) -> DataFrame:
     return states.groupBy("group", "sketch").applyInPandas(merge_fn, STATE_FIELDS)
 
 
+def regroup_states(
+    states: DataFrame, keep: list[int], fanout: int | None = None
+) -> DataFrame:
+    """Re-key grouped states onto the group-key-part subset ``keep`` (indices
+    into the composite GROUP_SEP-joined key, original order) and merge —
+    answering any COARSER grouping from the same build. ``keep=[]`` merges
+    everything into one global state (group='').
+
+    This is the mergeability dividend ROLLUP/CUBE cash in: one pass over the
+    base data builds states at the finest grain, and every coarser grouping
+    set is a KB-sized state-frame merge — no rescans, no second shuffle of
+    raw rows. At 100 TB the per-level cost is independent of corpus size.
+    """
+    n = len(keep)
+    parts = F.split(F.col("group"), GROUP_SEP)
+    key = (
+        F.concat_ws(GROUP_SEP, *[parts.getItem(i) for i in keep])
+        if n
+        else F.lit("")
+    )
+    return merge_states(states.withColumn("group", key), fanout=fanout)
+
+
 def group_cols(group_by) -> set[str]:
     """Columns a group_by (None | str | list[str]) references."""
     if group_by is None:

@@ -75,8 +75,16 @@ _SKELETON = re.compile(
     rf"(?:\s*,\s*APPROX_[A-Z_]+\s*\({_ARGS}\)(?:\s+AS\s+\w+)?)*)\s*"
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<group>(?:ROLLUP|CUBE)\s*\([\w\s,]+\)"
+    r"|[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# GROUP BY ROLLUP(a, b) / CUBE(a, b): grouping sets answered from ONE
+# finest-grain sketch build — coarser sets are state MERGES, not rescans
+_ROLLUP_GROUP = re.compile(
+    r"^\s*(?P<mode>ROLLUP|CUBE)\s*\(\s*(?P<cols>[\w]+(?:\s*,\s*[\w]+)*)\s*\)\s*$",
+    re.IGNORECASE,
 )
 
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
@@ -1140,6 +1148,16 @@ def _parse_group(raw: str | None):
     """GROUP BY clause → None | column name | list of column names."""
     if not raw:
         return None
+    if _ROLLUP_GROUP.match(raw):
+        # only the plain single-aggregate statement path dispatches rollups
+        # (before calling here) — anywhere else must refuse loudly rather
+        # than silently grouping by a column literally named "ROLLUP(...)"
+        raise ValueError(
+            "GROUP BY ROLLUP/CUBE composes only with a plain single-"
+            "aggregate statement (no aliases, joins, set operations, or "
+            "WITHIN/HAVING tails) — issue one statement per grouping set "
+            "for richer shapes"
+        )
     parts = [p.strip() for p in raw.split(",")]
     return parts if len(parts) > 1 else parts[0]
 
@@ -1877,6 +1895,33 @@ def explain_sql(
         emit("error", "outside the approx statement skeleton — approx_sql would raise")
         return done()
     aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(m.group("select"))]
+    rmu = _ROLLUP_GROUP.match(m.group("group") or "")
+    if rmu:
+        emit("statement_kind", "approx_rollup")
+        mode = rmu.group("mode").upper()
+        rcols = [c.strip() for c in rmu.group("cols").split(",")]
+        nsets = (2 ** len(rcols)) if mode == "CUBE" else len(rcols) + 1
+        emit("group_by", f"{mode}({', '.join(rcols)}) — {nsets} grouping sets")
+        if len(aggs) != 1:
+            emit("error", "ROLLUP/CUBE takes exactly one un-aliased approx "
+                 "aggregate — approx_sql would raise")
+            return done()
+        fn0 = aggs[0][0]
+        emit("aggregate", f"{fn0}({', '.join(aggs[0][1])})")
+        if fn0 in _SKETCH_ROLLUP_FNS:
+            emit("plan", "ONE build at the finest grain (persisted states "
+                 "when catalog_key names a set registered at exactly that "
+                 "grain, else one on-the-fly build); every coarser grouping "
+                 "set is a KB-sized state MERGE (regroup_states) — zero "
+                 "base rescans, per-set cost independent of corpus size")
+        else:
+            emit("plan", "one statement per grouping set over the same "
+                 "seed-fixed sample (registered scramble reused level to "
+                 "level)")
+        emit("output", "GROUP BY columns (rolled-up → NULL), grouping_lvl "
+             "= SQL GROUPING() bitmask, then the aggregate's estimate + "
+             "bound columns")
+        return done()
     group = _parse_group(m.group("group"))
     emit("statement_kind", "approx_single" if len(aggs) == 1 else "approx_multi")
     if estimator == "subsample":
@@ -3916,6 +3961,276 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
     return approx_sql(spark, stmt + tails, tables, catalog, catalog_key)
 
 
+# ---------------------------------------------------------------------------
+# GROUP BY ROLLUP / CUBE — grouping sets from ONE finest-grain build
+# ---------------------------------------------------------------------------
+
+_SKETCH_ROLLUP_FNS = frozenset(
+    ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK", "APPROX_TOP_SUM")
+)
+
+
+def _rollup_grouping_sets(k: int, mode: str) -> list[tuple[int, ...]]:
+    """Grouping sets as kept-index tuples, finest first. ROLLUP = the k+1
+    prefixes; CUBE = all 2^k subsets (original column order preserved)."""
+    if mode == "CUBE":
+        from itertools import combinations
+
+        return [c for j in range(k, -1, -1) for c in combinations(range(k), j)]
+    return [tuple(range(j)) for j in range(k, -1, -1)]
+
+
+def _grouping_mask(keep: tuple[int, ...], k: int) -> int:
+    """SQL GROUPING() bitmask: leftmost GROUP BY column = most significant
+    bit, a set bit = that column is rolled up in this grouping set."""
+    return sum(1 << (k - 1 - i) for i in range(k) if i not in keep)
+
+
+def _shape_rollup_level(out, keep: tuple[int, ...], cols: list[str],
+                        native: dict[str, str], mask: int):
+    """Shape one grouping set's sketch-route answer frame: split the kept
+    key parts out of the composite ``group`` string (native-cast when the
+    base schema is known), NULL-fill the rolled-up columns, and stamp the
+    GROUPING() bitmask."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import GROUP_SEP
+
+    kept = [cols[i] for i in keep]
+    if kept:
+        parts = F.split(F.col("group"), GROUP_SEP)
+        for idx, c in enumerate(kept):
+            out = out.withColumn(c, parts.getItem(idx).cast(native.get(c, "string")))
+    out = out.drop("group")
+    for i, c in enumerate(cols):
+        if i not in keep:
+            out = out.withColumn(c, F.lit(None).cast(native.get(c, "string")))
+    out = out.withColumn("grouping_lvl", F.lit(mask).cast("int"))
+    est = [c for c in out.columns if c not in cols and c != "grouping_lvl"]
+    return out.select(*cols, "grouping_lvl", *est)
+
+
+def _rollup_states_from_catalog(catalog, catalog_key: str, fn: str, args,
+                                cols: list[str], where):
+    """(states, spec) for a catalog-served rollup — the headline route:
+    states registered ONCE at the finest grain answer every grouping set
+    base-free, because coarser sets are merges of the same states."""
+    reg = [r for r in catalog.list_rows() if r["name"] == catalog_key]
+    if not reg:
+        raise ValueError(f"catalog has no sketch set {catalog_key!r}")
+    reg = reg[0]
+    if where:
+        raise ValueError(
+            "sketch states were built over the unfiltered table — WHERE "
+            "cannot be applied post-hoc to pre-reduced states; rebuild "
+            "states with the filter or drop catalog_key"
+        )
+    want = ",".join(cols)
+    if reg["group_by"] != want:
+        raise ValueError(
+            f"ROLLUP/CUBE needs states at the FINEST grain: statement "
+            f"grouping ({want}) != registered group_by "
+            f"{reg['group_by']!r} for {catalog_key!r} — coarser sets are "
+            "merged down from the finest, never rebuilt"
+        )
+    kinds = _CATALOG_KINDS.get(fn)
+    if kinds is None:
+        raise ValueError(f"{fn} cannot be answered from persisted sketch states")
+    import json
+
+    col = args[0]
+    spec = next(
+        (s for s in json.loads(reg["specs_json"])
+         if s["kind"] in kinds and s["column"] == col
+         and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)),
+        None,
+    )
+    if spec is None:
+        raise ValueError(
+            f"sketch set {catalog_key!r} holds no {'/'.join(kinds)} sketch "
+            f"on {col!r} serving {fn}"
+        )
+    if fn == "APPROX_PERCENTILE":
+        req_rank = _percentile_args(args)[1]
+        if req_rank is not None:
+            kk = float(spec.get("params", {}).get("k", 0))
+            if spec["kind"] != "kll" or not kk or 3.31 / kk > req_rank * (1 + 1e-9):
+                raise ValueError(
+                    f"sketch set {catalog_key!r} cannot achieve rank_err="
+                    f"{req_rank} — "
+                    + (f"its {spec['kind']} sketch has k={int(kk)} "
+                       f"(ε≈{3.31 / kk:.4f})" if kk else "its sketch carries no k")
+                    + "; rebuild with a larger k or drop catalog_key"
+                )
+    return catalog.states(catalog_key), spec
+
+
+def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
+    """One approx aggregate ``GROUP BY ROLLUP(a, b)`` / ``CUBE(a, b)``.
+
+    Sketch-served aggregates (COUNT_DISTINCT / PERCENTILE / TOPK / TOP_SUM)
+    answer EVERY grouping set from one build at the finest grain: coarser
+    sets are state merges (``regroup_states``) — KB-sized frames, zero
+    rescans of the base data, which is the mergeable-sketch property made
+    user-visible (and what makes the rollup corpus-size-independent when
+    served from registered states). Sampling aggregates recurse one
+    statement per grouping set over the same seed-fixed sample.
+
+    Output schema: the GROUP BY columns (rolled-up ones NULL), then
+    ``grouping_lvl`` = the SQL GROUPING() bitmask (leftmost column = most
+    significant bit; 0 = finest), then the aggregate's usual
+    estimate/bound columns — matching ``GROUP BY ROLLUP`` + ``GROUPING()``
+    in ANSI SQL engines row for row.
+    """
+    from pyspark.sql import functions as F
+
+    select = m.group("select")
+    aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(select)]
+    aliased = _AGG_ALIASED.findall(select)
+    if len(aggs) != 1 or (aliased and aliased[0][2]):
+        raise ValueError(
+            "GROUP BY ROLLUP/CUBE takes exactly one un-aliased approx "
+            "aggregate — grouping sets multiply the result rows, so a "
+            "multi-aggregate or aliased head is ambiguous; issue one "
+            "statement per aggregate"
+        )
+    fn, args = aggs[0]
+    mode = rmu.group("mode").upper()
+    cols = [c.strip() for c in rmu.group("cols").split(",")]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate column in {mode}({', '.join(cols)})")
+    if mode == "CUBE" and len(cols) > 4:
+        raise ValueError(
+            "CUBE takes at most 4 columns (2^k grouping sets) — use "
+            "ROLLUP or explicit statements for wider keys"
+        )
+    k = len(cols)
+    sets_ = _rollup_grouping_sets(k, mode)
+
+    def _recurse() -> DataFrame:
+        # one statement per grouping set over the same seed-fixed sample
+        # (a registered scramble is reused level to level; the base is
+        # never scanned more than the finest build would)
+        core = f"SELECT {select} FROM {m.group('table')}"
+        if m.group("where"):
+            core += f" WHERE {m.group('where')}"
+        results = []
+        for keep in sets_:
+            kept = [cols[i] for i in keep]
+            stmt = core + (f" GROUP BY {', '.join(kept)}" if kept else "")
+            results.append(
+                approx_sql(spark, stmt, tables, catalog, catalog_key,
+                           estimator=estimator)
+            )
+        ftypes = dict(results[0].dtypes)  # finest level carries every key column
+        shaped = []
+        for keep, out in zip(sets_, results):
+            for i, c in enumerate(cols):
+                if i not in keep:
+                    out = out.withColumn(c, F.lit(None).cast(ftypes.get(c, "string")))
+            out = out.withColumn(
+                "grouping_lvl", F.lit(_grouping_mask(keep, k)).cast("int")
+            )
+            est = [c for c in out.columns if c not in cols and c != "grouping_lvl"]
+            shaped.append(out.select(*cols, "grouping_lvl", *est))
+        res = shaped[0]
+        for f_ in shaped[1:]:
+            res = res.unionByName(f_)
+        return res
+
+    if fn in _SKETCH_ROLLUP_FNS:
+        if estimator == "subsample":
+            raise ValueError(
+                f"{fn} is sketch-served — its bound is not a sampling CI; "
+                "ERROR BY SUBSAMPLING applies to the sampling aggregates"
+            )
+        from sketchlib.spark.build import regroup_states
+
+        qs = req_rank = req_rel = None
+        if fn == "APPROX_PERCENTILE":
+            qs, req_rank, req_rel = _percentile_args(args)
+        native: dict[str, str] = {}
+        if catalog is not None and catalog_key is not None:
+            if any(r["name"] == catalog_key
+                   for r in catalog.list_sample_rows()):
+                # a SCRAMBLE key: the per-level statements already know how
+                # to serve this fn from the sample (empirical quantiles /
+                # universe distinct) — recurse rather than refuse
+                return _recurse()
+            states, spec = _rollup_states_from_catalog(
+                catalog, catalog_key, fn, args, cols, m.group("where")
+            )
+            spec_name = spec["name"]
+        else:
+            df = _resolve_table(spark, m.group("table"), tables)
+            if m.group("where"):
+                df = _apply_where(spark, df, m.group("where"), tables, m.group("table"))
+            if fn == "APPROX_COUNT_DISTINCT":
+                df, col = _materialize_expr(df, args[0])
+                rse = float(args[1]) if len(args) > 1 else 0.01
+                sp = SketchSpec("_q", "hll", col, {"p": hll_params(rse)["p"]})
+            elif fn == "APPROX_TOPK":
+                df, col = _materialize_expr(df, args[0])
+                eps = float(args[2]) if len(args) > 2 else 1e-4
+                sp = SketchSpec("_q", "cm", col, {"eps": eps, "delta": 0.01})
+            elif fn == "APPROX_TOP_SUM":
+                _top_sum_k(args)
+                eps = _num(args[3]) if len(args) > 3 else 1e-4
+                if eps is None:
+                    raise ValueError(
+                        f"APPROX_TOP_SUM eps argument {args[3]!r} must be numeric"
+                    )
+                df, col = _materialize_expr(df, args[0])
+                df, wcol = _materialize_expr(df, args[1])
+                sp = SketchSpec(
+                    "_q", "cm", col, {"eps": eps, "delta": 0.01}, weight=wcol
+                )
+            else:  # APPROX_PERCENTILE
+                df, col = _materialize_expr(df, args[0])
+                if req_rel is not None:
+                    sp = SketchSpec("_q", "dd", col, {"alpha": req_rel})
+                else:
+                    kk = 200
+                    if req_rank is not None:
+                        from sketchlib.planner import kll_params
+
+                        kk = max(200, kll_params(req_rank)["k"])
+                    sp = SketchSpec("_q", "kll", col, {"k": kk})
+            # persist the finest-grain states: every grouping set derives
+            # from this ONE frame — without it each level's action would
+            # re-run the base scan, which is exactly what rollup-by-merge
+            # exists to avoid
+            states = build_sketches(df, [sp], group_by=list(cols)).persist()
+            native = dict(df.dtypes)
+            spec_name = "_q"
+
+        frames = []
+        for keep in sets_:
+            st = states if len(keep) == k else regroup_states(states, list(keep))
+            if fn == "APPROX_COUNT_DISTINCT":
+                out = estimates_df(spark, st, spec_name)
+            elif fn == "APPROX_TOPK":
+                out = topk_df(spark, st, spec_name, int(args[1]))
+            elif fn == "APPROX_TOP_SUM":
+                out = topk_df(spark, st, spec_name, _top_sum_k(args)).withColumnRenamed(
+                    "est_count", "est_sum"
+                )
+            elif req_rel is not None:
+                out = rel_quantiles_df(spark, st, spec_name, qs)
+            else:
+                out = quantiles_df(spark, st, spec_name, qs)
+            frames.append(
+                _shape_rollup_level(out, keep, cols, native, _grouping_mask(keep, k))
+            )
+        res = frames[0]
+        for f_ in frames[1:]:
+            res = res.unionByName(f_)
+        return res
+
+    # sampling aggregates: per-grouping-set recursion
+    return _recurse()
+
+
 def approx_sql(
     spark: SparkSession,
     sql: str,
@@ -4270,6 +4585,9 @@ def approx_sql(
             "'SELECT APPROX_*(...) FROM t [WHERE expr] [GROUP BY col]'; "
             "use the DataFrame API (sketchlib.spark) for anything richer"
         )
+    rmu = _ROLLUP_GROUP.match(m.group("group") or "")
+    if rmu:
+        return _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator)
     aliased = _AGG_ALIASED.findall(m.group("select"))
     if any(al for *_, al in aliased):
         return _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
