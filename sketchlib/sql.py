@@ -76,16 +76,22 @@ _SKELETON = re.compile(
     r"FROM\s+(?P<table>[\w./:\-]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>(?:ROLLUP|CUBE)\s*\([\w\s,]+\)"
+    r"|GROUPING\s+SETS\s*\(\s*\([\w\s,]*\)(?:\s*,\s*\([\w\s,]*\))*\s*\)"
     r"|[\w]+(?:\s*,\s*[\w]+)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
-# GROUP BY ROLLUP(a, b) / CUBE(a, b): grouping sets answered from ONE
-# finest-grain sketch build — coarser sets are state MERGES, not rescans
+# GROUP BY ROLLUP(a, b) / CUBE(a, b) / GROUPING SETS ((a, b), (a), ()):
+# grouping sets answered from ONE finest-grain sketch build — coarser
+# sets are state MERGES, not rescans
 _ROLLUP_GROUP = re.compile(
-    r"^\s*(?P<mode>ROLLUP|CUBE)\s*\(\s*(?P<cols>[\w]+(?:\s*,\s*[\w]+)*)\s*\)\s*$",
+    r"^\s*(?:(?P<mode>ROLLUP|CUBE)\s*\(\s*(?P<cols>[\w]+(?:\s*,\s*[\w]+)*)\s*\)"
+    r"|(?P<gsets>GROUPING\s+SETS)\s*"
+    r"\(\s*(?P<sets>\([\w\s,]*\)(?:\s*,\s*\([\w\s,]*\))*)\s*\))\s*$",
     re.IGNORECASE,
 )
+
+_GSET_ITEM = re.compile(r"\(([\w\s,]*)\)")
 
 _AGG = re.compile(rf"(APPROX_[A-Z_]+)\s*\(({_ARGS})\)", re.IGNORECASE)
 # alias-aware variant for the select list only: APPROX_X(args) [AS name]
@@ -1898,10 +1904,14 @@ def explain_sql(
     rmu = _ROLLUP_GROUP.match(m.group("group") or "")
     if rmu:
         emit("statement_kind", "approx_rollup")
-        mode = rmu.group("mode").upper()
-        rcols = [c.strip() for c in rmu.group("cols").split(",")]
-        nsets = (2 ** len(rcols)) if mode == "CUBE" else len(rcols) + 1
-        emit("group_by", f"{mode}({', '.join(rcols)}) — {nsets} grouping sets")
+        if rmu.group("gsets"):
+            nsets = len(_GSET_ITEM.findall(rmu.group("sets")))
+            emit("group_by", f"GROUPING SETS — {nsets} explicit grouping sets")
+        else:
+            mode = rmu.group("mode").upper()
+            rcols = [c.strip() for c in rmu.group("cols").split(",")]
+            nsets = (2 ** len(rcols)) if mode == "CUBE" else len(rcols) + 1
+            emit("group_by", f"{mode}({', '.join(rcols)}) — {nsets} grouping sets")
         if len(aggs) != 1:
             emit("error", "ROLLUP/CUBE takes exactly one un-aliased approx "
                  "aggregate — approx_sql would raise")
@@ -4095,17 +4105,42 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
             "statement per aggregate"
         )
     fn, args = aggs[0]
-    mode = rmu.group("mode").upper()
-    cols = [c.strip() for c in rmu.group("cols").split(",")]
-    if len(set(cols)) != len(cols):
-        raise ValueError(f"duplicate column in {mode}({', '.join(cols)})")
-    if mode == "CUBE" and len(cols) > 4:
-        raise ValueError(
-            "CUBE takes at most 4 columns (2^k grouping sets) — use "
-            "ROLLUP or explicit statements for wider keys"
-        )
-    k = len(cols)
-    sets_ = _rollup_grouping_sets(k, mode)
+    if rmu.group("gsets"):
+        # explicit GROUPING SETS ((a, b), (a), ()): the key-column list is
+        # the first-appearance UNION of the sets (GROUPING() bitmask order,
+        # and the grain a catalog registration must match)
+        raw_sets = [
+            [c.strip() for c in inner.split(",") if c.strip()]
+            for inner in _GSET_ITEM.findall(rmu.group("sets"))
+        ]
+        cols = []
+        for s_ in raw_sets:
+            if len(set(s_)) != len(s_):
+                raise ValueError(
+                    f"duplicate column in grouping set ({', '.join(s_)})"
+                )
+            for c in s_:
+                if c not in cols:
+                    cols.append(c)
+        if not cols:
+            raise ValueError(
+                "GROUPING SETS names no columns — use the plain ungrouped "
+                "statement for a single global aggregate"
+            )
+        k = len(cols)
+        sets_ = [tuple(i for i in range(k) if cols[i] in s_) for s_ in raw_sets]
+    else:
+        mode = rmu.group("mode").upper()
+        cols = [c.strip() for c in rmu.group("cols").split(",")]
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"duplicate column in {mode}({', '.join(cols)})")
+        if mode == "CUBE" and len(cols) > 4:
+            raise ValueError(
+                "CUBE takes at most 4 columns (2^k grouping sets) — use "
+                "ROLLUP or explicit GROUPING SETS for wider keys"
+            )
+        k = len(cols)
+        sets_ = _rollup_grouping_sets(k, mode)
 
     def _recurse() -> DataFrame:
         # one statement per grouping set over the same seed-fixed sample
@@ -4122,7 +4157,12 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 approx_sql(spark, stmt, tables, catalog, catalog_key,
                            estimator=estimator)
             )
-        ftypes = dict(results[0].dtypes)  # finest level carries every key column
+        # key-column dtypes from whichever result kept each column (with
+        # explicit GROUPING SETS no single set need contain them all)
+        ftypes: dict[str, str] = {}
+        for out in results:
+            for c, t in out.dtypes:
+                ftypes.setdefault(c, t)
         shaped = []
         for keep, out in zip(sets_, results):
             for i, c in enumerate(cols):

@@ -216,6 +216,61 @@ def test_rollup_refusals(spark, T):
         )
 
 
+def test_grouping_sets_sketch_disjoint(spark, T, exact):
+    # no set contains ALL key columns — the union (o_orderstatus,
+    # o_orderpriority) is still the build grain and the bitmask base
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM t "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        tables=T,
+    ).toPandas()
+    assert sorted(out["grouping_lvl"].unique()) == [1, 2, 3]
+    n1 = exact["o_orderstatus"].nunique()
+    n2 = exact["o_orderpriority"].nunique()
+    assert len(out) == n1 + n2 + 1
+    k0 = exact["o_custkey"].nunique()
+    r = out[out["grouping_lvl"] == 3].iloc[0]
+    assert abs(r["estimate"] - k0) <= 3 * r["rse_bound"] * k0 + 2
+    sub = out[out["grouping_lvl"] == 2]
+    assert sub["o_orderstatus"].isna().all() and sub["o_orderpriority"].notna().all()
+    k2 = exact.groupby("o_orderpriority")["o_custkey"].nunique()
+    for _, r in sub.iterrows():
+        truth = k2[r["o_orderpriority"]]
+        assert abs(r["estimate"] - truth) <= 3 * r["rse_bound"] * truth + 2
+
+
+def test_grouping_sets_sampling_disjoint_types(spark, T, exact):
+    # the dtype of each key column comes from whichever recursion kept it
+    out = approx_sql(
+        spark,
+        "SELECT APPROX_SUM(o_totalprice, 0.5) FROM t "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
+        tables=T,
+    ).toPandas()
+    assert sorted(out["grouping_lvl"].unique()) == [1, 2]
+    s1 = exact.groupby("o_orderstatus")["o_totalprice"].sum()
+    for _, r in out[out["grouping_lvl"] == 1].iterrows():
+        assert abs(r["est_sum"] - s1[r["o_orderstatus"]]) <= 3 * r["sum_err"]
+
+
+def test_grouping_sets_refusals(spark, T):
+    with pytest.raises(ValueError, match="duplicate column"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM t "
+            "GROUP BY GROUPING SETS ((o_orderstatus, o_orderstatus))",
+            tables=T,
+        )
+    with pytest.raises(ValueError, match="names no columns"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_COUNT_DISTINCT(o_custkey) FROM t "
+            "GROUP BY GROUPING SETS (())",
+            tables=T,
+        )
+
+
 def test_exact_rollup_passes_through(spark, T):
     out = approx_sql(
         spark,
