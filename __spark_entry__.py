@@ -506,6 +506,63 @@ def q_b53_rollup_grouping_sets(spark, sf_dir):
     )
 
 
+def q_c44_embedding_spectrum(spark, sf_dir):
+    """Frequent Directions embedding-covariance sketch (Liberty KDD 2013 /
+    Ghashami et al. SICOMP 2016): one zero-shuffle build over the
+    embeddings table grouped by label gives, per group, a mergeable ℓ×d
+    matrix whose singular values bracket every Gram eigenvalue EXACTLY —
+    σ_i²(B) ≤ λ_i(AᵀA) ≤ σ_i²(B) + Δ with Δ = the accumulated shrink mass
+    (a computable certificate, not a probabilistic tail). The corpus-drift
+    / intrinsic-rank diagnostic a 100 TB embedding pipeline runs without a
+    second pass: states are KBs, merge like every other sketch, and
+    register/refresh through the same catalog DDL (fd(col, d=, ell=)).
+    The exact spectrum here is computed DISTRIBUTED: per-partition partial
+    d×d Gram matrices via mapInPandas, summed driver-side (d² floats per
+    partition — the same partials-then-KB-merge shape as the sketch
+    build). Emits per (label × component) bracket booleans."""
+    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+    from sketchlib.spark.query import spectrum_df
+
+    d, ell, r = 64, 16, 3
+    emb = _t(spark, sf_dir, "embeddings")
+    states = build_sketches(
+        emb, [SketchSpec("sp", "fd", "embedding", {"d": d, "ell": ell})],
+        group_by="label",
+    )
+    got = spectrum_df(spark, states, "sp", r).toPandas()
+
+    schema = StructType([
+        StructField("label", StringType()),
+        StructField("gram", ArrayType(DoubleType())),
+    ])
+
+    def partial_gram(pdf_iter):
+        for pdf in pdf_iter:
+            for lab, sub in pdf.groupby("label"):
+                M = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {"label": [str(lab)], "gram": [(M.T @ M).ravel().tolist()]}
+                )
+
+    partials = emb.select("label", "embedding").mapInPandas(partial_gram, schema)
+    grams: dict[str, np.ndarray] = {}
+    for row in partials.collect():  # ≤ partitions × groups rows of d² floats
+        g = grams.setdefault(row["label"], np.zeros(d * d))
+        g += np.asarray(row["gram"])
+    out = []
+    for _, rr in got.iterrows():
+        lam = np.linalg.eigvalsh(grams[rr["group"]].reshape(d, d))[::-1]
+        truth = float(lam[int(rr["component"])])
+        sq, delta = float(rr["sq_singular_value"]), float(rr["cov_err_bound"])
+        tol = 1e-9 * abs(truth) + 1e-9
+        ok = sq <= truth + tol and truth <= sq + delta + tol
+        out.append((rr["group"], int(rr["component"]), bool(ok)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["label", "component", "within_bracket"])
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4058,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c41_centroid_similarity": _dist_wrapped(q_c41_centroid_similarity),
         "c42_pmi_collocations": _dist_wrapped(q_c42_pmi_collocations),
         "c43_histogram": _dist_wrapped(q_c43_histogram),
+        "c44_embedding_spectrum": _dist_wrapped(q_c44_embedding_spectrum),
     }
 
 
@@ -4511,6 +4569,12 @@ def oracle_sql() -> dict[str, str]:
         # mirrors histogram_df: GLOBAL min/max edges, identical closed-form
         # f64 bin assignment (bins match exactly -> counts exact), zero-fill
         # shell, rounded edge-reporting columns only
+        "c44_embedding_spectrum": """
+            SELECT CAST(label AS VARCHAR) AS label, c.component,
+                   TRUE AS within_bracket
+            FROM (SELECT DISTINCT label FROM embeddings),
+                 (SELECT unnest([0, 1, 2]) AS component) c
+        """,
         "c43_histogram": """
             WITH mm AS (
               SELECT CAST(min(n_chars) AS DOUBLE) AS lo,

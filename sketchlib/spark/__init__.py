@@ -21,6 +21,7 @@ from sketchlib.spark.query import (  # noqa: F401
     intersection_estimate,
     load_states,
     quantiles_df,
+    spectrum_df,
     topk_df,
     union_estimate,
 )

@@ -47,6 +47,7 @@ from sketchlib.sketches import (
     Bloom,
     CountMin,
     DDSketch,
+    FrequentDirections,
     MinHash,
     TDigest,
     deserialize,
@@ -61,6 +62,7 @@ _KINDS = {
     "bloom": Bloom,
     "minhash": MinHash,
     "kmv": KMV,
+    "fd": FrequentDirections,
 }
 
 _BUILTIN_KINDS = frozenset(_KINDS)
@@ -290,7 +292,7 @@ class SketchSpec:
         value (quantile sketches and 'values'-style plugins)."""
         if _PLUGIN_STYLE.get(self.kind) == "values":
             return "full"
-        return "full" if self.kind in ("kll", "tdigest", "dd") else "uniq"
+        return "full" if self.kind in ("kll", "tdigest", "dd", "fd") else "uniq"
 
 
 def _column_values(batch: pa.RecordBatch, name: str):

@@ -213,6 +213,32 @@ def rel_quantiles_df(
     )
 
 
+def spectrum_df(
+    spark: SparkSession, states: DataFrame, sketch: str, r: int,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """(group, component, sq_singular_value, cov_err_bound) — the top-r Gram
+    spectrum per group from FrequentDirections states.
+
+    Each row brackets one Gram/covariance eigenvalue EXACTLY:
+    λ_i(AᵀA) ∈ [sq_singular_value, sq_singular_value + cov_err_bound] —
+    the bound is Δ = ‖A‖_F² − ‖B‖_F², a computable certificate, not a
+    probabilistic tail (Liberty KDD 2013 / Ghashami et al. 2016). Same
+    driver/distributed routing as the other answerers.
+    """
+    r = int(r)
+
+    def rows(g, sk):
+        sq, delta = sk.spectrum(r)
+        return [(g, int(i), float(v), float(delta)) for i, v in enumerate(sq)]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, component int, sq_singular_value double, cov_err_bound double",
+        ["group", "component", "sq_singular_value", "cov_err_bound"],
+    )
+
+
 def membership_df(
     spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
 ) -> DataFrame:

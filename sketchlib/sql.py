@@ -774,6 +774,7 @@ _SKETCH_DDL_DEFAULTS = {
     "dd": {"alpha": 0.01},
     "bloom": {"m_bits": 1 << 20, "h": 7},
     "kmv": {"k": 1024},
+    "fd": {"ell": 128},  # d (the vector dimension) is REQUIRED — no default
 }
 _SHOW_SAMPLES = re.compile(r"^\s*SHOW\s+SAMPLES\s*;?\s*$", re.IGNORECASE)
 _DROP_SAMPLE = re.compile(r"^\s*DROP\s+SAMPLE\s+(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
@@ -1038,6 +1039,13 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                         f"sketch parameter {k.strip()}={v.strip()!r} must be numeric"
                     ) from None
                 params[k.strip().lower()] = int(fv) if fv.is_integer() else fv
+            if kind == "fd" and "d" not in params:
+                raise ValueError(
+                    "fd(col, d=<dim>[, ell=]) requires d — the fixed "
+                    "embedding dimension the sketch reshapes the vector "
+                    "stream by (no default could be safe: a wrong d "
+                    "silently sketches misaligned rows)"
+                )
             spec_name = f"{kind}_{col}" if weight is None else f"cm_{col}_w_{weight}"
             specs.append(SketchSpec(spec_name, kind, col, params, weight=weight))
         catalog.create(
@@ -1087,7 +1095,7 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
         "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
         "[, cm(col[, weight=w]), kll(col), tdigest(col), dd(col[, alpha=0.01]), "
-        "bloom(col), kmv(col)] "
+        "bloom(col), kmv(col), fd(col, d=<dim>[, ell=128])] "
         "[GROUP BY col]; "
         "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "
         "[BITS n] [LISTS n] [SEED n]; "
