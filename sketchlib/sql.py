@@ -180,6 +180,58 @@ _WITHIN_SUBSAMPLE_MSG = (
 _RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
 _REL_ERR_ARG = re.compile(r"^rel_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
 
+# named arguments of APPROX_SPECTRUM(col, r [, d=<dim>, ell=<rows>])
+_FD_ARG = re.compile(r"^(d|ell)\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
+
+
+def _spectrum_args(args: list) -> tuple[int, int | None, int]:
+    """(r, d or None, ell) from APPROX_SPECTRUM's argument list. ``d`` is
+    the embedding dimension (inferred from the data when omitted on the
+    on-the-fly route; must match the registered sketch on the states
+    route); ``ell`` the sketch rows (accuracy knob, Δ ≤ ‖A−A_k‖F²/(ℓ−k))."""
+    if len(args) < 2:
+        raise ValueError(
+            "APPROX_SPECTRUM takes (col, r [, d=<dim>, ell=<rows>]) — r is "
+            "the number of top Gram eigenvalues to bracket"
+        )
+    rv = _num(args[1])
+    if rv is None or int(rv) != rv or rv < 1:
+        raise ValueError(
+            f"APPROX_SPECTRUM r argument {args[1]!r} must be a positive integer"
+        )
+    d, ell = None, 128
+    for a in args[2:]:
+        mm = _FD_ARG.match(a.strip())
+        if not mm:
+            raise ValueError(
+                f"APPROX_SPECTRUM argument {a!r} — expected d=<dim> or ell=<rows>"
+            )
+        v = int(float(mm.group(2)))
+        if mm.group(1).lower() == "d":
+            d = v
+        else:
+            ell = v
+    return int(rv), d, ell
+
+
+def _fd_spec_serves(fn, args, s: dict) -> bool:
+    """Whether a registered fd spec serves this APPROX_SPECTRUM statement:
+    an explicit d= must EQUAL the sketch's dimension (different d = a
+    different matrix entirely), and an explicit ell= is an accuracy floor
+    only states at least that large achieve (bigger ℓ = smaller Δ)."""
+    if fn != "APPROX_SPECTRUM":
+        return True
+    if s["kind"] != "fd":
+        return False
+    _, d, ell = _spectrum_args(args)
+    p = s.get("params", {})
+    if d is not None and int(p.get("d", -1)) != d:
+        return False
+    if any(_FD_ARG.match(a.strip()) and a.strip().lower().startswith("ell")
+           for a in args[2:]):
+        return int(p.get("ell", 0)) >= ell
+    return True
+
 
 def _percentile_args(args: list) -> tuple[list[float], float | None, float | None]:
     """(quantiles, requested rank error, requested relative value error)
@@ -1237,6 +1289,7 @@ _CATALOG_KINDS = {
     "APPROX_TOPK": ("cm",),
     "APPROX_TOP_SUM": ("cm",),
     "APPROX_PERCENTILE": ("kll", "tdigest", "dd"),
+    "APPROX_SPECTRUM": ("fd",),
 }
 
 
@@ -1410,7 +1463,7 @@ def _resolve_key(
             specs = json.loads(reg["specs_json"])
             if any(
                 s["kind"] in kinds and s["column"] == col and _achieves_rse(s)
-                and _cm_spec_serves(fn, args, s)
+                and _cm_spec_serves(fn, args, s) and _fd_spec_serves(fn, args, s)
                 for s in specs
             ):
                 return reg["name"]
@@ -3642,6 +3695,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             "APPROX_TOPK": ("est_count", "err_bound"),
             "APPROX_TOP_SUM": ("est_sum", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
+            "APPROX_SPECTRUM": ("sq_singular_value", "cov_err_bound"),
         }.get(fn)
         if fn == "APPROX_PERCENTILE" and estimator == "subsample":
             # the subsample percentile's bound is in VALUE units, not rank
@@ -3984,7 +4038,8 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SKETCH_ROLLUP_FNS = frozenset(
-    ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK", "APPROX_TOP_SUM")
+    ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK",
+     "APPROX_TOP_SUM", "APPROX_SPECTRUM")
 )
 
 
@@ -4060,7 +4115,8 @@ def _rollup_states_from_catalog(catalog, catalog_key: str, fn: str, args,
     spec = next(
         (s for s in json.loads(reg["specs_json"])
          if s["kind"] in kinds and s["column"] == col
-         and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)),
+         and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+         and _fd_spec_serves(fn, args, s)),
         None,
     )
     if spec is None:
@@ -4233,6 +4289,18 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 sp = SketchSpec(
                     "_q", "cm", col, {"eps": eps, "delta": 0.01}, weight=wcol
                 )
+            elif fn == "APPROX_SPECTRUM":
+                _, fd_d, fd_ell = _spectrum_args(args)
+                df, col = _materialize_expr(df, args[0])
+                if fd_d is None:
+                    probe = df.select(F.size(F.col(col)).alias("_d")).first()
+                    if probe is None or probe["_d"] is None or probe["_d"] < 1:
+                        raise ValueError(
+                            f"APPROX_SPECTRUM could not infer the vector "
+                            f"dimension from {col!r} — pass d=<dim> explicitly"
+                        )
+                    fd_d = int(probe["_d"])
+                sp = SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
                 if req_rel is not None:
@@ -4263,6 +4331,10 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 out = topk_df(spark, st, spec_name, _top_sum_k(args)).withColumnRenamed(
                     "est_count", "est_sum"
                 )
+            elif fn == "APPROX_SPECTRUM":
+                from sketchlib.spark.query import spectrum_df
+
+                out = spectrum_df(spark, st, spec_name, _spectrum_args(args)[0])
             elif req_rel is not None:
                 out = rel_quantiles_df(spark, st, spec_name, qs)
             else:
@@ -4986,7 +5058,8 @@ def approx_sql(
         spec = next(
             (s for s in json.loads(reg["specs_json"])
              if s["kind"] in kinds and s["column"] == col
-             and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)),
+             and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+             and _fd_spec_serves(fn, args, s)),
             None,
         )
         if spec is None:
@@ -5001,6 +5074,10 @@ def approx_sql(
         states = catalog.states(catalog_key)
         if fn == "APPROX_COUNT_DISTINCT":
             out = estimates_df(spark, states, spec["name"])
+        elif fn == "APPROX_SPECTRUM":
+            from sketchlib.spark.query import spectrum_df
+
+            out = spectrum_df(spark, states, spec["name"], _spectrum_args(args)[0])
         elif fn == "APPROX_TOPK":
             out = topk_df(spark, states, spec["name"], int(args[1]))
         elif fn == "APPROX_TOP_SUM":
@@ -5052,6 +5129,31 @@ def approx_sql(
         p = hll_params(rse)["p"]
         states = build_sketches(df, [SketchSpec("_q", "hll", col, {"p": p})], group_by=group)
         out = estimates_df(spark, states, "_q")
+        return _finish_grouped(out, df, group)
+
+    if fn == "APPROX_SPECTRUM":
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.query import spectrum_df
+
+        r, fd_d, fd_ell = _spectrum_args(args)
+        df, col = _materialize_expr(df, args[0])
+        if fd_d is None:
+            # infer the dimension from the data (one-row probe); an
+            # explicitly-given d is trusted — the sketch's whole-rows guard
+            # catches a ragged column either way
+            probe = df.select(F.size(F.col(col)).alias("_d")).first()
+            if probe is None or probe["_d"] is None or probe["_d"] < 1:
+                raise ValueError(
+                    f"APPROX_SPECTRUM could not infer the vector dimension "
+                    f"from {col!r} — pass d=<dim> explicitly"
+                )
+            fd_d = int(probe["_d"])
+        states = build_sketches(
+            df, [SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})],
+            group_by=group,
+        )
+        out = spectrum_df(spark, states, "_q", r)
         return _finish_grouped(out, df, group)
 
     if fn == "APPROX_TOPK":

@@ -132,6 +132,79 @@ def test_spark_build_and_spectrum_df(spark):
             assert (sq <= lam + tol).all() and (lam <= sq + delta + tol).all()
 
 
+def test_approx_spectrum_sql_routes(spark, tmp_path):
+    import pandas as pd
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    d = 16
+    M = _data(n=600, d=d, seed=9)
+    pdf = pd.DataFrame(
+        {"g": ["x"] * 300 + ["y"] * 300, "emb": [r.astype(np.float32) for r in M]}
+    )
+    base = str(tmp_path / "t")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(base)
+    T = {"t": base}
+
+    def _truth(g):
+        rows = np.stack(pdf.loc[pdf["g"] == g, "emb"].to_numpy())
+        rows = rows.astype(np.float64)
+        return np.linalg.eigvalsh(rows.T @ rows)[::-1]
+
+    # on-the-fly, d inferred from the data
+    out = approx_sql(
+        spark, "SELECT APPROX_SPECTRUM(emb, 3, ell=8) FROM t GROUP BY g", tables=T
+    ).toPandas()
+    assert len(out) == 6
+    for g in ("x", "y"):
+        lam = _truth(g)[:3]
+        sub = out[out["group"] == g].sort_values("component")
+        sq = sub["sq_singular_value"].to_numpy()
+        delta = sub["cov_err_bound"].to_numpy()
+        tol = 1e-9 * np.abs(lam) + 1e-9
+        assert (sq <= lam + tol).all() and (lam <= sq + delta + tol).all()
+
+    # states route (base-free) + auto-selection + ell accuracy floor
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        f"CREATE SKETCHES fs FROM {base} KINDS fd(emb, d={d}, ell=8) GROUP BY g",
+        catalog=cat,
+    )
+    got = approx_sql(
+        spark, "SELECT APPROX_SPECTRUM(emb, 2) FROM t GROUP BY g",
+        tables={"t": "/nonexistent"}, catalog=cat, catalog_key="fs",
+    ).toPandas()
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="no fd sketch"):
+        # ell=64 demands tighter Δ than the registered ell=8 achieves
+        approx_sql(
+            spark, "SELECT APPROX_SPECTRUM(emb, 2, ell=64) FROM t GROUP BY g",
+            tables=T, catalog=cat, catalog_key="fs",
+        )
+    with pytest.raises(ValueError, match="no fd sketch"):
+        approx_sql(
+            spark, "SELECT APPROX_SPECTRUM(emb, 2, d=32) FROM t GROUP BY g",
+            tables=T, catalog=cat, catalog_key="fs",
+        )
+    # alias renames both the estimate and the bound
+    al = approx_sql(
+        spark, "SELECT APPROX_SPECTRUM(emb, 2, ell=8) AS lam FROM t GROUP BY g",
+        tables=T,
+    ).toPandas()
+    assert {"lam", "lam_err"} <= set(al.columns)
+    # multi-agg refusal (multi-row shape)
+    with pytest.raises(ValueError, match="multiple rows per group"):
+        approx_sql(
+            spark,
+            "SELECT APPROX_SPECTRUM(emb, 2, ell=8), APPROX_COUNT(0.5) FROM t",
+            tables=T,
+        )
+    with pytest.raises(ValueError, match="positive integer"):
+        approx_sql(spark, "SELECT APPROX_SPECTRUM(emb, 0.5) FROM t", tables=T)
+
+
 def test_fd_ddl_lifecycle(spark, tmp_path):
     import pandas as pd
 
