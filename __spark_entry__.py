@@ -563,6 +563,69 @@ def q_c44_embedding_spectrum(spark, sf_dir):
     )
 
 
+def q_c45_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift from KB states (spectrum_drift_df):
+    two fd registrations answer "has the corpus moved since the last
+    drop" with zero corpus scans — per-group covariance eigenvalues
+    (Gram/n) with their Δ/n certificates plus the top-r principal
+    SUBSPACE AFFINITY ‖V_aᵀV_b‖_F²/r. Checked against three
+    deterministic transforms with GUARANTEED outcomes: an identical
+    rebuild (affinity 1, zero eigen change), a ×2 scaling (affinity 1,
+    eigenvalues ×4 — certificate-interval overlap asserted), and a
+    coordinate reversal (an orthogonal permutation: eigenvalues
+    invariant within certificates while directions move). Eigenvalues
+    catch variance drift; affinity catches rotation drift variances
+    miss."""
+    from sketchlib.spark.query import spectrum_drift_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    spec = lambda: [SketchSpec("sp", "fd", "embedding", {"d": 64, "ell": 16})]
+    sa = build_sketches(emb, spec(), group_by="label")
+    sb = build_sketches(emb, spec(), group_by="label")
+    sc = build_sketches(
+        emb.withColumn("embedding", F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")),
+        spec(), group_by="label",
+    )
+    sd = build_sketches(
+        emb.withColumn("embedding", F.expr("reverse(embedding)")),
+        spec(), group_by="label",
+    )
+    idn = spectrum_drift_df(spark, sa, sb, "sp", "sp", r=3).toPandas()
+    sca = spectrum_drift_df(spark, sa, sc, "sp", "sp", r=3).toPandas()
+    rev = spectrum_drift_df(spark, sa, sd, "sp", "sp", r=3).toPandas()
+
+    def _overlap(ea, erra, eb, errb, scale):
+        # certificate intervals [s·ea, s·(ea+erra)] and [eb, eb+errb]
+        lo_a, hi_a = scale * ea, scale * (ea + erra)
+        tol = 1e-9 * max(hi_a, eb + errb) + 1e-12
+        return bool(lo_a <= eb + errb + tol and eb <= hi_a + tol)
+
+    out = []
+    for g in sorted(idn["group"].unique()):
+        gi = idn[idn["group"] == g]
+        gs = sca[sca["group"] == g]
+        gr = rev[rev["group"] == g]
+        ok_id = bool(
+            np.allclose(gi["subspace_affinity"], 1.0)
+            and np.allclose(gi["eig_rel_change"], 0.0)
+        )
+        ok_sc = bool(all(
+            _overlap(r["cov_eig_a"], r["err_a"], r["cov_eig_b"], r["err_b"], 4.0)
+            for _, r in gs.iterrows()
+        ))
+        ok_rev = bool(all(
+            _overlap(r["cov_eig_a"], r["err_a"], r["cov_eig_b"], r["err_b"], 1.0)
+            for _, r in gr.iterrows()
+        ))
+        out.append((g, ok_id, ok_sc, ok_rev))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            out,
+            columns=["label", "identity_no_drift", "scaled_eig_x4", "rotation_eig_invariant"],
+        )
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4116,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c42_pmi_collocations": _dist_wrapped(q_c42_pmi_collocations),
         "c43_histogram": _dist_wrapped(q_c43_histogram),
         "c44_embedding_spectrum": _dist_wrapped(q_c44_embedding_spectrum),
+        "c45_embedding_drift": _dist_wrapped(q_c45_embedding_drift),
     }
 
 
@@ -4574,6 +4638,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c45_embedding_drift": """
+            SELECT CAST(label AS VARCHAR) AS label,
+                   TRUE AS identity_no_drift,
+                   TRUE AS scaled_eig_x4,
+                   TRUE AS rotation_eig_invariant
+            FROM (SELECT DISTINCT label FROM embeddings)
         """,
         "c43_histogram": """
             WITH mm AS (

@@ -239,6 +239,67 @@ def spectrum_df(
     )
 
 
+def spectrum_drift_df(
+    spark: SparkSession, states_a: DataFrame, states_b: DataFrame,
+    sketch_a: str, sketch_b: str, r: int = 8,
+) -> DataFrame:
+    """Per-group embedding-distribution drift between two FrequentDirections
+    registrations — the "has the corpus moved since the last drop" question
+    answered from two KB state frames, zero corpus scans.
+
+    Per common group: the top-r COVARIANCE eigenvalues of each side
+    (Gram/n, so sides of different sizes compare), their relative change,
+    each side's certificate Δ/n in the same units, and the top-r principal
+    SUBSPACE AFFINITY ‖V_aᵀV_b‖_F²/r ∈ [0, 1] (1 = identical subspaces;
+    ~r/d for unrelated ones) — eigenvalues catch variance drift, affinity
+    catches rotation drift that leaves variances unchanged. Groups present
+    on one side only are emitted with NULL metrics (the operational signal
+    that a source appeared or vanished). Driver-side math over ≤
+    groups × 2 states; each group costs two ℓ×d SVDs.
+    """
+    import pandas as pd
+
+    A = {g: sk for (g, s), sk in load_states(states_a).items() if s == sketch_a}
+    B = {g: sk for (g, s), sk in load_states(states_b).items() if s == sketch_b}
+    if not A or not B:
+        raise ValueError(
+            f"no fd states named {sketch_a!r}/{sketch_b!r} in the inputs"
+        )
+    rows = []
+    for g in sorted(set(A) | set(B)):
+        sa, sb = A.get(g), B.get(g)
+        if sa is None or sb is None:
+            rows.append((g, None, np.nan, np.nan, np.nan, np.nan, np.nan, np.nan))
+            continue
+        if sa.d != sb.d:
+            raise ValueError(
+                f"group {g!r}: fd dimensions differ (d={sa.d} vs {sb.d}) — "
+                "the registrations sketch different embedding spaces"
+            )
+        la, da = sa.spectrum(r)
+        lb, db = sb.spectrum(r)
+        na, nb = max(sa.n_items, 1), max(sb.n_items, 1)
+        va, vb = sa.directions(r), sb.directions(r)
+        m = min(len(va), len(vb))
+        aff = (
+            float(np.linalg.norm(va[:m] @ vb[:m].T, "fro") ** 2 / m)
+            if m else np.nan
+        )
+        for i in range(min(int(r), len(la), len(lb))):
+            ea, eb = float(la[i]) / na, float(lb[i]) / nb
+            rel = (eb - ea) / ea if ea > 0 else np.nan
+            rows.append((g, i, ea, eb, rel, aff, da / na, db / nb))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "group", "component", "cov_eig_a", "cov_eig_b",
+                "eig_rel_change", "subspace_affinity", "err_a", "err_b",
+            ],
+        ).astype({"component": "Int64"})
+    )
+
+
 def membership_df(
     spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
 ) -> DataFrame:
