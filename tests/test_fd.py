@@ -205,6 +205,76 @@ def test_approx_spectrum_sql_routes(spark, tmp_path):
         approx_sql(spark, "SELECT APPROX_SPECTRUM(emb, 0.5) FROM t", tables=T)
 
 
+def test_fd_streaming_and_checkpoint_resume(spark, tmp_path):
+    """fd rides the generic spec machinery: a streamed build's states hold
+    the same exact bracket as a batch build (bytes may differ — fd merges
+    are order-sensitive like KLL/t-digest — but the certificate always
+    holds), and a checkpointed build resumed after an injected failure is
+    BYTE-identical to a clean run (canonical merge order)."""
+    import os
+
+    import pandas as pd
+
+    from sketchlib.sketches.base import deserialize as de
+    from sketchlib.spark import SketchSpec
+    from sketchlib.spark.checkpoint import build_with_checkpoint
+    from sketchlib.spark.streaming import stream_build
+
+    d = 12
+    M = _data(n=600, d=d, seed=21)
+    pdf = pd.DataFrame(
+        {"g": ["x"] * 300 + ["y"] * 300, "emb": [r.astype(np.float32) for r in M]}
+    )
+    base = str(tmp_path / "t")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(base)
+    specs = [SketchSpec("sp", "fd", "emb", {"d": d, "ell": 8})]
+
+    # streaming sink == same bracket as batch
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(base)
+    )
+    query, sink = stream_build(
+        stream, specs, str(tmp_path / "ss"), group_by="g",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    query.awaitTermination(120)
+    got = {r["group"]: de(bytes(r["state"])) for r in sink.states(spark).collect()}
+    for g in ("x", "y"):
+        rows = np.stack(pdf.loc[pdf["g"] == g, "emb"].to_numpy()).astype(np.float64)
+        lam = np.linalg.eigvalsh(rows.T @ rows)[::-1][:3]
+        sq, delta = got[g].spectrum(3)
+        tol = 1e-9 * np.abs(lam) + 1e-9
+        assert (sq <= lam + tol).all() and (lam <= sq + delta + tol).all()
+        assert got[g].n_items == 300
+
+    # checkpoint resume byte-identity
+    def _smap(df):
+        return {(r["group"], r["sketch"]): bytes(r["state"]) for r in df.collect()}
+
+    clean = _smap(
+        build_with_checkpoint(
+            spark, base, specs, str(tmp_path / "c0"), group_by="g",
+            target_bytes=1 << 14,
+        )
+    )
+    ck = str(tmp_path / "c1")
+    os.environ["SKETCHLIB_FAIL_PARTS"] = "1"
+    try:
+        with pytest.raises(Exception, match="injected failure"):
+            build_with_checkpoint(
+                spark, base, specs, ck, group_by="g", target_bytes=1 << 14
+            ).collect()
+    finally:
+        del os.environ["SKETCHLIB_FAIL_PARTS"]
+    resumed = _smap(
+        build_with_checkpoint(
+            spark, base, specs, ck, group_by="g", target_bytes=1 << 14
+        )
+    )
+    assert resumed == clean
+
+
 def test_fd_ddl_lifecycle(spark, tmp_path):
     import pandas as pd
 
