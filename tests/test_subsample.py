@@ -25,7 +25,12 @@ Z_TEST = 3.29  # 99.9% two-sided — keeps seeded-sample tests deterministic-rob
 
 @pytest.fixture(scope="module")
 def li(spark):
-    return spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
+    # unpersist on teardown: a cached FULL-schema lineitem scan would
+    # substitute (cache-manager subtree match) into OTHER modules' plans
+    # against the same path, defeating their pruning plan-locks
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -151,6 +151,9 @@ def test_weight_column_pruned_into_scan(spark, li):
     # assert only the two referenced columns are read
     from sketchlib.spark.build import partial_states
 
+    # plan-text assertion: a cached full-schema scan of the same path from
+    # another module would substitute into this plan and mask the pruning
+    spark.catalog.clearCache()
     spec = SketchSpec("cm_w", "cm", "l_orderkey", {"eps": 1e-3, "delta": 0.05},
                       weight="l_quantity")
     plan = partial_states(li, [spec], group_by=None)._jdf.queryExecution().toString()
