@@ -626,6 +626,63 @@ def q_c45_embedding_drift(spark, sf_dir):
     )
 
 
+def q_c46_freq_drift(spark, sf_dir):
+    """Token-frequency DRIFT between two corpus snapshots from CM states
+    alone (freq_delta_topk_df): Count-Min is linear, so two same-geometry
+    registrations subtract — "which tokens' counts moved most since the
+    last drop" with zero corpus scans (the vocabulary companion to c45's
+    embedding drift; absolute-change deltoids per Cormode & Muthukrishnan
+    ToN 2005, served from the candidate heaps the states already carry).
+    Snapshot b drops every third document, so every source genuinely
+    drifts. Checks per source: (1) every reported change estimate
+    brackets the EXACT per-token change within the published asymmetric
+    interval d̂−d ∈ [−ε·Nₐ, +ε·N_b] and the reported symmetric bound;
+    (2) a true maximal-|change| token appears in the reported top-k
+    (complete here: the per-source vocab is far below cand_cap, so the
+    candidate union covers every token)."""
+    from sketchlib.spark.query import freq_delta_topk_df
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "tokens"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 3 != 0)
+    sa = build_sketches(docs, _CM_TOK, group_by="source")
+    sb = build_sketches(snap_b, _CM_TOK, group_by="source")
+    fd = freq_delta_topk_df(spark, sa, sb, "cm_tok", "cm_tok", k=5).toPandas()
+
+    tok = lambda d: d.select("source", F.explode("tokens").alias("token"))
+    exact = (
+        tok(docs).groupBy("source", "token").agg(F.count("*").alias("ca"))
+        .join(
+            tok(snap_b).groupBy("source", "token").agg(F.count("*").alias("cb")),
+            ["source", "token"], "full_outer",
+        )
+        .fillna(0, subset=["ca", "cb"])
+        .toPandas()
+    )
+    exact["d"] = exact["cb"] - exact["ca"]
+    na = exact.groupby("source")["ca"].sum()
+    nb = exact.groupby("source")["cb"].sum()
+    lookup = exact.set_index(["source", "token"])["d"]
+    eps = _CM_TOK[0].params["eps"]
+
+    out = []
+    for g, sub in fd.groupby("group"):
+        ok = True
+        for _, r in sub.iterrows():
+            d_true = int(lookup.get((g, int(r["token"])), 0))
+            diff = int(r["delta_est"]) - d_true
+            ok &= -eps * na[g] <= diff <= eps * nb[g]
+            ok &= abs(diff) <= r["err_bound"]
+        ge = exact[exact["source"] == g]
+        top_true = set(ge.loc[ge["d"].abs() == ge["d"].abs().max(), "token"])
+        recovered = bool(top_true & set(sub["token"].astype(int)))
+        out.append((g, bool(ok), recovered))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["source", "within_bound", "top_change_recovered"])
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4180,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c43_histogram": _dist_wrapped(q_c43_histogram),
         "c44_embedding_spectrum": _dist_wrapped(q_c44_embedding_spectrum),
         "c45_embedding_drift": _dist_wrapped(q_c45_embedding_drift),
+        "c46_freq_drift": _dist_wrapped(q_c46_freq_drift),
     }
 
 
@@ -4638,6 +4696,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c46_freq_drift": """
+            SELECT CAST(source AS VARCHAR) AS source,
+                   TRUE AS within_bound,
+                   TRUE AS top_change_recovered
+            FROM (SELECT DISTINCT source FROM documents)
         """,
         "c45_embedding_drift": """
             SELECT CAST(label AS VARCHAR) AS label,

@@ -300,6 +300,69 @@ def spectrum_drift_df(
     )
 
 
+def freq_delta_topk_df(
+    spark: SparkSession, states_a: DataFrame, states_b: DataFrame,
+    sketch_a: str, sketch_b: str, k: int = 10,
+) -> DataFrame:
+    """Per-group heaviest token-FREQUENCY CHANGES between two Count-Min
+    registrations — "which tokens' counts moved most between corpus
+    snapshots" answered from two KB state frames, zero corpus scans (the
+    vocabulary-drift companion to ``spectrum_drift_df``'s embedding drift).
+
+    Count-Min is a LINEAR sketch (Cormode & Muthukrishnan 2005 §4): for
+    same-geometry sketches over count vectors a and b, every point query
+    satisfies x ≤ x̂ ≤ x + ε·‖x‖₁, so the signed change d = b − a is
+    estimated by d̂ = b̂ − â with d̂ − d ∈ [−ε·‖a‖₁, +ε·‖b‖₁], i.e.
+    |d̂ − d| ≤ max(ε·Nₐ, ε·N_b) with probability ≥ 1 − 2δ (union bound
+    over the two sketches). Candidates are the UNION of both sides'
+    heavy-hitter candidate sets, so a token that vanished (heavy in a,
+    absent in b) is still ranked — each side's survivors cover its own
+    heavy keys, and a large |change| needs the token heavy on at least
+    one side (the absolute-change deltoids of Cormode & Muthukrishnan,
+    "What's New: Finding Significant Differences in Network Data
+    Streams", ToN 2005, solved here from the candidate heaps the repo's
+    CM states already carry). Groups present on one side only are
+    emitted with NULL metrics — the signal that a source appeared or
+    vanished. Driver-side math over ≤ groups × 2 states.
+
+    Returns (group, token, est_a, est_b, delta_est, err_bound) — the k
+    largest |delta_est| per group, ties broken by token id (stable).
+    """
+    A = {g: sk for (g, s), sk in load_states(states_a).items() if s == sketch_a}
+    B = {g: sk for (g, s), sk in load_states(states_b).items() if s == sketch_b}
+    if not A or not B:
+        raise ValueError(f"no cm states named {sketch_a!r}/{sketch_b!r} in the inputs")
+    rows = []
+    for g in sorted(set(A) | set(B)):
+        sa, sb = A.get(g), B.get(g)
+        if sa is None or sb is None:
+            rows.append((g, None, None, None, None, np.nan))
+            continue
+        if (sa.w, sa.d, sa.seed) != (sb.w, sb.d, sb.seed):
+            raise ValueError(
+                f"group {g!r}: CountMin geometry/seed mismatch "
+                f"((w,d,seed)=({sa.w},{sa.d},{sa.seed}) vs ({sb.w},{sb.d},{sb.seed})) — "
+                "point queries of different hash families do not subtract"
+            )
+        cands = np.union1d(sa.cands, sb.cands)
+        if cands.size == 0:
+            continue
+        ea, eb = sa.query(cands), sb.query(cands)
+        delta = eb - ea
+        bound = float(max(sa.error_bound(), sb.error_bound()))
+        order = np.lexsort((cands, -np.abs(delta)))[: int(k)]
+        rows.extend(
+            (g, int(cands[i]), int(ea[i]), int(eb[i]), int(delta[i]), bound)
+            for i in order
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["group", "token", "est_a", "est_b", "delta_est", "err_bound"],
+        ).astype({"token": "Int64", "est_a": "Int64", "est_b": "Int64", "delta_est": "Int64"})
+    )
+
+
 def membership_df(
     spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
 ) -> DataFrame:
