@@ -683,6 +683,35 @@ def q_c46_freq_drift(spark, sf_dir):
     )
 
 
+def q_c47_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights (temperature_weights): the
+    multilingual/domain re-balancing transform every pretraining mix
+    states on its data card (p_i ∝ n_i^T, Conneau & Lample 2019 §3.1;
+    XLM-R/mT5's sampling-temperature knob) — one exact per-source count
+    pass, closed-form weights, and the (target_tokens, epochs) plan a
+    2×-inventory budget implies (epochs > 1 ⇒ the source up-samples via
+    upsample_mixture's deterministic replication). VALUE-matched at 6 dp
+    vs DuckDB computing the identical expression shapes; both engines
+    use POWER/** from the same libm, and the 6-dp rounding absorbs
+    summation-order float noise in the normalizers (the c38–c43
+    convention)."""
+    from sketchlib.spark.sampling import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2 * docs.agg(F.sum("n_chars")).collect()[0][0]
+    rep = temperature_weights(
+        docs, 0.7, len_col="n_chars", source_col="source", token_budget=budget
+    )
+    return rep.select(
+        "source",
+        "available_tokens",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("target_tokens", 2).alias("target_tokens"),
+        F.round("epochs", 6).alias("epochs"),
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4238,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c44_embedding_spectrum": _dist_wrapped(q_c44_embedding_spectrum),
         "c45_embedding_drift": _dist_wrapped(q_c45_embedding_drift),
         "c46_freq_drift": _dist_wrapped(q_c46_freq_drift),
+        "c47_temperature_mixture": _dist_wrapped(q_c47_temperature_mixture),
     }
 
 
@@ -4696,6 +4726,28 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c47_temperature_mixture": """
+            WITH s AS (
+              SELECT CAST(source AS VARCHAR) AS source,
+                     CAST(SUM(n_chars) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ),
+            tot AS (
+              SELECT CAST(SUM(n) AS DOUBLE) AS grand,
+                     SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS psum,
+                     2 * SUM(n) AS budget
+              FROM s
+            )
+            SELECT source,
+                   n AS available_tokens,
+                   ROUND(CAST(n AS DOUBLE) / grand, 6) AS natural_share,
+                   ROUND(POWER(CAST(n AS DOUBLE), 0.7) / psum, 6) AS weight,
+                   ROUND(POWER(CAST(n AS DOUBLE), 0.7) / psum * budget, 2)
+                     AS target_tokens,
+                   ROUND(POWER(CAST(n AS DOUBLE), 0.7) / psum * budget
+                         / CAST(n AS DOUBLE), 6) AS epochs
+            FROM s, tot
         """,
         "c46_freq_drift": """
             SELECT CAST(source AS VARCHAR) AS source,

@@ -605,6 +605,64 @@ def mixture_sample(
     return df.sampleBy(source_col, fracs, seed), report
 
 
+def temperature_weights(
+    df: DataFrame,
+    temperature: float,
+    len_col: str = "n_tok",
+    source_col: str = "source",
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture WEIGHTS from source sizes — the standard
+    multilingual/domain re-balancing transform (Conneau & Lample 2019 §3.1;
+    XLM-R, mT5): p_i ∝ n_i^T for source token counts n_i. T = 1 keeps the
+    natural proportions, T → 0 approaches uniform, 0 < T < 1 up-weights
+    low-resource sources without letting head sources drown them — the
+    knob every pretraining mix states on its data card.
+
+    One exact per-source token-count pass (map-side combined groupBy over
+    G rows, same as ``mixture_sample``'s planning pass), then driver-side
+    closed-form math. Returns one row per source: (source,
+    available_tokens, natural_share, weight) plus, when ``token_budget``
+    is given, (target_tokens, epochs) — epochs = target/available is the
+    replication factor the weight implies; > 1 means the source must be
+    up-sampled, which is exactly what ``upsample_mixture(fractions=
+    {source: epochs})`` materializes and ``mixture_sample(weights=...)``
+    caps-and-flags. The three compose into the full pipeline: weights
+    here, Bernoulli down-sampling there, replication for the rest.
+
+    Sources with zero/NULL token mass get weight 0 (0^T = 0), not an
+    error — an empty source should vanish from the mix, loudly visible
+    in the report.
+    """
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if token_budget is not None and int(token_budget) <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    totals = sorted(
+        (r[source_col], int(r["tok"] or 0))
+        for r in df.groupBy(source_col).agg(F.sum(len_col).alias("tok")).collect()
+    )
+    grand = float(sum(n for _, n in totals))
+    powed = [(s, n, float(n) ** t) for s, n in totals]
+    psum = float(sum(p for _, _, p in powed))
+    rows = []
+    for s, n, p in powed:
+        share = n / grand if grand > 0 else 0.0
+        w = p / psum if psum > 0 else 0.0
+        if token_budget is None:
+            rows.append((s, n, share, w))
+        else:
+            target = w * int(token_budget)
+            rows.append((s, n, share, w, target, (target / n) if n > 0 else 0.0))
+    schema = (
+        f"{source_col} string, available_tokens long, natural_share double, weight double"
+    )
+    if token_budget is not None:
+        schema += ", target_tokens double, epochs double"
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
 def select_within_budget(
     df: DataFrame,
     budget: int | dict,

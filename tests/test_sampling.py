@@ -535,3 +535,74 @@ def test_cap_per_group_coin_path_deterministic(spark):
     # a different seed keeps a different set of the same size
     got3 = {r["doc_id"] for r in cap_per_group(df, 40, group_col="grp", seed=6).collect()}
     assert len(got3) == len(want) and got3 != want
+
+
+def test_temperature_weights_identity_and_flattening(spark, seq_tiny_dir):
+    """T=1 reproduces the natural proportions exactly; T<1 strictly
+    flattens them (head share shrinks, tail share grows — Conneau &
+    Lample 2019 §3.1); T→0 approaches uniform."""
+    from sketchlib.spark.sampling import temperature_weights
+
+    df = spark.read.parquet(seq_tiny_dir)
+    r1 = {r["source"]: r for r in temperature_weights(df, 1.0).collect()}
+    assert all(abs(r["weight"] - r["natural_share"]) < 1e-12 for r in r1.values())
+    assert abs(sum(r["weight"] for r in r1.values()) - 1.0) < 1e-12
+
+    shares = {s: r["natural_share"] for s, r in r1.items()}
+    head = max(shares, key=shares.get)
+    tail = min(shares, key=shares.get)
+    assert shares[head] > shares[tail]  # fixture has skewed sources
+    r07 = {r["source"]: r["weight"] for r in temperature_weights(df, 0.7).collect()}
+    assert r07[head] < shares[head] and r07[tail] > shares[tail]
+    # order is preserved under any positive temperature (x^T is monotone)
+    assert r07[head] > r07[tail]
+    r0 = {r["source"]: r["weight"] for r in temperature_weights(df, 0.01).collect()}
+    assert all(abs(w - 1.0 / len(r0)) < 0.02 for w in r0.values())
+
+
+def test_temperature_weights_budget_epochs_compose_with_upsample(spark, seq_tiny_dir):
+    """token_budget adds (target_tokens, epochs); targets sum to the budget;
+    feeding epochs into upsample_mixture lands each source within the
+    per-doc replication granularity of its target — the two operators
+    compose into the actual up-sampling pipeline."""
+    from sketchlib.spark.sampling import temperature_weights, upsample_mixture
+
+    df = spark.read.parquet(seq_tiny_dir)
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    budget = int(total * 1.5)
+    rep = {r["source"]: r for r in
+           temperature_weights(df, 0.5, token_budget=budget).collect()}
+    assert abs(sum(r["target_tokens"] for r in rep.values()) - budget) < 1e-6 * budget
+    for r in rep.values():
+        assert abs(r["epochs"] - r["target_tokens"] / r["available_tokens"]) < 1e-12
+
+    out = upsample_mixture(df, {s: r["epochs"] for s, r in rep.items()}, seed=3)
+    got = {r["source"]: r["tok"] for r in
+           out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()}
+    for s, r in rep.items():
+        # deterministic md5-coin replication: achieved mass tracks the target
+        # within a CLT-ish bound on the fractional-copy token sum
+        import math
+        frac = r["epochs"] - int(r["epochs"])
+        sumsq = df.filter(F.col("source") == s).agg(
+            F.sum(F.col("n_tok") ** 2)).collect()[0][0]
+        tol = 5.0 * math.sqrt(max(frac * (1 - frac), 0.0) * sumsq) + 1e-9
+        assert abs(got[s] - r["target_tokens"]) <= tol, (s, got[s], r)
+
+
+def test_temperature_weights_validation_and_zero_mass(spark):
+    from sketchlib.spark.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("b", 0), ("c", None)],
+        "source string, n_tok long",
+    )
+    with pytest.raises(ValueError, match="temperature must be positive"):
+        temperature_weights(df, 0.0)
+    with pytest.raises(ValueError, match="token_budget must be positive"):
+        temperature_weights(df, 0.5, token_budget=0)
+    rep = {r["source"]: r for r in
+           temperature_weights(df, 0.5, token_budget=100).collect()}
+    assert rep["b"]["weight"] == 0.0 and rep["b"]["epochs"] == 0.0
+    assert rep["c"]["weight"] == 0.0  # NULL mass → 0, present and visible
+    assert rep["a"]["weight"] == 1.0
