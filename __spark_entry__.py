@@ -712,6 +712,54 @@ def q_c47_temperature_mixture(spark, sf_dir):
     )
 
 
+def q_c48_percentile_normalize(spark, sf_dir):
+    """Per-source percentile normalization, EXACT mode (the step between
+    quality scoring and thresholding — raw scores are not comparable
+    across sources, gates are stated on the per-source CDF): CUME_DIST
+    semantics incl. tie sharing, VALUE-matched per document vs DuckDB
+    running the identical window."""
+    from sketchlib.spark.sampling import percentile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return percentile_normalize(
+        docs, "n_chars", group_col="source", round_to=6
+    ).select("doc_id", "source", "pct_rank")
+
+
+def q_c49_percentile_gate_kll(spark, sf_dir):
+    """Per-source percentile normalization, KLL-SERVED mode (the 100 TB /
+    delta path: KB states closure-broadcast, ONE mapInArrow scoring pass,
+    no shuffle, no per-group sort): every document's sketch-served
+    percentile lands within KLL's published normalized rank-error bound
+    of the exact per-source CUME_DIST, per source — and the scoring plan
+    is exchange-free (asserted in-query: a plan regression would flip
+    the boolean, not just slow down)."""
+    from sketchlib.spark.sampling import percentile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    k = 200
+    states = build_sketches(
+        docs, [SketchSpec("q", "kll", "n_chars", {"k": k})], group_by="source"
+    )
+    served = percentile_normalize(
+        docs, "n_chars", group_col="source", states=states, sketch="q", out="pct_kll"
+    )
+    no_exchange = "Exchange" not in served._jdf.queryExecution().executedPlan().toString()
+    exact = percentile_normalize(docs, "n_chars", group_col="source", out="pct_exact")
+    eps = 3.31 / k
+    agg = (
+        served.select("doc_id", "source", "pct_kll")
+        .join(exact.select("doc_id", "pct_exact"), "doc_id")
+        .groupBy("source")
+        .agg(
+            (F.max(F.abs(F.col("pct_kll") - F.col("pct_exact"))) <= eps).alias(
+                "within_bound"
+            )
+        )
+    )
+    return agg.withColumn("scoring_plan_shuffle_free", F.lit(bool(no_exchange)))
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4268,6 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c45_embedding_drift": _dist_wrapped(q_c45_embedding_drift),
         "c46_freq_drift": _dist_wrapped(q_c46_freq_drift),
         "c47_temperature_mixture": _dist_wrapped(q_c47_temperature_mixture),
+        "c48_percentile_normalize": _dist_wrapped(q_c48_percentile_normalize),
+        "c49_percentile_gate_kll": _dist_wrapped(q_c49_percentile_gate_kll),
     }
 
 
@@ -4726,6 +4776,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c48_percentile_normalize": """
+            SELECT doc_id,
+                   CAST(source AS VARCHAR) AS source,
+                   ROUND(CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars), 6)
+                     AS pct_rank
+            FROM documents
+        """,
+        "c49_percentile_gate_kll": """
+            SELECT CAST(source AS VARCHAR) AS source,
+                   TRUE AS within_bound,
+                   TRUE AS scoring_plan_shuffle_free
+            FROM (SELECT DISTINCT source FROM documents)
         """,
         "c47_temperature_mixture": """
             WITH s AS (

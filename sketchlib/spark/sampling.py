@@ -663,6 +663,147 @@ def temperature_weights(
     return df.sparkSession.createDataFrame(rows, schema)
 
 
+def percentile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    out: str = "pct_rank",
+    states: DataFrame | None = None,
+    sketch: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Normalize a quality score to its PER-GROUP percentile — the step
+    between quality scoring and thresholding: raw scores are not
+    comparable across sources (one domain's median is another's tail),
+    so gates are stated as "keep the top 30% of each source", i.e. on
+    the per-source CDF. Adds ``out`` = F_group(score) ∈ (0, 1], the
+    fraction of the group's rows with score ≤ this row's (CUME_DIST
+    semantics — ties share a value, matching every SQL engine).
+
+    Two modes, same convention as ``text.with_unigram_surprisal``:
+
+    - EXACT (default): per-group ``cume_dist`` window. Semantically the
+      oracle; each group sorts on one task, so it is the small-corpus /
+      verification path.
+    - KLL-SERVED (pass ``states`` + ``sketch``): percentiles come from
+      each group's quantile-sketch state (``build_sketches`` KLL /
+      t-digest / DDSketch — anything answering ``rank()``). KB states
+      are closure-broadcast and scoring is ONE mapInArrow pass — no
+      shuffle, no sort, corpus-size-independent: the 100 TB path, and
+      the DELTA path (score a fresh crawl against the persisted corpus
+      distribution without re-sorting the corpus). KLL guarantees
+      |rank̂(x) − rank(x)| ≤ error_bound() w.h.p. (Karnin et al. FOCS
+      2016), so a gate at the p-th percentile misclassifies only rows
+      within ε of the boundary.
+
+    NULL/NaN scores get NULL ``out`` and are excluded from the exact
+    distribution (a sketch never saw them either — build drops NULLs).
+    In grouped sketch mode, rows of a group with NO state get NULL
+    loudly (the missing-model signal, not a silent global fallback).
+    """
+    from pyspark.sql import Window
+
+    if (states is None) != (sketch is None):
+        raise ValueError("pass BOTH states and sketch for the sketch-served mode")
+
+    if states is None:
+        valid = F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col).cast("double"))
+        parts = [group_col] if group_col else []
+        w = Window.partitionBy(*parts).orderBy(F.col(score_col))
+        scored = df.filter(valid).withColumn(out, F.cume_dist().over(w))
+        if round_to is not None:
+            scored = scored.withColumn(out, F.round(F.col(out), round_to))
+        missing = df.filter(~valid).withColumn(out, F.lit(None).cast("double"))
+        return scored.unionByName(missing)
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sketchlib.spark.query import load_states
+
+    picked = sorted(
+        (g, sk) for (g, name), sk in load_states(states).items() if name == sketch
+    )
+    if not picked:
+        raise ValueError(f"no states for sketch {sketch!r}")
+    for _, sk in picked:
+        if not hasattr(sk, "rank"):
+            raise ValueError(
+                f"sketch {sketch!r} does not answer rank() — pass a quantile "
+                "sketch (kll / tdigest / dd)"
+            )
+    models: dict = {}
+    if group_col is None:
+        acc = picked[0][1]
+        for _, sk in picked[1:]:
+            acc = acc.merge(sk)
+        models[None] = acc.to_bytes()
+    else:
+        models = {g: sk.to_bytes() for g, sk in picked}
+
+    from pyspark.sql.types import StructType
+
+    result_schema = StructType(list(df.schema.fields)).add(out, "double")
+
+    def score(batches):
+        import pandas as pd
+
+        from sketchlib.sketches.base import deserialize as _des
+
+        resolved: dict = {}
+
+        def sk_for(key):
+            if key not in resolved:
+                b = models.get(key)
+                resolved[key] = _des(b) if b is not None else None
+            return resolved[key]
+
+        for batch in batches:
+            sidx = batch.schema.get_field_index(score_col)
+            if sidx < 0:
+                raise KeyError(
+                    f"score column {score_col!r} not in batch schema "
+                    f"{batch.schema.names}"
+                )
+            x = batch.column(sidx).to_numpy(zero_copy_only=False)
+            x = np.asarray(x, dtype=np.float64)  # nulls surface as NaN
+            valid = ~np.isnan(x)
+            vals = np.full(batch.num_rows, np.nan)
+            if group_col is None:
+                if valid.any():
+                    vals[valid] = sk_for(None).rank(x[valid])
+            else:
+                gidx = batch.schema.get_field_index(group_col)
+                if gidx < 0:
+                    raise KeyError(
+                        f"group column {group_col!r} not in batch schema "
+                        f"{batch.schema.names}"
+                    )
+                gvals = batch.column(gidx).to_numpy(zero_copy_only=False)
+                codes, uniq = pd.factorize(gvals)
+                for ci, gv in enumerate(uniq):
+                    key = "__null__" if pd.isna(gv) else str(gv)
+                    sk = sk_for(key)
+                    if sk is None:
+                        continue  # no state for this group → NULL rows
+                    sel = (codes == ci) & valid
+                    if sel.any():
+                        vals[sel] = sk.rank(x[sel])
+                sel = (codes < 0) & valid  # factorize marks NULL groups -1
+                if sel.any() and sk_for("__null__") is not None:
+                    vals[sel] = sk_for("__null__").rank(x[sel])
+            if round_to is not None:
+                vals = np.round(vals, round_to)
+            mask = np.isnan(vals)
+            arr = pa.array(vals, mask=mask, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [arr],
+                schema=pa.schema(list(batch.schema) + [pa.field(out, pa.float64())]),
+            )
+
+    return df.mapInArrow(score, result_schema)
+
+
 def select_within_budget(
     df: DataFrame,
     budget: int | dict,

@@ -606,3 +606,91 @@ def test_temperature_weights_validation_and_zero_mass(spark):
     assert rep["b"]["weight"] == 0.0 and rep["b"]["epochs"] == 0.0
     assert rep["c"]["weight"] == 0.0  # NULL mass → 0, present and visible
     assert rep["a"]["weight"] == 1.0
+
+
+def test_percentile_normalize_exact_matches_cume_dist(spark):
+    """Exact mode: per-group CUME_DIST semantics incl. tie sharing;
+    NULL/NaN scores get NULL and are excluded from the distribution."""
+    from sketchlib.spark.sampling import percentile_normalize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+            ("b", 10.0), ("b", 20.0), ("a", None), ("b", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, s double")
+    got = {(r["g"], r["s"]): r["pct_rank"]
+           for r in percentile_normalize(df, "s", group_col="g").collect()}
+    assert got[("a", 1.0)] == 0.25
+    assert got[("a", 2.0)] == 0.75          # ties share the upper rank
+    assert got[("a", 5.0)] == 1.0
+    assert got[("b", 10.0)] == 0.5 and got[("b", 20.0)] == 1.0
+    assert got[("a", None)] is None
+    nan_rows = [v for (g, s), v in got.items() if g == "b" and s is not None and s != s]
+    assert nan_rows == [None]
+
+
+def test_percentile_normalize_kll_within_rank_bound(spark, seq_small_dir):
+    """Sketch-served mode: per-source KLL rank within the published
+    normalized rank-error bound of the exact per-source CDF, computed in
+    ONE mapInArrow pass with no shuffle in the scoring plan."""
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.sampling import percentile_normalize
+
+    df = spark.read.parquet(seq_small_dir)
+    states = build_sketches(
+        df, [SketchSpec("q", "kll", "n_tok", {"k": 200})], group_by="source"
+    )
+    served = percentile_normalize(
+        df, "n_tok", group_col="source", states=states, sketch="q", out="pct_kll"
+    )
+    assert "Exchange" not in served._jdf.queryExecution().executedPlan().toString()
+    exact = percentile_normalize(df, "n_tok", group_col="source", out="pct_exact")
+    j = (
+        served.select("doc_id", "pct_kll")
+        .join(exact.select("doc_id", "pct_exact"), "doc_id")
+        .toPandas()
+    )
+    eps = 3.31 / 200
+    assert len(j) == df.count()
+    assert (j["pct_kll"] - j["pct_exact"]).abs().max() <= eps + 1e-12
+
+
+def test_percentile_normalize_missing_group_and_merge(spark):
+    """Grouped sketch mode NULLs rows whose group has no state; ungrouped
+    mode merges all states into one global distribution."""
+    import numpy as np
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.sampling import percentile_normalize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", float(i)) for i in range(100)],
+        "g string, s double",
+    )
+    states = build_sketches(
+        df.filter(F.col("g") == "a"),
+        [SketchSpec("q", "kll", "s", {"k": 200})],
+        group_by="g",
+    )
+    out = percentile_normalize(
+        df, "s", group_col="g", states=states, sketch="q"
+    ).toPandas()
+    assert out.loc[out["g"] == "b", "pct_rank"].isna().all()
+    assert out.loc[out["g"] == "a", "pct_rank"].notna().all()
+
+    # ungrouped: states merge into one global CDF (here: just group a's)
+    glob = percentile_normalize(df, "s", states=states, sketch="q").toPandas()
+    a_med = glob.loc[(glob["g"] == "a") & (glob["s"] == 50.0), "pct_rank"].iloc[0]
+    assert abs(a_med - 0.51) <= 3.31 / 200 + 1e-12
+
+
+def test_percentile_normalize_validation(spark):
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.sampling import percentile_normalize
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, s double")
+    with pytest.raises(ValueError, match="BOTH states and sketch"):
+        percentile_normalize(df, "s", states=df)
+    hll = build_sketches(df, [SketchSpec("h", "hll", "s")], group_by="g")
+    with pytest.raises(ValueError, match="does not answer rank"):
+        percentile_normalize(df, "s", group_col="g", states=hll, sketch="h")
+    with pytest.raises(ValueError, match="no states for sketch"):
+        percentile_normalize(df, "s", group_col="g", states=hll, sketch="zzz")
