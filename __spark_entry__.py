@@ -760,6 +760,46 @@ def q_c49_percentile_gate_kll(spark, sf_dir):
     return agg.withColumn("scoring_plan_shuffle_free", F.lit(bool(no_exchange)))
 
 
+def q_c50_fuzzy_contamination(spark, sf_dir):
+    """FUZZY benchmark decontamination (contamination_fuzzy): MinHash-LSH
+    between train and eval shingle sets — the paraphrase net behind the
+    exact pass (Brown et al. 2020 App. C). The planted leak is each of
+    the 20 longest documents with every 8th token substituted: that
+    leaves NO 8 consecutive unchanged tokens, so exact 8-gram
+    decontamination (c14's operator) finds ZERO pairs — asserted — while
+    3-gram shingle Jaccard stays ≈ 0.45 and the fuzzy pass recovers
+    every planted (train, eval) pair through the banded probe
+    (eval bands broadcast, train side map-side, candidates capped and
+    signature-verified JVM-side)."""
+    from sketchlib.spark.dedup import contamination_fuzzy, contamination_pairs
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "tokens")
+    plant_src = (
+        docs.orderBy(F.size("tokens").desc(), "doc_id").limit(20).localCheckpoint()
+    )
+    evals = plant_src.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr(
+            "transform(tokens, (x, i) -> CASE WHEN i % 8 = 0 "
+            "THEN CAST(x + 1 AS BIGINT) ELSE x END)"
+        ).alias("tokens"),
+    ).localCheckpoint()
+    planted = {
+        (r["doc_id"], r["doc_id"] + 10_000_000)
+        for r in plant_src.select("doc_id").collect()
+    }
+
+    exact_hits = contamination_pairs(docs, evals, n=8).count()
+    fuzzy = contamination_fuzzy(
+        docs, evals, n=3, r=128, n_bands=64, threshold=0.25
+    ).collect()
+    got = {(r["train_id"], r["eval_id"]) for r in fuzzy}
+    return spark.createDataFrame(
+        [(len(planted), bool(planted <= got), bool(exact_hits == 0))],
+        "n_planted long, all_found_fuzzy boolean, none_found_exact boolean",
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4317,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c46_freq_drift": _dist_wrapped(q_c46_freq_drift),
         "c47_temperature_mixture": _dist_wrapped(q_c47_temperature_mixture),
         "c48_percentile_normalize": _dist_wrapped(q_c48_percentile_normalize),
+        "c50_fuzzy_contamination": _dist_wrapped(q_c50_fuzzy_contamination),
         "c49_percentile_gate_kll": _dist_wrapped(q_c49_percentile_gate_kll),
     }
 
@@ -4776,6 +4817,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c50_fuzzy_contamination": """
+            SELECT CAST(20 AS BIGINT) AS n_planted,
+                   TRUE AS all_found_fuzzy,
+                   TRUE AS none_found_exact
         """,
         "c48_percentile_normalize": """
             SELECT doc_id,

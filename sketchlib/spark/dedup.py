@@ -765,6 +765,116 @@ def contamination_spans(
     )
 
 
+def contamination_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int | None = None,
+    r: int = 128,
+    n_bands: int = 32,
+    seed: int = 17,
+    max_candidates_per_train: int = 50,
+    broadcast_threshold: int = 100_000_000,
+    prefilter_fpr: float | None = 1e-3,
+    train_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (train_id, eval_id, jaccard_est)
+    for train documents NEAR-duplicating an eval document by MinHash-LSH —
+    the paraphrase net behind ``contamination_pairs``'s exact one. Exact
+    n-gram matching is the right first pass (verbatim inclusion must not
+    be missed), but a lightly edited leak — one substituted token every
+    few words — has ZERO shared 8-grams while its shingle-set Jaccard
+    stays high; this catches exactly that case (the "fuzzy dedup against
+    benchmarks" step of Brown et al. 2020 App. C / Lee et al. 2022).
+
+    ``n``: shingle order. None compares raw token SETS; pass n (e.g. 3)
+    to compare n-gram shingle sets — REQUIRED in practice for corpora
+    with small vocabularies, where raw token sets collide across
+    unrelated documents. ``threshold`` is on the ESTIMATED Jaccard
+    (agreeing-minima fraction, se ≈ √(J(1−J)/r)); pick n_bands so the
+    LSH s-curve catches it (hit prob per band = J^(r/n_bands)).
+
+    Scale shape (``dedup_delta``'s asymmetric probe, reporting instead of
+    dropping): the EVAL side (benchmarks: 10³–10⁶ docs) is signed and its
+    exploded (band_hash, eval_id) rows broadcast when small (size-gated
+    on docs × bands like dedup_delta; above the gate: shuffle join with a
+    map-side Bloom prefilter on the train band stream) — the train corpus
+    is then ONE map-side probe over (id, bands), zero corpus-side
+    shuffle, and train signatures are fetched for CANDIDATE ids only
+    (semi-join). A train doc colliding with a boilerplate bucket caps at
+    ``max_candidates_per_train`` verification partners ranked by
+    shared-band count (one verified hit already marks it contaminated).
+    Pass ``train_sigs`` to reuse the corpus's PERSISTED signature table
+    (the dedup_delta artifact — same (r, n_bands, seed, shingling)
+    contract, caller-owned: a mismatch silently zeroes recall, so prefer
+    the catalog-checked table); with it, the train raw data is never
+    scanned at all.
+    """
+    import logging
+
+    from pyspark.sql import Window
+
+    if n is not None:
+        shingled = lambda d: with_token_ngrams(
+            d, tokens_col, n=n, out="_fz_sh", element_cast="BIGINT"
+        )
+        sign = lambda d: minhash_signatures(
+            shingled(d), "_fz_sh", id_col, r=r, n_bands=n_bands, seed=seed
+        )
+    else:
+        sign = lambda d: minhash_signatures(
+            d, tokens_col, id_col, r=r, n_bands=n_bands, seed=seed
+        )
+    eval_sigs = sign(eval_df).localCheckpoint()
+    n_eval = eval_sigs.count()
+    eval_band_rows = n_eval * n_bands
+    small_eval = eval_band_rows <= broadcast_threshold
+    logging.getLogger(__name__).info(
+        "contamination_fuzzy: %d eval docs × %d bands = %d band rows — %s",
+        n_eval, n_bands, eval_band_rows,
+        "broadcast (map-side train probe)" if small_eval
+        else f"> {broadcast_threshold}: shuffle joins (pairs only)",
+    )
+
+    def _gated(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_eval else df
+
+    t_sigs = train_sigs if train_sigs is not None else sign(train)
+    tb = t_sigs.select(F.col(id_col).alias("train_id"), F.explode("bands").alias("bh"))
+    ebnd = eval_sigs.select(F.col(id_col).alias("eval_id"), F.explode("bands").alias("bh"))
+    pf_params = (
+        _bloom_params(eval_band_rows, prefilter_fpr)
+        if (not small_eval and prefilter_fpr)
+        else None
+    )
+    if pf_params is not None:
+        tb = _bloom_prefilter(tb, _eval_hash_bloom(ebnd, pf_params, col="bh"), col="bh")
+    cross = (
+        tb.join(_gated(ebnd), "bh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("_shared_bands"))
+    )
+    w = Window.partitionBy("train_id").orderBy(F.desc("_shared_bands"), F.asc("eval_id"))
+    cross = (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_candidates_per_train)
+        .select("train_id", "eval_id")
+        .localCheckpoint()
+    )
+    st = t_sigs.select(F.col(id_col).alias("train_id"), F.col("sig").alias("_sa"))
+    st = st.join(_gated(cross.select("train_id").distinct()), "train_id", "leftsemi")
+    se = eval_sigs.select(F.col(id_col).alias("eval_id"), F.col("sig").alias("_sb"))
+    return (
+        cross.join(st, "train_id")
+        .join(_gated(se), "eval_id")
+        .withColumn("jaccard_est", _sig_agreement("_sa", "_sb") / F.size("_sa"))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("train_id", "eval_id", "jaccard_est")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -1730,3 +1730,88 @@ def test_histogram_df_validation(spark):
         histogram_df(df, "x", bins=0)
     with _pytest.raises(ValueError):
         histogram_df(df, "x", bins=4, lo=5.0, hi=5.0)
+
+
+def test_contamination_fuzzy_catches_paraphrase_exact_misses(spark, seq_tiny_dir):
+    """The motivating case: an eval doc that is a train doc with every 8th
+    token substituted has ZERO shared 8-grams (runs of 7 < 8) — exact
+    decontamination is blind to it — while its 3-gram shingle-set Jaccard
+    stays ~0.45 and the fuzzy pass flags every planted pair. The size-gate
+    fallback returns the identical pair set, and a precomputed train
+    signature table (the dedup_delta artifact) reproduces it without
+    touching the train raw data."""
+    from sketchlib.spark.dedup import (
+        contamination_fuzzy,
+        contamination_pairs,
+        minhash_signatures,
+        with_token_ngrams,
+    )
+
+    train = spark.read.parquet(seq_tiny_dir)
+    victims = [r["doc_id"] for r in
+               train.filter(F.size("tokens") >= 64)
+               .select("doc_id").orderBy("doc_id").limit(5).collect()]
+    evals = (
+        train.filter(F.col("doc_id").isin(victims))
+        .select(
+            F.concat(F.lit("eval_"), F.col("doc_id")).alias("doc_id"),
+            F.expr(
+                "transform(tokens, (x, i) -> CASE WHEN i % 8 = 0 "
+                "THEN CAST(x + 1 AS INT) ELSE x END)"
+            ).alias("tokens"),
+        )
+        .localCheckpoint()
+    )
+    planted = {(v, f"eval_{v}") for v in victims}
+
+    # exact 8-gram decon: nothing to find (no 8 consecutive unchanged tokens)
+    exact = contamination_pairs(train, evals, n=8).collect()
+    assert exact == []
+
+    kw = dict(n=3, r=128, n_bands=64, threshold=0.3)
+    fuzzy = contamination_fuzzy(train, evals, **kw).collect()
+    got = {(r["train_id"], r["eval_id"]) for r in fuzzy}
+    assert planted <= got
+    assert all(r["jaccard_est"] >= 0.3 for r in fuzzy)
+
+    # size-gate fallback: pair-identical
+    shuffled = contamination_fuzzy(train, evals, broadcast_threshold=1, **kw).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in shuffled} == got
+
+    # persisted-signature reuse: same contract, same pairs, train never signed
+    tsigs = minhash_signatures(
+        with_token_ngrams(train, "tokens", n=3, out="_fz_sh", element_cast="BIGINT"),
+        "_fz_sh", "doc_id", r=128, n_bands=64, seed=17,
+    ).localCheckpoint()
+    reused = contamination_fuzzy(
+        train.limit(0), evals, train_sigs=tsigs, **kw
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in reused} == got
+
+
+def test_contamination_fuzzy_shingles_beat_raw_sets_on_small_vocab(spark):
+    """Raw token SETS collide across unrelated docs when the vocabulary is
+    small (every doc ≈ the whole vocab) — n-gram shingling is what makes
+    fuzzy matching meaningful there, exactly like c10's n-gram MinHash."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import contamination_fuzzy
+
+    rng = np.random.default_rng(7)
+    mk = lambda: [int(x) for x in rng.integers(0, 20, 200)]  # 20-token vocab
+    docs = [(f"t{i}", mk()) for i in range(30)]
+    train = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    # one true near-copy (every 10th token bumped), one unrelated fresh doc
+    copy = [t + 1 if i % 10 == 0 else t for i, t in enumerate(docs[3][1])]
+    evals = spark.createDataFrame(
+        [("e_copy", copy), ("e_fresh", mk())], "doc_id string, tokens array<int>"
+    )
+    raw = contamination_fuzzy(train, evals, threshold=0.9).collect()
+    # raw sets: everything matches everything (vocab exhausted) — useless
+    assert len({r["train_id"] for r in raw}) > 10
+    sh = contamination_fuzzy(
+        train, evals, n=4, r=128, n_bands=64, threshold=0.3
+    ).collect()
+    got = {(r["train_id"], r["eval_id"]) for r in sh}
+    assert ("t3", "e_copy") in got
+    assert not any(e == "e_fresh" for _, e in got)
