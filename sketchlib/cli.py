@@ -134,6 +134,17 @@ def main(argv=None) -> int:
                     "any eval doc reaches this many tokens")
     dc.add_argument("--report-out", default=None,
                     help="also write the per-pair span report parquet here")
+    dc.add_argument("--fuzzy-threshold", type=float, default=None,
+                    help="ALSO flag train docs whose shingle-set MinHash "
+                    "Jaccard with any eval doc reaches this (the paraphrase "
+                    "net behind the exact pass; 0.25-0.5 is typical)")
+    dc.add_argument("--shingle-n", type=int, default=3,
+                    help="shingle order of the fuzzy pass")
+    dc.add_argument("--fuzzy-r", type=int, default=128)
+    dc.add_argument("--fuzzy-bands", type=int, default=64)
+    dc.add_argument("--fuzzy-report-out", default=None,
+                    help="write the fuzzy (train_id, eval_id, jaccard_est) "
+                    "pairs parquet here")
 
     mx = sub.add_parser(
         "mix",
@@ -164,7 +175,31 @@ def main(argv=None) -> int:
                     "docs with probability proportional to --score-col "
                     "(stochastic but reproducible: a pure function of "
                     "(id, seed))")
+    mx.add_argument("--temperature", type=float, default=None,
+                    help="temperature-rebalance the mixture: p_i ∝ n_i^T "
+                    "per-source weights (needs --token-budget), materialized "
+                    "by deterministic replication/downsampling")
+    mx.add_argument("--token-budget", type=int, default=None,
+                    help="global token budget for --temperature")
     mx.add_argument("--seed", type=int, default=0)
+
+    gt = sub.add_parser(
+        "gate",
+        help="percentile quality gate: keep each group's top fraction of a "
+        "score column on the PER-GROUP CDF (raw scores are not comparable "
+        "across sources); exact window by default, or sketch-served from a "
+        "persisted quantile-state table (--states/--sketch — no shuffle, "
+        "no per-group sort)",
+    )
+    gt.add_argument("--input", required=True, help="parquet dir")
+    gt.add_argument("--out", required=True)
+    gt.add_argument("--score-col", required=True)
+    gt.add_argument("--group-col", default="source")
+    gt.add_argument("--keep-top", type=float, required=True,
+                    help="fraction of each group to keep (e.g. 0.3)")
+    gt.add_argument("--states", default=None,
+                    help="persisted quantile-sketch state table (parquet)")
+    gt.add_argument("--sketch", default=None, help="sketch name in --states")
 
     pr = sub.add_parser(
         "profile",
@@ -335,27 +370,69 @@ def main(argv=None) -> int:
             .select(F.col("train_id").alias(args.id_col))
             .distinct()
         )
+        summary = {
+            "train_rows": n_train, "contaminated_pairs": spans.count(),
+            "min_span_tokens": args.min_span_tokens, "out": args.out,
+        }
+        if args.fuzzy_threshold is not None:
+            from sketchlib.spark.dedup import contamination_fuzzy
+
+            fz = contamination_fuzzy(
+                train, eval_df, tokens_col=args.tokens_col, id_col=args.id_col,
+                threshold=args.fuzzy_threshold, n=args.shingle_n,
+                r=args.fuzzy_r, n_bands=args.fuzzy_bands,
+            ).localCheckpoint()  # two consumers (report + flag union)
+            if args.fuzzy_report_out:
+                fz.write.mode("overwrite").parquet(args.fuzzy_report_out)
+            summary["fuzzy_pairs"] = fz.count()
+            summary["fuzzy_threshold"] = args.fuzzy_threshold
+            flagged = flagged.unionByName(
+                fz.select(F.col("train_id").alias(args.id_col)).distinct()
+            ).distinct()
         train.join(flagged, args.id_col, "left_anti").write.mode("overwrite").parquet(args.out)
         n_kept = spark.read.parquet(args.out).count()
-        print(json.dumps({
-            "train_rows": n_train, "contaminated_pairs": spans.count(),
-            "flagged_docs": n_train - n_kept, "kept_rows": n_kept,
-            "min_span_tokens": args.min_span_tokens, "out": args.out,
-        }))
+        summary["flagged_docs"] = n_train - n_kept
+        summary["kept_rows"] = n_kept
+        print(json.dumps(summary))
 
     elif args.cmd == "mix":
         from pyspark.sql import functions as F
 
         n_modes = sum(
-            x is not None for x in (args.budget, args.fractions, args.cap, args.weighted_k)
+            x is not None
+            for x in (args.budget, args.fractions, args.cap, args.weighted_k,
+                      args.temperature)
         )
         if n_modes != 1:
             raise SystemExit(
-                "mix: pass exactly one of --budget, --fractions, --cap, --weighted-k"
+                "mix: pass exactly one of --budget, --fractions, --cap, "
+                "--weighted-k, --temperature"
             )
         docs = spark.read.parquet(args.input)
         n_in = docs.count()
-        if args.cap is not None:
+        per_source = None
+        if args.temperature is not None:
+            if args.token_budget is None:
+                raise SystemExit("mix: --temperature needs --token-budget")
+            from sketchlib.spark.sampling import temperature_weights, upsample_mixture
+
+            rep = temperature_weights(
+                docs, args.temperature, len_col=args.len_col,
+                source_col=args.source_col, token_budget=args.token_budget,
+            ).collect()
+            per_source = {
+                r[args.source_col]: {
+                    "weight": r["weight"], "epochs": r["epochs"],
+                    "available_tokens": r["available_tokens"],
+                }
+                for r in rep
+            }
+            out_df = upsample_mixture(
+                docs, {r[args.source_col]: r["epochs"] for r in rep},
+                source_col=args.source_col, id_col=args.id_col, seed=args.seed,
+            )
+            mode = "temperature"
+        elif args.cap is not None:
             from sketchlib.spark.sampling import cap_per_group
 
             out_df = cap_per_group(
@@ -399,6 +476,35 @@ def main(argv=None) -> int:
         n_out = spark.read.parquet(args.out).count()
         print(json.dumps({
             "mode": mode, "input_rows": n_in, "output_rows": n_out, "out": args.out,
+            **({"per_source": per_source} if per_source is not None else {}),
+        }))
+
+    elif args.cmd == "gate":
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.sampling import percentile_normalize
+
+        if not 0.0 < args.keep_top <= 1.0:
+            raise SystemExit("gate: --keep-top must be in (0, 1]")
+        if (args.states is None) != (args.sketch is None):
+            raise SystemExit("gate: pass --states and --sketch together")
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        states = spark.read.parquet(args.states) if args.states else None
+        scored = percentile_normalize(
+            docs, args.score_col, group_col=args.group_col,
+            states=states, sketch=args.sketch, out="_pct",
+        )
+        kept = (
+            scored.filter(F.col("_pct") > 1.0 - args.keep_top)
+            .drop("_pct")
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "mode": "sketch" if args.states else "exact",
+            "keep_top": args.keep_top,
+            "input_rows": n_in, "kept_rows": n_out, "out": args.out,
         }))
 
     elif args.cmd == "profile":

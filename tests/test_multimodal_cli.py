@@ -462,3 +462,103 @@ def test_cli_profile_bad_id_or_group_col(spark, tmp_path):
         )
         assert r.returncode != 0
         assert msg in (r.stderr + r.stdout)
+
+
+def _cli(*argv, timeout=300):
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", *argv],
+        capture_output=True, text=True, cwd="/root/repo", timeout=timeout,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")][0]
+
+
+def test_cli_gate_exact_and_sketch(spark, tmp_path):
+    """The percentile quality gate end-to-end: exact mode keeps exactly each
+    group's top fraction; sketch mode answers from a persisted KLL state
+    table built by the build subcommand and lands within rank error."""
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(200)],
+        "doc_id long, source string, score double",
+    )
+    df.write.parquet(src)
+
+    out = _cli("gate", "--input", src, "--out", str(tmp_path / "kept"),
+               "--score-col", "score", "--keep-top", "0.3")
+    assert out["mode"] == "exact" and out["input_rows"] == 200
+    assert out["kept_rows"] == 60  # exactly top 30% of each 100-row group
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert kept.agg({"score": "min"}).collect()[0][0] >= 140.0  # top 30 of each parity
+
+    _cli("build", "--input", src, "--group-by", "source",
+         "--sketches", "q:kll:score", "--out", str(tmp_path / "states"))
+    out2 = _cli("gate", "--input", src, "--out", str(tmp_path / "kept2"),
+                "--score-col", "score", "--keep-top", "0.3",
+                "--states", str(tmp_path / "states"), "--sketch", "q")
+    assert out2["mode"] == "sketch"
+    # KLL rank error (k=200 default → ~0.017): boundary may shift by ±eps·100
+    assert abs(out2["kept_rows"] - 60) <= 2 * (3.31 / 200) * 200 + 1
+
+
+def test_cli_mix_temperature(spark, tmp_path):
+    """Temperature mix mode: the per-source plan is reported and the
+    materialized token mass tracks each source's target."""
+    src = str(tmp_path / "docs")
+    rows = [(i, "head", 100) for i in range(90)] + [(1000 + i, "tail", 100) for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, source string, n_tok int").write.parquet(src)
+    out = _cli("mix", "--input", src, "--out", str(tmp_path / "mixed"),
+               "--temperature", "0.5", "--token-budget", "10000")
+    assert out["mode"] == "temperature"
+    ps = out["per_source"]
+    # n^0.5: head 90^.5=9.49, tail 10^.5=3.16 → weights .75/.25
+    assert abs(ps["head"]["weight"] - 0.75) < 0.01
+    assert ps["tail"]["epochs"] > 1.0  # tail up-samples
+    got = {
+        r["source"]: r["tok"]
+        for r in spark.read.parquet(str(tmp_path / "mixed"))
+        .groupBy("source").agg({"n_tok": "sum"}).withColumnRenamed("sum(n_tok)", "tok")
+        .collect()
+    }
+    import math
+
+    for s, n_docs in (("head", 90), ("tail", 10)):
+        target = ps[s]["weight"] * 10000
+        frac = ps[s]["epochs"] - int(ps[s]["epochs"])
+        # md5-coin fractional copies: binomial CLT bound in token units
+        tol = 100 * (4 * math.sqrt(n_docs * frac * (1 - frac)) + 1)
+        assert abs(got[s] - target) <= tol, (s, got[s], target, tol)
+
+
+def test_cli_decontaminate_fuzzy(spark, seq_tiny_dir, tmp_path):
+    """--fuzzy-threshold unions paraphrase flags into the drop set: a
+    mutated-every-8th-token leak survives the exact span policy but is
+    caught by the fuzzy pass; the pairs report carries the evidence."""
+    from pyspark.sql import functions as F
+
+    train_dir, eval_dir = str(tmp_path / "train"), str(tmp_path / "eval")
+    src = spark.read.parquet(seq_tiny_dir)
+    src.coalesce(1).write.parquet(train_dir)
+    leak = (
+        src.filter(F.size("tokens") >= 64).orderBy("doc_id").limit(1)
+        .select(
+            F.lit("bench_para").alias("doc_id"),
+            F.expr("transform(tokens, (x, i) -> CASE WHEN i % 8 = 0 "
+                   "THEN CAST(x + 1 AS INT) ELSE x END)").alias("tokens"),
+        )
+    )
+    leak_src_id = src.filter(F.size("tokens") >= 64).orderBy("doc_id").limit(1) \
+        .collect()[0]["doc_id"]
+    leak.coalesce(1).write.parquet(eval_dir)
+
+    out = _cli("decontaminate", "--train", train_dir, "--eval", eval_dir,
+               "--out", str(tmp_path / "clean"), "--min-span-tokens", "50",
+               "--fuzzy-threshold", "0.3",
+               "--fuzzy-report-out", str(tmp_path / "fuzzy_report"))
+    assert out["contaminated_pairs"] == 0  # exact pass is blind to it
+    assert out["fuzzy_pairs"] >= 1 and out["flagged_docs"] >= 1
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "clean")).select("doc_id").collect()}
+    assert leak_src_id not in kept
+    rep = spark.read.parquet(str(tmp_path / "fuzzy_report")).collect()
+    assert any(r["train_id"] == leak_src_id and r["eval_id"] == "bench_para" for r in rep)
