@@ -800,6 +800,89 @@ def q_c50_fuzzy_contamination(spark, sf_dir):
     )
 
 
+def q_c51_corpus_drift(spark, sf_dir):
+    """One-stop corpus drift report (corpus_drift_df): two snapshot state
+    sets (full corpus vs every-third-doc-dropped) over four sketch kinds
+    in ONE build pass each — "what changed since the last drop" from KB
+    states, zero corpus scans. Checks per source: (1) the report carries
+    every expected (sketch, metric) row; (2) CM ``mass`` values are
+    EXACTLY the two snapshots' token counts (CM totals are exact); (3)
+    each side's HLL ``distinct`` estimate brackets the exact per-side
+    vocabulary within 3× the reported combined rse bound; (4) the
+    MinHash ``jaccard`` of the snapshots' vocabularies is within 4·SE of
+    the exact set Jaccard; (5) an identical-snapshot report drifts by
+    exactly ZERO (byte-identical states) with jaccard exactly 1."""
+    from sketchlib.spark.query import corpus_drift_df
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars", "tokens"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 3 != 0)
+    specs = lambda: [
+        SketchSpec("h", "hll", "tokens", {"p": 14}),
+        SketchSpec("c", "cm", "tokens", {"eps": 1e-4, "delta": 0.01}),
+        SketchSpec("q", "kll", "n_chars", {"k": 200}),
+        SketchSpec("m", "minhash", "tokens", {"r": 256}),
+    ]
+    sa = build_sketches(docs, specs(), group_by="source").localCheckpoint()
+    sb = build_sketches(snap_b, specs(), group_by="source")
+    rep = corpus_drift_df(spark, sa, sb).toPandas()
+    idn = corpus_drift_df(spark, sa, sa).toPandas()
+
+    tok = lambda d: d.select("source", F.explode("tokens").alias("t"))
+    exact = (
+        tok(docs).distinct().groupBy("source").agg(F.count("*").alias("va"))
+        .join(
+            tok(snap_b).distinct().groupBy("source").agg(F.count("*").alias("vb")),
+            "source",
+        )
+        .join(
+            tok(docs).groupBy("source").agg(F.count("*").alias("ma")), "source"
+        )
+        .join(
+            tok(snap_b).groupBy("source").agg(F.count("*").alias("mb")), "source"
+        )
+        .join(
+            tok(docs).distinct()
+            .join(tok(snap_b).distinct(), ["source", "t"])
+            .groupBy("source").agg(F.count("*").alias("inter")),
+            "source",
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    want = {"distinct", "mass", "p50", "p90", "p99", "jaccard"}
+    out = []
+    for g in sorted(exact.index):
+        e = exact.loc[g]
+        sub = rep[rep["group"] == g]
+        metrics_present = want <= set(sub["metric"])
+        mass = sub[sub["metric"] == "mass"].iloc[0]
+        mass_exact = mass["value_a"] == e["ma"] and mass["value_b"] == e["mb"]
+        d = sub[sub["metric"] == "distinct"].iloc[0]
+        distinct_within = (
+            abs(d["value_a"] - e["va"]) <= 3 * d["bound"] * e["va"]
+            and abs(d["value_b"] - e["vb"]) <= 3 * d["bound"] * e["vb"]
+        )
+        true_j = e["inter"] / (e["va"] + e["vb"] - e["inter"])
+        j = sub[sub["metric"] == "jaccard"].iloc[0]
+        jaccard_within = abs(j["value_a"] - true_j) <= 4 * j["bound"] + 1e-12
+        gi = idn[idn["group"] == g]
+        nums = gi[gi["metric"].isin(["distinct", "mass", "p50", "p90", "p99"])]
+        identity_zero = bool(
+            (nums["rel_change"] == 0.0).all()
+            and (gi[gi["metric"] == "jaccard"]["value_a"] == 1.0).all()
+        )
+        out.append((g, bool(metrics_present), bool(mass_exact),
+                    bool(distinct_within), bool(jaccard_within), identity_zero))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=[
+            "source", "metrics_present", "mass_exact", "distinct_within",
+            "jaccard_within", "identity_zero_drift",
+        ])
+    )
+
+
 def q_b06_bloom_membership(spark, sf_dir):
     """Q5: Bloom token/user membership — zero false negatives, per group."""
     ev = _t(spark, sf_dir, "events")
@@ -4358,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c47_temperature_mixture": _dist_wrapped(q_c47_temperature_mixture),
         "c48_percentile_normalize": _dist_wrapped(q_c48_percentile_normalize),
         "c50_fuzzy_contamination": _dist_wrapped(q_c50_fuzzy_contamination),
+        "c51_corpus_drift": _dist_wrapped(q_c51_corpus_drift),
         "c49_percentile_gate_kll": _dist_wrapped(q_c49_percentile_gate_kll),
     }
 
@@ -4817,6 +4901,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c51_corpus_drift": """
+            SELECT CAST(source AS VARCHAR) AS source,
+                   TRUE AS metrics_present,
+                   TRUE AS mass_exact,
+                   TRUE AS distinct_within,
+                   TRUE AS jaccard_within,
+                   TRUE AS identity_zero_drift
+            FROM (SELECT DISTINCT source FROM documents)
         """,
         "c50_fuzzy_contamination": """
             SELECT CAST(20 AS BIGINT) AS n_planted,

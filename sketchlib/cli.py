@@ -201,6 +201,18 @@ def main(argv=None) -> int:
                     help="persisted quantile-sketch state table (parquet)")
     gt.add_argument("--sketch", default=None, help="sketch name in --states")
 
+    dr = sub.add_parser(
+        "drift",
+        help="corpus drift report between two state-table snapshots — what "
+        "changed since the last drop, from KB states, zero corpus scans: "
+        "per-kind metrics (distinct/mass/quantiles/jaccard/spectrum) as "
+        "one JSON line per (group, sketch, metric)",
+    )
+    dr.add_argument("--states-a", required=True, help="older snapshot state parquet")
+    dr.add_argument("--states-b", required=True, help="newer snapshot state parquet")
+    dr.add_argument("-r", "--spectrum-r", type=int, default=8,
+                    help="top-r components for fd sketches")
+
     pr = sub.add_parser(
         "profile",
         help="one-command corpus data card: exact per-source rows/tokens + "
@@ -603,6 +615,18 @@ def main(argv=None) -> int:
         print(json.dumps({
             "rows": n, "n_shards": args.n_shards, "seed": args.seed, "out": args.out,
         }))
+
+    elif args.cmd == "drift":
+        from sketchlib.spark.query import corpus_drift_df
+
+        out = corpus_drift_df(
+            spark,
+            spark.read.parquet(args.states_a),
+            spark.read.parquet(args.states_b),
+            r=args.spectrum_r,
+        )
+        for row in out.toPandas().to_dict("records"):
+            print(json.dumps(row, default=str))
 
     elif args.cmd == "sql":
         from sketchlib.sql import approx_sql

@@ -363,6 +363,105 @@ def freq_delta_topk_df(
     )
 
 
+_DRIFT_QS = (0.5, 0.9, 0.99)
+
+
+def corpus_drift_df(
+    spark: SparkSession, states_a: DataFrame, states_b: DataFrame, r: int = 8,
+) -> DataFrame:
+    """One-stop corpus drift report between two state-table snapshots —
+    "what changed since the last drop", answered entirely from KB sketch
+    states, zero corpus scans. Every sketch NAME present in both frames
+    contributes the drift metrics its kind supports, as a long frame
+    (group, sketch, metric, value_a, value_b, rel_change, bound):
+
+    - hll / kmv → ``distinct``: per-side estimates; bound = rse_a + rse_b
+      (the first-order bound on the REL CHANGE of the ratio).
+    - cm → ``mass``: per-side total update counts — EXACT (bound 0); the
+      per-token movers live in ``freq_delta_topk_df``, not here.
+    - kll / tdigest → ``p50/p90/p99``: per-side quantile VALUES; bound =
+      the sides' summed RANK-error bounds (rank units — a value-unit
+      band needs the density, which a rank sketch does not carry).
+      dd → same metrics with bound = summed RELATIVE-value error α.
+    - minhash → ``jaccard``: similarity of the two snapshots' hashed
+      SETS (value_a = value_b = Ĵ, rel_change NULL); bound = the
+      estimator SE √(J(1−J)/r). The "how much is even shared" metric.
+    - fd → ``subspace_affinity`` (top-r, bound NULL) and ``cov_eig_i``
+      rows with per-side Δ/n certificates summed as bound — the same
+      math as ``spectrum_drift_df``, folded into the one report.
+
+    Groups present on one side only emit a single ``one_sided`` row with
+    NULL values — the source-appeared/vanished signal. Driver-side math
+    over ≤ groups × sketches × 2 states (the report use case; for 10⁶-
+    group state tables use the per-kind answerers, which route
+    distributed)."""
+    A: dict = {}
+    B: dict = {}
+    for (g, name), sk in load_states(states_a).items():
+        A[(g, name)] = sk
+    for (g, name), sk in load_states(states_b).items():
+        B[(g, name)] = sk
+    names = {n for _, n in A} & {n for _, n in B}
+    if not names:
+        raise ValueError("no sketch names present in BOTH state frames")
+    groups = {g for g, n in A if n in names} | {g for g, n in B if n in names}
+    rows = []
+
+    def emit(g, name, metric, va, vb, bound):
+        rel = (
+            (vb - va) / va
+            if va is not None and vb is not None and va not in (0, 0.0)
+            else None
+        )
+        rows.append((g, name, metric, va, vb, rel, bound))
+
+    for g in sorted(groups):
+        for name in sorted(names):
+            sa, sb = A.get((g, name)), B.get((g, name))
+            if sa is None or sb is None:
+                rows.append((g, name, "one_sided", None, None, None, None))
+                continue
+            kind = type(sa).kind
+            if kind in ("hll", "kmv"):
+                ea, ra = sa.estimate()
+                eb, rb = sb.estimate()
+                emit(g, name, "distinct", float(ea), float(eb), float(ra + rb))
+            elif kind == "cm":
+                emit(g, name, "mass", float(sa.total), float(sb.total), 0.0)
+            elif kind in ("kll", "tdigest", "dd"):
+                qa = sa.quantiles(np.array(_DRIFT_QS))
+                qb = sb.quantiles(np.array(_DRIFT_QS))
+                bound = float(sa.error_bound() + sb.error_bound())
+                for q, va, vb in zip(_DRIFT_QS, qa.tolist(), qb.tolist()):
+                    emit(g, name, f"p{q * 100:g}", float(va), float(vb), bound)
+            elif kind == "minhash":
+                j, se = sa.jaccard(sb)
+                rows.append((g, name, "jaccard", float(j), float(j), None, float(se)))
+            elif kind == "fd":
+                la, da = sa.spectrum(r)
+                lb, db = sb.spectrum(r)
+                na, nb = max(sa.n_items, 1), max(sb.n_items, 1)
+                va_d, vb_d = sa.directions(r), sb.directions(r)
+                m = min(len(va_d), len(vb_d))
+                if m:
+                    aff = float(np.linalg.norm(va_d[:m] @ vb_d[:m].T, "fro") ** 2 / m)
+                    rows.append((g, name, "subspace_affinity", aff, aff, None, None))
+                for i in range(min(int(r), len(la), len(lb))):
+                    emit(
+                        g, name, f"cov_eig_{i}",
+                        float(la[i]) / na, float(lb[i]) / nb,
+                        float(da / na + db / nb),
+                    )
+            # bloom and other kinds: no scalar drift metric — skipped
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["group", "sketch", "metric", "value_a", "value_b",
+                     "rel_change", "bound"],
+        )
+    )
+
+
 def membership_df(
     spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
 ) -> DataFrame:

@@ -104,3 +104,30 @@ def test_unknown_sketch_name_raises(spark):
     sa, sb = _states(spark, a_pdf), _states(spark, b_pdf)
     with pytest.raises(ValueError, match="no cm states"):
         freq_delta_topk_df(spark, sa, sb, "nope", "c")
+
+
+def test_delta_invariant_under_regrouping(spark):
+    """North-rule merge property: states built under different partition
+    layouts are byte-identical, so the drift report is EXACTLY the same
+    frame whatever the cluster shape was."""
+    a_pdf, b_pdf = _snapshots(np.random.default_rng(5))
+    out1 = freq_delta_topk_df(
+        spark, _states(spark, a_pdf), _states(spark, b_pdf), "c", "c", k=7
+    ).toPandas()
+    df_a = (
+        spark.createDataFrame(a_pdf).withColumn("g", F.col("g").cast("string"))
+        .repartition(13)
+    )
+    df_b = (
+        spark.createDataFrame(b_pdf).withColumn("g", F.col("g").cast("string"))
+        .repartition(3, "v")
+    )
+    out2 = freq_delta_topk_df(
+        spark, build_sketches(df_a, _SPEC, group_by="g"),
+        build_sketches(df_b, _SPEC, group_by="g"), "c", "c", k=7,
+    ).toPandas()
+    key = ["group", "token"]
+    pd.testing.assert_frame_equal(
+        out1.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True),
+    )

@@ -562,3 +562,30 @@ def test_cli_decontaminate_fuzzy(spark, seq_tiny_dir, tmp_path):
     assert leak_src_id not in kept
     rep = spark.read.parquet(str(tmp_path / "fuzzy_report")).collect()
     assert any(r["train_id"] == leak_src_id and r["eval_id"] == "bench_para" for r in rep)
+
+
+def test_cli_drift(spark, tmp_path):
+    """Drift report end-to-end: two build runs, one drift command; the
+    doubled snapshot's mass rows show rel_change exactly 1."""
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], (i * 7919) % 500) for i in range(2000)],
+        "doc_id long, source string, v long",
+    )
+    df.write.parquet(src_a)
+    df.unionByName(df).write.parquet(src_b)
+    _cli("build", "--input", src_a, "--sketches", "h:hll:v", "c:cm:v",
+         "--out", str(tmp_path / "sa"))
+    _cli("build", "--input", src_b, "--sketches", "h:hll:v", "c:cm:v",
+         "--out", str(tmp_path / "sb"))
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "drift",
+         "--states-a", str(tmp_path / "sa"), "--states-b", str(tmp_path / "sb")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    mass = [x for x in rows if x["metric"] == "mass"]
+    assert len(mass) == 2 and all(x["rel_change"] == 1.0 for x in mass)
+    dist = [x for x in rows if x["metric"] == "distinct"]
+    assert all(abs(x["rel_change"]) <= 3 * x["bound"] for x in dist)
