@@ -38,6 +38,21 @@ import json
 import sys
 
 
+def _json_line(row: dict) -> str:
+    """One strict-JSON line for a result row: pandas surfaces SQL NULLs in
+    float columns as NaN, and ``json.dumps`` would emit the bare token
+    ``NaN`` — invalid JSON that jq and any strict parser reject, breaking
+    the one-JSON-line-per-row contract. Map non-finite floats back to
+    null; everything non-JSON-native falls back to str."""
+    import math
+
+    clean = {
+        k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+        for k, v in row.items()
+    }
+    return json.dumps(clean, default=str)
+
+
 def _parse_sketch(s: str):
     from sketchlib.spark.build import SketchSpec
 
@@ -277,7 +292,7 @@ def main(argv=None) -> int:
         else:
             out = quantiles_df(spark, states, args.sketch, args.quantiles)
         for row in out.toPandas().to_dict("records"):
-            print(json.dumps(row))
+            print(_json_line(row))
 
     elif args.cmd == "lineage":
         from sketchlib.spark.checkpoint import throughput_metrics
@@ -513,10 +528,18 @@ def main(argv=None) -> int:
         )
         kept.write.mode("overwrite").parquet(args.out)
         n_out = spark.read.parquet(args.out).count()
+        # rows with NULL/NaN score (or, in sketch mode, a group with no
+        # state) get NULL _pct and fail the gate even at --keep-top 1.0 —
+        # account for them explicitly instead of silently folding them
+        # into the gated count
+        n_invalid = scored.filter(F.col("_pct").isNull()).count()
         print(json.dumps({
             "mode": "sketch" if args.states else "exact",
             "keep_top": args.keep_top,
-            "input_rows": n_in, "kept_rows": n_out, "out": args.out,
+            "input_rows": n_in, "kept_rows": n_out,
+            "invalid_score_rows": n_invalid,
+            "gated_rows": n_in - n_out - n_invalid,
+            "out": args.out,
         }))
 
     elif args.cmd == "profile":
@@ -626,7 +649,7 @@ def main(argv=None) -> int:
             r=args.spectrum_r,
         )
         for row in out.toPandas().to_dict("records"):
-            print(json.dumps(row, default=str))
+            print(_json_line(row))
 
     elif args.cmd == "sql":
         from sketchlib.sql import approx_sql
@@ -639,7 +662,7 @@ def main(argv=None) -> int:
             cat = SketchCatalog(spark, args.catalog)
         out = approx_sql(spark, args.statement, tables, catalog=cat, catalog_key=args.catalog_key)
         for row in out.toPandas().to_dict("records"):
-            print(json.dumps(row, default=str))
+            print(_json_line(row))
 
     spark.stop()
     return 0

@@ -214,6 +214,24 @@ def split_group(df: DataFrame, group_by: list[str]) -> DataFrame:
         df = df.withColumn(c, parts.getItem(i))
     return df.drop("group")
 
+
+def group_name(v) -> str:
+    """Canonical string for one group-key value — the SINGLE conversion every
+    Python-side kernel/closure must use so state keys match ``group_key_expr``
+    (Spark ``CAST(col AS STRING)``) byte-for-byte. Python ``str()`` disagrees
+    with Spark on exactly two common key types: booleans (``str(np.True_)``
+    = 'True' vs Spark 'true') and timestamps (numpy's 'T'-separated
+    nanosecond form vs Spark's space-separated seconds/micros) — a silent
+    zero-match footgun on every SQL route that joins states by key. Floats
+    can still diverge at extreme magnitudes (Java '1.0E20' vs Python
+    '1e+20'); don't group by floats."""
+    if isinstance(v, (np.bool_, bool)):
+        return "true" if v else "false"
+    if isinstance(v, (np.datetime64, pd.Timestamp)):
+        return str(pd.Timestamp(v))
+    return str(v)
+
+
 _ARROW_STATE_SCHEMA = pa.schema(
     [
         ("group", pa.string()),
@@ -479,7 +497,7 @@ class SketchAccumulator:
             for c in self.group_by:
                 gcol, _, _ = _column_values(batch, c)
                 cc, uu = pd.factorize(gcol)
-                nn = [str(v) for v in uu] + ["__null__"]
+                nn = [group_name(v) for v in uu] + ["__null__"]
                 cc = np.where(cc < 0, len(nn) - 1, cc).astype(np.int64)
                 if codes is None:
                     codes, uniques = cc, nn
@@ -503,7 +521,7 @@ class SketchAccumulator:
                 uniques = list(uniques) + ["__null__"]
                 codes = np.where(codes < 0, np.int32(len(uniques) - 1), codes)
         ng = len(uniques)
-        gnames = [str(v) for v in uniques]
+        gnames = [group_name(v) if not isinstance(v, str) else v for v in uniques]
         rc = np.bincount(codes, minlength=ng)
         for gi, g in enumerate(gnames):
             self.rows_per_group[g] = self.rows_per_group.get(g, 0) + int(rc[gi])
@@ -754,7 +772,8 @@ def build_sketches(
         _install_plugins(snap)
         out_rows = []
         g = GROUP_SEP.join(
-            "__null__" if pd.isna(pdf[c].iloc[0]) else str(pdf[c].iloc[0]) for c in glist
+            "__null__" if pd.isna(pdf[c].iloc[0]) else group_name(pdf[c].iloc[0])
+            for c in glist
         )
         for spec in specs:
             sk = spec.make()

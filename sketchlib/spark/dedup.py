@@ -211,7 +211,14 @@ def minhash_signatures(
     """id, sig (array<long>, the r minima as int64 bit-patterns), band_hash
     array — one row per document. Signatures are arrays (not binary) so the
     verification step compares them JVM-side with zip_with/aggregate inside
-    whole-stage codegen — no Python in the per-pair hot path."""
+    whole-stage codegen — no Python in the per-pair hot path.
+
+    Rows whose token array is EMPTY (e.g. a doc shorter than the shingle
+    order) keep the kernel's all-max sentinel ``sig`` but get an EMPTY
+    ``bands`` array, so they never enter any LSH bucket: the Jaccard of an
+    empty set is 0 by convention, and the sentinel bands would otherwise
+    make every empty doc a mutual estimated-1.0 duplicate of every other
+    (silently dropping unrelated short docs in dedup/decontamination)."""
     out_schema = f"{id_col} string, sig array<long>, bands array<long>"
     id_is_long = dict(df.dtypes)[id_col] in ("bigint", "int")
     if id_is_long:
@@ -231,8 +238,15 @@ def minhash_signatures(
                 pa.array(np.arange(0, (n + 1) * r, r, dtype=np.int32)),
                 pa.array(sig.view(np.int64).ravel()),
             )
+            nonempty = lens > 0
+            band_counts = np.where(nonempty, n_bands, 0).astype(np.int64)
+            band_offsets = np.concatenate([[0], np.cumsum(band_counts)]).astype(np.int32)
+            bands_arr = pa.ListArray.from_arrays(
+                pa.array(band_offsets),
+                pa.array(bh[nonempty].ravel() if n else np.array([], np.int64)),
+            )
             yield pa.RecordBatch.from_arrays(
-                [ids, sig_arr, pa.array(bh.tolist(), type=pa.list_(pa.int64()))],
+                [ids, sig_arr, bands_arr],
                 names=[id_col, "sig", "bands"],
             )
 
@@ -841,7 +855,12 @@ def contamination_fuzzy(
     def _gated(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_eval else df
 
-    t_sigs = train_sigs if train_sigs is not None else sign(train)
+    # when signing the train side ourselves, materialize the signatures once:
+    # they feed BOTH the band probe (tb) and the candidate signature fetch
+    # (st), and without a checkpoint the dominant shingle+minhash pass over
+    # the full corpus would run twice (sig rows are ~(r+n_bands)·8 B/doc —
+    # far cheaper to store than to recompute from raw tokens)
+    t_sigs = train_sigs if train_sigs is not None else sign(train).localCheckpoint()
     tb = t_sigs.select(F.col(id_col).alias("train_id"), F.explode("bands").alias("bh"))
     ebnd = eval_sigs.select(F.col(id_col).alias("eval_id"), F.explode("bands").alias("bh"))
     pf_params = (
@@ -863,8 +882,11 @@ def contamination_fuzzy(
         .select("train_id", "eval_id")
         .localCheckpoint()
     )
+    # the candidate-id set is TRAIN-derived (a boilerplate eval bucket can
+    # match train-scale many docs), so it must NOT inherit the eval-side
+    # broadcast gate — plain semi-join; AQE broadcasts it when it is small
     st = t_sigs.select(F.col(id_col).alias("train_id"), F.col("sig").alias("_sa"))
-    st = st.join(_gated(cross.select("train_id").distinct()), "train_id", "leftsemi")
+    st = st.join(cross.select("train_id").distinct(), "train_id", "leftsemi")
     se = eval_sigs.select(F.col(id_col).alias("eval_id"), F.col("sig").alias("_sb"))
     return (
         cross.join(st, "train_id")
@@ -1191,7 +1213,13 @@ def dedup_delta(
             seed = 17
         tokens_col = tokens_col or "tokens"
         id_col = id_col or "doc_id"
-        first = existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b")).first()
+        # empty-token docs carry an empty bands array (see minhash_signatures)
+        # — probe geometry from a row that actually entered a bucket
+        first = (
+            existing_sigs.select(F.size("sig").alias("r"), F.size("bands").alias("b"))
+            .filter(F.col("b") > 0)
+            .first()
+        )
         if first is None:
             raise ValueError(
                 "existing_sigs is empty — bootstrap with minhash_lsh_dedup + "

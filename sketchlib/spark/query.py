@@ -421,7 +421,21 @@ def corpus_drift_df(
             if sa is None or sb is None:
                 rows.append((g, name, "one_sided", None, None, None, None))
                 continue
-            kind = type(sa).kind
+            kind, kind_b = type(sa).kind, type(sb).kind
+            if kind != kind_b:
+                # a re-registered name with a different spec would otherwise
+                # crash deep in the metric math (AttributeError / numpy shape
+                # error) or, worse, silently sum bounds of different sketches
+                raise ValueError(
+                    f"sketch {name!r} group {g!r}: kind mismatch between "
+                    f"snapshots ({kind} vs {kind_b}) — rebuild both sides "
+                    "from the same spec before diffing"
+                )
+            if kind == "fd" and (sa.d, sa.ell) != (sb.d, sb.ell):
+                raise ValueError(
+                    f"sketch {name!r} group {g!r}: fd geometry mismatch "
+                    f"(d={sa.d}, ell={sa.ell}) vs (d={sb.d}, ell={sb.ell})"
+                )
             if kind in ("hll", "kmv"):
                 ea, ra = sa.estimate()
                 eb, rb = sb.estimate()

@@ -639,9 +639,15 @@ def temperature_weights(
         raise ValueError(f"temperature must be positive, got {temperature}")
     if token_budget is not None and int(token_budget) <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    # keep the source column's NATIVE type (upsample_mixture/sampleBy
+    # consume these keys typed) and sort None-safely — a NULL source group
+    # is legal input and must not crash the report
     totals = sorted(
-        (r[source_col], int(r["tok"] or 0))
-        for r in df.groupBy(source_col).agg(F.sum(len_col).alias("tok")).collect()
+        (
+            (r[source_col], int(r["tok"] or 0))
+            for r in df.groupBy(source_col).agg(F.sum(len_col).alias("tok")).collect()
+        ),
+        key=lambda kv: (kv[0] is None, str(kv[0])),
     )
     grand = float(sum(n for _, n in totals))
     powed = [(s, n, float(n) ** t) for s, n in totals]
@@ -655,12 +661,20 @@ def temperature_weights(
         else:
             target = w * int(token_budget)
             rows.append((s, n, share, w, target, (target / n) if n > 0 else 0.0))
-    schema = (
-        f"{source_col} string, available_tokens long, natural_share double, weight double"
-    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    fields = [
+        StructField(source_col, df.schema[source_col].dataType),
+        StructField("available_tokens", LongType()),
+        StructField("natural_share", DoubleType()),
+        StructField("weight", DoubleType()),
+    ]
     if token_budget is not None:
-        schema += ", target_tokens double, epochs double"
-    return df.sparkSession.createDataFrame(rows, schema)
+        fields += [
+            StructField("target_tokens", DoubleType()),
+            StructField("epochs", DoubleType()),
+        ]
+    return df.sparkSession.createDataFrame(rows, StructType(fields))
 
 
 def percentile_normalize(
@@ -749,6 +763,7 @@ def percentile_normalize(
         import pandas as pd
 
         from sketchlib.sketches.base import deserialize as _des
+        from sketchlib.spark.build import group_name
 
         resolved: dict = {}
 
@@ -782,7 +797,11 @@ def percentile_normalize(
                 gvals = batch.column(gidx).to_numpy(zero_copy_only=False)
                 codes, uniq = pd.factorize(gvals)
                 for ci, gv in enumerate(uniq):
-                    key = "__null__" if pd.isna(gv) else str(gv)
+                    # group_name, not str(): build keys are Spark-CAST
+                    # strings ('true', '2024-01-01 00:00:00'), and a silent
+                    # key mismatch here is indistinguishable from a
+                    # missing state (all-NULL output)
+                    key = "__null__" if pd.isna(gv) else group_name(gv)
                     sk = sk_for(key)
                     if sk is None:
                         continue  # no state for this group → NULL rows

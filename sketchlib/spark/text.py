@@ -778,6 +778,8 @@ def with_unigram_surprisal(
     def score(batches):
         import pandas as pd
 
+        from sketchlib.spark.build import group_name as _gname
+
         from sketchlib.sketches.base import deserialize as _des
 
         resolved: dict = {}
@@ -835,9 +837,9 @@ def with_unigram_surprisal(
                     tcodes = np.repeat(codes, lens)
                     has_model[:] = False
                     for ci, gv in enumerate(uniq):
-                        # the kernel's state key is str(value); NULL groups
-                        # were keyed '__null__' at build time
-                        key = "__null__" if pd.isna(gv) else str(gv)
+                        # the kernel's state key is group_name(value) (Spark-
+                        # CAST semantics); NULL groups were keyed '__null__'
+                        key = "__null__" if pd.isna(gv) else _gname(gv)
                         fn = lp_fn(key)
                         if fn is None:
                             continue  # no model for this group → NULL rows

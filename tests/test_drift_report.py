@@ -103,3 +103,35 @@ def test_fd_drift_rows(spark):
     lo = 4 * eig0["value_a"] - eig0["bound"]
     hi = 4 * (eig0["value_a"] + eig0["bound"]) + eig0["bound"]
     assert lo <= eig0["value_b"] + eig0["bound"] and eig0["value_b"] <= hi
+
+
+def test_kind_mismatch_raises_clearly(spark):
+    """Review fix: a name re-registered with a different sketch kind must
+    raise a clear error, not crash deep in metric math or silently sum
+    bounds of different sketches."""
+    import pytest
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import corpus_drift_df
+
+    df = spark.range(100).selectExpr("cast(id as double) as x", "'s' as src")
+    a = build_sketches(df, [SketchSpec("q", "kll", "x", {"k": 200})], group_by="src")
+    b = build_sketches(df, [SketchSpec("q", "hll", "x")], group_by="src")
+    with pytest.raises(ValueError, match="kind mismatch"):
+        corpus_drift_df(spark, a, b)
+
+
+def test_fd_dim_mismatch_raises_clearly(spark):
+    import pytest
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import corpus_drift_df
+
+    rows3 = [([1.0, 2.0, 3.0], "s")] * 10
+    rows4 = [([1.0, 2.0, 3.0, 4.0], "s")] * 10
+    d3 = spark.createDataFrame(rows3, "emb array<double>, src string")
+    d4 = spark.createDataFrame(rows4, "emb array<double>, src string")
+    a = build_sketches(d3, [SketchSpec("f", "fd", "emb", {"d": 3, "ell": 8})], group_by="src")
+    b = build_sketches(d4, [SketchSpec("f", "fd", "emb", {"d": 4, "ell": 8})], group_by="src")
+    with pytest.raises(ValueError, match="fd geometry mismatch"):
+        corpus_drift_df(spark, a, b)

@@ -1815,3 +1815,53 @@ def test_contamination_fuzzy_shingles_beat_raw_sets_on_small_vocab(spark):
     got = {(r["train_id"], r["eval_id"]) for r in sh}
     assert ("t3", "e_copy") in got
     assert not any(e == "e_fresh" for _, e in got)
+
+
+def test_empty_docs_never_enter_lsh_buckets(spark):
+    """Review fix: docs with an empty token (or shingle) array get an EMPTY
+    bands array — the all-max sentinel signature must not make every short
+    doc an estimated-1.0 duplicate of every other."""
+    from sketchlib.spark.dedup import contamination_fuzzy, minhash_signatures
+
+    df = spark.createDataFrame(
+        [("e1", []), ("e2", []), ("ok", list(range(40)))],
+        "doc_id string, tokens array<int>",
+    )
+    sigs = {r["doc_id"]: r for r in minhash_signatures(df, "tokens", "doc_id", r=32, n_bands=8).collect()}
+    assert sigs["e1"]["bands"] == [] and sigs["e2"]["bands"] == []
+    assert len(sigs["ok"]["bands"]) == 8
+    # two unrelated sub-shingle-length docs (1-2 tokens, shingle n=3):
+    # the old sentinel verified them at jaccard_est 1.0
+    train = spark.createDataFrame(
+        [("t_short", [7]), ("t_real", list(range(100)))],
+        "doc_id string, tokens array<int>",
+    )
+    evals = spark.createDataFrame(
+        [("ev_short", [9, 11]), ("ev_copy", list(range(100)))],
+        "doc_id string, tokens array<int>",
+    )
+    hits = contamination_fuzzy(train, evals, n=3, r=32, n_bands=8, threshold=0.5).collect()
+    pairs = {(r["train_id"], r["eval_id"]) for r in hits}
+    assert ("t_short", "ev_short") not in pairs
+    assert ("t_real", "ev_copy") in pairs
+
+
+def test_dedup_delta_geometry_probe_skips_empty_docs(spark):
+    """The n_bands probe must read a row that actually entered a bucket —
+    not an empty-token doc whose bands array is empty."""
+    from sketchlib.spark.dedup import dedup_delta, minhash_signatures
+
+    corpus = spark.createDataFrame(
+        [("empty", []), ("a", list(range(60)))],
+        "doc_id string, tokens array<int>",
+    )
+    sigs = minhash_signatures(corpus, "tokens", "doc_id", r=64, n_bands=16)
+    # force the empty row first so .first() would have seen b=0 pre-fix
+    sigs = sigs.orderBy("doc_id").coalesce(1)
+    delta = spark.createDataFrame(
+        [("dup_a", list(range(60))), ("new", list(range(200, 260)))],
+        "doc_id string, tokens array<int>",
+    )
+    kept, _ = dedup_delta(delta, existing_sigs=sigs, seed=17)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {"new"}

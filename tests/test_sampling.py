@@ -694,3 +694,47 @@ def test_percentile_normalize_validation(spark):
         percentile_normalize(df, "s", group_col="g", states=hll, sketch="h")
     with pytest.raises(ValueError, match="no states for sketch"):
         percentile_normalize(df, "s", group_col="g", states=hll, sketch="zzz")
+
+
+def test_temperature_weights_int_and_null_source(spark):
+    """Review fix: non-string and NULL source columns are legal — the report
+    carries the source's NATIVE type (int here) and a NULL group sorts last
+    instead of crashing the driver-side sort."""
+    from sketchlib.spark.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 50), (None, 25)],
+        "source int, n_tok int",
+    )
+    rep = temperature_weights(df, 0.5).toPandas()
+    assert str(rep["source"].dtype) in ("Int32", "int32", "Int64", "object", "float64")
+    by = {(None if v != v else int(v)) if v is not None else None: w
+          for v, w in zip(rep["source"], rep["weight"])}
+    # p_i ∝ n_i^0.5: 200^.5 : 50^.5 : 25^.5
+    import math
+
+    tot = math.sqrt(200) + math.sqrt(50) + math.sqrt(25)
+    assert abs(by[1] - math.sqrt(200) / tot) < 1e-12
+    assert abs(by[2] - math.sqrt(50) / tot) < 1e-12
+    assert None in {(None if v != v else v) for v in rep["source"]} or rep["source"].isna().any()
+
+
+def test_percentile_normalize_bool_group_sketch_mode(spark):
+    """Review fix: group keys are group_name() (Spark-CAST semantics,
+    'true'/'false') on BOTH the build and scoring sides — a boolean group
+    column must score, not silently emit all NULLs."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.sampling import percentile_normalize
+
+    df = spark.range(200).select(
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.col("id").cast("double").alias("s"),
+    )
+    states = build_sketches(df, [SketchSpec("q", "kll", "s", {"k": 200})], group_by="flag")
+    out = percentile_normalize(df, "s", group_col="flag", states=states, sketch="q").toPandas()
+    assert out["pct_rank"].notna().all()
+    # sanity: the max id of each parity group sits at the top of its CDF
+    top = out.loc[out["s"] >= 198.0, "pct_rank"]
+    assert (top > 0.95).all()
