@@ -506,6 +506,102 @@ def q_b53_rollup_grouping_sets(spark, sf_dir):
     )
 
 
+def q_b54_kll_mad(spark, sf_dir):
+    """Round-5 close: approximate MEDIAN ABSOLUTE DEVIATION per group from
+    a SINGLE KLL state (query.mad_df) — the robust spread statistic for
+    heavy-tailed quality/price distributions, where stddev is dominated by
+    the very tail a gate is trying to cut. The textbook two-scan
+    median(|x − median|) is replaced by inverting the sketch's own CDF
+    around its served median m̂: the window mass F(m̂+t) − F(m̂−t) is known
+    within ±2ε (uniform rank guarantee), so inverting at ½ ∓ 2ε BRACKETS
+    the exact MAD-around-m̂. Verified here against the exact order
+    statistic of |x − m̂| computed DISTRIBUTED (per-group row_number
+    window at rank ⌈n/2⌉ — no driver-side sort), with a 1/n atom-boundary
+    allowance (the bracket's window is half-open, the order statistic's
+    is closed)."""
+    import math
+
+    from pyspark.sql import Window
+    from sketchlib.spark.query import mad_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
+    md = mad_df(spark, states, "kll_price").toPandas()
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    centers = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (r["group"], float(r["median_est"]), int(math.ceil(counts[r["group"]] / 2)))
+                for _, r in md.iterrows()
+            ],
+            columns=["l_returnflag", "m_hat", "rn"],
+        )
+    )
+    dev = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(centers.select("l_returnflag", "m_hat")), "l_returnflag")
+        .withColumn("absdev", F.abs(F.col("l_extendedprice") - F.col("m_hat")))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("absdev")
+    exact = {
+        r["l_returnflag"]: float(r["absdev"])
+        for r in dev.withColumn("rno", F.row_number().over(w))
+        .join(
+            F.broadcast(centers.select("l_returnflag", F.col("rn").alias("rno"))),
+            ["l_returnflag", "rno"],
+        )
+        .collect()
+    }
+    out = []
+    for _, r in md.iterrows():
+        g = r["group"]
+        slack = float(r["mad_hi"] - r["mad_lo"]) / max(counts[g], 1)
+        ok = r["mad_lo"] - slack - 1e-9 <= exact[g] <= r["mad_hi"] + slack + 1e-9
+        ok = ok and (r["mad_lo"] - 1e-12 <= r["mad_est"] <= r["mad_hi"] + 1e-12)
+        out.append((g, bool(ok)))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["l_returnflag", "within_bound"]))
+
+
+def q_b55_equidepth_histogram(spark, sf_dir):
+    """Round-5 close: EQUI-DEPTH bin edges per group from the registered
+    KLL state (query.equidepth_histogram_df) — equal-mass feature
+    bucketing without the full per-group sort (NTILE) the exact route
+    needs. Each of the 8 bins' TRUE mass (computed distributed via
+    conditional aggregates — two comparisons per edge, one pass, no
+    window) must sit within 2ε of 1/8, ε the sketch's uniform rank
+    bound, plus a 1/n tie-atom allowance."""
+    from sketchlib.spark.query import equidepth_histogram_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
+    n_bins = 8
+    hb = equidepth_histogram_df(spark, states, "kll_price", n_bins).toPandas()
+    aggs = [
+        F.sum((F.col("l_returnflag") == g).cast("long")).alias(f"n_{g}")
+        for g in hb["group"].unique()
+    ]
+    for i, r in hb.iterrows():
+        grp = F.col("l_returnflag") == r["group"]
+        x = F.col("l_extendedprice")
+        mass = (grp & (x <= r["hi"])).cast("long") - (grp & (x <= r["lo"])).cast("long")
+        if int(r["bin"]) == 0:
+            mass = mass + (grp & (x == r["lo"])).cast("long")
+        aggs.append(F.sum(mass).alias(f"c_{i}"))
+    row = li.agg(*aggs).collect()[0]
+    out = []
+    for i, r in hb.iterrows():
+        n = row[f"n_{r['group']}"]
+        frac = row[f"c_{i}"] / n
+        ok = abs(frac - 1.0 / n_bins) <= 2.0 * float(r["rank_err_bound"]) + 1.0 / n
+        out.append((r["group"], int(r["bin"]), bool(ok)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["l_returnflag", "bin", "within_bound"])
+    )
+
+
 def q_c44_embedding_spectrum(spark, sf_dir):
     """Frequent Directions embedding-covariance sketch (Liberty KDD 2013 /
     Ghashami et al. SICOMP 2016): one zero-shuffle build over the
@@ -4347,6 +4443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b05_tdigest_price_quantiles": _dist_wrapped(q_b05_tdigest_price_quantiles),
         "b52_dd_price_quantiles": _dist_wrapped(q_b52_dd_price_quantiles),
         "b53_rollup_grouping_sets": _dist_wrapped(q_b53_rollup_grouping_sets),
+        "b54_kll_mad": _dist_wrapped(q_b54_kll_mad),
+        "b55_equidepth_histogram": _dist_wrapped(q_b55_equidepth_histogram),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
         "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
@@ -4549,6 +4647,14 @@ def oracle_sql() -> dict[str, str]:
                      AS grouping_lvl,
                    TRUE AS within_bound
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "b54_kll_mad": (
+            "SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"
+        ),
+        "b55_equidepth_histogram": """
+            SELECT l_returnflag, CAST(b AS INTEGER) AS bin, TRUE AS within_bound
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                 (SELECT unnest(range(8)) AS b)
         """,
         "b08_hll_union_groups": "SELECT TRUE AS within_bound",
         "b09_sampled_agg_uniform": "SELECT DISTINCT l_returnflag, TRUE AS within_ci FROM lineitem",

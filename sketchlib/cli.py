@@ -80,9 +80,14 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="estimates from a persisted state table")
     q.add_argument("--states", required=True)
     q.add_argument("--sketch", required=True)
-    q.add_argument("--kind", default="estimate", choices=["estimate", "topk", "quantiles"])
+    q.add_argument(
+        "--kind", default="estimate",
+        choices=["estimate", "topk", "quantiles", "mad", "equidepth"],
+    )
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--quantiles", type=float, nargs="+", default=[0.5, 0.9, 0.99])
+    q.add_argument("--bins", type=int, default=10,
+                   help="bin count for --kind equidepth")
 
     ln = sub.add_parser("lineage", help="per-chunk lineage + throughput metrics")
     ln.add_argument("--checkpoint", required=True)
@@ -282,13 +287,23 @@ def main(argv=None) -> int:
         print(json.dumps({"states_written": n, "out": args.out}))
 
     elif args.cmd == "query":
-        from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+        from sketchlib.spark.query import (
+            equidepth_histogram_df,
+            estimates_df,
+            mad_df,
+            quantiles_df,
+            topk_df,
+        )
 
         states = spark.read.parquet(args.states)
         if args.kind == "estimate":
             out = estimates_df(spark, states, args.sketch)
         elif args.kind == "topk":
             out = topk_df(spark, states, args.sketch, args.k)
+        elif args.kind == "mad":
+            out = mad_df(spark, states, args.sketch)
+        elif args.kind == "equidepth":
+            out = equidepth_histogram_df(spark, states, args.sketch, args.bins)
         else:
             out = quantiles_df(spark, states, args.sketch, args.quantiles)
         for row in out.toPandas().to_dict("records"):

@@ -213,6 +213,110 @@ def rel_quantiles_df(
     )
 
 
+def _mass_inverse(sk, center: float, target: float, t_max: float) -> float:
+    """Smallest t ≥ 0 with rank(center+t) − rank(center−t) ≥ target, by
+    bisection over the sketch's estimated CDF (monotone non-decreasing,
+    right-continuous in t). Returns t_max when even the full spread does
+    not reach the target mass (only possible for target > 1 − ties slop)."""
+
+    def mass(t: float) -> float:
+        hi, lo = sk.rank(np.array([center + t, center - t]))
+        return float(hi - lo)
+
+    if mass(t_max) < target:
+        return float(t_max)
+    lo_t, hi_t = 0.0, float(t_max)
+    for _ in range(64):
+        mid = 0.5 * (lo_t + hi_t)
+        if mass(mid) >= target:
+            hi_t = mid
+        else:
+            lo_t = mid
+    return hi_t
+
+
+def mad_df(
+    spark: SparkSession, states: DataFrame, sketch: str, distributed: bool | None = None
+) -> DataFrame:
+    """(group, median_est, mad_est, mad_lo, mad_hi, rank_err_bound) —
+    approximate MEDIAN ABSOLUTE DEVIATION per group from a SINGLE quantile
+    state (KLL or t-digest), no second pass over the data.
+
+    The textbook MAD = median(|x − median(x)|) needs two scans (the second
+    re-aggregates |x − m|). But the quantity is recoverable from one CDF:
+    MAD around a center c is the smallest t with F(c+t) − F(c−t) ≥ 1/2, and
+    a quantile sketch serves F̂ everywhere. We center on the SERVED median
+    m̂ (self-consistent with the report's own median column), so the only
+    error source is F̂ vs F at the two probe points — the sketch's uniform
+    rank guarantee |F̂ − F| ≤ ε gives |M̂(t) − M(t)| ≤ 2ε for the window
+    mass M(t) = F(m̂+t) − F(m̂−t). Inverting M̂ at 1/2 ∓ 2ε therefore
+    BRACKETS the exact MAD-around-m̂:
+
+        t_lo = M̂⁻¹(1/2 − 2ε)  ≤  t*  ≤  M̂⁻¹(1/2 + 2ε) = t_hi
+
+    (t < t_lo ⇒ M̂ < 1/2 − 2ε ⇒ M < 1/2; at t_hi, M ≥ M̂ − 2ε ≥ 1/2.)
+    This is the robust spread statistic for quality-score distributions —
+    unlike stddev it ignores the heavy tail that IS the thing being gated —
+    served from already-registered states at interactive latency. Heavily
+    tied distributions can pin the bracket to a tie atom; the bracket stays
+    valid, just wide on one side.
+    """
+
+    def rows(g, sk):
+        eps = float(sk.error_bound())
+        m, v_lo, v_hi = (float(x) for x in sk.quantiles(np.array([0.5, 0.0, 1.0])))
+        if not np.isfinite(m):
+            return [(g, float("nan"), float("nan"), float("nan"), float("nan"), eps)]
+        t_max = max(v_hi - m, m - v_lo, 0.0) * (1.0 + 1e-9) + 1e-12
+        est = _mass_inverse(sk, m, 0.5, t_max)
+        t_lo = _mass_inverse(sk, m, max(0.5 - 2.0 * eps, 0.0), t_max)
+        t_hi = _mass_inverse(sk, m, min(0.5 + 2.0 * eps, 1.0), t_max)
+        return [(g, m, float(est), float(t_lo), float(t_hi), eps)]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, median_est double, mad_est double, mad_lo double, "
+        "mad_hi double, rank_err_bound double",
+        ["group", "median_est", "mad_est", "mad_lo", "mad_hi", "rank_err_bound"],
+    )
+
+
+def equidepth_histogram_df(
+    spark: SparkSession, states: DataFrame, sketch: str, n_bins: int,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """(group, bin, lo, hi, target_frac, rank_err_bound) — EQUI-DEPTH bin
+    edges per group from a KLL/t-digest state: edges at quantiles i/n_bins,
+    so each bin holds ≈ 1/n_bins of the rows (each edge's rank is within
+    the sketch's ε of its target, so a bin's true mass is within 2ε of
+    1/n_bins). The 100 TB use: feature bucketing / score stratification
+    needs equal-mass bins, and the exact route is a full sort (NTILE
+    window) over the corpus — this serves the same edges from registered
+    states with zero corpus work. Bins are left-open/right-closed
+    (lo, hi]; the first bin additionally includes its lo (the minimum).
+    Heavy ties can collapse adjacent edges; the degenerate (lo == hi) bins
+    then carry the tie atom's excess mass — callers merging such bins keep
+    the 2ε-per-edge guarantee."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    edges_q = np.linspace(0.0, 1.0, n_bins + 1)
+
+    def rows(g, sk):
+        eps = float(sk.error_bound())
+        edges = sk.quantiles(edges_q)
+        return [
+            (g, int(i), float(edges[i]), float(edges[i + 1]), 1.0 / n_bins, eps)
+            for i in range(n_bins)
+        ]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, bin int, lo double, hi double, target_frac double, "
+        "rank_err_bound double",
+        ["group", "bin", "lo", "hi", "target_frac", "rank_err_bound"],
+    )
+
+
 def spectrum_df(
     spark: SparkSession, states: DataFrame, sketch: str, r: int,
     distributed: bool | None = None,
