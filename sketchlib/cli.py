@@ -561,7 +561,7 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F
 
         from sketchlib.spark.build import SketchSpec, build_sketches
-        from sketchlib.spark.query import estimates_df, quantiles_df, topk_df
+        from sketchlib.spark.query import estimates_df, mad_df, quantiles_df, topk_df
 
         docs = spark.read.parquet(args.input)
         lcol = args.len_col
@@ -608,6 +608,13 @@ def main(argv=None) -> int:
             # int(round(q*100)) would collapse 0.995/0.999/1.0 to 'p100')
             qmap.setdefault(r["group"], {})[f"p{r['q'] * 100:g}"] = r["value"]
         rank_err = qrows[0]["rank_err_bound"] if qrows else None
+        # robust spread from the SAME kll_len state — no extra scan. The
+        # data card's "typical length ± spread" line should not be a
+        # stddev the longest docs dominate
+        spread = {
+            r["group"]: {"mad_est": r["mad_est"], "mad_lo": r["mad_lo"], "mad_hi": r["mad_hi"]}
+            for r in mad_df(spark, states, "kll_len").collect()
+        }
         hh: dict = {}
         if args.topk > 0:
             for r in topk_df(spark, states, "cm_tok", args.topk).collect():
@@ -621,6 +628,7 @@ def main(argv=None) -> int:
                 "distinct_docs_est": dd[g]["estimate"],
                 "distinct_docs_rse": dd[g]["rse_bound"],
                 "token_len_quantiles": qmap.get(g, {}),
+                "token_len_mad": spread.get(g, {}),
                 **({"top_tokens": hh.get(g, [])} if args.topk > 0 else {}),
             }
             for g in sorted(exact)

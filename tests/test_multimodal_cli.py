@@ -417,6 +417,9 @@ def test_cli_profile(seq_tiny_dir, tmp_path):
         assert set(q) == {"p50", "p90", "p99"} and q["p50"] <= q["p90"] <= q["p99"]
         assert row["total_tokens"] > 0
         assert len(row["top_tokens"]) == 3
+        # robust spread served from the same kll_len state, bracket ordered
+        mad = row["token_len_mad"]
+        assert mad["mad_lo"] - 1e-9 <= mad["mad_est"] <= mad["mad_hi"] + 1e-9
     assert total == card["corpus"]["rows"]
 
 
