@@ -273,6 +273,7 @@ def q_a17_union(spark, sf_dir):
 _HLL_DOC = [SketchSpec("hll_doc", "hll", "doc_id", {"p": 14})]
 _HLL_TOK = [SketchSpec("hll_tok", "hll", "tokens", {"p": 14})]
 _CM_TOK = [SketchSpec("cm_tok", "cm", "tokens", {"eps": 1e-4, "delta": 0.01})]
+_MG_TOK = [SketchSpec("mg_tok", "mg", "tokens", {"eps": 1e-3})]
 _KLL_PRICE = [SketchSpec("kll_price", "kll", "l_extendedprice", {"k": 200})]
 _TD_PRICE = [SketchSpec("td_price", "tdigest", "l_extendedprice", {"compression": 200})]
 _DD_PRICE = [SketchSpec("dd_price", "dd", "l_extendedprice", {"alpha": 0.01})]
@@ -600,6 +601,55 @@ def q_b55_equidepth_histogram(spark, sf_dir):
     return spark.createDataFrame(
         pd.DataFrame(out, columns=["l_returnflag", "bin", "within_bound"])
     )
+
+
+def q_b56_mg_topk_tokens(spark, sf_dir):
+    """Round 5: Misra-Gries top-k token frequencies per source — the
+    DETERMINISTIC complement of b03's Count-Min route (Misra & Gries 1982;
+    merge form Agarwal et al., Mergeable Summaries, 2013, the theorem this
+    library's whole KB-state merge layer is built on). Where CM never
+    undercounts and overshoots ≤ ε·N w.p. ≥ 1−δ, MG never OVERcounts and
+    undershoots by a bound it tracks EXACTLY (the cumulative decrement),
+    so the check here has no 3σ slack and no failure probability:
+    est ≤ true AND true ≤ est + bound must hold for EVERY reported token
+    (``within_bound``), and the tracked bound must sit under the published
+    a-priori N/(k+1) worst case (``cert_ok``). Built through the same
+    zero-shuffle kernel (one state per partition × source), merged through
+    the same semilattice; regrouping-invariance of the certificate is
+    hypothesis-locked in tests/test_mg.py."""
+    from sketchlib.spark.query import mg_topk_df
+
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    states = build_sketches(docs, _MG_TOK, group_by="source")
+    top = mg_topk_df(spark, states, "mg_tok", 5).toPandas()
+    exact = (
+        docs.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("true_count"))
+        .toPandas()
+    )
+    totals = (
+        docs.select("source", F.size("tokens").alias("n"))
+        .groupBy("source").agg(F.sum("n").alias("N")).toPandas()
+        .set_index("source")["N"]
+    )
+    m = top.merge(exact, left_on=["group", "token"], right_on=["source", "token"], how="left")
+    m["true_count"] = m["true_count"].fillna(0)
+    ok = (m["est_count"] <= m["true_count"]) & (
+        m["true_count"] <= m["est_count"] + m["undercount_bound"]
+    )
+    m["ok"] = ok
+    k_counters = _MG_TOK[0].params["k"] if "k" in _MG_TOK[0].params else None
+    from sketchlib.planner import mg_params
+
+    k_counters = k_counters or mg_params(_MG_TOK[0].params["eps"])["k"]
+    m["cert"] = [
+        b <= totals[g] / (k_counters + 1) + 1e-9
+        for g, b in zip(m["group"], m["undercount_bound"])
+    ]
+    agg = m.groupby("group").agg(within_bound=("ok", "all"), cert_ok=("cert", "all"))
+    agg = agg.reset_index().rename(columns={"group": "source"})
+    return spark.createDataFrame(agg)
 
 
 def q_c44_embedding_spectrum(spark, sf_dir):
@@ -4445,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b53_rollup_grouping_sets": _dist_wrapped(q_b53_rollup_grouping_sets),
         "b54_kll_mad": _dist_wrapped(q_b54_kll_mad),
         "b55_equidepth_histogram": _dist_wrapped(q_b55_equidepth_histogram),
+        "b56_mg_topk_tokens": _dist_wrapped(q_b56_mg_topk_tokens),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
         "b08_hll_union_groups": _dist_wrapped(q_b08_hll_union_groups),
@@ -4625,6 +4676,10 @@ def oracle_sql() -> dict[str, str]:
         "b01_hll_distinct_docs": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b02_hll_distinct_tokens": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
         "b03_cm_topk_tokens": "SELECT source, TRUE AS within_bound FROM documents GROUP BY source",
+        "b56_mg_topk_tokens": (
+            "SELECT source, TRUE AS within_bound, TRUE AS cert_ok "
+            "FROM documents GROUP BY source"
+        ),
         "b04_kll_price_quantiles": """
             SELECT l_returnflag, q, TRUE AS within_bound
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),

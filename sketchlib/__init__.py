@@ -27,6 +27,7 @@ from sketchlib.sketches import (  # noqa: F401
     KLL,
     KMV,
     MinHash,
+    MisraGries,
     TDigest,
     deserialize,
 )

@@ -72,7 +72,7 @@ def main(argv=None) -> int:
     b.add_argument("--input", required=True, help="parquet directory (hive-partitioned ok)")
     b.add_argument("--group-by", default="source")
     b.add_argument("--sketches", nargs="+", type=_parse_sketch, required=True,
-                   help="name:kind:column[:json_params], kinds: hll cm kll tdigest bloom minhash")
+                   help="name:kind:column[:json_params], kinds: hll cm mg kll tdigest dd bloom minhash kmv fd")
     b.add_argument("--out", required=True, help="output dir for the merged state table")
     b.add_argument("--checkpoint", default=None, help="checkpoint dir (enables resume)")
     b.add_argument("--fanout", type=int, default=None, help="two-level merge fanout")

@@ -26,6 +26,14 @@ def cm_params(target_eps: float, target_delta: float = 0.01) -> dict:
     return {"eps": target_eps, "delta": target_delta, "state_bytes": w * d * 8, "w": w, "d": d}
 
 
+def mg_params(target_eps: float) -> dict:
+    """k = ⌈1/ε⌉ − 1 counters guarantee undercount ≤ N/(k+1) ≤ ε·N with
+    certainty (Misra-Gries 1982; merge bound Agarwal et al. 2013). State
+    is two int64 arrays of ≤ k entries — deterministic, no δ to budget."""
+    k = max(1, math.ceil(1.0 / target_eps) - 1)
+    return {"eps": target_eps, "k": k, "state_bytes": k * 16}
+
+
 def kll_params(target_rank_err: float) -> dict:
     """k from the ε(k) ≈ 3.31/k calibration (sketchlib.sketches.kll)."""
     k = max(8, math.ceil(3.31 / target_rank_err))

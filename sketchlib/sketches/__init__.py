@@ -11,7 +11,8 @@ from sketchlib.sketches.fd import FrequentDirections  # noqa: F401
 from sketchlib.sketches.hll import HLL  # noqa: F401
 from sketchlib.sketches.kll import KLL  # noqa: F401
 from sketchlib.sketches.kmv import KMV  # noqa: F401
+from sketchlib.sketches.mg import MisraGries  # noqa: F401
 from sketchlib.sketches.minhash import MinHash  # noqa: F401
 from sketchlib.sketches.tdigest import TDigest  # noqa: F401
 
-ALL_KINDS = ("hll", "cm", "tdigest", "kll", "dd", "bloom", "minhash", "kmv", "fd")
+ALL_KINDS = ("hll", "cm", "mg", "tdigest", "kll", "dd", "bloom", "minhash", "kmv", "fd")

@@ -49,6 +49,7 @@ from sketchlib.sketches import (
     DDSketch,
     FrequentDirections,
     MinHash,
+    MisraGries,
     TDigest,
     deserialize,
 )
@@ -56,6 +57,7 @@ from sketchlib.sketches import (
 _KINDS = {
     "hll": HLL,
     "cm": CountMin,
+    "mg": MisraGries,
     "kll": KLL,
     "tdigest": TDigest,
     "dd": DDSketch,
@@ -251,12 +253,13 @@ _ARROW_STATE_SCHEMA = pa.schema(
 class SketchSpec:
     """One sketch to build: e.g. SketchSpec('hll_doc', 'hll', 'doc_id', {'p': 14}).
 
-    ``weight``: optional weight COLUMN for a Count-Min built over weighted
-    increments — each row adds ``weight`` to its key's cell instead of 1, so
-    ``topk()`` ranks heavy hitters BY SUM (SELECT key, SUM(w) ... ORDER BY
-    2 DESC LIMIT k served from KB states) and the ε·N overcount bound holds
-    with N = ΣW, the total weight. CM-only (the other kinds have no weighted
-    update semantics). Contract enforced by the kernel: weights must be
+    ``weight``: optional weight COLUMN for a frequency sketch (cm or mg)
+    built over weighted increments — each row adds ``weight`` to its key
+    instead of 1, so ``topk()`` ranks heavy hitters BY SUM (SELECT key,
+    SUM(w) ... ORDER BY 2 DESC LIMIT k served from KB states) and each
+    kind's bound holds with N = ΣW, the total weight (CM: ε·N overcount
+    w.p. ≥ 1−δ; MG: exact tracked undercount ≤ N/(k+1)). Other kinds have
+    no weighted-update semantics. Contract enforced by the kernel: weights must be
     non-negative and integer-valued (the CM table is exact int64 counts —
     a fractional weight would silently truncate); rows with a NULL key or
     NULL weight are excluded. Non-integer key columns are hashed like the
@@ -269,10 +272,10 @@ class SketchSpec:
     weight: str | None = None
 
     def __post_init__(self):
-        if self.weight is not None and self.kind != "cm":
+        if self.weight is not None and self.kind not in ("cm", "mg"):
             raise ValueError(
-                f"weight= is Count-Min-only (weighted heavy hitters); "
-                f"{self.kind!r} has no weighted-update semantics"
+                f"weight= needs a frequency sketch (cm or mg — weighted heavy "
+                f"hitters); {self.kind!r} has no weighted-update semantics"
             )
 
     def make(self):
@@ -295,7 +298,7 @@ class SketchSpec:
         """Vectorized dispatch: hashes for HLL/MinHash, raw keys/values otherwise."""
         if self.wants_hashes:
             sk.update_hashes(hash_any(values))
-        elif self.kind in ("cm", "bloom") or _PLUGIN_STYLE.get(self.kind) == "keys":
+        elif self.kind in ("cm", "mg", "bloom") or _PLUGIN_STYLE.get(self.kind) == "keys":
             v = np.asarray(values)
             if v.dtype.kind not in ("i", "u"):
                 v = hash_any(v).astype(np.int64)  # non-int keys: sketch their hashes
@@ -574,7 +577,7 @@ class SketchAccumulator:
                                 uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64),
                                 n_seen=n_seen,
                             )
-                        else:  # cm
+                        else:  # cm / mg / 'keys'-style plugins
                             keys = uvals[s0:s1] if ints_ok else uhash[s0:s1].astype(np.int64)
                             sk.update_values(keys, counts=ucounts[s0:s1])
 

@@ -168,6 +168,32 @@ def topk_df(
     )
 
 
+def mg_topk_df(
+    spark: SparkSession, states: DataFrame, sketch: str, k: int, distributed: bool | None = None
+) -> DataFrame:
+    """(group, token, est_count, undercount_bound) top-k per group from
+    Misra-Gries states — the DETERMINISTIC complement of ``topk_df``'s CM
+    route. The bound column is named for what MG actually guarantees:
+    est ≤ true ≤ est + undercount_bound, with CERTAINTY (no δ), where the
+    bound is the summary's exactly-tracked cumulative decrement — usually
+    far below the a-priori N/(k+1) worst case (Misra & Gries 1982; merge
+    bound Agarwal et al., Mergeable Summaries, 2013). Same schema shape as
+    the CM serve so consumers can swap routes, but the differently-named
+    bound refuses to let an undercount certificate be read as CM's
+    overcount one (the rel_quantiles_df/quantiles_df convention)."""
+
+    def rows(g, sk):
+        ids, est = sk.topk(k)
+        bound = float(sk.error_bound())
+        return [(g, int(i), int(e), bound) for i, e in zip(ids.tolist(), est.tolist())]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, token long, est_count long, undercount_bound double",
+        ["group", "token", "est_count", "undercount_bound"],
+    )
+
+
 def quantiles_df(
     spark: SparkSession, states: DataFrame, sketch: str, qs, distributed: bool | None = None
 ) -> DataFrame:

@@ -821,6 +821,7 @@ _CREATE_SKETCHES = re.compile(
 _SKETCH_DDL_DEFAULTS = {
     "hll": {"p": 14},
     "cm": {"eps": 1e-4, "delta": 0.01},
+    "mg": {"eps": 1e-4},
     "kll": {"k": 200},
     "tdigest": {"compression": 200},
     "dd": {"alpha": 0.01},
@@ -1071,16 +1072,16 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                 if not eq:
                     raise ValueError(f"sketch parameter {kv!r} must be key=value")
                 if k.strip().lower() == "weight":
-                    # weighted Count-Min (heavy hitters BY SUM): the value
-                    # is a COLUMN name, not a number
-                    if kind != "cm":
+                    # weighted frequency sketch (heavy hitters BY SUM): the
+                    # value is a COLUMN name, not a number
+                    if kind not in ("cm", "mg"):
                         raise ValueError(
-                            f"weight= is Count-Min-only; {kind}(...) has no "
-                            "weighted-update semantics"
+                            f"weight= needs a frequency sketch (cm or mg); "
+                            f"{kind}(...) has no weighted-update semantics"
                         )
                     if not _IDENT.match(v.strip()):
                         raise ValueError(
-                            f"cm weight={v.strip()!r} must be a column name"
+                            f"{kind} weight={v.strip()!r} must be a column name"
                         )
                     weight = v.strip()
                     continue
@@ -1098,7 +1099,7 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                     "stream by (no default could be safe: a wrong d "
                     "silently sketches misaligned rows)"
                 )
-            spec_name = f"{kind}_{col}" if weight is None else f"cm_{col}_w_{weight}"
+            spec_name = f"{kind}_{col}" if weight is None else f"{kind}_{col}_w_{weight}"
             specs.append(SketchSpec(spec_name, kind, col, params, weight=weight))
         catalog.create(
             name, input_dir, specs,
@@ -1146,7 +1147,8 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
         "unsupported DDL — accepted: CREATE [OR REPLACE] SAMPLE s FROM t KIND "
         "uniform|universe|stratified RATIO r [ON col] [FRACTIONS '<json>'] "
         "[SEED n]; CREATE [OR REPLACE] SKETCHES s FROM t KINDS hll(col[, p=14])"
-        "[, cm(col[, weight=w]), kll(col), tdigest(col), dd(col[, alpha=0.01]), "
+        "[, cm(col[, weight=w]), mg(col[, eps=1e-4][, weight=w]), kll(col), "
+        "tdigest(col), dd(col[, alpha=0.01]), "
         "bloom(col), kmv(col), fd(col, d=<dim>[, ell=128])] "
         "[GROUP BY col]; "
         "CREATE [OR REPLACE] ANN INDEX s FROM t KIND srp|ivf ON vec ID id "

@@ -1,0 +1,207 @@
+"""Misra-Gries frequent-items summary (sketchlib/sketches/mg.py).
+
+Locked properties, per the published guarantees (Misra & Gries 1982; merge
+form Agarwal et al., "Mergeable Summaries", 2013):
+
+- NEVER overcounts: est(x) ≤ true(x), every key, deterministically.
+- Exact undercount certificate: true(x) ≤ est(x) + decr, and
+  decr ≤ N/(k+1) ≤ ε·N always (no failure probability to carve out).
+- Heavy-key containment: every x with true(x) > decr is present.
+- Merge preserves all of the above under ARBITRARY regroupings
+  (hypothesis-driven), the Mergeable Summaries theorem.
+- Weighted updates carry the same certificate with N = ΣW.
+- Serde roundtrip is byte-exact; k mismatch refuses to merge.
+- End-to-end through the zero-shuffle Spark build kernel: states over the
+  synthetic token table answer top-k with est ≤ true ≤ est + bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sketchlib.sketches import MisraGries, deserialize
+
+
+def _zipf(n=50_000, vocab=2_000, seed=3, a=1.3):
+    rng = np.random.default_rng(seed)
+    return rng.zipf(a, size=n).clip(1, vocab).astype(np.int64)
+
+
+def _true_counts(keys):
+    u, c = np.unique(keys, return_counts=True)
+    return dict(zip(u.tolist(), c.tolist()))
+
+
+def test_never_overcounts_and_certificate():
+    keys = _zipf()
+    sk = MisraGries(eps=0.01)  # k = 99
+    sk.update_values(keys)
+    true = _true_counts(keys)
+    decr = sk.error_bound()
+    assert decr <= len(keys) / (sk.k + 1) + 1e-9  # published worst case
+    assert decr <= sk.worst_case_bound() + 1e-9
+    probe = np.array(sorted(true), dtype=np.int64)
+    est = sk.query(probe)
+    for x, e in zip(probe.tolist(), est.tolist()):
+        assert e <= true[x], "MG must never overcount"
+        assert true[x] <= e + decr, "undercount certificate violated"
+
+
+def test_unseen_keys_are_zero():
+    sk = MisraGries(eps=0.1)
+    sk.update_values(np.arange(100, dtype=np.int64))
+    assert (sk.query(np.array([10_000, 20_000])) == 0).all()
+
+
+def test_heavy_key_containment():
+    keys = _zipf()
+    sk = MisraGries(eps=0.02)
+    sk.update_values(keys)
+    decr = sk.error_bound()
+    present = set(sk.ids.tolist())
+    for x, c in _true_counts(keys).items():
+        if c > decr:
+            assert x in present, f"key {x} (count {c} > decr {decr}) missing"
+
+
+def test_exact_below_capacity():
+    """Fewer distinct keys than k → no decrement ever fires: counts exact."""
+    keys = np.repeat(np.arange(50, dtype=np.int64), 7)
+    sk = MisraGries(k=64)
+    sk.update_values(keys)
+    assert sk.error_bound() == 0.0
+    assert (sk.query(np.arange(50, dtype=np.int64)) == 7).all()
+
+
+def test_weighted_update_certificate():
+    rng = np.random.default_rng(11)
+    u = np.arange(500, dtype=np.int64)
+    w = rng.integers(1, 1000, size=500).astype(np.int64)
+    sk = MisraGries(k=50)
+    sk.update_values(u, counts=w)
+    assert sk.total == int(w.sum())
+    decr = sk.error_bound()
+    assert decr <= w.sum() / (sk.k + 1) + 1e-9
+    est = sk.query(u)
+    assert (est <= w).all()
+    assert (w <= est + decr).all()
+    with pytest.raises(ValueError, match="non-negative"):
+        MisraGries(k=8).update_values(np.array([1]), counts=np.array([-2]))
+
+
+def test_topk_order_and_determinism():
+    keys = _zipf()
+    sk = MisraGries(eps=0.01)
+    sk.update_values(keys)
+    ids, est = sk.topk(10)
+    assert len(ids) == 10
+    assert (np.diff(est) <= 0).all()  # descending counts
+    ids2, est2 = sk.topk(10)
+    assert (ids == ids2).all() and (est == est2).all()
+
+
+def test_k_mismatch_rejected():
+    with pytest.raises(ValueError, match="mismatch"):
+        MisraGries(k=8).merge(MisraGries(k=16))
+
+
+def test_serde_roundtrip():
+    sk = MisraGries(eps=0.05)
+    sk.update_values(_zipf(n=10_000))
+    blob = sk.to_bytes()
+    back = deserialize(blob)
+    assert isinstance(back, MisraGries)
+    assert back.to_bytes() == blob
+    assert (back.ids == sk.ids).all() and (back.counts == sk.counts).all()
+    assert (back.total, back.decr, back.k) == (sk.total, sk.decr, sk.k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(200, 3_000),
+    k=st.integers(4, 64),
+    n_parts=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_merge_bound_under_arbitrary_regrouping(n, k, n_parts, seed):
+    """The Mergeable Summaries theorem, as hypothesis sees it: split the
+    stream into random contiguous runs, build one summary per run, merge in
+    order — the certificate (no overcount, true ≤ est + decr,
+    decr ≤ N/(k+1), heavy-key containment) must hold for EVERY split."""
+    rng = np.random.default_rng(seed)
+    keys = rng.zipf(1.4, size=n).clip(1, 200).astype(np.int64)
+    cuts = np.sort(rng.integers(0, n, size=n_parts - 1)) if n_parts > 1 else np.array([], int)
+    parts = np.split(keys, cuts)
+    merged = MisraGries(k=k)
+    for p in parts:
+        piece = MisraGries(k=k)
+        piece.update_values(p)
+        merged.merge(piece)
+    true = _true_counts(keys)
+    decr = merged.error_bound()
+    assert decr <= n / (k + 1) + 1e-9
+    probe = np.array(sorted(true), dtype=np.int64)
+    est = merged.query(probe)
+    for x, e in zip(probe.tolist(), est.tolist()):
+        assert e <= true[x]
+        assert true[x] <= e + decr
+    present = set(merged.ids.tolist())
+    assert all(x in present for x, c in true.items() if c > decr)
+
+
+def test_ddl_lifecycle_and_weighted_refusal(spark, seq_tiny_dir, tmp_path):
+    """mg through the catalog DDL: CREATE SKETCHES registers it, REFRESH
+    no-ops on an unchanged dir, the states serve mg_topk_df, and the same
+    weight= contract as CM applies (column name, frequency-sketch-only)."""
+    import pytest as _pt
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.spark.query import mg_topk_df
+    from sketchlib.sql import approx_sql
+
+    tables = {"sequences": seq_tiny_dir}
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    approx_sql(
+        spark,
+        "CREATE SKETCHES m FROM sequences KINDS mg(tokens, eps=0.001) GROUP BY source",
+        tables, catalog=cat,
+    ).collect()
+    assert {r["name"] for r in approx_sql(spark, "SHOW SKETCHES", catalog=cat).collect()} == {"m"}
+    out = mg_topk_df(spark, cat.states("m"), "mg_tokens", 3).toPandas()
+    assert (out.groupby("group").size() == 3).all()
+    assert (out["est_count"] > 0).all()
+    ref = approx_sql(spark, "REFRESH SKETCHES m", catalog=cat).collect()[0]
+    assert ref["new_files"] == 0
+    with _pt.raises(ValueError, match="frequency sketch"):
+        approx_sql(
+            spark,
+            "CREATE SKETCHES w FROM sequences KINDS kll(n_tok, weight=n_tok)",
+            tables, catalog=cat,
+        )
+
+
+def test_spark_build_end_to_end(spark, seq_tiny_dir):
+    """mg through the zero-shuffle build kernel + mg_topk_df serving over
+    the synthetic token table, checked against exact Spark token counts."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import mg_topk_df
+
+    df = spark.read.parquet(seq_tiny_dir)
+    states = build_sketches(df, [SketchSpec("mg_tok", "mg", "tokens", {"eps": 1e-3})],
+                            group_by="source")
+    out = mg_topk_df(spark, states, "mg_tok", 8).toPandas()
+    assert set(out.columns) == {"group", "token", "est_count", "undercount_bound"}
+    assert (out.groupby("group").size() == 8).all()
+    exact = (
+        df.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token").agg(F.count("*").alias("n")).toPandas()
+    )
+    true = {(r.source, int(r.token)): int(r.n) for r in exact.itertuples()}
+    for r in out.itertuples():
+        t = true.get((r.group, int(r.token)), 0)
+        assert r.est_count <= t
+        assert t <= r.est_count + r.undercount_bound

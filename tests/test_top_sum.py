@@ -51,9 +51,11 @@ def test_weighted_pairs_negative_and_fractional_refuse():
         _weighted_group_pairs(k, np.array([1.0, 2.5]), np.zeros(2, np.int32), 1, "t")
 
 
-def test_spec_weight_is_cm_only():
-    with pytest.raises(ValueError, match="Count-Min-only"):
+def test_spec_weight_needs_frequency_sketch():
+    # cm and mg carry weighted-update semantics; everything else refuses
+    with pytest.raises(ValueError, match="frequency sketch"):
         SketchSpec("x", "hll", "a", {}, weight="w")
+    SketchSpec("x", "mg", "a", {}, weight="w")  # allowed
 
 
 def test_weighted_cm_never_undercounts_and_merge_invariant(rng):
