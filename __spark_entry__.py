@@ -517,9 +517,10 @@ def q_b54_kll_mad(spark, sf_dir):
     within ±2ε (uniform rank guarantee), so inverting at ½ ∓ 2ε BRACKETS
     the exact MAD-around-m̂. Verified here against the exact order
     statistic of |x − m̂| computed DISTRIBUTED (per-group row_number
-    window at rank ⌈n/2⌉ — no driver-side sort), with a 1/n atom-boundary
-    allowance (the bracket's window is half-open, the order statistic's
-    is closed)."""
+    window at rank ⌈n/2⌉ — no driver-side sort). The inversion's window
+    is CLOSED (tie atoms on the edge count — query._window_mass_fn), the
+    same quantity the order statistic measures, so no atom-boundary
+    allowance is needed."""
     import math
 
     from pyspark.sql import Window
@@ -559,8 +560,7 @@ def q_b54_kll_mad(spark, sf_dir):
     out = []
     for _, r in md.iterrows():
         g = r["group"]
-        slack = float(r["mad_hi"] - r["mad_lo"]) / max(counts[g], 1)
-        ok = r["mad_lo"] - slack - 1e-9 <= exact[g] <= r["mad_hi"] + slack + 1e-9
+        ok = r["mad_lo"] - 1e-9 <= exact[g] <= r["mad_hi"] + 1e-9
         ok = ok and (r["mad_lo"] - 1e-12 <= r["mad_est"] <= r["mad_hi"] + 1e-12)
         out.append((g, bool(ok)))
     return spark.createDataFrame(pd.DataFrame(out, columns=["l_returnflag", "within_bound"]))

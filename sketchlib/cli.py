@@ -43,14 +43,21 @@ def _json_line(row: dict) -> str:
     float columns as NaN, and ``json.dumps`` would emit the bare token
     ``NaN`` — invalid JSON that jq and any strict parser reject, breaking
     the one-JSON-line-per-row contract. Map non-finite floats back to
-    null; everything non-JSON-native falls back to str."""
+    null; everything non-JSON-native falls back to str. Recurses into
+    dicts/lists so nested summaries (profile's per-group card) keep the
+    same strict-JSON contract."""
     import math
 
-    clean = {
-        k: (None if isinstance(v, float) and not math.isfinite(v) else v)
-        for k, v in row.items()
-    }
-    return json.dumps(clean, default=str)
+    def clean(v):
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clean(x) for x in v]
+        return v
+
+    return json.dumps(clean(row), default=str)
 
 
 def _parse_sketch(s: str):
@@ -299,7 +306,22 @@ def main(argv=None) -> int:
         if args.kind == "estimate":
             out = estimates_df(spark, states, args.sketch)
         elif args.kind == "topk":
-            out = topk_df(spark, states, args.sketch, args.k)
+            # dispatch on the stored kind so MG states serve through
+            # mg_topk_df (undercount_bound), never mislabeled as CM's
+            # err_bound — one 1-row probe decides
+            from pyspark.sql import functions as F
+
+            from sketchlib.sketches import deserialize
+            from sketchlib.spark.query import mg_topk_df
+
+            probe = (
+                states.filter(F.col("sketch") == args.sketch)
+                .select("state").limit(1).collect()
+            )
+            if probe and deserialize(bytes(probe[0][0])).kind == "mg":
+                out = mg_topk_df(spark, states, args.sketch, args.k)
+            else:
+                out = topk_df(spark, states, args.sketch, args.k)
         elif args.kind == "mad":
             out = mad_df(spark, states, args.sketch)
         elif args.kind == "equidepth":
@@ -633,7 +655,7 @@ def main(argv=None) -> int:
             }
             for g in sorted(exact)
         }
-        print(json.dumps({
+        print(_json_line({
             "corpus": {
                 "rows": sum(v["rows"] for v in per_group.values()),
                 "total_tokens": sum(v["total_tokens"] for v in per_group.values()),

@@ -96,6 +96,12 @@ class MisraGries(SketchBase):
         # float64 bincount weights are exact for counts < 2^53 — same
         # contract as CM's update path (cm.py)
         s = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+        # zero-count keys carry no information (query returns 0 either way)
+        # but, unpruned, a zero-weighted feed would grow the state past k
+        # counters and pad topk with est=0 keys — drop them unconditionally
+        keep = s > 0
+        if not keep.all():
+            u, s = u[keep], s[keep]
         if len(u) > self.k:
             m = int(np.partition(s, len(s) - self.k - 1)[len(s) - self.k - 1])
             if m > 0:

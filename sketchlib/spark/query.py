@@ -154,9 +154,19 @@ def estimates_df(
 def topk_df(
     spark: SparkSession, states: DataFrame, sketch: str, k: int, distributed: bool | None = None
 ) -> DataFrame:
-    """(group, token, est_count, err_bound) top-k heavy hitters per group (CM)."""
+    """(group, token, est_count, err_bound) top-k heavy hitters per group (CM).
+
+    Refuses Misra-Gries states: MG's bound is an UNDERCOUNT certificate
+    (true ∈ [est, est+bound]) — the inverse of CM's overcount interval —
+    so serving it under CM's ``err_bound`` name would silently flip the
+    interval. Use :func:`mg_topk_df` for MG states."""
 
     def rows(g, sk):
+        if getattr(sk, "kind", None) == "mg":
+            raise ValueError(
+                f"sketch {sketch!r} holds Misra-Gries states; their bound is an "
+                "undercount certificate, not CM's err_bound — use mg_topk_df"
+            )
         ids, est = sk.topk(k)
         bound = float(sk.error_bound())
         return [(g, int(i), int(e), bound) for i, e in zip(ids.tolist(), est.tolist())]
@@ -239,15 +249,48 @@ def rel_quantiles_df(
     )
 
 
-def _mass_inverse(sk, center: float, target: float, t_max: float) -> float:
-    """Smallest t ≥ 0 with rank(center+t) − rank(center−t) ≥ target, by
-    bisection over the sketch's estimated CDF (monotone non-decreasing,
-    right-continuous in t). Returns t_max when even the full spread does
-    not reach the target mass (only possible for target > 1 − ties slop)."""
+def _window_mass_fn(sk):
+    """``mass(lo, hi)`` = estimated P(lo ≤ x ≤ hi) — a CLOSED window, so
+    inverting it targets exactly the same quantity as the closed-window
+    order statistic of |x − m̂| (a half-open window built from two
+    right-ranks would exclude tie atoms sitting precisely on the left
+    edge, and the exact MAD could then fall below the bracket by a full
+    atom's value gap). The weighted CDF is hoisted ONCE: KLL's ``rank``
+    rebuilds and re-sorts the full compactor list on every call, and a
+    64-step bisection would otherwise pay that ~130 times per group.
+    Falls back to the sketch's own ``rank`` when there is no discrete
+    form to hoist (t-digest's CDF is a continuous interpolation of its
+    already-sorted centroids — no tie atoms, closed = half-open)."""
+    if hasattr(sk, "_weighted"):
+        v, w = sk._weighted()
+        if len(v) == 0:
+            return lambda lo, hi: float("nan")
+        cum = np.concatenate([[0.0], np.cumsum(w)])
+        total = cum[-1]
+
+        def mass(lo: float, hi: float) -> float:
+            hi_r = cum[np.searchsorted(v, hi, side="right")]
+            lo_r = cum[np.searchsorted(v, lo, side="left")]
+            return float((hi_r - lo_r) / total)
+
+        return mass
+
+    def mass(lo: float, hi: float) -> float:
+        hi_r, lo_r = sk.rank(np.array([hi, lo]))
+        return float(hi_r - lo_r)
+
+    return mass
+
+
+def _mass_inverse(mass_fn, center: float, target: float, t_max: float) -> float:
+    """Smallest t ≥ 0 with mass_fn(center−t, center+t) ≥ target, by
+    bisection (the closed-window mass is monotone non-decreasing in t and
+    the solution set is a closed right ray — atoms at distance exactly t*
+    are included AT t*). Returns t_max when even the full spread does not
+    reach the target mass (only possible for target > 1 − ties slop)."""
 
     def mass(t: float) -> float:
-        hi, lo = sk.rank(np.array([center + t, center - t]))
-        return float(hi - lo)
+        return mass_fn(center - t, center + t)
 
     if mass(t_max) < target:
         return float(t_max)
@@ -270,8 +313,10 @@ def mad_df(
 
     The textbook MAD = median(|x − median(x)|) needs two scans (the second
     re-aggregates |x − m|). But the quantity is recoverable from one CDF:
-    MAD around a center c is the smallest t with F(c+t) − F(c−t) ≥ 1/2, and
-    a quantile sketch serves F̂ everywhere. We center on the SERVED median
+    MAD around a center c is the smallest t with P(c−t ≤ x ≤ c+t) ≥ 1/2
+    (a CLOSED window, matching the order statistic of |x − c| — tie atoms
+    on the window edge count), and a quantile sketch serves the window
+    mass everywhere. We center on the SERVED median
     m̂ (self-consistent with the report's own median column), so the only
     error source is F̂ vs F at the two probe points — the sketch's uniform
     rank guarantee |F̂ − F| ≤ ε gives |M̂(t) − M(t)| ≤ 2ε for the window
@@ -294,9 +339,10 @@ def mad_df(
         if not np.isfinite(m):
             return [(g, float("nan"), float("nan"), float("nan"), float("nan"), eps)]
         t_max = max(v_hi - m, m - v_lo, 0.0) * (1.0 + 1e-9) + 1e-12
-        est = _mass_inverse(sk, m, 0.5, t_max)
-        t_lo = _mass_inverse(sk, m, max(0.5 - 2.0 * eps, 0.0), t_max)
-        t_hi = _mass_inverse(sk, m, min(0.5 + 2.0 * eps, 1.0), t_max)
+        mass = _window_mass_fn(sk)
+        est = _mass_inverse(mass, m, 0.5, t_max)
+        t_lo = _mass_inverse(mass, m, max(0.5 - 2.0 * eps, 0.0), t_max)
+        t_hi = _mass_inverse(mass, m, min(0.5 + 2.0 * eps, 1.0), t_max)
         return [(g, m, float(est), float(t_lo), float(t_hi), eps)]
 
     return _answer(
@@ -507,8 +553,8 @@ def corpus_drift_df(
 
     - hll / kmv → ``distinct``: per-side estimates; bound = rse_a + rse_b
       (the first-order bound on the REL CHANGE of the ratio).
-    - cm → ``mass``: per-side total update counts — EXACT (bound 0); the
-      per-token movers live in ``freq_delta_topk_df``, not here.
+    - cm / mg → ``mass``: per-side total update counts — EXACT (bound 0);
+      the per-token movers live in ``freq_delta_topk_df``, not here.
     - kll / tdigest → ``p50/p90/p99``: per-side quantile VALUES; bound =
       the sides' summed RANK-error bounds (rank units — a value-unit
       band needs the density, which a rank sketch does not carry).
@@ -570,7 +616,10 @@ def corpus_drift_df(
                 ea, ra = sa.estimate()
                 eb, rb = sb.estimate()
                 emit(g, name, "distinct", float(ea), float(eb), float(ra + rb))
-            elif kind == "cm":
+            elif kind in ("cm", "mg"):
+                # both track total update mass exactly; MG's per-token
+                # movers need freq_delta_topk_df's CM linearity, but the
+                # snapshot mass diff is the same exact metric
                 emit(g, name, "mass", float(sa.total), float(sb.total), 0.0)
             elif kind in ("kll", "tdigest", "dd"):
                 qa = sa.quantiles(np.array(_DRIFT_QS))

@@ -135,3 +135,18 @@ def test_fd_dim_mismatch_raises_clearly(spark):
     b = build_sketches(d4, [SketchSpec("f", "fd", "emb", {"d": 4, "ell": 8})], group_by="src")
     with pytest.raises(ValueError, match="fd geometry mismatch"):
         corpus_drift_df(spark, a, b)
+
+
+def test_mg_contributes_mass_drift(spark):
+    """Misra-Gries tracks total update mass exactly, same as CM — the
+    drift report must not silently skip the kind (round-5 review)."""
+    specs = [_SPECS[1], SketchSpec("mg", "mg", "v", {"k": 64})]
+    sa = build_sketches(_df(spark, 2000), specs, group_by="g")
+    sb = build_sketches(_df(spark, 4000), specs, group_by="g")
+    out = corpus_drift_df(spark, sa, sb).toPandas()
+    mg = out[out["sketch"] == "mg"]
+    assert set(mg["metric"]) == {"mass"}
+    cm = out[out["sketch"] == "c"]
+    assert sorted(mg["value_a"]) == sorted(cm["value_a"])
+    assert sorted(mg["value_b"]) == sorted(cm["value_b"])
+    assert (mg["bound"] == 0.0).all()

@@ -31,12 +31,13 @@ def test_mad_bracket_contains_exact_local(cls, kw, lognormal):
     sk = cls(**kw).update_values(lognormal)
     eps = sk.error_bound()
     m = float(sk.quantiles(np.array([0.5]))[0])
-    from sketchlib.spark.query import _mass_inverse
+    from sketchlib.spark.query import _mass_inverse, _window_mass_fn
 
     v0, v1 = sk.quantiles(np.array([0.0, 1.0]))
     t_max = max(v1 - m, m - v0) * (1 + 1e-9) + 1e-12
-    t_lo = _mass_inverse(sk, m, 0.5 - 2 * eps, t_max)
-    t_hi = _mass_inverse(sk, m, 0.5 + 2 * eps, t_max)
+    mass = _window_mass_fn(sk)
+    t_lo = _mass_inverse(mass, m, 0.5 - 2 * eps, t_max)
+    t_hi = _mass_inverse(mass, m, 0.5 + 2 * eps, t_max)
     exact = _exact_mad_around(lognormal, m)
     assert t_lo - 1e-9 <= exact <= t_hi + 1e-9, (t_lo, exact, t_hi)
     # the bracket is tight-ish, not vacuous: on lognormal it must separate
@@ -162,3 +163,29 @@ def test_cli_mad_and_equidepth(seq_tiny_dir, tmp_path):
     bins = [json.loads(l) for l in rh.stdout.splitlines() if l.startswith("{")]
     assert len(bins) == 5 * 4
     assert all(b["target_frac"] == 0.25 for b in bins)
+
+
+def test_mad_bracket_covers_tie_atom_on_left_edge():
+    """Discrete tie atoms sitting exactly at m̂ − t*: a HALF-OPEN window
+    (two right-ranks) would exclude the left-edge atom and the inversion
+    would overshoot to the next atom (here 2× the true MAD) — the closed
+    window _window_mass_fn serves is the same quantity as the order
+    statistic, so the bracket contains the exact MAD (round-5 review)."""
+    from sketchlib.spark.query import _mass_inverse, _window_mass_fn
+
+    data = np.concatenate(
+        [np.zeros(450), np.full(100, 10.0), np.full(450, 30.0)]
+    )  # median 10; closed MAD-around-10 = 10 (the 0-atom), half-open would say 20
+    sk = KLL(k=4096).update_values(data)
+    eps = sk.error_bound()
+    m = float(sk.quantiles(np.array([0.5]))[0])
+    assert m == 10.0
+    exact = _exact_mad_around(data, m)
+    assert exact == 10.0
+    mass = _window_mass_fn(sk)
+    v0, v1 = sk.quantiles(np.array([0.0, 1.0]))
+    t_max = max(v1 - m, m - v0) * (1 + 1e-9) + 1e-12
+    t_lo = _mass_inverse(mass, m, max(0.5 - 2 * eps, 0.0), t_max)
+    t_hi = _mass_inverse(mass, m, min(0.5 + 2 * eps, 1.0), t_max)
+    assert t_lo - 1e-9 <= exact <= t_hi + 1e-9, (t_lo, exact, t_hi)
+    assert t_hi < 20.0  # the half-open inversion's answer is excluded

@@ -205,3 +205,69 @@ def test_spark_build_end_to_end(spark, seq_tiny_dir):
         t = true.get((r.group, int(r.token)), 0)
         assert r.est_count <= t
         assert t <= r.est_count + r.undercount_bound
+
+
+def test_zero_weight_feed_never_grows_state():
+    """Zero weights pass the non-negative check but carry no information:
+    unpruned they would grow the state past k counters (unbounded 'KB'
+    state) and pad topk with est=0 keys. Regression for the round-5
+    review finding."""
+    sk = MisraGries(k=4)
+    sk.update_values(np.array([1, 2, 3], dtype=np.int64), counts=np.array([10, 10, 10]))
+    for i in range(50):
+        sk.update_values(
+            np.arange(100 + 5 * i, 105 + 5 * i, dtype=np.int64),
+            counts=np.zeros(5, dtype=np.int64),
+        )
+    assert len(sk.ids) == 3
+    ids, est = sk.topk(6)
+    assert (est > 0).all()
+    assert set(ids.tolist()) == {1, 2, 3}
+    # serialized state stays at the documented O(k) size
+    assert len(sk.to_bytes()) < 200
+
+
+def test_topk_df_refuses_mg_states(spark):
+    """CM's err_bound is an OVERcount interval; MG's is an undercount
+    certificate. topk_df must refuse to blur them (mg_topk_df serves MG)."""
+    import pandas as pd
+
+    from sketchlib.spark.build import SketchSpec, build_sketches
+    from sketchlib.spark.query import mg_topk_df, topk_df
+
+    pdf = pd.DataFrame({"g": ["a"] * 100, "v": (np.arange(100) % 7).astype("int64")})
+    states = build_sketches(
+        spark.createDataFrame(pdf), [SketchSpec("m", "mg", "v", {"k": 32})], group_by="g"
+    )
+    with pytest.raises(Exception, match="undercount"):
+        topk_df(spark, states, "m", 5).collect()
+    out = mg_topk_df(spark, states, "m", 5).toPandas()
+    assert "undercount_bound" in out.columns and len(out) == 5
+
+
+def test_cli_topk_dispatches_mg_states(seq_tiny_dir, tmp_path):
+    """`query --kind topk` over MG states must serve mg_topk_df's
+    undercount_bound, never CM's err_bound (round-5 review)."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "states")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "sketchlib.cli", "build",
+            "--input", seq_tiny_dir, "--group-by", "source",
+            "--sketches", 'mg_tok:mg:tokens:{"k": 64}',
+            "--out", out_dir,
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rq = subprocess.run(
+        [sys.executable, "-m", "sketchlib.cli", "query", "--states", out_dir,
+         "--sketch", "mg_tok", "--kind", "topk", "--k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert rq.returncode == 0, rq.stderr[-2000:]
+    rows = [json.loads(l) for l in rq.stdout.splitlines() if l.startswith("{")]
+    assert rows and all("undercount_bound" in x and "err_bound" not in x for x in rows)
