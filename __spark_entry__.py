@@ -566,6 +566,49 @@ def q_b54_kll_mad(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["l_returnflag", "within_bound"]))
 
 
+def q_b57_trimmed_mean(spark, sf_dir):
+    """Round-5 close: approximate TRIMMED MEAN per group from a single
+    KLL state (query.trimmed_mean_df) — the robust data-card aggregate
+    ("mean excluding the top/bottom 10%") whose exact route is a full
+    per-group sort. Served by averaging the sketch's own weighted coreset
+    over the (0.1, 0.9] rank window with boundary proration; the corner
+    windows (0.1∓ε, 0.9∓ε) bracket the exact trimmed mean to first order
+    (window mean is monotone in both boundaries). Verified against the
+    exact trimmed mean computed DISTRIBUTED (row_number window, keep
+    rank ∈ (⌊0.1n⌋, ⌊0.9n⌋], one avg — no driver-side sort); the
+    ≤1-row floor-vs-proration definitional slack is orders of magnitude
+    inside the ±ε-rank bracket."""
+    from pyspark.sql import Window
+    from sketchlib.spark.query import trimmed_mean_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
+    tm = trimmed_mean_df(spark, states, "kll_price", lo=0.1, hi=0.9).toPandas()
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    exact = {
+        r["l_returnflag"]: float(r["tm_exact"])
+        for r in (
+            li.select("l_returnflag", "l_extendedprice")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+            .filter(
+                (F.col("rn") > F.floor(0.1 * F.col("n")))
+                & (F.col("rn") <= F.floor(0.9 * F.col("n")))
+            )
+            .groupBy("l_returnflag")
+            .agg(F.avg("l_extendedprice").alias("tm_exact"))
+            .collect()
+        )
+    }
+    out = []
+    for _, r in tm.iterrows():
+        g = r["group"]
+        ok = r["tm_lo"] - 1e-9 <= exact[g] <= r["tm_hi"] + 1e-9
+        ok = ok and (r["tm_lo"] - 1e-12 <= r["trimmed_mean"] <= r["tm_hi"] + 1e-12)
+        out.append((g, bool(ok)))
+    return spark.createDataFrame(pd.DataFrame(out, columns=["l_returnflag", "within_bound"]))
+
+
 def q_b55_equidepth_histogram(spark, sf_dir):
     """Round-5 close: EQUI-DEPTH bin edges per group from the registered
     KLL state (query.equidepth_histogram_df) — equal-mass feature
@@ -4495,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b53_rollup_grouping_sets": _dist_wrapped(q_b53_rollup_grouping_sets),
         "b54_kll_mad": _dist_wrapped(q_b54_kll_mad),
         "b55_equidepth_histogram": _dist_wrapped(q_b55_equidepth_histogram),
+        "b57_trimmed_mean": _dist_wrapped(q_b57_trimmed_mean),
         "b56_mg_topk_tokens": _dist_wrapped(q_b56_mg_topk_tokens),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
@@ -4704,6 +4748,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "b54_kll_mad": (
+            "SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"
+        ),
+        "b57_trimmed_mean": (
             "SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"
         ),
         "b55_equidepth_histogram": """

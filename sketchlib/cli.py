@@ -89,12 +89,15 @@ def main(argv=None) -> int:
     q.add_argument("--sketch", required=True)
     q.add_argument(
         "--kind", default="estimate",
-        choices=["estimate", "topk", "quantiles", "mad", "equidepth"],
+        choices=["estimate", "topk", "quantiles", "mad", "equidepth", "trimmed"],
     )
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--quantiles", type=float, nargs="+", default=[0.5, 0.9, 0.99])
     q.add_argument("--bins", type=int, default=10,
                    help="bin count for --kind equidepth")
+    q.add_argument("--trim", type=float, nargs=2, default=[0.05, 0.95],
+                   metavar=("LO", "HI"),
+                   help="quantile window for --kind trimmed (mean of the kept band)")
 
     ln = sub.add_parser("lineage", help="per-chunk lineage + throughput metrics")
     ln.add_argument("--checkpoint", required=True)
@@ -326,6 +329,10 @@ def main(argv=None) -> int:
             out = mad_df(spark, states, args.sketch)
         elif args.kind == "equidepth":
             out = equidepth_histogram_df(spark, states, args.sketch, args.bins)
+        elif args.kind == "trimmed":
+            from sketchlib.spark.query import trimmed_mean_df
+
+            out = trimmed_mean_df(spark, states, args.sketch, args.trim[0], args.trim[1])
         else:
             out = quantiles_df(spark, states, args.sketch, args.quantiles)
         for row in out.toPandas().to_dict("records"):

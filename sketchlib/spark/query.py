@@ -389,6 +389,92 @@ def equidepth_histogram_df(
     )
 
 
+def _items_weights(sk):
+    """Sorted (values, weights) coreset view of a quantile state: KLL's
+    compactor items at weight 2^level, or t-digest's centroids. Both are
+    the sketch's own internal representation — no extra work, no copy of
+    the corpus."""
+    if hasattr(sk, "_weighted"):
+        return sk._weighted()
+    if hasattr(sk, "means") and hasattr(sk, "weights"):
+        sk._flush()
+        return sk.means, sk.weights
+    raise ValueError(
+        f"{type(sk).kind!r} state carries no weighted item view — "
+        "trimmed_mean_df serves KLL and t-digest registrations"
+    )
+
+
+def _window_mean(v: np.ndarray, cum: np.ndarray, total: float, a: float, b: float) -> float:
+    """Weighted mean of the coreset mass with cumulative rank in
+    (a·total, b·total], prorating items that straddle a boundary."""
+    lo_m, hi_m = a * total, b * total
+    prev = np.concatenate([[0.0], cum[:-1]])
+    win = np.clip(np.minimum(cum, hi_m) - np.maximum(prev, lo_m), 0.0, None)
+    wsum = float(win.sum())
+    if wsum <= 0.0:
+        return float("nan")
+    return float((win * v).sum() / wsum)
+
+
+def trimmed_mean_df(
+    spark: SparkSession, states: DataFrame, sketch: str,
+    lo: float = 0.05, hi: float = 0.95, distributed: bool | None = None,
+) -> DataFrame:
+    """(group, trimmed_mean, tm_lo, tm_hi, rank_err_bound) — approximate
+    TRIMMED MEAN per group from a single quantile state (KLL or t-digest):
+    the mean of the values whose rank falls in the (lo, hi] quantile
+    window, the robust data-card aggregate ("mean quality score excluding
+    the top/bottom 5%") that a plain AVG lets outliers own.
+
+    The exact route is a per-group SORT of the corpus (rank every row,
+    then average the kept band) — this serves the same statistic from
+    already-registered KB states with zero corpus work, by averaging the
+    sketch's own weighted coreset over the window (boundary items
+    prorated).
+
+    Bracket: the window mean is monotone in BOTH boundaries (moving
+    either boundary right swaps smaller mass for larger values), and the
+    sketch's uniform rank guarantee places each true boundary within ±ε
+    of the requested one, so the corner windows (lo−ε, hi−ε) and
+    (lo+ε, hi+ε) bracket the exact trimmed mean TO FIRST ORDER in ε —
+    the residual is the coreset's own value-level error inside a fixed
+    window, O(ε·window-spread), second-order for the tail-trimmed windows
+    this exists for. (mad_df's bracket is exact because it inverts ranks
+    only; a mean mixes values, so its certificate is first-order — stated
+    here, verified empirically in the driver gate.) Requires
+    hi − lo > 2ε so the inner window cannot vanish."""
+    lo, hi = float(lo), float(hi)
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo}, hi={hi}")
+
+    def rows(g, sk):
+        # kind check first: a frequency sketch's error_bound() is a count,
+        # not a rank fraction — the window check below would misdiagnose it
+        v, w = _items_weights(sk)
+        eps = float(sk.error_bound())
+        if hi - lo <= 2.0 * eps:
+            raise ValueError(
+                f"trim window ({lo}, {hi}] is narrower than twice the state's "
+                f"rank error bound {eps:.4g} — register a larger sketch or widen the window"
+            )
+        if len(v) == 0:
+            return [(g, float("nan"), float("nan"), float("nan"), eps)]
+        cum = np.cumsum(np.asarray(w, dtype=np.float64))
+        total = float(cum[-1])
+        est = _window_mean(v, cum, total, lo, hi)
+        b_lo = _window_mean(v, cum, total, max(lo - eps, 0.0), hi - eps)
+        b_hi = _window_mean(v, cum, total, lo + eps, min(hi + eps, 1.0))
+        return [(g, est, b_lo, b_hi, eps)]
+
+    return _answer(
+        spark, states, sketch, distributed, rows,
+        "group string, trimmed_mean double, tm_lo double, tm_hi double, "
+        "rank_err_bound double",
+        ["group", "trimmed_mean", "tm_lo", "tm_hi", "rank_err_bound"],
+    )
+
+
 def spectrum_df(
     spark: SparkSession, states: DataFrame, sketch: str, r: int,
     distributed: bool | None = None,

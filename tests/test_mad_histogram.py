@@ -189,3 +189,93 @@ def test_mad_bracket_covers_tie_atom_on_left_edge():
     t_hi = _mass_inverse(mass, m, min(0.5 + 2 * eps, 1.0), t_max)
     assert t_lo - 1e-9 <= exact <= t_hi + 1e-9, (t_lo, exact, t_hi)
     assert t_hi < 20.0  # the half-open inversion's answer is excluded
+
+
+@pytest.mark.parametrize("cls,kw", [(KLL, {"k": 400}), (TDigest, {"compression": 400})])
+def test_trimmed_mean_bracket_contains_exact_local(cls, kw, lognormal):
+    """First-order bracket contains the exact trimmed mean on skewed data,
+    and trimming actually rejects the tail (trimmed << plain mean)."""
+    from sketchlib.spark.query import _items_weights, _window_mean
+
+    sk = cls(**kw).update_values(lognormal)
+    eps = sk.error_bound()
+    v, w = _items_weights(sk)
+    cum = np.cumsum(np.asarray(w, dtype=np.float64))
+    total = float(cum[-1])
+    est = _window_mean(v, cum, total, 0.05, 0.95)
+    b_lo = _window_mean(v, cum, total, 0.05 - eps, 0.95 - eps)
+    b_hi = _window_mean(v, cum, total, 0.05 + eps, 0.95 + eps)
+    s = np.sort(lognormal)
+    n = len(s)
+    exact = float(s[int(np.floor(0.05 * n)):int(np.floor(0.95 * n))].mean())
+    assert b_lo - 1e-9 <= exact <= b_hi + 1e-9, (b_lo, exact, b_hi)
+    assert b_lo <= est <= b_hi
+    assert b_hi < float(lognormal.mean())  # the tail is actually excluded
+
+
+def test_trimmed_mean_df_serves_per_group(spark):
+    import pandas as pd
+
+    from sketchlib.spark.query import trimmed_mean_df
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(50, 5, 40_000)
+    spiked = np.concatenate([rng.normal(50, 5, 39_600), np.full(400, 1e6)])
+    pdf = pd.DataFrame(
+        {"g": np.repeat(["clean", "spiked"], 40_000), "x": np.concatenate([base, spiked])}
+    )
+    states = build_sketches(
+        spark.createDataFrame(pdf), [SketchSpec("q", "kll", "x", {"k": 400})], group_by="g"
+    )
+    out = {r["group"]: r for r in trimmed_mean_df(spark, states, "q", 0.05, 0.95).collect()}
+    assert set(out) == {"clean", "spiked"}
+    for g in ("clean", "spiked"):
+        r = out[g]
+        assert r["tm_lo"] - 1e-9 <= r["trimmed_mean"] <= r["tm_hi"] + 1e-9
+        # 1% outliers at 1e6 must NOT drag the trimmed mean (plain mean ≈ 10050)
+        assert abs(r["trimmed_mean"] - 50.0) < 2.0, (g, r["trimmed_mean"])
+
+
+def test_trimmed_mean_rejections(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.query import trimmed_mean_df
+
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a"] * 100, "x": np.arange(100.0)}))
+    states = build_sketches(df, [SketchSpec("q", "kll", "x", {"k": 200})], group_by="g")
+    with pytest.raises(ValueError, match="lo < hi"):
+        trimmed_mean_df(spark, states, "q", 0.9, 0.1)
+    with pytest.raises(Exception, match="narrower than twice"):
+        trimmed_mean_df(spark, states, "q", 0.5, 0.5001).collect()
+    # non-quantile states refuse with a pointer, not an AttributeError
+    mg_states = build_sketches(
+        df.withColumn("t", F.col("x").cast("long")),
+        [SketchSpec("m", "mg", "t", {"k": 16})], group_by="g",
+    )
+    with pytest.raises(Exception, match="weighted item view"):
+        trimmed_mean_df(spark, mg_states, "m").collect()
+
+
+def test_trimmed_mean_distributed_equals_driver(spark):
+    import pandas as pd
+
+    from sketchlib.spark.query import trimmed_mean_df
+
+    n = 30_000
+    pdf = pd.DataFrame(
+        {"k": (np.arange(n) % 1500).astype(str), "x": np.arange(n, dtype=np.float64) % 997}
+    )
+    states = build_sketches(
+        spark.createDataFrame(pdf), [SketchSpec("q", "kll", "x", {"k": 200})], group_by="k"
+    )
+    cols = ["group", "trimmed_mean", "tm_lo", "tm_hi"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in trimmed_mean_df(spark, states, "q", distributed=True).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in trimmed_mean_df(spark, states, "q", distributed=False).collect()
+    )
+    assert got == want and len(got) == 1500
