@@ -609,6 +609,70 @@ def q_b57_trimmed_mean(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(out, columns=["l_returnflag", "within_bound"]))
 
 
+def q_b58_sql_robust_stats(spark, sf_dir):
+    """Round-5 close: APPROX_MAD and APPROX_TRIMMED_MEAN through the SQL
+    front door, ANSWERED FROM PERSISTED STATES ALONE (A5) — one registered
+    KLL on l_extendedprice serves BOTH robust statistics with the base-
+    table copy DELETED before querying, and EXPLAIN names the route +
+    artifact first. Exact MAD-around-m̂ / trimmed mean (computed before
+    deletion, pandas-side over the 3-group frame) must land inside each
+    statement's served bracket."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, explain_sql
+
+    work = tempfile.mkdtemp(prefix="sketchlib_robust_")
+    try:
+        base = os.path.join(work, "li")
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .select("l_returnflag", "l_extendedprice").write.parquet(base))
+        pdf = spark.read.parquet(base).toPandas()
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        t = {"li": base}
+        approx_sql(
+            spark,
+            "CREATE SKETCHES rs FROM li KINDS kll(l_extendedprice, k=400) "
+            "GROUP BY l_returnflag",
+            t, catalog=cat,
+        ).collect()
+        ex = {r["property"]: r["value"] for r in explain_sql(
+            spark, "SELECT APPROX_MAD(l_extendedprice) FROM li GROUP BY l_returnflag",
+            t, catalog=cat,
+        ).collect()}
+        routed = "persisted_sketch_states" in ex.get("route", "") and ex.get("artifact") == "rs"
+        shutil.rmtree(base)
+        mad = {r["group"]: r for r in approx_sql(
+            spark, "SELECT APPROX_MAD(l_extendedprice) FROM li GROUP BY l_returnflag",
+            t, catalog=cat,
+        ).collect()}
+        tm = {r["group"]: r for r in approx_sql(
+            spark,
+            "SELECT APPROX_TRIMMED_MEAN(l_extendedprice, 0.1, 0.9) FROM li "
+            "GROUP BY l_returnflag",
+            t, catalog=cat,
+        ).collect()}
+        out = []
+        for g, sub in pdf.groupby("l_returnflag"):
+            x = np.sort(sub["l_extendedprice"].to_numpy())
+            n = len(x)
+            r_m, r_t = mad[g], tm[g]
+            exact_mad = float(np.median(np.abs(x - r_m["median_est"])))
+            exact_tm = float(x[int(np.floor(0.1 * n)):int(np.floor(0.9 * n))].mean())
+            ok = (
+                routed
+                and r_m["mad_lo"] - 1e-9 <= exact_mad <= r_m["mad_hi"] + 1e-9
+                and r_t["tm_lo"] - 1e-9 <= exact_tm <= r_t["tm_hi"] + 1e-9
+            )
+            out.append((g, bool(ok)))
+        return spark.createDataFrame(
+            pd.DataFrame(sorted(out), columns=["l_returnflag", "within_bound"])
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_b55_equidepth_histogram(spark, sf_dir):
     """Round-5 close: EQUI-DEPTH bin edges per group from the registered
     KLL state (query.equidepth_histogram_df) — equal-mass feature
@@ -4539,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b54_kll_mad": _dist_wrapped(q_b54_kll_mad),
         "b55_equidepth_histogram": _dist_wrapped(q_b55_equidepth_histogram),
         "b57_trimmed_mean": _dist_wrapped(q_b57_trimmed_mean),
+        "b58_sql_robust_stats": _dist_wrapped(q_b58_sql_robust_stats),
         "b56_mg_topk_tokens": _dist_wrapped(q_b56_mg_topk_tokens),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
@@ -4752,6 +4817,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "b57_trimmed_mean": (
             "SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"
+        ),
+        "b58_sql_robust_stats": (
+            "SELECT l_returnflag, TRUE AS within_bound FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "b55_equidepth_histogram": """
             SELECT l_returnflag, CAST(b AS INTEGER) AS bin, TRUE AS within_bound

@@ -30,6 +30,10 @@ Supported aggregates:
     APPROX_TOP_SUM(key, w, k [, eps=1e-4])       → weighted Count-Min
                                                    (top keys BY SUM(w))
     APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
+    APPROX_MAD(col)                              → KLL/t-digest (robust spread;
+                                                   bracket certificate)
+    APPROX_TRIMMED_MEAN(col [, lo, hi])          → KLL/t-digest (robust mean over
+                                                   the (lo, hi] quantile window)
     APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
     APPROX_VARIANCE(col, ratio) / APPROX_STDDEV(col, ratio)
                                                  → uniform sample + delta-method CI
@@ -256,6 +260,36 @@ def _percentile_args(args: list) -> tuple[list[float], float | None, float | Non
             "different contracts served by different sketches"
         )
     return (qs or [0.5]), rank, rel
+
+
+def _trim_args(args: list) -> tuple[float, float]:
+    """(lo, hi) from APPROX_TRIMMED_MEAN(col [, lo, hi]) — the kept
+    quantile window; default (0.05, 0.95), the conventional 5% trim."""
+    if len(args) == 1:
+        return 0.05, 0.95
+    if len(args) != 3:
+        raise ValueError(
+            "APPROX_TRIMMED_MEAN takes (col) or (col, lo, hi) — lo/hi are "
+            "the kept quantile window, e.g. APPROX_TRIMMED_MEAN(x, 0.05, 0.95)"
+        )
+    lo, hi = _num(args[1]), _num(args[2])
+    if lo is None or hi is None or not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(
+            f"APPROX_TRIMMED_MEAN window ({args[1]!r}, {args[2]!r}) must be "
+            "numeric with 0 <= lo < hi <= 1"
+        )
+    return float(lo), float(hi)
+
+
+def _mad_args(args: list) -> None:
+    """APPROX_MAD takes exactly (col) — there is no accuracy knob to pass
+    at query time; the bracket width is the serving state's ε."""
+    if len(args) != 1:
+        raise ValueError(
+            "APPROX_MAD takes exactly one argument (the column) — the "
+            "bracket width comes from the serving KLL/t-digest state's "
+            "rank error; register a larger sketch for a tighter bracket"
+        )
 
 
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
@@ -1292,6 +1326,11 @@ _CATALOG_KINDS = {
     "APPROX_TOP_SUM": ("cm",),
     "APPROX_PERCENTILE": ("kll", "tdigest", "dd"),
     "APPROX_SPECTRUM": ("fd",),
+    # mad/trimmed-mean read the state's weighted item view — KLL and
+    # t-digest only (a dd state's bound is in different units and its
+    # bucket midpoints are not a value coreset)
+    "APPROX_MAD": ("kll", "tdigest"),
+    "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
 }
 
 
@@ -2683,11 +2722,18 @@ def _setop_scan_frames(spark, sides, grouped, tables, apply_where=True):
 
 
 _MERGE_HEAD = re.compile(
-    r"^\s*SELECT\s+(?P<fn>APPROX_PERCENTILE|APPROX_TOPK)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"^\s*SELECT\s+(?P<fn>APPROX_PERCENTILE|APPROX_TOPK|APPROX_MAD|"
+    r"APPROX_TRIMMED_MEAN)\s*\((?P<args>" + _ARGS + r")\)\s*"
     r"(?:AS\s+(?P<alias>\w+)\s*)?$",
     re.IGNORECASE,
 )
-_MERGE_KINDS = {"APPROX_PERCENTILE": ("kll", "tdigest"), "APPROX_TOPK": ("cm",)}
+_MERGE_KINDS = {
+    "APPROX_PERCENTILE": ("kll", "tdigest"),
+    "APPROX_TOPK": ("cm",),
+    # the robust statistics serve from the same mergeable quantile states
+    "APPROX_MAD": ("kll", "tdigest"),
+    "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
+}
 
 
 # SQL aggregate/window markers inside a side's projection: such a side is
@@ -2772,9 +2818,14 @@ def _unionall_merge_route(head: str, inner: str, tail: str):
     args = _split_args(hm.group("args"))
     if not args or not _IDENT.match(args[0]):
         return None
-    try:  # malformed k/quantile arguments: the generic path owns the error
-        if hm.group("fn").upper() == "APPROX_TOPK":
+    try:  # malformed k/quantile/window arguments: the generic path owns the error
+        fnu = hm.group("fn").upper()
+        if fnu == "APPROX_TOPK":
             int(args[1])
+        elif fnu == "APPROX_MAD":
+            _mad_args(args)
+        elif fnu == "APPROX_TRIMMED_MEAN":
+            _trim_args(args)
         else:
             [float(a) for a in args[1:]]
     except (ValueError, IndexError):
@@ -2920,6 +2971,16 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
     if fn == "APPROX_TOPK":
         out = topk_df(spark, states, "_q", int(args[1]))
         est_col, err_col, err_sfx = "est_count", "err_bound", "_err"
+    elif fn == "APPROX_MAD":
+        from sketchlib.spark.query import mad_df
+
+        out = mad_df(spark, states, "_q")
+        est_col, err_col, err_sfx = "mad_est", "rank_err_bound", "_rank_err"
+    elif fn == "APPROX_TRIMMED_MEAN":
+        from sketchlib.spark.query import trimmed_mean_df
+
+        out = trimmed_mean_df(spark, states, "_q", *_trim_args(args))
+        est_col, err_col, err_sfx = "trimmed_mean", "rank_err_bound", "_rank_err"
     else:
         qs, _mrank, _mrel = _percentile_args(args)
         if _mrank is not None or _mrel is not None:
@@ -4041,7 +4102,8 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
 
 _SKETCH_ROLLUP_FNS = frozenset(
     ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK",
-     "APPROX_TOP_SUM", "APPROX_SPECTRUM")
+     "APPROX_TOP_SUM", "APPROX_SPECTRUM", "APPROX_MAD",
+     "APPROX_TRIMMED_MEAN")
 )
 
 
@@ -4303,6 +4365,13 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                         )
                     fd_d = int(probe["_d"])
                 sp = SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})
+            elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN"):
+                if fn == "APPROX_MAD":
+                    _mad_args(args)
+                else:
+                    _trim_args(args)
+                df, col = _materialize_expr(df, args[0])
+                sp = SketchSpec("_q", "kll", col, {"k": 200})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
                 if req_rel is not None:
@@ -4337,6 +4406,14 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 from sketchlib.spark.query import spectrum_df
 
                 out = spectrum_df(spark, st, spec_name, _spectrum_args(args)[0])
+            elif fn == "APPROX_MAD":
+                from sketchlib.spark.query import mad_df
+
+                out = mad_df(spark, st, spec_name)
+            elif fn == "APPROX_TRIMMED_MEAN":
+                from sketchlib.spark.query import trimmed_mean_df
+
+                out = trimmed_mean_df(spark, st, spec_name, *_trim_args(args))
             elif req_rel is not None:
                 out = rel_quantiles_df(spark, st, spec_name, qs)
             else:
@@ -5086,6 +5163,15 @@ def approx_sql(
             out = topk_df(spark, states, spec["name"], _top_sum_k(args)).withColumnRenamed(
                 "est_count", "est_sum"
             )
+        elif fn == "APPROX_MAD":
+            from sketchlib.spark.query import mad_df
+
+            _mad_args(args)
+            out = mad_df(spark, states, spec["name"])
+        elif fn == "APPROX_TRIMMED_MEAN":
+            from sketchlib.spark.query import trimmed_mean_df
+
+            out = trimmed_mean_df(spark, states, spec["name"], *_trim_args(args))
         else:  # APPROX_PERCENTILE
             qs, req_rank, req_rel = _percentile_args(args)
             if req_rank is not None:
@@ -5207,6 +5293,28 @@ def approx_sql(
             k = max(200, kll_params(req_rank)["k"])
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": k})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
+        return _finish_grouped(out, df, group)
+
+    if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN"):
+        # on-the-fly: one KLL build (same zero-shuffle kernel as the
+        # percentile route), then the robust statistic is served from the
+        # states — the bracket columns are the state's own certificate
+        if fn == "APPROX_MAD":
+            _mad_args(args)
+        else:
+            _trim_args(args)
+        df, col = _materialize_expr(df, args[0])
+        states = build_sketches(
+            df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group
+        )
+        if fn == "APPROX_MAD":
+            from sketchlib.spark.query import mad_df
+
+            out = mad_df(spark, states, "_q")
+        else:
+            from sketchlib.spark.query import trimmed_mean_df
+
+            out = trimmed_mean_df(spark, states, "_q", *_trim_args(args))
         return _finish_grouped(out, df, group)
 
     if fn in ("APPROX_COVAR", "APPROX_CORR"):

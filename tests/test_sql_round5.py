@@ -2438,3 +2438,160 @@ def test_within_contract_multi_aggregate(spark, sub_tables):
     assert props["statement_kind"] == "accuracy_contract"
     assert "pilot" in props["agg0.plan"] and "pilot" in props["agg1.plan"]
     assert props["agg2.plan"].startswith("rewrite to explicit rse")
+
+
+# ---------------------------------------------------------------------------
+# APPROX_MAD / APPROX_TRIMMED_MEAN through the SQL door (round-5 close)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def robust_tables(spark, tmp_path_factory):
+    """Two groups, one heavy-tailed — the shape the robust statistics exist
+    for. Returns (tables, pdf, catalog) with a registered KLL on x."""
+    from sketchlib.spark.catalog import SketchCatalog
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat(["norm", "heavy"], 20_000),
+            "x": np.concatenate(
+                [rng.normal(10, 1, 20_000), rng.lognormal(3, 1, 20_000)]
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("robust5")
+    base = str(d / "base")
+    spark.createDataFrame(pdf).write.parquet(base)
+    cat = SketchCatalog(spark, str(d / "cat"))
+    tables = {"rt": base}
+    approx_sql(
+        spark, "CREATE SKETCHES rs FROM rt KINDS kll(x, k=400) GROUP BY g",
+        tables, catalog=cat,
+    ).collect()
+    return tables, pdf, cat
+
+
+def test_sql_mad_on_the_fly_matches_exact(spark, robust_tables):
+    tables, pdf, _ = robust_tables
+    rows = {
+        r["group"]: r
+        for r in approx_sql(spark, "SELECT APPROX_MAD(x) FROM rt GROUP BY g", tables).collect()
+    }
+    for g in ("norm", "heavy"):
+        x = pdf.loc[pdf["g"] == g, "x"].to_numpy()
+        exact = float(np.median(np.abs(x - rows[g]["median_est"])))
+        assert rows[g]["mad_lo"] - 1e-9 <= exact <= rows[g]["mad_hi"] + 1e-9
+
+
+def test_sql_trimmed_mean_states_served_base_deleted(spark, robust_tables, tmp_path):
+    """The A5 substitution: with a registered KLL, APPROX_TRIMMED_MEAN and
+    APPROX_MAD answer from states alone — proven by deleting the base."""
+    import shutil
+
+    tables, pdf, cat = robust_tables
+    from sketchlib.sql import explain_sql
+
+    ex = {r["property"]: r["value"] for r in explain_sql(
+        spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.1, 0.9) FROM rt GROUP BY g",
+        tables, catalog=cat,
+    ).collect()}
+    assert "persisted_sketch_states" in ex["route"] and ex["artifact"] == "rs"
+    # move the base away; the states route must still answer
+    moved = str(tmp_path / "moved")
+    shutil.move(tables["rt"], moved)
+    try:
+        out = {
+            r["group"]: r
+            for r in approx_sql(
+                spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.1, 0.9) FROM rt GROUP BY g",
+                tables, catalog=cat,
+            ).collect()
+        }
+        mads = approx_sql(
+            spark, "SELECT APPROX_MAD(x) FROM rt GROUP BY g", tables, catalog=cat
+        ).collect()
+        assert {r["group"] for r in mads} == {"norm", "heavy"}
+        for g in ("norm", "heavy"):
+            x = np.sort(pdf.loc[pdf["g"] == g, "x"].to_numpy())
+            n = len(x)
+            exact = float(x[int(np.floor(0.1 * n)):int(np.floor(0.9 * n))].mean())
+            r = out[g]
+            assert r["tm_lo"] - 1e-9 <= exact <= r["tm_hi"] + 1e-9
+            assert r["tm_lo"] <= r["trimmed_mean"] <= r["tm_hi"]
+    finally:
+        shutil.move(moved, tables["rt"])
+
+
+def test_sql_mad_rollup_from_states(spark, robust_tables):
+    """ROLLUP serves every grouping set from the ONE registered finest-grain
+    state set (coarser = state merge, zero base scans)."""
+    tables, pdf, cat = robust_tables
+    out = approx_sql(
+        spark, "SELECT APPROX_MAD(x) FROM rt GROUP BY ROLLUP (g)",
+        tables, catalog=cat, catalog_key="rs",
+    ).toPandas()
+    assert set(out["grouping_lvl"]) == {0, 1}
+    glob = out[out["grouping_lvl"] == 1].iloc[0]
+    x = pdf["x"].to_numpy()
+    exact = float(np.median(np.abs(x - glob["median_est"])))
+    assert glob["mad_lo"] - 1e-9 <= exact <= glob["mad_hi"] + 1e-9
+
+
+def test_sql_robust_arg_refusals_and_where(spark, robust_tables):
+    tables, pdf, cat = robust_tables
+    with pytest.raises(ValueError, match="exactly one argument"):
+        approx_sql(spark, "SELECT APPROX_MAD(x, 0.5) FROM rt", tables)
+    with pytest.raises(ValueError, match="lo < hi"):
+        approx_sql(spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.9, 0.1) FROM rt", tables)
+    with pytest.raises(ValueError, match="takes \\(col\\) or"):
+        approx_sql(spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.5) FROM rt", tables)
+    # WHERE + explicit states key refuses (pre-reduced states); WHERE on
+    # the on-the-fly route filters first
+    with pytest.raises(ValueError, match="unfiltered table"):
+        approx_sql(spark, "SELECT APPROX_MAD(x) FROM rt WHERE g = 'norm'",
+                   tables, catalog=cat, catalog_key="rs")
+    r = approx_sql(
+        spark, "SELECT APPROX_MAD(x) FROM rt WHERE g = 'norm'", tables
+    ).collect()[0]
+    x = pdf.loc[pdf["g"] == "norm", "x"].to_numpy()
+    exact = float(np.median(np.abs(x - r["median_est"])))
+    assert r["mad_lo"] - 1e-9 <= exact <= r["mad_hi"] + 1e-9
+
+
+def test_sql_robust_unionall_merge_from_states(spark, robust_tables, tmp_path):
+    """APPROX_MAD / APPROX_TRIMMED_MEAN over (a UNION ALL b) answer by
+    MERGING the sides' registered KLL states — zero base scans, proven by
+    EXPLAIN claiming the merge route, and the bracket still covers the
+    exact statistic of the concatenated bag."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import explain_sql
+
+    tables, pdf, _ = robust_tables
+    rng = np.random.default_rng(47)
+    other = pd.DataFrame({"g": "extra", "x": rng.normal(30, 2, 10_000)})
+    pb = str(tmp_path / "other")
+    spark.createDataFrame(other).write.parquet(pb)
+    cat2 = SketchCatalog(spark, str(tmp_path / "cat2"))
+    t = dict(tables, ob=pb)
+    approx_sql(spark, "CREATE SKETCHES s1 FROM rt KINDS kll(x, k=400)", t, catalog=cat2).collect()
+    approx_sql(spark, "CREATE SKETCHES s2 FROM ob KINDS kll(x, k=400)", t, catalog=cat2).collect()
+    q = "SELECT APPROX_MAD(x) FROM (SELECT x FROM rt UNION ALL SELECT x FROM ob)"
+    ex = {r["property"]: r["value"] for r in explain_sql(spark, q, t, catalog=cat2).collect()}
+    assert ex["statement_kind"] == "approx_unionall_merge"
+    assert "PERSISTED STATES" in ex["route"] and ex["artifacts"] == "s1, s2"
+    both = np.concatenate([pdf["x"].to_numpy(), other["x"].to_numpy()])
+    r = approx_sql(spark, q, t, catalog=cat2).collect()[0]
+    exact = float(np.median(np.abs(both - r["median_est"])))
+    assert r["mad_lo"] - 1e-9 <= exact <= r["mad_hi"] + 1e-9
+    r2 = approx_sql(
+        spark,
+        "SELECT APPROX_TRIMMED_MEAN(x, 0.1, 0.9) AS tmean FROM "
+        "(SELECT x FROM rt UNION ALL SELECT x FROM ob)",
+        t, catalog=cat2,
+    ).collect()[0]
+    s = np.sort(both)
+    n = len(s)
+    exact_tm = float(s[int(np.floor(0.1 * n)):int(np.floor(0.9 * n))].mean())
+    assert r2["tm_lo"] - 1e-9 <= exact_tm <= r2["tm_hi"] + 1e-9
+    assert "tmean" in r2.asDict() and "tmean_rank_err" in r2.asDict()
