@@ -1053,6 +1053,84 @@ def q_c50_fuzzy_contamination(spark, sf_dir):
     )
 
 
+def q_c52_streaming_scramble(spark, sf_dir):
+    """Round-5 close: the SAMPLING half of continuous maintenance
+    (`StreamingScrambleSink`) — a document stream keeps a persisted
+    uniform scramble current as batches land, so APPROX_COUNT/SUM/AVG
+    always have a fresh p-fraction table. The inclusion coin is a keyed
+    hash on doc_id (replay-deterministic — Spark's partition-RNG sample
+    is not), so the drained stream's scramble is ROW-IDENTICAL to the
+    same coin over the static table. Checks: row-identity, batch-replay
+    idempotency, conflicting-contract refusal, and the uniform-sample
+    SUM estimator over the sink's table covering the exact total."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+    from sketchlib.spark.streaming import StreamingScrambleSink
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("n_chars").cast("double").alias("val"))
+        .orderBy("doc_id")
+        .limit(4000)
+        .cache()
+    )
+    root = tempfile.mkdtemp(prefix="scramble_c52_")
+    try:
+        src = os.path.join(root, "src")
+        half = docs.limit(2000)
+        half.coalesce(1).write.parquet(f"{src}/a")
+        docs.exceptAll(half).coalesce(1).write.parquet(f"{src}/b")
+        sd = os.path.join(root, "scramble")
+        sink = StreamingScrambleSink(sd, id_col="doc_id", ratio=0.25, seed=11)
+        stream = (
+            spark.readStream.schema("doc_id string, val double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        samp = sink.sample(spark)
+        got = sorted((r["doc_id"], r["val"]) for r in samp.collect())
+        want = sorted((r["doc_id"], r["val"]) for r in sink.coin(docs).collect())
+        row_identical = got == want and 0 < len(got) < 4000
+        n_before = len(got)
+        sink(half, 0)  # replay the first batch id verbatim
+        replay_ok = sink.sample(spark).count() == n_before
+        try:
+            StreamingScrambleSink(sd, id_col="doc_id", ratio=0.5, seed=11)
+            refused = False
+        except ValueError:
+            refused = True
+        est = approx_agg_from_uniform_sample(
+            sink.sample(spark), None, "val", 0.25
+        ).collect()[0]
+        exact = docs.agg(F.sum("val")).collect()[0][0]
+        within = abs(est["est_sum"] - float(exact)) <= est["sum_err"] * (3.29 / 1.96)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("conflicting_contract_refused", bool(refused)),
+                    ("replay_idempotent", bool(replay_ok)),
+                    ("row_identical_to_static_draw", bool(row_identical)),
+                    ("sum_within_ci", bool(within)),
+                ],
+                columns=["property", "ok"],
+            )
+        )
+    finally:
+        docs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_c51_corpus_drift(spark, sf_dir):
     """One-stop corpus drift report (corpus_drift_df): two snapshot state
     sets (full corpus vs every-third-doc-dropped) over four sketch kinds
@@ -4700,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c48_percentile_normalize": _dist_wrapped(q_c48_percentile_normalize),
         "c50_fuzzy_contamination": _dist_wrapped(q_c50_fuzzy_contamination),
         "c51_corpus_drift": _dist_wrapped(q_c51_corpus_drift),
+        "c52_streaming_scramble": _dist_wrapped(q_c52_streaming_scramble),
         "c49_percentile_gate_kll": _dist_wrapped(q_c49_percentile_gate_kll),
     }
 
@@ -5178,6 +5257,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bracket
             FROM (SELECT DISTINCT label FROM embeddings),
                  (SELECT unnest([0, 1, 2]) AS component) c
+        """,
+        "c52_streaming_scramble": """
+            SELECT p AS property, TRUE AS ok FROM (
+                SELECT unnest(['conflicting_contract_refused',
+                               'replay_idempotent',
+                               'row_identical_to_static_draw',
+                               'sum_within_ci']) AS p
+            ) ORDER BY property
         """,
         "c51_corpus_drift": """
             SELECT CAST(source AS VARCHAR) AS source,

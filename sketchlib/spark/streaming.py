@@ -571,3 +571,97 @@ class StreamingSignatureSink:
         out = os.path.join(self.state_dir, f"b{batch_id:010d}")
         # replay-safe: same batch id -> same dir, overwritten byte-identically
         sigs.write.mode("overwrite").parquet(out)
+
+
+class StreamingScrambleSink:
+    """foreachBatch sink maintaining a persisted UNIFORM SCRAMBLE from a
+    stream of rows — the SAMPLING half of continuous maintenance (the
+    sketch half is ``StreamingSketchSink``, the signature half
+    ``StreamingSignatureSink``): batch scrambles refresh on append via
+    ``SketchCatalog.refresh_sample``; this keeps one current as batches
+    LAND, so the sampling aggregates (APPROX_COUNT/SUM/AVG and the
+    subsample estimator) always have a fresh p-fraction table to scan.
+
+    The inclusion coin is a DETERMINISTIC HASH on the id column
+    (``xxhash64(id, seed) mod M < p·M`` — the same keyed-coin family as
+    ``universe_sample`` / ``weighted_sample``), NOT Spark's partition-RNG
+    ``df.sample``: a replayed micro-batch must re-draw EXACTLY the same
+    rows for the batch-id-keyed overwrite to be idempotent, and partition
+    layout inside a restarted stream is not a stable thing to key a coin
+    on. Over a unique id column the hash coin IS a Bernoulli(p) row
+    sample, so every uniform-scramble estimator
+    (``approx_agg_from_uniform_sample``, ``subsample_*``) consumes the
+    table unchanged. (Do not reuse the same (column, seed) pair as a
+    registered UNIVERSE sample — the two coins would be identical and the
+    samples perfectly correlated; the default seeds differ.)
+
+    The drawing contract (id_col, ratio, seed) is fixed at construction
+    and persisted to ``_contract.json`` beside the data (underscore-
+    prefixed: invisible to Spark's file index); a sink constructed with a
+    CONFLICTING contract on the same state_dir refuses — mixed-ratio
+    scrambles would silently bias every 1/p scale-up.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        id_col: str = "doc_id",
+        ratio: float = 0.1,
+        seed: int = 42,
+    ):
+        if not (0.0 < ratio <= 1.0):
+            raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+        self.state_dir = state_dir
+        self.id_col, self.ratio, self.seed = id_col, float(ratio), int(seed)
+        os.makedirs(state_dir, exist_ok=True)
+        cpath = os.path.join(state_dir, "_contract.json")
+        contract = {"id_col": id_col, "ratio": float(ratio), "seed": int(seed)}
+        if os.path.exists(cpath):
+            with open(cpath) as fh:
+                existing = json.load(fh)
+            if existing != contract:
+                raise ValueError(
+                    f"state_dir {state_dir!r} already holds a scramble under "
+                    f"contract {existing} — constructing a sink with "
+                    f"{contract} would mix inclusion probabilities; use a "
+                    "fresh state_dir or the recorded contract"
+                )
+        else:
+            tmp = cpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(contract, fh)
+            os.replace(tmp, cpath)
+
+    @staticmethod
+    def contract(state_dir: str) -> dict:
+        """The drawing contract recorded at ``state_dir`` (for consumers —
+        the ``ratio`` is what every 1/p estimator must scale by)."""
+        with open(os.path.join(state_dir, "_contract.json")) as fh:
+            return json.load(fh)
+
+    def coin(self, df: DataFrame) -> DataFrame:
+        """The sink's keyed Bernoulli draw applied to ANY frame — shared by
+        the per-batch write and tests/backfills, so the streamed scramble
+        is row-identical to this filter over the concatenated batches."""
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.sampling import _HASH_MOD
+
+        h = F.pmod(F.xxhash64(F.col(self.id_col), F.lit(self.seed)), F.lit(_HASH_MOD))
+        return df.filter(h < int(self.ratio * _HASH_MOD))
+
+    def sample(self, spark: SparkSession) -> DataFrame | None:
+        """All scramble rows drawn so far (None before the first batch) —
+        feed to ``approx_agg_from_uniform_sample(..., ratio=contract['ratio'])``."""
+        import glob as _glob
+
+        dirs = sorted(_glob.glob(os.path.join(self.state_dir, "b*")))
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(self.state_dir, f"b{batch_id:010d}")
+        # replay-safe: same batch id -> same dir, and the keyed coin re-draws
+        # the identical rows, so the overwrite is byte-equivalent
+        self.coin(batch_df).write.mode("overwrite").parquet(out)

@@ -462,3 +462,71 @@ def test_windows_floor_align_pre_epoch_timestamps(spark, tmp_path):
             assert starts == {-2 * H, -H}
         else:
             assert starts == {-2 * H}
+
+
+def test_streaming_scramble_sink(spark, tmp_path):
+    """StreamingScrambleSink: the drained stream's scramble equals the
+    keyed-coin filter of the full static table (row-identical — the
+    determinism the batch-id overwrite relies on), a replayed batch never
+    duplicates, a conflicting contract refuses, and the uniform-sample
+    estimator over the sink's table covers the exact SUM."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    from sketchlib.spark.sampling import approx_agg_from_uniform_sample
+    from sketchlib.spark.streaming import StreamingScrambleSink
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(6000)],
+            "val": rng.uniform(0, 10, 6000).round(3),
+        }
+    )
+    src = str(tmp_path / "src")
+    half = spark.createDataFrame(pdf.iloc[:3000])
+    rest = spark.createDataFrame(pdf.iloc[3000:])
+    half.coalesce(1).write.parquet(f"{src}/a")
+    rest.coalesce(1).write.parquet(f"{src}/b")
+
+    sd = str(tmp_path / "scramble")
+    sink = StreamingScrambleSink(sd, id_col="doc_id", ratio=0.3, seed=7)
+    stream = (
+        spark.readStream.schema("doc_id string, val double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    samp = sink.sample(spark)
+    got = sorted((r["doc_id"], r["val"]) for r in samp.collect())
+    want = sorted(
+        (r["doc_id"], r["val"])
+        for r in sink.coin(spark.createDataFrame(pdf)).collect()
+    )
+    assert got == want and 0 < len(got) < len(pdf)
+
+    # replayed batch id: rewrite, not append
+    n_before = samp.count()
+    sink(half, 0)
+    assert sink.sample(spark).count() == n_before
+
+    # contract recorded and conflicting construction refused
+    assert StreamingScrambleSink.contract(sd) == {
+        "id_col": "doc_id", "ratio": 0.3, "seed": 7
+    }
+    StreamingScrambleSink(sd, id_col="doc_id", ratio=0.3, seed=7)  # idempotent
+    with _pt.raises(ValueError, match="contract"):
+        StreamingScrambleSink(sd, id_col="doc_id", ratio=0.5, seed=7)
+
+    # the estimator consumes the sink's table unchanged
+    out = approx_agg_from_uniform_sample(sink.sample(spark), None, "val", 0.3).collect()[0]
+    exact = float(pdf["val"].sum())
+    assert abs(out["est_sum"] - exact) <= out["sum_err"] * (3.29 / 1.96)
