@@ -34,6 +34,8 @@ Supported aggregates:
                                                    bracket certificate)
     APPROX_TRIMMED_MEAN(col [, lo, hi])          → KLL/t-digest (robust mean over
                                                    the (lo, hi] quantile window)
+    APPROX_HISTOGRAM(col, n_bins)                → KLL/t-digest (equi-depth bin
+                                                   edges, ≈1/n_bins mass per bin)
     APPROX_SUM(col, ratio) / APPROX_COUNT(ratio) → uniform sample + CLT CI
     APPROX_VARIANCE(col, ratio) / APPROX_STDDEV(col, ratio)
                                                  → uniform sample + delta-method CI
@@ -290,6 +292,22 @@ def _mad_args(args: list) -> None:
             "bracket width comes from the serving KLL/t-digest state's "
             "rank error; register a larger sketch for a tighter bracket"
         )
+
+
+def _hist_args(args: list) -> int:
+    """Validated bin count from APPROX_HISTOGRAM(col, n_bins)."""
+    if len(args) != 2:
+        raise ValueError(
+            "APPROX_HISTOGRAM takes (col, n_bins) — equi-depth bin edges "
+            "at quantiles i/n_bins, each bin holding ≈ 1/n_bins of the rows"
+        )
+    n = _num(args[1])
+    if n is None or int(n) != n or n < 1:
+        raise ValueError(
+            f"APPROX_HISTOGRAM n_bins argument {args[1]!r} must be a "
+            "positive integer"
+        )
+    return int(n)
 
 
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
@@ -1331,6 +1349,7 @@ _CATALOG_KINDS = {
     # bucket midpoints are not a value coreset)
     "APPROX_MAD": ("kll", "tdigest"),
     "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
+    "APPROX_HISTOGRAM": ("kll", "tdigest"),
 }
 
 
@@ -2723,7 +2742,7 @@ def _setop_scan_frames(spark, sides, grouped, tables, apply_where=True):
 
 _MERGE_HEAD = re.compile(
     r"^\s*SELECT\s+(?P<fn>APPROX_PERCENTILE|APPROX_TOPK|APPROX_MAD|"
-    r"APPROX_TRIMMED_MEAN)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"APPROX_TRIMMED_MEAN|APPROX_HISTOGRAM)\s*\((?P<args>" + _ARGS + r")\)\s*"
     r"(?:AS\s+(?P<alias>\w+)\s*)?$",
     re.IGNORECASE,
 )
@@ -2733,6 +2752,7 @@ _MERGE_KINDS = {
     # the robust statistics serve from the same mergeable quantile states
     "APPROX_MAD": ("kll", "tdigest"),
     "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
+    "APPROX_HISTOGRAM": ("kll", "tdigest"),
 }
 
 
@@ -2826,6 +2846,8 @@ def _unionall_merge_route(head: str, inner: str, tail: str):
             _mad_args(args)
         elif fnu == "APPROX_TRIMMED_MEAN":
             _trim_args(args)
+        elif fnu == "APPROX_HISTOGRAM":
+            _hist_args(args)
         else:
             [float(a) for a in args[1:]]
     except (ValueError, IndexError):
@@ -2981,6 +3003,17 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
 
         out = trimmed_mean_df(spark, states, "_q", *_trim_args(args))
         est_col, err_col, err_sfx = "trimmed_mean", "rank_err_bound", "_rank_err"
+    elif fn == "APPROX_HISTOGRAM":
+        from sketchlib.spark.query import equidepth_histogram_df
+
+        if alias:
+            raise ValueError(
+                "APPROX_HISTOGRAM returns a multi-column bin frame "
+                "(bin, lo, hi, target_frac) — an AS alias is ambiguous; "
+                "drop the alias"
+            )
+        out = equidepth_histogram_df(spark, states, "_q", _hist_args(args))
+        est_col, err_col, err_sfx = "hi", "rank_err_bound", "_rank_err"
     else:
         qs, _mrank, _mrel = _percentile_args(args)
         if _mrank is not None or _mrel is not None:
@@ -4103,7 +4136,7 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
 _SKETCH_ROLLUP_FNS = frozenset(
     ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK",
      "APPROX_TOP_SUM", "APPROX_SPECTRUM", "APPROX_MAD",
-     "APPROX_TRIMMED_MEAN")
+     "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM")
 )
 
 
@@ -4365,11 +4398,13 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                         )
                     fd_d = int(probe["_d"])
                 sp = SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})
-            elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN"):
+            elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
                 if fn == "APPROX_MAD":
                     _mad_args(args)
-                else:
+                elif fn == "APPROX_TRIMMED_MEAN":
                     _trim_args(args)
+                else:
+                    _hist_args(args)
                 df, col = _materialize_expr(df, args[0])
                 sp = SketchSpec("_q", "kll", col, {"k": 200})
             else:  # APPROX_PERCENTILE
@@ -4414,6 +4449,10 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 from sketchlib.spark.query import trimmed_mean_df
 
                 out = trimmed_mean_df(spark, st, spec_name, *_trim_args(args))
+            elif fn == "APPROX_HISTOGRAM":
+                from sketchlib.spark.query import equidepth_histogram_df
+
+                out = equidepth_histogram_df(spark, st, spec_name, _hist_args(args))
             elif req_rel is not None:
                 out = rel_quantiles_df(spark, st, spec_name, qs)
             else:
@@ -5172,6 +5211,10 @@ def approx_sql(
             from sketchlib.spark.query import trimmed_mean_df
 
             out = trimmed_mean_df(spark, states, spec["name"], *_trim_args(args))
+        elif fn == "APPROX_HISTOGRAM":
+            from sketchlib.spark.query import equidepth_histogram_df
+
+            out = equidepth_histogram_df(spark, states, spec["name"], _hist_args(args))
         else:  # APPROX_PERCENTILE
             qs, req_rank, req_rel = _percentile_args(args)
             if req_rank is not None:
@@ -5295,14 +5338,16 @@ def approx_sql(
         out = quantiles_df(spark, states, "_q", qs)
         return _finish_grouped(out, df, group)
 
-    if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN"):
+    if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
         # on-the-fly: one KLL build (same zero-shuffle kernel as the
-        # percentile route), then the robust statistic is served from the
-        # states — the bracket columns are the state's own certificate
+        # percentile route), then the report is served from the states —
+        # the bracket/bound columns are the state's own certificate
         if fn == "APPROX_MAD":
             _mad_args(args)
-        else:
+        elif fn == "APPROX_TRIMMED_MEAN":
             _trim_args(args)
+        else:
+            _hist_args(args)
         df, col = _materialize_expr(df, args[0])
         states = build_sketches(
             df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group
@@ -5311,10 +5356,14 @@ def approx_sql(
             from sketchlib.spark.query import mad_df
 
             out = mad_df(spark, states, "_q")
-        else:
+        elif fn == "APPROX_TRIMMED_MEAN":
             from sketchlib.spark.query import trimmed_mean_df
 
             out = trimmed_mean_df(spark, states, "_q", *_trim_args(args))
+        else:
+            from sketchlib.spark.query import equidepth_histogram_df
+
+            out = equidepth_histogram_df(spark, states, "_q", _hist_args(args))
         return _finish_grouped(out, df, group)
 
     if fn in ("APPROX_COVAR", "APPROX_CORR"):

@@ -2595,3 +2595,61 @@ def test_sql_robust_unionall_merge_from_states(spark, robust_tables, tmp_path):
     exact_tm = float(s[int(np.floor(0.1 * n)):int(np.floor(0.9 * n))].mean())
     assert r2["tm_lo"] - 1e-9 <= exact_tm <= r2["tm_hi"] + 1e-9
     assert "tmean" in r2.asDict() and "tmean_rank_err" in r2.asDict()
+
+
+def test_sql_histogram_all_routes(spark, robust_tables, tmp_path):
+    """APPROX_HISTOGRAM(col, bins): on-the-fly, states-served (auto-
+    selected), ROLLUP from the finest states, UNION ALL merge, and the
+    argument refusals — plus every served bin's TRUE mass within 2ε of
+    1/bins (the equidepth_histogram_df guarantee, through the SQL door)."""
+    from sketchlib.sql import explain_sql
+
+    tables, pdf, cat = robust_tables
+    fly = approx_sql(spark, "SELECT APPROX_HISTOGRAM(x, 4) FROM rt", tables).toPandas()
+    assert len(fly) == 4 and set(fly["bin"]) == {0, 1, 2, 3}
+    ex = {r["property"]: r["value"] for r in explain_sql(
+        spark, "SELECT APPROX_HISTOGRAM(x, 4) FROM rt GROUP BY g", tables, catalog=cat
+    ).collect()}
+    assert "persisted_sketch_states" in ex["route"] and ex["artifact"] == "rs"
+    out = approx_sql(
+        spark, "SELECT APPROX_HISTOGRAM(x, 4) FROM rt GROUP BY g", tables, catalog=cat
+    ).toPandas()
+    eps = out["rank_err_bound"].iloc[0]
+    for g in ("norm", "heavy"):
+        srt = np.sort(pdf.loc[pdf["g"] == g, "x"].to_numpy())
+        for _, r in out[out["group"] == g].iterrows():
+            mass = (
+                np.searchsorted(srt, r["hi"], side="right")
+                - np.searchsorted(srt, r["lo"], side="right")
+            ) / len(srt)
+            if r["bin"] == 0:
+                mass += (srt == r["lo"]).sum() / len(srt)
+            assert abs(mass - 0.25) <= 2 * eps + 1e-12, (g, r["bin"], mass)
+    roll = approx_sql(
+        spark, "SELECT APPROX_HISTOGRAM(x, 2) FROM rt GROUP BY ROLLUP (g)",
+        tables, catalog=cat, catalog_key="rs",
+    ).toPandas()
+    assert set(roll["grouping_lvl"]) == {0, 1} and len(roll) == 6
+    uni = approx_sql(
+        spark,
+        "SELECT APPROX_HISTOGRAM(x, 4) FROM (SELECT x FROM rt UNION ALL SELECT x FROM rt)",
+        tables, catalog=cat,
+    ).toPandas()
+    # duplicating the bag doesn't change the distribution: the merged
+    # states' bins must carry ≈1/4 of the (doubled ≡ original) mass each.
+    # (Edges are not bit-equal to the solo serve — merging a KLL state
+    # with itself re-compacts, which is lossy within ε.)
+    assert len(uni) == 4
+    srt_all = np.sort(pdf["x"].to_numpy())
+    for _, r in uni.iterrows():
+        mass = (
+            np.searchsorted(srt_all, r["hi"], side="right")
+            - np.searchsorted(srt_all, r["lo"], side="right")
+        ) / len(srt_all)
+        if r["bin"] == 0:
+            mass += (srt_all == r["lo"]).sum() / len(srt_all)
+        assert abs(mass - 0.25) <= 2 * r["rank_err_bound"] + 1e-12, (r["bin"], mass)
+    with pytest.raises(ValueError, match="takes \\(col, n_bins\\)"):
+        approx_sql(spark, "SELECT APPROX_HISTOGRAM(x) FROM rt", tables)
+    with pytest.raises(ValueError, match="positive integer"):
+        approx_sql(spark, "SELECT APPROX_HISTOGRAM(x, 0) FROM rt", tables)
