@@ -644,6 +644,14 @@ def main(argv=None) -> int:
             r["group"]: {"mad_est": r["mad_est"], "mad_lo": r["mad_lo"], "mad_hi": r["mad_hi"]}
             for r in mad_df(spark, states, "kll_len").collect()
         }
+        # robust center from the same state: the 5%-trimmed mean length —
+        # the "typical length" a handful of book-sized docs can't own
+        from sketchlib.spark.query import trimmed_mean_df
+
+        tmean = {
+            r["group"]: {"tm_est": r["trimmed_mean"], "tm_lo": r["tm_lo"], "tm_hi": r["tm_hi"]}
+            for r in trimmed_mean_df(spark, states, "kll_len").collect()
+        }
         hh: dict = {}
         if args.topk > 0:
             for r in topk_df(spark, states, "cm_tok", args.topk).collect():
@@ -658,6 +666,7 @@ def main(argv=None) -> int:
                 "distinct_docs_rse": dd[g]["rse_bound"],
                 "token_len_quantiles": qmap.get(g, {}),
                 "token_len_mad": spread.get(g, {}),
+                "token_len_trimmed_mean": tmean.get(g, {}),
                 **({"top_tokens": hh.get(g, [])} if args.topk > 0 else {}),
             }
             for g in sorted(exact)

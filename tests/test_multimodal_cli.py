@@ -420,6 +420,11 @@ def test_cli_profile(seq_tiny_dir, tmp_path):
         # robust spread served from the same kll_len state, bracket ordered
         mad = row["token_len_mad"]
         assert mad["mad_lo"] - 1e-9 <= mad["mad_est"] <= mad["mad_hi"] + 1e-9
+        # robust center from the same state: 5%-trimmed mean length inside
+        # its bracket and inside the p50/p99 span
+        tm = row["token_len_trimmed_mean"]
+        assert tm["tm_lo"] - 1e-9 <= tm["tm_est"] <= tm["tm_hi"] + 1e-9
+        assert q["p50"] * 0.1 <= tm["tm_est"] <= q["p99"]
     assert total == card["corpus"]["rows"]
 
 
