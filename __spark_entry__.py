@@ -1103,7 +1103,13 @@ def q_c52_streaming_scramble(spark, sf_dir):
         want = sorted((r["doc_id"], r["val"]) for r in sink.coin(docs).collect())
         row_identical = got == want and 0 < len(got) < 4000
         n_before = len(got)
-        sink(half, 0)  # replay the first batch id verbatim
+        # replay the frame batch 0 ACTUALLY held (FileStreamSource orders
+        # by mtime — back-to-back writes can tie and flip batch order)
+        b0 = {r["doc_id"] for r in spark.read.parquet(
+            os.path.join(sd, "b0000000000")).collect()}
+        first = (half if {r["doc_id"] for r in sink.coin(half).collect()} == b0
+                 else docs.exceptAll(half))
+        sink(first, 0)
         replay_ok = sink.sample(spark).count() == n_before
         try:
             StreamingScrambleSink(sd, id_col="doc_id", ratio=0.5, seed=11)

@@ -311,17 +311,17 @@ def main(argv=None) -> int:
         elif args.kind == "topk":
             # dispatch on the stored kind so MG states serve through
             # mg_topk_df (undercount_bound), never mislabeled as CM's
-            # err_bound — one 1-row probe decides
+            # err_bound — one 1-row probe of the KIND COLUMN decides
+            # (never the state blob: a default-eps CM state is MBs)
             from pyspark.sql import functions as F
 
-            from sketchlib.sketches import deserialize
             from sketchlib.spark.query import mg_topk_df
 
             probe = (
                 states.filter(F.col("sketch") == args.sketch)
-                .select("state").limit(1).collect()
+                .select("kind").limit(1).collect()
             )
-            if probe and deserialize(bytes(probe[0][0])).kind == "mg":
+            if probe and probe[0][0] == "mg":
                 out = mg_topk_df(spark, states, args.sketch, args.k)
             else:
                 out = topk_df(spark, states, args.sketch, args.k)

@@ -593,7 +593,9 @@ class StreamingScrambleSink:
     (``approx_agg_from_uniform_sample``, ``subsample_*``) consumes the
     table unchanged. (Do not reuse the same (column, seed) pair as a
     registered UNIVERSE sample — the two coins would be identical and the
-    samples perfectly correlated; the default seeds differ.)
+    samples perfectly correlated; this sink's default seed 1042 differs
+    from the sampling module's default 42 for exactly that reason, but an
+    explicit seed clash is on the caller.)
 
     The drawing contract (id_col, ratio, seed) is fixed at construction
     and persisted to ``_contract.json`` beside the data (underscore-
@@ -607,7 +609,7 @@ class StreamingScrambleSink:
         state_dir: str,
         id_col: str = "doc_id",
         ratio: float = 0.1,
-        seed: int = 42,
+        seed: int = 1042,
     ):
         if not (0.0 < ratio <= 1.0):
             raise ValueError(f"ratio must be in (0, 1], got {ratio}")

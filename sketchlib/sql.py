@@ -3792,7 +3792,15 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             "APPROX_TOP_SUM": ("est_sum", "err_bound"),
             "APPROX_PERCENTILE": ("value", "rank_err_bound"),
             "APPROX_SPECTRUM": ("sq_singular_value", "cov_err_bound"),
+            "APPROX_MAD": ("mad_est", "rank_err_bound"),
+            "APPROX_TRIMMED_MEAN": ("trimmed_mean", "rank_err_bound"),
         }.get(fn)
+        if fn == "APPROX_HISTOGRAM":
+            raise ValueError(
+                "APPROX_HISTOGRAM returns a multi-column bin frame "
+                "(bin, lo, hi, target_frac) — an AS alias is ambiguous; "
+                "drop the alias"
+            )
         if fn == "APPROX_PERCENTILE" and estimator == "subsample":
             # the subsample percentile's bound is in VALUE units, not rank
             pairs = ("value", "value_err")
@@ -3810,6 +3818,11 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             # value-relative for the rel_err= DDSketch route
             err_name = (f"{alias}_rel_err" if pairs[1] == "rel_err_bound"
                         else f"{alias}_rank_err")
+        elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN"):
+            # same rank-unit suffix convention as the percentile route;
+            # the bracket columns (mad_lo/mad_hi, tm_lo/tm_hi) keep their
+            # own names — they are the actual certificate
+            err_name = f"{alias}_rank_err"
         else:
             err_name = f"{alias}_err"
         return (out.withColumnRenamed(pairs[0], alias)
@@ -4350,6 +4363,15 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
         qs = req_rank = req_rel = None
         if fn == "APPROX_PERCENTILE":
             qs, req_rank, req_rel = _percentile_args(args)
+        # argument validation BEFORE routing, so the catalog-served path
+        # raises on bogus arguments exactly like the on-the-fly and
+        # non-rollup paths (extra args must never be silently dropped)
+        elif fn == "APPROX_MAD":
+            _mad_args(args)
+        elif fn == "APPROX_TRIMMED_MEAN":
+            _trim_args(args)
+        elif fn == "APPROX_HISTOGRAM":
+            _hist_args(args)
         native: dict[str, str] = {}
         if catalog is not None and catalog_key is not None:
             if any(r["name"] == catalog_key
@@ -4399,14 +4421,18 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                     fd_d = int(probe["_d"])
                 sp = SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})
             elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
-                if fn == "APPROX_MAD":
-                    _mad_args(args)
-                elif fn == "APPROX_TRIMMED_MEAN":
-                    _trim_args(args)
-                else:
-                    _hist_args(args)
+                # same requirement-driven sizing as the single-statement
+                # on-the-fly route (validation already ran at branch entry)
+                from sketchlib.planner import kll_params
+
+                kk = 200
+                if fn == "APPROX_TRIMMED_MEAN":
+                    tlo, thi = _trim_args(args)
+                    kk = max(200, kll_params((thi - tlo) / 8.0)["k"])
+                elif fn == "APPROX_HISTOGRAM":
+                    kk = max(200, kll_params(1.0 / (4.0 * _hist_args(args)))["k"])
                 df, col = _materialize_expr(df, args[0])
-                sp = SketchSpec("_q", "kll", col, {"k": 200})
+                sp = SketchSpec("_q", "kll", col, {"k": kk})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
                 if req_rel is not None:
@@ -5340,17 +5366,26 @@ def approx_sql(
 
     if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
         # on-the-fly: one KLL build (same zero-shuffle kernel as the
-        # percentile route), then the report is served from the states —
-        # the bracket/bound columns are the state's own certificate
+        # percentile route), SIZED from the statement's own requirement —
+        # this route chose the sketch, so "register a larger sketch"
+        # refusals must never fire here: a narrow trim window gets
+        # ε ≤ width/8 (corner windows stay meaningful) and a fine
+        # histogram gets ε ≤ 1/(4·n_bins) (edge noise ≤ half a bin's
+        # mass). The states route keeps the refusal — there the sketch
+        # was the user's registration.
+        from sketchlib.planner import kll_params
+
+        kk = 200
         if fn == "APPROX_MAD":
             _mad_args(args)
         elif fn == "APPROX_TRIMMED_MEAN":
-            _trim_args(args)
+            tlo, thi = _trim_args(args)
+            kk = max(200, kll_params((thi - tlo) / 8.0)["k"])
         else:
-            _hist_args(args)
+            kk = max(200, kll_params(1.0 / (4.0 * _hist_args(args)))["k"])
         df, col = _materialize_expr(df, args[0])
         states = build_sketches(
-            df, [SketchSpec("_q", "kll", col, {"k": 200})], group_by=group
+            df, [SketchSpec("_q", "kll", col, {"k": kk})], group_by=group
         )
         if fn == "APPROX_MAD":
             from sketchlib.spark.query import mad_df

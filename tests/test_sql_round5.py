@@ -2653,3 +2653,45 @@ def test_sql_histogram_all_routes(spark, robust_tables, tmp_path):
         approx_sql(spark, "SELECT APPROX_HISTOGRAM(x) FROM rt", tables)
     with pytest.raises(ValueError, match="positive integer"):
         approx_sql(spark, "SELECT APPROX_HISTOGRAM(x, 0) FROM rt", tables)
+
+
+def test_sql_robust_aliases_and_narrow_window_sizing(spark, robust_tables):
+    """Round-5 review fixes: (1) an AS alias on single-table
+    APPROX_MAD/APPROX_TRIMMED_MEAN renames est + rank-err like the
+    percentile route (it used to raise while the UNION ALL form worked);
+    (2) the on-the-fly route SIZES its own KLL from the trim window /
+    bin count, so a narrow window never hits the 'register a larger
+    sketch' refusal meant for user registrations; (3) aliasing
+    APPROX_HISTOGRAM refuses with the multi-column message."""
+    tables, pdf, _ = robust_tables
+    r = approx_sql(
+        spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.1, 0.9) AS tmean FROM rt",
+        tables,
+    ).collect()[0]
+    d = r.asDict()
+    assert "tmean" in d and "tmean_rank_err" in d and "tm_lo" in d
+    rm = approx_sql(spark, "SELECT APPROX_MAD(x) AS spread FROM rt", tables).collect()[0]
+    assert "spread" in rm.asDict() and "spread_rank_err" in rm.asDict()
+    # narrow window: k is planned from the window width (ε ≤ width/8)
+    rn = approx_sql(
+        spark, "SELECT APPROX_TRIMMED_MEAN(x, 0.49, 0.51) FROM rt", tables
+    ).collect()[0]
+    assert rn["rank_err_bound"] <= 0.02 / 8 + 1e-12
+    assert rn["tm_lo"] <= rn["trimmed_mean"] <= rn["tm_hi"]
+    # fine histogram: edge noise stays at most half a bin's mass
+    hb = approx_sql(spark, "SELECT APPROX_HISTOGRAM(x, 64) FROM rt", tables).collect()
+    assert len(hb) == 64 and hb[0]["rank_err_bound"] <= 1.0 / (4 * 64) + 1e-12
+    with pytest.raises(ValueError, match="multi-column bin frame"):
+        approx_sql(spark, "SELECT APPROX_HISTOGRAM(x, 4) AS h FROM rt", tables)
+
+
+def test_sql_mad_rollup_rejects_extra_args_on_states_route(spark, robust_tables):
+    """The catalog-served ROLLUP path validates arguments exactly like the
+    other routes — a bogus extra argument raises instead of being
+    silently dropped (round-5 review)."""
+    tables, _, cat = robust_tables
+    with pytest.raises(ValueError, match="exactly one argument"):
+        approx_sql(
+            spark, "SELECT APPROX_MAD(x, 0.5) FROM rt GROUP BY ROLLUP (g)",
+            tables, catalog=cat, catalog_key="rs",
+        )

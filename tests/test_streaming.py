@@ -513,9 +513,13 @@ def test_streaming_scramble_sink(spark, tmp_path):
     )
     assert got == want and 0 < len(got) < len(pdf)
 
-    # replayed batch id: rewrite, not append
+    # replayed batch id: rewrite, not append. Identify which file batch 0
+    # actually held first — FileStreamSource orders files by modification
+    # time, and two files written back-to-back can tie and flip order
+    b0 = {r["doc_id"] for r in spark.read.parquet(f"{sd}/b0000000000").collect()}
+    first = half if {r["doc_id"] for r in sink.coin(half).collect()} == b0 else rest
     n_before = samp.count()
-    sink(half, 0)
+    sink(first, 0)
     assert sink.sample(spark).count() == n_before
 
     # contract recorded and conflicting construction refused
