@@ -673,6 +673,49 @@ def q_b58_sql_robust_stats(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_b59_weighted_tdigest_quantiles(spark, sf_dir):
+    """Round-5 close: WEIGHTED quantiles from ``tdigest(col, weight=w)`` —
+    the value below which q of the TOTAL WEIGHT lies (here: the price
+    below which a quarter/half/90% of shipped QUANTITY sits; over a token
+    corpus, tdigest(n_tok, weight=n_tok) answers "the sequence length
+    holding the median TOKEN" — the statistic training-budget math needs,
+    which the row-population quantile is NOT). Centroids carry fractional
+    weights natively; the kernel feeds (value, weight) rows per group in
+    both build strategies. Verified: each served value's exact WEIGHTED
+    rank (conditional weight sums, one pass) within the digest's rank
+    bound of q, plus a max-row-weight atom allowance (one heavy row is
+    the discrete rank step the < / ≤ bracket straddles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    specs = [SketchSpec("td_w", "tdigest", "l_extendedprice",
+                        {"compression": 200}, weight="l_quantity")]
+    states = build_sketches(li, specs, group_by="l_returnflag")
+    qd = quantiles_df(spark, states, "td_w", [0.25, 0.5, 0.9]).toPandas()
+    wcol = F.col("l_quantity").cast("double")
+    aggs, sizes = [], []
+    for i, r in qd.iterrows():
+        grp = F.col("l_returnflag") == r["group"]
+        v = float(r["value"])
+        aggs.append(F.sum(F.when(grp & (F.col("l_extendedprice") < v), wcol)
+                          .otherwise(0.0)).alias(f"lo_{i}"))
+        aggs.append(F.sum(F.when(grp & (F.col("l_extendedprice") <= v), wcol)
+                          .otherwise(0.0)).alias(f"hi_{i}"))
+    for g in qd["group"].unique():
+        grp = F.col("l_returnflag") == g
+        sizes.append(F.sum(F.when(grp, wcol).otherwise(0.0)).alias(f"W_{g}"))
+        sizes.append(F.max(F.when(grp, wcol)).alias(f"wmax_{g}"))
+    row = li.agg(*aggs, *sizes).collect()[0]
+    out = []
+    for i, r in qd.iterrows():
+        W = row[f"W_{r['group']}"]
+        lo, hi = row[f"lo_{i}"] / W, row[f"hi_{i}"] / W
+        err = max(0.0, lo - r["q"], r["q"] - hi)
+        ok = err <= r["rank_err_bound"] + row[f"wmax_{r['group']}"] / W
+        out.append((r["group"], float(r["q"]), bool(ok)))
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["l_returnflag", "q", "within_bound"])
+    )
+
+
 def q_b55_equidepth_histogram(spark, sf_dir):
     """Round-5 close: EQUI-DEPTH bin edges per group from the registered
     KLL state (query.equidepth_histogram_df) — equal-mass feature
@@ -4688,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b55_equidepth_histogram": _dist_wrapped(q_b55_equidepth_histogram),
         "b57_trimmed_mean": _dist_wrapped(q_b57_trimmed_mean),
         "b58_sql_robust_stats": _dist_wrapped(q_b58_sql_robust_stats),
+        "b59_weighted_tdigest_quantiles": _dist_wrapped(q_b59_weighted_tdigest_quantiles),
         "b56_mg_topk_tokens": _dist_wrapped(q_b56_mg_topk_tokens),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
@@ -4907,6 +4951,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, TRUE AS within_bound FROM lineitem "
             "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
+        "b59_weighted_tdigest_quantiles": """
+            SELECT l_returnflag, q, TRUE AS within_bound
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                 (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+        """,
         "b55_equidepth_histogram": """
             SELECT l_returnflag, CAST(b AS INTEGER) AS bin, TRUE AS within_bound
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),

@@ -59,20 +59,40 @@ class TDigest(SketchBase):
     # --- update ------------------------------------------------------------
     def update_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        if weights is None:
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                return self
+            self._n_items += int(v.size)
+            self.vmin = min(self.vmin, float(v.min()))
+            self.vmax = max(self.vmax, float(v.max()))
+            self._buf.append(v)
+            self._buf_n += v.size
+            if self._buf_n > 10 * self.compression:
+                self._flush()
+            return self
+        # weighted feed: filter values and weights JOINTLY (a value-only
+        # NaN filter would silently misalign the two arrays), refuse
+        # negative weights, drop zero-weight rows (no information)
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != v.shape:
+            raise ValueError(
+                f"t-digest weighted update: values {v.shape} and weights "
+                f"{w.shape} must align"
+            )
+        keep = ~(np.isnan(v) | np.isnan(w))
+        v, w = v[keep], w[keep]
+        if v.size and float(w.min()) < 0.0:
+            raise ValueError("t-digest weights must be non-negative")
+        pos = w > 0
+        v, w = v[pos], w[pos]
         if v.size == 0:
             return self
         self._n_items += int(v.size)
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
-        if weights is None:
-            self._buf.append(v)
-            self._buf_n += v.size
-            if self._buf_n > 10 * self.compression:
-                self._flush()
-        else:
-            self._flush()
-            self._absorb(v, np.asarray(weights, dtype=np.float64))
+        self._flush()
+        self._absorb(v, w)
         return self
 
     def _flush(self) -> None:

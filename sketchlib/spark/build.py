@@ -253,17 +253,26 @@ _ARROW_STATE_SCHEMA = pa.schema(
 class SketchSpec:
     """One sketch to build: e.g. SketchSpec('hll_doc', 'hll', 'doc_id', {'p': 14}).
 
-    ``weight``: optional weight COLUMN for a frequency sketch (cm or mg)
+    ``weight``: optional weight COLUMN. For a frequency sketch (cm or mg)
     built over weighted increments — each row adds ``weight`` to its key
     instead of 1, so ``topk()`` ranks heavy hitters BY SUM (SELECT key,
     SUM(w) ... ORDER BY 2 DESC LIMIT k served from KB states) and each
     kind's bound holds with N = ΣW, the total weight (CM: ε·N overcount
-    w.p. ≥ 1−δ; MG: exact tracked undercount ≤ N/(k+1)). Other kinds have
-    no weighted-update semantics. Contract enforced by the kernel: weights must be
-    non-negative and integer-valued (the CM table is exact int64 counts —
-    a fractional weight would silently truncate); rows with a NULL key or
-    NULL weight are excluded. Non-integer key columns are hashed like the
-    unweighted CM path (top-k then returns key hashes)."""
+    w.p. ≥ 1−δ; MG: exact tracked undercount ≤ N/(k+1)). Contract
+    enforced by the kernel: weights must be non-negative and
+    integer-valued (the CM table is exact int64 counts — a fractional
+    weight would silently truncate); rows with a NULL key or NULL weight
+    are excluded. Non-integer key columns are hashed like the unweighted
+    CM path (top-k then returns key hashes).
+
+    For a ``tdigest``, ``weight`` makes the digest summarize the
+    WEIGHT-MASS distribution of the value column — quantiles answer
+    "the value below which q of the total weight lies" (e.g.
+    tdigest(n_tok, weight=n_tok): the sequence length holding the median
+    TOKEN, not the median document — the statistic training-budget math
+    actually needs). Centroids carry fractional weights natively;
+    weights must be non-negative (zero-weight and NULL rows drop out).
+    Other kinds have no weighted-update semantics."""
 
     name: str
     kind: str
@@ -272,10 +281,11 @@ class SketchSpec:
     weight: str | None = None
 
     def __post_init__(self):
-        if self.weight is not None and self.kind not in ("cm", "mg"):
+        if self.weight is not None and self.kind not in ("cm", "mg", "tdigest"):
             raise ValueError(
                 f"weight= needs a frequency sketch (cm or mg — weighted heavy "
-                f"hitters); {self.kind!r} has no weighted-update semantics"
+                f"hitters) or a tdigest (weighted quantiles); {self.kind!r} "
+                "has no weighted-update semantics"
             )
 
     def make(self):
@@ -589,6 +599,22 @@ class SketchAccumulator:
                     f"weighted sketch {spec.name!r} needs SCALAR key and weight "
                     "columns — array columns have no per-row weight alignment"
                 )
+            if spec.kind == "tdigest":
+                # value-weighted quantile feed: (value, float weight) rows
+                # clustered per group with ONE stable argsort — the digest
+                # itself does the joint NaN/negative/zero-weight filtering
+                v = np.asarray(kv, dtype=np.float64)
+                w = np.asarray(wv, dtype=np.float64)
+                order = np.argsort(codes, kind="stable")
+                starts = np.zeros(ng + 1, dtype=np.int64)
+                np.cumsum(np.bincount(codes, minlength=ng), out=starts[1:])
+                vo, wo = v[order], w[order]
+                for gi, g in enumerate(gnames):
+                    s0, s1 = starts[gi], starts[gi + 1]
+                    if s0 == s1:
+                        continue
+                    self._state(g, spec).update_values(vo[s0:s1], weights=wo[s0:s1])
+                continue
             ukeys, wsums, ustarts = _weighted_group_pairs(kv, wv, codes, ng, spec.name)
             for gi, g in enumerate(gnames):
                 s0, s1 = ustarts[gi], ustarts[gi + 1]
@@ -783,7 +809,15 @@ def build_sketches(
             colvals = pdf[spec.column].to_numpy()
             n_tokens = 0  # per SPEC — a stale carry-over from a previous
             # array spec would mislabel scalar/weighted rows' metadata
-            if spec.weight is not None:
+            if spec.weight is not None and spec.kind == "tdigest":
+                # value-weighted quantile feed (see SketchSpec): the digest
+                # does the joint NaN/negative/zero-weight filtering
+                v = pdf[spec.column].astype("float64").to_numpy()
+                w = pdf[spec.weight].astype("float64").to_numpy()
+                if len(v):
+                    sk.update_values(v, weights=w)
+                vals = None
+            elif spec.weight is not None:
                 zero = np.zeros(len(colvals), dtype=np.int32)
                 uk, ws, _ = _weighted_group_pairs(
                     colvals, pdf[spec.weight].to_numpy(), zero, 1, spec.name

@@ -1124,12 +1124,14 @@ def _ddl(spark: SparkSession, sql: str, tables: dict | None, catalog) -> DataFra
                 if not eq:
                     raise ValueError(f"sketch parameter {kv!r} must be key=value")
                 if k.strip().lower() == "weight":
-                    # weighted frequency sketch (heavy hitters BY SUM): the
-                    # value is a COLUMN name, not a number
-                    if kind not in ("cm", "mg"):
+                    # weighted frequency sketch (heavy hitters BY SUM) or
+                    # weighted t-digest (weight-mass quantiles): the value
+                    # is a COLUMN name, not a number
+                    if kind not in ("cm", "mg", "tdigest"):
                         raise ValueError(
-                            f"weight= needs a frequency sketch (cm or mg); "
-                            f"{kind}(...) has no weighted-update semantics"
+                            f"weight= needs a frequency sketch (cm or mg) or "
+                            f"a tdigest (weighted quantiles); {kind}(...) has "
+                            "no weighted-update semantics"
                         )
                     if not _IDENT.match(v.strip()):
                         raise ValueError(
@@ -1383,7 +1385,14 @@ def _pct_spec_serves(fn, args, s: dict) -> bool:
     ``rel_err=`` statement (relative VALUE contract) routes only to a
     DDSketch whose alpha achieves it, and a dd state never serves a
     plain/rank-bounded statement (its bound is in different units —
-    cross-serving would surface α as a rank error)."""
+    cross-serving would surface α as a rank error). A WEIGHTED tdigest
+    (weight-mass distribution) never serves the quantile-family
+    statements implicitly — its CDF is a different distribution than the
+    row population every plain statement asks about (the same
+    no-cross-serving rule weighted CMs follow)."""
+    if fn in ("APPROX_PERCENTILE", "APPROX_MAD", "APPROX_TRIMMED_MEAN",
+              "APPROX_HISTOGRAM") and s.get("weight"):
+        return False
     if fn != "APPROX_PERCENTILE":
         return True
     rel = _percentile_args(args)[2]
@@ -1523,7 +1532,8 @@ def _resolve_key(
             specs = json.loads(reg["specs_json"])
             if any(
                 s["kind"] in kinds and s["column"] == col and _achieves_rse(s)
-                and _cm_spec_serves(fn, args, s) and _fd_spec_serves(fn, args, s)
+                and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+                and _fd_spec_serves(fn, args, s)
                 for s in specs
             ):
                 return reg["name"]

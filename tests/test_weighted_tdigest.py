@@ -1,0 +1,117 @@
+"""Weighted t-digest: tdigest(col, weight=w) summarizes the WEIGHT-MASS
+distribution of the value column (quantile q = value below which q of the
+total weight lies). Locks: accuracy of the weighted rank through both
+build strategies, joint NaN filtering (a value-only filter would misalign
+values and weights), negative-weight refusal, no-cross-serving (a weighted
+digest never answers plain quantile-family SQL statements), and DDL."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sketchlib.sketches.tdigest import TDigest
+from sketchlib.spark.build import SketchSpec, build_sketches
+from sketchlib.spark.query import quantiles_df
+
+
+def _weighted_rank(sub: pd.DataFrame, v: float) -> float:
+    return float(sub.loc[sub["x"] <= v, "w"].sum() / sub["w"].sum())
+
+
+@pytest.fixture(scope="module")
+def wdata():
+    rng = np.random.default_rng(3)
+    n = 60_000
+    return pd.DataFrame(
+        {
+            "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+            "x": rng.lognormal(4, 1, n),
+            "w": rng.integers(0, 50, n).astype("float64"),
+        }
+    )
+
+
+@pytest.mark.parametrize("strategy", ["map", "shuffle"])
+def test_weighted_quantiles_accurate_both_strategies(spark, wdata, strategy):
+    df = spark.createDataFrame(wdata)
+    spec = [SketchSpec("tdw", "tdigest", "x", {"compression": 400}, weight="w")]
+    st = build_sketches(df, spec, group_by="g", strategy=strategy)
+    out = quantiles_df(spark, st, "tdw", [0.25, 0.5, 0.9]).collect()
+    assert len(out) == 6
+    for r in out:
+        sub = wdata[wdata["g"] == r["group"]]
+        rank = _weighted_rank(sub, float(r["value"]))
+        assert abs(rank - r["q"]) <= r["rank_err_bound"] + 1e-3, (r["group"], r["q"], rank)
+
+
+def test_joint_nan_filter_and_zero_weights():
+    """NaN in EITHER array drops the row pair (the old value-only filter
+    silently misaligned the arrays); zero weights contribute nothing."""
+    v = np.array([1.0, np.nan, 3.0, 5.0, 7.0])
+    w = np.array([2.0, 9.0, np.nan, 4.0, 0.0])
+    t = TDigest(100).update_values(v, weights=w)
+    # surviving mass: 1.0 w=2, 5.0 w=4 -> total weight 6, p100 value 5
+    assert t.weights.sum() == 6.0
+    assert float(t.quantiles(np.array([1.0]))[0]) == 5.0
+    assert t.vmax == 5.0  # 7.0 had zero weight; 3.0 a NaN weight
+
+
+def test_weight_refusals():
+    with pytest.raises(ValueError, match="non-negative"):
+        TDigest(100).update_values(np.array([1.0]), weights=np.array([-1.0]))
+    with pytest.raises(ValueError, match="align"):
+        TDigest(100).update_values(np.array([1.0, 2.0]), weights=np.array([1.0]))
+    with pytest.raises(ValueError, match="weighted-update semantics"):
+        SketchSpec("q", "kll", "x", {"k": 200}, weight="w")
+
+
+def test_weighted_digest_never_cross_serves_sql(spark, wdata, tmp_path):
+    """A registered WEIGHTED tdigest answers a different distribution than
+    the row population — auto-selection must skip it for plain
+    APPROX_PERCENTILE / APPROX_MAD / APPROX_TRIMMED_MEAN / APPROX_HISTOGRAM
+    statements (on-the-fly fallback), and an explicit key must refuse."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, resolve_catalog_key
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(wdata).write.parquet(base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t = {"wt": base}
+    approx_sql(
+        spark, "CREATE SKETCHES ws FROM wt KINDS tdigest(x, weight=w) GROUP BY g",
+        t, catalog=cat,
+    ).collect()
+    for stmt in (
+        "SELECT APPROX_PERCENTILE(x, 0.5) FROM wt GROUP BY g",
+        "SELECT APPROX_MAD(x) FROM wt GROUP BY g",
+        "SELECT APPROX_TRIMMED_MEAN(x, 0.1, 0.9) FROM wt GROUP BY g",
+        "SELECT APPROX_HISTOGRAM(x, 4) FROM wt GROUP BY g",
+    ):
+        assert resolve_catalog_key(spark, stmt, t, cat) is None, stmt
+    with pytest.raises(ValueError, match="serving"):
+        approx_sql(spark, "SELECT APPROX_PERCENTILE(x, 0.5) FROM wt GROUP BY g",
+                   t, catalog=cat, catalog_key="ws")
+    # the registered weighted digest IS servable by name via the API
+    out = quantiles_df(spark, cat.states("ws"), "tdigest_x_w_w", [0.5]).collect()
+    assert len(out) == 2
+    for r in out:
+        sub = wdata[wdata["g"] == r["group"]]
+        assert abs(_weighted_rank(sub, float(r["value"])) - 0.5) <= r["rank_err_bound"] + 1e-3
+
+
+def test_weighted_vs_repeated_equivalence():
+    """Integer weights ≡ repeating each value that many times, within the
+    digests' own rank bound (bin structure differs, the distribution
+    summarized must not)."""
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(2, 0.7, 5000)
+    w = rng.integers(1, 6, 5000)
+    a = TDigest(200).update_values(v, weights=w.astype("float64"))
+    b = TDigest(200).update_values(np.repeat(v, w))
+    qs = np.array([0.1, 0.5, 0.9])
+    rep = np.sort(np.repeat(v, w))
+    for q, va, vb in zip(qs, a.quantiles(qs), b.quantiles(qs)):
+        ra = np.searchsorted(rep, va, side="right") / len(rep)
+        rb = np.searchsorted(rep, vb, side="right") / len(rep)
+        assert abs(ra - q) <= 2 * a.error_bound()
+        assert abs(rb - q) <= 2 * b.error_bound()
