@@ -115,3 +115,53 @@ def test_weighted_vs_repeated_equivalence():
         rb = np.searchsorted(rep, vb, side="right") / len(rep)
         assert abs(ra - q) <= 2 * a.error_bound()
         assert abs(rb - q) <= 2 * b.error_bound()
+
+
+def test_weighted_digest_serves_weighted_robust_stats(spark, wdata):
+    """mad_df / trimmed_mean_df over a WEIGHTED digest answer the
+    weight-mass versions of the statistics — the trimmed mean becomes
+    'mean value of the middle 80% of the WEIGHT', checked against the
+    exact weighted computation."""
+    from sketchlib.spark.query import trimmed_mean_df
+
+    df = spark.createDataFrame(wdata)
+    spec = [SketchSpec("tdw", "tdigest", "x", {"compression": 400}, weight="w")]
+    st = build_sketches(df, spec, group_by="g")
+    out = {r["group"]: r for r in trimmed_mean_df(spark, st, "tdw", 0.1, 0.9).collect()}
+    for g in ("a", "b"):
+        sub = wdata[wdata["g"] == g].sort_values("x")
+        v, w = sub["x"].to_numpy(), sub["w"].to_numpy()
+        cum = np.cumsum(w)
+        W = cum[-1]
+        prev = np.concatenate([[0.0], cum[:-1]])
+        win = np.clip(np.minimum(cum, 0.9 * W) - np.maximum(prev, 0.1 * W), 0.0, None)
+        exact = float((win * v).sum() / win.sum())
+        r = out[g]
+        assert r["tm_lo"] - 1e-9 <= exact <= r["tm_hi"] + 1e-9, (g, exact, dict(r.asDict()))
+
+
+def test_weighted_digest_incremental_refresh(spark, wdata, tmp_path):
+    """REFRESH SKETCHES merges appended files' weighted states like any
+    other kind — the refreshed weighted quantile stays within bound of
+    the full two-file exact."""
+    import os
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql
+
+    base = str(tmp_path / "base")
+    a, b = wdata.iloc[:40_000], wdata.iloc[40_000:]
+    spark.createDataFrame(a).coalesce(1).write.parquet(base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t = {"wt": base}
+    approx_sql(
+        spark, "CREATE SKETCHES ws FROM wt KINDS tdigest(x, weight=w) GROUP BY g",
+        t, catalog=cat,
+    ).collect()
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(base)
+    ref = approx_sql(spark, "REFRESH SKETCHES ws", t, catalog=cat).collect()[0]
+    assert ref["new_files"] >= 1
+    out = quantiles_df(spark, cat.states("ws"), "tdigest_x_w_w", [0.5]).collect()
+    for r in out:
+        sub = wdata[wdata["g"] == r["group"]]
+        assert abs(_weighted_rank(sub, float(r["value"])) - 0.5) <= r["rank_err_bound"] + 1e-3
