@@ -30,6 +30,8 @@ Supported aggregates:
     APPROX_TOP_SUM(key, w, k [, eps=1e-4])       → weighted Count-Min
                                                    (top keys BY SUM(w))
     APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
+        [, rank_err=ε → KLL | rel_err=α → DDSketch | weight=w → weighted
+         t-digest: the value below which q of SUM(w) lies]
     APPROX_MAD(col)                              → KLL/t-digest (robust spread;
                                                    bracket certificate)
     APPROX_TRIMMED_MEAN(col [, lo, hi])          → KLL/t-digest (robust mean over
@@ -185,6 +187,19 @@ _WITHIN_SUBSAMPLE_MSG = (
 # VALUE units, |v̂ − v_q| ≤ α·|v_q|) — one statement takes at most one.
 _RANK_ERR_ARG = re.compile(r"^rank_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
 _REL_ERR_ARG = re.compile(r"^rel_err\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
+# weight= names a COLUMN: the statement asks for WEIGHT-MASS quantiles
+# (the value below which q of Σw lies), served by a weighted t-digest
+_PCT_WEIGHT_ARG = re.compile(r"^weight\s*=\s*(\w+)$", re.IGNORECASE)
+
+
+def _pct_weight(args: list) -> str | None:
+    """Weight column from ``APPROX_PERCENTILE(col, q..., weight=w)`` —
+    routes to a WEIGHTED tdigest (weight-mass quantiles); None = plain."""
+    for a in args[1:]:
+        mw = _PCT_WEIGHT_ARG.match(a.strip())
+        if mw:
+            return mw.group(1)
+    return None
 
 # named arguments of APPROX_SPECTRUM(col, r [, d=<dim>, ell=<rows>])
 _FD_ARG = re.compile(r"^(d|ell)\s*=\s*([0-9.eE+\-]+)$", re.IGNORECASE)
@@ -246,6 +261,7 @@ def _percentile_args(args: list) -> tuple[list[float], float | None, float | Non
     ``APPROX_PERCENTILE(col, 0.5, 0.99, rel_err=0.01)``."""
     qs: list[float] = []
     rank = rel = None
+    weighted = False
     for a in args[1:]:
         mm = _RANK_ERR_ARG.match(a.strip())
         mr = _REL_ERR_ARG.match(a.strip())
@@ -253,8 +269,16 @@ def _percentile_args(args: list) -> tuple[list[float], float | None, float | Non
             rank = float(mm.group(1))
         elif mr:
             rel = float(mr.group(1))
+        elif _PCT_WEIGHT_ARG.match(a.strip()):
+            weighted = True  # read separately via _pct_weight
         else:
             qs.append(float(a))
+    if weighted and (rank is not None or rel is not None):
+        raise ValueError(
+            "weight= routes to a weighted t-digest, whose bound is the "
+            "digest's own proxy fixed at build — it cannot combine with a "
+            "rank_err=/rel_err= accuracy contract; drop one"
+        )
     if rank is not None and rel is not None:
         raise ValueError(
             "give ONE accuracy spec — rank_err= (KLL, bound in rank units) "
@@ -1389,12 +1413,17 @@ def _pct_spec_serves(fn, args, s: dict) -> bool:
     (weight-mass distribution) never serves the quantile-family
     statements implicitly — its CDF is a different distribution than the
     row population every plain statement asks about (the same
-    no-cross-serving rule weighted CMs follow)."""
-    if fn in ("APPROX_PERCENTILE", "APPROX_MAD", "APPROX_TRIMMED_MEAN",
-              "APPROX_HISTOGRAM") and s.get("weight"):
-        return False
+    no-cross-serving rule weighted CMs follow); a ``weight=`` statement
+    routes ONLY to a tdigest whose registered weight column matches."""
+    if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
+        return not s.get("weight")
     if fn != "APPROX_PERCENTILE":
         return True
+    want_w = _pct_weight(args)
+    if (s.get("weight") or None) != want_w:
+        return False
+    if want_w is not None:
+        return s["kind"] == "tdigest"
     rel = _percentile_args(args)[2]
     if rel is not None:
         return s["kind"] == "dd" and float(
@@ -1563,8 +1592,9 @@ def _resolve_key(
             # an accuracy contract needs a static guarantee — only KLL
             # (rank_err) / DDSketch (rel_err) STATES give one; scrambles'
             # empirical-quantile error depends on the (unknown-ahead)
-            # sample row count
-            if req_rank is not None or req_rel is not None:
+            # sample row count. A weight= statement asks about the
+            # weight-mass distribution — only a weighted tdigest holds it.
+            if req_rank is not None or req_rel is not None or _pct_weight(args) is not None:
                 return False
             return k == "uniform" or (k == "stratified" and group == r["on_col"])
         return False
@@ -1634,6 +1664,10 @@ def _sample_serving_mismatch(fn, args, meta, estimator, key) -> str | None:
             return f"{fn} needs a UNIFORM sample; {key!r} is {k}"
         return None
     if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_PERCENTILE"):
+        if fn == "APPROX_PERCENTILE" and _pct_weight(args) is not None:
+            return ("weighted percentile (weight=) serves from a weighted "
+                    "tdigest's states, not a row sample — register "
+                    "tdigest(col, weight=w) or drop catalog_key")
         if estimator == "subsample" and k != "uniform":
             return ("ERROR BY SUBSAMPLING needs a UNIFORM scramble here; "
                     f"{key!r} is {k}")
@@ -2075,9 +2109,10 @@ def explain_sql(
                  "SUBSAMPLING does not apply; approx_sql would raise")
             return done()
         if (aggs[0][0] == "APPROX_PERCENTILE"
-                and _percentile_args(aggs[0][1])[1:] != (None, None)):
-            emit("error", "rank_err/rel_err + ERROR BY SUBSAMPLING is a "
-                 "double accuracy spec — approx_sql would raise")
+                and (_percentile_args(aggs[0][1])[1:] != (None, None)
+                     or _pct_weight(aggs[0][1]) is not None)):
+            emit("error", "rank_err/rel_err/weight + ERROR BY SUBSAMPLING is "
+                 "a double estimator spec — approx_sql would raise")
             return done()
         if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
             emit("error", "explicit rse + ERROR BY SUBSAMPLING is a double "
@@ -4092,8 +4127,9 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
             spec_given = len(args) > 3
             spec_name = "eps"
         elif fn == "APPROX_PERCENTILE":
-            spec_given = _percentile_args(args)[1:] != (None, None)
-            spec_name = "rank_err/rel_err"
+            spec_given = (_percentile_args(args)[1:] != (None, None)
+                          or _pct_weight(args) is not None)
+            spec_name = "rank_err/rel_err/weight"
         elif fn in sampling_fns:
             if fn == "APPROX_COUNT":
                 # APPROX_COUNT() and APPROX_COUNT(*) both mean "no explicit ratio"
@@ -4445,7 +4481,12 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 sp = SketchSpec("_q", "kll", col, {"k": kk})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
-                if req_rel is not None:
+                wcol = _pct_weight(args)
+                if wcol is not None:
+                    sp = SketchSpec(
+                        "_q", "tdigest", col, {"compression": 200}, weight=wcol
+                    )
+                elif req_rel is not None:
                     sp = SketchSpec("_q", "dd", col, {"alpha": req_rel})
                 else:
                     kk = 200
@@ -4881,11 +4922,15 @@ def approx_sql(
                 "sampling CI a subsample spread could replace; ERROR BY "
                 f"SUBSAMPLING applies to {'/'.join(_SUBSAMPLE_FNS)}"
             )
-        if aggs[0][0] == "APPROX_PERCENTILE" and _percentile_args(aggs[0][1])[1:] != (None, None):
+        if aggs[0][0] == "APPROX_PERCENTILE" and (
+            _percentile_args(aggs[0][1])[1:] != (None, None)
+            or _pct_weight(aggs[0][1]) is not None
+        ):
             raise ValueError(
-                "give ONE accuracy spec — rank_err/rel_err are static "
-                "sketch-route contracts (KLL / DDSketch) and ERROR BY "
-                "SUBSAMPLING is a data-driven estimator; they cannot combine"
+                "give ONE estimator — rank_err/rel_err/weight are static "
+                "sketch-route arguments (KLL / DDSketch / weighted tdigest) "
+                "and ERROR BY SUBSAMPLING is a data-driven row estimator; "
+                "they cannot combine"
             )
         if aggs[0][0] == "APPROX_COUNT_DISTINCT" and len(aggs[0][1]) > 1:
             raise ValueError(
@@ -5109,6 +5154,12 @@ def approx_sql(
                 # for the empirical process), reported at z=1.96.
                 from pyspark.sql import functions as F
 
+                if _pct_weight(args) is not None:
+                    raise ValueError(
+                        "weighted percentile (weight=) serves from a weighted "
+                        "tdigest's states, not a row sample — register "
+                        "tdigest(col, weight=w) or drop catalog_key"
+                    )
                 if meta["kind"] not in ("uniform", "stratified"):
                     raise ValueError(
                         f"APPROX_PERCENTILE needs a uniform or stratified sample; "
@@ -5356,6 +5407,17 @@ def approx_sql(
     if fn == "APPROX_PERCENTILE":
         df, col = _materialize_expr(df, args[0])
         qs, req_rank, req_rel = _percentile_args(args)
+        wcol = _pct_weight(args)
+        if wcol is not None:
+            # weight-mass quantiles: one weighted t-digest build (fractional
+            # centroid weights native; the digest filters NaN pairs jointly)
+            states = build_sketches(
+                df,
+                [SketchSpec("_q", "tdigest", col, {"compression": 200}, weight=wcol)],
+                group_by=group,
+            )
+            out = quantiles_df(spark, states, "_q", qs)
+            return _finish_grouped(out, df, group)
         if req_rel is not None:
             # relative-VALUE contract: α IS the bound (Masson et al. 2019),
             # so the on-the-fly DDSketch just builds at the requested alpha

@@ -165,3 +165,57 @@ def test_weighted_digest_incremental_refresh(spark, wdata, tmp_path):
     for r in out:
         sub = wdata[wdata["g"] == r["group"]]
         assert abs(_weighted_rank(sub, float(r["value"])) - 0.5) <= r["rank_err_bound"] + 1e-3
+
+
+def test_sql_weighted_percentile_all_routes(spark, wdata, tmp_path):
+    """APPROX_PERCENTILE(col, q, weight=w): on-the-fly weighted build,
+    states-served via auto-selection (the weighted registration that the
+    PLAIN statement must skip), ROLLUP from the same states, and the
+    refusals (weight+rank_err, weight over a row sample)."""
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, explain_sql, resolve_catalog_key
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(wdata).write.parquet(base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t = {"wt": base}
+    stmt = "SELECT APPROX_PERCENTILE(x, 0.5, weight=w) FROM wt GROUP BY g"
+    fly = {r["group"]: r for r in approx_sql(spark, stmt, t).collect()}
+    for g in ("a", "b"):
+        sub = wdata[wdata["g"] == g]
+        assert abs(_weighted_rank(sub, float(fly[g]["value"])) - 0.5) \
+            <= fly[g]["rank_err_bound"] + 1e-3
+    approx_sql(
+        spark, "CREATE SKETCHES ws FROM wt KINDS tdigest(x, weight=w) GROUP BY g",
+        t, catalog=cat,
+    ).collect()
+    assert resolve_catalog_key(spark, stmt, t, cat) == "ws"
+    assert resolve_catalog_key(
+        spark, "SELECT APPROX_PERCENTILE(x, 0.5) FROM wt GROUP BY g", t, cat
+    ) is None
+    ex = {r["property"]: r["value"] for r in explain_sql(spark, stmt, t, catalog=cat).collect()}
+    assert "persisted_sketch_states" in ex["route"] and ex["artifact"] == "ws"
+    served = {r["group"]: r for r in approx_sql(spark, stmt, t, catalog=cat).collect()}
+    for g in ("a", "b"):
+        sub = wdata[wdata["g"] == g]
+        assert abs(_weighted_rank(sub, float(served[g]["value"])) - 0.5) \
+            <= served[g]["rank_err_bound"] + 1e-3
+    roll = approx_sql(
+        spark,
+        "SELECT APPROX_PERCENTILE(x, 0.5, weight=w) FROM wt GROUP BY ROLLUP (g)",
+        t, catalog=cat, catalog_key="ws",
+    ).toPandas()
+    assert set(roll["grouping_lvl"]) == {0, 1} and len(roll) == 3
+    glob = float(roll.loc[roll["grouping_lvl"] == 1, "value"].iloc[0])
+    assert abs(_weighted_rank(wdata, glob) - 0.5) <= 3.31 / 200 + 1e-3
+    with pytest.raises(ValueError, match="cannot combine"):
+        approx_sql(
+            spark, "SELECT APPROX_PERCENTILE(x, 0.5, weight=w, rank_err=0.01) FROM wt", t
+        )
+    # a persisted ROW sample must refuse a weight= statement by name
+    approx_sql(
+        spark, "CREATE SAMPLE sc FROM wt KIND uniform RATIO 0.5", t, catalog=cat
+    ).collect()
+    with pytest.raises(ValueError, match="not a row sample"):
+        approx_sql(spark, "SELECT APPROX_PERCENTILE(x, 0.5, weight=w) FROM wt",
+                   t, catalog=cat, catalog_key="sc")
