@@ -219,3 +219,36 @@ def test_sql_weighted_percentile_all_routes(spark, wdata, tmp_path):
     with pytest.raises(ValueError, match="not a row sample"):
         approx_sql(spark, "SELECT APPROX_PERCENTILE(x, 0.5, weight=w) FROM wt",
                    t, catalog=cat, catalog_key="sc")
+
+
+def test_inf_weight_refused():
+    """+inf weight would make the total mass infinite and every quantile
+    garbage — corrupt input raises (NaN = missing data, dropped)."""
+    with pytest.raises(ValueError, match="finite"):
+        TDigest(100).update_values(np.array([1.0, 2.0]), weights=np.array([1.0, np.inf]))
+
+
+def test_explain_weight_within_parity(spark, wdata, tmp_path):
+    """EXPLAIN on weight= + WITHIN reports the same refusal execution
+    makes — an error row, never a bogus KLL plan or a leaked traceback."""
+    from sketchlib.sql import approx_sql, explain_sql
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(wdata.head(1000)).write.parquet(base)
+    t = {"wt": base}
+    stmt = "SELECT APPROX_PERCENTILE(x, 0.5, weight=w) FROM wt WITHIN 1% ERROR"
+    ex = {r["property"]: r["value"] for r in explain_sql(spark, stmt, t).collect()}
+    assert "error" in ex and "weight= + WITHIN" in ex["error"]
+    with pytest.raises(ValueError, match="rank_err/rel_err/weight"):
+        approx_sql(spark, stmt, t)
+
+
+def test_scramble_contract_mismatch_names_migration(spark, tmp_path):
+    """The contract-mismatch refusal tells the caller the recorded
+    parameters to pass (incl. the 42 → 1042 default-seed change note)."""
+    from sketchlib.spark.streaming import StreamingScrambleSink
+
+    sd = str(tmp_path / "sc")
+    StreamingScrambleSink(sd, id_col="doc_id", ratio=0.2, seed=42)
+    with pytest.raises(ValueError, match="seed=42.*42 → 1042"):
+        StreamingScrambleSink(sd, id_col="doc_id", ratio=0.2)  # default 1042
