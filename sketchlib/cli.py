@@ -625,6 +625,10 @@ def main(argv=None) -> int:
         specs = [
             SketchSpec("hll_id", "hll", args.id_col, {"p": 14}),
             SketchSpec("kll_len", "kll", lcol, {"k": 200}),
+            # token-MASS length distribution: "the length holding the median
+            # TOKEN", not the median document — the budget-math view of the
+            # same column, one more KB sketch in the same pass
+            SketchSpec("td_len_w", "tdigest", lcol, {"compression": 200}, weight=lcol),
         ]
         if args.topk > 0:
             specs.append(SketchSpec("cm_tok", "cm", args.tokens_col, {"eps": 1e-4, "delta": 0.01}))
@@ -652,6 +656,10 @@ def main(argv=None) -> int:
             r["group"]: {"tm_est": r["trimmed_mean"], "tm_lo": r["tm_lo"], "tm_hi": r["tm_hi"]}
             for r in trimmed_mean_df(spark, states, "kll_len").collect()
         }
+        # the token-mass view: the length below which q of the TOKENS lie
+        wq: dict = {}
+        for r in quantiles_df(spark, states, "td_len_w", args.quantiles).collect():
+            wq.setdefault(r["group"], {})[f"p{r['q'] * 100:g}"] = r["value"]
         hh: dict = {}
         if args.topk > 0:
             for r in topk_df(spark, states, "cm_tok", args.topk).collect():
@@ -667,6 +675,7 @@ def main(argv=None) -> int:
                 "token_len_quantiles": qmap.get(g, {}),
                 "token_len_mad": spread.get(g, {}),
                 "token_len_trimmed_mean": tmean.get(g, {}),
+                "token_mass_len_quantiles": wq.get(g, {}),
                 **({"top_tokens": hh.get(g, [])} if args.topk > 0 else {}),
             }
             for g in sorted(exact)

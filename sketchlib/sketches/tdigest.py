@@ -84,6 +84,11 @@ class TDigest(SketchBase):
         v, w = v[keep], w[keep]
         if v.size and float(w.min()) < 0.0:
             raise ValueError("t-digest weights must be non-negative")
+        if v.size and np.isinf(w).any():
+            # a single +inf weight makes the total mass infinite and every
+            # served quantile garbage — corrupt input, raise (NaN = missing
+            # data and is dropped; inf = a computed-column bug upstream)
+            raise ValueError("t-digest weights must be finite")
         pos = w > 0
         v, w = v[pos], w[pos]
         if v.size == 0:

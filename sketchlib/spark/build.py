@@ -601,10 +601,17 @@ class SketchAccumulator:
                 )
             if spec.kind == "tdigest":
                 # value-weighted quantile feed: (value, float weight) rows
-                # clustered per group with ONE stable argsort — the digest
-                # itself does the joint NaN/negative/zero-weight filtering
+                # clustered per group with ONE stable argsort shared by both
+                # arrays (same permutation — _group_cluster would sort twice);
+                # the digest itself does the joint NaN/negative/zero-weight
+                # filtering. ng == 1 (the ungrouped on-the-fly SQL case)
+                # skips the sort entirely, like _group_cluster's fast path.
                 v = np.asarray(kv, dtype=np.float64)
                 w = np.asarray(wv, dtype=np.float64)
+                if ng == 1:
+                    if len(v):
+                        self._state(gnames[0], spec).update_values(v, weights=w)
+                    continue
                 order = np.argsort(codes, kind="stable")
                 starts = np.zeros(ng + 1, dtype=np.int64)
                 np.cumsum(np.bincount(codes, minlength=ng), out=starts[1:])

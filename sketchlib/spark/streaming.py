@@ -625,8 +625,12 @@ class StreamingScrambleSink:
                 raise ValueError(
                     f"state_dir {state_dir!r} already holds a scramble under "
                     f"contract {existing} — constructing a sink with "
-                    f"{contract} would mix inclusion probabilities; use a "
-                    "fresh state_dir or the recorded contract"
+                    f"{contract} would mix inclusion probabilities; pass the "
+                    f"recorded parameters explicitly (e.g. "
+                    f"seed={existing.get('seed')}, ratio={existing.get('ratio')}) "
+                    "to keep appending, or use a fresh state_dir (note: the "
+                    "DEFAULT seed changed 42 → 1042 to decorrelate from the "
+                    "sampling module's default — older dirs need seed=42)"
                 )
         else:
             tmp = cpath + ".tmp"

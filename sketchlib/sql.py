@@ -334,6 +334,26 @@ def _hist_args(args: list) -> int:
     return int(n)
 
 
+def _robust_kll_k(fn: str, args: list) -> int:
+    """On-the-fly KLL size for the robust-statistic heads, planned from the
+    statement's OWN requirement — ONE policy shared by the single-statement
+    and rollup routes (the refusal "register a larger sketch" is reserved
+    for user registrations; a route that chose its own sketch must size
+    it): ε ≤ window/8 for a trim window (corner windows stay meaningful),
+    ε ≤ 1/(4·n_bins) for a histogram (edge noise ≤ half a bin's mass), and
+    the 200 default for MAD (its bracket is valid at any ε). Also performs
+    the head's argument validation."""
+    from sketchlib.planner import kll_params
+
+    if fn == "APPROX_TRIMMED_MEAN":
+        tlo, thi = _trim_args(args)
+        return max(200, kll_params((thi - tlo) / 8.0)["k"])
+    if fn == "APPROX_HISTOGRAM":
+        return max(200, kll_params(1.0 / (4.0 * _hist_args(args)))["k"])
+    _mad_args(args)
+    return 200
+
+
 # ORDER BY / LIMIT carry through the rewrite applied to the RESULT frame
 # (Verdict A14) — stripped off the tail, the inner statement recurses.
 # Multi-key: ORDER BY est DESC, group [ASC] over result columns.
@@ -1646,6 +1666,14 @@ def resolve_catalog_key(
 _EXPLAIN_SCHEMA = "property string, value string"
 
 
+# ONE copy of the weighted-percentile-over-row-sample refusal, shared by
+# execution and EXPLAIN (_sample_serving_mismatch) so the two cannot drift
+_PCT_WEIGHT_SAMPLE_MSG = (
+    "weighted percentile (weight=) serves from a weighted tdigest's states, "
+    "not a row sample — register tdigest(col, weight=w) or drop catalog_key"
+)
+
+
 def _sample_serving_mismatch(fn, args, meta, estimator, key) -> str | None:
     """The serving branch's kind/column compatibility gates, replicated for
     EXPLAIN (an EXPLICIT catalog_key can name an incompatible sample —
@@ -1665,9 +1693,7 @@ def _sample_serving_mismatch(fn, args, meta, estimator, key) -> str | None:
         return None
     if fn in ("APPROX_COUNT", "APPROX_SUM", "APPROX_AVG", "APPROX_PERCENTILE"):
         if fn == "APPROX_PERCENTILE" and _pct_weight(args) is not None:
-            return ("weighted percentile (weight=) serves from a weighted "
-                    "tdigest's states, not a row sample — register "
-                    "tdigest(col, weight=w) or drop catalog_key")
+            return _PCT_WEIGHT_SAMPLE_MSG
         if estimator == "subsample" and k != "uniform":
             return ("ERROR BY SUBSAMPLING needs a UNIFORM scramble here; "
                     f"{key!r} is {k}")
@@ -1921,6 +1947,11 @@ def explain_sql(
                      "overcount ≤ ε·ΣW w.p. 1−δ, δ=0.01)")
                 sel_items.append(f"{cfn}({', '.join(cargs[:3])}, {t!r})")
             elif cfn == "APPROX_PERCENTILE":
+                if _pct_weight(cargs) is not None:
+                    # same refusal _within_error makes: a weighted digest's
+                    # bound is fixed at build — no contract can re-plan it
+                    emit("error", double_spec + f" (weight= + WITHIN, {cfn})")
+                    return done()
                 _, _wrank, _wrel = _percentile_args(cargs)
                 if _wrank is not None or _wrel is not None:
                     emit("error", double_spec + f" (rank_err/rel_err + WITHIN, {cfn})")
@@ -4467,18 +4498,8 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                     fd_d = int(probe["_d"])
                 sp = SketchSpec("_q", "fd", col, {"d": fd_d, "ell": fd_ell})
             elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
-                # same requirement-driven sizing as the single-statement
-                # on-the-fly route (validation already ran at branch entry)
-                from sketchlib.planner import kll_params
-
-                kk = 200
-                if fn == "APPROX_TRIMMED_MEAN":
-                    tlo, thi = _trim_args(args)
-                    kk = max(200, kll_params((thi - tlo) / 8.0)["k"])
-                elif fn == "APPROX_HISTOGRAM":
-                    kk = max(200, kll_params(1.0 / (4.0 * _hist_args(args)))["k"])
                 df, col = _materialize_expr(df, args[0])
-                sp = SketchSpec("_q", "kll", col, {"k": kk})
+                sp = SketchSpec("_q", "kll", col, {"k": _robust_kll_k(fn, args)})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
                 wcol = _pct_weight(args)
@@ -5155,11 +5176,7 @@ def approx_sql(
                 from pyspark.sql import functions as F
 
                 if _pct_weight(args) is not None:
-                    raise ValueError(
-                        "weighted percentile (weight=) serves from a weighted "
-                        "tdigest's states, not a row sample — register "
-                        "tdigest(col, weight=w) or drop catalog_key"
-                    )
+                    raise ValueError(_PCT_WEIGHT_SAMPLE_MSG)
                 if meta["kind"] not in ("uniform", "stratified"):
                     raise ValueError(
                         f"APPROX_PERCENTILE needs a uniform or stratified sample; "
@@ -5438,23 +5455,10 @@ def approx_sql(
 
     if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
         # on-the-fly: one KLL build (same zero-shuffle kernel as the
-        # percentile route), SIZED from the statement's own requirement —
-        # this route chose the sketch, so "register a larger sketch"
-        # refusals must never fire here: a narrow trim window gets
-        # ε ≤ width/8 (corner windows stay meaningful) and a fine
-        # histogram gets ε ≤ 1/(4·n_bins) (edge noise ≤ half a bin's
-        # mass). The states route keeps the refusal — there the sketch
-        # was the user's registration.
-        from sketchlib.planner import kll_params
-
-        kk = 200
-        if fn == "APPROX_MAD":
-            _mad_args(args)
-        elif fn == "APPROX_TRIMMED_MEAN":
-            tlo, thi = _trim_args(args)
-            kk = max(200, kll_params((thi - tlo) / 8.0)["k"])
-        else:
-            kk = max(200, kll_params(1.0 / (4.0 * _hist_args(args)))["k"])
+        # percentile route), SIZED from the statement's own requirement
+        # (_robust_kll_k — the states route keeps the "register a larger
+        # sketch" refusal; there the sketch was the user's registration)
+        kk = _robust_kll_k(fn, args)
         df, col = _materialize_expr(df, args[0])
         states = build_sketches(
             df, [SketchSpec("_q", "kll", col, {"k": kk})], group_by=group

@@ -425,6 +425,11 @@ def test_cli_profile(seq_tiny_dir, tmp_path):
         tm = row["token_len_trimmed_mean"]
         assert tm["tm_lo"] - 1e-9 <= tm["tm_est"] <= tm["tm_hi"] + 1e-9
         assert q["p50"] * 0.1 <= tm["tm_est"] <= q["p99"]
+        # token-MASS length quantiles: longer docs hold more tokens, so
+        # every weighted quantile dominates its row-population twin
+        wq = row["token_mass_len_quantiles"]
+        assert set(wq) == set(q)
+        assert wq["p50"] >= q["p50"] and wq["p50"] <= wq["p90"] <= wq["p99"]
     assert total == card["corpus"]["rows"]
 
 
