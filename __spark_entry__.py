@@ -716,6 +716,60 @@ def q_b59_weighted_tdigest_quantiles(spark, sf_dir):
     )
 
 
+def q_b60_sql_frequent(spark, sf_dir):
+    """Round-5 close: APPROX_FREQUENT(col, k) through the SQL front door —
+    the DETERMINISTIC heavy hitters (Misra-Gries: never overcounts, exact
+    undercount certificate with no failure probability), ANSWERED FROM
+    PERSISTED STATES with the base-table copy DELETED (A5). Every served
+    token's exact count (computed before deletion) must sit in
+    [est, est + undercount_bound] — the certificate has no slack to give.
+    EXPLAIN names the route + artifact first; APPROX_TOPK is also asked
+    and must NOT auto-select the mg registration (inverse bound
+    contracts never cross-serve)."""
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, explain_sql, resolve_catalog_key
+
+    work = tempfile.mkdtemp(prefix="sketchlib_freq_")
+    try:
+        base = os.path.join(work, "li")
+        (_t(spark, sf_dir, "lineitem")
+         .selectExpr("l_returnflag", "l_suppkey AS t").write.parquet(base))
+        pdf = spark.read.parquet(base).toPandas()
+        cat = SketchCatalog(spark, os.path.join(work, "cat"))
+        t = {"li": base}
+        approx_sql(
+            spark, "CREATE SKETCHES fs FROM li KINDS mg(t, eps=0.001) "
+            "GROUP BY l_returnflag", t, catalog=cat,
+        ).collect()
+        stmt = "SELECT APPROX_FREQUENT(t, 5) FROM li GROUP BY l_returnflag"
+        ex = {r["property"]: r["value"] for r in explain_sql(
+            spark, stmt, t, catalog=cat).collect()}
+        routed = ("persisted_sketch_states" in ex.get("route", "")
+                  and ex.get("artifact") == "fs")
+        no_cross = resolve_catalog_key(
+            spark, "SELECT APPROX_TOPK(t, 5) FROM li GROUP BY l_returnflag", t, cat
+        ) is None
+        shutil.rmtree(base)
+        served = approx_sql(spark, stmt, t, catalog=cat).toPandas()
+        out = []
+        for g, sub in pdf.groupby("l_returnflag"):
+            true = sub["t"].value_counts()
+            rows = served[served["group"] == g]
+            ok = routed and no_cross and len(rows) == 5
+            for _, x in rows.iterrows():
+                c = int(true.get(x["token"], 0))
+                ok = ok and (x["est_count"] <= c <= x["est_count"] + x["undercount_bound"])
+            out.append((g, bool(ok)))
+        return spark.createDataFrame(
+            pd.DataFrame(sorted(out), columns=["l_returnflag", "within_bound"])
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_b55_equidepth_histogram(spark, sf_dir):
     """Round-5 close: EQUI-DEPTH bin edges per group from the registered
     KLL state (query.equidepth_histogram_df) — equal-mass feature
@@ -4732,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b57_trimmed_mean": _dist_wrapped(q_b57_trimmed_mean),
         "b58_sql_robust_stats": _dist_wrapped(q_b58_sql_robust_stats),
         "b59_weighted_tdigest_quantiles": _dist_wrapped(q_b59_weighted_tdigest_quantiles),
+        "b60_sql_frequent": _dist_wrapped(q_b60_sql_frequent),
         "b56_mg_topk_tokens": _dist_wrapped(q_b56_mg_topk_tokens),
         "b06_bloom_membership": _dist_wrapped(q_b06_bloom_membership),
         "b07_minhash_jaccard": _dist_wrapped(q_b07_minhash_jaccard),
@@ -4956,6 +5011,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),
                  (SELECT unnest([0.25, 0.5, 0.9]) AS q)
         """,
+        "b60_sql_frequent": (
+            "SELECT l_returnflag, TRUE AS within_bound FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
         "b55_equidepth_histogram": """
             SELECT l_returnflag, CAST(b AS INTEGER) AS bin, TRUE AS within_bound
             FROM (SELECT DISTINCT l_returnflag FROM lineitem),

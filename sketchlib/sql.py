@@ -29,6 +29,10 @@ Supported aggregates:
     APPROX_TOPK(col, k [, eps=1e-4])             → Count-Min  (Q3)
     APPROX_TOP_SUM(key, w, k [, eps=1e-4])       → weighted Count-Min
                                                    (top keys BY SUM(w))
+    APPROX_FREQUENT(col, k [, eps=1e-4])         → Misra-Gries (DETERMINISTIC
+                                                   heavy hitters: never over-
+                                                   counts, exact undercount
+                                                   certificate — no δ)
     APPROX_PERCENTILE(col, q1[, q2, ...])        → KLL        (Q4)
         [, rank_err=ε → KLL | rel_err=α → DDSketch | weight=w → weighted
          t-digest: the value below which q of SUM(w) lies]
@@ -1396,7 +1400,62 @@ _CATALOG_KINDS = {
     "APPROX_MAD": ("kll", "tdigest"),
     "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
     "APPROX_HISTOGRAM": ("kll", "tdigest"),
+    # the DETERMINISTIC heavy hitters: same statement shape as
+    # APPROX_TOPK but a different bound CONTRACT (mg undercount
+    # certificate vs CM overcount) — two heads so neither can be read
+    # with the other's interval
+    "APPROX_FREQUENT": ("mg",),
 }
+
+
+def _frequent_args(args: list) -> tuple[int, float | None]:
+    """(k, eps or None) from APPROX_FREQUENT(col, k [, eps]) — eps sizes
+    the on-the-fly summary (counters = ⌈1/ε⌉−1) and gates routing (only
+    registered MG states at least that accurate claim the statement)."""
+    if len(args) not in (2, 3):
+        raise ValueError(
+            "APPROX_FREQUENT takes (col, k [, eps]) — deterministic top-k "
+            "heavy hitters from a Misra-Gries summary"
+        )
+    kv = _num(args[1])
+    if kv is None or int(kv) != kv or kv < 1:
+        raise ValueError(
+            f"APPROX_FREQUENT k argument {args[1]!r} must be a positive integer"
+        )
+    eps = None
+    if len(args) == 3:
+        eps = _num(args[2])
+        if eps is None or not (0.0 < eps < 1.0):
+            raise ValueError(
+                f"APPROX_FREQUENT eps argument {args[2]!r} must be a number "
+                "in (0, 1) — the undercount bound is ≤ ε·N"
+            )
+    return int(kv), eps
+
+
+def _mg_spec_serves(fn, args, s: dict) -> bool:
+    """Whether a registered MG spec serves this APPROX_FREQUENT statement:
+    weighted MGs never serve the plain statement (their certificate is in
+    weight units), and an explicit eps routes only to summaries at least
+    that accurate (k ≥ ⌈1/ε⌉−1 counters — same explicit-accuracy rule as
+    CM's eps)."""
+    if fn != "APPROX_FREQUENT":
+        return True
+    if s["kind"] != "mg":
+        return False
+    if s.get("weight"):
+        return False
+    _, eps = _frequent_args(args)
+    if eps is not None:
+        import math as _math
+
+        need_k = max(1, int(_math.ceil(1.0 / eps)) - 1)
+        p = s.get("params", {})
+        have_k = p.get("k")
+        if have_k is None and p.get("eps") is not None:
+            have_k = max(1, int(_math.ceil(1.0 / float(p["eps"]))) - 1)
+        return have_k is not None and int(have_k) >= need_k
+    return True
 
 
 def _cm_spec_serves(fn, args, s: dict) -> bool:
@@ -1581,7 +1640,8 @@ def _resolve_key(
             specs = json.loads(reg["specs_json"])
             if any(
                 s["kind"] in kinds and s["column"] == col and _achieves_rse(s)
-                and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+                and _cm_spec_serves(fn, args, s) and _mg_spec_serves(fn, args, s)
+         and _pct_spec_serves(fn, args, s)
                 and _fd_spec_serves(fn, args, s)
                 for s in specs
             ):
@@ -3870,6 +3930,7 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             "APPROX_SPECTRUM": ("sq_singular_value", "cov_err_bound"),
             "APPROX_MAD": ("mad_est", "rank_err_bound"),
             "APPROX_TRIMMED_MEAN": ("trimmed_mean", "rank_err_bound"),
+            "APPROX_FREQUENT": ("est_count", "undercount_bound"),
         }.get(fn)
         if fn == "APPROX_HISTOGRAM":
             raise ValueError(
@@ -3899,6 +3960,9 @@ def _run_aliased(spark, m, aliased, tables, catalog, catalog_key,
             # the bracket columns (mad_lo/mad_hi, tm_lo/tm_hi) keep their
             # own names — they are the actual certificate
             err_name = f"{alias}_rank_err"
+        elif fn == "APPROX_FREQUENT":
+            # the suffix names the contract: mg undershoots, never over
+            err_name = f"{alias}_undercount"
         else:
             err_name = f"{alias}_err"
         return (out.withColumnRenamed(pairs[0], alias)
@@ -4226,7 +4290,7 @@ def _within_error(spark, wm, tables, catalog, catalog_key) -> DataFrame:
 _SKETCH_ROLLUP_FNS = frozenset(
     ("APPROX_COUNT_DISTINCT", "APPROX_PERCENTILE", "APPROX_TOPK",
      "APPROX_TOP_SUM", "APPROX_SPECTRUM", "APPROX_MAD",
-     "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM")
+     "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM", "APPROX_FREQUENT")
 )
 
 
@@ -4302,7 +4366,8 @@ def _rollup_states_from_catalog(catalog, catalog_key: str, fn: str, args,
     spec = next(
         (s for s in json.loads(reg["specs_json"])
          if s["kind"] in kinds and s["column"] == col
-         and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+         and _cm_spec_serves(fn, args, s) and _mg_spec_serves(fn, args, s)
+         and _pct_spec_serves(fn, args, s)
          and _fd_spec_serves(fn, args, s)),
         None,
     )
@@ -4500,6 +4565,10 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
             elif fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):
                 df, col = _materialize_expr(df, args[0])
                 sp = SketchSpec("_q", "kll", col, {"k": _robust_kll_k(fn, args)})
+            elif fn == "APPROX_FREQUENT":
+                _, f_eps = _frequent_args(args)
+                df, col = _materialize_expr(df, args[0])
+                sp = SketchSpec("_q", "mg", col, {"eps": f_eps or 1e-4})
             else:  # APPROX_PERCENTILE
                 df, col = _materialize_expr(df, args[0])
                 wcol = _pct_weight(args)
@@ -4551,6 +4620,10 @@ def _run_rollup(spark, m, rmu, tables, catalog, catalog_key, estimator):
                 from sketchlib.spark.query import equidepth_histogram_df
 
                 out = equidepth_histogram_df(spark, st, spec_name, _hist_args(args))
+            elif fn == "APPROX_FREQUENT":
+                from sketchlib.spark.query import mg_topk_df
+
+                out = mg_topk_df(spark, st, spec_name, _frequent_args(args)[0])
             elif req_rel is not None:
                 out = rel_quantiles_df(spark, st, spec_name, qs)
             else:
@@ -5280,7 +5353,8 @@ def approx_sql(
         spec = next(
             (s for s in json.loads(reg["specs_json"])
              if s["kind"] in kinds and s["column"] == col
-             and _cm_spec_serves(fn, args, s) and _pct_spec_serves(fn, args, s)
+             and _cm_spec_serves(fn, args, s) and _mg_spec_serves(fn, args, s)
+         and _pct_spec_serves(fn, args, s)
              and _fd_spec_serves(fn, args, s)),
             None,
         )
@@ -5319,6 +5393,10 @@ def approx_sql(
             from sketchlib.spark.query import equidepth_histogram_df
 
             out = equidepth_histogram_df(spark, states, spec["name"], _hist_args(args))
+        elif fn == "APPROX_FREQUENT":
+            from sketchlib.spark.query import mg_topk_df
+
+            out = mg_topk_df(spark, states, spec["name"], _frequent_args(args)[0])
         else:  # APPROX_PERCENTILE
             qs, req_rank, req_rel = _percentile_args(args)
             if req_rank is not None:
@@ -5451,6 +5529,20 @@ def approx_sql(
             k = max(200, kll_params(req_rank)["k"])
         states = build_sketches(df, [SketchSpec("_q", "kll", col, {"k": k})], group_by=group)
         out = quantiles_df(spark, states, "_q", qs)
+        return _finish_grouped(out, df, group)
+
+    if fn == "APPROX_FREQUENT":
+        # deterministic heavy hitters: one MG build through the same
+        # zero-shuffle kernel; the answer frame's undercount_bound is the
+        # summary's EXACTLY tracked decrement (no δ to carve out)
+        from sketchlib.spark.query import mg_topk_df
+
+        f_k, f_eps = _frequent_args(args)
+        df, col = _materialize_expr(df, args[0])
+        states = build_sketches(
+            df, [SketchSpec("_q", "mg", col, {"eps": f_eps or 1e-4})], group_by=group
+        )
+        out = mg_topk_df(spark, states, "_q", f_k)
         return _finish_grouped(out, df, group)
 
     if fn in ("APPROX_MAD", "APPROX_TRIMMED_MEAN", "APPROX_HISTOGRAM"):

@@ -271,3 +271,56 @@ def test_cli_topk_dispatches_mg_states(seq_tiny_dir, tmp_path):
     assert rq.returncode == 0, rq.stderr[-2000:]
     rows = [json.loads(l) for l in rq.stdout.splitlines() if l.startswith("{")]
     assert rows and all("undercount_bound" in x and "err_bound" not in x for x in rows)
+
+
+def test_sql_approx_frequent_all_routes(spark, tmp_path):
+    """APPROX_FREQUENT(col, k [, eps]): on-the-fly MG build, states-served
+    auto-selection (eps-gated — a tighter explicit eps than the
+    registration declines the route), ROLLUP from the finest states, the
+    aliased form's _undercount suffix, and APPROX_TOPK never picking an
+    mg registration (the two heads carry inverse bound contracts)."""
+    import pandas as pd
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, resolve_catalog_key
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.3, 40_000).clip(1, 3000).astype("int64")
+    pdf = pd.DataFrame({"g": np.where(np.arange(40_000) % 2 == 0, "a", "b"), "t": keys})
+    base = str(tmp_path / "base")
+    spark.createDataFrame(pdf).write.parquet(base)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t = {"ft": base}
+    out = approx_sql(spark, "SELECT APPROX_FREQUENT(t, 5) FROM ft GROUP BY g", t).toPandas()
+    assert set(out.columns) == {"group", "token", "est_count", "undercount_bound"}
+    for g in ("a", "b"):
+        true = pdf[pdf["g"] == g]["t"].value_counts()
+        for _, x in out[out["group"] == g].iterrows():
+            c = int(true.get(x["token"], 0))
+            assert x["est_count"] <= c <= x["est_count"] + x["undercount_bound"]
+    approx_sql(spark, "CREATE SKETCHES fs FROM ft KINDS mg(t, eps=0.001) GROUP BY g",
+               t, catalog=cat).collect()
+    stmt = "SELECT APPROX_FREQUENT(t, 5) FROM ft GROUP BY g"
+    assert resolve_catalog_key(spark, stmt, t, cat) == "fs"
+    assert resolve_catalog_key(
+        spark, "SELECT APPROX_FREQUENT(t, 5, 0.0001) FROM ft GROUP BY g", t, cat
+    ) is None  # registration can't achieve the tighter eps
+    assert resolve_catalog_key(
+        spark, "SELECT APPROX_TOPK(t, 5) FROM ft GROUP BY g", t, cat
+    ) is None  # CM's head must never read an undercount summary
+    served = approx_sql(spark, stmt, t, catalog=cat).toPandas()
+    assert (served.groupby("group").size() == 5).all()
+    roll = approx_sql(
+        spark, "SELECT APPROX_FREQUENT(t, 3) FROM ft GROUP BY ROLLUP (g)",
+        t, catalog=cat, catalog_key="fs",
+    ).toPandas()
+    assert set(roll["grouping_lvl"]) == {0, 1} and len(roll) == 9
+    glob = roll[roll["grouping_lvl"] == 1]
+    true_all = pdf["t"].value_counts()
+    for _, x in glob.iterrows():
+        c = int(true_all.get(x["token"], 0))
+        assert x["est_count"] <= c <= x["est_count"] + x["undercount_bound"]
+    ra = approx_sql(spark, "SELECT APPROX_FREQUENT(t, 3) AS freq FROM ft", t).toPandas()
+    assert {"freq", "freq_undercount", "token"} <= set(ra.columns)
+    with pytest.raises(ValueError, match="takes \\(col, k"):
+        approx_sql(spark, "SELECT APPROX_FREQUENT(t) FROM ft", t)
