@@ -2878,7 +2878,8 @@ def _setop_scan_frames(spark, sides, grouped, tables, apply_where=True):
 
 _MERGE_HEAD = re.compile(
     r"^\s*SELECT\s+(?P<fn>APPROX_PERCENTILE|APPROX_TOPK|APPROX_MAD|"
-    r"APPROX_TRIMMED_MEAN|APPROX_HISTOGRAM)\s*\((?P<args>" + _ARGS + r")\)\s*"
+    r"APPROX_TRIMMED_MEAN|APPROX_HISTOGRAM|APPROX_FREQUENT)"
+    r"\s*\((?P<args>" + _ARGS + r")\)\s*"
     r"(?:AS\s+(?P<alias>\w+)\s*)?$",
     re.IGNORECASE,
 )
@@ -2889,6 +2890,8 @@ _MERGE_KINDS = {
     "APPROX_MAD": ("kll", "tdigest"),
     "APPROX_TRIMMED_MEAN": ("kll", "tdigest"),
     "APPROX_HISTOGRAM": ("kll", "tdigest"),
+    # MG summaries merge (Agarwal et al.) — the certificate adds
+    "APPROX_FREQUENT": ("mg",),
 }
 
 
@@ -2984,6 +2987,12 @@ def _unionall_merge_route(head: str, inner: str, tail: str):
             _trim_args(args)
         elif fnu == "APPROX_HISTOGRAM":
             _hist_args(args)
+        elif fnu == "APPROX_FREQUENT":
+            if _frequent_args(args)[1] is not None:
+                # an explicit eps is an accuracy floor the merged sides'
+                # registrations were not checked against — the generic
+                # path builds at exactly that eps instead
+                return None
         else:
             [float(a) for a in args[1:]]
     except (ValueError, IndexError):
@@ -3129,6 +3138,11 @@ def _unionall_from_states(spark, fn, args, alias, picks, catalog, grouped) -> Da
     if fn == "APPROX_TOPK":
         out = topk_df(spark, states, "_q", int(args[1]))
         est_col, err_col, err_sfx = "est_count", "err_bound", "_err"
+    elif fn == "APPROX_FREQUENT":
+        from sketchlib.spark.query import mg_topk_df
+
+        out = mg_topk_df(spark, states, "_q", _frequent_args(args)[0])
+        est_col, err_col, err_sfx = "est_count", "undercount_bound", "_undercount"
     elif fn == "APPROX_MAD":
         from sketchlib.spark.query import mad_df
 

@@ -324,3 +324,39 @@ def test_sql_approx_frequent_all_routes(spark, tmp_path):
     assert {"freq", "freq_undercount", "token"} <= set(ra.columns)
     with pytest.raises(ValueError, match="takes \\(col, k"):
         approx_sql(spark, "SELECT APPROX_FREQUENT(t) FROM ft", t)
+
+
+def test_sql_frequent_unionall_merge_from_states(spark, tmp_path):
+    """APPROX_FREQUENT over (a UNION ALL b) merges the sides' MG states —
+    zero base scans (EXPLAIN claims the merge route), the merged
+    certificate holds over the concatenated bag, and an explicit eps
+    DECLINES the route (the generic path builds at exactly that eps)."""
+    import pandas as pd
+
+    from sketchlib.spark.catalog import SketchCatalog
+    from sketchlib.sql import approx_sql, explain_sql
+
+    rng = np.random.default_rng(7)
+    cat = SketchCatalog(spark, str(tmp_path / "cat"))
+    t, frames = {}, {}
+    for nm in ("x1", "x2"):
+        keys = rng.zipf(1.3, 30_000).clip(1, 2000).astype("int64")
+        frames[nm] = pd.DataFrame({"t": keys})
+        p = str(tmp_path / nm)
+        spark.createDataFrame(frames[nm]).write.parquet(p)
+        t[nm] = p
+        approx_sql(spark, f"CREATE SKETCHES s_{nm} FROM {nm} KINDS mg(t, eps=0.001)",
+                   t, catalog=cat).collect()
+    q = "SELECT APPROX_FREQUENT(t, 5) FROM (SELECT t FROM x1 UNION ALL SELECT t FROM x2)"
+    ex = {r["property"]: r["value"] for r in explain_sql(spark, q, t, catalog=cat).collect()}
+    assert ex["statement_kind"] == "approx_unionall_merge"
+    assert ex["sketches"] == "mg" and ex["artifacts"] == "s_x1, s_x2"
+    out = approx_sql(spark, q, t, catalog=cat).toPandas()
+    both = pd.concat(frames.values())["t"].value_counts()
+    assert len(out) == 5
+    for _, x in out.iterrows():
+        c = int(both.get(x["token"], 0))
+        assert x["est_count"] <= c <= x["est_count"] + x["undercount_bound"]
+    ex2 = {r["property"]: r["value"] for r in explain_sql(
+        spark, q.replace("5)", "5, 0.0005)"), t, catalog=cat).collect()}
+    assert ex2["statement_kind"] == "derived_table"
