@@ -54,8 +54,17 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
 from sketchlib.spark import SketchSpec, build_sketches, estimates_df, quantiles_df, topk_df
+from sketchlib.spark.build import partial_states
 from sketchlib.spark.query import load_states
 from sketchlib.spark.tokenize import with_tokens
+
+# Overlap pool for INDEPENDENT Spark actions inside one query (guide §2.6):
+# the sketch-build job and its exact-verification job share no dependency, so
+# running them from two driver threads lets the second job's tasks back-fill
+# executor slots the first job's tail leaves idle. Two workers is plenty.
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_OVERLAP = _TPE(max_workers=2)
 
 _DIST_SESSIONS: set[int] = set()
 
@@ -84,8 +93,37 @@ def _ensure_dist(spark: SparkSession) -> None:
     _DIST_SESSIONS.add(key)
 
 
+_READ_CACHE: dict = {}
+
+
+def _path_fingerprint(path: str):
+    """Cheap (name, size, mtime_ns) fingerprint of a parquet file/dir so a
+    memoized reader graph is invalidated the moment the underlying files
+    change (e.g. the incremental-refresh queries append files)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_size, st.st_mtime_ns)
+    out = [st.st_mtime_ns]
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            s = os.stat(os.path.join(root, f))
+            out.append((f, s.st_size, s.st_mtime_ns))
+    return tuple(sorted(out, key=str))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Memoized ``spark.read.parquet``: the schema/footer read costs ~70 ms
+    per call (measured — a 3-table join paid 0.21 s before touching data),
+    and the SAME tables are read by every query in a session. The cache key
+    carries a file fingerprint, so this never serves a stale file listing —
+    and it memoizes the LAZY reader graph only, never results: every action
+    still scans the parquet inputs."""
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark.sparkContext), path, _path_fingerprint(path))
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = _READ_CACHE[key] = spark.read.parquet(path)
+    return df
 
 
 def _cents(col: str) -> F.Column:
@@ -284,9 +322,15 @@ _MH_TOK = [SketchSpec("mh_tok", "minhash", "tokens", {"r": 256})]
 def q_b01_hll_distinct_docs(spark, sf_dir):
     """Q1: approx COUNT(DISTINCT doc_id) GROUP BY source, within 3·RSE of exact."""
     docs = _t(spark, sf_dir, "documents")
-    states = build_sketches(docs, _HLL_DOC, group_by="source")
-    est = estimates_df(spark, states, "hll_doc").toPandas()
-    exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+    # exact pass overlapped with the sketch job (independent actions); the
+    # sketch answer is served from PARTIAL states — one job, no merge
+    # Exchange, driver-side canonical merge (byte-identical, see query.py)
+    fut = _OVERLAP.submit(
+        lambda: docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact")).toPandas()
+    )
+    states = partial_states(docs, _HLL_DOC, group_by="source")
+    est = estimates_df(spark, states, "hll_doc", partial_specs=_HLL_DOC).toPandas()
+    exact = fut.result()
     m = est.merge(exact, left_on="group", right_on="source")
     m["within_bound"] = (m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])
     return spark.createDataFrame(m[["source", "within_bound"]])
@@ -340,14 +384,15 @@ def q_b24_multicol_group_by(spark, sf_dir):
 def q_b02_hll_distinct_tokens(spark, sf_dir):
     """Q2: approx COUNT(DISTINCT token) GROUP BY source over tokenized text."""
     docs = with_tokens(_t(spark, sf_dir, "documents"))
-    states = build_sketches(docs, _HLL_TOK, group_by="source")
-    est = estimates_df(spark, states, "hll_tok").toPandas()
-    exact = (
-        docs.select("source", F.explode("tokens").alias("tok"))
+    fut = _OVERLAP.submit(
+        lambda: docs.select("source", F.explode("tokens").alias("tok"))
         .groupBy("source")
         .agg(F.countDistinct("tok").alias("exact"))
         .toPandas()
     )
+    states = partial_states(docs, _HLL_TOK, group_by="source")
+    est = estimates_df(spark, states, "hll_tok", partial_specs=_HLL_TOK).toPandas()
+    exact = fut.result()
     m = est.merge(exact, left_on="group", right_on="source")
     m["within_bound"] = (m["estimate"] - m["exact"]).abs() <= _hll_tol(m["exact"], m["rse_bound"])
     return spark.createDataFrame(m[["source", "within_bound"]])
@@ -356,14 +401,15 @@ def q_b02_hll_distinct_tokens(spark, sf_dir):
 def q_b03_cm_topk_tokens(spark, sf_dir):
     """Q3: top-k token frequencies per source; CM never undercounts, ≤ 3·ε·N over."""
     docs = with_tokens(_t(spark, sf_dir, "documents"))
-    states = build_sketches(docs, _CM_TOK, group_by="source")
-    top = topk_df(spark, states, "cm_tok", 5).toPandas()
-    exact = (
-        docs.select("source", F.explode("tokens").alias("token"))
+    fut = _OVERLAP.submit(
+        lambda: docs.select("source", F.explode("tokens").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("true_count"))
         .toPandas()
     )
+    states = partial_states(docs, _CM_TOK, group_by="source")
+    top = topk_df(spark, states, "cm_tok", 5, partial_specs=_CM_TOK).toPandas()
+    exact = fut.result()
     m = top.merge(exact, left_on=["group", "token"], right_on=["source", "token"], how="left")
     m["true_count"] = m["true_count"].fillna(0)
     ok = (m["est_count"] >= m["true_count"]) & (m["est_count"] <= m["true_count"] + 3 * m["err_bound"])
@@ -375,8 +421,8 @@ def q_b03_cm_topk_tokens(spark, sf_dir):
 
 def _quantile_within(spark, sf_dir, specs, sketch):
     li = _t(spark, sf_dir, "lineitem")
-    states = build_sketches(li, specs, group_by="l_returnflag")
-    qd = quantiles_df(spark, states, sketch, [0.5, 0.9, 0.99]).toPandas()
+    states = partial_states(li, specs, group_by="l_returnflag")
+    qd = quantiles_df(spark, states, sketch, [0.5, 0.9, 0.99], partial_specs=specs).toPandas()
     aggs, sizes = [], []
     for i, r in qd.iterrows():
         grp = F.col("l_returnflag") == r["group"]
@@ -423,8 +469,10 @@ def q_b52_dd_price_quantiles(spark, sf_dir):
     from sketchlib.spark.query import rel_quantiles_df
 
     li = _t(spark, sf_dir, "lineitem")
-    states = build_sketches(li, _DD_PRICE, group_by="l_returnflag")
-    qd = rel_quantiles_df(spark, states, "dd_price", [0.5, 0.9, 0.99]).toPandas()
+    states = partial_states(li, _DD_PRICE, group_by="l_returnflag")
+    qd = rel_quantiles_df(
+        spark, states, "dd_price", [0.5, 0.9, 0.99], partial_specs=_DD_PRICE
+    ).toPandas()
     counts = {
         r["l_returnflag"]: r["n"]
         for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
@@ -2718,11 +2766,17 @@ def q_b45_subsample_error(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_c01_exact_dedup(spark, sf_dir):
-    """Exact dedup: keep min(doc_id) per identical text; survivors per source."""
+    """Exact dedup: keep min(doc_id) per identical text; survivors per source.
+
+    The survivor's source is read off with min_by in the SAME aggregation
+    that picks the survivor (doc_id is unique, so no ties), replacing the
+    old groupBy + self-join shape: one Exchange(text) + one Exchange(source)
+    instead of Exchange(text) + a doc_id join + Exchange(source) — identical
+    rows, one join and one shuffle of the corpus removed."""
     docs = _t(spark, sf_dir, "documents")
-    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     return (
-        docs.join(keep, ["doc_id"])
+        docs.groupBy("text")
+        .agg(F.min_by("source", "doc_id").alias("source"))
         .groupBy("source")
         .agg(F.count("*").alias("kept_docs"))
     )

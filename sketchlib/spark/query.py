@@ -70,9 +70,51 @@ def _map_states(sub: DataFrame, per_state_rows, out_schema: str, out_cols: list[
 
 
 _PROBE_ROWS = 64  # caps probe TRANSFER at 64 × state size (~70 MB for ε=1e-4 CM)
+_PARTIAL_PROBE_BYTES = 256 << 20  # byte budget for a partial-states probe pull
 
 
-def _route(states: DataFrame, sketch: str, distributed: bool | None):
+def _partial_probe_cap(partial_specs, sketch: str) -> int:
+    """Row cap for a PARTIAL-states probe: the spec's serialized size is
+    known driver-side (spec.make().to_bytes() — an empty state has the same
+    geometry as a full one for every fixed-size kind), so the cap keeps the
+    pull under _PARTIAL_PROBE_BYTES however many tasks contributed. Floor at
+    _PROBE_ROWS so tiny sketches never probe below the merged-path cap."""
+    per = 1024
+    for s in partial_specs:
+        if s.name == sketch:
+            try:
+                per = max(len(s.make().to_bytes()), 1)
+            except Exception:
+                per = 1024
+            break
+    return max(_PROBE_ROWS, min(_PARTIAL_PROBE_BYTES // per, 8192))
+
+
+def _route(states: DataFrame, sketch: str, distributed: bool | None, partial_specs=None):
+    """With ``partial_specs`` (a list of SketchSpec), ``states`` holds
+    UNMERGED per-task partial states (build.partial_states output): the probe
+    pulls them directly — skipping the merge Exchange AND the second Python
+    stage — and ``_rows_to_states`` performs the canonical driver-side merge
+    (byte-identical to ``merge_states``: same (part_id, state) order). The
+    answer path then runs as ONE job (scan → mapInArrow → limit-collect)
+    instead of three stages plus a second state pull. If the partial row
+    count exceeds the byte-aware cap (many tasks × groups — the cluster-scale
+    case), fall back to the standard merge pipeline so the distributed path
+    never sees duplicate (group, sketch) rows."""
+    if partial_specs is not None:
+        from sketchlib.spark.build import merge_states
+
+        sub = states.filter(F.col("sketch") == sketch)
+        if distributed is not True:
+            cap = _partial_probe_cap(partial_specs, sketch)
+            probe = (
+                sub.select("group", "sketch", "state", "part_id")
+                .limit(cap + 1)
+                .collect()
+            )
+            if len(probe) <= cap:
+                return probe, sub, False
+        return _route(merge_states(sub), sketch, distributed)
     """(probe rows | None, filtered states, persisted?) — see module
     docstring. Auto-routing costs ONE job in the common driver case: a
     ``limit(_PROBE_ROWS+1).collect()`` probe both decides the path AND
@@ -103,8 +145,26 @@ def _route(states: DataFrame, sketch: str, distributed: bool | None):
 
 
 def _rows_to_states(rows) -> dict[tuple[str, str], object]:
-    """{(group, sketch_name): sketch object} from collected state rows."""
-    return {(r["group"], r["sketch"]): deserialize(r["state"]) for r in rows}
+    """{(group, sketch_name): sketch object} from collected state rows.
+
+    Rows may be PARTIAL states (several per (group, sketch), from the
+    merge-free probe path): duplicates are merged driver-side in the same
+    canonical (part_id, state bytes) order as ``_merge_pdf``, so the result
+    is byte-identical to collecting ``merge_states`` output (tested in
+    tests/test_query_partials.py)."""
+    by_key: dict[tuple[str, str], list] = {}
+    for r in rows:
+        by_key.setdefault((r["group"], r["sketch"]), []).append(r)
+    out: dict[tuple[str, str], object] = {}
+    for key, rs in by_key.items():
+        if len(rs) > 1:
+            rs.sort(key=lambda r: (r["part_id"] if "part_id" in r.__fields__ else -1,
+                                   bytes(r["state"])))
+        acc = deserialize(rs[0]["state"])
+        for r in rs[1:]:
+            acc.merge(deserialize(r["state"]))
+        out[key] = acc
+    return out
 
 
 def _finish_dist(out: DataFrame, sub: DataFrame, persisted: bool) -> DataFrame:
@@ -126,11 +186,12 @@ def _answer(
     rows_fn,
     schema: str,
     cols: list[str],
+    partial_specs=None,
 ) -> DataFrame:
     """Shared driver/distributed execution for the per-state answer
     functions: ONE ``rows_fn(group, sketch_obj) -> [tuples]`` drives both
     paths, so the estimator logic exists exactly once per answer shape."""
-    probe, sub, persisted = _route(states, sketch, distributed)
+    probe, sub, persisted = _route(states, sketch, distributed, partial_specs)
     if probe is None:
         return _finish_dist(_map_states(sub, rows_fn, schema, cols), sub, persisted)
     out = []
@@ -140,7 +201,8 @@ def _answer(
 
 
 def estimates_df(
-    spark: SparkSession, states: DataFrame, sketch: str, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, estimate, rse_bound) for a cardinality sketch (HLL/KMV)."""
     return _answer(
@@ -148,11 +210,13 @@ def estimates_df(
         lambda g, sk: [(g, *map(float, sk.estimate()))],
         "group string, estimate double, rse_bound double",
         ["group", "estimate", "rse_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def topk_df(
-    spark: SparkSession, states: DataFrame, sketch: str, k: int, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str, k: int,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, token, est_count, err_bound) top-k heavy hitters per group (CM).
 
@@ -175,11 +239,13 @@ def topk_df(
         spark, states, sketch, distributed, rows,
         "group string, token long, est_count long, err_bound double",
         ["group", "token", "est_count", "err_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def mg_topk_df(
-    spark: SparkSession, states: DataFrame, sketch: str, k: int, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str, k: int,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, token, est_count, undercount_bound) top-k per group from
     Misra-Gries states — the DETERMINISTIC complement of ``topk_df``'s CM
@@ -201,11 +267,13 @@ def mg_topk_df(
         spark, states, sketch, distributed, rows,
         "group string, token long, est_count long, undercount_bound double",
         ["group", "token", "est_count", "undercount_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def quantiles_df(
-    spark: SparkSession, states: DataFrame, sketch: str, qs, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str, qs,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, q, value, rank_err_bound) per group for KLL/t-digest states."""
     qs = list(qs)
@@ -220,11 +288,13 @@ def quantiles_df(
         spark, states, sketch, distributed, rows,
         "group string, q double, value double, rank_err_bound double",
         ["group", "q", "value", "rank_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def rel_quantiles_df(
-    spark: SparkSession, states: DataFrame, sketch: str, qs, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str, qs,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, q, value, rel_err_bound) per group for DDSketch states.
 
@@ -246,6 +316,7 @@ def rel_quantiles_df(
         spark, states, sketch, distributed, rows,
         "group string, q double, value double, rel_err_bound double",
         ["group", "q", "value", "rel_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
@@ -305,7 +376,8 @@ def _mass_inverse(mass_fn, center: float, target: float, t_max: float) -> float:
 
 
 def mad_df(
-    spark: SparkSession, states: DataFrame, sketch: str, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, median_est, mad_est, mad_lo, mad_hi, rank_err_bound) —
     approximate MEDIAN ABSOLUTE DEVIATION per group from a SINGLE quantile
@@ -350,12 +422,13 @@ def mad_df(
         "group string, median_est double, mad_est double, mad_lo double, "
         "mad_hi double, rank_err_bound double",
         ["group", "median_est", "mad_est", "mad_lo", "mad_hi", "rank_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def equidepth_histogram_df(
     spark: SparkSession, states: DataFrame, sketch: str, n_bins: int,
-    distributed: bool | None = None,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, bin, lo, hi, target_frac, rank_err_bound) — EQUI-DEPTH bin
     edges per group from a KLL/t-digest state: edges at quantiles i/n_bins,
@@ -386,6 +459,7 @@ def equidepth_histogram_df(
         "group string, bin int, lo double, hi double, target_frac double, "
         "rank_err_bound double",
         ["group", "bin", "lo", "hi", "target_frac", "rank_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
@@ -420,6 +494,7 @@ def _window_mean(v: np.ndarray, cum: np.ndarray, total: float, a: float, b: floa
 def trimmed_mean_df(
     spark: SparkSession, states: DataFrame, sketch: str,
     lo: float = 0.05, hi: float = 0.95, distributed: bool | None = None,
+    partial_specs=None,
 ) -> DataFrame:
     """(group, trimmed_mean, tm_lo, tm_hi, rank_err_bound) — approximate
     TRIMMED MEAN per group from a single quantile state (KLL or t-digest):
@@ -472,12 +547,13 @@ def trimmed_mean_df(
         "group string, trimmed_mean double, tm_lo double, tm_hi double, "
         "rank_err_bound double",
         ["group", "trimmed_mean", "tm_lo", "tm_hi", "rank_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
 def spectrum_df(
     spark: SparkSession, states: DataFrame, sketch: str, r: int,
-    distributed: bool | None = None,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, component, sq_singular_value, cov_err_bound) — the top-r Gram
     spectrum per group from FrequentDirections states.
@@ -498,6 +574,7 @@ def spectrum_df(
         spark, states, sketch, distributed, rows,
         "group string, component int, sq_singular_value double, cov_err_bound double",
         ["group", "component", "sq_singular_value", "cov_err_bound"],
+        partial_specs=partial_specs,
     )
 
 
@@ -742,7 +819,8 @@ def corpus_drift_df(
 
 
 def membership_df(
-    spark: SparkSession, states: DataFrame, sketch: str, keys, distributed: bool | None = None
+    spark: SparkSession, states: DataFrame, sketch: str, keys,
+    distributed: bool | None = None, partial_specs=None,
 ) -> DataFrame:
     """(group, key, may_contain, fpr_bound) Bloom membership per group (Q5).
 
@@ -770,6 +848,7 @@ def membership_df(
         spark, states, sketch, distributed, rows,
         f"group string, key {ktype}, may_contain boolean, fpr_bound double",
         ["group", "key", "may_contain", "fpr_bound"],
+        partial_specs=partial_specs,
     )
 
 
