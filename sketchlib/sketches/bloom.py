@@ -54,14 +54,22 @@ class Bloom(SketchBase):
         h1 = hash_ints(u, self.seed)
         h2 = hash_ints(u, self.seed + 1) | _U(1)  # odd -> full-cycle stride
         i = np.arange(self.h, dtype=np.uint64)
-        return (h1[:, None] + i[None, :] * h2[:, None]) % _U(self.m_bits)
+        mixed = h1[:, None] + i[None, :] * h2[:, None]
+        if self.m_bits & (self.m_bits - 1) == 0:
+            return mixed & _U(self.m_bits - 1)  # power-of-two: mask, not div
+        return mixed % _U(self.m_bits)
 
     def add(self, keys: np.ndarray, n_seen: int | None = None) -> "Bloom":
         """Insert keys. ``_n_items`` counts RAW items seen (pass ``n_seen``
         when keys were pre-deduplicated upstream): a batching-independent
         quantity, so states are byte-identical no matter how the stream was
-        chunked; fpr_bound() then overestimates n (conservative, safe)."""
-        u = np.unique(np.asarray(keys))
+        chunked; fpr_bound() then overestimates n (conservative, safe).
+        ``n_seen`` also asserts the keys arrive pre-deduplicated, so the
+        defensive unique (a sort) is skipped — duplicate positions would
+        only re-set the same bits, so dedup affects speed, never state."""
+        u = np.asarray(keys)
+        if n_seen is None:
+            u = np.unique(u)
         if u.size == 0:
             return self
         self._n_items += int(n_seen) if n_seen is not None else int(len(keys))

@@ -374,6 +374,18 @@ def _group_unique(flat: np.ndarray, kcodes: np.ndarray, ng: int):
     """
     if flat.size == 0:
         return flat, np.zeros(0, dtype=np.int64), np.zeros(ng + 1, dtype=np.int64)
+    if ng == 1:
+        # single-group fast path (hive-partitioned scans: const_group makes
+        # EVERY batch single-group): no composite ids, no code multiply —
+        # one bincount or one unique. Same (value, count) pairs in the same
+        # ascending order as the general path, so states are byte-identical.
+        if flat.dtype.kind in ("i", "u") and flat.dtype.itemsize <= 4 and int(flat.min()) >= 0 \
+                and int(flat.max()) < (1 << 26):
+            cnt = np.bincount(flat)
+            nz = np.nonzero(cnt)[0]
+            return nz.astype(flat.dtype), cnt[nz], np.array([0, len(nz)], dtype=np.int64)
+        u, c = np.unique(flat, return_counts=True)
+        return u, c.astype(np.int64), np.array([0, len(u)], dtype=np.int64)
     if flat.dtype.kind in ("i", "u") and flat.dtype.itemsize <= 4 and int(flat.min()) >= 0:
         vspan = int(flat.max()) + 1
         if vspan * ng <= (1 << 26):
@@ -535,9 +547,12 @@ class SketchAccumulator:
                 codes = np.where(codes < 0, np.int32(len(uniques) - 1), codes)
         ng = len(uniques)
         gnames = [group_name(v) if not isinstance(v, str) else v for v in uniques]
-        rc = np.bincount(codes, minlength=ng)
-        for gi, g in enumerate(gnames):
-            self.rows_per_group[g] = self.rows_per_group.get(g, 0) + int(rc[gi])
+        if ng == 1:
+            self.rows_per_group[gnames[0]] = self.rows_per_group.get(gnames[0], 0) + n
+        else:
+            rc = np.bincount(codes, minlength=ng)
+            for gi, g in enumerate(gnames):
+                self.rows_per_group[g] = self.rows_per_group.get(g, 0) + int(rc[gi])
 
         counted_tokens = False
         for col, col_specs in self.by_col.items():
@@ -545,13 +560,26 @@ class SketchAccumulator:
             if flat is None:
                 flat, kcodes = rowv, codes
             else:
-                kcodes = np.repeat(codes, lens)
+                # ng == 1 (hive const_group / ungrouped): the repeated-code
+                # stream is all zeros — skip materializing |tokens|-sized
+                # arrays entirely (kcodes is unused by the ng==1 branches of
+                # _group_cluster/_group_unique)
+                kcodes = np.repeat(codes, lens) if ng > 1 else codes
                 if not counted_tokens:
-                    tc = np.bincount(codes, weights=lens.astype(np.float64), minlength=ng)
-                    for gi, g in enumerate(gnames):
-                        self.toks_per_group[g] = self.toks_per_group.get(g, 0) + int(tc[gi])
+                    if ng == 1:
+                        self.toks_per_group[gnames[0]] = (
+                            self.toks_per_group.get(gnames[0], 0) + int(lens.sum())
+                        )
+                    else:
+                        tc = np.bincount(codes, weights=lens.astype(np.float64), minlength=ng)
+                        for gi, g in enumerate(gnames):
+                            self.toks_per_group[g] = self.toks_per_group.get(g, 0) + int(tc[gi])
                     counted_tokens = True
-            seg = np.bincount(kcodes, minlength=ng)  # raw items per group
+            seg = (
+                np.array([flat.size], dtype=np.int64)
+                if ng == 1
+                else np.bincount(kcodes, minlength=ng)
+            )  # raw items per group
 
             full_specs = [s for s in col_specs if s.input_mode == "full"]
             uniq_specs = [s for s in col_specs if s.input_mode == "uniq"]
