@@ -584,8 +584,10 @@ def q_b54_kll_mad(spark, sf_dir):
     from sketchlib.spark.query import mad_df
 
     li = _t(spark, sf_dir, "lineitem")
-    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
-    md = mad_df(spark, states, "kll_price").toPandas()
+    states = partial_states_from_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", _KLL_PRICE, group_by="l_returnflag"
+    )
+    md = mad_df(spark, states, "kll_price", partial_specs=_KLL_PRICE).toPandas()
     counts = {
         r["l_returnflag"]: r["n"]
         for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
@@ -639,8 +641,12 @@ def q_b57_trimmed_mean(spark, sf_dir):
     from sketchlib.spark.query import trimmed_mean_df
 
     li = _t(spark, sf_dir, "lineitem")
-    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
-    tm = trimmed_mean_df(spark, states, "kll_price", lo=0.1, hi=0.9).toPandas()
+    states = partial_states_from_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", _KLL_PRICE, group_by="l_returnflag"
+    )
+    tm = trimmed_mean_df(
+        spark, states, "kll_price", lo=0.1, hi=0.9, partial_specs=_KLL_PRICE
+    ).toPandas()
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     exact = {
         r["l_returnflag"]: float(r["tm_exact"])
@@ -838,9 +844,13 @@ def q_b55_equidepth_histogram(spark, sf_dir):
     from sketchlib.spark.query import equidepth_histogram_df
 
     li = _t(spark, sf_dir, "lineitem")
-    states = build_sketches(li, _KLL_PRICE, group_by="l_returnflag")
+    states = partial_states_from_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", _KLL_PRICE, group_by="l_returnflag"
+    )
     n_bins = 8
-    hb = equidepth_histogram_df(spark, states, "kll_price", n_bins).toPandas()
+    hb = equidepth_histogram_df(
+        spark, states, "kll_price", n_bins, partial_specs=_KLL_PRICE
+    ).toPandas()
     aggs = [
         F.sum((F.col("l_returnflag") == g).cast("long")).alias(f"n_{g}")
         for g in hb["group"].unique()

@@ -121,72 +121,19 @@ def _lpt_bins(chunks: list[Chunk], n_tasks: int) -> list[list[Chunk]]:
     return bins
 
 
-def _grouped_bins(chunks: list[Chunk], n_tasks: int, group_key) -> list[list[Chunk]]:
-    """Group-PURE task binning (guide §2.3 "shuffle fewer bytes", applied to
-    the state shuffle): a task that reads chunks of k distinct hive groups
-    emits k × n_specs partial states — for a multi-MB sketch (ε=1e-4 CM is
-    ~1.09 MB) that multiplies the merge Exchange's volume for no gain. Give
-    each group a task share proportional to its bytes (largest-remainder,
-    every group ≥ 1 task while tasks remain) and LPT within the group: each
-    task then sees EXACTLY one group, so partial-state volume hits its
-    floor of n_tasks × n_specs rows. Falls back to plain LPT when any chunk
-    lacks the group value or there are more groups than tasks (then
-    whole-group LPT keeps most tasks single-group). Deterministic."""
-    by_g: dict = {}
-    for c in chunks:
-        by_g.setdefault(group_key(c), []).append(c)
-    if None in by_g or len(by_g) < 2:
-        return _lpt_bins(chunks, n_tasks)
-    groups = sorted(by_g)
-    if len(groups) >= n_tasks:
-        # more groups than tasks: LPT whole groups; tasks hold few complete
-        # groups each and the state volume is already near its floor
-        gtotals = sorted(
-            ((sum(c.n_bytes for c in by_g[g]), g) for g in groups),
-            key=lambda t: (-t[0], t[1]),
-        )
-        loads = [0] * n_tasks
-        bins: list[list[Chunk]] = [[] for _ in range(n_tasks)]
-        for size, g in gtotals:
-            i = min(range(n_tasks), key=lambda j: (loads[j], j))
-            loads[i] += size
-            bins[i].extend(sorted(by_g[g], key=lambda c: c.chunk_id))
-        return bins
-    total = sum(c.n_bytes for c in chunks) or 1
-    raw = {g: n_tasks * sum(c.n_bytes for c in by_g[g]) / total for g in groups}
-    alloc = {g: max(1, min(int(raw[g]), len(by_g[g]))) for g in groups}
-    # largest-remainder top-up, capped at each group's chunk count so no
-    # allocated task sits empty; stop when nothing can absorb more
-    while sum(alloc.values()) < n_tasks:
-        cands = [g for g in groups if alloc[g] < len(by_g[g])]
-        if not cands:
-            break
-        g = min(cands, key=lambda g: (alloc[g] - raw[g], g))
-        alloc[g] += 1
-    while sum(alloc.values()) > n_tasks:
-        cands = [g for g in groups if alloc[g] > 1]
-        g = max(cands, key=lambda g: (alloc[g] - raw[g], g))
-        alloc[g] -= 1
-    bins = []
-    for g in groups:
-        bins.extend(_lpt_bins(by_g[g], alloc[g]))
-    return bins
+def chunks_df(spark: SparkSession, chunks: list[Chunk], n_tasks: int) -> DataFrame:
+    """Chunk specs placed into (at most) n_tasks partitions, LPT-balanced
+    (_lpt_bins). One element per ``parallelize`` slice pins each bin to its
+    own partition — hash repartition cannot do that (bin collisions would
+    double a task's load while idling another).
 
-
-def chunks_df(
-    spark: SparkSession, chunks: list[Chunk], n_tasks: int, group_key=None
-) -> DataFrame:
-    """Chunk specs placed into (at most) n_tasks partitions, LPT-balanced —
-    group-pure per task when ``group_key`` (Chunk -> hive group value or
-    None) is given; see _grouped_bins. One element per ``parallelize`` slice
-    pins each bin to its own partition — hash repartition cannot do that
-    (bin collisions would double a task's load while idling another)."""
-    bins = (
-        _grouped_bins(chunks, n_tasks, group_key)
-        if group_key is not None
-        else _lpt_bins(chunks, n_tasks)
-    )
-    bins = [b for b in bins if b]
+    A group-PURE variant (each task reading one hive group only, to floor
+    the partial-state merge volume) was implemented and interleave-measured
+    this round: even with minimax task allocation it cost 4–14% of build
+    wall at the 1.23 B-token scale (group quantization makespan 90 vs 84 MB
+    per task) while the merge saving did not show above it — plain LPT kept
+    (OPTIMIZATION_r06.md, "binning experiment")."""
+    bins = [b for b in _lpt_bins(chunks, n_tasks) if b]
     rows_by_bin = [
         [(c.chunk_id, c.file, c.rg_lo, c.rg_hi, c.part_vals) for c in b] for b in bins
     ]
@@ -280,12 +227,7 @@ def partial_states_from_parquet(
     # (CM states are ~1 MB each) without improving balance — chunks are
     # modulo-spread across tasks, which evens out size variance
     n_tasks = n_tasks or min(len(chunks), cores)
-    # single-column group_by over a hive-partitioned layout: bin group-pure
-    # so each task emits ONE group's states (minimal merge-shuffle volume)
-    gkey = (
-        (lambda c: c.part_vals.get(group_by)) if isinstance(group_by, str) else None
-    )
-    cdf = chunks_df(spark, chunks, n_tasks, group_key=gkey)
+    cdf = chunks_df(spark, chunks, n_tasks)
     return cdf.mapInArrow(_make_chunk_reader(specs, group_by, per_chunk), STATE_FIELDS)
 
 
