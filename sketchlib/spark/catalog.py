@@ -30,6 +30,27 @@ _CATALOG_SCHEMA = (
     "n_states long, rows long, tokens long, built_unix double, files_json string"
 )
 
+
+def _catalog_pa_schema():
+    """pyarrow twin of _CATALOG_SCHEMA — registry appends are one-row writes,
+    so they go through pyarrow driver-side (a local file create) instead of a
+    Spark write job; Spark reads the mixed directory identically."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("name", pa.string()),
+            ("input_dir", pa.string()),
+            ("group_by", pa.string()),
+            ("specs_json", pa.string()),
+            ("n_states", pa.int64()),
+            ("rows", pa.int64()),
+            ("tokens", pa.int64()),
+            ("built_unix", pa.float64()),
+            ("files_json", pa.string()),
+        ]
+    )
+
 _SAMPLE_SCHEMA = (
     "name string, input_dir string, kind string, ratio double, on_col string, "
     "seed long, rows_sampled long, built_unix double, fractions_json string, "
@@ -69,6 +90,41 @@ class SketchCatalog:
         os.makedirs(os.path.join(root, "ann"), exist_ok=True)
         os.makedirs(os.path.join(root, "_sig_catalog"), exist_ok=True)
         os.makedirs(os.path.join(root, "signatures"), exist_ok=True)
+
+    def _append_catalog_row(self, row: tuple) -> None:
+        """Append ONE registration row to _sketch_catalog driver-side
+        (pyarrow write — no Spark job for a 9-field row; measured ~0.2 s of
+        per-registration fixed cost). Unique filename keyed on
+        (time_ns, pid) keeps concurrent appenders from colliding; the
+        append changes the dir listing, which invalidates _rows_cache."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _catalog_pa_schema()
+        table = pa.Table.from_pylist(
+            [dict(zip([f.name for f in schema], row))], schema=schema
+        )
+        out = os.path.join(
+            self.root, "_sketch_catalog",
+            f"part-local-{time.time_ns()}-{os.getpid()}.parquet",
+        )
+        pq.write_table(table, out)
+
+    @staticmethod
+    def _states_stats_local(sdir: str) -> tuple[int, int, int]:
+        """(n_state_rows, sum(rows), sum(tokens)) of a persisted state table,
+        read driver-side with pyarrow — the table is KB-to-MB scale (one row
+        per group × sketch), so a Spark aggregate job is pure overhead."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sdir, columns=["rows", "tokens"])
+        import pyarrow.compute as pc
+
+        return (
+            t.num_rows,
+            int(pc.sum(t["rows"]).as_py() or 0),
+            int(pc.sum(t["tokens"]).as_py() or 0),
+        )
 
     # --- A2: CREATE SAMPLE analog -----------------------------------------
     def create(
@@ -118,14 +174,14 @@ class SketchCatalog:
         sdir = os.path.join(self.root, "states", name)
         states.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
-        agg = persisted.agg(
-            F.count("*").alias("n"), F.sum("rows").alias("r"), F.sum("tokens").alias("t")
-        ).collect()[0]
+        # stats from the just-written KB/MB-scale state table, driver-side —
+        # the old Spark agg job re-read it for three scalars
+        n_rows, r_sum, t_sum = self._states_stats_local(sdir)
         canon_group = (
             ",".join(group_by) if isinstance(group_by, (list, tuple)) else (group_by or "")
         )
         n_specs = max(len(specs), 1)
-        row = [
+        self._append_catalog_row(
             (
                 name,
                 input_dir,
@@ -145,15 +201,12 @@ class SketchCatalog:
                         for s in specs
                     ]
                 ),
-                int(agg["n"]),
-                int(agg["r"] or 0) // n_specs,
-                int(agg["t"] or 0) // n_specs,
+                n_rows,
+                r_sum // n_specs,
+                t_sum // n_specs,
                 time.time(),
                 files_json,
             )
-        ]
-        self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sketch_catalog")
         )
         return persisted
 
@@ -192,6 +245,78 @@ class SketchCatalog:
             except Exception:
                 dtypes = None
         return self._persist_set(name, states, specs, group_by, input_dir, None, dtypes)
+
+    _LOCAL_REFRESH_BYTES = 256 << 20
+
+    def _local_refresh_merge(self, sdir: str, newpart: DataFrame, specs, reg, new_files):
+        """Driver-local refresh merge, or None to use the Spark pipeline.
+
+        A refresh moves KB/MB-scale state rows through a full Exchange +
+        applyInPandas stage + a Spark write just to fold a handful of delta
+        partials into the persisted table — ~4 fixed job costs for work the
+        driver does in milliseconds. When the ESTIMATED volume (persisted
+        table size + delta-task count × groups × per-spec state size, all
+        known driver-side) fits the byte budget, collect the delta partials
+        (one job: the kernel), read the old table with pyarrow, and merge
+        in exactly ``_merge_pdf``'s canonical (part_id, state bytes) order
+        — byte-identical states to the pipeline path (old rows carry
+        part_id=-1, so they sort first either way). Cluster-scale state
+        tables overflow the estimate and keep the distributed merge."""
+        import pyarrow as pa
+
+        from sketchlib.sketches import deserialize
+        from sketchlib.spark.build import _ARROW_STATE_SCHEMA
+
+        try:
+            old_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(sdir)
+                for f in fs
+            )
+            n_specs = max(len(specs), 1)
+            n_groups = max(int(reg["n_states"]) // n_specs, 1)
+            per_set = sum(len(s.make().to_bytes()) for s in specs)
+            delta_chunks = sum(
+                max(1, os.path.getsize(f) // (8 << 20)) for f in new_files
+            )
+            n_tasks = min(delta_chunks, self.spark.sparkContext.defaultParallelism)
+            est = old_bytes + n_tasks * n_groups * per_set
+        except Exception:
+            return None
+        if est > self._LOCAL_REFRESH_BYTES:
+            return None
+
+        delta_rows = newpart.collect()  # ONE job: the delta sketch kernel
+        import pyarrow.parquet as pq
+
+        old = pq.read_table(sdir).to_pylist()
+        by_key: dict = {}
+        for r in old:
+            by_key.setdefault((r["group"], r["sketch"]), []).append(r)
+        for r in delta_rows:
+            d = r.asDict()
+            d["state"] = bytes(d["state"])
+            by_key.setdefault((d["group"], d["sketch"]), []).append(d)
+        out = []
+        for (g, name_), rs in sorted(by_key.items()):
+            rs.sort(key=lambda r: (r["part_id"], bytes(r["state"])))
+            acc = deserialize(rs[0]["state"])
+            for r in rs[1:]:
+                acc.merge(deserialize(r["state"]))
+            out.append(
+                {
+                    "group": g,
+                    "sketch": name_,
+                    "kind": rs[0]["kind"],
+                    "state": acc.to_bytes(),
+                    "n_items": int(acc.n_items),
+                    "part_id": -1,
+                    "rows": int(sum(r["rows"] for r in rs)),
+                    "tokens": int(sum(r["tokens"] for r in rs)),
+                    "wall_ms": float(sum(r["wall_ms"] for r in rs)),
+                }
+            )
+        return pa.Table.from_pylist(out, schema=_ARROW_STATE_SCHEMA)
 
     def refresh(self, name: str) -> dict:
         """Incremental maintenance on APPEND — Verdict keeps its scrambles
@@ -235,12 +360,20 @@ class SketchCatalog:
         )
         # prior totals come from the registration row — no extra Spark job
         before_rows, before_tokens = int(reg["rows"]), int(reg["tokens"])
-        refreshed = merge_states(self.states(name).unionByName(newpart))
         sdir = os.path.join(self.root, "states", name)
         tmp, bak = sdir + "._refresh_tmp", sdir + "._refresh_old"
         # a stale backup from a crashed refresh would wedge the rename
         shutil.rmtree(bak, ignore_errors=True)
-        refreshed.write.mode("overwrite").parquet(tmp)
+        local = self._local_refresh_merge(sdir, newpart, specs, reg, new)
+        if local is not None:
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(local, os.path.join(tmp, "part-00000.parquet"))
+        else:
+            refreshed = merge_states(self.states(name).unionByName(newpart))
+            refreshed.write.mode("overwrite").parquet(tmp)
         os.rename(sdir, bak)
         try:
             os.rename(tmp, sdir)
@@ -260,30 +393,23 @@ class SketchCatalog:
             else:
                 raise
         shutil.rmtree(bak, ignore_errors=True)
-        from pyspark.sql import functions as F
-
-        persisted = self.spark.read.parquet(sdir)
-        agg = persisted.agg(
-            F.count("*").alias("n"), F.sum("rows").alias("r"), F.sum("tokens").alias("t")
-        ).collect()[0]  # one job for count + totals
+        # stats + registration row driver-side (KB/MB-scale reads, no jobs)
+        n_rows, r_sum, t_sum = self._states_stats_local(sdir)
         n_specs = max(len(specs), 1)
-        rows_total = int(agg["r"] or 0) // n_specs
-        tokens_total = int(agg["t"] or 0) // n_specs
-        row = [
+        rows_total = r_sum // n_specs
+        tokens_total = t_sum // n_specs
+        self._append_catalog_row(
             (
                 name,
                 reg["input_dir"],
                 reg["group_by"],
                 reg["specs_json"],
-                int(agg["n"]),
+                n_rows,
                 rows_total,
                 tokens_total,
                 time.time(),
                 json.dumps(sorted(current)),
             )
-        ]
-        self.spark.createDataFrame(row, _CATALOG_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sketch_catalog")
         )
         return {
             "new_files": len(new),

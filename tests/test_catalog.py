@@ -545,3 +545,51 @@ def test_registry_row_cache_equivalence_and_invalidation(spark, tmp_path):
     assert [r.asDict() for r in cat.list_rows()] == [
         r.asDict() for r in cat.list().collect()
     ]
+
+
+def test_refresh_local_merge_matches_pipeline(spark, tmp_path, monkeypatch):
+    """The driver-local refresh merge (r6: collect delta partials + pyarrow
+    read/write, no merge Exchange) must produce BYTE-IDENTICAL state tables
+    to the Spark-pipeline path — same canonical (part_id, state bytes)
+    merge order — and the fallback must engage when the estimate overflows
+    the byte budget."""
+    import glob
+    import os
+    import shutil as sh
+
+    from sketchlib.data.gen import write_sequences
+    from sketchlib.spark.build import SketchSpec
+    from sketchlib.spark.catalog import SketchCatalog
+
+    specs = [
+        SketchSpec("h", "hll", "doc_id", {"p": 12}),
+        SketchSpec("c", "cm", "tokens", {"eps": 1e-3, "delta": 0.01}),
+        SketchSpec("k", "kll", "n_tok", {"k": 200}),
+    ]
+    d = str(tmp_path / "seq")
+    write_sequences(d, 2000, seed=5)
+    d2 = str(tmp_path / "delta")
+    write_sequences(d2, 800, seed=6)
+
+    def build_and_refresh(root, budget):
+        cat = SketchCatalog(spark, root)
+        monkeypatch.setattr(SketchCatalog, "_LOCAL_REFRESH_BYTES", budget)
+        dd = root + "_data"
+        sh.copytree(d, dd)
+        cat.create("s", dd, specs, group_by="source")
+        for f in glob.glob(d2 + "/source=*/part-*.parquet"):
+            rel = os.path.relpath(f, d2)
+            dst = os.path.join(dd, os.path.dirname(rel), "ap-" + os.path.basename(f))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            sh.copy(f, dst)
+        stats = cat.refresh("s")
+        rows = {
+            (r["group"], r["sketch"]): (bytes(r["state"]), r["n_items"], r["rows"], r["tokens"])
+            for r in cat.states("s").collect()
+        }
+        return stats, rows
+
+    s_local, local = build_and_refresh(str(tmp_path / "c1"), 256 << 20)
+    s_pipe, pipe = build_and_refresh(str(tmp_path / "c2"), 0)  # force fallback
+    assert s_local == s_pipe
+    assert local == pipe  # byte-identical states, both routes
