@@ -31,24 +31,31 @@ _CATALOG_SCHEMA = (
 )
 
 
-def _catalog_pa_schema():
-    """pyarrow twin of _CATALOG_SCHEMA — registry appends are one-row writes,
-    so they go through pyarrow driver-side (a local file create) instead of a
-    Spark write job; Spark reads the mixed directory identically."""
+def _ddl_pa_schema(ddl: str):
+    """pyarrow twin of a registry DDL schema string — registry appends are
+    one-row writes, so they go through pyarrow driver-side (a local file
+    create) instead of a Spark write job; Spark reads the mixed directory
+    identically."""
     import pyarrow as pa
 
-    return pa.schema(
-        [
-            ("name", pa.string()),
-            ("input_dir", pa.string()),
-            ("group_by", pa.string()),
-            ("specs_json", pa.string()),
-            ("n_states", pa.int64()),
-            ("rows", pa.int64()),
-            ("tokens", pa.int64()),
-            ("built_unix", pa.float64()),
-            ("files_json", pa.string()),
-        ]
+    types = {"string": pa.string(), "long": pa.int64(),
+             "double": pa.float64(), "int": pa.int32()}
+    fields = []
+    for part in ddl.split(","):
+        n, t = part.strip().split()
+        fields.append((n, types[t]))
+    return pa.schema(fields)
+
+
+def _dir_num_rows(d: str) -> int:
+    """Total rows of a local parquet dir from footers alone (no Spark job)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
     )
 
 _SAMPLE_SCHEMA = (
@@ -91,21 +98,21 @@ class SketchCatalog:
         os.makedirs(os.path.join(root, "_sig_catalog"), exist_ok=True)
         os.makedirs(os.path.join(root, "signatures"), exist_ok=True)
 
-    def _append_catalog_row(self, row: tuple) -> None:
-        """Append ONE registration row to _sketch_catalog driver-side
-        (pyarrow write — no Spark job for a 9-field row; measured ~0.2 s of
-        per-registration fixed cost). Unique filename keyed on
+    def _append_registry_row(self, registry: str, ddl: str, row: tuple) -> None:
+        """Append ONE registration row to a registry log driver-side
+        (pyarrow write — no Spark job for a ≤12-field row; measured ~0.2 s
+        of per-registration fixed cost). Unique filename keyed on
         (time_ns, pid) keeps concurrent appenders from colliding; the
         append changes the dir listing, which invalidates _rows_cache."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = _catalog_pa_schema()
+        schema = _ddl_pa_schema(ddl)
         table = pa.Table.from_pylist(
             [dict(zip([f.name for f in schema], row))], schema=schema
         )
         out = os.path.join(
-            self.root, "_sketch_catalog",
+            self.root, registry,
             f"part-local-{time.time_ns()}-{os.getpid()}.parquet",
         )
         pq.write_table(table, out)
@@ -181,7 +188,8 @@ class SketchCatalog:
             ",".join(group_by) if isinstance(group_by, (list, tuple)) else (group_by or "")
         )
         n_specs = max(len(specs), 1)
-        self._append_catalog_row(
+        self._append_registry_row(
+            "_sketch_catalog", _CATALOG_SCHEMA,
             (
                 name,
                 input_dir,
@@ -398,7 +406,8 @@ class SketchCatalog:
         n_specs = max(len(specs), 1)
         rows_total = r_sum // n_specs
         tokens_total = t_sum // n_specs
-        self._append_catalog_row(
+        self._append_registry_row(
+            "_sketch_catalog", _CATALOG_SCHEMA,
             (
                 name,
                 reg["input_dir"],
@@ -619,15 +628,13 @@ class SketchCatalog:
         sdir = os.path.join(self.root, "samples", name)
         s.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)
-        row = [
+        self._append_registry_row(
+            "_sample_catalog", _SAMPLE_SCHEMA,
             (
                 name, input_dir, kind, float(ratio), on or "", seed,
-                persisted.count(), time.time(), json.dumps(fractions or {}),
+                _dir_num_rows(sdir), time.time(), json.dumps(fractions or {}),
                 json.dumps(files),
-            )
-        ]
-        self.spark.createDataFrame(row, _SAMPLE_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sample_catalog")
+            ),
         )
         return persisted
 
@@ -688,16 +695,14 @@ class SketchCatalog:
         )
         sdir = os.path.join(self.root, "samples", name)
         s.write.mode("append").parquet(sdir)
-        n_total = self.spark.read.parquet(sdir).count()
-        row = [
+        n_total = _dir_num_rows(sdir)  # footer read, no Spark job
+        self._append_registry_row(
+            "_sample_catalog", _SAMPLE_SCHEMA,
             (
                 name, reg["input_dir"], reg["kind"], reg["ratio"], reg["on_col"],
                 reg["seed"], n_total, time.time(), reg["fractions_json"],
                 json.dumps(sorted(current)),
-            )
-        ]
-        self.spark.createDataFrame(row, _SAMPLE_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sample_catalog")
+            ),
         )
         return {"new_files": len(new), "rows_added": n_total - int(reg["rows_sampled"])}
 
@@ -778,13 +783,11 @@ class SketchCatalog:
         row = [
             (
                 name, input_dir, kind, vec_col, id_col, int(n_bits), int(seed),
-                int(n_lists), centroids_json, persisted.count(), time.time(),
+                int(n_lists), centroids_json, _dir_num_rows(adir), time.time(),
                 json.dumps(files),
             )
         ]
-        self.spark.createDataFrame(row, _ANN_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_ann_catalog")
-        )
+        self._append_registry_row("_ann_catalog", _ANN_SCHEMA, row[0])
         return persisted
 
     def refresh_ann_index(self, name: str) -> dict:
@@ -831,16 +834,14 @@ class SketchCatalog:
             centroids = np.array(_json.loads(reg["centroids_json"]))
             assigned = ivf_assign(df, reg["vec_col"], reg["id_col"], centroids)
             assigned.write.mode("append").partitionBy("_list").parquet(adir)
-        n_total = self.spark.read.parquet(adir).count()
-        row = [
+        n_total = _dir_num_rows(adir)  # footer read, no Spark job
+        self._append_registry_row(
+            "_ann_catalog", _ANN_SCHEMA,
             (
                 name, reg["input_dir"], reg["kind"], reg["vec_col"], reg["id_col"],
                 reg["n_bits"], reg["seed"], reg["n_lists"], reg["centroids_json"],
                 n_total, time.time(), _json.dumps(sorted(current)),
-            )
-        ]
-        self.spark.createDataFrame(row, _ANN_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_ann_catalog")
+            ),
         )
         return {"new_files": len(new), "rows_added": n_total - int(reg["rows"])}
 
@@ -913,10 +914,10 @@ class SketchCatalog:
     def _register_sigs(
         self, name, input_dir, tokens_col, id_col, r, n_bands, seed, rows, files_json
     ) -> None:
-        row = [(name, input_dir, tokens_col, id_col, int(r), int(n_bands),
-                int(seed), int(rows), time.time(), files_json)]
-        self.spark.createDataFrame(row, _SIG_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.root, "_sig_catalog")
+        self._append_registry_row(
+            "_sig_catalog", _SIG_SCHEMA,
+            (name, input_dir, tokens_col, id_col, int(r), int(n_bands),
+             int(seed), int(rows), time.time(), files_json),
         )
 
     def refresh_signatures(self, name: str) -> dict:
