@@ -174,10 +174,8 @@ class SketchCatalog:
         files_json, dtypes: dict | None = None,
     ) -> DataFrame:
         """Shared persist-and-register tail for sketch sets (create /
-        register_states): snapshot to states/<name>, ONE stats job, one
-        registration row."""
-        from pyspark.sql import functions as F
-
+        register_states): snapshot to states/<name>; stats and the
+        registration row are driver-side pyarrow reads/writes (no Spark jobs)."""
         sdir = os.path.join(self.root, "states", name)
         states.write.mode("overwrite").parquet(sdir)
         persisted = self.spark.read.parquet(sdir)

@@ -91,16 +91,31 @@ def _partial_probe_cap(partial_specs, sketch: str) -> int:
 
 
 def _route(states: DataFrame, sketch: str, distributed: bool | None, partial_specs=None):
-    """With ``partial_specs`` (a list of SketchSpec), ``states`` holds
-    UNMERGED per-task partial states (build.partial_states output): the probe
-    pulls them directly — skipping the merge Exchange AND the second Python
-    stage — and ``_rows_to_states`` performs the canonical driver-side merge
-    (byte-identical to ``merge_states``: same (part_id, state) order). The
-    answer path then runs as ONE job (scan → mapInArrow → limit-collect)
-    instead of three stages plus a second state pull. If the partial row
-    count exceeds the byte-aware cap (many tasks × groups — the cluster-scale
-    case), fall back to the standard merge pipeline so the distributed path
-    never sees duplicate (group, sketch) rows."""
+    """(probe rows | None, filtered states, persisted?) — see module
+    docstring. Auto-routing costs ONE job in the common driver case: a
+    ``limit(_PROBE_ROWS+1).collect()`` probe both decides the path AND
+    delivers the state rows the driver path needs, so no persist+count job
+    precedes the answer (round 3 ran count-then-collect — two jobs; the
+    A/B bisect of the r3 bench regression landed exactly here). The probe
+    limit is SMALL (64) because probe rows carry the serialized states —
+    probing at the full distributed threshold would pull up to 10³
+    MB-scale CM blobs to the driver just to learn "too many groups".
+    Group counts between the probe limit and the distributed threshold
+    fall back to persist+count routing: count transfers nothing, and the
+    persisted states serve whichever path wins without recomputing the
+    upstream build.
+
+    With ``partial_specs`` (a list of SketchSpec), ``states`` holds
+    UNMERGED per-task partial states (build.partial_states output): the
+    probe pulls them directly — skipping the merge Exchange AND the second
+    Python stage — and ``_rows_to_states`` performs the canonical
+    driver-side merge (byte-identical to ``merge_states``: same
+    (part_id, state) order). The answer path then runs as ONE job
+    (scan → mapInArrow → limit-collect) instead of three stages plus a
+    second state pull. If the partial row count exceeds the byte-aware cap
+    (many tasks × groups — the cluster-scale case), fall back to
+    ``merge_states`` + this routing so the distributed path never sees
+    duplicate (group, sketch) rows."""
     if partial_specs is not None:
         from sketchlib.spark.build import merge_states
 
@@ -115,19 +130,6 @@ def _route(states: DataFrame, sketch: str, distributed: bool | None, partial_spe
             if len(probe) <= cap:
                 return probe, sub, False
         return _route(merge_states(sub), sketch, distributed)
-    """(probe rows | None, filtered states, persisted?) — see module
-    docstring. Auto-routing costs ONE job in the common driver case: a
-    ``limit(_PROBE_ROWS+1).collect()`` probe both decides the path AND
-    delivers the state rows the driver path needs, so no persist+count job
-    precedes the answer (round 3 ran count-then-collect — two jobs; the
-    A/B bisect of the r3 bench regression landed exactly here). The probe
-    limit is SMALL (64) because probe rows carry the serialized states —
-    probing at the full distributed threshold would pull up to 10³
-    MB-scale CM blobs to the driver just to learn "too many groups".
-    Group counts between the probe limit and the distributed threshold
-    fall back to persist+count routing: count transfers nothing, and the
-    persisted states serve whichever path wins without recomputing the
-    upstream build."""
     sub = states.filter(F.col("sketch") == sketch)
     if distributed is True:
         return None, sub, False

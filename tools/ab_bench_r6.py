@@ -15,7 +15,9 @@ import sys
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARMS = [("head", REPO), ("r5", os.path.join(REPO, ".bench_sess6"))]
-OUT = os.path.join(REPO, "BENCH", "ab_r6.jsonl")
+OUT = os.environ.get(
+    "AB_R6_OUT", os.path.join(REPO, "BENCH", "ab_r6.jsonl")
+)
 
 
 def run_one(arm: str, tree: str, i: int) -> dict:
