@@ -57,7 +57,7 @@ from sketchlib.spark import SketchSpec, build_sketches, estimates_df, quantiles_
 from sketchlib.spark.build import partial_states
 from sketchlib.spark.scan import partial_states_from_parquet
 from sketchlib.spark.query import load_states
-from sketchlib.spark.tokenize import with_tokens
+from sketchlib.spark.tokenize import pre_tokens, token_id, with_tokens
 
 # Overlap pool for INDEPENDENT Spark actions inside one query (guide §2.6):
 # the sketch-build job and its exact-verification job share no dependency, so
@@ -384,9 +384,13 @@ def q_b24_multicol_group_by(spark, sf_dir):
 
 def q_b02_hll_distinct_tokens(spark, sf_dir):
     """Q2: approx COUNT(DISTINCT token) GROUP BY source over tokenized text."""
-    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    raw = _t(spark, sf_dir, "documents")
+    docs = with_tokens(raw)
+    # exact pass: explode(pre_tokens)+hash instead of exploding the
+    # transform()-built array — same ids, codegen'd (see tokenize.token_id)
     fut = _OVERLAP.submit(
-        lambda: docs.select("source", F.explode("tokens").alias("tok"))
+        lambda: raw.select("source", F.explode(pre_tokens("text")).alias("t"))
+        .select("source", token_id("t").alias("tok"))
         .groupBy("source")
         .agg(F.countDistinct("tok").alias("exact"))
         .toPandas()
@@ -401,9 +405,12 @@ def q_b02_hll_distinct_tokens(spark, sf_dir):
 
 def q_b03_cm_topk_tokens(spark, sf_dir):
     """Q3: top-k token frequencies per source; CM never undercounts, ≤ 3·ε·N over."""
-    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    raw = _t(spark, sf_dir, "documents")
+    docs = with_tokens(raw)
+    # exact pass via explode(pre_tokens)+hash — same ids, codegen'd
     fut = _OVERLAP.submit(
-        lambda: docs.select("source", F.explode("tokens").alias("token"))
+        lambda: raw.select("source", F.explode(pre_tokens("text")).alias("t"))
+        .select("source", token_id("t").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("true_count"))
         .toPandas()
