@@ -70,7 +70,7 @@ def main() -> None:
     for tbl in SCALED:
         t = pq.read_table(os.path.join(src, tbl + ".parquet"))
         out = os.path.join(dst, tbl + ".parquet")
-        writer = pq.ParquetWriter(out, t.schema)
+        copies = []
         for i in range(n):
             c = t
             for col, span in shift_cols.get(tbl, {}).items():
@@ -83,9 +83,15 @@ def main() -> None:
                     c["text"].cast(pa.string()), pa.scalar(f" r{i}"), ""
                 )
                 c = c.set_column(idx, c.schema.field("text"), suff.cast(c.schema.field("text").type))
-            writer.write_table(c)
-        writer.close()
-        print(f"{tbl}: {t.num_rows} x {n} rows -> {out}")
+            copies.append(c)
+        # ONE write_table call with pyarrow's default 1M-row groups, matching
+        # how the driver's generator lays tables out (every testdata sf file
+        # is a single <=1M-row row group): a 6M-row replica lineitem gets ~6
+        # row groups, a 50k-row documents gets ONE — so scan parallelism in
+        # the replica matches what the driver's sf1 data will allow.
+        pq.write_table(pa.concat_tables(copies), out)
+        md = pq.ParquetFile(out).metadata
+        print(f"{tbl}: {t.num_rows} x {n} rows, {md.num_row_groups} rgs -> {out}")
 
     # bench.py parses the sf out of the dir name; a _DONE marker matches the
     # real testdata layout

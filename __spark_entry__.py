@@ -127,6 +127,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _spread(spark: SparkSession, df: DataFrame, max_bytes: int = 1 << 30) -> DataFrame:
+    """Round-robin repartition a SCAN-STARVED small input to one partition
+    per core (guide §2.5, input skew): the testdata tables are single
+    parquet files with ≤1M-row row groups, and Spark assigns a row group to
+    the byte-split holding its midpoint — a one-row-group file is a
+    ONE-TASK scan no matter the core count, which starves every downstream
+    heavy expression (tokenize: measured 1.08 → 0.41 s for b03's exact pass
+    at the sf1 replica). Fires only when the scan has fewer partitions than
+    cores AND the input files are provably small (≤ max_bytes total), so a
+    corpus-scale table — thousands of splits — never pays a full shuffle."""
+    n = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+        files = df.inputFiles()
+        sz = sum(
+            os.stat(f[7:] if f.startswith("file://") else f).st_size for f in files
+        )
+    except Exception:
+        return df
+    if not files or sz > max_bytes:
+        return df
+    return df.repartition(n)
+
+
 def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100, 0).cast("long")
 
@@ -387,9 +412,11 @@ def q_b02_hll_distinct_tokens(spark, sf_dir):
     raw = _t(spark, sf_dir, "documents")
     docs = with_tokens(raw)
     # exact pass: explode(pre_tokens)+hash instead of exploding the
-    # transform()-built array — same ids, codegen'd (see tokenize.token_id)
+    # transform()-built array — same ids, codegen'd (see tokenize.token_id);
+    # raw text spread off the one-row-group scan before the heavy tokenize
+    spread = _spread(spark, raw)
     fut = _OVERLAP.submit(
-        lambda: raw.select("source", F.explode(pre_tokens("text")).alias("t"))
+        lambda: spread.select("source", F.explode(pre_tokens("text")).alias("t"))
         .select("source", token_id("t").alias("tok"))
         .groupBy("source")
         .agg(F.countDistinct("tok").alias("exact"))
@@ -407,9 +434,11 @@ def q_b03_cm_topk_tokens(spark, sf_dir):
     """Q3: top-k token frequencies per source; CM never undercounts, ≤ 3·ε·N over."""
     raw = _t(spark, sf_dir, "documents")
     docs = with_tokens(raw)
-    # exact pass via explode(pre_tokens)+hash — same ids, codegen'd
+    # exact pass via explode(pre_tokens)+hash — same ids, codegen'd; raw
+    # text spread off the one-row-group scan before the heavy tokenize
+    spread = _spread(spark, raw)
     fut = _OVERLAP.submit(
-        lambda: raw.select("source", F.explode(pre_tokens("text")).alias("t"))
+        lambda: spread.select("source", F.explode(pre_tokens("text")).alias("t"))
         .select("source", token_id("t").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("true_count"))

@@ -63,6 +63,14 @@ class SketchBase:
     def merge(self, other: "SketchBase") -> "SketchBase":
         raise NotImplementedError
 
+    def max_state_bytes(self) -> int:
+        """Upper bound on the serialized size of a FULL state with this
+        geometry, for driver-side transfer budgeting. Default: the current
+        instance's wire size (exact for fixed-size kinds without adaptive
+        encodings); kinds whose wire format narrows with content (CM)
+        override with the pessimistic widest-dtype size."""
+        return len(self.to_bytes())
+
     @property
     def n_items(self) -> int:
         return int(getattr(self, "_n_items", 0))

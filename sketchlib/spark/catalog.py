@@ -281,7 +281,7 @@ class SketchCatalog:
             )
             n_specs = max(len(specs), 1)
             n_groups = max(int(reg["n_states"]) // n_specs, 1)
-            per_set = sum(len(s.make().to_bytes()) for s in specs)
+            per_set = sum(s.make().max_state_bytes() for s in specs)
             delta_chunks = sum(
                 max(1, os.path.getsize(f) // (8 << 20)) for f in new_files
             )

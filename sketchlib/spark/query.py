@@ -89,16 +89,16 @@ _PARTIAL_PROBE_BYTES = 256 << 20  # byte budget for a partial-states probe pull
 
 
 def _partial_probe_cap(partial_specs, sketch: str) -> int:
-    """Row cap for a PARTIAL-states probe: the spec's serialized size is
-    known driver-side (spec.make().to_bytes() — an empty state has the same
-    geometry as a full one for every fixed-size kind), so the cap keeps the
-    pull under _PARTIAL_PROBE_BYTES however many tasks contributed. Floor at
+    """Row cap for a PARTIAL-states probe: the spec's pessimistic wire size
+    is known driver-side (spec.make().max_state_bytes() — geometry-derived,
+    never smaller than an actual state), so the cap keeps the pull under
+    _PARTIAL_PROBE_BYTES however many tasks contributed. Floor at
     _PROBE_ROWS so tiny sketches never probe below the merged-path cap."""
     per = 1024
     for s in partial_specs:
         if s.name == sketch:
             try:
-                per = max(len(s.make().to_bytes()), 1)
+                per = max(s.make().max_state_bytes(), 1)
             except Exception:
                 per = 1024
             break
