@@ -128,26 +128,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(spark: SparkSession, df: DataFrame, max_bytes: int = 1 << 30) -> DataFrame:
-    """Round-robin repartition a SCAN-STARVED small input to one partition
-    per core (guide §2.5, input skew): the testdata tables are single
-    parquet files with ≤1M-row row groups, and Spark assigns a row group to
-    the byte-split holding its midpoint — a one-row-group file is a
-    ONE-TASK scan no matter the core count, which starves every downstream
-    heavy expression (tokenize: measured 1.08 → 0.41 s for b03's exact pass
-    at the sf1 replica). Fires only when the scan has fewer partitions than
-    cores AND the input files are provably small (≤ max_bytes total), so a
-    corpus-scale table — thousands of splits — never pays a full shuffle."""
-    n = spark.sparkContext.defaultParallelism
+    """Round-robin repartition a SCAN-STARVED small input (guide §2.5,
+    input skew): the testdata tables are single parquet files with ≤1M-row
+    row groups, and Spark assigns a row group to the byte-split holding its
+    midpoint — a one-row-group file is a ONE-TASK scan no matter the core
+    count, which starves every downstream heavy expression (tokenize:
+    measured 0.94 → 0.43 s for b03's exact pass at the sf1 replica).
+
+    The width is BYTE-derived, not core-derived: ~256 KB of compressed
+    input per task (≈2 MB of raw text — env knob
+    SKETCHLIB_SPREAD_BYTES_PER_TASK), capped at the core count. A width
+    sweep at both sf0.1 and the sf1 replica put the optimum near this
+    bytes/task (over-fragmenting to 32 tasks at sf0.1 was SLOWER than not
+    spreading at all). Fires only when the scan has fewer partitions than
+    the target AND the input files are provably small (≤ max_bytes total),
+    so a corpus-scale table — thousands of splits — never pays a full
+    shuffle."""
+    per_task = int(os.environ.get("SKETCHLIB_SPREAD_BYTES_PER_TASK", 256 << 10))
+    cores = spark.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= n:
-            return df
         files = df.inputFiles()
         sz = sum(
             os.stat(f[7:] if f.startswith("file://") else f).st_size for f in files
         )
+        n = min(cores, max(2, sz // max(per_task, 1)))
+        if not files or sz > max_bytes or df.rdd.getNumPartitions() >= n:
+            return df
     except Exception:
-        return df
-    if not files or sz > max_bytes:
         return df
     return df.repartition(n)
 

@@ -168,6 +168,6 @@ class CountMin(SketchBase):
         )
         obj._n_items, obj.total, code = struct.unpack_from("<QQB", body, 0)
         table, cands = np_frombytes(body[17:], [cls._TABLE_DTYPES[code], np.int64])
-        obj.table = table.astype(np.int64).reshape(obj.d, obj.w)
+        obj.table = table.astype(np.int64, copy=False).reshape(obj.d, obj.w)
         obj.cands = cands
         return obj
